@@ -1,0 +1,51 @@
+"""Table catalog over the driver-generated parquet fixtures.
+
+Mirrors the reference's catalog layer (collectors/sources registry,
+``sumologic-app-utils/src/sumoresource.py:247-380``) in spirit: one place
+that knows where data lands and what its schema is.  Here the "sources" are
+the TESTDATA parquet tables.
+
+At 100 TB these reads stay exactly the same calls — ``spark.read.parquet``
+over a partitioned prefix — with partition pruning and predicate pushdown
+handled by the parquet source; nothing below materializes or collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Small dimension tables that should always be broadcast when joined.
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is physically timestamp[ns]; read as long nanos (see
+        # session.DEFAULT_CONFS) and floor to µs.  Integer DIV, not /1000.0:
+        # 1.7e18 ns exceeds double's 2^53 exact-integer range.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(ts DIV 1000)")
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql`` use."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

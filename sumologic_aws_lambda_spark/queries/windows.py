@@ -1,0 +1,227 @@
+"""Window functions: ranking, frames, carry-forward, sessionization.
+
+The reference's only genuinely order-sensitive operator is the stateful
+requestID carry-forward (SURVEY §2.3 P4, ``cloudwatchlogs-with-dlq/
+cloudwatchlogs_lambda.js:44-63``) — expressed here, in its general form,
+as ``last(..., ignorenulls)`` over an unbounded-preceding frame.  Ranking /
+lag / lead / paging (SURVEY §2.7 W2 and the '(absent)' row) round out the
+search-API surface.
+
+Scale notes: every window partitions on a high-cardinality key (customer,
+user) — one shuffle on that key, then per-partition sorting; no global
+sort.  Skewed users are the known hazard; AQE skew handling applies to the
+shuffle, and sessionization can fall back to ``session_window`` streaming
+aggregation where state must be bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from . import query
+
+
+@query(
+    "window_topn_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS total_price, rn
+    FROM (
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (
+                   PARTITION BY c.c_custkey
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey
+               ) AS rn
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — row_number ranking (tie-broken on the
+    primary key so the result is deterministic across engines)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer — unbounded-preceding frame."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    SELECT user_id, event_id,
+           round(value - lag(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ), 4) AS value_delta,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS next_event_type
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics over the event stream (SURVEY §2.7 absent row)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
+
+
+@query(
+    "carry_forward_last_value",
+    oracle="""
+    SELECT user_id, event_id,
+           last_value(purchase_val IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_purchase_value
+    FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'purchase' THEN round(value, 4) END
+                   AS purchase_val
+        FROM events
+    )
+    """,
+)
+def carry_forward_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The P4 requestID carry-forward pattern (``cloudwatchlogs_lambda.js:
+    44-63``): rows lacking a value inherit the most recent non-null one
+    within their ordered partition — ``last(..., ignorenulls=True)``.
+
+    Deterministic because the order key (ts, event_id) is unique, exactly
+    as the decode stage must emit an (envelope_id, event_index) order
+    column (SURVEY §7 'hard parts').
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(
+        F.col("event_type") == "purchase", F.round(F.col("value"), 4)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.last(purchase_val, ignorenulls=True)
+        .over(w)
+        .alias("last_purchase_value"),
+    )
+
+
+@query(
+    "paged_results",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    ORDER BY ts, event_id
+    LIMIT 50 OFFSET 100
+    """,
+)
+def paged_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-job result paging (SURVEY §2.7 W2, ``sumologic.py:105-113``):
+    stable offset/limit via row_number over a total order."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 100) & (F.col("rn") <= 150))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap.
+
+    Batch twin of ``session_window`` (SURVEY §2.8 T10) — expressed as
+    gaps-and-islands so the oracle can verify it; the streaming shell uses
+    ``session_window`` itself, which Spark merges incrementally with state
+    bounded by the watermark.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_ok = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) <= 1800
+    flagged = ev.withColumn(
+        "new_session", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1))
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(run))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.unix_timestamp(F.min("ts")).alias("session_start_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("session_id")
