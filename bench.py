@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is materialized with a noop-format write so timings measure the
+full distributed plan (scan → shuffle → agg) without driver-side collect
+overhead — the same shape the plan has on a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sumologic_aws_lambda_spark import queries as registry  # noqa: E402
+from sumologic_aws_lambda_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the plans whose
+# scale behavior matters (joins, windows, sessionization, dedup, ANN).
+HEADLINE = [
+    "pricing_summary",
+    "filter_project",
+    "revenue_topk",
+    "region_rollup_join",
+    "semi_join_priority",
+    "window_topn_orders",
+    "window_running_total",
+    "sessionize_events",
+    "json_extract_props",
+    "timeslice_5m",
+    "count_distinct_parts",
+    "percentile_quantity",
+]
+# Added as the corresponding operators land (kept separate so bench.py
+# never names a query that does not exist yet).
+OPTIONAL = [
+    "exact_dedup_stats",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "cosine_topk_bruteforce",
+    "token_count_stats",
+    "sumoql_count_by",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench")
+    qs = registry.all_queries()
+    names = HEADLINE + [n for n in OPTIONAL if n in qs]
+
+    # Warmup: JVM/codegen spin-up outside the timed region.
+    qs["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

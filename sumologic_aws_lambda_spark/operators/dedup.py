@@ -1,0 +1,176 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline additions (north-star; absent from the reference).
+Design constraints for 100 TB:
+
+- Exact dedup is a hash-groupBy on a 128-bit fingerprint — one shuffle on
+  a uniformly distributed key.
+- MinHash signatures are computed per-document in a narrow stage (explode
+  shingles → groupBy doc), then LSH banding turns near-dup detection into
+  an equi-join on (band, band_key) — the only pairwise work happens inside
+  buckets, never across the full corpus.
+- Hashes are md5-derived (not xxhash64) so signatures are reproducible by
+  any engine — the DuckDB oracle recomputes them byte-for-byte.  MinHash
+  uses the *lexicographic* min of ``md5(seed:shingle)`` hex strings: the
+  min of a uniform hash under 2^128 is order-isomorphic to the numeric
+  min, and string min is portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, normalize_text
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of every exact-duplicate group
+    (hash-groupBy on the md5 fingerprint)."""
+    fp = fingerprint(text_col).alias("fp")
+    keep = (
+        df.select(fp, F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams as an array column — the shingle set for
+    MinHash / Jaccard.  Pure expressions: split → sequence → transform."""
+    toks = F.split(normalize_text(col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1)
+                                          for j in range(n)])
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 8,
+                       shingle_n: int = 3) -> DataFrame:
+    """(id, seed, minhash) — one row per document per hash function.
+
+    minhash_i(doc) = min over shingles of md5(i || ':' || shingle),
+    compared lexicographically (portable across engines, see module doc).
+    Plan shape: explode shingles (narrow) → groupBy(id) with ``min_by``-
+    style aggregation — one shuffle keyed by document id.
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    ).distinct()
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    hashed = shingled.select(
+        id_col, seeds, "shingle"
+    ).withColumn(
+        "h", F.md5(F.concat_ws(":", F.col("seed").cast("string"), "shingle"))
+    )
+    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        rows_per_band: int = 2) -> DataFrame:
+    """LSH banding: concat ``rows_per_band`` consecutive minhashes into a
+    band key; documents sharing any (band, key) are candidate pairs.
+
+    The pairing is an equi-self-join on (band, band_key) — Catalyst
+    shuffles both sides on the key, so cost scales with bucket sizes, not
+    corpus².  Emits each unordered pair once (a < b).
+    """
+    banded = signatures.withColumn(
+        "band", (F.col("seed") / rows_per_band).cast("int")
+    ).groupBy(id_col, "band").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias(
+            "band_key"
+        )
+    )
+    a = banded.select(F.col(id_col).alias("a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("b"), "band", "band_key")
+    return (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        threshold: float = 0.2) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    |A∩B| comes from a self-join on the shingle (shuffle keyed by
+    shingle), |A∪B| = |A|+|B|−|A∩B|.  At scale this is the verifier run
+    *after* LSH pruning; standalone it is quadratic in the worst case —
+    callers restrict the input set.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter_sz"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("a_sz"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("b_sz"))
+    out = (
+        inter.join(F.broadcast(sa), "a").join(F.broadcast(sb), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter_sz")
+                / (F.col("a_sz") + F.col("b_sz") - F.col("inter_sz")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 16) -> DataFrame:
+    """SimHash over word tokens: per-bit majority vote of token hashes.
+
+    Token hash bits come from ``conv(md5 prefix, 16, 10)`` so the
+    signature is engine-reproducible.  ``bits`` defaults to 16 (hamming
+    comparisons on small corpora); production would use 64.
+    Plan: explode tokens → explode bit positions → groupBy(id) — shuffle
+    keyed by document id.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    toks = toks.withColumn("h", h)
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    # Column-valued shift amount → SQL shiftleft + integer DIV (the
+    # python shiftright() only takes a literal count).
+    votes = toks.select(id_col, "h", bit).withColumn(
+        "vote",
+        F.expr(
+            "CASE WHEN (h DIV shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))"
+            " % 2 = 1 THEN 1 ELSE -1 END"
+        ),
+    )
+    bitvals = votes.groupBy(id_col, "bit").agg(
+        F.when(F.sum("vote") > 0, 1).otherwise(0).alias("bitval")
+    )
+    return bitvals.groupBy(id_col).agg(
+        F.sum(
+            F.col("bitval") * F.pow(F.lit(2.0), F.col("bit")).cast("bigint")
+        ).cast("bigint").alias("simhash")
+    )

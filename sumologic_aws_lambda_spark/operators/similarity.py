@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star addition: brute-force cosine top-k as the correctness baseline
+and a hyperplane-LSH bucketed variant as the scale path.
+
+100 TB design: brute force is the *verifier* — it broadcast-joins a small
+query set against the corpus, so the corpus never shuffles; cost is one
+narrow pass per query batch.  The LSH variant buckets the corpus once
+(narrow map stage) and turns search into an equi-join on bucket id; recall
+is tunable via number of planes / probe multipliers.  Vector math uses
+``zip_with``/``aggregate`` built-ins (JVM, codegen) — no Python in the
+loop.  Hyperplanes are md5-derived deterministic pseudo-randoms so any
+engine can reproduce the bucketing bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ — left-to-right fold, deterministic across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, score every corpus row,
+    rank per query.  Ties break on neighbor id for determinism."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            as_double(vec_col).alias("q_vec"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "sim", "rank")
+    )
+
+
+def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim, derived
+    from md5(plane:dim) — reproducible in any engine / language."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            v = int(h[:13], 16) / float(16 ** 13)  # [0, 1), 52-bit exact
+            row.append(round(2.0 * v - 1.0, 9))
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-projection bit per plane, packed into a string bucket id
+    (e.g. '1011...'), computed fully in Column expressions."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, "1"
+        ).otherwise("0")
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, planes: list[list[float]],
+             k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """ANN: bucket corpus + queries by hyperplane signs, score only
+    within-bucket candidates, rank per query.
+
+    Recall < 1 by construction (bucket boundary misses); at scale the
+    bucketing pass is narrow and the join shuffles only on bucket id.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("c_vec"),
+    ).withColumn("bucket", lsh_bucket(F.col("c_vec"), planes))
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            as_double(vec_col).alias("q_vec"),
+        ).withColumn("bucket", lsh_bucket(F.col("q_vec"), planes))
+    )
+    scored = (
+        c.join(q, on="bucket")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "sim", "rank")
+    )
+
+
+def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label") -> DataFrame:
+    """k-NN majority-vote label prediction from brute-force top-k.
+    Vote ties break toward the smaller label value (deterministic)."""
+    topk = brute_force_topk(corpus, queries, k, id_col, vec_col)
+    labeled = topk.join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), label_col),
+        on="neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", label_col).agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col(label_col)
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col(label_col).alias("predicted_label"), "votes")
+    )

@@ -1,0 +1,253 @@
+"""Sumo-style search-language compiler: query string → DataFrame plan.
+
+The reference *calls* this language through the Search Job API
+(``sumologic-app-utils/src/sumologic.py:96-116``; scope example
+``_sourceCategory=X`` in ``cloudwatchevents/test/test-guardduty-benchmark
+.py:167``; parse-expression example ``| json "eventSource", "awsRegion" as
+eventSource, region`` in ``sumologic-app-utils/Test/SampleTemplate.yaml:
+361-363`` — the FER surface, ``sumoresource.py:1147-1177``).
+
+Grammar (kept deliberately tiny — each construct is specced against the
+cited examples):
+
+    query     := scope ('|' stage)*
+    scope     := (field '=' value | word)*          -- metadata equality +
+                                                        full-text terms
+    stage     := 'json' '"'path'"' (',' '"'path'"')* ['as' name (',' name)*]
+               | 'parse' '"' prefix '*' suffix '"' 'as' name   -- anchor parse
+               | 'parse' 'regex' '"' re-with-named-groups '"'
+               | 'where' sql-expr
+               | 'fields' name (',' name)*
+               | 'timeslice' Nunit                  -- 5m / 1h / 1d
+               | agg (',' agg)* ['by' name (',' name)*]
+               | 'sort' 'by' name ['asc'|'desc']
+               | 'limit' N
+    agg       := 'count' | ('sum'|'avg'|'min'|'max'|'count_distinct')
+                 '(' name ')'
+
+Everything compiles to built-in Column expressions (SURVEY §4: no Catalyst
+extension needed) — ``json`` → ``get_json_object``, anchor parse / ``parse
+regex`` → ``regexp_extract``, ``timeslice`` → ``window()``, aggregations →
+``groupBy().agg()``.  Catalyst then pushes scope predicates into the scan.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class SumoSchema:
+    """Binds Sumo's built-in field names to DataFrame columns."""
+
+    raw_col: str = "_raw"                 # the message body
+    ts_col: str = "_messagetime"          # event timestamp
+    meta_cols: dict[str, str] = field(default_factory=dict)
+    # e.g. {"_sourceCategory": "source_category", "_sourceHost": "..."}
+
+
+_UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+_AGG_RE = re.compile(
+    r"^(count_distinct|count|sum|avg|min|max)\s*(?:\(\s*([\w.]*)\s*\))?$"
+)
+
+
+class SumoQLError(ValueError):
+    pass
+
+
+def _split_stages(query: str) -> list[str]:
+    """Split on top-level '|' (quotes respected)."""
+    parts, buf, in_q = [], [], False
+    for ch in query:
+        if ch == '"':
+            in_q = not in_q
+        if ch == "|" and not in_q:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf).strip())
+    return [p for p in parts if p]
+
+
+def _quoted_list(text: str) -> list[str]:
+    return re.findall(r'"([^"]*)"', text)
+
+
+def compile_query(df: DataFrame, query: str,
+                  schema: SumoSchema = SumoSchema()) -> DataFrame:
+    """Compile and apply a Sumo-style query against ``df``."""
+    stages = _split_stages(query)
+    if not stages:
+        raise SumoQLError("empty query")
+    out = _apply_scope(df, stages[0], schema)
+    for stage in stages[1:]:
+        out = _apply_stage(out, stage, schema)
+    return out
+
+
+def _apply_scope(df: DataFrame, scope: str, schema: SumoSchema) -> DataFrame:
+    """Scope: metadata equalities + bare full-text terms ANDed together
+    (``_sourceCategory=X`` semantics from the benchmark test :167)."""
+    if scope == "*":
+        return df
+    out = df
+    for term in scope.split():
+        m = re.match(r"^([\w]+)=(\S+)$", term)
+        if m:
+            name, value = m.groups()
+            col = schema.meta_cols.get(name, name)
+            # Sumo scope matching supports trailing wildcards.
+            if value.endswith("*"):
+                out = out.filter(F.col(col).startswith(value[:-1]))
+            else:
+                out = out.filter(F.col(col) == value)
+        else:
+            out = out.filter(F.col(schema.raw_col).contains(term))
+    return out
+
+
+def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema) -> DataFrame:
+    head = stage.split(None, 1)[0].lower()
+    rest = stage[len(head):].strip()
+
+    if head == "json":
+        return _stage_json(df, rest, schema)
+    if head == "parse":
+        return _stage_parse(df, rest, schema)
+    if head == "where":
+        return df.filter(F.expr(rest))
+    if head == "fields":
+        return df.select(*[c.strip() for c in rest.split(",")])
+    if head == "timeslice":
+        return _stage_timeslice(df, rest, schema)
+    if head == "sort":
+        return _stage_sort(df, rest)
+    if head == "limit":
+        return df.limit(int(rest))
+    # "count," / "sum(x)," — first token of a multi-agg list keeps its comma
+    if _AGG_RE.match(head.rstrip(",")):
+        return _stage_agg(df, stage)
+    raise SumoQLError(f"unknown stage: {stage!r}")
+
+
+def _stage_json(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
+    """``json "a.b", "c" as x, y`` → get_json_object projections
+    (FER example ``sumoresource.py:1147-1158``)."""
+    if " as " in rest:
+        paths_part, names_part = rest.rsplit(" as ", 1)
+        names = [n.strip() for n in names_part.split(",")]
+    else:
+        paths_part, names = rest, []
+    paths = _quoted_list(paths_part)
+    if not paths:
+        raise SumoQLError(f"json stage needs quoted paths: {rest!r}")
+    if not names:
+        names = [p.split(".")[-1] for p in paths]
+    if len(names) != len(paths):
+        raise SumoQLError("json stage: paths/aliases arity mismatch")
+    out = df
+    for p, n in zip(paths, names):
+        out = out.withColumn(
+            n, F.get_json_object(F.col(schema.raw_col), f"$.{p}")
+        )
+    return out
+
+
+def _stage_parse(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
+    """Anchor parse ``"prefix*suffix" as name`` and ``regex "(?<g>...)"``."""
+    if rest.lower().startswith("regex"):
+        pattern = _quoted_list(rest)[0]
+        out = df
+        # Java regex accepts (?<name>...) natively; extraction is by group
+        # index so the oracle (RE2 with plain groups) can reproduce it.
+        for gname in re.findall(r"\(\?<(\w+)>", pattern):
+            out = out.withColumn(
+                gname,
+                F.nullif(
+                    F.regexp_extract(F.col(schema.raw_col), pattern,
+                                     _group_index(pattern, gname)),
+                    F.lit(""),
+                ),
+            )
+        return out
+    m = re.match(r'^"([^"]*)"\s+as\s+([\w,\s]+)$', rest)
+    if not m:
+        raise SumoQLError(f"bad parse stage: {rest!r}")
+    template, names_part = m.groups()
+    names = [n.strip() for n in names_part.split(",")]
+    stars = template.count("*")
+    if stars != len(names):
+        raise SumoQLError("parse stage: '*' count != alias count")
+    pattern = "(.*?)".join(re.escape(part) for part in template.split("*"))
+    out = df
+    for i, n in enumerate(names, start=1):
+        out = out.withColumn(
+            n,
+            F.nullif(F.regexp_extract(F.col(schema.raw_col), pattern, i),
+                     F.lit("")),
+        )
+    return out
+
+
+def _group_index(pattern: str, gname: str) -> int:
+    """1-based capture-group index of a named group."""
+    return [g for g in re.findall(r"\(\?<(\w+)>", pattern)].index(gname) + 1
+
+
+def _stage_timeslice(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
+    m = re.match(r"^(\d+)([smhd])$", rest.strip())
+    if not m:
+        raise SumoQLError(f"bad timeslice: {rest!r}")
+    n, unit = int(m.group(1)), m.group(2)
+    seconds = n * _UNIT_SECONDS[unit]
+    return df.withColumn(
+        "_timeslice",
+        F.window(F.col(schema.ts_col), f"{seconds} seconds").start,
+    )
+
+
+def _stage_sort(df: DataFrame, rest: str) -> DataFrame:
+    m = re.match(r"^by\s+([\w]+)(?:\s+(asc|desc))?$", rest.strip(),
+                 re.IGNORECASE)
+    if not m:
+        raise SumoQLError(f"bad sort stage: {rest!r}")
+    col, direction = m.group(1), (m.group(2) or "desc").lower()
+    return df.orderBy(
+        F.col(col).asc() if direction == "asc" else F.col(col).desc()
+    )
+
+
+def _stage_agg(df: DataFrame, stage: str) -> DataFrame:
+    """``count by a, b`` / ``sum(x), avg(y) by k`` → groupBy().agg().
+    Output columns follow Sumo naming: _count, _sum_x, _avg_y …"""
+    if " by " in stage:
+        aggs_part, by_part = stage.split(" by ", 1)
+        by_cols = [c.strip() for c in by_part.split(",")]
+    else:
+        aggs_part, by_cols = stage, []
+    agg_cols: list[Column] = []
+    for spec in aggs_part.split(","):
+        m = _AGG_RE.match(spec.strip())
+        if not m:
+            raise SumoQLError(f"bad aggregation: {spec!r}")
+        fn, arg = m.group(1), m.group(2)
+        if fn == "count":
+            agg_cols.append(F.count(F.lit(1)).alias("_count"))
+        elif fn == "count_distinct":
+            agg_cols.append(
+                F.countDistinct(arg).alias(f"_count_distinct_{arg}")
+            )
+        else:
+            agg_cols.append(
+                getattr(F, fn)(arg).alias(f"_{fn}_{arg}")
+            )
+    if by_cols:
+        return df.groupBy(*by_cols).agg(*agg_cols)
+    return df.agg(*agg_cols)

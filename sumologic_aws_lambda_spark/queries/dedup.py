@@ -1,1 +1,165 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Deduplication queries (exact, MinHash signatures, LSH candidate pairs,
+n-gram Jaccard, SimHash) over ``documents``.
+
+Hashes are md5-derived throughout so the DuckDB oracle recomputes
+signatures byte-for-byte (see ``operators/dedup.py`` module doc).  The
+pair-generating queries restrict to a deterministic document subset —
+they are the *verification* stage of a dedup pipeline; at 100 TB they run
+after LSH pruning, never on the raw corpus crossproduct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from . import query
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# Shared oracle CTE: normalized docs → distinct word 3-gram shingles.
+# list_slice mirrors concat_ws-over-element_at (short docs yield their
+# full token list as one shingle on both sides).
+def _shingle_cte(where: str) -> str:
+    return f"""
+    docs AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS t
+        FROM documents {where}
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+        FROM docs,
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1)))
+                      AS i) g
+    )"""
+
+
+@query(
+    "exact_dedup_stats",
+    oracle=f"""
+    WITH keep AS (
+        SELECT min(doc_id) AS doc_id
+        FROM documents
+        GROUP BY md5({_NORM})
+    )
+    SELECT d.source, count(*) AS kept_docs
+    FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+    GROUP BY d.source
+    """,
+)
+def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest-id representative per fingerprint
+    group (hash-groupBy shuffle on a uniform 128-bit key)."""
+    d = table(spark, sf_dir, "documents")
+    return exact_dedup(d).groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs")
+    )
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    WITH {_shingle_cte("WHERE doc_id % 5 = 0")}
+    SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+    FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+    GROUP BY doc_id, seed
+    """,
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hash functions over word 3-gram shingles).
+    min is lexicographic over md5 hex — portable across engines."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return minhash_signatures(d, num_hashes=8)
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_shingle_cte("WHERE doc_id % 5 = 0")},
+    sig AS (
+        SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+        GROUP BY doc_id, seed
+    ),
+    banded AS (
+        SELECT doc_id, seed // 2 AS band,
+               string_agg(minhash, '|' ORDER BY minhash) AS band_key
+        FROM sig GROUP BY doc_id, seed // 2
+    )
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands × 2 rows): near-dup candidate pairs via
+    equi-join on (band, band_key) — no corpus crossproduct."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return lsh_candidate_pairs(minhash_signatures(d, num_hashes=8))
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_shingle_cte("WHERE doc_id % 10 = 0")},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter_sz
+        FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT a, b,
+           round(inter_sz / (sa.sz + sb.sz - inter_sz), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE inter_sz / (sa.sz + sb.sz - inter_sz) >= 0.1
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing ≥1 shingle (threshold 0.1)
+    — the verifier stage behind MinHash/LSH."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return ngram_jaccard_pairs(d, threshold=0.1)
+
+
+@query(
+    "simhash_signatures",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS t
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    toks AS (SELECT doc_id, unnest(t) AS tok FROM docs),
+    votes AS (
+        SELECT doc_id, b.bit,
+               CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+                          // CAST(power(2, b.bit) AS BIGINT)) % 2 = 1
+                    THEN 1 ELSE -1 END AS vote
+        FROM toks CROSS JOIN
+             (SELECT unnest(generate_series(0, 15)) AS bit) b
+    ),
+    bits AS (
+        SELECT doc_id, bit,
+               CASE WHEN sum(vote) > 0 THEN 1 ELSE 0 END AS bitval
+        FROM votes GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(sum(bitval * CAST(power(2, bit) AS BIGINT)) AS BIGINT)
+               AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash (per-bit majority over md5-hashed word tokens)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return simhash(d, bits=16)

@@ -1,1 +1,275 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Ingestion-operator queries, oracle-checked over inline fixtures.
+
+The ingestion half operates on envelope/record payloads, not the TPC-H
+tables, so each query embeds a deterministic fixture — the same literal
+rows appear as ``createDataFrame`` input on the Spark side and as a
+``VALUES`` CTE in the DuckDB oracle.  The gzip/base64 envelope path can't
+be oracle-checked (DuckDB has no gunzip) and is covered by the golden
+pytest in ``tests/test_cwl.py`` plus a rows-only entry here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.cwl import CwlConfig, cwl_pipeline
+from ..sources.firehose import transform_records
+from ..sources.vpc import discard_internal_traffic, enrich_security_groups, parse_vpc_message
+from . import query
+
+# Deterministic VPC flow lines (vpcutils.js:8-29 layout).  eni-1/eni-2 are
+# in subnet-a, eni-3 in subnet-b; 10.0.* is the "internal" CIDR.
+_VPC_LINES = [
+    (1, "2 123456789010 eni-1 10.0.0.1 10.0.0.2 49152 443 6 10 840 1600000000 1600000060 ACCEPT OK"),
+    (2, "2 123456789010 eni-2 10.0.0.2 10.0.0.1 443 49152 6 8 672 1600000000 1600000060 ACCEPT OK"),
+    (3, "2 123456789010 eni-1 203.0.113.5 10.0.0.1 49153 443 6 20 1680 1600000010 1600000070 ACCEPT OK"),
+    (4, "2 123456789010 eni-3 10.0.1.9 203.0.113.7 49154 80 6 5 420 1600000020 1600000080 REJECT OK"),
+    (5, "2 123456789010 eni-3 - - - - - - - 1600000030 1600000090 - NODATA"),
+]
+
+_VPC_VALUES = ",\n               ".join(
+    f"({i}, '{line}')" for i, line in _VPC_LINES
+)
+
+_ENI_ROWS = [
+    ("eni-1", ["sg-a", "sg-b"], "10.0.0.1", "subnet-a", "vpc-1", "us-east-1"),
+    ("eni-2", ["sg-c"], "10.0.0.2", "subnet-a", "vpc-1", "us-east-1"),
+    ("eni-3", ["sg-d"], "10.0.1.9", "subnet-b", "vpc-1", "us-east-1"),
+]
+
+
+def _vpc_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_VPC_LINES, "row_id int, message string")
+
+
+@query(
+    "vpc_flow_parse",
+    oracle=f"""
+    WITH raw(row_id, message) AS (
+        VALUES {_VPC_VALUES}
+    ), parts AS (
+        SELECT row_id, string_split(message, ' ') AS p FROM raw
+    )
+    SELECT row_id,
+           CAST(p[1] AS INT)              AS version,
+           p[3]                           AS interface_id,
+           nullif(p[4], '-')              AS srcaddr,
+           nullif(p[5], '-')              AS dstaddr,
+           CAST(nullif(p[6], '-') AS INT) AS srcport,
+           CAST(nullif(p[7], '-') AS INT) AS dstport,
+           CAST(nullif(p[9], '-') AS BIGINT)  AS packets,
+           CAST(nullif(p[10], '-') AS BIGINT) AS bytes,
+           CAST(p[11] AS BIGINT)          AS start_ts,
+           nullif(p[13], '-')             AS action,
+           p[14]                          AS log_status
+    FROM parts
+    """,
+)
+def vpc_flow_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: positional VPC parse with typed casts and '-' → NULL for
+    NODATA/SKIPDATA placeholder fields (``vpcutils.js:8-29,37-39``)."""
+    return parse_vpc_message(_vpc_df(spark)).select(
+        "row_id", "version", "interface_id", "srcaddr", "dstaddr",
+        "srcport", "dstport", "packets", "bytes", "start_ts", "action",
+        "log_status",
+    )
+
+
+@query(
+    "vpc_internal_filter",
+    oracle=f"""
+    WITH raw(row_id, message) AS (
+        VALUES {_VPC_VALUES}
+    ), parts AS (
+        SELECT row_id, string_split(message, ' ') AS p FROM raw
+    )
+    SELECT row_id
+    FROM parts
+    WHERE NOT (starts_with(nullif(p[4],'-'), '10.0.0.')
+               AND starts_with(nullif(p[5],'-'), '10.0.0.'))
+          OR p[4] = '-'
+    """,
+)
+def vpc_internal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: drop flows where BOTH endpoints are internal
+    (``vpcutils.js:31-48``); NODATA rows (null addrs) pass through."""
+    parsed = parse_vpc_message(_vpc_df(spark))
+    out = discard_internal_traffic(parsed, ("10.0.0.",))
+    return out.select("row_id")
+
+
+@query(
+    "vpc_eni_enrichment",
+    oracle=f"""
+    WITH raw(row_id, message) AS (
+        VALUES {_VPC_VALUES}
+    ), flows AS (
+        SELECT row_id,
+               string_split(message, ' ')[3] AS interface_id,
+               nullif(string_split(message, ' ')[4], '-') AS srcaddr,
+               nullif(string_split(message, ' ')[5], '-') AS dstaddr
+        FROM raw
+    ), eni(interface_id, ip_address, subnet_id, vpc_id) AS (
+        VALUES ('eni-1', '10.0.0.1', 'subnet-a', 'vpc-1'),
+               ('eni-2', '10.0.0.2', 'subnet-a', 'vpc-1'),
+               ('eni-3', '10.0.1.9', 'subnet-b', 'vpc-1')
+    )
+    SELECT f.row_id, e.subnet_id, e.vpc_id,
+           CASE WHEN e.ip_address IS NULL THEN NULL
+                WHEN f.dstaddr = e.ip_address THEN
+                     CASE WHEN se.subnet_id = e.subnet_id THEN 'internal'
+                          ELSE 'inbound' END
+                ELSE
+                     CASE WHEN de.subnet_id = e.subnet_id THEN 'internal'
+                          ELSE 'outbound' END
+           END AS direction
+    FROM flows f
+    LEFT JOIN eni e  ON f.interface_id = e.interface_id
+    LEFT JOIN eni se ON f.srcaddr = se.ip_address
+    LEFT JOIN eni de ON f.dstaddr = de.ip_address
+    """,
+)
+def vpc_eni_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J2: broadcast ENI-dimension join + direction classification
+    (``vpcutils.js:117-152``)."""
+    flows = parse_vpc_message(_vpc_df(spark)).select(
+        "row_id", "interface_id", "srcaddr", "dstaddr"
+    )
+    eni = spark.createDataFrame(
+        _ENI_ROWS,
+        "interface_id string, security_group_ids array<string>,"
+        " ip_address string, subnet_id string, vpc_id string,"
+        " aws_region string",
+    )
+    out = enrich_security_groups(flows, eni)
+    return out.select("row_id", "subnet_id", "vpc_id", "direction")
+
+
+_GD_EVENTS = [
+    (1, "aws.guardduty", '{"findingType":"Recon:EC2/PortProbe","severity":5}',
+     '{"source":"aws.guardduty","detail":{"findingType":"Recon:EC2/PortProbe","severity":5}}'),
+    (2, "aws.ec2", '{"state":"running"}',
+     '{"source":"aws.ec2","detail":{"state":"running"}}'),
+    (3, "aws.guardduty", '{"findingType":"Backdoor:EC2/DNS","severity":8}',
+     '{"source":"aws.guardduty","detail":{"findingType":"Backdoor:EC2/DNS","severity":8}}'),
+]
+
+
+@query(
+    "guardduty_unwrap",
+    oracle="""
+    WITH raw(id, source, detail, whole) AS (
+        VALUES (1, 'aws.guardduty', '{"findingType":"Recon:EC2/PortProbe","severity":5}',
+                '{"source":"aws.guardduty","detail":{"findingType":"Recon:EC2/PortProbe","severity":5}}'),
+               (2, 'aws.ec2', '{"state":"running"}',
+                '{"source":"aws.ec2","detail":{"state":"running"}}'),
+               (3, 'aws.guardduty', '{"findingType":"Backdoor:EC2/DNS","severity":8}',
+                '{"source":"aws.guardduty","detail":{"findingType":"Backdoor:EC2/DNS","severity":8}}')
+    )
+    SELECT id,
+           CASE WHEN source = 'aws.guardduty' THEN detail ELSE whole END
+               AS payload,
+           json_extract_string(
+               CASE WHEN source = 'aws.guardduty' THEN detail ELSE whole END,
+               '$.findingType') AS finding_type
+    FROM raw
+    """,
+)
+def guardduty_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14: guardduty events ship only ``detail``
+    (``cloudwatchevents.js:134-138``)."""
+    from ..sources.cloudwatchevents import unwrap_guardduty
+
+    df = spark.createDataFrame(
+        _GD_EVENTS, "id int, source string, detail string, raw string"
+    )
+    out = unwrap_guardduty(df)
+    return out.select(
+        "id", "payload",
+        F.get_json_object("payload", "$.findingType").alias("finding_type"),
+    )
+
+
+@query(
+    "firehose_transform",
+    oracle="""
+    WITH raw(record_id, data) AS (
+        VALUES (1, to_base64(encode('{"a":"1","b":"x"}'))),
+               (2, to_base64(encode('plain text line'))),
+               (3, CAST(NULL AS VARCHAR))
+    )
+    SELECT record_id,
+           CASE WHEN data IS NULL THEN 'ProcessingFailed' ELSE 'Ok' END
+               AS result,
+           CASE WHEN data IS NULL THEN NULL
+                ELSE to_base64(encode(decode(from_base64(data)) || chr(10)))
+           END AS data_out
+    FROM raw
+    """,
+)
+def firehose_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/P10: Firehose transform — base64 roundtrip, newline delimiter
+    append, Ok/ProcessingFailed status
+    (``kinesisfirehose-processor.js:9-15,30-57``)."""
+    rows = [(1, '{"a":"1","b":"x"}'), (2, "plain text line"), (3, None)]
+    df = spark.createDataFrame(rows, "record_id int, payload string").select(
+        "record_id", F.base64(F.encode("payload", "UTF-8")).alias("data")
+    )
+    return transform_records(df).select("record_id", "result", "data_out")
+
+
+@query(
+    "asff_validation_gate",
+    oracle="""
+    WITH raw(id, severity, compliance_status, title, finding_type, resource_id) AS (
+        VALUES (1, 42,  'PASSED',  'ok finding',  'Software/CVE', 'arn:r1'),
+               (2, 101, 'PASSED',  'too severe',  'Software/CVE', 'arn:r2'),
+               (3, 10,  'MAYBE',   'bad status',  'Software/CVE', 'arn:r3'),
+               (4, 55,  'WARNING', NULL,          'Software/CVE', 'arn:r4'),
+               (5, 0,   'FAILED',  'edge ok',     'Software/CVE', 'arn:r5')
+    )
+    SELECT id,
+           (severity BETWEEN 0 AND 100)
+           AND compliance_status IN ('PASSED','WARNING','FAILED','NOT_AVAILABLE')
+           AND title IS NOT NULL AND finding_type IS NOT NULL
+           AND resource_id IS NOT NULL AS valid
+    FROM raw
+    """,
+)
+def asff_validation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: ASFF param validation — severity 0-100, compliance enum,
+    required fields (``securityhub_forwarder.py:92-116``).  Invalid rows
+    are flagged, not dropped (error side-channel)."""
+    from ..sources.securityhub import validate_findings
+
+    rows = [
+        (1, 42, "PASSED", "ok finding", "Software/CVE", "arn:r1"),
+        (2, 101, "PASSED", "too severe", "Software/CVE", "arn:r2"),
+        (3, 10, "MAYBE", "bad status", "Software/CVE", "arn:r3"),
+        (4, 55, "WARNING", None, "Software/CVE", "arn:r4"),
+        (5, 0, "FAILED", "edge ok", "Software/CVE", "arn:r5"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id int, severity int, compliance_status string, title string,"
+        " finding_type string, resource_id string",
+    )
+    return validate_findings(df).select("id", F.col("_valid").alias("valid"))
+
+
+@query("cwl_decode_pipeline")  # gzip+base64 → rows-only; golden pytest covers values
+def cwl_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+D1/D2+P1-P7: the full CWL hot path on deterministic synthetic
+    envelopes (shapes mirror ``cwlfixtures.json``).  DuckDB cannot gunzip
+    a column, so the driver records rows-only here; exact expected values
+    are asserted in ``tests/test_cwl.py``."""
+    from ..testing.fixtures import synthetic_cwl_payloads
+
+    payloads = synthetic_cwl_payloads()
+    df = spark.createDataFrame([(p,) for p in payloads], "payload string")
+    cfg = CwlConfig(include_log_info=True)
+    return cwl_pipeline(df, cfg).select(
+        "envelope_id", "event_index", "ts", "request_id", "message",
+        "log_group", "log_stream", "metadata_key",
+    )

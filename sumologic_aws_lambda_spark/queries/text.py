@@ -1,1 +1,125 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Text-analysis queries over the ``documents`` table (north-star
+LLM-pipeline operators; see ``operators/text.py``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.text import (
+    detect_lang,
+    fingerprint,
+    quality_features,
+    token_count,
+)
+from . import query
+
+# DuckDB twin of operators.text.normalize_text (global-flag regexp).
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "token_count_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(len(string_split_regex(trim(text), '\\s+'))), 4)
+               AS avg_tokens,
+           round(avg(length(text)), 4) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting, aggregated per language."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+
+
+@query(
+    "quality_scores",
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               round(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g'))
+                     / length(text), 4) AS punct_ratio,
+               round(length(regexp_replace(text, '[a-zA-Z\\s]', '', 'g'))
+                     / length(text), 4) AS nonalpha_ratio
+        FROM documents
+        WHERE doc_id < 100
+    )
+    SELECT doc_id, n_tokens,
+           round((n_chars - n_tokens + 1) / n_tokens, 4) AS avg_token_len,
+           punct_ratio, nonalpha_ratio
+    FROM feat
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length / punctuation / non-alpha
+    ratios) — the building blocks of Gopher-style quality filters."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return quality_features(d).select(
+        "doc_id", "n_tokens", "avg_token_len", "punct_ratio", "nonalpha_ratio"
+    )
+
+
+@query(
+    "lang_detect_matrix",
+    oracle="""
+    WITH scored AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '\\b(the|a|of|and|to)\\b'))  AS s_en,
+               len(regexp_extract_all(text, '\\b(der|die|das|und|ist)\\b')) AS s_de,
+               len(regexp_extract_all(text, '\\b(el|la|los|que|y)\\b'))  AS s_es,
+               len(regexp_extract_all(text, '\\b(le|la|les|et|est)\\b')) AS s_fr
+        FROM documents
+    ), pred AS (
+        SELECT lang,
+               CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                    WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                    WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS predicted
+        FROM scored
+    )
+    SELECT lang, predicted, count(*) AS n
+    FROM pred GROUP BY lang, predicted
+    """,
+)
+def lang_detect_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-word argmax) vs the labeled ``lang``
+    column — a confusion matrix.  Priority order en>de>es>fr on ties,
+    'und' when no marker fires."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", detect_lang("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5({_NORM_SQL})) AS n_unique
+    FROM documents
+    GROUP BY source
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 fingerprint over normalized text, engine-reproducible —
+    the exact-dedup key.  Per-source uniqueness stats."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fingerprint("text")).alias("n_unique"),
+    )

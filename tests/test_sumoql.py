@@ -1,0 +1,113 @@
+"""Unit tests for the SumoQL compiler grammar (plans/sumoql.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sumologic_aws_lambda_spark.plans.sumoql import (
+    SumoQLError,
+    SumoSchema,
+    compile_query,
+)
+
+SCHEMA = SumoSchema(raw_col="msg", ts_col="ts",
+                    meta_cols={"_sourceCategory": "cat"})
+
+
+@pytest.fixture(scope="module")
+def logs(spark):
+    rows = [
+        (1, "prod/api", '{"status":"500","latency":"120"}', "2024-01-01 10:00:00"),
+        (2, "prod/api", '{"status":"200","latency":"15"}', "2024-01-01 10:03:00"),
+        (3, "prod/web", '{"status":"200","latency":"30"}', "2024-01-01 10:07:00"),
+        (4, "dev/api", "ERROR something broke badly", "2024-01-01 11:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "id int, cat string, msg string, ts string")
+    return df.selectExpr("id", "cat", "msg", "CAST(ts AS TIMESTAMP) ts")
+
+
+def test_scope_equality_and_fulltext(logs):
+    out = compile_query(logs, "_sourceCategory=dev/api ERROR", SCHEMA)
+    assert [r.id for r in out.collect()] == [4]
+
+
+def test_scope_wildcard(logs):
+    out = compile_query(logs, "_sourceCategory=prod/*", SCHEMA)
+    assert sorted(r.id for r in out.collect()) == [1, 2, 3]
+
+
+def test_json_where_count(logs):
+    out = compile_query(
+        logs,
+        '_sourceCategory=prod/* | json "status" | where status = \'200\''
+        " | count by cat",
+        SCHEMA,
+    )
+    got = {r.cat: r._count for r in out.collect()}
+    assert got == {"prod/api": 1, "prod/web": 1}
+
+
+def test_json_aliases(logs):
+    out = compile_query(
+        logs, '* | json "status", "latency" as st, lat | fields id, st, lat',
+        SCHEMA,
+    )
+    assert out.columns == ["id", "st", "lat"]
+    row = {r.id: r for r in out.collect()}
+    assert row[1].st == "500" and row[1].lat == "120"
+    assert row[4].st is None  # non-JSON message → null extraction
+
+
+def test_anchor_parse(logs):
+    out = compile_query(
+        logs, '* | parse "ERROR * broke*" as what, rest | where what is not null',
+        SCHEMA,
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].what == "something"
+
+
+def test_parse_regex_named_groups(logs):
+    out = compile_query(
+        logs,
+        '* | parse regex "status...(?<code>\\d+)" | count by code',
+        SCHEMA,
+    )
+    got = {r.code: r._count for r in out.collect()}
+    assert got == {"500": 1, "200": 2, None: 1}
+
+
+def test_timeslice_and_multi_agg(logs):
+    out = compile_query(
+        logs,
+        '* | json "latency" | timeslice 5m'
+        " | count, max(latency) by _timeslice",
+        SCHEMA,
+    )
+    got = {r._timeslice.isoformat(): r._count for r in out.collect()}
+    assert got["2024-01-01T10:00:00"] == 2
+    assert got["2024-01-01T10:05:00"] == 1
+    assert got["2024-01-01T11:00:00"] == 1
+
+
+def test_global_agg_without_by(logs):
+    out = compile_query(logs, "* | count", SCHEMA)
+    assert out.collect()[0]._count == 4
+
+
+def test_sort_limit(logs):
+    out = compile_query(logs, "* | sort by id asc | limit 2", SCHEMA)
+    assert [r.id for r in out.collect()] == [1, 2]
+
+
+@pytest.mark.parametrize("bad", [
+    "",
+    "* | frobnicate x",
+    "* | parse \"no stars here\" as x",
+    "* | timeslice 5 parsecs",
+    "* | json no quoted paths",
+])
+def test_errors(logs, bad):
+    with pytest.raises((SumoQLError, Exception)):
+        df = compile_query(logs, bad, SCHEMA)
+        df.collect()
