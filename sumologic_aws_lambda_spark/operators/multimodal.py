@@ -1,0 +1,148 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+North-star addition.  The container has no image/audio libraries, so the
+DECODE step is stubbed (clearly marked below); everything Spark-side —
+schema, Arrow batch shape, ``mapInPandas`` signatures, explode/partition
+behavior — is real and tested.  Swapping ``_fake_decode_features`` for a
+PIL/torchaudio call changes no plan shape: it stays an Arrow-batched
+narrow stage.
+
+Schema convention:
+
+    media(media_id bigint, modality string,       -- image|audio|video
+          content binary,                         -- opaque payload
+          meta map<string,string>)                -- typed-ish metadata
+
+100 TB notes: rows are large (MBs of binary) — partition sizing matters
+more than CPU.  ``maxPartitionBytes`` keeps scan partitions bounded;
+feature extraction is ``mapInPandas`` so payloads stream through Arrow in
+batches instead of being collected; no shuffle is introduced at all.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id bigint, modality string, content binary,"
+    " meta map<string,string>"
+)
+
+FEATURE_DIM = 8
+
+_HAVE_PIL = False
+try:  # pragma: no cover - not present in this container
+    import PIL.Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    pass
+
+
+def synthetic_media(spark: SparkSession, n: int = 60) -> DataFrame:
+    """Deterministic fake media corpus: binary payload = repeated md5
+    bytes, metadata carries the shape a real decoder would read."""
+    rows = []
+    for i in range(n):
+        modality = ("image", "audio", "video")[i % 3]
+        payload = hashlib.md5(f"media-{i}".encode()).digest() * (4 + i % 5)
+        meta = {
+            "format": {"image": "png", "audio": "wav", "video": "mp4"}[modality],
+            "width": str(64 * (1 + i % 4)),
+            "height": str(48 * (1 + i % 4)),
+            "duration_ms": str(1000 * (1 + i % 7)),
+        }
+        rows.append((i, modality, bytearray(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode_features(content: bytes, dim: int) -> list[float]:
+    """*** DECODE STUB ***  Deterministic stand-in for a real decoder
+    (PIL/librosa/ffmpeg are not installed here).  Derives ``dim`` floats
+    in [0, 1) from md5 of the payload — stable across runs/engines, so
+    tests can assert exact values."""
+    h = hashlib.md5(content).digest()
+    return [
+        int.from_bytes(h[2 * j:2 * j + 2], "big") / 65536.0
+        for j in range(dim)
+    ]
+
+
+def decode_image(content: bytes):  # pragma: no cover - requires PIL
+    """Real decode path, gated on the library being present."""
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "image decode needs PIL; this environment ships none — "
+            "use extract_features (deterministic stub) instead"
+        )
+    import io
+
+    return PIL.Image.open(io.BytesIO(content))
+
+
+def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature extraction as ``mapInPandas``: Arrow-batched, preserves
+    partitioning, adds ``features array<float>`` + ``content_bytes``.
+
+    The per-batch pandas shape (DataFrame in → DataFrame out, column
+    ``content`` as bytes) is exactly what a real model-inference stage
+    sees; only ``_fake_decode_features`` is a stub.
+    """
+    out_schema = (
+        "media_id bigint, modality string, features array<float>,"
+        " content_bytes int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "modality": pdf["modality"],
+                "features": [
+                    _fake_decode_features(bytes(c), dim)
+                    for c in pdf["content"]
+                ],
+                "content_bytes": [len(bytes(c)) for c in pdf["content"]],
+            })
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def resize_meta(df: DataFrame, max_side: int = 128) -> DataFrame:
+    """Resize planning — pure metadata math (no decode): target dims
+    scaled to fit ``max_side`` preserving aspect.  Real resize would slot
+    into the same mapInPandas stage as extract_features."""
+    w = F.col("meta")["width"].cast("int")
+    h = F.col("meta")["height"].cast("int")
+    scale = F.least(F.lit(1.0), max_side / F.greatest(w, h))
+    return df.withColumn(
+        "target_width", F.ceil(w * scale).cast("int")
+    ).withColumn("target_height", F.ceil(h * scale).cast("int"))
+
+
+def sample_frames(df: DataFrame, fps: float = 1.0) -> DataFrame:
+    """Frame sampling for video rows: explode deterministic frame
+    timestamps from duration metadata — one output row per frame.  The
+    (stubbed) frame decode would join this plan as a mapInPandas stage."""
+    dur = F.col("meta")["duration_ms"].cast("long")
+    n_frames = F.greatest(
+        (dur / F.lit(int(1000 / fps))).cast("int"), F.lit(1)
+    )
+    return (
+        df.filter(F.col("modality") == "video")
+        .withColumn(
+            "frame_ms",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_frames - 1),
+                    lambda i: i * F.lit(int(1000 / fps)),
+                )
+            ),
+        )
+        .select("media_id", "frame_ms", "meta")
+    )

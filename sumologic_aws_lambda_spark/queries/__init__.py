@@ -68,5 +68,6 @@ def _import_all() -> None:
         dedup,
         similarity,
         sumoql_queries,
+        catalog_ops,
     )
     _IMPORTED = True

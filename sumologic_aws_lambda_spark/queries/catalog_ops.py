@@ -1,0 +1,235 @@
+"""Coverage queries for the catalog/config-layer operators: log-group
+matching (F6), metric rules (P20), nested projections (P17), URL-decode
+(P15), k=v flatten (P9), two-hop dimension joins (J3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..plans.metric_rules import MetricRule, apply_metric_rule
+from ..sources.firehose import kv_flatten
+from ..sources.loggroups import match_loggroups
+from . import query
+
+_LOGGROUPS = [
+    (1, "/aws/lambda/prod-api", '{"team":"sre","env":"prod"}'),
+    (2, "/aws/lambda/dev-api", '{"team":"dev"}'),
+    (3, "/aws/rds/prod-db", '{"env":"prod"}'),
+    (4, "/aws/eks/batch", '{"team":"data"}'),
+    (5, "/AWS/Lambda/PROD-WEB", "{}"),
+]
+
+
+@query(
+    "loggroup_match",
+    oracle="""
+    WITH raw(id, log_group, tags_json) AS (
+        VALUES (1, '/aws/lambda/prod-api', '{"team":"sre","env":"prod"}'),
+               (2, '/aws/lambda/dev-api',  '{"team":"dev"}'),
+               (3, '/aws/rds/prod-db',     '{"env":"prod"}'),
+               (4, '/aws/eks/batch',       '{"team":"data"}'),
+               (5, '/AWS/Lambda/PROD-WEB', '{}')
+    )
+    SELECT id, log_group
+    FROM raw
+    WHERE regexp_matches(log_group, '(?i)lambda.*prod')
+       OR json_extract_string(tags_json, '$.team') = 'data'
+    """,
+)
+def loggroup_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: case-insensitive name regex OR tag k=v match
+    (``loggroup-lambda-connector.js:43-78``)."""
+    df = spark.createDataFrame(
+        _LOGGROUPS, "id int, log_group string, tags_json string"
+    ).withColumn("tags", F.from_json("tags_json", "map<string,string>"))
+    return match_loggroups(df, "lambda.*prod", ("team=data",)).select(
+        "id", "log_group"
+    )
+
+
+@query(
+    "metric_rule_extract",
+    oracle="""
+    WITH raw(id, metric, tags_json) AS (
+        VALUES (1, 'Duration',    '{"Namespace":"AWS/Lambda","FunctionName":"checkout.PROD.v2"}'),
+               (2, 'Errors',      '{"Namespace":"AWS/Lambda","FunctionName":"ingest.STAG.v7"}'),
+               (3, 'Duration',    '{"Namespace":"AWS/EC2","InstanceId":"i-1"}'),
+               (4, 'Invocations', '{"Namespace":"AWS/Lambda"}')
+    )
+    SELECT id, metric,
+           string_split(json_extract_string(tags_json, '$.FunctionName'), '.')[1]
+               AS function_name,
+           string_split(json_extract_string(tags_json, '$.FunctionName'), '.')[2]
+               AS environment
+    FROM raw
+    WHERE json_extract_string(tags_json, '$.Namespace') = 'AWS/Lambda'
+      AND json_extract_string(tags_json, '$.FunctionName') IS NOT NULL
+    """,
+)
+def metric_rule_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P20: matchExpression filter + $Tag._N variable extraction
+    (``sumoresource.py:959-988``; ``SampleTemplate.yaml:332-336``)."""
+    rows = [
+        (1, "Duration", '{"Namespace":"AWS/Lambda","FunctionName":"checkout.PROD.v2"}'),
+        (2, "Errors", '{"Namespace":"AWS/Lambda","FunctionName":"ingest.STAG.v7"}'),
+        (3, "Duration", '{"Namespace":"AWS/EC2","InstanceId":"i-1"}'),
+        (4, "Invocations", '{"Namespace":"AWS/Lambda"}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, metric string, tags_json string"
+    ).withColumn("tags", F.from_json("tags_json", "map<string,string>"))
+    rule = MetricRule(
+        match_expression="Namespace=AWS/Lambda FunctionName=*",
+        variables={"function_name": "$FunctionName._1",
+                   "environment": "$FunctionName._2"},
+    )
+    return apply_metric_rule(df, rule).select(
+        "id", "metric", "function_name", "environment"
+    )
+
+
+_ENI_JSON = [
+    (1, '{"NetworkInterfaceId":"eni-9","Groups":[{"GroupId":"sg-1"},{"GroupId":"sg-2"}],'
+        '"SubnetId":"subnet-z","VpcId":"vpc-9","PrivateIpAddresses":'
+        '[{"Primary":true,"PrivateIpAddress":"10.1.0.9"}]}'),
+    (2, '{"NetworkInterfaceId":"eni-8","Groups":[],"SubnetId":"subnet-y",'
+        '"VpcId":"vpc-9","PrivateIpAddresses":[]}'),
+]
+
+
+@query(
+    "nested_projection",
+    oracle="""
+    WITH raw(id, doc) AS (
+        VALUES (1, '{"NetworkInterfaceId":"eni-9","Groups":[{"GroupId":"sg-1"},{"GroupId":"sg-2"}],"SubnetId":"subnet-z","VpcId":"vpc-9","PrivateIpAddresses":[{"Primary":true,"PrivateIpAddress":"10.1.0.9"}]}'),
+               (2, '{"NetworkInterfaceId":"eni-8","Groups":[],"SubnetId":"subnet-y","VpcId":"vpc-9","PrivateIpAddresses":[]}')
+    )
+    SELECT id,
+           json_extract_string(doc, '$.NetworkInterfaceId') AS interface_id,
+           json_extract_string(doc, '$.Groups[0].GroupId')  AS first_group,
+           CAST(json_array_length(doc, '$.Groups') AS INT)  AS n_groups,
+           json_extract_string(doc, '$.SubnetId')           AS subnet_id,
+           json_extract_string(doc, '$.PrivateIpAddresses[0].PrivateIpAddress')
+               AS primary_ip
+    FROM raw
+    """,
+)
+def nested_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17: the jmespath ENI projection (``vpcutils.js:106-113``) as a
+    typed nested select — struct/array navigation, no UDF."""
+    schema = (
+        "struct<NetworkInterfaceId:string,"
+        " Groups:array<struct<GroupId:string>>, SubnetId:string,"
+        " VpcId:string,"
+        " PrivateIpAddresses:array<struct<Primary:boolean,"
+        " PrivateIpAddress:string>>>"
+    )
+    df = spark.createDataFrame(_ENI_JSON, "id int, doc string").withColumn(
+        "eni", F.from_json("doc", schema)
+    )
+    return df.select(
+        "id",
+        F.col("eni.NetworkInterfaceId").alias("interface_id"),
+        F.try_element_at("eni.Groups", F.lit(1)).getField("GroupId").alias(
+            "first_group"
+        ),
+        F.size("eni.Groups").alias("n_groups"),
+        F.col("eni.SubnetId").alias("subnet_id"),
+        F.try_element_at("eni.PrivateIpAddresses", F.lit(1))
+        .getField("PrivateIpAddress")
+        .alias("primary_ip"),
+    )
+
+
+@query(
+    "url_decode_keys",
+    oracle="""
+    WITH expected(id, key) AS (
+        VALUES (1, 'logs/2024/app events/file 1.json.gz'),
+               (2, 'AWSLogs/123/CloudTrail/us-east-1/x y.json.gz'),
+               (3, 'plain/key.json')
+    )
+    SELECT id, key FROM expected
+    """,
+)
+def url_decode_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15: URL-decode S3 keys with '+'→space first (``s3.js:83``).
+    DuckDB lacks url_decode, so the oracle pins expected literals."""
+    rows = [
+        (1, "logs/2024/app+events/file%201.json.gz"),
+        (2, "AWSLogs/123/CloudTrail/us-east-1/x%20y.json.gz"),
+        (3, "plain/key.json"),
+    ]
+    df = spark.createDataFrame(rows, "id int, key string")
+    from ..sources.cloudtrail import url_decode_key
+
+    return url_decode_key(df)
+
+
+@query(
+    "kv_flatten_props",
+    oracle="""
+    SELECT event_id,
+           'k=' || json_extract_string(props, '$.k') AS kv_line
+    FROM events
+    WHERE event_type = 'signup'
+    """,
+)
+def kv_flatten_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: JSON object → ``k=v`` line (``kinesisfirehose-processor.js:
+    17-29``) via map_entries/transform."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    return ev.select(
+        "event_id",
+        kv_flatten(F.from_json("props", "map<string,string>")).alias("kv_line"),
+    )
+
+
+@query(
+    "two_hop_dim_join",
+    oracle="""
+    SELECT r.r_name AS region_name, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY r.r_name
+    """,
+)
+def two_hop_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: the inspector's memoized two-hop dimension lookup
+    (``inspector.py:58-111,156-162``) as chained broadcast joins —
+    fact → dim → dim with zero fact-side shuffle before the agg."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query("multimodal_feature_extract")  # binary fixtures → rows-only check
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the driver gate: synthetic binary
+    corpus → mapInPandas feature extraction (decode stubbed — see
+    ``operators/multimodal.py``; exact values asserted in pytest)."""
+    from ..operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 60)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "modality", "content_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )

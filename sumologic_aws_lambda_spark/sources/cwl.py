@@ -17,10 +17,10 @@ Reference semantics reproduced (all in
 - metadata routing key + per-record ``_sumo_metadata`` override
   (``sumo-dlq-function-utils/lib/sumologsclient.js:28-40,111-131``)
 
-Scale notes: the whole pipeline is narrow (no shuffle) except the
-carry-forward window, which partitions by envelope — exactly the
-reference's state scope (``lastRequestID`` resets per invoke, :44) — so
-state never crosses an envelope and the shuffle key is high-cardinality.
+Scale notes: the whole pipeline is narrow — zero shuffles.  Even the
+stateful carry-forward is an array fold *inside* each envelope row
+(exactly the reference's state scope: ``lastRequestID`` resets per
+invoke, :44), so it runs identically in batch and Structured Streaming.
 The only Python is the gzip UDF, Arrow-batched.
 """
 
@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.codecs import unbase64_gunzip
@@ -78,12 +78,30 @@ def decode_envelopes(df: DataFrame, payload_col: str = "payload",
     ).withColumn("envelope_id", F.sha2(F.col(payload_col), 256))
 
 
+def _own_request_id(msg: Column) -> Column:
+    """P2+P3 requestID detection on a (trailing-newline-stripped) message:
+    the console-format capture wins over the plain RequestId capture
+    (:50-60); '' capture means no match."""
+    m = F.regexp_replace(msg, r"\n$", "")
+    req_plain = F.nullif(F.regexp_extract(m, REQUEST_ID_RE, 1), F.lit(""))
+    req_console = F.nullif(F.regexp_extract(m, CONSOLE_FORMAT_RE, 1), F.lit(""))
+    return F.coalesce(req_console, req_plain)
+
+
 def explode_events(env_df: DataFrame, config: CwlConfig = CwlConfig()) -> DataFrame:
     """Envelope → one row per log event, preserving arrival order.
 
     Applies the envelope-level filters first (CONTROL_MESSAGE :171-172,
     logStream prefix :173-174) so dropped envelopes never explode —
     filter-before-work, which Catalyst keeps pushed down.
+
+    The P4 ``lastRequestID`` carry-forward (:44, :51-63) is computed HERE,
+    as an array fold over ``logEvents`` *before* the explode: the
+    reference's state is per-invoke (one envelope), so the fold is exactly
+    its state machine — and being a narrow per-row expression it needs no
+    shuffle and runs unchanged under Structured Streaming (a row-window
+    version would be rejected by the streaming planner and would shuffle
+    in batch).
     """
     df = env_df.filter(F.col("envelope.messageType") != "CONTROL_MESSAGE")
     if config.log_stream_prefixes:
@@ -94,24 +112,41 @@ def explode_events(env_df: DataFrame, config: CwlConfig = CwlConfig()) -> DataFr
             re.escape(p) for p in config.log_stream_prefixes
         ) + ")"
         df = df.filter(F.col("envelope.logStream").rlike(pattern))
-    return df.select(
+
+    own_ids = F.transform(
+        F.col("envelope.logEvents"), lambda ev: _own_request_id(ev.message)
+    )
+    # carried[i] = last non-null own_id in [0..i]  (left fold)
+    carried = F.aggregate(
+        own_ids,
+        F.lit(None).cast("array<string>"),
+        lambda acc, x: F.concat(
+            F.coalesce(acc, F.array().cast("array<string>")),
+            F.array(F.coalesce(x, F.try_element_at(acc, F.lit(-1)))),
+        ),
+    )
+    return df.withColumn("_carried_ids", carried).select(
         "envelope_id",
         F.col("envelope.owner").alias("owner"),
         F.col("envelope.logGroup").alias("log_group"),
         F.col("envelope.logStream").alias("log_stream"),
+        "_carried_ids",
         F.posexplode("envelope.logEvents").alias("event_index", "ev"),
     ).select(
         "envelope_id", "owner", "log_group", "log_stream", "event_index",
         F.col("ev.id").alias("event_id"),
         F.timestamp_millis(F.col("ev.timestamp")).alias("ts"),
         F.col("ev.message").alias("message"),
+        F.try_element_at("_carried_ids", F.col("event_index") + 1).alias(
+            "request_id"
+        ),
     )
 
 
 def create_records(events_df: DataFrame,
                    config: CwlConfig = CwlConfig()) -> DataFrame:
     """The per-event pipeline P1-P7 (``createRecords``, :42-88) as one
-    select chain plus one window.
+    narrow select chain (carry-forward already computed upstream).
 
     Output columns: ``ts, request_id, message, message_json, log_group,
     log_stream`` (+ ordering keys).  ``message_json`` is the JSON
@@ -119,13 +154,11 @@ def create_records(events_df: DataFrame,
     read, materialized lazily instead of mutating the record like the
     reference does.
     """
-    # P1 trailing-newline strip (:49)
+    # P1 trailing-newline strip (:49).  P4 carry-forward already arrived
+    # from explode_events as ``request_id`` (array fold, see there).
     msg = F.regexp_replace("message", r"\n$", "")
 
-    # P2 RequestId extract (:50-54) — '' capture means no match.
-    req_plain = F.nullif(F.regexp_extract(msg, REQUEST_ID_RE, 1), F.lit(""))
-    # P3 console-format detect (:56-60): its capture wins and the matched
-    # prefix is stripped from the message.
+    # P3 console-format detect (:56-60): matched prefix is stripped.
     req_console = F.nullif(
         F.regexp_extract(msg, CONSOLE_FORMAT_RE, 1), F.lit("")
     )
@@ -134,21 +167,7 @@ def create_records(events_df: DataFrame,
         F.regexp_replace(msg, CONSOLE_FORMAT_RE, ""),
     ).otherwise(msg)
 
-    df = events_df.withColumn(
-        "own_request_id", F.coalesce(req_console, req_plain)
-    ).withColumn("message", stripped)
-
-    # P4 stateful carry-forward (:44, :51-63): events without their own id
-    # inherit the last one seen earlier in the same envelope.  Window is
-    # scoped to envelope_id — the exact state scope of the reference.
-    w = (
-        Window.partitionBy("envelope_id")
-        .orderBy("event_index")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    df = df.withColumn(
-        "request_id", F.last("own_request_id", ignorenulls=True).over(w)
-    )
+    df = events_df.withColumn("message", stripped)
 
     # P5 JSON auto-detect (:64-70): keep trimmed text; parsed form exposed
     # as a lazy sibling column rather than a type-changing mutation.
@@ -159,7 +178,7 @@ def create_records(events_df: DataFrame,
     )
 
     # P6 drops (:71-76): id always; timestamp for VPC formats.
-    drop_cols = ["own_request_id", "event_id"]
+    drop_cols = ["event_id"]
     if config.log_format.startswith("VPC"):
         df = df.withColumn("ts", F.lit(None).cast("timestamp"))
 

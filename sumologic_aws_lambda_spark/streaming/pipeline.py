@@ -1,0 +1,121 @@
+"""Structured-Streaming ingestion shell (SURVEY §2.8, §3.1-§3.2).
+
+Maps the reference's operational envelope onto streaming primitives:
+
+- T1 micro-batch cadence: ``Trigger.ProcessingTime`` (DLQ drain 5 min,
+  ``DLQLambdaCloudFormation.json:257``; Firehose 60 s buffers,
+  ``KinesisFirehoseCWLogs.template.yaml:281``).
+- T2 buffered delivery: ``maxFilesPerTrigger`` caps per-batch intake.
+- T3 late-data cutoff: ``withWatermark(ts, 24 hours)`` — the sources'
+  ``cutoffTimestamp = now − 24 h`` (``sumoresource.py:293-294``).
+- T5 dead-letter loop: failed batches land in a quarantine prefix
+  (see ``sinks.NdjsonDeliverySink``) and ``drain_quarantine`` re-runs the
+  identical pipeline over it — the DLQProcessor pattern (§3.2), with
+  checkpointing standing in for SQS receive/delete.
+- T6 worker fan-out: executor parallelism; nothing to port.
+- S11 polling source: path glob + ``maxFilesPerTrigger`` +
+  ``modifiedAfter`` mirror bucket/pathExpression/scanInterval sources
+  (``sumoresource.py:299-380``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.cwl import CwlConfig, cwl_pipeline
+from .sinks import NdjsonDeliverySink
+
+DEFAULT_TRIGGER_SECONDS = 60          # Firehose buffer interval (T2)
+DLQ_DRAIN_SECONDS = 300               # DLQ drain cadence (T1)
+WATERMARK = "24 hours"                # ingest cutoff (T3)
+
+
+def read_payload_stream(spark: SparkSession, path: str,
+                        max_files_per_trigger: int | None = 10) -> DataFrame:
+    """Landing-prefix text stream: one base64(gzip(JSON)) envelope per
+    line.  ``maxFilesPerTrigger`` plays the DLQ receive-batch size
+    (10 messages/poll, ``DLQProcessor.js:24``)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path).withColumnRenamed("value", "payload")
+
+
+def cwl_stream(spark: SparkSession, in_path: str,
+               config: CwlConfig = CwlConfig(),
+               watermark: str | None = WATERMARK) -> DataFrame:
+    """Streaming CWL pipeline: identical plan to the batch path (§3.1) —
+    the transformation code is shared, only the source differs."""
+    df = cwl_pipeline(read_payload_stream(spark, in_path), config)
+    if watermark:
+        df = df.withWatermark("ts", watermark)
+    return df
+
+
+def run_cwl_ingest(spark: SparkSession, in_path: str, out_dir: str,
+                   checkpoint_dir: str, config: CwlConfig = CwlConfig(),
+                   quarantine_dir: str | None = None,
+                   trigger_seconds: int | None = None,
+                   available_now: bool = False):
+    """Launch the ingest job: decode → transform → partitioned NDJSON
+    delivery with retry/quarantine.  Returns (StreamingQuery, sink).
+
+    ``available_now=True`` drains everything currently in the prefix and
+    stops — the test/backfill mode; otherwise ``Trigger.ProcessingTime``
+    at the Firehose-style cadence.
+    """
+    sink = NdjsonDeliverySink(out_dir, quarantine_dir=quarantine_dir)
+    records = cwl_stream(spark, in_path, config)
+    writer = (
+        records.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        secs = trigger_seconds or DEFAULT_TRIGGER_SECONDS
+        writer = writer.trigger(processingTime=f"{secs} seconds")
+    return writer.start(), sink
+
+
+def drain_quarantine(spark: SparkSession, quarantine_dir: str,
+                     out_dir: str) -> list:
+    """T5/§3.2: re-deliver quarantined batches through the same sink —
+    the scheduled DLQProcessor.  Batch identity is preserved so re-
+    delivery overwrites (at-least-once → idempotent effect)."""
+    import pathlib
+    import re
+
+    from py4j.protocol import Py4JJavaError
+
+    sink = NdjsonDeliverySink(out_dir, quarantine_dir=None)
+    try:
+        matches = [
+            re.match(r"batch_id=(\d+)", p.name)
+            for p in pathlib.Path(quarantine_dir).iterdir()
+        ]
+    except FileNotFoundError:
+        return []
+    dirs = [
+        (int(m.group(1)), f"{quarantine_dir}/{m.group(0)}")
+        for m in matches if m
+    ]
+    for batch_id, path in sorted(dirs):
+        try:
+            df = spark.read.parquet(path)
+        except Py4JJavaError:
+            continue
+        sink(df, batch_id)
+    return sink.reports
+
+
+def streaming_timeslice_counts(records: DataFrame,
+                               slice_duration: str = "5 minutes") -> DataFrame:
+    """T10: watermarked tumbling-window counts — the streaming twin of
+    the batch ``timeslice`` queries; state is bounded by the watermark."""
+    return records.groupBy(
+        F.window("ts", slice_duration).alias("slice"),
+        "source_category",
+    ).agg(F.count(F.lit(1)).alias("n"))

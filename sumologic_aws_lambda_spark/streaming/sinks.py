@@ -1,0 +1,103 @@
+"""Delivery sinks with retry + dead-letter accounting (SURVEY §2.1 S12,
+§2.6 A4, §2.8 T4/T5).
+
+Reference semantics being reproduced:
+
+- NDJSON delivery grouped by metadata key, optional gzip
+  (``sumo-dlq-function-utils/lib/sumologsclient.js:44-109``: join "\\n",
+  gzip :69, one request per bucket).
+- Retry with backoff, 3 × 5000 ms defaults (``k2sl_lambda.js:15-16``,
+  ``Promise.retryMax`` in ``utils.js:13-34``).
+- Failure ⇒ the batch is *retained* for redelivery (DLQ at-least-once,
+  ``DLQProcessor.js:47-66``): here a quarantine prefix re-ingested by the
+  same job.
+- Success/error accounting fold (``sumologsclient.js:81-108``).
+
+Exactly-once *effect* on an at-least-once stream: output paths are
+keyed by ``batch_id`` (deterministic across checkpoint recovery —
+the reference's ``{ProductArn}-{request_id}`` object-key idea,
+``securityhub_collector.py:19-32``), so redelivery overwrites rather
+than duplicates.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+
+@dataclass
+class DeliveryReport:
+    """A4 accounting: mirrors requestSuccessCnt / messageErrors."""
+
+    batch_id: int
+    attempts: int
+    success: bool
+    rows: int
+    error: str | None = None
+
+
+class NdjsonDeliverySink:
+    """``foreachBatch`` writer: partitioned NDJSON with retry + quarantine.
+
+    Parameters mirror the reference envelope: ``max_retries``/``backoff``
+    default to 3 × 5 s; ``compress`` maps to the gzip content-encoding.
+    ``partition_cols`` is the metadata routing key — at scale this is the
+    shuffle-free ``partitionBy`` write replacing the per-bucket POST loop.
+    """
+
+    def __init__(self, out_dir: str, partition_cols=("source_category",),
+                 compress: bool = True, max_retries: int = 3,
+                 backoff_seconds: float = 5.0,
+                 quarantine_dir: str | None = None,
+                 sleep=time.sleep):
+        self.out_dir = out_dir
+        self.partition_cols = tuple(partition_cols)
+        self.compress = compress
+        self.max_retries = max_retries
+        self.backoff_seconds = backoff_seconds
+        self.quarantine_dir = quarantine_dir
+        self.reports: list[DeliveryReport] = []
+        self._sleep = sleep
+
+    def _write(self, df, path: str) -> None:
+        w = df.write.mode("overwrite")
+        if self.partition_cols:
+            cols = [c for c in self.partition_cols if c in df.columns]
+            if cols:
+                w = w.partitionBy(*cols)
+        if self.compress:
+            w = w.option("compression", "gzip")
+        w.json(path)  # Spark JSON writer == NDJSON (one object per line)
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        """The foreachBatch hook.  Retries the whole batch write with the
+        reference's linear backoff (``exponentialBackoff(seed)=count*seed``,
+        utils.js:28-34); after exhaustion the batch lands in quarantine
+        for the DLQ loop instead of being lost."""
+        rows = batch_df.count()
+        path = f"{self.out_dir}/batch_id={batch_id}"
+        last_err: Exception | None = None
+        for attempt in range(1, self.max_retries + 1):
+            try:
+                self._write(batch_df, path)
+                self.reports.append(
+                    DeliveryReport(batch_id, attempt, True, rows)
+                )
+                return
+            except Exception as exc:  # delivery failure → retry
+                last_err = exc
+                if attempt < self.max_retries:
+                    self._sleep(self.backoff_seconds * attempt)
+        self.reports.append(
+            DeliveryReport(batch_id, self.max_retries, False, rows,
+                           str(last_err))
+        )
+        if self.quarantine_dir is not None:
+            batch_df.write.mode("overwrite").parquet(
+                f"{self.quarantine_dir}/batch_id={batch_id}"
+            )
+        else:
+            raise RuntimeError(
+                f"batch {batch_id} failed after {self.max_retries} attempts"
+            ) from last_err

@@ -1,0 +1,59 @@
+"""Multimodal plumbing: schema, Arrow batch shape, determinism, explode."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sumologic_aws_lambda_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_image,
+    extract_features,
+    resize_meta,
+    sample_frames,
+    synthetic_media,
+)
+
+
+def test_feature_extraction_shape_and_determinism(spark):
+    media = synthetic_media(spark, 30)
+    feats = extract_features(media)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert len(rows) == 30
+    assert all(len(r.features) == FEATURE_DIM for r in rows.values())
+    assert all(0.0 <= x < 1.0 for x in rows[0].features)
+    # deterministic: same payload → same features across runs
+    again = {r.media_id: r for r in extract_features(media).collect()}
+    assert rows[7].features == again[7].features
+    assert rows[7].content_bytes > 0
+
+
+def test_resize_meta_preserves_aspect(spark):
+    media = synthetic_media(spark, 12)
+    out = {r.media_id: r for r in resize_meta(media, 128).collect()}
+    big = next(r for r in out.values()
+               if int(r.meta["width"]) > 128)
+    assert max(big.target_width, big.target_height) == 128
+    small = next(r for r in out.values() if int(r.meta["width"]) <= 128)
+    assert small.target_width == int(small.meta["width"])
+
+
+def test_sample_frames_counts(spark):
+    media = synthetic_media(spark, 30)
+    frames = sample_frames(media, fps=1.0)
+    per = (frames.groupBy("media_id")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.max("frame_ms").alias("last_ms"))
+           .collect())
+    assert per  # video rows exist
+    vids = {r.media_id: r for r in media.filter("modality='video'").collect()}
+    for r in per:
+        dur = int(vids[r.media_id].meta["duration_ms"])
+        assert r.n == max(dur // 1000, 1)
+        assert r.last_ms < dur
+
+
+def test_decode_stub_raises_without_pil(spark):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"not-an-image")

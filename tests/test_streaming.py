@@ -1,0 +1,99 @@
+"""End-to-end streaming ingest: landing prefix → CWL pipeline →
+partitioned NDJSON delivery, plus retry/quarantine/DLQ-drain semantics."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+
+import pytest
+
+from sumologic_aws_lambda_spark.sources.cwl import CwlConfig
+from sumologic_aws_lambda_spark.streaming.pipeline import (
+    drain_quarantine,
+    run_cwl_ingest,
+)
+from sumologic_aws_lambda_spark.streaming.sinks import NdjsonDeliverySink
+from sumologic_aws_lambda_spark.testing.fixtures import synthetic_cwl_payloads
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "payloads.txt").write_text("\n".join(synthetic_cwl_payloads()) + "\n")
+    return tmp_path
+
+
+def _read_ndjson(out_dir: str) -> list[dict]:
+    rows = []
+    for path in glob.glob(f"{out_dir}/**/*.json*", recursive=True):
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt") as f:
+            rows += [json.loads(line) for line in f if line.strip()]
+    return rows
+
+
+def test_stream_end_to_end(spark, landing):
+    cfg = CwlConfig(include_log_info=True, source_category_override="cat/x")
+    query, sink = run_cwl_ingest(
+        spark,
+        str(landing / "landing"),
+        str(landing / "out"),
+        str(landing / "ckpt"),
+        cfg,
+        available_now=True,
+    )
+    query.awaitTermination(120)
+    assert sink.reports and all(r.success for r in sink.reports)
+    rows = _read_ndjson(str(landing / "out"))
+    # 13 exploded events minus 1 falsy-dropped = 12 delivered records
+    assert len(rows) == 12
+    msgs = {r["message"] for r in rows}
+    assert "handling request" in msgs          # console prefix stripped
+    assert any(r.get("request_id") for r in rows)  # carry-forward survived
+
+
+def test_sink_retry_then_success(spark):
+    df = spark.range(3).withColumnRenamed("id", "v")
+    sink = NdjsonDeliverySink("/tmp/never-used", partition_cols=(),
+                              backoff_seconds=0.0)
+    calls = {"n": 0}
+    real_write = sink._write
+
+    def flaky(batch, path):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise IOError("transient delivery failure")
+        real_write(batch, path)
+
+    sink._write = flaky
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        sink.out_dir = d
+        sink(df, 7)
+    assert calls["n"] == 3
+    assert sink.reports[-1].success and sink.reports[-1].attempts == 3
+
+
+def test_sink_quarantine_and_drain(spark, tmp_path):
+    df = spark.range(4).withColumnRenamed("id", "v")
+    sink = NdjsonDeliverySink(
+        str(tmp_path / "out"), partition_cols=(), backoff_seconds=0.0,
+        max_retries=2, quarantine_dir=str(tmp_path / "dlq"),
+    )
+    sink._write = lambda batch, path: (_ for _ in ()).throw(IOError("down"))
+    sink(df, 3)
+    assert not sink.reports[-1].success
+    # batch retained for redelivery (T5)
+    q = spark.read.parquet(str(tmp_path / "dlq" / "batch_id=3"))
+    assert q.count() == 4
+
+    reports = drain_quarantine(spark, str(tmp_path / "dlq"),
+                               str(tmp_path / "out"))
+    assert [r.batch_id for r in reports] == [3]
+    assert all(r.success for r in reports)
+    rows = _read_ndjson(str(tmp_path / "out"))
+    assert {r["v"] for r in rows} == {0, 1, 2, 3}
