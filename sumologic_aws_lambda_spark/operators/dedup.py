@@ -26,15 +26,20 @@ from .text import fingerprint, normalize_text
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id representative of every exact-duplicate group
-    (hash-groupBy on the md5 fingerprint)."""
-    fp = fingerprint(text_col).alias("fp")
-    keep = (
-        df.select(fp, F.col(id_col))
-        .groupBy("fp")
-        .agg(F.min(id_col).alias(id_col))
+    """Keep the lowest-id representative of every exact-duplicate group.
+
+    One shuffle keyed by the md5 fingerprint (uniform 128-bit → no skew)
+    + per-partition sort; the groupBy-then-semi-join formulation would
+    shuffle twice.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    return df.join(keep, on=id_col, how="left_semi")
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
@@ -56,20 +61,30 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
     minhash_i(doc) = min over shingles of md5(i || ':' || shingle),
     compared lexicographically (portable across engines, see module doc).
-    Plan shape: explode shingles (narrow) → groupBy(id) with ``min_by``-
-    style aggregation — one shuffle keyed by document id.
+
+    Plan shape: explode shingles (narrow) → ONE groupBy(id) computing all
+    ``num_hashes`` mins as separate aggregate columns, then ``stack`` to
+    long form.  Exploding seeds before the shuffle would move num_hashes×
+    the rows through the exchange; this way map-side partial aggregation
+    collapses each partition to one row per (doc) before anything
+    shuffles.
     """
     shingled = df.select(
         F.col(id_col),
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
     ).distinct()
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    hashed = shingled.select(
-        id_col, seeds, "shingle"
-    ).withColumn(
-        "h", F.md5(F.concat_ws(":", F.col("seed").cast("string"), "shingle"))
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))
+        ).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    wide = shingled.groupBy(id_col).agg(*aggs)
+    stack_args = ", ".join(f"{s}, h{s}" for s in range(num_hashes))
+    return wide.select(
+        id_col,
+        F.expr(f"stack({num_hashes}, {stack_args}) AS (seed, minhash)"),
     )
-    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",

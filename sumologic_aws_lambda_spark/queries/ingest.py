@@ -258,6 +258,37 @@ def asff_validation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate_findings(df).select("id", F.col("_valid").alias("valid"))
 
 
+@query(
+    "multiline_assembly",
+    oracle="""
+    WITH expected(record_index, message) AS (
+        VALUES (0, '2024-03-01 10:00:00 INFO starting up'),
+               (1, '2024-03-01 10:00:01 ERROR boom' || chr(10) ||
+                   'Traceback (most recent call last):' || chr(10) ||
+                   'ValueError: nope'),
+               (2, '2024-03-01 10:00:02 INFO recovered')
+    )
+    SELECT record_index, message FROM expected
+    """,
+)
+def multiline_assembly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: fold continuation lines (stack traces) into their boundary
+    record (``sumoresource.py:287-291`` multiline flags) — per-object
+    array fold, no shuffle.  Oracle pins the expected assembled records."""
+    from ..sources.s3 import assemble_multiline
+
+    content = (
+        "2024-03-01 10:00:00 INFO starting up\n"
+        "2024-03-01 10:00:01 ERROR boom\n"
+        "Traceback (most recent call last):\n"
+        "ValueError: nope\n"
+        "2024-03-01 10:00:02 INFO recovered\n"
+    )
+    df = spark.createDataFrame([(content, "k1")],
+                               "content string, s3_key string")
+    return assemble_multiline(df).select("record_index", "message")
+
+
 @query("cwl_decode_pipeline")  # gzip+base64 → rows-only; golden pytest covers values
 def cwl_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+D1/D2+P1-P7: the full CWL hot path on deterministic synthetic

@@ -129,9 +129,11 @@ def revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
+    # Broadcast-reduce orders by the selective customer filter FIRST, so
+    # the big li⋈o shuffle joins against a ~1/5-sized build side.
+    o_building = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o_building, li.l_orderkey == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(
