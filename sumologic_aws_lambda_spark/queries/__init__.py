@@ -69,5 +69,6 @@ def _import_all() -> None:
         similarity,
         sumoql_queries,
         catalog_ops,
+        extensions,
     )
     _IMPORTED = True

@@ -1,0 +1,61 @@
+"""Chunked API delivery sink (SURVEY §2.6 A5, §2.1 S14).
+
+Reference: tag/describe APIs are called in fixed-size chunks — 20 ARNs
+per call (``sumologic-app-utils/src/awsresource.py:491-507``), and
+SecurityHub ``batch_import_findings`` returns success/failure counts that
+are folded into the response (``securityhub_forwarder.py:147-173``).
+
+Spark-first: ``foreachPartition`` with local batching — each executor
+slices its partition iterator into chunks and calls the (pluggable)
+delivery function; per-chunk results are aggregated into counts via an
+accumulator-free collect of per-partition summaries (mapPartitions →
+small summary rows), so accounting itself is a DataFrame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, Row
+
+
+def deliver_in_chunks(df: DataFrame,
+                      send: Callable[[list[dict]], int],
+                      chunk_size: int = 20) -> DataFrame:
+    """Deliver every row through ``send(chunk) -> success_count`` in
+    ``chunk_size`` batches; returns a small DataFrame of per-partition
+    accounting rows (partition_id, chunks, sent, failed).
+
+    ``send`` must be serializable (it runs on executors).  Failures are
+    counted, not raised — the A4 accounting fold.
+    """
+    spark = df.sparkSession
+
+    def run_partition(pid: int, it: Iterator[Row]) -> Iterator[tuple]:
+        chunks = sent = failed = 0
+        buf: list[dict] = []
+
+        def flush() -> None:
+            nonlocal chunks, sent, failed, buf
+            if not buf:
+                return
+            chunks += 1
+            try:
+                ok = send(buf)
+                sent += ok
+                failed += len(buf) - ok
+            except Exception:
+                failed += len(buf)
+            buf = []
+
+        for row in it:
+            buf.append(row.asDict(recursive=True))
+            if len(buf) >= chunk_size:
+                flush()
+        flush()
+        yield (pid, chunks, sent, failed)
+
+    summary = df.rdd.mapPartitionsWithIndex(run_partition)
+    return spark.createDataFrame(
+        summary, "partition_id int, chunks int, sent int, failed int"
+    )
