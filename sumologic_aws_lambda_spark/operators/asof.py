@@ -1,0 +1,76 @@
+"""As-of (point-in-time) join — SURVEY §2.5 '(absent)' row.
+
+The reference has only lookup-style left joins; an engine replacing it
+needs the temporal join its search surface implies (latest config/dim
+value at event time).  Spark has no built-in as-of join, so this is the
+canonical scale-path composition:
+
+    union(left tagged 1, right tagged 0)
+      → window last(right_cols, ignorenulls)
+          over (partition by key order by ts, tag rows unbounded preceding)
+      → keep tag 1
+
+One shuffle on the join key, per-partition sort, no theta join and no
+per-key collect.  At 100 TB this beats the naive ``a.ts >= b.ts`` range
+join (which Spark executes as a broadcast-nested-loop or a cartesian
+per key) by orders of magnitude; skewed keys fall under AQE skew-split
+like any other window shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TAG = "__asof_tag"
+_TS = "__asof_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    *,
+    strict: bool = False,
+) -> DataFrame:
+    """For every left row, attach the most recent right row whose
+    timestamp is ``<=`` (or ``<`` when ``strict``) the left timestamp,
+    per join key.  ``right_cols`` must not collide with left columns.
+    Timestamp columns may be any orderable type (timestamp, long epoch).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    for c in right_cols:
+        if c in left.columns:
+            raise ValueError(f"right column {c!r} collides with left")
+
+    # Right rows sort before left at equal ts for <= semantics; after for <.
+    right_tag, left_tag = (0, 1) if not strict else (1, 0)
+    l_tagged = left.withColumn(_TAG, F.lit(left_tag)).withColumn(
+        _TS, F.col(left_ts)
+    )
+    r_tagged = right.select(
+        *keys, F.col(right_ts).alias(_TS), *right_cols
+    ).withColumn(_TAG, F.lit(right_tag))
+
+    for c in l_tagged.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None))
+    for c in r_tagged.columns:
+        if c not in l_tagged.columns:
+            l_tagged = l_tagged.withColumn(c, F.lit(None))
+    u = l_tagged.unionByName(r_tagged)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(_TS, _TAG)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in right_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    is_left = F.col(_TAG) == left_tag
+    return u.filter(is_left).drop(_TAG, _TS)

@@ -70,5 +70,7 @@ def _import_all() -> None:
         sumoql_queries,
         catalog_ops,
         extensions,
+        ingest_gap,
+        advanced,
     )
     _IMPORTED = True

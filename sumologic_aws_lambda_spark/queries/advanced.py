@@ -1,0 +1,305 @@
+"""Advanced relational surface promised by SURVEY §2.5/§2.6 '(absent)'
+rows: as-of join, range join, cube, grouping sets — plus the IVF ANN
+scale path for similarity search.
+
+All run on the shared TPC-H-ish tables.  Event timestamps are compared
+and emitted as epoch seconds (BIGINT) so the DuckDB(ns)/Spark(µs)
+resolution difference can never skew the hash compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.asof import asof_join
+from . import query
+
+
+def _events_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.withColumn("epoch_s", F.unix_timestamp("ts"))
+
+
+@query(
+    "asof_join_last_click",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+               max(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, CAST(floor(epoch(ts)) AS BIGINT)
+    ), purchases AS (
+        SELECT user_id, event_id AS purchase_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS purchase_epoch
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_id, p.purchase_epoch,
+           c.click_id AS last_click_id,
+           c.epoch_s AS last_click_epoch
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.epoch_s <= p.purchase_epoch
+    """,
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (§2.5 absent row): each purchase gets the most recent
+    click by the same user at-or-before it.  Clicks are pre-deduped to
+    one per (user, second) — max event_id — so the match is unique and
+    the union+window plan (see ``operators/asof.py``) is deterministic.
+    One shuffle on user_id; no range/theta join anywhere in the plan."""
+    ev = _events_epoch(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "epoch_s")
+        .agg(F.max("event_id").alias("last_click_id"))
+        .withColumnRenamed("epoch_s", "click_epoch")
+        .withColumn("last_click_epoch", F.col("click_epoch"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("epoch_s").alias("purchase_epoch"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_epoch",
+        right_ts="click_epoch",
+        right_cols=["last_click_id", "last_click_epoch"],
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "purchase_epoch",
+        "last_click_id",
+        "last_click_epoch",
+    )
+
+
+@query(
+    "range_join_value_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('low', 0.0, 10.0), ('mid', 10.0, 100.0),
+               ('high', 100.0, 1e9)
+    )
+    SELECT b.band, CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a tiny banding dimension — broadcast
+    nested-loop by construction, never a shuffle: the dim is 3 rows, so
+    Catalyst broadcasts it and the probe stays narrow.  The 100 TB rule:
+    range joins are only safe when one side broadcasts; otherwise
+    rewrite as an as-of/bucketed join."""
+    ev = table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 100.0), ("high", 100.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    cond = (ev.value >= bands.lo) & (ev.value < bands.hi)
+    return (
+        ev.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "cube_order_priority",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with grouping_id disambiguation
+    (§2.6 absent row).  Catalyst expands the cube map-side; one shuffle,
+    partial aggregation first — exactly the plan a hand-rolled 4-way
+    union of groupBys would need 4 scans for."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.col("gid").cast("long").alias("gid"),
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "grouping_sets_lineitem",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form behind rollup/cube (§2.6 absent
+    row), via the native DataFrame API (Spark 4 ``groupingSets``)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            F.col("gid").cast("long").alias("gid"),
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: coarse-quantize then probe — the scale path for similarity
+# ---------------------------------------------------------------------------
+
+_N_CENTROIDS = 8
+_NPROBE = 2
+_IVF_COS = (
+    "list_dot_product(v.e, c.ce) /"
+    " (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce)))"
+)
+
+
+@query(
+    "ivf_ann_topk",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cid, e AS ce FROM vecs WHERE vec_id < {_N_CENTROIDS}
+    ), assign AS (
+        SELECT vec_id, cluster_id FROM (
+            SELECT v.vec_id, c.cid AS cluster_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_IVF_COS} DESC, c.cid
+                   ) AS rn
+            FROM vecs v CROSS JOIN cent c
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, cluster_id FROM (
+            SELECT v.vec_id, c.cid AS cluster_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_IVF_COS} DESC, c.cid
+                   ) AS rn
+            FROM vecs v CROSS JOIN cent c
+            WHERE v.vec_id % 97 = 0
+        ) WHERE rn <= {_NPROBE}
+    ), cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON p.cluster_id = a.cluster_id
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+        SELECT cd.query_id, cd.neighbor_id,
+               round(list_dot_product(q.e, n.e) /
+                     (sqrt(list_dot_product(q.e, q.e)) *
+                      sqrt(list_dot_product(n.e, n.e))), 6) AS sim,
+               row_number() OVER (
+                   PARTITION BY cd.query_id
+                   ORDER BY round(list_dot_product(q.e, n.e) /
+                                  (sqrt(list_dot_product(q.e, q.e)) *
+                                   sqrt(list_dot_product(n.e, n.e))), 6)
+                            DESC, cd.neighbor_id
+               ) AS rank
+        FROM cand cd
+        JOIN vecs q ON q.vec_id = cd.query_id
+        JOIN vecs n ON n.vec_id = cd.neighbor_id
+    ) WHERE rank <= 3
+    """,
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbour: assign every vector to its
+    nearest of K coarse centroids (here: the first K corpus vectors as a
+    deterministic stand-in for trained centroids), probe the query's
+    nprobe nearest cells, exact-rank only the candidates.
+
+    Scale shape: centroid table is tiny → both assignment passes are
+    broadcast cross-joins (narrow, no shuffle); the only shuffle is the
+    candidate equi-join on cluster_id + the final per-query top-k window.
+    At 100 TB the corpus assignment is computed once and persisted,
+    turning every query into a prune-then-scan of ~nprobe/K of the data.
+    """
+    from ..operators.similarity import as_double, cosine
+
+    vecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    cent = F.broadcast(
+        vecs.filter(F.col("vec_id") < _N_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+        )
+    )
+
+    def nearest(df: DataFrame, n: int, id_out: str) -> DataFrame:
+        scored = df.crossJoin(cent).withColumn(
+            "c_sim", cosine(F.col("e"), F.col("ce"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("c_sim").desc(), F.col("cid")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .select(F.col("vec_id").alias(id_out), F.col("cid").alias("cluster_id"))
+        )
+
+    assign = nearest(vecs, 1, "vec_id")
+    probes = nearest(vecs.filter(F.col("vec_id") % 97 == 0), _NPROBE, "query_id")
+
+    cand = (
+        probes.join(assign, "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    q = vecs.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    n = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
+    scored = (
+        cand.join(q, "query_id")
+        .join(n, "neighbor_id")
+        .withColumn("sim", F.round(cosine(F.col("qe"), F.col("ne")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
