@@ -46,6 +46,10 @@ OPTIONAL = [
     "cosine_topk_bruteforce",
     "token_count_stats",
     "sumoql_count_by",
+    "asof_join_last_click",
+    "ivf_ann_topk",
+    "lsh_ann_topk",
+    "cube_order_priority",
 ]
 
 

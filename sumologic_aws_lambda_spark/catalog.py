@@ -23,10 +23,27 @@ TABLES: tuple[str, ...] = (
 BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier"})
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(spark: SparkSession, sf_dir: str, name: str,
+          parallel: bool = False) -> DataFrame:
+    """Load a fixture table.
+
+    ``parallel=True`` is for CPU-heavy narrow consumers (shingling,
+    hashing, vector math): the fixture files are single-row-group parquet,
+    which Spark cannot split, so the scan arrives as ONE partition and a
+    codegen-heavy stage would run on one core.  When the scan has fewer
+    partitions than ``defaultParallelism`` we repartition up front — the
+    shuffle moves only the raw rows once and the exchange is reused by
+    every downstream branch.  On production multi-split/multi-file data
+    the condition is false and this is a no-op, so the extra shuffle
+    never appears at scale.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if parallel:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     if name == "events":
         # ts is physically timestamp[ns]; read as long nanos (see
         # session.DEFAULT_CONFS) and floor to µs.  Integer DIV, not /1000.0:

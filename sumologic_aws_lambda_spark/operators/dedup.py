@@ -72,7 +72,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     shingled = df.select(
         F.col(id_col),
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
-    ).distinct()
+    )  # per-doc distinct already guaranteed by array_distinct in word_shingles
     aggs = [
         F.min(
             F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))
@@ -126,7 +126,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     sh = df.select(
         F.col(id_col),
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
-    ).distinct()
+    )  # per-doc distinct already guaranteed by array_distinct in word_shingles
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.select(F.col(id_col).alias("a"), "shingle")

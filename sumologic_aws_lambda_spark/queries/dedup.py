@@ -59,7 +59,7 @@ def _shingle_cte(where: str) -> str:
 def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: keep the lowest-id representative per fingerprint
     group (hash-groupBy shuffle on a uniform 128-bit key)."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", parallel=True)
     return exact_dedup(d).groupBy("source").agg(
         F.count(F.lit(1)).alias("kept_docs")
     )
@@ -77,7 +77,7 @@ def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 hash functions over word 3-gram shingles).
     min is lexicographic over md5 hex — portable across engines."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    d = table(spark, sf_dir, "documents", parallel=True).filter(F.col("doc_id") % 5 == 0)
     return minhash_signatures(d, num_hashes=8)
 
 
@@ -103,7 +103,7 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (4 bands × 2 rows): near-dup candidate pairs via
     equi-join on (band, band_key) — no corpus crossproduct."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    d = table(spark, sf_dir, "documents", parallel=True).filter(F.col("doc_id") % 5 == 0)
     return lsh_candidate_pairs(minhash_signatures(d, num_hashes=8))
 
 
@@ -128,7 +128,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing ≥1 shingle (threshold 0.1)
     — the verifier stage behind MinHash/LSH."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    d = table(spark, sf_dir, "documents", parallel=True).filter(F.col("doc_id") % 10 == 0)
     return ngram_jaccard_pairs(d, threshold=0.1)
 
 
@@ -161,5 +161,5 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash (per-bit majority over md5-hashed word tokens)."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    d = table(spark, sf_dir, "documents", parallel=True).filter(F.col("doc_id") % 5 == 0)
     return simhash(d, bits=16)

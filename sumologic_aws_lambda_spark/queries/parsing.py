@@ -85,7 +85,7 @@ def regexp_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex capture-group extraction (P2, regex at
     ``cloudwatchlogs_lambda.js:17``): first engine keyword per document;
     no-match yields '' in both engines."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", parallel=True)
     return (
         d.select(
             F.regexp_extract("text", "(spark|stream|batch)", 1).alias("first_kw")

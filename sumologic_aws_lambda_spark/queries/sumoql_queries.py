@@ -84,7 +84,7 @@ def sumoql_timeslice_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sumoql_parse_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor parse ``"the * order" as w`` (FER-style extraction, P19)."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", parallel=True)
     return compile_query(
         d,
         '_sourceCategory=src1 the | parse "the * order" as w | count by w',

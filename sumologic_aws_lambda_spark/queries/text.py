@@ -33,7 +33,7 @@ _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 )
 def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting, aggregated per language."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", parallel=True)
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
@@ -64,7 +64,7 @@ def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features (length / punctuation / non-alpha
     ratios) — the building blocks of Gopher-style quality filters."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = table(spark, sf_dir, "documents", parallel=True).filter(F.col("doc_id") < 100)
     return quality_features(d).select(
         "doc_id", "n_tokens", "avg_token_len", "punct_ratio", "nonalpha_ratio"
     )
@@ -97,7 +97,7 @@ def lang_detect_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-word argmax) vs the labeled ``lang``
     column — a confusion matrix.  Priority order en>de>es>fr on ties,
     'und' when no marker fires."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", parallel=True)
     return (
         d.select("lang", detect_lang("text").alias("predicted"))
         .groupBy("lang", "predicted")
@@ -118,7 +118,7 @@ def lang_detect_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 fingerprint over normalized text, engine-reproducible —
     the exact-dedup key.  Per-source uniqueness stats."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", parallel=True)
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(fingerprint("text")).alias("n_unique"),
