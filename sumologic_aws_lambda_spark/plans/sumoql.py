@@ -16,14 +16,18 @@ cited examples):
     stage     := 'json' '"'path'"' (',' '"'path'"')* ['as' name (',' name)*]
                | 'parse' '"' prefix '*' suffix '"' 'as' name   -- anchor parse
                | 'parse' 'regex' '"' re-with-named-groups '"'
+               | ('kv'|'keyvalue') '"'key'"' (',' '"'key'"')*  -- k=v extract
+               | 'csv' name (',' name)*              -- positional split
                | 'where' sql-expr
-               | 'fields' name (',' name)*
+               | 'fields' ['-'] name (',' name)*     -- keep or drop form
                | 'timeslice' Nunit                  -- 5m / 1h / 1d
                | agg (',' agg)* ['by' name (',' name)*]
+               | 'top' N name                       -- most-frequent values
+               | 'dedup' [N] ['by' name (',' name)*]
                | 'sort' 'by' name ['asc'|'desc']
                | 'limit' N
-    agg       := 'count' | ('sum'|'avg'|'min'|'max'|'count_distinct')
-                 '(' name ')'
+    agg       := 'count' | ('sum'|'avg'|'min'|'max'|'count_distinct'|'first'
+                 |'last') '(' name ')' | 'percentile' '(' name ',' P ')'
 
 Everything compiles to built-in Column expressions (SURVEY §4: no Catalyst
 extension needed) — ``json`` → ``get_json_object``, anchor parse / ``parse
@@ -53,8 +57,10 @@ class SumoSchema:
 _UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
 
 _AGG_RE = re.compile(
-    r"^(count_distinct|count|sum|avg|min|max)\s*(?:\(\s*([\w.]*)\s*\))?$"
+    r"^(count_distinct|count|sum|avg|min|max|first|last)"
+    r"\s*(?:\(\s*([\w.]*)\s*\))?$"
 )
+_PCTL_RE = re.compile(r"^percentile\s*\(\s*([\w.]+)\s*,\s*([\d.]+)\s*\)$")
 
 
 class SumoQLError(ValueError):
@@ -121,20 +127,102 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema) -> DataFrame:
         return _stage_json(df, rest, schema)
     if head == "parse":
         return _stage_parse(df, rest, schema)
+    if head in ("kv", "keyvalue"):
+        return _stage_keyvalue(df, rest, schema)
+    if head == "csv":
+        return _stage_csv(df, rest, schema)
     if head == "where":
         return df.filter(F.expr(rest))
     if head == "fields":
+        if rest.startswith("-"):
+            return df.drop(*[c.strip() for c in rest[1:].split(",")])
         return df.select(*[c.strip() for c in rest.split(",")])
     if head == "timeslice":
         return _stage_timeslice(df, rest, schema)
+    if head == "top":
+        return _stage_top(df, rest)
+    if head == "dedup":
+        return _stage_dedup(df, rest, schema)
     if head == "sort":
         return _stage_sort(df, rest)
     if head == "limit":
         return df.limit(int(rest))
     # "count," / "sum(x)," — first token of a multi-agg list keeps its comma
-    if _AGG_RE.match(head.rstrip(",")):
-        return _stage_agg(df, stage)
+    if _AGG_RE.match(head.rstrip(",")) or head.startswith("percentile"):
+        return _stage_agg(df, stage, schema)
     raise SumoQLError(f"unknown stage: {stage!r}")
+
+
+def _stage_keyvalue(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
+    """``kv "user", "status"`` — extract ``key=value`` pairs from the raw
+    message (Sumo's keyvalue operator; the inverse of the P9 flatten)."""
+    keys = _quoted_list(rest)
+    if not keys:
+        raise SumoQLError(f"kv stage needs quoted keys: {rest!r}")
+    out = df
+    for k in keys:
+        pat = re.escape(k) + r'=("[^"]*"|[^\s,;]+)'
+        out = out.withColumn(
+            k,
+            F.nullif(
+                F.regexp_replace(
+                    F.regexp_extract(F.col(schema.raw_col), pat, 1),
+                    '^"|"$', "",
+                ),
+                F.lit(""),
+            ),
+        )
+    return out
+
+
+def _stage_csv(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
+    """``csv a, b, c`` — positional comma split of the raw message."""
+    names = [n.strip() for n in rest.split(",") if n.strip()]
+    if not names:
+        raise SumoQLError(f"csv stage needs field names: {rest!r}")
+    parts = F.split(F.col(schema.raw_col), ",")
+    out = df
+    for i, n in enumerate(names):
+        out = out.withColumn(n, F.trim(F.element_at(parts, i + 1)))
+    return out
+
+
+def _stage_top(df: DataFrame, rest: str) -> DataFrame:
+    """``top N field`` — most-frequent values, Sumo's dashboard staple.
+    Lowers to groupBy + TakeOrderedAndProject (no global sort)."""
+    m = re.match(r"^(\d+)\s+([\w]+)$", rest.strip())
+    if not m:
+        raise SumoQLError(f"bad top stage: {rest!r}")
+    n, col = int(m.group(1)), m.group(2)
+    return (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("_count"))
+        .orderBy(F.col("_count").desc(), F.col(col))
+        .limit(n)
+    )
+
+
+def _stage_dedup(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
+    """``dedup [N] [by f1, f2]`` — keep the N most recent rows per key
+    (whole-row identity when no ``by``).  Ties on the timestamp break on
+    the raw message for determinism."""
+    from pyspark.sql import Window
+
+    m = re.match(r"^(\d+)?\s*(?:by\s+(.+))?$", rest.strip())
+    n = int(m.group(1)) if m.group(1) else 1
+    if m.group(2):
+        keys = [c.strip() for c in m.group(2).split(",")]
+    else:
+        keys = [c for c in df.columns
+                if c not in (schema.ts_col, schema.raw_col)]
+    order = [F.col(schema.ts_col).desc()] if schema.ts_col in df.columns else []
+    order.append(F.col(schema.raw_col).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_dedup_rn", F.row_number().over(w))
+        .filter(F.col("_dedup_rn") <= n)
+        .drop("_dedup_rn")
+    )
 
 
 def _stage_json(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
@@ -224,17 +312,33 @@ def _stage_sort(df: DataFrame, rest: str) -> DataFrame:
     )
 
 
-def _stage_agg(df: DataFrame, stage: str) -> DataFrame:
+def _stage_agg(df: DataFrame, stage: str,
+               schema: SumoSchema = SumoSchema()) -> DataFrame:
     """``count by a, b`` / ``sum(x), avg(y) by k`` → groupBy().agg().
-    Output columns follow Sumo naming: _count, _sum_x, _avg_y …"""
+    Output columns follow Sumo naming: _count, _sum_x, _avg_y,
+    _pct_x_95, _first_x, _last_x …  first/last are event-time ordered
+    (min_by/max_by on the timestamp column), not arrival-ordered — the
+    only distributed-safe reading."""
     if " by " in stage:
         aggs_part, by_part = stage.split(" by ", 1)
         by_cols = [c.strip() for c in by_part.split(",")]
     else:
         aggs_part, by_cols = stage, []
+    # Split on commas not inside parens so percentile(x, 95) survives.
+    specs = re.split(r",(?![^(]*\))", aggs_part)
     agg_cols: list[Column] = []
-    for spec in aggs_part.split(","):
-        m = _AGG_RE.match(spec.strip())
+    for spec in specs:
+        spec = spec.strip()
+        pm = _PCTL_RE.match(spec)
+        if pm:
+            arg, p = pm.group(1), float(pm.group(2))
+            agg_cols.append(
+                F.expr(f"percentile({arg}, {p / 100.0})").alias(
+                    f"_pct_{arg}_{pm.group(2).replace('.', '_')}"
+                )
+            )
+            continue
+        m = _AGG_RE.match(spec)
         if not m:
             raise SumoQLError(f"bad aggregation: {spec!r}")
         fn, arg = m.group(1), m.group(2)
@@ -243,6 +347,15 @@ def _stage_agg(df: DataFrame, stage: str) -> DataFrame:
         elif fn == "count_distinct":
             agg_cols.append(
                 F.countDistinct(arg).alias(f"_count_distinct_{arg}")
+            )
+        elif fn in ("first", "last"):
+            if schema.ts_col not in df.columns:
+                raise SumoQLError(
+                    f"{fn}() needs timestamp column {schema.ts_col!r}"
+                )
+            picker = F.min_by if fn == "first" else F.max_by
+            agg_cols.append(
+                picker(arg, schema.ts_col).alias(f"_{fn}_{arg}")
             )
         else:
             agg_cols.append(

@@ -141,3 +141,143 @@ def sumoql_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", F.round("_avg_value", 4).alias("_avg_value")
     )
+
+
+@query(
+    "sumoql_kv_extract",
+    oracle="""
+    WITH lines AS (
+        SELECT 'user=u' || user_id || ' type=' || event_type ||
+               ' val=' || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
+                   AS line
+        FROM events
+    )
+    SELECT nullif(regexp_extract(line, 'type=("[^"]*"|[^\\s,;]+)', 1), '')
+               AS type,
+           count(*) AS _count
+    FROM lines
+    GROUP BY 1
+    """,
+)
+def sumoql_kv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``kv "type"`` — key=value extraction from a log line (Sumo's
+    keyvalue operator; inverse of the P9 flatten).  Input lines are
+    built from the events table so the whole path is reproducible."""
+    ev = table(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("user=u"), F.col("user_id"),
+            F.lit(" type="), F.col("event_type"),
+            F.lit(" val="),
+            F.floor("value").cast("long").cast("string"),
+        ).alias("line")
+    )
+    schema = SumoSchema(raw_col="line")
+    return compile_query(ev, '* | kv "type" | count by type', schema)
+
+
+@query(
+    "sumoql_csv_split",
+    oracle="""
+    WITH lines AS (
+        SELECT n_name || ',' || CAST(n_nationkey AS VARCHAR) || ',' ||
+               CAST(n_regionkey AS VARCHAR) AS line
+        FROM nation
+    )
+    SELECT string_split(line, ',')[1] AS name,
+           string_split(line, ',')[3] AS region_key
+    FROM lines
+    """,
+)
+def sumoql_csv_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``csv name, key, region_key`` — positional split, then keep two
+    fields via the drop form ``fields - key``."""
+    nat = table(spark, sf_dir, "nation").select(
+        F.concat_ws(
+            ",", "n_name", F.col("n_nationkey").cast("string"),
+            F.col("n_regionkey").cast("string"),
+        ).alias("line")
+    )
+    schema = SumoSchema(raw_col="line")
+    return compile_query(
+        nat, "* | csv name, key, region_key | fields - key, line", schema
+    )
+
+
+@query(
+    "sumoql_top_values",
+    oracle="""
+    SELECT event_type, count(*) AS _count
+    FROM events
+    GROUP BY event_type
+    ORDER BY _count DESC, event_type
+    LIMIT 3
+    """,
+)
+def sumoql_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``top 3 event_type`` — the dashboard most-frequent-values shape
+    (cf. the 'top 10 resources' fixture,
+    ``securityhub-forwarder/test/fixtures.json:3-5``)."""
+    ev = table(spark, sf_dir, "events")
+    return compile_query(ev, "* | top 3 event_type", EVENTS_SCHEMA)
+
+
+@query(
+    "sumoql_dedup_latest",
+    oracle="""
+    SELECT user_id, eid FROM (
+        SELECT user_id, eid,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY epoch_s DESC, eid DESC
+               ) AS rn
+        FROM (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+                   CAST(event_id AS VARCHAR) AS eid
+            FROM events
+        )
+    ) WHERE rn <= 1
+    """,
+)
+def sumoql_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup by user_id`` — keep each user's most recent event.
+    Timestamps are pre-floored to epoch seconds and ties break on the
+    event id (cast to the raw column) so Spark(µs)/DuckDB(ns) agree."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.col("event_id").cast("string").alias("eid"),
+    )
+    schema = SumoSchema(raw_col="eid", ts_col="epoch_s")
+    return compile_query(ev, "* | dedup by user_id | fields user_id, eid",
+                         schema)
+
+
+@query(
+    "sumoql_percentile_first_last",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(arg_min(value, event_id), 4) AS first_value,
+           round(arg_max(value, event_id), 4) AS last_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sumoql_percentile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile(value, 95), first(value), last(value) by type`` —
+    first/last are min_by/max_by on a unique, monotone order column
+    (event_id here), the only distributed-safe semantics."""
+    ev = table(spark, sf_dir, "events")
+    schema = SumoSchema(raw_col="props", ts_col="event_id")
+    out = compile_query(
+        ev,
+        "* | percentile(value, 95), first(value), last(value)"
+        " by event_type",
+        schema,
+    )
+    return out.select(
+        "event_type",
+        F.round("_pct_value_95", 4).alias("p95"),
+        F.round("_first_value", 4).alias("first_value"),
+        F.round("_last_value", 4).alias("last_value"),
+    )

@@ -111,3 +111,73 @@ def test_errors(logs, bad):
     with pytest.raises((SumoQLError, Exception)):
         df = compile_query(logs, bad, SCHEMA)
         df.collect()
+
+
+@pytest.fixture(scope="module")
+def kv_logs(spark):
+    rows = [
+        (1, 'user=alice status=200 path="/a b" ts=1', "2024-01-01 10:00:00"),
+        (2, "user=bob status=500 ts=2", "2024-01-01 10:01:00"),
+        (3, "user=alice status=200 ts=3", "2024-01-01 10:02:00"),
+    ]
+    df = spark.createDataFrame(rows, "id int, msg string, ts string")
+    return df.selectExpr("id", "msg", "CAST(ts AS TIMESTAMP) ts")
+
+
+def test_kv_extract_quoted_and_missing(kv_logs):
+    out = compile_query(kv_logs, '* | kv "user", "path"', SCHEMA)
+    rows = {r["id"]: (r["user"], r["path"]) for r in out.collect()}
+    assert rows[1] == ("alice", "/a b")   # quoted value unwrapped
+    assert rows[2] == ("bob", None)       # missing key → null
+
+
+def test_csv_positional_and_fields_drop(spark):
+    df = spark.createDataFrame([(1, "a, b ,c")], "id int, msg string")
+    out = compile_query(df, "* | csv x, y, z | fields - msg", SCHEMA)
+    assert out.columns == ["id", "ts", "x", "y", "z"] or "msg" not in out.columns
+    r = out.collect()[0]
+    assert (r["x"], r["y"], r["z"]) == ("a", "b", "c")  # trimmed
+
+
+def test_top_orders_by_count_then_value(kv_logs):
+    out = compile_query(kv_logs, '* | kv "user" | top 2 user', SCHEMA)
+    assert [(r["user"], r["_count"]) for r in out.collect()] == [
+        ("alice", 2), ("bob", 1)
+    ]
+
+
+def test_dedup_keeps_most_recent_per_key(kv_logs):
+    out = compile_query(
+        kv_logs, '* | kv "user" | dedup by user | fields id, user', SCHEMA
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [(2, "bob"), (3, "alice")]
+
+
+def test_dedup_n_greater_than_one(kv_logs):
+    out = compile_query(kv_logs, '* | kv "user" | dedup 2 by user', SCHEMA)
+    assert out.count() == 3
+
+
+def test_percentile_first_last(kv_logs):
+    out = compile_query(
+        kv_logs,
+        '* | kv "status" | percentile(id, 50), first(status), last(status)',
+        SCHEMA,
+    )
+    r = out.collect()[0]
+    assert r["_pct_id_50"] == 2.0
+    assert r["_first_status"] == "200"   # earliest ts
+    assert r["_last_status"] == "200"    # latest ts
+
+
+def test_first_requires_ts_column(spark):
+    df = spark.createDataFrame([(1, "x")], "id int, msg string")
+    with pytest.raises(SumoQLError, match="timestamp"):
+        compile_query(df, "* | first(id)", SCHEMA)
+
+
+def test_bad_top_and_csv_raise(kv_logs):
+    with pytest.raises(SumoQLError):
+        compile_query(kv_logs, "* | top user", SCHEMA)
+    with pytest.raises(SumoQLError):
+        compile_query(kv_logs, "* | csv", SCHEMA)
