@@ -119,3 +119,33 @@ def streaming_timeslice_counts(records: DataFrame,
         F.window("ts", slice_duration).alias("slice"),
         "source_category",
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def streaming_session_counts(records: DataFrame,
+                             gap: str = "30 minutes",
+                             ts_col: str = "ts",
+                             key_col: str = "source_category") -> DataFrame:
+    """T10: session-window aggregation — dynamic-gap sessions per key;
+    state closes (and emits) once the watermark passes session end + gap.
+    The streaming twin of the batch ``sessionize_events`` query."""
+    return records.groupBy(
+        F.session_window(ts_col, gap).alias("session"),
+        key_col,
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+    )
+
+
+def streaming_sliding_counts(records: DataFrame,
+                             length: str = "10 minutes",
+                             slide: str = "5 minutes",
+                             ts_col: str = "ts",
+                             key_col: str = "source_category") -> DataFrame:
+    """T10: sliding-window counts (each event lands in length/slide
+    windows) — the moving-average shape behind metric dashboards."""
+    return records.groupBy(
+        F.window(ts_col, length, slide).alias("slice"),
+        key_col,
+    ).agg(F.count(F.lit(1)).alias("n"))

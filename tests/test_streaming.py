@@ -97,3 +97,55 @@ def test_sink_quarantine_and_drain(spark, tmp_path):
     assert all(r.success for r in reports)
     rows = _read_ndjson(str(tmp_path / "out"))
     assert {r["v"] for r in rows} == {0, 1, 2, 3}
+
+
+def test_streaming_session_and_sliding_windows(spark, tmp_path):
+    """Session + sliding windows over a bounded file stream (T10)."""
+    import json
+    from sumologic_aws_lambda_spark.streaming.pipeline import (
+        streaming_session_counts,
+        streaming_sliding_counts,
+    )
+
+    rows = [
+        ("2024-01-01 10:00:00", "api"),
+        ("2024-01-01 10:10:00", "api"),   # same session (gap 30m)
+        ("2024-01-01 12:00:00", "api"),   # new session
+        ("2024-01-01 10:02:00", "web"),
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "events.json").write_text(
+        "\n".join(json.dumps({"ts": ts, "source_category": c})
+                  for ts, c in rows)
+    )
+    stream = (
+        spark.readStream.schema("ts string, source_category string")
+        .json(str(src))
+        .selectExpr("CAST(ts AS TIMESTAMP) ts", "source_category")
+        .withWatermark("ts", "1 hour")
+    )
+
+    out = streaming_session_counts(stream, gap="30 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("sess")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cp1"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    sess = {(r["source_category"], r["n"])
+            for r in spark.sql("select * from sess").collect()}
+    assert sess == {("api", 2), ("api", 1), ("web", 1)}
+
+    out2 = streaming_sliding_counts(stream)
+    q2 = (
+        out2.writeStream.format("memory").queryName("slide")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    slide = spark.sql("select * from slide").collect()
+    # each event appears in length/slide = 2 windows
+    assert sum(r["n"] for r in slide) == 2 * len(rows)
