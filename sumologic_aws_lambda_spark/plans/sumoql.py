@@ -98,12 +98,14 @@ def compile_query(df: DataFrame, query: str,
     return out
 
 
-def _apply_scope(df: DataFrame, scope: str, schema: SumoSchema) -> DataFrame:
-    """Scope: metadata equalities + bare full-text terms ANDed together
-    (``_sourceCategory=X`` semantics from the benchmark test :167)."""
+def scope_predicate(scope: str, schema: SumoSchema) -> Column:
+    """Scope as a single boolean Column: metadata equalities + bare
+    full-text terms ANDed together (``_sourceCategory=X`` semantics from
+    the benchmark test :167).  Reused by the FER registry, which needs
+    the predicate without the filter (``sumoresource.py:1168-1176``)."""
+    pred = F.lit(True)
     if scope == "*":
-        return df
-    out = df
+        return pred
     for term in scope.split():
         m = re.match(r"^([\w]+)=(\S+)$", term)
         if m:
@@ -111,12 +113,18 @@ def _apply_scope(df: DataFrame, scope: str, schema: SumoSchema) -> DataFrame:
             col = schema.meta_cols.get(name, name)
             # Sumo scope matching supports trailing wildcards.
             if value.endswith("*"):
-                out = out.filter(F.col(col).startswith(value[:-1]))
+                pred = pred & F.col(col).startswith(value[:-1])
             else:
-                out = out.filter(F.col(col) == value)
+                pred = pred & (F.col(col) == value)
         else:
-            out = out.filter(F.col(schema.raw_col).contains(term))
-    return out
+            pred = pred & F.col(schema.raw_col).contains(term)
+    return pred
+
+
+def _apply_scope(df: DataFrame, scope: str, schema: SumoSchema) -> DataFrame:
+    if scope == "*":
+        return df
+    return df.filter(scope_predicate(scope, schema))
 
 
 def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema) -> DataFrame:
@@ -273,7 +281,16 @@ def _stage_parse(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
     stars = template.count("*")
     if stars != len(names):
         raise SumoQLError("parse stage: '*' count != alias count")
-    pattern = "(.*?)".join(re.escape(part) for part in template.split("*"))
+    parts = [re.escape(part) for part in template.split("*")]
+    # A template-final '*' must capture to end of line: a lazy (.*?) with
+    # no following anchor would match the empty string.
+    groups = ["(.*?)"] * (len(parts) - 1)
+    if parts[-1] == "":
+        groups[-1] = "(.*)"
+    pattern = "".join(
+        parts[i] + (groups[i] if i < len(groups) else "")
+        for i in range(len(parts))
+    )
     out = df
     for i, n in enumerate(names, start=1):
         out = out.withColumn(

@@ -473,3 +473,64 @@ def datetime_iso_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "iso_ts"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# P19: Field Extraction Rules applied at ingest
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fer_registry_apply",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type = 'click'
+                THEN json_extract_string(props, '$.k') END AS click_k,
+           CASE WHEN event_type = 'error'
+                THEN nullif(regexp_extract(props, '"k": (\\d+)', 1), '')
+           END AS err_code,
+           coalesce(
+               CASE WHEN event_type = 'click'
+                    THEN json_extract_string(props, '$.k') END,
+               CASE WHEN event_type = 'purchase'
+                    THEN json_extract_string(props, '$.k') END
+           ) AS shared_k
+    FROM events
+    WHERE event_type IN ('click', 'error', 'purchase')
+    ORDER BY event_id
+    """,
+)
+def fer_registry_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P19: a three-rule FER registry over the event stream — JSON and
+    regex extractions, each masked by its scope predicate, two rules
+    coalescing into one shared column (``sumoresource.py:1147-1177``).
+    All rules fuse into a single codegen projection; rows never drop."""
+    from ..plans.fer import FieldExtractionRule, apply_fers
+    from ..plans.sumoql import SumoSchema
+
+    schema = SumoSchema(raw_col="props",
+                        meta_cols={"_sourceCategory": "event_type"})
+    rules = [
+        FieldExtractionRule(
+            "click-k", "_sourceCategory=click", 'json "k" as click_k'),
+        FieldExtractionRule(
+            "err-code", "_sourceCategory=error",
+            'parse regex "(?<errcode>\\d+)"'),
+        FieldExtractionRule(
+            "shared-click", "_sourceCategory=click",
+            'json "k" as shared_k'),
+        FieldExtractionRule(
+            "shared-purchase", "_sourceCategory=purchase",
+            'json "k" as shared_k'),
+        FieldExtractionRule(
+            "disabled", "_sourceCategory=view",
+            'json "k" as never_there', enabled=False),
+    ]
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error", "purchase")
+    )
+    out = apply_fers(ev, rules, schema)
+    assert "never_there" not in out.columns
+    return out.select(
+        "event_id", "click_k", F.col("errcode").alias("err_code"), "shared_k"
+    ).orderBy("event_id")
