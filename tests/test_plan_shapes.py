@@ -1,0 +1,97 @@
+"""Physical-plan regression tests: assert the *shape* we designed for
+100 TB, not just the results.  These pin the properties README claims:
+pushdown reaches the scan, dims broadcast, top-k never global-sorts,
+the CWL hot path never shuffles, and pair generation never goes
+cartesian.  If Catalyst ever picks a different strategy (upgrade, config
+drift), these fail loudly."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sumologic_aws_lambda_spark import queries as registry
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return registry.all_queries()
+
+
+def test_filter_project_pushes_down(spark, qs):
+    plan = _plan(qs["filter_project"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    # at least one predicate actually pushed (not the empty list)
+    assert "PushedFilters: []" not in plan
+
+
+def test_dim_joins_broadcast_not_smj(spark, qs):
+    for name in ("region_rollup_join", "vpc_eni_enrichment",
+                 "two_hop_dim_join"):
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_topk_lowers_to_take_ordered(spark, qs):
+    plan = _plan(qs["revenue_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # no full global Sort node outside the take-ordered operator
+    assert plan.count("Sort ") <= plan.count("SortMergeJoin")
+
+
+def test_cwl_hot_path_is_narrow(spark, qs):
+    """S1/§3.1: decode → explode → parse → route, zero shuffles."""
+    plan = _plan(qs["cwl_decode_pipeline"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, qs):
+    """The as-of join compiles to union+window: no join operator, and
+    only the one hash exchange for the window partition key."""
+    plan = _plan(qs["asof_join_last_click"](spark, SF_DIR))
+    assert "Join" not in plan.replace("joinType", "")
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + agg
+
+
+def test_lsh_pairs_never_cartesian(spark, qs):
+    for name in ("minhash_lsh_pairs", "lsh_ann_topk"):
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_range_join_broadcasts_tiny_dim(spark, qs):
+    plan = _plan(qs["range_join_value_bands"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_agg_is_partial_plus_final(spark, qs):
+    """Catalyst must map-side combine before the exchange (§2.6 note)."""
+    plan = _plan(qs["pricing_summary"](spark, SF_DIR))
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange")  # below it
+
+
+def test_whole_stage_codegen_active(spark, qs):
+    import contextlib
+    import io
+
+    # AQE defers codegen to runtime stages; disable it for the inspection
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs["pricing_summary"](spark, SF_DIR).explain("codegen")
+        out = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in out
+    assert "Found 0 WholeStageCodegen" not in out
