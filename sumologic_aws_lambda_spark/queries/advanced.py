@@ -303,3 +303,64 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# §3.3 metrics API: selector match + datapoint quantization
+# ---------------------------------------------------------------------------
+
+_M_START = 1704067200          # 2024-01-01T00:00:00Z
+_M_END = _M_START + 3 * 86400
+_M_INTERVAL = 21600            # ceil(3d / 12 requested points)
+
+
+@query(
+    "metrics_quantize",
+    oracle=f"""
+    WITH src AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es,
+               event_type,
+               json_extract_string(props, '$.k') AS k,
+               value
+        FROM events
+    ), tagged AS (
+        SELECT 'A' AS row_id, es, event_type, value FROM src
+        WHERE event_type = 'click'
+        UNION ALL
+        SELECT 'B', es, event_type, value FROM src
+        WHERE event_type = 'purchase' AND starts_with(k, '1')
+    )
+    SELECT row_id, event_type AS metric,
+           (es // {_M_INTERVAL}) * {_M_INTERVAL} AS bucket_start,
+           round(avg(value), 4) AS avg_value,
+           CAST(count(*) AS BIGINT) AS n
+    FROM tagged
+    WHERE es >= {_M_START} AND es < {_M_END}
+    GROUP BY 1, 2, 3
+    """,
+)
+def metrics_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 metrics variant: two request rows (selector match language,
+    ``sumoresource.py:959-988``) quantized to requestedDataPoints buckets
+    (``sumologic.py:185-202``) — one scan for the whole request, buckets
+    by portable epoch arithmetic."""
+    from ..plans.metrics_service import MetricsQuery, metrics_results
+
+    ev = table(spark, sf_dir, "events").select(
+        "ts",
+        F.col("event_type").alias("metric"),
+        F.create_map(F.lit("k"),
+                     F.get_json_object("props", "$.k")).alias("dims"),
+        "value",
+    )
+    out = metrics_results(
+        ev,
+        [MetricsQuery("A", "metric=click"),
+         MetricsQuery("B", "metric=purchase k=1*")],
+        start_epoch=_M_START, end_epoch=_M_END,
+        requested_datapoints=12,
+    )
+    return out.select(
+        "row_id", "metric", "bucket_start",
+        F.round("avg_value", 4).alias("avg_value"), "n",
+    )
