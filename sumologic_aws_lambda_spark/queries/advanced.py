@@ -364,3 +364,39 @@ def metrics_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_id", "metric", "bucket_start",
         F.round("avg_value", 4).alias("avg_value"), "n",
     )
+
+
+@query(
+    "salted_agg_routing_key",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total,
+           round(avg(value), 4) AS mean,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_agg_routing_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation on the routing key (§2.6 A1 at
+    100 TB: source_category is Zipf-hot).  The salt must be semantically
+    invisible — the oracle is the plain GROUP BY.  avg decomposes into
+    sum+count across phases; salt here is deterministic (hash of the
+    unique event id) so the oracle compare is reproducible."""
+    from ..operators.skew import salt_from, salted_agg
+
+    ev = table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev, ["event_type"],
+        {"n": "count(event_id)", "total": "sum(value)",
+         "mean": "avg(value)", "lo": "min(value)", "hi": "max(value)"},
+        salt=salt_from("event_id", 16),
+    )
+    return out.select(
+        "event_type", "n",
+        F.round("total", 2).alias("total"),
+        F.round("mean", 4).alias("mean"),
+        F.round("lo", 4).alias("lo"),
+        F.round("hi", 4).alias("hi"),
+    )
