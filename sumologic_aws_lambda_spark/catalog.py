@@ -39,8 +39,9 @@ def table(spark: SparkSession, sf_dir: str, name: str,
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if parallel:
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if parallel and _worth_splitting(path):
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:
             df = df.repartition(target)
@@ -56,6 +57,17 @@ def table(spark: SparkSession, sf_dir: str, name: str,
                 "ts", F.expr("timestamp_micros(ts DIV 1000)")
             )
     return df
+
+
+def _worth_splitting(path: str, min_bytes: int = 256 * 1024) -> bool:
+    """Below ~¼ MB the per-task scheduling overhead of a repartition
+    outweighs any CPU parallelism — leave tiny inputs alone."""
+    import os
+
+    try:
+        return os.path.getsize(path) >= min_bytes
+    except OSError:
+        return True  # unknown size (object store): assume worth it
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

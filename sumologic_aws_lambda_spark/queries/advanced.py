@@ -400,3 +400,36 @@ def salted_agg_routing_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lo", 4).alias("lo"),
         F.round("hi", 4).alias("hi"),
     )
+
+
+@query(
+    "rollup_hierarchy_daily",
+    oracle="""
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
+               AS bucket_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def rollup_hierarchy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup hierarchy: raw → 1h rollup → coarsened to 1d by
+    re-aggregating partials (never rescanning raw).  The oracle is the
+    DIRECT daily aggregation of raw events — proving the algebraic
+    re-aggregation is exact, the property that lets 100 TB dashboards
+    serve from ~1/3600th of the data."""
+    from ..operators.rollup import build_rollup, coarsen
+
+    ev = table(spark, sf_dir, "events")
+    hourly = build_rollup(ev, "1h")
+    daily = coarsen(hourly, "1h", "1d")
+    return daily.select(
+        "bucket_start", "event_type", "n",
+        F.round("sum_value", 2).alias("total"),
+        F.round("min_value", 4).alias("lo"),
+        F.round("max_value", 4).alias("hi"),
+    )

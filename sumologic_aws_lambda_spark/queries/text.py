@@ -123,3 +123,64 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(fingerprint("text")).alias("n_unique"),
     )
+
+
+@query(
+    "curation_pipeline",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, source, text,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               round(length(regexp_replace(text, '[a-zA-Z\\s]', '', 'g'))
+                     / length(text), 4) AS nonalpha_ratio,
+               len(regexp_extract_all(text, '\\b(the|a|of|and|to)\\b'))  AS s_en,
+               len(regexp_extract_all(text, '\\b(der|die|das|und|ist)\\b')) AS s_de,
+               len(regexp_extract_all(text, '\\b(el|la|los|que|y)\\b'))  AS s_es,
+               len(regexp_extract_all(text, '\\b(le|la|les|et|est)\\b')) AS s_fr
+        FROM documents
+    ), curated AS (
+        SELECT * FROM feat
+        WHERE n_tokens >= 30 AND nonalpha_ratio <= 0.05
+          AND greatest(s_en, s_de, s_es, s_fr) > 0
+          AND s_en = greatest(s_en, s_de, s_es, s_fr)
+    ), deduped AS (
+        SELECT min(doc_id) AS doc_id, any_value(source) AS source,
+               any_value(n_tokens) AS n_tokens
+        FROM curated
+        GROUP BY md5({_NORM_SQL})
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS kept_docs,
+           round(avg(n_tokens), 4) AS avg_tokens
+    FROM deduped GROUP BY source
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: quality gate (Gopher-style
+    token/non-alpha thresholds) → language filter (marker argmax = 'en')
+    → exact dedup (md5 fingerprint, keep lowest id) → per-source stats.
+
+    Plan shape at 100 TB: the whole filter chain is ONE narrow codegen
+    stage over the scan (all predicates pushed/pipelined), then a single
+    shuffle on the uniform fingerprint for dedup and a map-side-combined
+    rollup — two exchanges total for the full pipeline."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents", parallel=True)
+    feat = quality_features(d).withColumn(
+        "pred_lang", detect_lang("text")
+    )
+    curated = feat.filter(
+        (F.col("n_tokens") >= 30)
+        & (F.col("nonalpha_ratio") <= 0.05)
+        & (F.col("pred_lang") == "en")
+    )
+    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    deduped = (
+        curated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
