@@ -1,0 +1,192 @@
+"""Provisioning catalog: collectors, sources, fields — the surface of
+``sumologic-app-utils`` (SURVEY §1.1 'catalog objects').
+
+Reference semantics (``sumologic-app-utils/src/sumoresource.py``):
+
+- Collector create is create-or-fetch by name (:78-120) — idempotent.
+- Source carries the ingest contract (:247-380): ``category``, ``fields``
+  map, processing-rule ``filters`` (:277-281, blank regexps dropped),
+  ``multilineProcessingEnabled`` / ``useAutolineMatching`` (:287-291),
+  ``cutoffTimestamp`` = now − 24 h (:293-294), polling sources add
+  ``pathExpression`` + ``scanInterval`` (default 300000 ms, :319).
+- HTTP sources force multiline off when ``messagePerRequest`` (:433-435).
+
+Spark-first: the catalog is plain data + a JSON file (no service); its
+value is ``source_read_options`` / ``source_trigger`` — the bridge that
+turns a provisioned source into the exact ``readStream`` options and
+trigger the streaming shell uses, and ``source_filters`` into the
+F9 include/exclude Column predicate applied at ingest.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import uuid
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEFAULT_SCAN_INTERVAL_MS = 300_000          # sumoresource.py:319
+DEFAULT_CUTOFF_HOURS = 24                   # sumoresource.py:293-294
+
+
+@dataclass
+class Collector:
+    name: str
+    description: str = ""
+    category: str = ""
+    collector_id: str = ""
+
+
+@dataclass
+class Source:
+    name: str
+    collector_id: str
+    category: str = ""
+    source_type: str = "http"               # http | s3 | cwl
+    fields: dict[str, str] = field(default_factory=dict)
+    filters: list[dict] = field(default_factory=list)
+    multiline_enabled: bool = False
+    use_autoline_matching: bool = True
+    message_per_request: bool = False
+    path_expression: str = ""
+    scan_interval_ms: int = DEFAULT_SCAN_INTERVAL_MS
+    cutoff_hours: int = DEFAULT_CUTOFF_HOURS
+    source_id: str = ""
+
+    def __post_init__(self) -> None:
+        # HTTP source forces multiline off when per-request (:433-435)
+        if self.message_per_request:
+            self.multiline_enabled = False
+        # blank regexps dropped (:277-281)
+        self.filters = [
+            f for f in self.filters if f.get("regexp", "").strip()
+        ]
+
+
+class CatalogStore:
+    """Create-or-fetch catalog with optional JSON persistence."""
+
+    def __init__(self, path: str | None = None):
+        self._path = pathlib.Path(path) if path else None
+        self._collectors: dict[str, Collector] = {}
+        self._sources: dict[str, Source] = {}
+        if self._path and self._path.exists():
+            self._load()
+
+    # -- collectors (create-or-fetch by name, :78-120) --------------------
+
+    def create_collector(self, name: str, **kwargs) -> Collector:
+        for c in self._collectors.values():
+            if c.name == name:
+                return c
+        c = Collector(name=name, collector_id=uuid.uuid4().hex[:12], **kwargs)
+        self._collectors[c.collector_id] = c
+        self._save()
+        return c
+
+    def delete_collector(self, collector_id: str) -> None:
+        if any(s.collector_id == collector_id for s in self._sources.values()):
+            raise ValueError("collector still has sources")
+        self._collectors.pop(collector_id, None)
+        self._save()
+
+    # -- sources ----------------------------------------------------------
+
+    def create_source(self, collector_id: str, name: str, **kwargs) -> Source:
+        if collector_id not in self._collectors:
+            raise KeyError(f"no such collector {collector_id!r}")
+        for s in self._sources.values():
+            if s.collector_id == collector_id and s.name == name:
+                return s
+        s = Source(name=name, collector_id=collector_id,
+                   source_id=uuid.uuid4().hex[:12], **kwargs)
+        self._sources[s.source_id] = s
+        self._save()
+        return s
+
+    def update_source(self, source_id: str, **updates) -> Source:
+        s = self._sources[source_id]
+        for k, v in updates.items():
+            if not hasattr(s, k):
+                raise AttributeError(f"source has no field {k!r}")
+            setattr(s, k, v)
+        s.__post_init__()
+        self._save()
+        return s
+
+    def delete_source(self, source_id: str) -> None:
+        self._sources.pop(source_id, None)
+        self._save()
+
+    def sources_for(self, collector_id: str) -> list[Source]:
+        return [s for s in self._sources.values()
+                if s.collector_id == collector_id]
+
+    # -- the engine bridge -------------------------------------------------
+
+    @staticmethod
+    def source_read_options(source: Source,
+                            now_epoch: int | None = None) -> dict[str, str]:
+        """Provisioned source → ``readStream`` options (S11):
+        pathExpression → ``pathGlobFilter``, cutoff → ``modifiedAfter``,
+        multiline flags → text-source line assembly mode."""
+        opts: dict[str, str] = {}
+        if source.path_expression:
+            opts["pathGlobFilter"] = source.path_expression
+        if now_epoch is not None:
+            import datetime as _dt
+
+            cutoff = _dt.datetime.fromtimestamp(
+                now_epoch - source.cutoff_hours * 3600, _dt.timezone.utc
+            )
+            opts["modifiedAfter"] = cutoff.strftime("%Y-%m-%dT%H:%M:%S")
+        if source.multiline_enabled and not source.use_autoline_matching:
+            opts["wholetext"] = "true"   # custom boundary assembly stage
+        return opts
+
+    @staticmethod
+    def source_trigger(source: Source) -> str:
+        """scanInterval → ``Trigger.ProcessingTime`` string (T1)."""
+        return f"{max(1, source.scan_interval_ms // 1000)} seconds"
+
+    @staticmethod
+    def source_filter_predicate(source: Source,
+                                message_col: str = "message") -> Column:
+        """F9 processing rules → one Column predicate: Include rules OR
+        together (a row must match some include if any exist); Exclude
+        rules drop matches."""
+        includes = [f["regexp"] for f in source.filters
+                    if f.get("filterType") == "Include"]
+        excludes = [f["regexp"] for f in source.filters
+                    if f.get("filterType") == "Exclude"]
+        pred = F.lit(True)
+        if includes:
+            inc = F.lit(False)
+            for rx in includes:
+                inc = inc | F.col(message_col).rlike(rx)
+            pred = pred & inc
+        for rx in excludes:
+            pred = pred & ~F.col(message_col).rlike(rx)
+        return pred
+
+    # -- persistence -------------------------------------------------------
+
+    def _save(self) -> None:
+        if not self._path:
+            return
+        self._path.write_text(json.dumps({
+            "collectors": [asdict(c) for c in self._collectors.values()],
+            "sources": [asdict(s) for s in self._sources.values()],
+        }, indent=2))
+
+    def _load(self) -> None:
+        data = json.loads(self._path.read_text())
+        for c in data.get("collectors", []):
+            col = Collector(**c)
+            self._collectors[col.collector_id] = col
+        for s in data.get("sources", []):
+            src = Source(**s)
+            self._sources[src.source_id] = src

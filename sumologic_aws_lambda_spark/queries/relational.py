@@ -347,3 +347,47 @@ def percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_quantity"), 2).alias("min_qty"),
         F.round(F.max("l_quantity"), 2).alias("max_qty"),
     )
+
+
+@query(
+    "scalar_function_battery",
+    oracle="""
+    SELECT n_nationkey,
+           upper(n_name) AS uname,
+           lower(n_name) || ':' || CAST(n_regionkey AS VARCHAR) AS tag,
+           concat_ws('-', n_name, CAST(n_nationkey AS VARCHAR)) AS joined,
+           substr(n_name, 1, 3) AS prefix,
+           round(pow(2, n_regionkey), 1) AS pow2,
+           CAST(length(n_name) AS INT) AS name_len,
+           list_sort(string_split(n_name || ' ' || n_name, ' '))[1]
+               AS first_tok,
+           CAST(len(list_distinct(
+               string_split(n_name || ' ' || n_name, ' '))) AS INT)
+               AS n_distinct_toks,
+           printf('%s#%02d', n_name, n_nationkey) AS formatted
+    FROM nation
+    """,
+)
+def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 scalar-function surface in one oracle-checked pass: case
+    mapping, concat/concat_ws, substring, pow, length, split +
+    array_distinct/sort_array, format_string — every one a built-in
+    Column expression (zero UDFs), matching the reference's per-record
+    string/math library."""
+    nat = table(spark, sf_dir, "nation")
+    toks = F.split(F.concat_ws(" ", "n_name", "n_name"), " ")
+    return nat.select(
+        "n_nationkey",
+        F.upper("n_name").alias("uname"),
+        F.concat(F.lower("n_name"), F.lit(":"),
+                 F.col("n_regionkey").cast("string")).alias("tag"),
+        F.concat_ws("-", "n_name",
+                    F.col("n_nationkey").cast("string")).alias("joined"),
+        F.substring("n_name", 1, 3).alias("prefix"),
+        F.round(F.pow(F.lit(2), F.col("n_regionkey")), 1).alias("pow2"),
+        F.length("n_name").alias("name_len"),
+        F.sort_array(toks).getItem(0).alias("first_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_toks"),
+        F.format_string("%s#%02d", F.col("n_name"),
+                        F.col("n_nationkey")).alias("formatted"),
+    )

@@ -1,0 +1,74 @@
+"""Unit tests for the provisioning catalog (provisioning.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sumologic_aws_lambda_spark.provisioning import CatalogStore, Source
+
+
+def test_collector_create_is_idempotent(tmp_path):
+    store = CatalogStore(str(tmp_path / "cat.json"))
+    a = store.create_collector("prod", category="prod/logs")
+    b = store.create_collector("prod")
+    assert a.collector_id == b.collector_id
+
+
+def test_source_semantics_and_persistence(tmp_path):
+    path = str(tmp_path / "cat.json")
+    store = CatalogStore(path)
+    col = store.create_collector("prod")
+    src = store.create_source(
+        col.collector_id, "api",
+        filters=[
+            {"filterType": "Exclude", "regexp": "DEBUG"},
+            {"filterType": "Include", "regexp": ""},      # blank → dropped
+        ],
+        message_per_request=True,
+        multiline_enabled=True,                           # forced off
+        path_expression="*.log.gz",
+    )
+    assert src.multiline_enabled is False
+    assert len(src.filters) == 1
+
+    # reload from disk
+    store2 = CatalogStore(path)
+    srcs = store2.sources_for(col.collector_id)
+    assert len(srcs) == 1 and srcs[0].name == "api"
+    # create-or-fetch after reload
+    again = store2.create_source(col.collector_id, "api")
+    assert again.source_id == src.source_id
+
+
+def test_delete_collector_with_sources_refused(tmp_path):
+    store = CatalogStore()
+    col = store.create_collector("c")
+    store.create_source(col.collector_id, "s")
+    with pytest.raises(ValueError, match="still has sources"):
+        store.delete_collector(col.collector_id)
+
+
+def test_read_options_and_trigger():
+    src = Source(name="s3src", collector_id="x",
+                 path_expression="prefix/*.json",
+                 scan_interval_ms=300_000, cutoff_hours=24)
+    opts = CatalogStore.source_read_options(src, now_epoch=1_704_153_600)
+    assert opts["pathGlobFilter"] == "prefix/*.json"
+    assert opts["modifiedAfter"] == "2024-01-01T00:00:00"  # now − 24 h
+    assert CatalogStore.source_trigger(src) == "300 seconds"
+
+
+def test_filter_predicate_include_exclude(spark):
+    src = Source(name="s", collector_id="x", filters=[
+        {"filterType": "Include", "regexp": "ERROR|WARN"},
+        {"filterType": "Exclude", "regexp": "heartbeat"},
+    ])
+    df = spark.createDataFrame(
+        [(1, "ERROR boom"), (2, "WARN heartbeat"), (3, "INFO ok"),
+         (4, "WARN disk")],
+        "id int, message string",
+    )
+    kept = [r["id"] for r in
+            df.filter(CatalogStore.source_filter_predicate(src))
+            .select("id").collect()]
+    assert sorted(kept) == [1, 4]
