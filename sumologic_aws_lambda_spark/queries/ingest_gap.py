@@ -534,3 +534,70 @@ def fer_registry_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "click_k", F.col("errcode").alias("err_code"), "shared_k"
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# S15: OTLP 0.7 metric-stream record parse
+# ---------------------------------------------------------------------------
+
+_OTLP_BODY = (
+    '{"resourceMetrics": [{"resource": {"attributes":'
+    ' {"cloud.account.id": "123", "cloud.region": "us-east-1",'
+    ' "aws.exporter.arn": "arn:stream"}},'
+    ' "instrumentationLibraryMetrics": [{"metrics": ['
+    '{"name": "amazonaws.com/AWS/EC2/CPUUtilization", "unit": "Percent",'
+    ' "doubleSummary": {"dataPoints": ['
+    '{"labels": {"InstanceId": "i-1", "cloud.region": "eu-west-1"},'
+    ' "timeUnixNano": 1704067200000000000, "count": 5, "sum": 250.0,'
+    ' "quantileValues": [{"quantile": 0.0, "value": 10.0},'
+    ' {"quantile": 1.0, "value": 90.0}]},'
+    '{"labels": {"InstanceId": "i-2"},'
+    ' "timeUnixNano": 1704067260000000000, "count": 2, "sum": 60.0,'
+    ' "quantileValues": [{"quantile": 0.0, "value": 20.0},'
+    ' {"quantile": 1.0, "value": 40.0}]}]}},'
+    '{"name": "amazonaws.com/AWS/EC2/NetworkIn", "unit": "Bytes",'
+    ' "doubleSummary": {"dataPoints": ['
+    '{"labels": {"InstanceId": "i-1"},'
+    ' "timeUnixNano": 1704067200000000000, "count": 1, "sum": 1024.0,'
+    ' "quantileValues": [{"quantile": 0.0, "value": 1024.0},'
+    ' {"quantile": 1.0, "value": 1024.0}]}]}}]}]}]}'
+)
+
+
+@query(
+    "otlp_metric_parse",
+    oracle="""
+    WITH expected(metric, unit, epoch_s, instance_id, region, n, total,
+                  min_value, max_value) AS (
+        VALUES
+        ('amazonaws.com/AWS/EC2/CPUUtilization', 'Percent',
+         CAST(1704067200 AS BIGINT), 'i-1', 'eu-west-1',
+         CAST(5 AS BIGINT), 250.0, 10.0, 90.0),
+        ('amazonaws.com/AWS/EC2/CPUUtilization', 'Percent',
+         CAST(1704067260 AS BIGINT), 'i-2', 'us-east-1',
+         CAST(2 AS BIGINT), 60.0, 20.0, 40.0),
+        ('amazonaws.com/AWS/EC2/NetworkIn', 'Bytes',
+         CAST(1704067200 AS BIGINT), 'i-1', 'us-east-1',
+         CAST(1 AS BIGINT), 1024.0, 1024.0, 1024.0)
+    )
+    SELECT * FROM expected
+    """,
+)
+def otlp_metric_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15: OTLP 0.7 metric-stream decode (the format Firehose emits,
+    ``KinesisFirehoseCWMetrics.template.yaml:419``) → flat datapoints
+    feeding the metrics service / rollups.  Datapoint labels override
+    resource attributes on collision (finer scope wins); min/max come
+    from the 0.0/1.0 quantile summary.  Fixture is deterministic, so the
+    oracle pins the expected rows."""
+    from ..sources.otlp import parse_otlp_records
+
+    df = spark.createDataFrame([(_OTLP_BODY,)], "body string")
+    out = parse_otlp_records(df)
+    return out.select(
+        "metric", "unit",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.col("dims")["InstanceId"].alias("instance_id"),
+        F.col("dims")["cloud.region"].alias("region"),
+        "n", "total", "min_value", "max_value",
+    )
