@@ -58,10 +58,18 @@ def _shingle_cte(where: str) -> str:
 )
 def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: keep the lowest-id representative per fingerprint
-    group (hash-groupBy shuffle on a uniform 128-bit key)."""
+    group.  When only the representative's columns are needed (not the
+    whole row), ``min_by`` under a hash aggregate beats the general
+    window form in ``operators/dedup.py::exact_dedup`` — same single
+    shuffle on the uniform 128-bit key, but no per-partition sort."""
+    from ..operators.text import fingerprint
+
     d = table(spark, sf_dir, "documents", parallel=True)
-    return exact_dedup(d).groupBy("source").agg(
-        F.count(F.lit(1)).alias("kept_docs")
+    return (
+        d.groupBy(fingerprint("text").alias("_fp"))
+        .agg(F.min_by("source", "doc_id").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept_docs"))
     )
 
 

@@ -72,3 +72,45 @@ def test_filter_predicate_include_exclude(spark):
             df.filter(CatalogStore.source_filter_predicate(src))
             .select("id").collect()]
     assert sorted(kept) == [1, 4]
+
+
+def test_provisioned_source_drives_stream(spark, tmp_path):
+    """S11 end-to-end: a catalog source's options/trigger/filters drive a
+    real bounded stream — catalog → readStream bridge → F9 predicate."""
+    src_dir = tmp_path / "landing"
+    src_dir.mkdir()
+    (src_dir / "a.log").write_text(
+        "ERROR first\nINFO noise\nWARN heartbeat\nWARN disk low\n"
+    )
+
+    store = CatalogStore()
+    col = store.create_collector("prod")
+    source = store.create_source(
+        col.collector_id, "file-src",
+        path_expression="*.log",
+        scan_interval_ms=60_000,
+        filters=[
+            {"filterType": "Include", "regexp": "ERROR|WARN"},
+            {"filterType": "Exclude", "regexp": "heartbeat"},
+        ],
+    )
+    opts = CatalogStore.source_read_options(source)
+    assert CatalogStore.source_trigger(source) == "60 seconds"
+
+    reader = spark.readStream.format("text")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    stream = (
+        reader.load(str(src_dir))
+        .withColumnRenamed("value", "message")
+        .filter(CatalogStore.source_filter_predicate(source))
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("provisioned")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["message"] for r in
+                 spark.sql("select * from provisioned").collect())
+    assert got == ["ERROR first", "WARN disk low"]
