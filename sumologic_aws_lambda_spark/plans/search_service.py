@@ -43,7 +43,8 @@ def _pre_agg_query(query: str) -> str:
     kept = []
     for i, s in enumerate(stages):
         head = s.split(None, 1)[0].lower().rstrip(",")
-        if i > 0 and (_AGG_RE.match(head) or head == "timeslice"):
+        if i > 0 and (_AGG_RE.match(head) or head.startswith("percentile")
+                      or head in ("timeslice", "top")):
             break
         kept.append(s)
     return " | ".join(kept)

@@ -24,8 +24,10 @@ cited examples):
                | agg (',' agg)* ['by' name (',' name)*]
                | 'top' N name                       -- most-frequent values
                | 'dedup' [N] ['by' name (',' name)*]
+               | 'lookup' out (',' out)* 'from' table 'on' key  -- dim join
                | 'sort' 'by' name ['asc'|'desc']
                | 'limit' N
+               | sql-expr 'as' name                 -- eval projection
     agg       := 'count' | ('sum'|'avg'|'min'|'max'|'count_distinct'|'first'
                  |'last') '(' name ')' | 'percentile' '(' name ',' P ')'
 
@@ -87,14 +89,20 @@ def _quoted_list(text: str) -> list[str]:
 
 
 def compile_query(df: DataFrame, query: str,
-                  schema: SumoSchema = SumoSchema()) -> DataFrame:
-    """Compile and apply a Sumo-style query against ``df``."""
+                  schema: SumoSchema = SumoSchema(),
+                  lookups: dict[str, DataFrame] | None = None) -> DataFrame:
+    """Compile and apply a Sumo-style query against ``df``.
+
+    ``lookups`` registers dimension DataFrames addressable from
+    ``lookup … from <name> on …`` stages (Sumo's lookup-table operator;
+    always broadcast — lookup tables are dimension-sized by contract).
+    """
     stages = _split_stages(query)
     if not stages:
         raise SumoQLError("empty query")
     out = _apply_scope(df, stages[0], schema)
     for stage in stages[1:]:
-        out = _apply_stage(out, stage, schema)
+        out = _apply_stage(out, stage, schema, lookups)
     return out
 
 
@@ -127,9 +135,13 @@ def _apply_scope(df: DataFrame, scope: str, schema: SumoSchema) -> DataFrame:
     return df.filter(scope_predicate(scope, schema))
 
 
-def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema) -> DataFrame:
+def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
+                 lookups: dict[str, DataFrame] | None = None) -> DataFrame:
     head = stage.split(None, 1)[0].lower()
     rest = stage[len(head):].strip()
+
+    if head == "lookup":
+        return _stage_lookup(df, rest, lookups or {})
 
     if head == "json":
         return _stage_json(df, rest, schema)
@@ -158,7 +170,35 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema) -> DataFrame:
     # "count," / "sum(x)," — first token of a multi-agg list keeps its comma
     if _AGG_RE.match(head.rstrip(",")) or head.startswith("percentile"):
         return _stage_agg(df, stage, schema)
+    # eval projection: ``<sql-expr> as <name>`` (Sumo's field expressions)
+    m = re.match(r"^(.+?)\s+as\s+(\w+)$", stage, re.IGNORECASE | re.DOTALL)
+    if m:
+        try:
+            return df.withColumn(m.group(2), F.expr(m.group(1)))
+        except Exception as exc:
+            raise SumoQLError(f"bad expression stage: {stage!r}") from exc
     raise SumoQLError(f"unknown stage: {stage!r}")
+
+
+def _stage_lookup(df: DataFrame, rest: str,
+                  lookups: dict[str, DataFrame]) -> DataFrame:
+    """``lookup out1, out2 from dim on key`` / ``on left=right`` —
+    always a broadcast left join (lookup tables are dimension-sized)."""
+    m = re.match(r"^([\w,\s]+?)\s+from\s+(\w+)\s+on\s+([\w]+)(?:=([\w]+))?$",
+                 rest.strip(), re.IGNORECASE)
+    if not m:
+        raise SumoQLError(f"bad lookup stage: {rest!r}")
+    outs = [c.strip() for c in m.group(1).split(",")]
+    name, left_key = m.group(2), m.group(3)
+    right_key = m.group(4) or left_key
+    if name not in lookups:
+        raise SumoQLError(
+            f"unknown lookup table {name!r}; registered: {sorted(lookups)}"
+        )
+    dim = lookups[name].select(
+        F.col(right_key).alias(left_key), *outs
+    )
+    return df.join(F.broadcast(dim), on=left_key, how="left")
 
 
 def _stage_keyvalue(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:

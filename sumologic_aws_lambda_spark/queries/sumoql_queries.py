@@ -281,3 +281,35 @@ def sumoql_percentile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_first_value", 4).alias("first_value"),
         F.round("_last_value", 4).alias("last_value"),
     )
+
+
+@query(
+    "sumoql_lookup_expr",
+    oracle="""
+    SELECT o.o_orderkey,
+           n.n_name AS nation,
+           round(o.o_totalprice * 1.1, 2) AS with_tax
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def sumoql_lookup_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``lookup … from … on …`` (broadcast dim join) + an eval
+    projection stage (``expr as name``) through the compiler — Sumo's
+    lookup-table operator and field expressions."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    out = compile_query(
+        joined,
+        "* | where o_totalprice > 400000"
+        " | lookup n_name from nations on c_nationkey=n_nationkey"
+        " | round(o_totalprice * 1.1, 2) as with_tax"
+        " | fields o_orderkey, n_name, with_tax",
+        SumoSchema(raw_col="o_orderpriority"),
+        lookups={"nations": nation},
+    )
+    return out.withColumnRenamed("n_name", "nation")

@@ -181,3 +181,35 @@ def test_bad_top_and_csv_raise(kv_logs):
         compile_query(kv_logs, "* | top user", SCHEMA)
     with pytest.raises(SumoQLError):
         compile_query(kv_logs, "* | csv", SCHEMA)
+
+
+def test_lookup_stage_broadcasts(spark, kv_logs):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    dim = spark.createDataFrame(
+        [("alice", "admin"), ("carol", "guest")], "uname string, role string"
+    )
+    out = compile_query(
+        kv_logs,
+        '* | kv "user" | lookup role from users on user=uname',
+        SCHEMA, lookups={"users": dim},
+    )
+    rows = {r["id"]: r["role"] for r in out.collect()}
+    assert rows == {1: "admin", 2: None, 3: "admin"}   # left join semantics
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lookup_unknown_table_raises(kv_logs):
+    with pytest.raises(SumoQLError, match="unknown lookup"):
+        compile_query(kv_logs, "* | lookup x from nope on id", SCHEMA)
+
+
+def test_expression_stage(kv_logs):
+    out = compile_query(kv_logs, "* | id * 10 + 1 as score", SCHEMA)
+    assert [r["score"] for r in out.orderBy("id").collect()] == [11, 21, 31]
+
+
+def test_bad_expression_stage_raises(kv_logs):
+    with pytest.raises(SumoQLError, match="bad expression|unknown stage"):
+        compile_query(kv_logs, "* | nonsense( as x", SCHEMA)
