@@ -68,10 +68,12 @@ class SearchJobService:
     """In-process twin of the Search Job API over a bound DataFrame."""
 
     def __init__(self, df: DataFrame, schema: SumoSchema = SumoSchema(),
-                 result_cap: int = 10_000):
+                 result_cap: int = 10_000,
+                 lookups: dict[str, DataFrame] | None = None):
         self._df = df
         self._schema = schema
         self._cap = result_cap
+        self._lookups = lookups or {}
         self._jobs: dict[str, SearchJob] = {}
 
     # -- lifecycle ---------------------------------------------------------
@@ -93,9 +95,10 @@ class SearchJobService:
 
         def run() -> None:
             try:
-                records_df = compile_query(df, query, self._schema)
+                records_df = compile_query(df, query, self._schema,
+                                           self._lookups)
                 messages_df = compile_query(df, _pre_agg_query(query),
-                                            self._schema)
+                                            self._schema, self._lookups)
                 msgs = messages_df.limit(self._cap).collect()
                 recs = records_df.limit(self._cap).collect()
                 job._messages = msgs

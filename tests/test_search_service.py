@@ -60,3 +60,33 @@ def test_failed_job_surfaces_error(service):
     assert st["state"] == "FAILED" and "frobnicate" in st["error"]
     with pytest.raises(RuntimeError):
         service.records(job)
+
+
+def test_search_with_lookup_and_top(spark):
+    """Service jobs can use registered lookup tables; `top` counts as an
+    aggregation stage, so messages = pre-top raw rows."""
+    from sumologic_aws_lambda_spark.plans.search_service import (
+        SearchJobService,
+    )
+    from sumologic_aws_lambda_spark.plans.sumoql import SumoSchema
+
+    logs = spark.createDataFrame(
+        [(1, "u1", "ERROR a"), (2, "u2", "ERROR b"), (3, "u1", "WARN c")],
+        "id int, uid string, msg string",
+    )
+    users = spark.createDataFrame(
+        [("u1", "alice"), ("u2", "bob")], "uid string, uname string"
+    )
+    svc = SearchJobService(
+        logs, SumoSchema(raw_col="msg"), lookups={"users": users}
+    )
+    job = svc.search_job(
+        "ERROR | lookup uname from users on uid | top 1 uname", sync=True
+    )
+    st = svc.status(job)
+    assert st["state"] == "DONE GATHERING RESULTS"
+    assert st["messageCount"] == 2          # pre-top rows, lookup applied
+    recs = svc.records(job)
+    assert recs[0]["map"]["uname"] == "alice" or recs[0]["map"]["_count"] == 1
+    msgs = svc.messages(job)
+    assert all("uname" in m["map"] for m in msgs)
