@@ -391,3 +391,19 @@ def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("%s#%02d", F.col("n_name"),
                         F.col("n_nationkey")).alias("formatted"),
     )
+
+
+@query("approx_percentile_quantity")  # sketch-based → rows-only check
+def approx_percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale sibling of ``percentile_quantity``: KLL-sketch
+    ``percentile_approx`` with accuracy 10000 — single-pass, bounded
+    memory, mergeable across partitions (exact percentile requires a
+    full sort per group at 100 TB).  Sketch internals differ across
+    engines, so the driver records rows-only."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", [0.5, 0.95, 0.99], 10000).alias(
+            "qty_p50_p95_p99"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
