@@ -209,7 +209,9 @@ def _stage_keyvalue(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
         raise SumoQLError(f"kv stage needs quoted keys: {rest!r}")
     out = df
     for k in keys:
-        pat = re.escape(k) + r'=("[^"]*"|[^\s,;]+)'
+        # (?:^|[\s,;]) anchors the key start so "a" never matches the
+        # tail of "aa=…" (found by the hypothesis round-trip property).
+        pat = r"(?:^|[\s,;])" + re.escape(k) + r'=("[^"]*"|[^\s,;]+)'
         out = out.withColumn(
             k,
             F.nullif(

@@ -152,7 +152,7 @@ def sumoql_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS line
         FROM events
     )
-    SELECT nullif(regexp_extract(line, 'type=("[^"]*"|[^\\s,;]+)', 1), '')
+    SELECT nullif(regexp_extract(line, '(?:^|[\\s,;])type=("[^"]*"|[^\\s,;]+)', 1), '')
                AS type,
            count(*) AS _count
     FROM lines
