@@ -433,3 +433,111 @@ def rollup_hierarchy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 4).alias("lo"),
         F.round("max_value", 4).alias("hi"),
     )
+
+
+@query(
+    "transpose_event_matrix",
+    oracle="""
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_start,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+               AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+               AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+               AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def transpose_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sumo's ``transpose`` (dashboard matrix): day rows × event-type
+    columns via ``pivot`` with an EXPLICIT value list — at 100 TB never
+    let pivot run its implicit distinct-discovery job over the fact
+    table; the domain comes from the catalog."""
+    ev = table(spark, sf_dir, "events")
+    day = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+    out = (
+        ev.groupBy(day.alias("day_start"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    cols = ["click", "error", "purchase", "signup", "view"]
+    return out.select(
+        "day_start",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in cols],
+    )
+
+
+@query(
+    "outlier_detection",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, value,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s,
+               CAST(sum(CAST(value AS DECIMAL(18,6))
+                        * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                   AS sq,
+               CAST(count(value) OVER w AS DOUBLE) AS n
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+        )
+    ), stats AS (
+        SELECT user_id, event_id, value, s / n AS mu,
+               sqrt(greatest((sq - s * s / n) / (n - 1), 0)) AS sigma
+        FROM seq WHERE n >= 2
+    )
+    SELECT user_id, event_id,
+           round(value, 4) AS value,
+           round(mu, 4) AS mu
+    FROM stats
+    WHERE abs(value - mu) > 3 * sigma
+    """,
+)
+def outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sumo's ``outlier`` operator: flag values deviating more than 3σ
+    from the trailing-window mean, per series, with the frame ending at
+    1 PRECEDING so a point never contaminates its own baseline.
+
+    mu/σ come from algebraic sufficient statistics (windowed sum, sum of
+    squares, count) with the sums in DECIMAL: decimal addition is exact
+    and order-independent, so both engines derive bit-identical doubles
+    — built-in ``avg``/``stddev`` window aggregates differ across
+    engines in float summation order, which flips rounding boundaries.
+    One shuffle on the series key; single pass."""
+    dec = F.col("value").cast("decimal(18,6)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-20, -1)
+    )
+    ev = table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id", "event_id", "value",
+        F.sum(dec).over(w).cast("double").alias("s"),
+        F.sum(dec * dec).over(w).cast("double").alias("sq"),
+        F.count("value").over(w).cast("double").alias("n"),
+    ).filter(F.col("n") >= 2)
+    stats = seq.select(
+        "user_id", "event_id", "value",
+        (F.col("s") / F.col("n")).alias("mu"),
+        F.sqrt(
+            F.greatest(
+                (F.col("sq") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1),
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    )
+    return stats.filter(
+        F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma")
+    ).select(
+        "user_id", "event_id",
+        F.round("value", 4).alias("value"),
+        F.round("mu", 4).alias("mu"),
+    )
