@@ -27,6 +27,11 @@ cited examples):
                | 'lookup' out (',' out)* 'from' table 'on' key  -- dim join
                | 'sort' 'by' name ['asc'|'desc']
                | 'limit' N
+               | ts-stage                           -- see sumoql_ts.py:
+                                                    -- accum total backshift
+                                                    -- diff smooth rollingstd
+                                                    -- fillmissing outlier
+                                                    -- transpose predict
                | sql-expr 'as' name                 -- eval projection
     agg       := 'count' | ('sum'|'avg'|'min'|'max'|'count_distinct'|'first'
                  |'last') '(' name ')' | 'percentile' '(' name ',' P ')'
@@ -142,6 +147,12 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
 
     if head == "lookup":
         return _stage_lookup(df, rest, lookups or {})
+
+    # post-aggregation time-series stages (accum/total/backshift/diff/
+    # smooth/rollingstd/fillmissing/outlier/transpose/predict)
+    from .sumoql_ts import STAGES as _TS_STAGES
+    if head in _TS_STAGES:
+        return _TS_STAGES[head](df, rest, schema)
 
     if head == "json":
         return _stage_json(df, rest, schema)

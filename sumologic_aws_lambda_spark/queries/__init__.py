@@ -72,5 +72,6 @@ def _import_all() -> None:
         extensions,
         ingest_gap,
         advanced,
+        timeseries,
     )
     _IMPORTED = True

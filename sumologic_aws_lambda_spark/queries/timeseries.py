@@ -1,0 +1,396 @@
+"""Time-series SumoQL stages + network/log-clustering queries, each with
+a DuckDB oracle.
+
+These drive the ``plans/sumoql_ts.py`` stages end-to-end through the
+compiler (the operators behind Sumo's dashboard panels — the reference's
+"benchmark" content packs, e.g. ``cloudtrailbenchmark/template.yaml:316``,
+are built from saved searches that feed exactly these), plus the IPv4/CIDR
+scalar family (reference precedent: CIDR prefix matching in
+``cloudwatchlogs-with-dlq/vpcutils.js:31-48``) and a LogReduce-style
+template-clustering pass.
+
+Float discipline: every cross-engine double is derived from DECIMAL
+sufficient statistics (exact, order-independent sums), so Spark and
+DuckDB produce bit-identical doubles — no rounding in the compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.ip import (
+    compare_cidr_prefix,
+    get_cidr_prefix,
+    ipv4_to_number,
+    mask_from_cidr,
+)
+from ..plans.sumoql import SumoSchema, compile_query
+from . import query
+
+EVENTS_SCHEMA = SumoSchema(
+    raw_col="props", ts_col="ts",
+    meta_cols={"_sourceCategory": "event_type"},
+)
+
+
+@query(
+    "sumoql_accum_total",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS _timeslice,
+               count(*) AS _count
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT _timeslice, _count,
+           CAST(sum(CAST(_count AS DECIMAL(28,6))) OVER (
+                ORDER BY _timeslice
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS _accum,
+           CAST(sum(CAST(_count AS DECIMAL(28,6))) OVER () AS DOUBLE)
+               AS _total
+    FROM base
+    """,
+)
+def sumoql_accum_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``accum`` (running total) + ``total`` (grand total) over a daily
+    count series — Sumo's cumulative dashboard pair."""
+    ev = table(spark, sf_dir, "events")
+    return compile_query(
+        ev,
+        "_sourceCategory=purchase | timeslice 1d | count by _timeslice"
+        " | accum _count | total _count",
+        EVENTS_SCHEMA,
+    )
+
+
+@query(
+    "sumoql_trailing_windows",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS _timeslice,
+               count(*) AS _count
+        FROM events GROUP BY 1, 2
+    ), win AS (
+        SELECT event_type, _timeslice, _count,
+               lag(_count) OVER seq AS _backshift,
+               _count - lag(_count) OVER seq AS _diff,
+               CAST(sum(CAST(_count AS DECIMAL(28,6))) OVER tw AS DOUBLE)
+                   AS s,
+               CAST(sum(CAST(_count AS DECIMAL(28,6))
+                        * CAST(_count AS DECIMAL(28,6))) OVER tw AS DOUBLE)
+                   AS sq,
+               CAST(count(_count) OVER tw AS DOUBLE) AS n
+        FROM base
+        WINDOW seq AS (PARTITION BY event_type ORDER BY _timeslice),
+               tw AS (PARTITION BY event_type ORDER BY _timeslice
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, _timeslice, _count, _backshift, _diff,
+           s / n AS _smooth,
+           CASE WHEN n >= 2 THEN
+               sqrt(greatest((sq - s * s / n) / (n - 1), 0))
+           END AS _rollingstd
+    FROM win
+    """,
+)
+def sumoql_trailing_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``backshift | diff | smooth | rollingstd`` per series — the full
+    trailing-window family, grouped ``by event_type``.  Post-aggregation
+    input, so the single window shuffle on the series key is cheap at any
+    scale."""
+    ev = table(spark, sf_dir, "events")
+    out = compile_query(
+        ev,
+        "* | timeslice 1d | count by event_type, _timeslice"
+        " | backshift _count by event_type"
+        " | diff _count by event_type"
+        " | smooth _count, 7 by event_type"
+        " | rollingstd _count, 7 by event_type",
+        EVENTS_SCHEMA,
+    )
+    return out
+
+
+@query(
+    "sumoql_fillmissing_zero",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS _timeslice,
+               count(*) AS _count
+        FROM events
+        WHERE event_type = 'error' AND value > 180
+        GROUP BY 1
+    ), axis AS (
+        SELECT unnest(generate_series(
+                   (SELECT min(_timeslice) FROM base),
+                   (SELECT max(_timeslice) FROM base),
+                   INTERVAL 1 HOUR)) AS _timeslice
+    )
+    SELECT axis._timeslice AS _timeslice,
+           coalesce(base._count, 0) AS _count
+    FROM axis LEFT JOIN base ON axis._timeslice = base._timeslice
+    """,
+)
+def sumoql_fillmissing_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``fillmissing timeslice(1h)`` — densify a sparse hourly series so
+    downstream accum/smooth/outlier see a gap as zero, not as a skipped
+    row.  The axis side is (slices) rows — broadcast-joined back."""
+    ev = table(spark, sf_dir, "events")
+    return compile_query(
+        ev,
+        "_sourceCategory=error | where value > 180 | timeslice 1h"
+        " | count by _timeslice | fillmissing timeslice(1h)",
+        EVENTS_SCHEMA,
+    )
+
+
+@query(
+    "sumoql_transpose_matrix",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS _timeslice,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY 1
+    """,
+)
+def sumoql_transpose_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transpose row _timeslice column event_type as …`` through the
+    compiler — explicit pivot domain, so no distinct-discovery job."""
+    ev = table(spark, sf_dir, "events")
+    return compile_query(
+        ev,
+        "* | timeslice 1d | count by _timeslice, event_type"
+        " | transpose row _timeslice column event_type"
+        " as click, error, purchase, signup, view",
+        EVENTS_SCHEMA,
+    )
+
+
+@query(
+    "sumoql_outlier_series",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS _timeslice,
+               count(*) AS _count
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), win AS (
+        SELECT _timeslice, _count,
+               CAST(sum(CAST(_count AS DECIMAL(28,6))) OVER tw AS DOUBLE)
+                   AS s,
+               CAST(sum(CAST(_count AS DECIMAL(28,6))
+                        * CAST(_count AS DECIMAL(28,6))) OVER tw AS DOUBLE)
+                   AS sq,
+               CAST(count(_count) OVER tw AS DOUBLE) AS n
+        FROM base
+        WINDOW tw AS (ORDER BY _timeslice
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT _timeslice, _count,
+           s / n AS _mu,
+           CASE WHEN n >= 2 THEN
+               sqrt(greatest((sq - s * s / n) / (n - 1), 0))
+           END AS _sigma,
+           CASE WHEN n >= 2
+                     AND abs(_count - s / n) >
+                         1.0 * sqrt(greatest((sq - s*s/n) / (n-1), 0))
+                THEN 1 ELSE 0
+           END AS _violation
+    FROM win
+    """,
+)
+def sumoql_outlier_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``outlier _count window=7 threshold=1`` via the compiler — the
+    trailing baseline ends at 1 PRECEDING so a spike never suppresses its
+    own detection."""
+    ev = table(spark, sf_dir, "events")
+    out = compile_query(
+        ev,
+        "_sourceCategory=click | timeslice 1d | count by _timeslice"
+        " | outlier _count window=7 threshold=1",
+        EVENTS_SCHEMA,
+    )
+    return out
+
+
+@query(
+    "sumoql_predict_linear",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS _timeslice,
+               count(*) AS _count
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ), fit AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(epoch(_timeslice) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sx,
+               CAST(sum(CAST(_count AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(CAST(epoch(_timeslice) AS DECIMAL(28,6))
+                             * CAST(_count AS DECIMAL(28,6))
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(CAST(epoch(_timeslice) AS DECIMAL(28,6))
+                             * CAST(epoch(_timeslice) AS DECIMAL(28,6))
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(max(epoch(_timeslice)) AS BIGINT) AS xmax,
+               (max(epoch(_timeslice)) - min(epoch(_timeslice)))
+                   / greatest(count(*) - 1, 1) AS step
+        FROM base
+    ), params AS (
+        SELECT xmax, step,
+               CASE WHEN n * sxx - sx * sx != 0
+                    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                    ELSE 0.0 END AS slope,
+               n, sy, sx
+        FROM fit
+    ), params2 AS (
+        SELECT xmax, step, slope, (sy - slope * sx) / n AS icept
+        FROM params
+    )
+    SELECT b._timeslice AS _timeslice, b._count AS _count,
+           icept + slope * CAST(epoch(b._timeslice) AS DOUBLE)
+               AS _predicted
+    FROM base b CROSS JOIN params2
+    UNION ALL
+    SELECT CAST(to_timestamp(CAST(floor(
+               xmax + i * greatest(step, 1.0)) AS BIGINT)) AS TIMESTAMP),
+           CAST(NULL AS BIGINT),
+           icept + slope * floor(xmax + i * greatest(step, 1.0))
+    FROM params2 CROSS JOIN unnest(generate_series(1, 5)) AS t(i)
+    """,
+)
+def sumoql_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``predict _count, 5`` — OLS linear fit over the daily series plus
+    a 5-slice forecast; slope/intercept from exact decimal sufficient
+    stats (one tiny agg + a broadcast back, no iteration)."""
+    ev = table(spark, sf_dir, "events")
+    return compile_query(
+        ev,
+        "_sourceCategory=view | timeslice 1d | count by _timeslice"
+        " | predict _count, 5",
+        EVENTS_SCHEMA,
+    )
+
+
+@query(
+    "cidr_prefix_aggregation",
+    oracle="""
+    WITH flows AS (
+        SELECT '10.' || (user_id % 64) || '.' || ((event_id // 256) % 256)
+                   || '.' || (event_id % 256) AS src,
+               '10.' || (user_id % 2) * 32 || '.0.' || (user_id % 200)
+                   AS dst
+        FROM events
+    ), nums AS (
+        SELECT src, dst,
+               CAST(split_part(src, '.', 1) AS BIGINT) * 16777216
+               + CAST(split_part(src, '.', 2) AS BIGINT) * 65536
+               + CAST(split_part(src, '.', 3) AS BIGINT) * 256
+               + CAST(split_part(src, '.', 4) AS BIGINT) AS src_num,
+               CAST(split_part(dst, '.', 1) AS BIGINT) * 16777216
+               + CAST(split_part(dst, '.', 2) AS BIGINT) * 65536
+               + CAST(split_part(dst, '.', 3) AS BIGINT) * 256
+               + CAST(split_part(dst, '.', 4) AS BIGINT) AS dst_num
+        FROM flows
+    )
+    SELECT
+        (CAST(src_num & 4294901760 AS BIGINT) // 16777216) || '.'
+            || ((CAST(src_num & 4294901760 AS BIGINT) // 65536) % 256)
+            || '.0.0/16' AS src_net,
+        '255.255.0.0' AS netmask,
+        count(*) AS flows,
+        count(*) FILTER (
+            WHERE (src_num & 4227858432) = (dst_num & 4227858432)
+        ) AS same_slash6
+    FROM nums
+    GROUP BY 1, 2
+    """,
+)
+def cidr_prefix_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIDR scalar family (ipv4ToNumber / getCIDRPrefix / maskFromCIDR /
+    compareCIDRPrefix) — flows grouped by /16 network with a same-/6
+    co-network count.  All pure Column bit math inside codegen; the
+    reference's equivalent is the string-prefix CIDR discard in
+    ``vpcutils.js:31-48``."""
+    ev = table(spark, sf_dir, "events")
+    flows = ev.select(
+        F.concat_ws(
+            ".",
+            F.lit("10"),
+            (F.col("user_id") % 64).cast("string"),
+            ((F.col("event_id") / F.lit(256)).cast("bigint") % 256)
+            .cast("string"),
+            (F.col("event_id") % 256).cast("string"),
+        ).alias("src"),
+        F.concat_ws(
+            ".",
+            F.lit("10"),
+            ((F.col("user_id") % 2) * 32).cast("string"),
+            F.lit("0"),
+            (F.col("user_id") % 200).cast("string"),
+        ).alias("dst"),
+    )
+    return (
+        flows.groupBy(
+            get_cidr_prefix("src", 16).alias("src_net"),
+            mask_from_cidr(16).alias("netmask"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("flows"),
+            F.sum(
+                F.when(compare_cidr_prefix("src", "dst", 6), 1).otherwise(0)
+            ).alias("same_slash6"),
+        )
+    )
+
+
+@query(
+    "logreduce_signatures",
+    oracle="""
+    WITH lines AS (
+        SELECT event_type || ' user=' || user_id
+               || ' latency=' || CAST(floor(value) AS BIGINT)
+               || 'ms req-' || event_id AS message
+        FROM events
+    ), sigs AS (
+        SELECT regexp_replace(message, '[0-9]+', '<num>', 'g')
+                   AS _signature,
+               message
+        FROM lines
+    )
+    SELECT _signature, count(*) AS _count, min(message) AS _example
+    FROM sigs
+    GROUP BY 1
+    """,
+)
+def logreduce_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogReduce-style template clustering: mask the variable tokens
+    (number runs) out of each raw line, then group by the residual
+    signature — count + a deterministic exemplar per cluster.  One
+    map-side-combinable aggregation; the signature is a codegen
+    ``regexp_replace``, so the pass stays JVM-side at any scale."""
+    ev = table(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit(" user="), F.col("user_id"),
+            F.lit(" latency="),
+            F.floor(F.col("value")).cast("bigint"),
+            F.lit("ms req-"), F.col("event_id"),
+        ).alias("message")
+    )
+    return (
+        lines.select(
+            F.regexp_replace("message", "[0-9]+", "<num>")
+            .alias("_signature"),
+            "message",
+        )
+        .groupBy("_signature")
+        .agg(
+            F.count(F.lit(1)).alias("_count"),
+            F.min("message").alias("_example"),
+        )
+    )

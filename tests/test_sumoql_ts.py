@@ -1,0 +1,123 @@
+"""Unit semantics of the time-series SumoQL stages (plans/sumoql_ts.py)
+on tiny hand-built frames — the oracle parity suite covers the fixture
+tables; these pin the per-stage contracts."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from sumologic_aws_lambda_spark.plans.sumoql import (
+    SumoQLError,
+    SumoSchema,
+    compile_query,
+)
+from sumologic_aws_lambda_spark.functions.ip import (
+    compare_cidr_prefix,
+    get_cidr_prefix,
+    ipv4_to_number,
+    mask_from_cidr,
+)
+from pyspark.sql import functions as F
+
+SCHEMA = SumoSchema(raw_col="msg", ts_col="ts")
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(
+        [(datetime.datetime(2024, 1, d), g, v) for d, g, v in rows],
+        "ts timestamp, grp string, v long",
+    ).withColumn("_timeslice", F.col("ts"))
+
+
+def test_accum_and_total(spark):
+    df = _series(spark, [(1, "a", 1), (2, "a", 2), (3, "a", 3)])
+    out = compile_query(df, "* | accum v | total v", SCHEMA)
+    rows = {r["ts"].day: (r["_accum"], r["_total"])
+            for r in out.collect()}
+    assert rows == {1: (1.0, 6.0), 2: (3.0, 6.0), 3: (6.0, 6.0)}
+
+
+def test_backshift_diff_by_group(spark):
+    df = _series(
+        spark,
+        [(1, "a", 10), (2, "a", 13), (1, "b", 5), (2, "b", 4)],
+    )
+    out = compile_query(
+        df, "* | backshift v by grp | diff v by grp", SCHEMA
+    )
+    got = {(r["grp"], r["ts"].day): (r["_backshift"], r["_diff"])
+           for r in out.collect()}
+    assert got[("a", 1)] == (None, None)
+    assert got[("a", 2)] == (10, 3)
+    assert got[("b", 2)] == (5, -1)
+
+
+def test_smooth_window_and_alias(spark):
+    df = _series(spark, [(1, "a", 2), (2, "a", 4), (3, "a", 9)])
+    out = compile_query(df, "* | smooth v, 2 as sm", SCHEMA)
+    got = {r["ts"].day: r["sm"] for r in out.collect()}
+    assert got == {1: 2.0, 2: 3.0, 3: 6.5}
+
+
+def test_fillmissing_densifies_and_zero_fills(spark):
+    df = _series(spark, [(1, "a", 7), (4, "a", 9)]).drop("grp", "ts")
+    out = compile_query(df, "* | fillmissing timeslice(1d)", SCHEMA)
+    got = {r["_timeslice"].day: r["v"] for r in out.collect()}
+    assert got == {1: 7, 2: 0, 3: 0, 4: 9}
+
+
+def test_outlier_baseline_excludes_current_row(spark):
+    # flat baseline then a spike: sigma of the trailing window is 0, so
+    # the spike trips; earlier rows don't (|x-mu| = 0).
+    df = _series(
+        spark, [(d, "a", 5) for d in range(1, 6)] + [(6, "a", 50)]
+    )
+    out = compile_query(
+        df, "* | outlier v window=5 threshold=1", SCHEMA
+    )
+    got = {r["ts"].day: r["_violation"] for r in out.collect()}
+    assert got[6] == 1
+    assert all(got[d] == 0 for d in range(1, 6))
+
+
+def test_transpose_requires_single_measure(spark):
+    df = _series(spark, [(1, "a", 1)])  # ts + grp + v + _timeslice
+    with pytest.raises(SumoQLError, match="one measure"):
+        compile_query(
+            df, "* | transpose row _timeslice column grp as a", SCHEMA
+        )
+
+
+def test_predict_emits_horizon_rows(spark):
+    df = (
+        _series(spark, [(d, "a", 10 + 2 * d) for d in range(1, 6)])
+        .drop("grp", "ts")
+    )
+    out = compile_query(df, "* | predict v, 3", SCHEMA).collect()
+    observed = [r for r in out if r["v"] is not None]
+    forecast = [r for r in out if r["v"] is None]
+    assert len(observed) == 5 and len(forecast) == 3
+    # perfectly linear input → exact fit, day-6 forecast = 22
+    by_day = {r["_timeslice"].day: r["_predicted"] for r in out}
+    assert abs(by_day[6] - 22.0) < 1e-6
+    assert abs(by_day[8] - 26.0) < 1e-6
+
+
+def test_cidr_functions(spark):
+    df = spark.createDataFrame(
+        [("10.10.1.35", "10.10.200.4"), ("10.10.1.35", "192.168.0.1")],
+        "a string, b string",
+    ).select(
+        ipv4_to_number("a").alias("num"),
+        get_cidr_prefix("a", 17).alias("net"),
+        mask_from_cidr(17).alias("mask"),
+        compare_cidr_prefix("a", "b", 16).alias("same16"),
+    )
+    rows = df.collect()
+    assert rows[0]["num"] == 10 * 16777216 + 10 * 65536 + 1 * 256 + 35
+    assert rows[0]["net"] == "10.10.0.0/17"
+    assert rows[0]["mask"] == "255.255.128.0"
+    assert rows[0]["same16"] is True
+    assert rows[1]["same16"] is False
