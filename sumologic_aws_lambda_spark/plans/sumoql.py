@@ -163,7 +163,7 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
     if head == "csv":
         return _stage_csv(df, rest, schema)
     if head == "where":
-        return df.filter(F.expr(rest))
+        return df.filter(F.expr(_rewrite_expr(rest)))
     if head == "fields":
         if rest.startswith("-"):
             return df.drop(*[c.strip() for c in rest[1:].split(",")])
@@ -185,10 +185,84 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
     m = re.match(r"^(.+?)\s+as\s+(\w+)$", stage, re.IGNORECASE | re.DOTALL)
     if m:
         try:
-            return df.withColumn(m.group(2), F.expr(m.group(1)))
+            return df.withColumn(
+                m.group(2), F.expr(_rewrite_expr(m.group(1)))
+            )
         except Exception as exc:
             raise SumoQLError(f"bad expression stage: {stage!r}") from exc
     raise SumoQLError(f"unknown stage: {stage!r}")
+
+
+# --- Sumo scalar-function surface → Spark SQL rewrites -------------------
+#
+# Sumo's eval/where expressions use a handful of function names that are
+# not Spark SQL's (public Sumo search-language operators).  Each rewrite
+# emits a built-in expression, so everything stays in codegen.  Patterns
+# only fire on simple argument forms (identifier / literal / balanced-
+# paren-free), which covers the observed query surface; anything else
+# passes through to Spark SQL untouched.
+
+_SIMPLE_ARG = r"[^(),]+?"
+
+_EXPR_REWRITES: list[tuple[re.Pattern, str]] = [
+    # x matches "glob*" → glob-to-regex rlike (Sumo matches uses * wildcards)
+    # handled separately in _rewrite_matches (needs glob translation)
+    (re.compile(rf"\bnum\(({_SIMPLE_ARG})\)", re.IGNORECASE),
+     r"CAST(\1 AS DOUBLE)"),
+    (re.compile(rf"\btoLong\(({_SIMPLE_ARG})\)", re.IGNORECASE),
+     r"CAST(\1 AS BIGINT)"),
+    (re.compile(rf"\btoDouble\(({_SIMPLE_ARG})\)", re.IGNORECASE),
+     r"CAST(\1 AS DOUBLE)"),
+    (re.compile(rf"\btoString\(({_SIMPLE_ARG})\)", re.IGNORECASE),
+     r"CAST(\1 AS STRING)"),
+    (re.compile(r"\bformat\(", re.IGNORECASE), "format_string("),
+    (re.compile(rf"\bisBlank\(({_SIMPLE_ARG})\)", re.IGNORECASE),
+     r"(\1 IS NULL OR trim(\1) = '')"),
+    (re.compile(rf"\bisEmpty\(({_SIMPLE_ARG})\)", re.IGNORECASE),
+     r"(\1 IS NULL OR \1 = '')"),
+    (re.compile(rf"\bisNull\(({_SIMPLE_ARG})\)", re.IGNORECASE),
+     r"(\1 IS NULL)"),
+    (re.compile(rf"\btoLowerCase\(({_SIMPLE_ARG})\)", re.IGNORECASE),
+     r"lower(\1)"),
+    (re.compile(rf"\btoUpperCase\(({_SIMPLE_ARG})\)", re.IGNORECASE),
+     r"upper(\1)"),
+    (re.compile(rf"\burldecode\(({_SIMPLE_ARG})\)", re.IGNORECASE),
+     r"url_decode(\1)"),
+    (re.compile(rf"\bbase64Decode\(({_SIMPLE_ARG})\)", re.IGNORECASE),
+     r"decode(unbase64(\1), 'UTF-8')"),
+    (re.compile(rf"\bbase64Encode\(({_SIMPLE_ARG})\)", re.IGNORECASE),
+     r"base64(encode(\1, 'UTF-8'))"),
+    (re.compile(r"\bnow\(\)", re.IGNORECASE), "current_timestamp()"),
+]
+
+_MATCHES_RE = re.compile(
+    r"(\S+)\s+matches\s+\"([^\"]*)\"", re.IGNORECASE
+)
+
+
+def _glob_to_regex(glob: str) -> str:
+    out = []
+    for ch in glob:
+        if ch == "*":
+            out.append(".*")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def _rewrite_matches(expr: str) -> str:
+    def repl(m: re.Match) -> str:
+        regex = _glob_to_regex(m.group(2)).replace("\\", "\\\\")
+        return f"({m.group(1)} rlike '{regex}')"
+
+    return _MATCHES_RE.sub(repl, expr)
+
+
+def _rewrite_expr(expr: str) -> str:
+    expr = _rewrite_matches(expr)
+    for pat, repl in _EXPR_REWRITES:
+        expr = pat.sub(repl, expr)
+    return expr
 
 
 def _stage_lookup(df: DataFrame, rest: str,

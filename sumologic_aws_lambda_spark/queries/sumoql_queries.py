@@ -313,3 +313,38 @@ def sumoql_lookup_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         lookups={"nations": nation},
     )
     return out.withColumnRenamed("n_name", "nation")
+
+
+@query(
+    "sumoql_eval_functions",
+    oracle="""
+    WITH j AS (
+        SELECT json_extract_string(props, '$.k') AS k, event_type
+        FROM events WHERE event_type = 'click'
+    ), f AS (
+        SELECT printf('%s-%04d', upper(event_type), CAST(k AS BIGINT))
+                   AS tag,
+               CAST(k AS DOUBLE) AS kn
+        FROM j
+        WHERE regexp_matches(event_type, '^cli.*$')
+    )
+    SELECT tag, count(*) AS _count
+    FROM f WHERE kn >= 50 GROUP BY 1
+    """,
+)
+def sumoql_eval_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sumo scalar-function surface in eval/where expressions —
+    ``matches`` (glob), ``toUpperCase``, ``format``, ``toLong``, ``num``
+    — each rewritten to a built-in Spark expression (no UDFs), so the
+    whole stage chain stays inside codegen."""
+    ev = table(spark, sf_dir, "events")
+    return compile_query(
+        ev,
+        '_sourceCategory=click | json "k"'
+        ' | where event_type matches "cli*"'
+        ' | toUpperCase(event_type) as et'
+        ' | format("%s-%04d", et, toLong(k)) as tag'
+        " | where num(k) >= 50"
+        " | count by tag",
+        EVENTS_SCHEMA,
+    )

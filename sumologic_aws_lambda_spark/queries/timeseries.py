@@ -394,3 +394,74 @@ def logreduce_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("message").alias("_example"),
         )
     )
+
+
+@query(
+    "logcompare_baseline_target",
+    oracle="""
+    WITH lines AS (
+        SELECT event_type || ' user=' || (user_id % 5)
+                   || ' req-' || event_id AS message,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END
+                   AS half
+        FROM events
+    ), sigs AS (
+        SELECT regexp_replace(message, '[0-9]+', '<num>', 'g')
+                   AS _signature,
+               half
+        FROM lines
+    ), per AS (
+        SELECT _signature,
+               count(*) FILTER (WHERE half = 0) AS baseline_count,
+               count(*) FILTER (WHERE half = 1) AS target_count
+        FROM sigs GROUP BY 1
+    ), tot AS (
+        SELECT sum(baseline_count) AS bt, sum(target_count) AS tt FROM per
+    )
+    SELECT _signature, baseline_count, target_count,
+           CAST(target_count AS DOUBLE) / tt
+               - CAST(baseline_count AS DOUBLE) / bt AS share_delta
+    FROM per CROSS JOIN tot
+    """,
+)
+def logcompare_baseline_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogCompare: the signature distribution of a target time range
+    against a baseline range — per-template counts plus the shift in
+    relative share.  One grouped pass with conditional aggregation (no
+    second scan of the fact table); the totals come from a broadcast of
+    the tiny per-signature frame."""
+    ev = table(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit(" user="), F.col("user_id") % 5,
+            F.lit(" req-"), F.col("event_id"),
+        ).alias("message"),
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("half"),
+    )
+    per = (
+        lines.select(
+            F.regexp_replace("message", "[0-9]+", "<num>")
+            .alias("_signature"),
+            "half",
+        )
+        .groupBy("_signature")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .alias("baseline_count"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .alias("target_count"),
+        )
+    )
+    tot = per.agg(
+        F.sum("baseline_count").alias("bt"),
+        F.sum("target_count").alias("tt"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "_signature", "baseline_count", "target_count",
+        (
+            F.col("target_count").cast("double") / F.col("tt")
+            - F.col("baseline_count").cast("double") / F.col("bt")
+        ).alias("share_delta"),
+    )
