@@ -64,7 +64,10 @@ def apply_fers(df: DataFrame, rules: Sequence[FieldExtractionRule],
         pred = scope_predicate(rule.scope, schema)
         before = set(out.columns)
         for stage in stages:
-            out = _apply_stage(out, stage, schema)
+            # FERs are ingest-time extractions: a non-matching row keeps
+            # flowing with a null field, never drops (Sumo FER semantics,
+            # unlike search-time `parse` whose default drops non-matches).
+            out = _apply_stage(out, stage, schema, parse_keep_default=True)
         for c in [c for c in out.columns if c not in before]:
             tmp = f"__fer{i}_{c}"
             out = out.withColumnRenamed(c, tmp)

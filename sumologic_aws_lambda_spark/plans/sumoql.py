@@ -141,7 +141,8 @@ def _apply_scope(df: DataFrame, scope: str, schema: SumoSchema) -> DataFrame:
 
 
 def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
-                 lookups: dict[str, DataFrame] | None = None) -> DataFrame:
+                 lookups: dict[str, DataFrame] | None = None,
+                 parse_keep_default: bool = False) -> DataFrame:
     head = stage.split(None, 1)[0].lower()
     rest = stage[len(head):].strip()
 
@@ -157,7 +158,8 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
     if head == "json":
         return _stage_json(df, rest, schema)
     if head == "parse":
-        return _stage_parse(df, rest, schema)
+        return _stage_parse(df, rest, schema,
+                            keep_default=parse_keep_default)
     if head in ("kv", "keyvalue"):
         return _stage_keyvalue(df, rest, schema)
     if head == "csv":
@@ -383,22 +385,47 @@ def _stage_json(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
     return out
 
 
-def _stage_parse(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
-    """Anchor parse ``"prefix*suffix" as name`` and ``regex "(?<g>...)"``."""
-    if rest.lower().startswith("regex"):
+def _stage_parse(df: DataFrame, rest: str, schema: SumoSchema,
+                 keep_default: bool = False) -> DataFrame:
+    """Anchor parse ``"prefix*suffix" as name`` and ``regex "(?<g>...)"``.
+
+    Sumo search semantics: rows whose message does not match the pattern
+    are DROPPED unless the stage ends with ``nodrop``.  (FERs differ —
+    ingest-time extractions never drop rows, so the FER compiler calls
+    with ``keep_default=True``.)  An optional ``field=<col>`` reads from
+    a column other than the raw message.
+    """
+    keep = keep_default
+    if re.search(r"\bnodrop\s*$", rest, re.IGNORECASE):
+        keep = True
+        rest = re.sub(r"\bnodrop\s*$", "", rest, flags=re.IGNORECASE).strip()
+
+    is_regex = rest.lower().startswith("regex")
+    if is_regex:
+        rest = rest[len("regex"):].strip()
+    fm = re.match(r"^field\s*=\s*(\w+)\s+(.*)$", rest,
+                  re.IGNORECASE | re.DOTALL)
+    src = F.col(fm.group(1)) if fm else F.col(schema.raw_col)
+    if fm:
+        rest = fm.group(2)
+
+    if is_regex:
         pattern = _quoted_list(rest)[0]
         out = df
         # Java regex accepts (?<name>...) natively; extraction is by group
         # index so the oracle (RE2 with plain groups) can reproduce it.
-        for gname in re.findall(r"\(\?<(\w+)>", pattern):
+        gnames = re.findall(r"\(\?<(\w+)>", pattern)
+        for gname in gnames:
             out = out.withColumn(
                 gname,
                 F.nullif(
-                    F.regexp_extract(F.col(schema.raw_col), pattern,
+                    F.regexp_extract(src, pattern,
                                      _group_index(pattern, gname)),
                     F.lit(""),
                 ),
             )
+        if not keep and gnames:
+            out = out.filter(F.col(gnames[0]).isNotNull())
         return out
     m = re.match(r'^"([^"]*)"\s+as\s+([\w,\s]+)$', rest)
     if not m:
@@ -422,9 +449,10 @@ def _stage_parse(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
     for i, n in enumerate(names, start=1):
         out = out.withColumn(
             n,
-            F.nullif(F.regexp_extract(F.col(schema.raw_col), pattern, i),
-                     F.lit("")),
+            F.nullif(F.regexp_extract(src, pattern, i), F.lit("")),
         )
+    if not keep:
+        out = out.filter(F.col(names[0]).isNotNull())
     return out
 
 
@@ -446,14 +474,22 @@ def _stage_timeslice(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
 
 
 def _stage_sort(df: DataFrame, rest: str) -> DataFrame:
-    m = re.match(r"^by\s+([\w]+)(?:\s+(asc|desc))?$", rest.strip(),
-                 re.IGNORECASE)
+    """``sort by f1 [asc|desc], f2 [asc|desc], …`` — Sumo default is
+    descending (newest/largest first)."""
+    m = re.match(r"^by\s+(.+)$", rest.strip(), re.IGNORECASE)
     if not m:
         raise SumoQLError(f"bad sort stage: {rest!r}")
-    col, direction = m.group(1), (m.group(2) or "desc").lower()
-    return df.orderBy(
-        F.col(col).asc() if direction == "asc" else F.col(col).desc()
-    )
+    order: list[Column] = []
+    for part in m.group(1).split(","):
+        pm = re.match(r"^([\w]+)(?:\s+(asc|desc))?$", part.strip(),
+                      re.IGNORECASE)
+        if not pm:
+            raise SumoQLError(f"bad sort key: {part.strip()!r}")
+        col, direction = pm.group(1), (pm.group(2) or "desc").lower()
+        order.append(
+            F.col(col).asc() if direction == "asc" else F.col(col).desc()
+        )
+    return df.orderBy(*order)
 
 
 def _stage_agg(df: DataFrame, stage: str,

@@ -87,7 +87,8 @@ def sumoql_parse_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents", parallel=True)
     return compile_query(
         d,
-        '_sourceCategory=src1 the | parse "the * order" as w | count by w',
+        '_sourceCategory=src1 the | parse "the * order" as w nodrop'
+        " | count by w",
         DOCS_SCHEMA,
     )
 
@@ -347,4 +348,41 @@ def sumoql_eval_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | where num(k) >= 50"
         " | count by tag",
         EVENTS_SCHEMA,
+    )
+
+
+@query(
+    "sumoql_parse_field_chain",
+    oracle="""
+    WITH p1 AS (
+        SELECT nullif(regexp_extract(text, 'the (.*?) order', 1), '')
+                   AS phrase
+        FROM documents WHERE source = 'src0'
+    ), p1f AS (
+        SELECT phrase FROM p1 WHERE phrase IS NOT NULL
+    ), p2 AS (
+        SELECT nullif(regexp_extract(phrase, '(.*?) ', 1), '')
+                   AS firstword
+        FROM p1f
+    )
+    SELECT firstword, count(*) AS _count
+    FROM p2 WHERE firstword IS NOT NULL
+    GROUP BY 1
+    ORDER BY _count DESC, firstword ASC
+    LIMIT 10
+    """,
+)
+def sumoql_parse_field_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained parses with Sumo drop semantics: the first anchor parse
+    DROPS non-matching docs (no ``nodrop``), the second reads from the
+    extracted column via ``field=``; multi-key ``sort`` + ``limit``
+    lowers to TakeOrderedAndProject (no global sort)."""
+    d = table(spark, sf_dir, "documents", parallel=True)
+    return compile_query(
+        d,
+        '_sourceCategory=src0 | parse "the * order" as phrase'
+        ' | parse field=phrase "* " as firstword'
+        " | count by firstword"
+        " | sort by _count desc, firstword asc | limit 10",
+        DOCS_SCHEMA,
     )

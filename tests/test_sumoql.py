@@ -70,11 +70,21 @@ def test_anchor_parse(logs):
 def test_parse_regex_named_groups(logs):
     out = compile_query(
         logs,
-        '* | parse regex "status...(?<code>\\d+)" | count by code',
+        '* | parse regex "status...(?<code>\\d+)" nodrop | count by code',
         SCHEMA,
     )
     got = {r.code: r._count for r in out.collect()}
     assert got == {"500": 1, "200": 2, None: 1}
+
+
+def test_parse_drops_nonmatching_by_default(logs):
+    out = compile_query(
+        logs,
+        '* | parse regex "status...(?<code>\\d+)" | count by code',
+        SCHEMA,
+    )
+    got = {r.code: r._count for r in out.collect()}
+    assert got == {"500": 1, "200": 2}
 
 
 def test_timeslice_and_multi_agg(logs):

@@ -52,7 +52,8 @@ def test_anchor_parse_matches_python_re(spark, cases):
     df = spark.createDataFrame(rows, "id int, msg string, template string")
     for template in {t for _, _, t in rows}:
         sub = df.filter(df.template == template)
-        out = compile_query(sub, f'* | parse "{template}" as v', SCHEMA)
+        out = compile_query(sub, f'* | parse "{template}" as v nodrop',
+                            SCHEMA)
         for r in out.select("id", "v").collect():
             got[r["id"]] = r["v"]
     assert got == dict(expected)
