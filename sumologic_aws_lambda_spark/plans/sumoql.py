@@ -25,6 +25,7 @@ cited examples):
                | 'top' N name                       -- most-frequent values
                | 'dedup' [N] ['by' name (',' name)*]
                | 'lookup' out (',' out)* 'from' table 'on' key  -- dim join
+               | 'join' '(' stages ')' 'as' name (',' ...)* 'on' eq (',' eq)*
                | 'sort' 'by' name ['asc'|'desc']
                | 'limit' N
                | ts-stage                           -- see sumoql_ts.py:
@@ -75,12 +76,17 @@ class SumoQLError(ValueError):
 
 
 def _split_stages(query: str) -> list[str]:
-    """Split on top-level '|' (quotes respected)."""
-    parts, buf, in_q = [], [], False
+    """Split on top-level '|' (quotes and parens respected — a '|' inside
+    a ``join (sub | query)`` block belongs to the sub-query)."""
+    parts, buf, in_q, depth = [], [], False, 0
     for ch in query:
         if ch == '"':
             in_q = not in_q
-        if ch == "|" and not in_q:
+        elif not in_q and ch == "(":
+            depth += 1
+        elif not in_q and ch == ")":
+            depth -= 1
+        if ch == "|" and not in_q and depth == 0:
             parts.append("".join(buf).strip())
             buf = []
         else:
@@ -148,6 +154,21 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
 
     if head == "lookup":
         return _stage_lookup(df, rest, lookups or {})
+    if head == "join":
+        return _stage_join(df, rest, schema, lookups)
+    if head == "save":
+        # Sumo's `save <view>`: register the frame under a name so a later
+        # query can `lookup … from <view>`.  Session-scoped, not a write.
+        name = rest.strip()
+        if not re.fullmatch(r"\w+", name):
+            raise SumoQLError(f"bad save target: {rest!r}")
+        if lookups is None:
+            raise SumoQLError(
+                "save needs a lookups registry (pass lookups={} to "
+                "compile_query)"
+            )
+        lookups[name] = df
+        return df
 
     # post-aggregation time-series stages (accum/total/backshift/diff/
     # smooth/rollingstd/fillmissing/outlier/transpose/predict)
@@ -265,6 +286,103 @@ def _rewrite_expr(expr: str) -> str:
     for pat, repl in _EXPR_REWRITES:
         expr = pat.sub(repl, expr)
     return expr
+
+
+def _scan_balanced(text: str, start: int) -> int:
+    """Index just past the ')' matching the '(' at ``start`` (quotes
+    respected)."""
+    depth, in_q = 0, False
+    for i in range(start, len(text)):
+        ch = text[i]
+        if ch == '"':
+            in_q = not in_q
+        elif not in_q and ch == "(":
+            depth += 1
+        elif not in_q and ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    raise SumoQLError(f"unbalanced parens in: {text!r}")
+
+
+_JOIN_COND_RE = re.compile(
+    r"^(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)$"
+)
+
+
+def _stage_join(df: DataFrame, rest: str, schema: SumoSchema,
+                lookups: dict[str, DataFrame] | None) -> DataFrame:
+    """Sumo's sub-search join:
+
+        join (stages…) as t1, (stages…) as t2 [, …] on t1.a = t2.b [, …]
+
+    Each parenthesized pipeline runs over the SAME input stream (the
+    frame flowing into this stage), then the results are inner-joined on
+    the ``on`` equalities.  Output columns are flattened to
+    ``<alias>_<column>``.
+
+    Physical shape: the sub-searches are aggregations of the input, so
+    the join operands are post-agg (small) frames — Catalyst/AQE picks
+    broadcast when one side is under threshold; the input scan is shared
+    (same source relation), not re-read per sub on a cached/warm plan.
+    """
+    text = rest.strip()
+    subs: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text) and text[pos] == "(":
+        end = _scan_balanced(text, pos)
+        sub_text = text[pos + 1:end - 1].strip()
+        m = re.match(r"^\s*as\s+(\w+)\s*(,\s*)?", text[end:], re.IGNORECASE)
+        if not m:
+            raise SumoQLError(f"join sub-search needs 'as <alias>': {rest!r}")
+        subs.append((sub_text, m.group(1)))
+        pos = end + m.end()
+        if not m.group(2):
+            break
+    om = re.match(r"^\s*on\s+(.+)$", text[pos:], re.IGNORECASE | re.DOTALL)
+    if len(subs) < 2 or not om:
+        raise SumoQLError(
+            f"join needs >= 2 '(sub) as alias' parts and an 'on' clause: "
+            f"{rest!r}"
+        )
+    conds = []
+    for c in om.group(1).split(","):
+        cm = _JOIN_COND_RE.match(c.strip())
+        if not cm:
+            raise SumoQLError(f"bad join condition: {c.strip()!r}")
+        conds.append(cm.groups())
+
+    compiled: dict[str, DataFrame] = {}
+    for sub_text, alias in subs:
+        sub = df
+        for stage in _split_stages(sub_text):
+            sub = _apply_stage(sub, stage, schema, lookups)
+        compiled[alias] = sub.alias(alias)
+
+    aliases = [a for _, a in subs]
+    joined = compiled[aliases[0]]
+    in_plan = {aliases[0]}
+    for alias in aliases[1:]:
+        own = [c for c in conds
+               if (c[0] == alias and c[2] in in_plan)
+               or (c[2] == alias and c[0] in in_plan)]
+        if not own:
+            raise SumoQLError(
+                f"join alias {alias!r} has no 'on' condition linking it"
+            )
+        cond = None
+        for la, lc, ra, rc in own:
+            e = F.col(f"{la}.{lc}") == F.col(f"{ra}.{rc}")
+            cond = e if cond is None else (cond & e)
+        joined = joined.join(compiled[alias], cond, "inner")
+        in_plan.add(alias)
+
+    flat = [
+        F.col(f"{alias}.{c}").alias(f"{alias}_{c}")
+        for _, alias in subs
+        for c in compiled[alias].columns
+    ]
+    return joined.select(*flat)
 
 
 def _stage_lookup(df: DataFrame, rest: str,

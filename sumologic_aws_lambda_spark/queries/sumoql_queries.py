@@ -386,3 +386,33 @@ def sumoql_parse_field_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | sort by _count desc, firstword asc | limit 10",
         DOCS_SCHEMA,
     )
+
+
+@query(
+    "sumoql_subsearch_join",
+    oracle="""
+    WITH c AS (
+        SELECT json_extract_string(props, '$.k') AS k, count(*) AS _count
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), v AS (
+        SELECT json_extract_string(props, '$.k') AS k, count(*) AS _count
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    )
+    SELECT c.k AS c_k, c._count AS c__count,
+           v.k AS v_k, v._count AS v__count
+    FROM c JOIN v ON c.k = v.k
+    """,
+)
+def sumoql_subsearch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sumo's sub-search ``join``: two aggregating pipelines over the
+    same stream, inner-joined on extracted keys.  Both operands are
+    post-aggregation (small), so AQE broadcasts the smaller side."""
+    ev = table(spark, sf_dir, "events")
+    return compile_query(
+        ev,
+        "* | join"
+        ' (where event_type = \'click\' | json "k" | count by k) as c,'
+        ' (where event_type = \'view\' | json "k" | count by k) as v'
+        " on c.k = v.k",
+        EVENTS_SCHEMA,
+    )

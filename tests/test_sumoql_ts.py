@@ -121,3 +121,72 @@ def test_cidr_functions(spark):
     assert rows[0]["mask"] == "255.255.128.0"
     assert rows[0]["same16"] is True
     assert rows[1]["same16"] is False
+
+
+def _logs(spark):
+    return spark.createDataFrame(
+        [("click k=1", "a"), ("click k=2", "b"), ("view k=1", "a"),
+         ("view k=3", "c")],
+        "msg string, tag string",
+    )
+
+
+def test_subsearch_join_three_way(spark):
+    df = _logs(spark)
+    out = compile_query(
+        df,
+        "* | join"
+        ' (parse "click k=*" as k | count by k) as c,'
+        ' (parse "view k=*" as k | count by k) as v,'
+        ' (parse "* k=" as kind | count by kind) as t'
+        " on c.k = v.k, t.kind = c.k",
+        SCHEMA,
+    )
+    # only k=1 appears in both click and view; no kind equals '1'
+    assert out.columns == [
+        "c_k", "c__count", "v_k", "v__count", "t_kind", "t__count"
+    ]
+    assert out.count() == 0
+
+
+def test_subsearch_join_two_way(spark):
+    df = _logs(spark)
+    rows = compile_query(
+        df,
+        "* | join"
+        ' (parse "click k=*" as k | count by k) as c,'
+        ' (parse "view k=*" as k | count by k) as v'
+        " on c.k = v.k",
+        SCHEMA,
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["c_k"] == "1" and rows[0]["v__count"] == 1
+
+
+def test_join_requires_linked_condition(spark):
+    with pytest.raises(SumoQLError, match="no 'on' condition"):
+        compile_query(
+            _logs(spark),
+            "* | join (count by tag) as a, (count by msg) as b"
+            " on a.tag = a.tag",
+            SCHEMA,
+        )
+
+
+def test_save_then_lookup(spark):
+    df = _logs(spark)
+    lookups = {}
+    compile_query(
+        df, '* | parse "click k=*" as k | count by k | save clicks',
+        SCHEMA, lookups=lookups,
+    )
+    assert "clicks" in lookups
+    out = compile_query(
+        df,
+        '* | parse "view k=*" as k'
+        " | lookup _count from clicks on k"
+        " | fields k, _count",
+        SCHEMA, lookups=lookups,
+    )
+    got = {r["k"]: r["_count"] for r in out.collect()}
+    assert got == {"1": 1, "3": None}
