@@ -73,5 +73,6 @@ def _import_all() -> None:
         ingest_gap,
         advanced,
         timeseries,
+        sampling,
     )
     _IMPORTED = True

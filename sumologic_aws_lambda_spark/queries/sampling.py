@@ -1,0 +1,127 @@
+"""Dataset-management operators for training-data pipelines:
+deterministic splits and samples.
+
+A 100 TB corpus can't be split with ``rand()`` — the assignment must be
+(a) reproducible across runs/engines, (b) stable under re-partitioning,
+(c) derivable per-row with no global state.  Content-hash bucketing
+gives all three: ``md5(key)`` is identical in any engine, so DuckDB
+verifies the exact split.  (Same rationale as the reference's
+deterministic output keys, ``securityhub_collector.py:45`` —
+``{ProductArn}-{request_id}`` — determinism via keys, not randomness.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from . import query
+
+def _split_col():
+    """First hex nibble of md5(doc_id): 0-b → train (75%), c-d → val
+    (12.5%), e-f → test (12.5%)."""
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        F.when(nibble.isin(*"0123456789ab"), "train")
+        .when(nibble.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+
+
+@query(
+    "dataset_hash_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT CASE
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                   THEN 'train'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('c','d') THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               n_chars, lang
+        FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+    FROM tagged
+    GROUP BY 1, 2
+    """,
+)
+def dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test split by content-hash
+    nibble, stratification check by language — every engine reproduces
+    the same assignment, so splits survive re-sharding and backfills."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("split", _split_col())
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1)))
+            .alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "sample_by_hash",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
+    """,
+)
+def sample_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample: first md5 byte ≤ 0x19 (26/256).  Unlike
+    ``TABLESAMPLE``/``rand()`` the membership is a pure row property —
+    the same rows are sampled on every run, any partitioning, any
+    engine; downstream joins against the sample stay consistent."""
+    d = table(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= "19"
+    ).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "stratified_hash_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source, count(*) AS n_sampled,
+           sum(n_chars) AS sampled_chars
+    FROM ranked WHERE rn <= 20
+    GROUP BY source
+    """,
+)
+def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-stratum sample (20 docs per source), ordered by
+    content hash so the choice is deterministic yet unbiased by insert
+    order.  One window shuffle on the stratum key; at scale prefer the
+    threshold sample (``sample_by_hash``) when exact-N isn't required,
+    since it needs no shuffle at all."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
