@@ -50,6 +50,10 @@ OPTIONAL = [
     "ivf_ann_topk",
     "lsh_ann_topk",
     "cube_order_priority",
+    "logreduce_signatures",
+    "sumoql_trailing_windows",
+    "sumoql_subsearch_join",
+    "dataset_hash_split",
 ]
 
 
