@@ -354,25 +354,35 @@ def cidr_prefix_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH lines AS (
         SELECT event_type || ' user=' || user_id
                || ' latency=' || CAST(floor(value) AS BIGINT)
-               || 'ms req-' || event_id AS message
+               || 'ms req-' || event_id AS message,
+               event_id
         FROM events
     ), sigs AS (
         SELECT regexp_replace(message, '[0-9]+', '<num>', 'g')
                    AS _signature,
-               message
+               message, event_id
         FROM lines
+    ), per AS (
+        SELECT _signature, count(*) AS _count, min(event_id) AS eid
+        FROM sigs GROUP BY 1
     )
-    SELECT _signature, count(*) AS _count, min(message) AS _example
-    FROM sigs
-    GROUP BY 1
+    SELECT p._signature AS _signature, p._count AS _count,
+           s.message AS _example
+    FROM per p JOIN sigs s ON s.event_id = p.eid
     """,
 )
 def logreduce_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LogReduce-style template clustering: mask the variable tokens
     (number runs) out of each raw line, then group by the residual
-    signature — count + a deterministic exemplar per cluster.  One
-    map-side-combinable aggregation; the signature is a codegen
-    ``regexp_replace``, so the pass stays JVM-side at any scale."""
+    signature — count + a deterministic exemplar per cluster.
+
+    The exemplar is fetched in two steps on purpose: aggregating
+    ``min(message)`` (or ``min_by``) directly would put a variable-width
+    string in the aggregation buffer, which demotes the whole pass to
+    SortAggregate — a sort on BOTH sides of the shuffle.  Aggregating
+    the fixed-width key ``min(event_id)`` keeps HashAggregate, and the
+    per-signature result (tiny) broadcast-joins back to fetch the text.
+    Plan-asserted in tests/test_plan_shapes.py."""
     ev = table(spark, sf_dir, "events")
     lines = ev.select(
         F.concat(
@@ -380,18 +390,22 @@ def logreduce_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" latency="),
             F.floor(F.col("value")).cast("bigint"),
             F.lit("ms req-"), F.col("event_id"),
-        ).alias("message")
+        ).alias("message"),
+        "event_id",
+    )
+    sigs = lines.select(
+        F.regexp_replace("message", "[0-9]+", "<num>").alias("_signature"),
+        "message", "event_id",
+    )
+    per = sigs.groupBy("_signature").agg(
+        F.count(F.lit(1)).alias("_count"),
+        F.min("event_id").alias("eid"),
     )
     return (
-        lines.select(
-            F.regexp_replace("message", "[0-9]+", "<num>")
-            .alias("_signature"),
-            "message",
-        )
-        .groupBy("_signature")
-        .agg(
-            F.count(F.lit(1)).alias("_count"),
-            F.min("message").alias("_example"),
+        sigs.select("event_id", "message")
+        .join(F.broadcast(per), F.col("event_id") == F.col("eid"))
+        .select(
+            "_signature", "_count", F.col("message").alias("_example")
         )
     )
 

@@ -95,3 +95,46 @@ def test_whole_stage_codegen_active(spark, qs):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "WholeStageCodegen subtrees" in out
     assert "Found 0 WholeStageCodegen" not in out
+
+
+def test_hash_sample_is_shuffle_free_and_pruned(spark, qs):
+    """The threshold sample is a pure filter: no exchange, and the scan
+    reads only the three projected columns."""
+    plan = _plan(qs["sample_by_hash"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "ReadSchema" in plan
+    assert "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_fillmissing_axis_broadcasts(spark, qs):
+    """The dense time axis (slices rows) must broadcast back onto the
+    series — a sort-merge join here would shuffle the whole series for
+    a dimension-sized axis."""
+    plan = _plan(qs["sumoql_fillmissing_zero"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_subsearch_join_broadcasts_postagg_side(spark, qs):
+    """Both join operands are post-aggregation frames; the smaller must
+    broadcast rather than shuffle-merge."""
+    plan = _plan(qs["sumoql_subsearch_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_predict_fit_broadcasts(spark, qs):
+    """The OLS fit is one tiny agg row joined back to the series —
+    broadcast, never a shuffle join."""
+    plan = _plan(qs["sumoql_predict_linear"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+
+
+def test_logreduce_prunes_and_single_agg_shuffle(spark, qs):
+    """Signature clustering is scan → project → partial agg → exchange →
+    final agg: exactly one shuffle, message text never read (built from
+    typed columns)."""
+    plan = _plan(qs["logreduce_signatures"](spark, SF_DIR))
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2
+    assert "HashAggregate" in plan  # Object/Hash, never SortAggregate
+    assert "SortAggregate" not in plan
