@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..operators.dedup import (
+    connected_components,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -171,3 +172,51 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash (per-bit majority over md5-hashed word tokens)."""
     d = table(spark, sf_dir, "documents", parallel=True).filter(F.col("doc_id") % 5 == 0)
     return simhash(d, bits=16)
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_shingle_cte("WHERE doc_id % 5 = 0")},
+    sig AS (
+        SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+        GROUP BY doc_id, seed
+    ),
+    banded AS (
+        SELECT doc_id, seed // 2 AS band,
+               string_agg(minhash, '|' ORDER BY minhash) AS band_key
+        FROM sig GROUP BY doc_id, seed // 2
+    ),
+    pairs AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.band_key = y.band_key
+             AND x.doc_id < y.doc_id
+    ),
+    edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION SELECT b, a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents WHERE doc_id % 5 = 0
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup resolution: MinHash → LSH candidate pairs →
+    connected components → one ``cluster_id`` per document (the min
+    doc_id reachable through shared-bucket pairs).  Downstream dedup is
+    then ``row_number() over (partition by cluster_id) = 1``.  The
+    DuckDB oracle replays the same fixpoint with a recursive CTE."""
+    d = table(spark, sf_dir, "documents", parallel=True).filter(
+        F.col("doc_id") % 5 == 0
+    )
+    pairs = lsh_candidate_pairs(minhash_signatures(d, num_hashes=8))
+    return connected_components(
+        d.select("doc_id"), pairs, node_col="doc_id"
+    ).withColumnRenamed("node", "doc_id")
