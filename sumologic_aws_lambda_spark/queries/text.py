@@ -184,3 +184,61 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("kept_docs"),
         F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
     )
+
+
+@query(
+    "top_bigrams_per_source",
+    oracle=f"""
+    WITH docs AS (
+        SELECT source, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ), bg AS (
+        SELECT source, array_to_string(list_slice(t, i, i + 1), ' ')
+                   AS bigram
+        FROM docs,
+             LATERAL (SELECT unnest(generate_series(1,
+                          greatest(len(t) - 1, 1))) AS i) g
+    ), counts AS (
+        SELECT source, bigram, count(*) AS _count
+        FROM bg GROUP BY 1, 2
+    ), ranked AS (
+        SELECT source, bigram, _count,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY _count DESC, bigram
+               ) AS rank
+        FROM counts
+    )
+    SELECT source, bigram, _count, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def top_bigrams_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram frequency table: top-5 word bigrams per source —
+    the language-model-ish profiling pass a curation pipeline runs to
+    spot boilerplate/templated content.  Gram generation is a pure
+    expression fold (split → sequence → transform → explode); one
+    map-side-combinable count shuffle plus a per-source window over the
+    (tiny) distinct-bigram frame."""
+    from pyspark.sql import Window
+
+    from ..operators.text import normalize_text
+
+    d = table(spark, sf_dir, "documents", parallel=True)
+    toks = F.split(normalize_text(F.col("text")), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    counts = (
+        d.select("source", F.explode(grams).alias("bigram"))
+        .groupBy("source", "bigram")
+        .agg(F.count(F.lit(1)).alias("_count"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("_count").desc(), F.col("bigram")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
