@@ -54,6 +54,8 @@ OPTIONAL = [
     "sumoql_trailing_windows",
     "sumoql_subsearch_join",
     "dataset_hash_split",
+    "logcompare_baseline_target",
+    "top_bigrams_per_source",
 ]
 
 
