@@ -23,7 +23,6 @@ from ..catalog import table
 from ..functions.ip import (
     compare_cidr_prefix,
     get_cidr_prefix,
-    ipv4_to_number,
     mask_from_cidr,
 )
 from ..plans.sumoql import SumoSchema, compile_query
