@@ -517,6 +517,10 @@ def _stage_parse(df: DataFrame, rest: str, schema: SumoSchema,
     if re.search(r"\bnodrop\s*$", rest, re.IGNORECASE):
         keep = True
         rest = re.sub(r"\bnodrop\s*$", "", rest, flags=re.IGNORECASE).strip()
+    multi = False
+    if re.search(r"\bmulti\s*$", rest, re.IGNORECASE):
+        multi = True
+        rest = re.sub(r"\bmulti\s*$", "", rest, flags=re.IGNORECASE).strip()
 
     is_regex = rest.lower().startswith("regex")
     if is_regex:
@@ -533,6 +537,21 @@ def _stage_parse(df: DataFrame, rest: str, schema: SumoSchema,
         # Java regex accepts (?<name>...) natively; extraction is by group
         # index so the oracle (RE2 with plain groups) can reproduce it.
         gnames = re.findall(r"\(\?<(\w+)>", pattern)
+        if multi:
+            # Sumo's `multi`: one output ROW per match (a UDTF shape) —
+            # regexp_extract_all + explode, both built-ins.  Default drop
+            # = plain explode (zero-match rows vanish); nodrop keeps them
+            # with a null via explode_outer.
+            if len(gnames) != 1:
+                raise SumoQLError(
+                    "parse regex … multi needs exactly one named group"
+                )
+            gname = gnames[0]
+            matches = F.regexp_extract_all(
+                src, F.lit(pattern), _group_index(pattern, gname)
+            )
+            exploder = F.explode_outer if keep else F.explode
+            return df.withColumn(gname, exploder(matches))
         for gname in gnames:
             out = out.withColumn(
                 gname,

@@ -416,3 +416,40 @@ def sumoql_subsearch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         " on c.k = v.k",
         EVENTS_SCHEMA,
     )
+
+
+@query(
+    "sumoql_parse_multi",
+    oracle="""
+    WITH lines AS (
+        SELECT 'u=' || user_id || ' e=' || event_id || ' v='
+                   || CAST(floor(value) AS BIGINT) AS line
+        FROM events
+    ), m AS (
+        SELECT unnest(regexp_extract_all(line, '(\\d+)', 1)) AS d
+        FROM lines
+    )
+    SELECT d, count(*) AS _count
+    FROM m
+    WHERE CAST(d AS BIGINT) < 40
+    GROUP BY 1
+    """,
+)
+def sumoql_parse_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parse regex … multi`` — one output row per regex match
+    (regexp_extract_all + explode, Sumo's multi-value extraction /
+    UDTF shape)."""
+    ev = table(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("u="), F.col("user_id"),
+            F.lit(" e="), F.col("event_id"),
+            F.lit(" v="), F.floor("value").cast("bigint"),
+        ).alias("line")
+    )
+    schema = SumoSchema(raw_col="line")
+    return compile_query(
+        ev,
+        '* | parse regex "(?<d>\\d+)" multi'
+        " | where CAST(d AS BIGINT) < 40 | count by d",
+        schema,
+    )

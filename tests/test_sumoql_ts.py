@@ -190,3 +190,17 @@ def test_save_then_lookup(spark):
     )
     got = {r["k"]: r["_count"] for r in out.collect()}
     assert got == {"1": 1, "3": None}
+
+
+def test_parse_multi_explodes_matches(spark):
+    df = spark.createDataFrame(
+        [("a=1 b=22",), ("none here",), ("c=333",)], "msg string"
+    )
+    out = compile_query(
+        df, '* | parse regex "(?<n>\\d+)" multi', SCHEMA
+    ).collect()
+    assert sorted(r["n"] for r in out) == ["1", "22", "333"]
+    kept = compile_query(
+        df, '* | parse regex "(?<n>\\d+)" multi nodrop', SCHEMA
+    ).collect()
+    assert len(kept) == 4 and None in {r["n"] for r in kept}
