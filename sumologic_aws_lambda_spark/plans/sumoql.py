@@ -255,6 +255,11 @@ _EXPR_REWRITES: list[tuple[re.Pattern, str]] = [
      r"decode(unbase64(\1), 'UTF-8')"),
     (re.compile(rf"\bbase64Encode\(({_SIMPLE_ARG})\)", re.IGNORECASE),
      r"base64(encode(\1, 'UTF-8'))"),
+    (re.compile(rf"\bformatDate\(({_SIMPLE_ARG}),\s*(\"[^\"]*\"|'[^']*')\)",
+                re.IGNORECASE),
+     r"date_format(\1, \2)"),
+    (re.compile(rf"\btoDate\(({_SIMPLE_ARG})\)", re.IGNORECASE),
+     r"CAST(\1 AS DATE)"),
     (re.compile(r"\bnow\(\)", re.IGNORECASE), "current_timestamp()"),
 ]
 

@@ -190,7 +190,7 @@ def stage_fillmissing(df: DataFrame, rest: str,
 
 _OUTLIER_RE = re.compile(
     r"^([\w]+)(?:\s+by\s+([\w,\s]+?))?"
-    r"((?:\s+\w+\s*=\s*[\d.]+)*)$",
+    r"((?:\s+\w+\s*=\s*[-+\d.]+)*)$",
     re.IGNORECASE,
 )
 
@@ -198,31 +198,38 @@ _OUTLIER_RE = re.compile(
 def stage_outlier(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
     """Trailing-baseline anomaly flag; frame ends at 1 PRECEDING so a
     point never contaminates its own baseline (same construction as the
-    standalone ``outlier_detection`` query)."""
+    standalone ``outlier_detection`` query).  ``direction=+`` flags only
+    upward deviations, ``direction=-`` only downward (Sumo's option;
+    default both)."""
     m = _OUTLIER_RE.match(rest.strip())
     if not m:
         raise SumoQLError(f"bad outlier stage: {rest!r}")
     field, by, opts_text = m.groups()
     groups = [g.strip() for g in by.split(",")] if by else []
-    opts = dict(re.findall(r"(\w+)\s*=\s*([\d.]+)", opts_text or ""))
+    opts = dict(re.findall(r"(\w+)\s*=\s*([-+\d.]+)", opts_text or ""))
     window = int(opts.get("window", 10))
     threshold = float(opts.get("threshold", 3.0))
+    direction = opts.get("direction", "+-")
     s, sq, n = _trailing_stats(df, field, schema, groups, window, end=-1)
     mu = s / n
     sigma = F.when(
         n >= 2,
         F.sqrt(F.greatest((sq - s * s / n) / (n - 1), F.lit(0.0))),
     )
+    dev = F.col(field) - F.col("_mu")
+    if direction == "+":
+        breach = dev > F.lit(threshold) * F.col("_sigma")
+    elif direction == "-":
+        breach = -dev > F.lit(threshold) * F.col("_sigma")
+    else:
+        breach = F.abs(dev) > F.lit(threshold) * F.col("_sigma")
     return (
         df.withColumn("_mu", mu)
         .withColumn("_sigma", sigma)
         .withColumn(
             "_violation",
             F.when(
-                F.col("_sigma").isNotNull()
-                & (F.abs(F.col(field) - F.col("_mu"))
-                   > threshold * F.col("_sigma")),
-                F.lit(1),
+                F.col("_sigma").isNotNull() & breach, F.lit(1)
             ).otherwise(F.lit(0)),
         )
     )

@@ -204,3 +204,33 @@ def test_parse_multi_explodes_matches(spark):
         df, '* | parse regex "(?<n>\\d+)" multi nodrop', SCHEMA
     ).collect()
     assert len(kept) == 4 and None in {r["n"] for r in kept}
+
+
+def test_outlier_direction_filters_sign(spark):
+    # flat baseline 5, then one spike up (day 6) and one drop (day 7
+    # baseline window still mostly 5s)
+    df = _series(
+        spark,
+        [(d, "a", 5) for d in range(1, 6)] + [(6, "a", 50), (7, "a", -40)],
+    )
+    up = compile_query(
+        df, "* | outlier v window=5 threshold=1 direction=+", SCHEMA
+    )
+    got_up = {r["ts"].day: r["_violation"] for r in up.collect()}
+    assert got_up[6] == 1 and got_up[7] == 0
+    down = compile_query(
+        df, "* | outlier v window=5 threshold=1 direction=-", SCHEMA
+    )
+    got_dn = {r["ts"].day: r["_violation"] for r in down.collect()}
+    assert got_dn[6] == 0 and got_dn[7] == 1
+
+
+def test_formatdate_todate_rewrites(spark):
+    df = _series(spark, [(3, "a", 1)])
+    out = compile_query(
+        df,
+        '* | formatDate(ts, "yyyy-MM") as ym | toDate(ts) as d',
+        SCHEMA,
+    ).collect()
+    assert out[0]["ym"] == "2024-01"
+    assert out[0]["d"] == datetime.date(2024, 1, 3)
