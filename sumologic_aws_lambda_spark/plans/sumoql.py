@@ -604,6 +604,26 @@ def _group_index(pattern: str, gname: str) -> int:
 
 
 def _stage_timeslice(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
+    """``timeslice 5m`` (fixed width) or ``timeslice 10 buckets`` (fixed
+    count: the data span divides into N equal slices — Sumo's
+    bucket-count form).  The bucket form needs the span first: one tiny
+    min/max agg broadcast back onto the stream; integer epoch math only,
+    so the assignment is reproducible cross-engine."""
+    mb = re.match(r"^(\d+)\s+buckets$", rest.strip(), re.IGNORECASE)
+    if mb:
+        n = int(mb.group(1))
+        e = F.unix_timestamp(F.col(schema.ts_col))
+        bounds = df.agg(
+            F.min(e).alias("_lo"), F.max(e).alias("_hi")
+        ).withColumn("_width", F.expr(f"(_hi - _lo) div {n} + 1"))
+        out = df.crossJoin(F.broadcast(bounds)).withColumn("_e", e)
+        out = out.withColumn(
+            "_timeslice",
+            F.timestamp_seconds(
+                F.expr("_lo + ((_e - _lo) div _width) * _width")
+            ),
+        )
+        return out.drop("_lo", "_hi", "_width", "_e")
     m = re.match(r"^(\d+)([smhd])$", rest.strip())
     if not m:
         raise SumoQLError(f"bad timeslice: {rest!r}")

@@ -453,3 +453,34 @@ def sumoql_parse_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | where CAST(d AS BIGINT) < 40 | count by d",
         schema,
     )
+
+
+@query(
+    "sumoql_timeslice_buckets",
+    oracle="""
+    WITH src AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e
+        FROM events WHERE event_type = 'view'
+    ), b AS (
+        SELECT min(e) AS lo, max(e) AS hi FROM src
+    ), w AS (
+        SELECT lo, (hi - lo) // 10 + 1 AS width FROM b
+    )
+    SELECT CAST(to_timestamp(lo + ((e - lo) // width) * width)
+                AS TIMESTAMP) AS _timeslice,
+           count(*) AS _count
+    FROM src CROSS JOIN w
+    GROUP BY 1
+    """,
+)
+def sumoql_timeslice_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``timeslice 10 buckets`` — fixed-count slicing (the dashboard
+    auto-bucket form): span min/max agg broadcast back, integer epoch
+    bucket assignment, then the usual count-by."""
+    ev = table(spark, sf_dir, "events")
+    return compile_query(
+        ev,
+        "_sourceCategory=view | timeslice 10 buckets"
+        " | count by _timeslice",
+        EVENTS_SCHEMA,
+    )
