@@ -40,6 +40,12 @@ def table(spark: SparkSession, sf_dir: str, name: str,
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
+    # events.parquet is physically TIMESTAMP(NANOS); Spark refuses that
+    # type unless nanosAsLong is set.  session.py sets it at build time,
+    # but table() must also work on a caller-provided SparkSession (the
+    # external correctness driver builds its own).  The conf is
+    # runtime-settable, so set it here — idempotent and cheap.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if parallel and _worth_splitting(path):
         target = spark.sparkContext.defaultParallelism

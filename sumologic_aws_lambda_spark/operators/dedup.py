@@ -115,18 +115,37 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3,
-                        threshold: float = 0.2) -> DataFrame:
+                        threshold: float = 0.2,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
     |A∩B| comes from a self-join on the shingle (shuffle keyed by
-    shingle), |A∪B| = |A|+|B|−|A∩B|.  At scale this is the verifier run
-    *after* LSH pruning; standalone it is quadratic in the worst case —
-    callers restrict the input set.
+    shingle), |A∪B| = |A|+|B|−|A∩B|.
+
+    ``max_doc_freq`` is the standard df-cut that makes the self-join safe
+    to run standalone: shingles present in more than ``max_doc_freq``
+    documents (stop-word n-grams — the skewed keys that make the join
+    quadratic) are removed from the shingle *space* before anything is
+    counted, so both |A∩B| and the sizes are computed over the surviving
+    shingles and the Jaccard stays internally consistent.  The hot-shingle
+    list is tiny by construction (only keys above the cut), so the
+    exclusion is a broadcast anti-join — narrow, no extra shuffle.  With
+    the cut, per-key join fan-out is bounded by max_doc_freq² regardless
+    of corpus skew.  Without it (``None``), this is the post-LSH verifier
+    semantics — callers restrict the input set.
     """
     sh = df.select(
         F.col(id_col),
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
     )  # per-doc distinct already guaranteed by array_distinct in word_shingles
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.select(F.col(id_col).alias("a"), "shingle")

@@ -64,9 +64,11 @@ def synthetic_media(spark: SparkSession, n: int = 60) -> DataFrame:
 def _fake_decode_features(content: bytes, dim: int) -> list[float]:
     """*** DECODE STUB ***  Deterministic stand-in for a real decoder
     (PIL/librosa/ffmpeg are not installed here).  Derives ``dim`` floats
-    in [0, 1) from md5 of the payload — stable across runs/engines, so
-    tests can assert exact values."""
-    h = hashlib.md5(content).digest()
+    in [0, 1) from md5 of the *hex encoding* of the payload — hashing the
+    hex string (not the raw bytes) keeps the derivation reproducible by
+    engines whose md5 only accepts strings (DuckDB), so the driver oracle
+    can recompute features byte-for-byte."""
+    h = hashlib.md5(content.hex().encode("ascii")).digest()
     return [
         int.from_bytes(h[2 * j:2 * j + 2], "big") / 65536.0
         for j in range(dim)

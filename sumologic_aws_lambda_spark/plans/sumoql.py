@@ -280,7 +280,13 @@ def _glob_to_regex(glob: str) -> str:
 
 def _rewrite_matches(expr: str) -> str:
     def repl(m: re.Match) -> str:
-        regex = _glob_to_regex(m.group(2)).replace("\\", "\\\\")
+        # Escape backslashes for the SQL string-literal parser AND single
+        # quotes: a ' inside the glob (x matches "it's*") would otherwise
+        # terminate the literal — a parse error at best, expression
+        # injection through F.expr at worst.
+        regex = (_glob_to_regex(m.group(2))
+                 .replace("\\", "\\\\")
+                 .replace("'", "\\'"))
         return f"({m.group(1)} rlike '{regex}')"
 
     return _MATCHES_RE.sub(repl, expr)
@@ -473,10 +479,22 @@ def _stage_dedup(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
     if m.group(2):
         keys = [c.strip() for c in m.group(2).split(",")]
     else:
-        keys = [c for c in df.columns
-                if c not in (schema.ts_col, schema.raw_col)]
+        # Whole-row identity: every column except the timestamp — two
+        # identical messages at different times ARE duplicates.  _raw is
+        # part of the row's identity and belongs in the key set.
+        keys = [c for c in df.columns if c != schema.ts_col]
+    # Ordering: most-recent first when a timestamp survives; the raw
+    # message only as a tiebreaker when it still exists (an upstream
+    # aggregation / fields / top stage may have dropped it — appending it
+    # unconditionally raised an unresolved-column AnalysisException).
     order = [F.col(schema.ts_col).desc()] if schema.ts_col in df.columns else []
-    order.append(F.col(schema.raw_col).desc())
+    if schema.raw_col in df.columns and schema.raw_col not in keys:
+        order.append(F.col(schema.raw_col).desc())
+    if not order:
+        # Post-aggregation frames may carry neither column; rows within a
+        # partition are then fully determined by the keys, so ordering by
+        # them is deterministic (and row_number requires ≥1 sort column).
+        order = [F.col(k) for k in keys]
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("_dedup_rn", F.row_number().over(w))
@@ -567,7 +585,11 @@ def _stage_parse(df: DataFrame, rest: str, schema: SumoSchema,
                 ),
             )
         if not keep and gnames:
-            out = out.filter(F.col(gnames[0]).isNotNull())
+            # Drop decides on the MATCH, not on the first group's
+            # post-nullif value: a row whose pattern matches but whose
+            # first capture is legitimately empty must be kept (Sumo's
+            # match-based drop semantics).
+            out = out.filter(src.rlike(pattern))
         return out
     m = re.match(r'^"([^"]*)"\s+as\s+([\w,\s]+)$', rest)
     if not m:
@@ -594,7 +616,9 @@ def _stage_parse(df: DataFrame, rest: str, schema: SumoSchema,
             F.nullif(F.regexp_extract(src, pattern, i), F.lit("")),
         )
     if not keep:
-        out = out.filter(F.col(names[0]).isNotNull())
+        # Match-based drop (see the regex branch): an anchor template
+        # whose first '*' captures an empty string still matched.
+        out = out.filter(src.rlike(pattern))
     return out
 
 

@@ -267,18 +267,38 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # All K centroids as ONE broadcast array row: the per-vector argmax
+    # then happens inside a higher-order expression — no explode, no
+    # window, no shuffle.  The previous shape (crossJoin + row_number
+    # window partitioned by vec_id) re-shuffled the entire corpus×K
+    # candidate set just to pick a max; at 100 TB the assignment pass is
+    # the dominant cost, so it must stay narrow.
+    cent_arr = F.broadcast(
+        cent.groupBy().agg(F.collect_list(F.struct("cid", "ce")).alias("cents"))
+    )
+
     def nearest(df: DataFrame, n: int, id_out: str) -> DataFrame:
-        scored = df.crossJoin(cent).withColumn(
-            "c_sim", cosine(F.col("e"), F.col("ce"))
+        # Sort key (−sim, cid) ≡ ORDER BY sim DESC, cid — matching the
+        # oracle's row_number ordering.
+        ranked = F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    (-cosine(F.col("e"), c["ce"])).alias("neg_sim"),
+                    c["cid"].alias("cid"),
+                ),
+            )
         )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("c_sim").desc(), F.col("cid")
-        )
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= n)
-            .select(F.col("vec_id").alias(id_out), F.col("cid").alias("cluster_id"))
-        )
+        joined = df.crossJoin(cent_arr)
+        if n == 1:
+            return joined.select(
+                F.col("vec_id").alias(id_out),
+                F.element_at(ranked, 1)["cid"].alias("cluster_id"),
+            )
+        return joined.select(
+            F.col("vec_id").alias(id_out),
+            F.explode(F.slice(ranked, 1, n)).alias("cell"),
+        ).select(id_out, F.col("cell.cid").alias("cluster_id"))
 
     assign = nearest(vecs, 1, "vec_id")
     probes = nearest(vecs.filter(F.col("vec_id") % 97 == 0), _NPROBE, "query_id")

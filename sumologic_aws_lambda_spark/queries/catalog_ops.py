@@ -220,16 +220,37 @@ def two_hop_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_feature_extract")  # binary fixtures → rows-only check
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id,
+             ['image','audio','video'][(i % 3)+1] AS modality,
+             repeat(unhex(md5('media-' || i)), CAST(4 + i % 5 AS INT))
+                 AS content
+      FROM range(60) t(i)
+    )
+    SELECT media_id, modality,
+           CAST(octet_length(content) AS INT) AS content_bytes,
+           CAST(('0x' || substr(md5(lower(hex(content))), 1, 4)) AS INT)
+               AS f0_u16
+    FROM m
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing through the driver gate: synthetic binary
     corpus → mapInPandas feature extraction (decode stubbed — see
-    ``operators/multimodal.py``; exact values asserted in pytest)."""
+    ``operators/multimodal.py``).  The stub features are md5-of-hex
+    derivations, so the oracle recomputes them in DuckDB and the entry is
+    hash-matched, not rows-only.  The first feature is surfaced as its
+    exact u16 integer (features are float32; k/65536 and the ×65536
+    round-trip are both exact, avoiding cross-engine float rounding)."""
     from ..operators.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, 60)
     feats = extract_features(media)
     return feats.select(
         "media_id", "modality", "content_bytes",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 1) * 65536).cast("int")
+        .alias("f0_u16"),
     )

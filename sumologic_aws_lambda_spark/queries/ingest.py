@@ -289,12 +289,70 @@ def multiline_assembly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_multiline(df).select("record_index", "message")
 
 
-@query("cwl_decode_pipeline")  # gzip+base64 → rows-only; golden pytest covers values
+_CWL_GOLDEN_ORACLE = """
+    WITH expected(envelope_id, event_index, ts, request_id, message,
+                  log_group, log_stream, metadata_key) AS (VALUES
+      ('03ddeb86cbc06e0acad53d52c332a9a62219fe31b52e886c6dda4b7b0b4af11c', 0,
+       TIMESTAMP '2024-01-23 08:53:20', '11111111-aaaa-bbbb-cccc-222222222222',
+       'START RequestId: 11111111-aaaa-bbbb-cccc-222222222222 Version: $LATEST',
+       '/aws/lambda/fn-a', '2024/01/23/[$LATEST]abc123',
+       '2024/01/23/[$LATEST]abc123::/aws/lambda/fn-a:'),
+      ('03ddeb86cbc06e0acad53d52c332a9a62219fe31b52e886c6dda4b7b0b4af11c', 1,
+       TIMESTAMP '2024-01-23 08:53:21', '11111111-aaaa-bbbb-cccc-222222222222',
+       'handling request',
+       '/aws/lambda/fn-a', '2024/01/23/[$LATEST]abc123',
+       '2024/01/23/[$LATEST]abc123::/aws/lambda/fn-a:'),
+      ('03ddeb86cbc06e0acad53d52c332a9a62219fe31b52e886c6dda4b7b0b4af11c', 2,
+       TIMESTAMP '2024-01-23 08:53:22', '11111111-aaaa-bbbb-cccc-222222222222',
+       'plain continuation line',
+       '/aws/lambda/fn-a', '2024/01/23/[$LATEST]abc123',
+       '2024/01/23/[$LATEST]abc123::/aws/lambda/fn-a:'),
+      ('03ddeb86cbc06e0acad53d52c332a9a62219fe31b52e886c6dda4b7b0b4af11c', 3,
+       TIMESTAMP '2024-01-23 08:53:23', '11111111-aaaa-bbbb-cccc-222222222222',
+       '{"level":"info","msg":"structured"}',
+       '/aws/lambda/fn-a', '2024/01/23/[$LATEST]abc123',
+       '2024/01/23/[$LATEST]abc123::/aws/lambda/fn-a:'),
+      ('03ddeb86cbc06e0acad53d52c332a9a62219fe31b52e886c6dda4b7b0b4af11c', 5,
+       TIMESTAMP '2024-01-23 08:53:25', '11111111-aaaa-bbbb-cccc-222222222222',
+       'END RequestId: 11111111-aaaa-bbbb-cccc-222222222222',
+       '/aws/lambda/fn-a', '2024/01/23/[$LATEST]abc123',
+       '2024/01/23/[$LATEST]abc123::/aws/lambda/fn-a:'),
+      ('754ff7161c32b21fb5021687ead7f59cf04cca2a5c0bf008642d7e713f9794f9', 0,
+       TIMESTAMP '2024-01-23 08:53:20', NULL,
+       '{"_sumo_metadata":{"category":"override/cat"},"payload":"x"}',
+       '/aws/app/service-b', 'stream-b',
+       'stream-b:override/cat:/aws/app/service-b:'),
+      ('754ff7161c32b21fb5021687ead7f59cf04cca2a5c0bf008642d7e713f9794f9', 1,
+       TIMESTAMP '2024-01-23 08:53:21', NULL,
+       'free text with trailing newline',
+       '/aws/app/service-b', 'stream-b', 'stream-b::/aws/app/service-b:'),
+      ('1499243ce0d18c8dd501df96f107e36ce136e1a602f2bd18910d50b812add180', 0,
+       TIMESTAMP '2024-01-23 08:53:20', NULL, 'app log line 0',
+       '/aws/app/service-c', 'stream-c', 'stream-c::/aws/app/service-c:'),
+      ('1499243ce0d18c8dd501df96f107e36ce136e1a602f2bd18910d50b812add180', 1,
+       TIMESTAMP '2024-01-23 08:53:21', NULL, 'app log line 1',
+       '/aws/app/service-c', 'stream-c', 'stream-c::/aws/app/service-c:'),
+      ('1499243ce0d18c8dd501df96f107e36ce136e1a602f2bd18910d50b812add180', 2,
+       TIMESTAMP '2024-01-23 08:53:22', NULL, 'app log line 2',
+       '/aws/app/service-c', 'stream-c', 'stream-c::/aws/app/service-c:'),
+      ('d86b0ffc0e29c7719ddac21be9544cb9e84dc5eac423796a062a8791636ca313', 0,
+       TIMESTAMP '2024-01-23 08:53:20', NULL, 'other line 0',
+       '/aws/app/service-d', 'other-d', 'other-d::/aws/app/service-d:'),
+      ('d86b0ffc0e29c7719ddac21be9544cb9e84dc5eac423796a062a8791636ca313', 1,
+       TIMESTAMP '2024-01-23 08:53:21', NULL, 'other line 1',
+       '/aws/app/service-d', 'other-d', 'other-d::/aws/app/service-d:')
+    )
+    SELECT * FROM expected
+    """
+
+
+@query("cwl_decode_pipeline", oracle=_CWL_GOLDEN_ORACLE)
 def cwl_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+D1/D2+P1-P7: the full CWL hot path on deterministic synthetic
-    envelopes (shapes mirror ``cwlfixtures.json``).  DuckDB cannot gunzip
-    a column, so the driver records rows-only here; exact expected values
-    are asserted in ``tests/test_cwl.py``."""
+    envelopes (shapes mirror ``cwlfixtures.json``).  The decode is fully
+    deterministic (fixed fixtures, sha256 envelope ids, epoch-ms event
+    times), so the expected 12-row output is pinned as a DuckDB ``VALUES``
+    oracle — the same golden rows ``tests/test_cwl.py`` asserts."""
     from ..testing.fixtures import synthetic_cwl_payloads
 
     payloads = synthetic_cwl_payloads()

@@ -354,6 +354,63 @@ def securityhub_group_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# securityhub-org: multi-account (AWS Organizations) findings rollup
+# ---------------------------------------------------------------------------
+
+_ORG_FINDING_ROWS = [
+    # (row_id, aws_account_id, product_arn, finding_id, severity)
+    (1, "111111111111", "arn:aws:p/guardduty", "of-1", 30),
+    (2, "111111111111", "arn:aws:p/guardduty", "of-2", 70),
+    (3, "111111111111", "arn:aws:p/inspector", "of-3", 20),
+    (4, "222222222222", "arn:aws:p/guardduty", "of-4", 90),
+    (5, "222222222222", "arn:aws:p/guardduty", "of-5", 10),
+    (6, "333333333333", "arn:aws:p/inspector", "of-6", 55),
+]
+
+_ORG_FINDING_VALUES = ",\n               ".join(
+    f"({i}, '{acct}', '{arn}', '{fid}', {sev})"
+    for i, acct, arn, fid, sev in _ORG_FINDING_ROWS
+)
+
+
+@query(
+    "securityhub_org_findings",
+    oracle=f"""
+    WITH raw(row_id, aws_account_id, product_arn, finding_id, severity) AS (
+        VALUES {_ORG_FINDING_VALUES}
+    )
+    SELECT aws_account_id,
+           product_arn,
+           CAST(count(*) AS BIGINT) AS n_findings,
+           CAST(max(severity) AS INTEGER) AS max_severity,
+           string_agg(finding_id, chr(10) || chr(10) ORDER BY finding_id)
+               AS payload
+    FROM raw GROUP BY aws_account_id, product_arn
+    """,
+)
+def securityhub_org_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """securityhub-org collector: findings fan in from every member
+    account of an AWS Organization and roll up per (account, product)
+    (``securityhub-org/sumologic-securityhub-collector-awsorg/src/
+    securityhub_collector_org.py:30-48``; account dimension from the ASFF
+    ``AwsAccountId`` field).  One hash agg on the two-column key; the
+    extra dimension raises key cardinality, so the org fan-in *reduces*
+    reducer skew versus product-only grouping."""
+    df = spark.createDataFrame(
+        _ORG_FINDING_ROWS,
+        "row_id int, aws_account_id string, product_arn string,"
+        " finding_id string, severity int",
+    )
+    return df.groupBy("aws_account_id", "product_arn").agg(
+        F.count(F.lit(1)).alias("n_findings"),
+        F.max("severity").alias("max_severity"),
+        F.concat_ws("\n\n", F.sort_array(F.collect_list("finding_id"))).alias(
+            "payload"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A4: delivery success/error accounting fold
 # ---------------------------------------------------------------------------
 

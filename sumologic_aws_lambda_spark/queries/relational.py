@@ -308,17 +308,32 @@ def count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_count_distinct_parts")  # approximate → rows-only check
+@query(
+    "approx_count_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts_exact,
+           TRUE AS sketch_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def approx_count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ count-distinct — the 100 TB answer to exact distinct.
 
-    No oracle: the HLL estimate is engine-specific by construction.  The
-    exact twin above is the correctness witness; this entry exists because
-    at scale ``approx_count_distinct`` is the operator you actually run.
+    The HLL estimate itself is engine-specific, so the oracle checks the
+    exact count (computed in the same aggregation pass) plus a boolean
+    asserting the sketch landed within 5× its configured 1% rsd — a
+    deterministic TRUE on both sides unless the sketch is actually broken.
     """
     li = table(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey", rsd=0.01)
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("n_parts_approx")
+        exact.alias("n_parts_exact"),
+        (F.abs(approx - exact)
+         <= F.greatest(F.ceil(exact * 0.05), F.lit(1))
+         ).alias("sketch_within_5pct"),
     )
 
 
@@ -393,17 +408,37 @@ def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_percentile_quantity")  # sketch-based → rows-only check
+@query(
+    "approx_percentile_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def approx_percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The at-scale sibling of ``percentile_quantity``: KLL-sketch
+    """The at-scale sibling of ``percentile_quantity``: quantile-sketch
     ``percentile_approx`` with accuracy 10000 — single-pass, bounded
     memory, mergeable across partitions (exact percentile requires a
-    full sort per group at 100 TB).  Sketch internals differ across
-    engines, so the driver records rows-only."""
+    full sort per group at 100 TB).
+
+    Sketch outputs are engine-specific, so — as with the HLL query above —
+    the emitted columns are scalars the oracle can reproduce: the group
+    count plus booleans asserting each sketch percentile lies within 5%
+    (+1 absolute slack) of the exact interpolated percentile computed in
+    the same pass.  All cells are hashable scalars (the driver cannot
+    canonicalize array columns)."""
     li = table(spark, sf_dir, "lineitem")
+
+    def ok(p: float, name: str):
+        approx = F.percentile_approx("l_quantity", p, 10000)
+        exact = F.percentile("l_quantity", F.lit(p))
+        return (F.abs(approx - exact)
+                <= exact * 0.05 + F.lit(1.0)).alias(name)
+
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", [0.5, 0.95, 0.99], 10000).alias(
-            "qty_p50_p95_p99"
-        ),
         F.count(F.lit(1)).alias("n"),
+        ok(0.5, "p50_ok"), ok(0.95, "p95_ok"), ok(0.99, "p99_ok"),
     )

@@ -108,3 +108,29 @@ def group_by_product_arn(findings: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_findings"),
         F.collect_list(F.to_json("finding")).alias("payloads"),
     )
+
+
+def group_by_account_product(findings: DataFrame) -> DataFrame:
+    """Multi-account (AWS Organizations) collector variant.
+
+    Reference: ``securityhub-org/sumologic-securityhub-collector-awsorg/
+    src/securityhub_collector_org.py:30-48`` — the org collector receives
+    findings fanned in from every member account of the organization and
+    buckets them per ProductArn before delivery (:34-40).  Each ASFF
+    finding carries its originating ``AwsAccountId``, so the org rollup
+    adds account id as a first-class grouping dimension: one delivery
+    bucket per (account, product), which keeps per-account payloads
+    separable for downstream routing and billing attribution.
+
+    Scale shape: a single hash aggregation on a two-column key — the
+    account dimension *increases* key cardinality, which reduces skew
+    versus grouping on ProductArn alone (one giant product bucket would
+    otherwise hot-spot a reducer at org scale)."""
+    return findings.groupBy(
+        F.col("finding.AwsAccountId").alias("aws_account_id"),
+        F.col("finding.ProductArn").alias("product_arn"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_findings"),
+        F.max(F.col("finding.Severity.Normalized")).alias("max_severity"),
+        F.collect_list(F.to_json("finding")).alias("payloads"),
+    )

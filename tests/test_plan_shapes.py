@@ -130,6 +130,21 @@ def test_predict_fit_broadcasts(spark, qs):
     assert "SortMergeJoin" not in plan
 
 
+def test_ivf_assignment_is_narrow(spark, qs):
+    """IVF centroid assignment must not shuffle the corpus: the only
+    hash exchanges allowed are the K-row centroid collect_list aggs and
+    the final per-query top-k window; the corpus side of the candidate
+    join must arrive un-exchanged (probe side broadcasts)."""
+    plan = _plan(qs["ivf_ann_topk"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # no corpus-wide row_number window for the argmax (VERDICT r1 #4) —
+    # exactly one Window operator: the final top-k.
+    assert plan.count("Window") - plan.count("WindowGroupLimit") <= 1
+    # hash exchanges: 2× single-partition centroid agg + 1 top-k window
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert plan.count("Exchange SinglePartition") <= 2
+
+
 def test_logreduce_prunes_and_single_agg_shuffle(spark, qs):
     """Signature clustering is scan → project → partial agg → exchange →
     final agg: exactly one shuffle, message text never read (built from

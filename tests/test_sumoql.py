@@ -215,6 +215,58 @@ def test_lookup_unknown_table_raises(kv_logs):
         compile_query(kv_logs, "* | lookup x from nope on id", SCHEMA)
 
 
+def test_dedup_after_agg_without_raw_column(kv_logs):
+    """dedup after a stage that dropped _raw/ts must not reference them
+    (regression: unconditional raw-column tiebreaker raised
+    AnalysisException on post-aggregation frames)."""
+    out = compile_query(
+        kv_logs, '* | kv "user" | count by user | dedup by user', SCHEMA
+    )
+    assert sorted((r["user"], r["_count"]) for r in out.collect()) == [
+        ("alice", 2), ("bob", 1)
+    ]
+
+
+def test_dedup_default_keys_include_raw(spark):
+    """No-'by' dedup = whole-row identity: the raw message participates,
+    so two rows with identical metadata but different messages survive."""
+    df = spark.createDataFrame(
+        [(1, "m-one", "2024-01-01 10:00:00"),
+         (2, "m-two", "2024-01-01 10:01:00"),
+         (3, "m-one", "2024-01-01 10:02:00")],
+        "id int, msg string, ts string",
+    ).selectExpr("msg", "CAST(ts AS TIMESTAMP) ts")
+    out = compile_query(df, "* | dedup", SCHEMA)
+    assert sorted(r["msg"] for r in out.collect()) == ["m-one", "m-two"]
+
+
+def test_parse_keeps_row_with_empty_first_capture(spark):
+    """Drop decides on the pattern MATCH, not on the first group's
+    post-nullif value: an empty-but-matched capture keeps the row."""
+    df = spark.createDataFrame(
+        [(1, "code= msg=hello"), (2, "code=7 msg=bye"), (3, "nothing here")],
+        "id int, msg string",
+    )
+    out = compile_query(
+        df, '* | parse regex "code=(?<code>\\d*) msg" | fields id, code',
+        SCHEMA,
+    )
+    rows = {r["id"]: r["code"] for r in out.collect()}
+    assert rows == {1: None, 2: "7"}  # row 1 kept (matched), row 3 dropped
+
+
+def test_matches_glob_with_single_quote(spark):
+    """A ' inside a matches glob must not break the generated rlike
+    literal (expression-injection guard)."""
+    df = spark.createDataFrame(
+        [(1, "it's fine"), (2, "other")], "id int, msg string"
+    )
+    out = compile_query(
+        df, '* | where msg matches "it\'s*"', SCHEMA
+    )
+    assert [r["id"] for r in out.collect()] == [1]
+
+
 def test_expression_stage(kv_logs):
     out = compile_query(kv_logs, "* | id * 10 + 1 as score", SCHEMA)
     assert [r["score"] for r in out.orderBy("id").collect()] == [11, 21, 31]

@@ -26,10 +26,21 @@ from tests.oracle_check import compare  # noqa: E402
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--vanilla", action="store_true",
+                    help="build a bare SparkSession like the external "
+                         "driver does (no session.py confs) — catches "
+                         "queries that silently depend on get_spark()")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
-    spark = get_spark("verify-driver-contract")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[8]")
+                 .appName("verify-driver-contract-vanilla")
+                 .config("spark.sql.shuffle.partitions", "8")
+                 .getOrCreate())
+    else:
+        spark = get_spark("verify-driver-contract")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
