@@ -220,6 +220,140 @@ def two_hop_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUTOENABLE_EVENTS = [
+    # (id, CloudTrail detail JSON)
+    (1, '{"eventName":"CreateBucket","awsRegion":"us-east-1",'
+        '"requestParameters":{"bucketName":"team-a-data"}}'),
+    (2, '{"eventName":"CreateBucket","awsRegion":"us-east-1",'
+        '"requestParameters":{"bucketName":"central-logs"}}'),  # self-skip
+    (3, '{"eventName":"CreateVpc","awsRegion":"eu-west-1",'
+        '"responseElements":{"vpc":{"vpcId":"vpc-0a1b2c"}}}'),
+    (4, '{"eventName":"CreateLoadBalancer","awsRegion":"us-east-1",'
+        '"responseElements":{"loadBalancers":'
+        '[{"loadBalancerArn":"arn:aws:elasticloadbalancing:lb/app/x/1"},'
+        '{"loadBalancerArn":"arn:aws:elasticloadbalancing:lb/app/y/2"}]}}'),
+    (5, '{"eventName":"CreateLoadBalancer","awsRegion":"us-east-1",'
+        '"requestParameters":{"loadBalancerName":"classic-web"}}'),
+    (6, '{"eventName":"RunInstances","awsRegion":"us-east-1",'
+        '"requestParameters":{}}'),  # not an auto-enable event
+]
+
+
+@query(
+    "auto_enable_s3_logging",
+    oracle="""
+    WITH expected(resource_type, resource_id, region, action,
+                  log_destination) AS (VALUES
+      ('s3', 'team-a-data', 'us-east-1', 'enable_s3_logs',
+       's3://central-logs/auto/'),
+      ('vpc', 'vpc-0a1b2c', 'eu-west-1', 'enable_s3_logs',
+       'arn:aws:s3:::central-logs/auto/'),
+      ('elbv2', 'arn:aws:elasticloadbalancing:lb/app/x/1', 'us-east-1',
+       'enable_s3_logs', 's3://central-logs/auto/'),
+      ('elbv2', 'arn:aws:elasticloadbalancing:lb/app/y/2', 'us-east-1',
+       'enable_s3_logs', 's3://central-logs/auto/'),
+      ('elb', 'classic-web', 'us-east-1', 'enable_s3_logs',
+       's3://central-logs/auto/')
+    )
+    SELECT * FROM expected
+    """,
+)
+def auto_enable_s3_logging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """awsautoenableS3Logging: CloudTrail create-events → logging-config
+    action rows (classify / extract ids / self-bucket skip / destination
+    computation — ``awsresource.py:387-426`` et al., see
+    ``sources/autoenable.py``).  The CreateBucket for the central bucket
+    itself and the non-participating RunInstances event must vanish; the
+    ALB event fans out to one row per load balancer."""
+    from ..sources.autoenable import DETAIL_SCHEMA, plan_s3_logging_actions
+
+    df = spark.createDataFrame(
+        _AUTOENABLE_EVENTS, "id int, detail_json string"
+    ).withColumn("detail", F.from_json("detail_json", DETAIL_SCHEMA))
+    return plan_s3_logging_actions(df, bucket="central-logs", prefix="auto/")
+
+
+_CFN_EVENTS = [
+    # (stack, logical, physical, rtype, status, reason, ts)
+    ("stk-1", "Bucket", "b-1", "AWS::S3::Bucket",
+     "CREATE_IN_PROGRESS", None, "2024-03-01 10:00:00"),
+    ("stk-1", "Bucket", "b-1", "AWS::S3::Bucket",
+     "CREATE_IN_PROGRESS", "Resource creation Initiated",
+     "2024-03-01 10:00:05"),  # duplicate status → deduped
+    ("stk-1", "Bucket", "b-1", "AWS::S3::Bucket",
+     "CREATE_COMPLETE", None, "2024-03-01 10:00:30"),
+    ("stk-1", "Func", "f-1", "AWS::Lambda::Function",
+     "CREATE_IN_PROGRESS", None, "2024-03-01 10:00:10"),
+    ("stk-1", "Primerinvoke", "p-1", "AWS::CloudFormation::CustomResource",
+     "CREATE_IN_PROGRESS", None, "2024-03-01 10:00:12"),
+    ("stk-2", "Table", "t-1", "AWS::DynamoDB::Table",
+     "CREATE_IN_PROGRESS", None, "2024-03-01 11:00:00"),
+    ("stk-2", "Table", "t-1", "AWS::DynamoDB::Table",
+     "CREATE_FAILED", "Rate exceeded", "2024-03-01 11:00:20"),
+]
+
+
+@query(
+    "cfn_stack_telemetry",
+    oracle="""
+    WITH raw(stack_id, logical_resource_id, physical_resource_id,
+             resource_type, resource_status, resource_status_reason,
+             event_ts) AS (VALUES
+      ('stk-1','Bucket','b-1','AWS::S3::Bucket','CREATE_IN_PROGRESS',
+       NULL, TIMESTAMP '2024-03-01 10:00:00'),
+      ('stk-1','Bucket','b-1','AWS::S3::Bucket','CREATE_IN_PROGRESS',
+       'Resource creation Initiated', TIMESTAMP '2024-03-01 10:00:05'),
+      ('stk-1','Bucket','b-1','AWS::S3::Bucket','CREATE_COMPLETE',
+       NULL, TIMESTAMP '2024-03-01 10:00:30'),
+      ('stk-1','Func','f-1','AWS::Lambda::Function','CREATE_IN_PROGRESS',
+       NULL, TIMESTAMP '2024-03-01 10:00:10'),
+      ('stk-1','Primerinvoke','p-1','AWS::CloudFormation::CustomResource',
+       'CREATE_IN_PROGRESS', NULL, TIMESTAMP '2024-03-01 10:00:12'),
+      ('stk-2','Table','t-1','AWS::DynamoDB::Table','CREATE_IN_PROGRESS',
+       NULL, TIMESTAMP '2024-03-01 11:00:00'),
+      ('stk-2','Table','t-1','AWS::DynamoDB::Table','CREATE_FAILED',
+       'Rate exceeded', TIMESTAMP '2024-03-01 11:00:20')
+    ), dedup AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY stack_id, physical_resource_id, resource_status
+          ORDER BY event_ts, logical_resource_id) AS rn
+      FROM raw
+    )
+    SELECT 'req-42' AS requestid,
+           strftime(event_ts, '%Y-%m-%dT%H:%M:%S.%g') AS "timestamp",
+           stack_id AS stackId,
+           resource_type AS resourceType,
+           logical_resource_id AS resourceName,
+           physical_resource_id AS resourceID,
+           resource_status AS status,
+           coalesce(resource_status_reason, '') AS details,
+           'AWSO' AS solution
+    FROM dedup WHERE rn = 1
+    """,
+)
+def cfn_stack_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cloudformation-telemetry: first occurrence of each
+    (resource, status) transition as an enriched telemetry record
+    (``cloudformation-telemetry/lambda_function.py:105-127,151-167``;
+    see ``sources/cfn_telemetry.py``).  The duplicate CREATE_IN_PROGRESS
+    for the bucket must collapse to its earliest event."""
+    from ..sources.cfn_telemetry import STACK_EVENT_SCHEMA, telemetry_records
+
+    rows = [
+        (s, l, p, t, st, r) for s, l, p, t, st, r, _ in _CFN_EVENTS
+    ]
+    ts = [ts for *_, ts in _CFN_EVENTS]
+    df = spark.createDataFrame(
+        [(r + (t,)) for r, t in zip(rows, ts)],
+        "stack_id string, logical_resource_id string,"
+        " physical_resource_id string, resource_type string,"
+        " resource_status string, resource_status_reason string,"
+        " event_ts_s string",
+    ).withColumn("event_ts", F.to_timestamp("event_ts_s")).drop("event_ts_s")
+    assert STACK_EVENT_SCHEMA  # schema contract documented in the source
+    return telemetry_records(df, "req-42", {"solution": "AWSO"})
+
+
 @query(
     "multimodal_feature_extract",
     oracle="""

@@ -1,0 +1,66 @@
+"""Scaling probes: time an operator at 1× and ~10× input and report the
+ratio.  A healthy distributed shape scales at-or-below linearly in rows;
+a superlinear ratio flags a quadratic join / skew blowup.
+
+ngram-jaccard: 1× = documents with doc_id % 10 == 0, 10× = the full
+documents table — real rows, so shingle doc-frequencies grow naturally
+and the df-cut (max_doc_freq) is exercised the way skew would exercise
+it at 100 TB.
+
+Usage: python tools/scale_probe.py [--sf /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sumologic_aws_lambda_spark.catalog import table  # noqa: E402
+from sumologic_aws_lambda_spark.operators.dedup import (  # noqa: E402
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from sumologic_aws_lambda_spark.session import get_spark  # noqa: E402
+
+
+def _time(df) -> tuple[float, int]:
+    t0 = time.time()
+    n = df.count()
+    return time.time() - t0, n
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+    spark = get_spark("scale-probe")
+
+    docs = table(spark, args.sf, "documents", parallel=True)
+    probes = {
+        "ngram_jaccard_df50": lambda d: ngram_jaccard_pairs(
+            d, threshold=0.1, max_doc_freq=50
+        ),
+        "minhash_signatures": lambda d: minhash_signatures(d, num_hashes=8),
+    }
+    for name, fn in probes.items():
+        small = docs.filter(F.col("doc_id") % 10 == 0)
+        t1, n1 = _time(fn(small))     # warm
+        t1, n1 = _time(fn(small))
+        t10, n10 = _time(fn(docs))
+        ratio = t10 / t1 if t1 else float("inf")
+        print(
+            f"{name}: 1x {t1:.2f}s ({n1} rows) -> 10x {t10:.2f}s "
+            f"({n10} rows), time ratio {ratio:.1f}x"
+        )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
