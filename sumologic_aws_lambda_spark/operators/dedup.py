@@ -138,24 +138,60 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
     )  # per-doc distinct already guaranteed by array_distinct in word_shingles
+
     if max_doc_freq is not None:
+        # Bucket-pairs shape.  Pass 1: shingle doc-frequencies — a pure
+        # count agg, so map-side partial aggregation keeps the hot keys
+        # cheap; only shingles ABOVE the cut come back (tiny by
+        # construction) and are broadcast-anti-joined away.  Pass 2: one
+        # shuffle keyed by shingle builds each surviving shingle's doc
+        # list — bounded ≤ max_doc_freq ids because hot shingles are
+        # already gone, so no collect_list buffer can blow up — and the
+        # a<b pairs are generated inside the bucket with higher-order
+        # array expressions: no self-join, fan-out ≤ max_doc_freq² per
+        # shingle regardless of corpus skew.
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_doc_freq)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-
-    a = sh.select(F.col(id_col).alias("a"), "shingle")
-    b = sh.select(F.col(id_col).alias("b"), "shingle")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter_sz"))
-    )
+        shc = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        buckets = (
+            shc.groupBy("shingle")
+            .agg(F.collect_list(id_col).alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        ids = F.array_sort("ids")
+        pairs = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, F.size(ids)),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+        inter = (
+            buckets.select(F.explode(pairs).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter_sz"))
+        )
+        # Sizes over the SURVIVING shingle space (consistent Jaccard).
+        sizes = shc.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        # Post-LSH verifier path: input is already pruned, exact
+        # semantics over every shingle — classic self-join on shingle.
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        a = sh.select(F.col(id_col).alias("a"), "shingle")
+        b = sh.select(F.col(id_col).alias("b"), "shingle")
+        inter = (
+            a.join(b, on="shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter_sz"))
+        )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("a_sz"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("b_sz"))
     out = (
