@@ -104,3 +104,86 @@ def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint over normalized text.  md5 (not
     xxhash64) so external engines can reproduce it byte-for-byte."""
     return F.md5(normalize_text(col))
+
+
+# PII patterns kept RE2-compatible (no backrefs/lookaround) so the same
+# pattern string runs identically under Java regex (Spark) and RE2-family
+# engines (DuckDB oracle, Go/Rust scrubbers).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "hex_secret": r"\b[0-9a-f]{32,}\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               patterns: dict[str, str] = PII_PATTERNS) -> DataFrame:
+    """Training-data scrub: replace each PII category with a typed
+    placeholder (``<EMAIL>`` …) and count occurrences per category.
+
+    Pure ``regexp_replace``/``regexp_count`` expressions — one narrow
+    codegen stage, no shuffle, so the scrub rides along any scan at
+    100 TB.  Counts are computed on the ORIGINAL text (replacement order
+    cannot mask a category)."""
+    t = F.col(text_col)
+    out = df
+    redacted = t
+    for name, pat in patterns.items():
+        out = out.withColumn(f"n_{name}", F.regexp_count(t, F.lit(pat)))
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return out.withColumn("redacted", redacted)
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """All word n-grams (NOT deduplicated — the dedup shingle variant is
+    ``operators.dedup.word_shingles``)."""
+    toks = F.split(normalize_text(col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1)
+                                          for j in range(n)])
+    )
+
+
+def repetition_ratio(col: Column | str, n: int = 3) -> Column:
+    """Within-document repetition: 1 − distinct/total word n-grams.
+    High values flag boilerplate/spam — a standard quality cut alongside
+    the ``quality_features`` ratios.  Narrow array math, no shuffle."""
+    grams = word_ngrams(col, n)
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 4
+    )
+
+
+def pack_sequences(df: DataFrame, budget: int = 512,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   part_col: str | None = "source") -> DataFrame:
+    """Contiguous-fill sequence packing: documents are laid end-to-end in
+    deterministic ``id_col`` order and cut into fixed ``budget``-token
+    training sequences (the GPT-style concat-then-chunk layout).  Each
+    doc row gets the pack it STARTS in and its token offset within that
+    pack; a doc may straddle into the next pack (``spills_over``).
+
+    One window shuffle keyed by ``part_col`` (e.g. ``source``) — packing
+    is embarrassingly parallel across corpus partitions, and a running
+    cumsum is all the state needed, so 100 TB packs in one pass.  A true
+    first-fit bin packer is inherently sequential; contiguous fill is
+    what large-scale training pipelines actually use."""
+    from pyspark.sql import Window
+
+    n_tok = token_count(text_col)
+    part = [part_col] if part_col else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(n_tok).over(w)
+    start = (cum - n_tok).alias("start_tok")
+    pack_id = F.floor((cum - n_tok) / budget)
+    offset = (cum - n_tok) % budget
+    out_cols = ([F.col(part_col)] if part_col else []) + [
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        pack_id.alias("pack_id"),
+        offset.alias("pack_offset"),
+        ((offset + n_tok) > budget).alias("spills_over"),
+    ]
+    return df.select(*out_cols)

@@ -242,3 +242,129 @@ def top_bigrams_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com from 10.0.' || (doc_id % 256) || '.7 token ' ||
+               md5('secret-' || doc_id) AS text
+        FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+               AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+               AS INT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '\\b[0-9a-f]{{32,}}\\b'))
+               AS INT) AS n_hex_secret,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+               '<EMAIL>', 'g'),
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+               '<IPV4>', 'g'),
+               '\\b[0-9a-f]{{32,}}\\b', '<HEX_SECRET>', 'g'))
+               AS redacted_md5
+    FROM seeded
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation scrub: emails / IPv4s / long hex secrets replaced with
+    typed placeholders, per-category counts kept (see
+    ``operators.text.redact_pii``).  Synthetic PII is seeded
+    deterministically onto real document text so both engines redact the
+    same content; the redacted text is compared via md5 to keep driver
+    payloads small.  Pure narrow expressions — the scrub adds zero
+    shuffles to whatever scan it rides."""
+    from ..operators.text import redact_pii
+
+    d = table(spark, sf_dir, "documents", parallel=True).filter(
+        F.col("doc_id") % 20 == 0
+    )
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com from 10.0."), F.col("doc_id") % 256,
+            F.lit(".7 token "), F.md5(F.concat(F.lit("secret-"), F.col("doc_id"))),
+        ).alias("text"),
+    )
+    out = redact_pii(seeded)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int"),
+        F.col("n_ipv4").cast("int"),
+        F.col("n_hex_secret").cast("int"),
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+@query(
+    "repetition_ratios",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    grams AS (
+        SELECT doc_id,
+               array_to_string(list_slice(t, i, i + 2), ' ') AS gram
+        FROM docs,
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1)))
+                      AS i) g
+    )
+    SELECT doc_id,
+           round(1.0 - count(DISTINCT gram) / count(*), 4) AS rep_ratio
+    FROM grams GROUP BY doc_id
+    """,
+)
+def repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (1 − distinct/total word trigrams) —
+    the boilerplate/spam cut that complements ``quality_scores``.
+    Narrow array math per row, no shuffle
+    (``operators.text.repetition_ratio``)."""
+    from ..operators.text import repetition_ratio
+
+    d = table(spark, sf_dir, "documents", parallel=True).filter(
+        F.col("doc_id") % 10 == 0
+    )
+    return d.select("doc_id", repetition_ratio("text").alias("rep_ratio"))
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH toks AS (
+        SELECT source, doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT source, doc_id, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+        FROM toks
+    )
+    SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_tok // 512 AS BIGINT) AS pack_id,
+           CAST(start_tok % 512 AS BIGINT) AS pack_offset,
+           (start_tok % 512) + n_tokens > 512 AS spills_over
+    FROM cum
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill sequence packing at budget 512: lay documents
+    end-to-end per source in doc_id order, cut into fixed-size training
+    sequences; each doc reports its pack, offset, and whether it
+    straddles the boundary (``operators.text.pack_sequences``).  One
+    window shuffle keyed by source — packing parallelizes across corpus
+    partitions at 100 TB."""
+    from ..operators.text import pack_sequences
+
+    d = table(spark, sf_dir, "documents", parallel=True)
+    return pack_sequences(d, budget=512, part_col="source")
