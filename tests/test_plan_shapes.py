@@ -130,6 +130,19 @@ def test_predict_fit_broadcasts(spark, qs):
     assert "SortMergeJoin" not in plan
 
 
+def test_ngram_bucket_pairs_has_no_self_join(spark, qs):
+    """The df-cut Jaccard generates pairs inside shingle buckets: no
+    join operator over the exploded shingles (the hot-shingle exclusion
+    is the lone broadcast anti-join), no sort-merge anywhere."""
+    plan = _plan(qs["ngram_jaccard_pairs"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # every join is broadcast-side (hot-shingle LeftAnti exclusion +
+    # size lookups on the small pair frame) — the shingle-keyed
+    # equi-SELF-join of the old shape must not reappear
+    assert "LeftAnti" in plan
+
+
 def test_ivf_assignment_is_narrow(spark, qs):
     """IVF centroid assignment must not shuffle the corpus: the only
     hash exchanges allowed are the K-row centroid collect_list aggs and
