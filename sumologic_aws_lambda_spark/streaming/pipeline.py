@@ -138,6 +138,29 @@ def streaming_session_counts(records: DataFrame,
     )
 
 
+def streaming_exact_dedup(records: DataFrame,
+                          key_cols: tuple[str, ...] = ("fingerprint",),
+                          ts_col: str = "ts") -> DataFrame:
+    """Streaming exact dedup: drop redeliveries of the same record key
+    within the watermark horizon.
+
+    The reference's delivery model is at-least-once (T5 — a failed batch
+    is retained in the DLQ and the whole envelope is re-sent,
+    ``DLQProcessor.js:47-66``), so the downstream must tolerate
+    duplicates; this is the engine-side twin that makes delivery
+    *effectively once*: state keyed by ``key_cols`` (use the md5 content
+    fingerprint, or the CWL event id), expired by the watermark so state
+    is bounded — the exact streaming analog of ``operators.dedup
+    .exact_dedup``.  Uses ``dropDuplicatesWithinWatermark`` so two
+    occurrences count as duplicates whenever their event times fall
+    inside the watermark delay, even across micro-batches.
+
+    The caller must have applied ``withWatermark(ts_col, …)`` upstream
+    (as ``cwl_stream`` does).
+    """
+    return records.dropDuplicatesWithinWatermark(list(key_cols))
+
+
 def streaming_sliding_counts(records: DataFrame,
                              length: str = "10 minutes",
                              slide: str = "5 minutes",

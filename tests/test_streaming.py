@@ -149,3 +149,42 @@ def test_streaming_session_and_sliding_windows(spark, tmp_path):
     slide = spark.sql("select * from slide").collect()
     # each event appears in length/slide = 2 windows
     assert sum(r["n"] for r in slide) == 2 * len(rows)
+
+
+def test_streaming_exact_dedup_drops_redeliveries(spark, tmp_path):
+    """At-least-once redelivery (T5) collapses to effectively-once via
+    dropDuplicatesWithinWatermark keyed on the content fingerprint."""
+    import json
+    from sumologic_aws_lambda_spark.streaming.pipeline import (
+        streaming_exact_dedup,
+    )
+
+    rows = [
+        ("2024-01-01 10:00:00", "evt-1", "hello"),
+        ("2024-01-01 10:00:00", "evt-1", "hello"),   # same-batch duplicate
+        ("2024-01-01 10:05:00", "evt-1", "hello"),   # redelivery, later ts
+        ("2024-01-01 10:01:00", "evt-2", "world"),
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "events.json").write_text(
+        "\n".join(json.dumps({"ts": ts, "event_id": e, "message": m})
+                  for ts, e, m in rows)
+    )
+    stream = (
+        spark.readStream.schema("ts string, event_id string, message string")
+        .json(str(src))
+        .selectExpr("CAST(ts AS TIMESTAMP) ts", "event_id", "message")
+        .withWatermark("ts", "1 hour")
+    )
+    out = streaming_exact_dedup(stream, key_cols=("event_id",))
+    q = (
+        out.writeStream.format("memory").queryName("dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["event_id"]
+                 for r in spark.sql("select * from dedup").collect())
+    assert got == ["evt-1", "evt-2"]
