@@ -132,6 +132,84 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, planes: list[list[float]],
     )
 
 
+def quantize(vec: Column, scale: int = 1_000_000) -> Column:
+    """Element-wise ``floor(x·scale)`` as BIGINT.  Integer sums are exact
+    and order-independent, which is what makes iterative centroid math
+    reproducible across engines AND across Spark's own partial-agg
+    orderings (double sums are neither)."""
+    return F.transform(
+        vec, lambda x: F.floor(x * scale).cast("bigint")
+    )
+
+
+def kmeans_lite(df: DataFrame, k: int = 8, iters: int = 2,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                scale: int = 1_000_000) -> tuple[DataFrame, list]:
+    """Lloyd's k-means, the Spark-iterative way (same driver-loop shape
+    as ``operators.dedup.connected_components``): per round, a fully
+    NARROW assignment pass (centroids ride along as literal arrays — the
+    argmin is an array_sort over k (dist², cid) structs, no join, no
+    window) followed by ONE shuffle computing per-cluster integer sums.
+    Centroids (k × dim numbers) are collected to the driver each round —
+    the standard scalable k-means shape: state is O(k·dim), data never
+    leaves executors except through the one map-side-combined agg.
+
+    Cross-engine determinism: init = first ``k`` vectors by id; new
+    centroids derive from ``floor(x·scale)`` integer sums (exact,
+    order-free), divided once at the driver; distances are left-to-right
+    folds of doubles, bit-identical to any engine that scans the array
+    sequentially.  Ties break on cid.
+
+    Returns ``(assignments, centroids)``: the final (id, cid) frame and
+    the final centroid list ``[(cid, n, [per-dim quantized sums])]``.
+    """
+    vecs = df.select(F.col(id_col), as_double(vec_col).alias("e"))
+    seed = vecs.orderBy(id_col).limit(k).collect()
+    dim = len(seed[0]["e"])
+    centroids: list[tuple[int, list[float]]] = [
+        (i, list(r["e"])) for i, r in enumerate(seed)
+    ]
+
+    def assign_expr(cents: list[tuple[int, list[float]]]) -> Column:
+        cells = []
+        for cid, ce in cents:
+            lit_c = F.array(*[F.lit(float(v)) for v in ce])
+            d2 = F.aggregate(
+                F.zip_with(F.col("e"), lit_c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            cells.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
+        return F.element_at(F.array_sort(F.array(*cells)), 1)["cid"]
+
+    assignments = None
+    stats_rows: list = []
+    for _ in range(iters):
+        assignments = vecs.select(
+            F.col(id_col), "e", assign_expr(centroids).alias("cid")
+        )
+        q = quantize(F.col("e"), scale)
+        stats = assignments.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at(q, i + 1)).alias(f"s{i}")
+              for i in range(dim)],
+        )
+        stats_rows = stats.collect()
+        by_cid = {int(r["cid"]): r for r in stats_rows}
+        centroids = [
+            (cid,
+             [by_cid[cid][f"s{i}"] / (by_cid[cid]["n"] * float(scale))
+              for i in range(dim)]
+             if cid in by_cid else old)  # empty cluster keeps its centroid
+            for cid, old in centroids
+        ]
+    final = [
+        (int(r["cid"]), int(r["n"]), [int(r[f"s{i}"]) for i in range(dim)])
+        for r in sorted(stats_rows, key=lambda r: r["cid"])
+    ]
+    return assignments.select(id_col, "cid"), final
+
+
 def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  label_col: str = "label") -> DataFrame:

@@ -561,3 +561,80 @@ def outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
         F.round("mu", 4).alias("mu"),
     )
+
+
+_KM_K = 8
+_KM_SCALE = 1_000_000
+_KM_D2 = ("list_sum(list_transform(list_zip(v.e, c.ce),"
+          " p -> (p[1] - p[2]) * (p[1] - p[2])))")
+
+
+def _km_assign(cent_cte: str, name: str) -> str:
+    return f"""
+    {name} AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {_KM_D2}, c.cid) AS rn
+            FROM vecs v CROSS JOIN {cent_cte} c
+        ) WHERE rn = 1
+    )"""
+
+
+def _km_sums(assign_cte: str, name: str) -> str:
+    return f"""
+    {name} AS (
+        SELECT a.cid, t.i,
+               sum(CAST(floor(t.x * {_KM_SCALE}) AS BIGINT)) AS s,
+               count(*) AS n
+        FROM {assign_cte} a
+        JOIN (SELECT vec_id, generate_subscripts(e, 1) AS i,
+                     unnest(e) AS x
+              FROM vecs) t USING (vec_id)
+        GROUP BY a.cid, t.i
+    )"""
+
+
+@query(
+    "kmeans_centroid_stats",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    seed AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        FROM vecs ORDER BY vec_id LIMIT {_KM_K}
+    ),
+    {_km_assign("seed", "a1").lstrip()},
+    {_km_sums("a1", "sums1").lstrip()},
+    cent2 AS (
+        SELECT cid, list(s / (n * {_KM_SCALE}.0) ORDER BY i) AS ce
+        FROM sums1 GROUP BY cid
+    ),
+    {_km_assign("cent2", "a2").lstrip()},
+    {_km_sums("a2", "sums2").lstrip()}
+    SELECT CAST(cid AS INT) AS cid,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(CASE WHEN i = 1 THEN s END) AS BIGINT) AS qsum_d1,
+           CAST(sum(s) AS BIGINT) AS qsum_total
+    FROM sums2 GROUP BY cid
+    """,
+)
+def kmeans_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained coarse centroids for IVF: two Lloyd's rounds over the
+    embedding corpus (``operators.similarity.kmeans_lite`` — narrow
+    literal-array argmin assignment + one integer-sum shuffle per round,
+    O(k·dim) driver state).  Emits per-cluster size and quantized-sum
+    checksums; the oracle re-runs both rounds in DuckDB on the exact
+    integer arithmetic, so assignment AND centroid trajectories must
+    agree bit-for-bit.  At 100 TB this is the centroid-training pass
+    whose output feeds ``ivf_ann_topk`` in place of its deterministic
+    first-K stand-ins (the provider is pluggable)."""
+    from ..operators.similarity import kmeans_lite
+
+    emb = table(spark, sf_dir, "embeddings", parallel=True)
+    _, final = kmeans_lite(emb, k=_KM_K, iters=2, scale=_KM_SCALE)
+    rows = [(cid, n, sums[0], sum(sums)) for cid, n, sums in final]
+    return spark.createDataFrame(
+        rows, "cid int, n bigint, qsum_d1 bigint, qsum_total bigint"
+    )
