@@ -157,11 +157,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("shingle")
         )
         shc = sh.join(F.broadcast(hot), "shingle", "left_anti")
-        buckets = (
-            shc.groupBy("shingle")
-            .agg(F.collect_list(id_col).alias("ids"))
-            .filter(F.size("ids") >= 2)
+        # One collect_list agg feeds BOTH the pair generation and the
+        # per-doc sizes (explode of the same bucket frame) — deriving
+        # sizes from shc directly would re-instantiate the whole
+        # hot-filter chain as a second subtree.
+        buckets_all = shc.groupBy("shingle").agg(
+            F.collect_list(id_col).alias("ids")
         )
+        sizes = (
+            buckets_all.select(F.explode("ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("sz"))
+        )
+        buckets = buckets_all.filter(F.size("ids") >= 2)
         ids = F.array_sort("ids")
         pairs = F.flatten(
             F.transform(
@@ -178,8 +186,6 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("inter_sz"))
         )
-        # Sizes over the SURVIVING shingle space (consistent Jaccard).
-        sizes = shc.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     else:
         # Post-LSH verifier path: input is already pruned, exact
         # semantics over every shingle — classic self-join on shingle.
