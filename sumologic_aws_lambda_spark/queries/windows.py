@@ -166,12 +166,26 @@ def carry_forward_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def paged_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-job result paging (SURVEY §2.7 W2, ``sumologic.py:105-113``):
-    stable offset/limit via row_number over a total order."""
+    stable OFFSET/LIMIT over a total order.
+
+    Scale shape: ``orderBy().limit(offset+page)`` lowers to
+    TakeOrderedAndProject — each partition keeps its local top-150 and
+    only those survivors reach the driver-side merge, so the full table
+    is never globally sorted.  The row_number that applies the offset
+    then runs over a ≤150-row frame, where a single-partition window is
+    the point, not a bottleneck.  (The naive form — row_number over the
+    whole table — moves 100 TB to one partition.)
+    """
     ev = table(spark, sf_dir, "events")
+    page = (
+        ev.select("event_id", "user_id", "event_type", "ts")
+        .orderBy("ts", "event_id")
+        .limit(150)
+    )
     w = Window.orderBy("ts", "event_id")
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 100) & (F.col("rn") <= 150))
+        page.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 100)
         .select("event_id", "user_id", "event_type")
     )
 

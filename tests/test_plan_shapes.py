@@ -47,6 +47,18 @@ def test_topk_lowers_to_take_ordered(spark, qs):
     assert plan.count("Sort ") <= plan.count("SortMergeJoin")
 
 
+def test_paged_results_is_take_ordered_not_global_sort(spark, qs):
+    """W2: OFFSET/LIMIT paging must bound the data via distributed top-k
+    (TakeOrderedAndProject) BEFORE the offset window — the naive
+    row_number-over-everything form funnels the whole table into one
+    partition."""
+    plan = _plan(qs["paged_results"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # the only window runs after the take-ordered bound, so no exchange
+    # ships the full table to a single partition
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_cwl_hot_path_is_narrow(spark, qs):
     """S1/§3.1: decode → explode → parse → route, zero shuffles."""
     plan = _plan(qs["cwl_decode_pipeline"](spark, SF_DIR))
