@@ -155,6 +155,62 @@ def repetition_ratio(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def benchmark_ngram_hits(corpus: DataFrame, bench: DataFrame, n: int = 4,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: per corpus document, the number of
+    distinct word ``n``-grams it shares with a held-out benchmark set.
+    Docs with any overlap are dropped (or flagged) before training so
+    eval numbers aren't inflated by memorized test items.
+
+    Scale shape: eval suites are tiny relative to a 100 TB corpus, so the
+    benchmark's distinct n-gram set is built once and **broadcast** — the
+    corpus side is a narrow explode followed by a broadcast inner join
+    that discards every non-matching gram immediately.  Only the hits
+    (rare by construction) reach the ``groupBy(doc)`` — the corpus itself
+    is never shuffled.  For suites too big to broadcast, swap the join
+    for a bloom-filter pushdown; the operator contract is unchanged.
+    """
+    grams = lambda d: d.select(  # noqa: E731
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
+    )
+    bench_grams = grams(bench).select("gram").distinct()
+    return (
+        grams(corpus)
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+
+
+def char_entropy(col: Column | str,
+                 alphabet: str = "abcdefghijklmnopqrstuvwxyz ") -> Column:
+    """Shannon entropy (nats) of the character distribution over
+    ``alphabet``, computed on normalized text.  Low entropy flags
+    degenerate documents (single-char floods, padding); pairs with
+    ``repetition_ratio`` as a quality cut.
+
+    Pure expression: one ``replace`` per alphabet char (count = length
+    delta), then a fixed-order left-associated sum of −p·ln p terms so
+    any engine that evaluates IEEE doubles in the same order reproduces
+    the value to the last ULP.  No shuffle, no UDF.
+    """
+    t = normalize_text(col)
+    counts = [
+        F.length(t) - F.length(F.replace(t, F.lit(ch), F.lit("")))
+        for ch in alphabet
+    ]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    h = F.lit(0.0)
+    for c in counts:
+        p = c / total
+        h = h + F.when(c > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+    return F.when(total > 0, F.round(h, 4)).otherwise(F.lit(0.0))
+
+
 def pack_sequences(df: DataFrame, budget: int = 512,
                    id_col: str = "doc_id", text_col: str = "text",
                    part_col: str | None = "source") -> DataFrame:

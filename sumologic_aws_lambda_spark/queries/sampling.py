@@ -125,3 +125,72 @@ def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sampled_chars"),
         )
     )
+
+
+@query(
+    "domain_mixture_sample",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tok
+        FROM documents
+    ),
+    tot AS (
+        SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tokens
+        FROM tok GROUP BY source
+    ),
+    r AS (
+        SELECT source,
+               (SELECT CAST(min(src_tokens) AS BIGINT) FROM tot)
+                   / src_tokens AS rate
+        FROM tot
+    ),
+    kept AS (
+        SELECT t.source, t.n_tok, r.rate
+        FROM tok t JOIN r USING (source)
+        WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4))::BIGINT
+              / 65536.0 < r.rate
+    )
+    SELECT source, round(min(rate), 6) AS rate,
+           count(*) AS n_kept,
+           CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+    FROM kept GROUP BY source
+    """,
+)
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: downsample every source to the token
+    budget of the smallest source (equal-token mixture, no upsampling) —
+    the "data mixing" step of a training pipeline.
+
+    Two tiny aggregations (per-source token totals, global min) come
+    back as a broadcast; membership is then a pure row property —
+    md5-fraction below the per-source rate — so the corpus pass is
+    narrow, reproducible across engines, and stable under resharding.
+    The only corpus-sized shuffle is the final per-source stats agg.
+    """
+    from ..operators.text import token_count
+
+    d = table(spark, sf_dir, "documents", parallel=True)
+    tok = token_count("text")
+    totals = d.groupBy("source").agg(F.sum(tok).alias("src_tokens"))
+    target = totals.agg(F.min("src_tokens").alias("target_tokens"))
+    rates = totals.crossJoin(F.broadcast(target)).select(
+        "source",
+        (F.col("target_tokens") / F.col("src_tokens")).alias("rate"),
+    )
+    frac = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("double")
+        / 65536.0
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(frac < F.col("rate"))
+        .groupBy("source")
+        .agg(
+            F.round(F.min("rate"), 6).alias("rate"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(tok).alias("kept_tokens"),
+        )
+    )

@@ -368,3 +368,91 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents", parallel=True)
     return pack_sequences(d, budget=512, part_col="source")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap with a held-out eval set
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ngram_decontamination",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(t, i, i + 3), ' ') AS gram
+        FROM docs,
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 3, 1)))
+                      AS i) s
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0)
+    SELECT g.doc_id, count(*) AS n_hit_grams
+    FROM g JOIN bench USING (gram)
+    WHERE g.doc_id % 17 != 0
+    GROUP BY g.doc_id
+    """,
+)
+def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word 4-gram with the
+    held-out "benchmark" slice (doc_id % 17 = 0 stands in for an eval
+    suite) are flagged with their distinct-overlap count — the standard
+    pre-training hygiene pass.  The benchmark gram set is broadcast; the
+    corpus is never shuffled (see ``operators.text.benchmark_ngram_hits``)."""
+    from ..operators.text import benchmark_ngram_hits
+
+    d = table(spark, sf_dir, "documents", parallel=True)
+    return benchmark_ngram_hits(
+        d.filter(F.col("doc_id") % 17 != 0),
+        d.filter(F.col("doc_id") % 17 == 0),
+        n=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-distribution entropy: degenerate-document quality cut
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+
+
+def _entropy_oracle() -> str:
+    """DuckDB twin of operators.text.char_entropy: same counts, same
+    left-associated summation order, so the IEEE double result matches
+    Spark's to the rounding precision."""
+    counts = ", ".join(
+        f"length(s) - length(replace(s, '{c}', '')) AS c{i}"
+        for i, c in enumerate(_ENTROPY_ALPHABET)
+    )
+    idx = range(len(_ENTROPY_ALPHABET))
+    total = " + ".join(f"c{i}" for i in idx)
+    terms = " + ".join(
+        f"CASE WHEN c{i} > 0 THEN -(c{i} / tot) * ln(c{i} / tot) "
+        "ELSE 0.0 END"
+        for i in idx
+    )
+    return f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS s FROM documents),
+    c AS (SELECT doc_id, {counts} FROM n),
+    t AS (SELECT *, {total} AS tot FROM c)
+    SELECT doc_id,
+           CASE WHEN tot > 0 THEN round(0.0 + {terms}, 4)
+                ELSE 0.0 END AS entropy_nats
+    FROM t
+    """
+
+
+@query("char_entropy_scores", oracle=_entropy_oracle())
+def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (nats) — the
+    degenerate-document cut (char floods, padding) alongside
+    ``repetition_ratios``.  Pure narrow expression; the oracle replays
+    the identical fixed-order float sum (``operators.text.char_entropy``)."""
+    from ..operators.text import char_entropy
+
+    d = table(spark, sf_dir, "documents", parallel=True)
+    return d.select(
+        "doc_id", char_entropy("text").alias("entropy_nats")
+    )
