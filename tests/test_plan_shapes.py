@@ -178,3 +178,28 @@ def test_logreduce_prunes_and_single_agg_shuffle(spark, qs):
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2
     assert "HashAggregate" in plan  # Object/Hash, never SortAggregate
     assert "SortAggregate" not in plan
+
+
+def test_decontamination_broadcasts_benchmark_no_corpus_shuffle(spark, qs):
+    """The benchmark gram set must broadcast; the corpus side may only
+    shuffle AFTER the broadcast join has pruned it to the (rare) hits —
+    so at most 2 hash exchanges (bench distinct + hits groupBy), never a
+    shuffle of the full exploded corpus."""
+    plan = _plan(qs["ngram_decontamination"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_domain_mixture_broadcasts_rates(spark, qs):
+    """Per-source rates are dimension-sized and must broadcast back onto
+    the corpus; membership is then a narrow filter."""
+    plan = _plan(qs["domain_mixture_sample"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_char_entropy_is_fully_narrow(spark, qs):
+    """Entropy is a pure per-row expression — zero exchanges."""
+    plan = _plan(qs["char_entropy_scores"](spark, SF_DIR))
+    assert "Exchange" not in plan

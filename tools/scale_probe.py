@@ -26,6 +26,10 @@ from sumologic_aws_lambda_spark.operators.dedup import (  # noqa: E402
     minhash_signatures,
     ngram_jaccard_pairs,
 )
+from sumologic_aws_lambda_spark.operators.text import (  # noqa: E402
+    benchmark_ngram_hits,
+    char_entropy,
+)
 from sumologic_aws_lambda_spark.session import get_spark  # noqa: E402
 
 
@@ -47,6 +51,14 @@ def main() -> int:
             d, threshold=0.1, max_doc_freq=50
         ),
         "minhash_signatures": lambda d: minhash_signatures(d, num_hashes=8),
+        "ngram_decontamination": lambda d: benchmark_ngram_hits(
+            d.filter(F.col("doc_id") % 17 != 0),
+            d.filter(F.col("doc_id") % 17 == 0),
+            n=4,
+        ),
+        "char_entropy": lambda d: d.select(
+            "doc_id", char_entropy("text").alias("h")
+        ),
     }
     for name, fn in probes.items():
         small = docs.filter(F.col("doc_id") % 10 == 0)
