@@ -56,6 +56,9 @@ OPTIONAL = [
     "dataset_hash_split",
     "logcompare_baseline_target",
     "top_bigrams_per_source",
+    "ngram_decontamination",
+    "domain_mixture_sample",
+    "char_entropy_scores",
 ]
 
 

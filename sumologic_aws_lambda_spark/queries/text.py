@@ -449,10 +449,9 @@ def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution Shannon entropy per document (nats) — the
     degenerate-document cut (char floods, padding) alongside
     ``repetition_ratios``.  Pure narrow expression; the oracle replays
-    the identical fixed-order float sum (``operators.text.char_entropy``)."""
-    from ..operators.text import char_entropy
+    the identical fixed-order float sum
+    (``operators.text.add_char_entropy``)."""
+    from ..operators.text import add_char_entropy
 
     d = table(spark, sf_dir, "documents", parallel=True)
-    return d.select(
-        "doc_id", char_entropy("text").alias("entropy_nats")
-    )
+    return add_char_entropy(d).select("doc_id", "entropy_nats")

@@ -27,8 +27,8 @@ from sumologic_aws_lambda_spark.operators.dedup import (  # noqa: E402
     ngram_jaccard_pairs,
 )
 from sumologic_aws_lambda_spark.operators.text import (  # noqa: E402
+    add_char_entropy,
     benchmark_ngram_hits,
-    char_entropy,
 )
 from sumologic_aws_lambda_spark.session import get_spark  # noqa: E402
 
@@ -56,8 +56,8 @@ def main() -> int:
             d.filter(F.col("doc_id") % 17 == 0),
             n=4,
         ),
-        "char_entropy": lambda d: d.select(
-            "doc_id", char_entropy("text").alias("h")
+        "char_entropy": lambda d: add_char_entropy(d).select(
+            "doc_id", "entropy_nats"
         ),
     }
     for name, fn in probes.items():
