@@ -388,3 +388,59 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1) * 65536).cast("int")
         .alias("f0_u16"),
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id, 1000 * (1 + i % 7) AS dur
+      FROM range(60) t(i) WHERE i % 3 = 2
+    )
+    SELECT media_id, CAST(j * 1000 AS BIGINT) AS frame_ms
+    FROM m, LATERAL (
+      SELECT unnest(range(greatest(dur // 1000, 1))) AS j
+    ) s
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling at 1 fps: one row per deterministic frame
+    timestamp, exploded from duration metadata — the shuffle-free
+    fan-out a (stubbed) frame decoder consumes via mapInPandas
+    (``operators/multimodal.py::sample_frames``)."""
+    from ..operators.multimodal import sample_frames, synthetic_media
+
+    media = synthetic_media(spark, 60)
+    return sample_frames(media, fps=1.0).select(
+        "media_id", F.col("frame_ms").cast("bigint").alias("frame_ms")
+    )
+
+
+@query(
+    "multimodal_resize_plan",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id,
+             ['image','audio','video'][(i % 3)+1] AS modality,
+             64 * (1 + i % 4) AS w, 48 * (1 + i % 4) AS h
+      FROM range(60) t(i)
+    )
+    SELECT media_id, modality,
+           CAST(ceil(w * least(1.0, 128.0 / greatest(w, h))) AS INT)
+               AS target_width,
+           CAST(ceil(h * least(1.0, 128.0 / greatest(w, h))) AS INT)
+               AS target_height
+    FROM m
+    """,
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning from typed metadata (no decode): fit-to-128
+    preserving aspect ratio, pure narrow column math — the real resize
+    slots into the same mapInPandas stage as feature extraction
+    (``operators/multimodal.py::resize_meta``)."""
+    from ..operators.multimodal import resize_meta, synthetic_media
+
+    media = synthetic_media(spark, 60)
+    return resize_meta(media, max_side=128).select(
+        "media_id", "modality", "target_width", "target_height"
+    )
