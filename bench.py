@@ -59,6 +59,7 @@ OPTIONAL = [
     "ngram_decontamination",
     "domain_mixture_sample",
     "char_entropy_scores",
+    "tfidf_top_terms",
 ]
 
 

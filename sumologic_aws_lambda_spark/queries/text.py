@@ -455,3 +455,85 @@ def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents", parallel=True)
     return add_char_entropy(d).select("doc_id", "entropy_nats")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: distinctive terms per document
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS dfreq
+        FROM toks GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               tf.tf * ln((SELECT n_docs FROM n) / dfreq.dfreq) AS score
+        FROM tf JOIN dfreq USING (term)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term
+        ) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tf, round(score, 6) AS tfidf,
+           CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most distinctive terms per document by tf·idf — the
+    classic signature/keyword extraction over a corpus.
+
+    Scale shape: term frequencies are the one corpus-sized shuffle
+    (map-side combined); document frequencies aggregate to a
+    vocabulary-sized frame that **broadcasts** back; the per-doc top-k
+    runs under WindowGroupLimit so only each partition's leaders reach
+    the rank shuffle.  idf = ln(N/df) with N and df exact integers, so
+    both engines divide the same longs.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.text import normalize_text
+
+    d = table(spark, sf_dir, "documents", parallel=True)
+    toks = d.select(
+        "doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("dfreq")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log(F.col("n_docs") / F.col("dfreq")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "doc_id", "term", "tf",
+            F.round("score", 6).alias("tfidf"), "rank",
+        )
+    )
