@@ -195,6 +195,8 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
         return _stage_timeslice(df, rest, schema)
     if head == "top":
         return _stage_top(df, rest)
+    if head == "transaction":
+        return _stage_transaction(df, rest, schema)
     if head == "dedup":
         return _stage_dedup(df, rest, schema)
     if head == "sort":
@@ -451,6 +453,56 @@ def _stage_csv(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
     for i, n in enumerate(names):
         out = out.withColumn(n, F.trim(F.element_at(parts, i + 1)))
     return out
+
+
+def _stage_transaction(df: DataFrame, rest: str,
+                       schema: SumoSchema) -> DataFrame:
+    """``transaction on <key> with states s1,s2,... in <field>`` — group
+    events into per-key transactions: one output row per key with a
+    count column per declared state, the transaction start
+    (``_begin_epoch``, epoch seconds) and span (``_duration_ms``).
+
+    The Sumo operator additionally supports phrase-pattern states
+    ("Starting session *" as init); those desugar to a ``parse``/``if``
+    stage before this one, so the compiler keeps transaction itself a
+    pure grouped aggregation — ONE shuffle on the transaction key,
+    map-side combined, no window.  Epochs derive from integer
+    microseconds (exact in any engine), never floating division.
+    """
+    m = re.match(
+        r"^on\s+(\w+)\s+with\s+states\s+([\w\s,]+?)\s+in\s+(\w+)$",
+        rest.strip(), re.IGNORECASE,
+    )
+    if not m:
+        raise SumoQLError(f"bad transaction args: {rest!r}")
+    key, states_raw, state_field = m.groups()
+    states = [s.strip() for s in states_raw.split(",") if s.strip()]
+    if not states:
+        raise SumoQLError("transaction needs at least one state")
+    if schema.ts_col not in df.columns:
+        raise SumoQLError(
+            f"transaction needs the bound timestamp column "
+            f"{schema.ts_col!r}"
+        )
+    ts = F.col(schema.ts_col)
+    begin_us = F.unix_micros(F.min(ts))
+    dur_us = F.unix_micros(F.max(ts)) - begin_us
+    return (
+        df.filter(F.col(state_field).isin(states))
+        .groupBy(key)
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col(state_field) == s, 1).otherwise(0)
+                ).alias(s)
+                for s in states
+            ],
+            ((begin_us - F.pmod(begin_us, 1_000_000)) / 1_000_000)
+            .cast("long").alias("_begin_epoch"),
+            ((dur_us - F.pmod(dur_us, 1_000)) / 1_000)
+            .cast("long").alias("_duration_ms"),
+        )
+    )
 
 
 def _stage_top(df: DataFrame, rest: str) -> DataFrame:

@@ -484,3 +484,34 @@ def sumoql_timeslice_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | count by _timeslice",
         EVENTS_SCHEMA,
     )
+
+
+@query(
+    "sumoql_transaction",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS view,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchase,
+           epoch_us(min(ts)) // 1000000 AS _begin_epoch,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 AS _duration_ms
+    FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+    GROUP BY user_id
+    """,
+)
+def sumoql_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transaction on user_id with states view,click,purchase in
+    event_type`` — per-user funnel transactions: state counts + span.
+    One map-side-combined shuffle on the transaction key
+    (``plans/sumoql.py::_stage_transaction``)."""
+    ev = table(spark, sf_dir, "events")
+    return compile_query(
+        ev,
+        "* | transaction on user_id with states view,click,purchase"
+        " in event_type",
+        EVENTS_SCHEMA,
+    )

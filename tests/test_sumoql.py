@@ -275,3 +275,45 @@ def test_expression_stage(kv_logs):
 def test_bad_expression_stage_raises(kv_logs):
     with pytest.raises(SumoQLError, match="bad expression|unknown stage"):
         compile_query(kv_logs, "* | nonsense( as x", SCHEMA)
+
+
+def test_transaction_states_and_span(spark):
+    rows = [
+        ("u1", "start", "2024-01-01 10:00:00.500000"),
+        ("u1", "work",  "2024-01-01 10:00:30"),
+        ("u1", "work",  "2024-01-01 10:01:00"),
+        ("u1", "done",  "2024-01-01 10:02:00.750000"),
+        ("u1", "noise", "2024-01-01 10:03:00"),   # undeclared state
+        ("u2", "start", "2024-01-01 11:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user string, state string, ts string"
+    ).selectExpr("user", "state", "CAST(ts AS TIMESTAMP) ts")
+    out = compile_query(
+        df,
+        "* | transaction on user with states start,work,done in state",
+        SumoSchema(raw_col="msg", ts_col="ts"),
+    )
+    got = {r["user"]: r.asDict() for r in out.collect()}
+    u1 = got["u1"]
+    # per-state counts; the undeclared 'noise' row is excluded entirely
+    assert (u1["start"], u1["work"], u1["done"]) == (1, 2, 1)
+    # span = 10:00:00.5 → 10:02:00.75 = 120250 ms; epoch floors to :00
+    assert u1["_duration_ms"] == 120_250
+    assert u1["_begin_epoch"] % 60 == 0
+    u2 = got["u2"]
+    assert (u2["start"], u2["work"], u2["done"]) == (1, 0, 0)
+    assert u2["_duration_ms"] == 0
+
+
+def test_transaction_requires_ts_and_states(spark):
+    df = spark.createDataFrame([("a", "x")], "user string, state string")
+    with pytest.raises(SumoQLError, match="timestamp"):
+        compile_query(
+            df, "* | transaction on user with states x in state",
+            SumoSchema(raw_col="msg", ts_col="ts"),
+        )
+    with pytest.raises(SumoQLError, match="bad transaction"):
+        compile_query(
+            df, "* | transaction user x", SumoSchema(raw_col="msg"),
+        )
