@@ -197,6 +197,8 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
         return _stage_top(df, rest)
     if head == "transaction":
         return _stage_transaction(df, rest, schema)
+    if head == "geoip":
+        return _stage_geoip(df, rest, lookups or {})
     if head == "dedup":
         return _stage_dedup(df, rest, schema)
     if head == "sort":
@@ -453,6 +455,47 @@ def _stage_csv(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
     for i, n in enumerate(names):
         out = out.withColumn(n, F.trim(F.element_at(parts, i + 1)))
     return out
+
+
+def _stage_geoip(df: DataFrame, rest: str,
+                 lookups: dict[str, DataFrame]) -> DataFrame:
+    """``geoip <ip_field>`` — enrich rows with the geo row whose
+    [ip_start, ip_end] range contains the IPv4 (Sumo's geoip lookup,
+    backed here by a registered ``geoip`` lookup table instead of the
+    bundled MaxMind database).
+
+    The geo table is dimension-sized, so the range predicate join is a
+    **broadcast** nested-loop — the stream side stays un-shuffled, same
+    shape as ``range_join_value_bands``.  Left join: rows with no
+    matching range (private space, unparseable) keep NULL geo columns.
+    """
+    from ..functions.ip import ipv4_to_number
+
+    m = re.match(r"^(\w+)$", rest.strip())
+    if not m:
+        raise SumoQLError(f"bad geoip stage: {rest!r}")
+    ip_field = m.group(1)
+    if "geoip" not in lookups:
+        raise SumoQLError(
+            "geoip needs a lookup table registered as 'geoip' with "
+            "ip_start/ip_end bigint range columns"
+        )
+    dim = lookups["geoip"]
+    payload = [c for c in dim.columns if c not in ("ip_start", "ip_end")]
+    dim = dim.select(
+        F.col("ip_start").alias("_geo_start"),
+        F.col("ip_end").alias("_geo_end"),
+        *payload,
+    )
+    ipnum = ipv4_to_number(F.col(ip_field))
+    return (
+        df.join(
+            F.broadcast(dim),
+            (ipnum >= F.col("_geo_start")) & (ipnum <= F.col("_geo_end")),
+            "left",
+        )
+        .drop("_geo_start", "_geo_end")
+    )
 
 
 def _stage_transaction(df: DataFrame, rest: str,

@@ -515,3 +515,65 @@ def sumoql_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         " in event_type",
         EVENTS_SCHEMA,
     )
+
+
+# Synthetic access-log rows + a tiny geo range table for the geoip stage.
+_GEO_LOGS: list[tuple[int, str]] = [
+    (1, "52.94.76.10"),     # us-range
+    (2, "52.94.76.200"),    # us-range
+    (3, "185.199.108.153"), # eu-range
+    (4, "10.0.0.7"),        # private -> no match
+    (5, "203.0.113.99"),    # apnic doc range
+]
+_GEO_RANGES: list[tuple[int, int, str, str]] = [
+    # (ip_start, ip_end, country, region): contiguous public test ranges
+    (52 * 16777216 + 94 * 65536 + 76 * 256,       # 52.94.76.0
+     52 * 16777216 + 94 * 65536 + 76 * 256 + 255, # 52.94.76.255
+     "US", "us-east"),
+    (185 * 16777216 + 199 * 65536 + 108 * 256,
+     185 * 16777216 + 199 * 65536 + 111 * 256 + 255,
+     "NL", "eu-west"),
+    (203 * 16777216 + 0 * 65536 + 113 * 256,
+     203 * 16777216 + 0 * 65536 + 113 * 256 + 255,
+     "AU", "ap-southeast"),
+]
+
+
+@query(
+    "sumoql_geoip_enrich",
+    oracle=f"""
+    WITH logs(row_id, client_ip) AS (
+        VALUES {", ".join(f"({i}, '{ip}')" for i, ip in _GEO_LOGS)}
+    ),
+    geo(ip_start, ip_end, country, region) AS (
+        VALUES {", ".join(f"({a}, {b}, '{c}', '{r}')"
+                          for a, b, c, r in _GEO_RANGES)}
+    ),
+    nums AS (
+        SELECT row_id, client_ip,
+               CAST(string_split(client_ip, '.')[1] AS BIGINT) * 16777216
+             + CAST(string_split(client_ip, '.')[2] AS BIGINT) * 65536
+             + CAST(string_split(client_ip, '.')[3] AS BIGINT) * 256
+             + CAST(string_split(client_ip, '.')[4] AS BIGINT) AS ipnum
+        FROM logs
+    )
+    SELECT n.row_id, n.client_ip, g.country, g.region
+    FROM nums n LEFT JOIN geo g
+      ON n.ipnum >= g.ip_start AND n.ipnum <= g.ip_end
+    """,
+)
+def sumoql_geoip_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``* | geoip client_ip`` — range-lookup enrichment against a
+    registered geo table (stand-in for the MaxMind db).  The geo dim
+    broadcasts; the log side never shuffles
+    (``plans/sumoql.py::_stage_geoip``)."""
+    logs = spark.createDataFrame(_GEO_LOGS, "row_id int, client_ip string")
+    geo = spark.createDataFrame(
+        _GEO_RANGES, "ip_start bigint, ip_end bigint,"
+        " country string, region string"
+    )
+    return compile_query(
+        logs, "* | geoip client_ip",
+        SumoSchema(raw_col="client_ip"),
+        lookups={"geoip": geo},
+    )

@@ -317,3 +317,32 @@ def test_transaction_requires_ts_and_states(spark):
         compile_query(
             df, "* | transaction user x", SumoSchema(raw_col="msg"),
         )
+
+
+def test_geoip_broadcast_range_lookup(spark):
+    logs = spark.createDataFrame(
+        [(1, "52.94.76.10"), (2, "10.0.0.7")],
+        "row_id int, client_ip string",
+    )
+    geo = spark.createDataFrame(
+        [(52 * 16777216 + 94 * 65536 + 76 * 256,
+          52 * 16777216 + 94 * 65536 + 76 * 256 + 255, "US")],
+        "ip_start bigint, ip_end bigint, country string",
+    )
+    out = compile_query(
+        logs, "* | geoip client_ip", SumoSchema(raw_col="client_ip"),
+        lookups={"geoip": geo},
+    )
+    got = {r["row_id"]: r["country"] for r in out.collect()}
+    assert got == {1: "US", 2: None}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_geoip_requires_registered_table(spark):
+    logs = spark.createDataFrame([(1, "1.2.3.4")],
+                                 "row_id int, client_ip string")
+    with pytest.raises(SumoQLError, match="geoip"):
+        compile_query(logs, "* | geoip client_ip",
+                      SumoSchema(raw_col="client_ip"), lookups={})
