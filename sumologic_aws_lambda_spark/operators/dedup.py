@@ -44,11 +44,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams as an array column — the shingle set for
-    MinHash / Jaccard.  Pure expressions: split → sequence → transform."""
+    MinHash / Jaccard.  Pure expressions: split → sequence → transform.
+    ``try_element_at``: a doc shorter than ``n`` tokens yields its whole
+    token list as one partial shingle (same as the oracle's truncating
+    ``list_slice``) instead of throwing under ANSI semantics."""
     toks = F.split(normalize_text(col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1)
+        idx, lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j + 1)
                                           for j in range(n)])
     )
     return F.array_distinct(grams)

@@ -136,11 +136,17 @@ def redact_pii(df: DataFrame, text_col: str = "text",
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """All word n-grams (NOT deduplicated — the dedup shingle variant is
-    ``operators.dedup.word_shingles``)."""
+    ``operators.dedup.word_shingles``).
+
+    Documents shorter than ``n`` tokens yield their whole token list as
+    one partial gram — ``try_element_at`` (NULL past the end, skipped by
+    ``concat_ws``) rather than ``element_at``, which *throws* under
+    ANSI semantics and would fail the whole job on the first short doc.
+    Mirrors the truncating ``list_slice`` the DuckDB oracles use."""
     toks = F.split(normalize_text(col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1)
+        idx, lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j + 1)
                                           for j in range(n)])
     )
 

@@ -453,7 +453,12 @@ def _stage_csv(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
     parts = F.split(F.col(schema.raw_col), ",")
     out = df
     for i, n in enumerate(names):
-        out = out.withColumn(n, F.trim(F.element_at(parts, i + 1)))
+        # try_element_at: a row with fewer fields than declared names
+        # null-fills the missing columns (Sumo semantics) instead of
+        # failing the job under ANSI element_at.
+        out = out.withColumn(
+            n, F.trim(F.try_element_at(parts, F.lit(i + 1)))
+        )
     return out
 
 

@@ -227,7 +227,7 @@ def top_bigrams_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            " ", F.try_element_at(toks, i + 1), F.try_element_at(toks, i + 2)
         ),
     )
     counts = (

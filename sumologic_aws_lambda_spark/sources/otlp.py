@@ -63,7 +63,9 @@ def parse_otlp_records(df: DataFrame, json_col: str = "body") -> DataFrame:
         F.col("m.unit").alias("unit"),
         F.explode("m.doubleSummary.dataPoints").alias("dp"),
     )
-    quantile = lambda q: F.element_at(  # noqa: E731
+    # try_element_at: a summary point missing a quantile key yields NULL
+    # for that column rather than an ANSI map-key error.
+    quantile = lambda q: F.try_element_at(  # noqa: E731
         F.map_from_entries(F.transform(
             "dp.quantileValues",
             lambda e: F.struct(e.quantile.alias("k"), e.value.alias("v")),

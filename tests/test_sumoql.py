@@ -346,3 +346,15 @@ def test_geoip_requires_registered_table(spark):
     with pytest.raises(SumoQLError, match="geoip"):
         compile_query(logs, "* | geoip client_ip",
                       SumoSchema(raw_col="client_ip"), lookups={})
+
+
+def test_csv_short_row_null_fills(spark):
+    df = spark.createDataFrame(
+        [(1, "a,b,c"), (2, "only-one")], "id int, msg string"
+    )
+    out = compile_query(
+        df, "* | csv f1, f2, f3", SumoSchema(raw_col="msg")
+    )
+    got = {r["id"]: (r["f1"], r["f2"], r["f3"]) for r in out.collect()}
+    assert got[1] == ("a", "b", "c")
+    assert got[2] == ("only-one", None, None)
