@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint, normalize_text
+from .text import fingerprint, normalize_text, with_word_ngrams
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -72,10 +72,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     collapses each partition to one row per (doc) before anything
     shuffles.
     """
-    shingled = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
-    )  # per-doc distinct already guaranteed by array_distinct in word_shingles
+    # Staged split (with_word_ngrams) so the tokenization is evaluated
+    # once per row, not once per element_at reference; distinct=True is
+    # the shingle-set semantics.
+    shingled = with_word_ngrams(
+        df, text_col, shingle_n, keep=(id_col,), distinct=True
+    ).select(F.col(id_col), F.explode("grams").alias("shingle"))
     aggs = [
         F.min(
             F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))
@@ -137,10 +139,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     of corpus skew.  Without it (``None``), this is the post-LSH verifier
     semantics — callers restrict the input set.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
-    )  # per-doc distinct already guaranteed by array_distinct in word_shingles
+    sh = with_word_ngrams(
+        df, text_col, shingle_n, keep=(id_col,), distinct=True
+    ).select(F.col(id_col), F.explode("grams").alias("shingle"))
 
     if max_doc_freq is not None:
         # Bucket-pairs shape.  Pass 1: shingle doc-frequencies — a pure

@@ -219,19 +219,12 @@ def top_bigrams_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tiny) distinct-bigram frame."""
     from pyspark.sql import Window
 
-    from ..operators.text import normalize_text
+    from ..operators.text import with_word_ngrams
 
     d = table(spark, sf_dir, "documents", parallel=True)
-    toks = F.split(normalize_text(F.col("text")), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.try_element_at(toks, i + 1), F.try_element_at(toks, i + 2)
-        ),
-    )
     counts = (
-        d.select("source", F.explode(grams).alias("bigram"))
+        with_word_ngrams(d, "text", 2, keep=("source",))
+        .select("source", F.explode("grams").alias("bigram"))
         .groupBy("source", "bigram")
         .agg(F.count(F.lit(1)).alias("_count"))
     )
@@ -328,12 +321,22 @@ def repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     the boilerplate/spam cut that complements ``quality_scores``.
     Narrow array math per row, no shuffle
     (``operators.text.repetition_ratio``)."""
-    from ..operators.text import repetition_ratio
+    from ..operators.text import with_word_ngrams
 
     d = table(spark, sf_dir, "documents", parallel=True).filter(
         F.col("doc_id") % 10 == 0
     )
-    return d.select("doc_id", repetition_ratio("text").alias("rep_ratio"))
+    # Staged gram array: the ratio references it twice (distinct + total),
+    # and the unstaged Column form would evaluate the whole gram transform
+    # twice per row.
+    g = with_word_ngrams(d, "text", 3, keep=("doc_id",))
+    return g.select(
+        "doc_id",
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("grams")) / F.size("grams"), 4
+        ).alias("rep_ratio"),
+    )
 
 
 @query(
