@@ -23,6 +23,8 @@ cited examples):
                | 'timeslice' Nunit                  -- 5m / 1h / 1d
                | agg (',' agg)* ['by' name (',' name)*]
                | 'top' N name                       -- most-frequent values
+               | 'count_frequent' name (',' name)*  -- Sumo count_frequent
+                                                    -- (_approxcount, cap 100)
                | 'dedup' [N] ['by' name (',' name)*]
                | 'lookup' out (',' out)* 'from' table 'on' key  -- dim join
                | 'join' '(' stages ')' 'as' name (',' ...)* 'on' eq (',' eq)*
@@ -35,7 +37,8 @@ cited examples):
                                                     -- transpose predict
                | sql-expr 'as' name                 -- eval projection
     agg       := 'count' | ('sum'|'avg'|'min'|'max'|'count_distinct'|'first'
-                 |'last') '(' name ')' | 'percentile' '(' name ',' P ')'
+                 |'last'|'stddev'|'variance'|'median') '(' name ')'
+               | 'percentile' '(' name ',' P ')'
 
 Everything compiles to built-in Column expressions (SURVEY §4: no Catalyst
 extension needed) — ``json`` → ``get_json_object``, anchor parse / ``parse
@@ -65,7 +68,8 @@ class SumoSchema:
 _UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
 
 _AGG_RE = re.compile(
-    r"^(count_distinct|count|sum|avg|min|max|first|last)"
+    r"^(count_distinct|count|sum|avg|min|max|first|last"
+    r"|stddev|variance|median)"
     r"\s*(?:\(\s*([\w.]*)\s*\))?$"
 )
 _PCTL_RE = re.compile(r"^percentile\s*\(\s*([\w.]+)\s*,\s*([\d.]+)\s*\)$")
@@ -195,6 +199,8 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
         return _stage_timeslice(df, rest, schema)
     if head == "top":
         return _stage_top(df, rest)
+    if head == "count_frequent":
+        return _stage_count_frequent(df, rest)
     if head == "transaction":
         return _stage_transaction(df, rest, schema)
     if head == "geoip":
@@ -568,6 +574,30 @@ def _stage_top(df: DataFrame, rest: str) -> DataFrame:
     )
 
 
+def _stage_count_frequent(df: DataFrame, rest: str,
+                          limit: int = 100) -> DataFrame:
+    """``count_frequent f1[, f2…]`` — Sumo's most-frequent-values operator
+    (dashboard panels; capped at 100 result rows, output field
+    ``_approxcount``).
+
+    Exact groupBy-count + TakeOrderedAndProject here: the count shuffle is
+    map-side combinable, and the top-100 never materializes a global sort.
+    Sumo's implementation is approximate (hence the field name); at 100 TB
+    a sketch (e.g. per-partition space-saving summaries merged on the
+    driver) bounds memory for ultra-high-cardinality keys, but the exact
+    form is shuffle-identical to ``top`` and correct at any scale where
+    the grouped frame fits — the cap applies to output rows, not state."""
+    cols = [c.strip() for c in rest.split(",") if c.strip()]
+    if not cols or not all(re.fullmatch(r"[\w.]+", c) for c in cols):
+        raise SumoQLError(f"bad count_frequent stage: {rest!r}")
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("_approxcount"))
+        .orderBy(F.col("_approxcount").desc(), *cols)
+        .limit(limit)
+    )
+
+
 def _stage_dedup(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
     """``dedup [N] [by f1, f2]`` — keep the N most recent rows per key
     (whole-row identity when no ``by``).  Ties on the timestamp break on
@@ -813,6 +843,12 @@ def _stage_agg(df: DataFrame, stage: str,
         elif fn == "count_distinct":
             agg_cols.append(
                 F.countDistinct(arg).alias(f"_count_distinct_{arg}")
+            )
+        elif fn == "median":
+            # Exact interpolated median (percentile 0.5) — matches Sumo's
+            # median = pct(x, 50); DuckDB's quantile_cont is the oracle.
+            agg_cols.append(
+                F.expr(f"percentile({arg}, 0.5)").alias(f"_median_{arg}")
             )
         elif fn in ("first", "last"):
             if schema.ts_col not in df.columns:

@@ -577,3 +577,60 @@ def sumoql_geoip_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         SumoSchema(raw_col="client_ip"),
         lookups={"geoip": geo},
     )
+
+@query(
+    "sumoql_stats_aggs",
+    oracle="""
+    SELECT event_type,
+           round(stddev(value), 4) AS stddev_value,
+           round(variance(value), 4) AS variance_value,
+           round(median(value), 4) AS median_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sumoql_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stddev(x), variance(x), median(x) by k`` — the dispersion aggs of
+    Sumo's search language (public operators stddev / variance / pct-50).
+    stddev/variance are sample forms on both engines; median is the exact
+    interpolated percentile-0.5.  One map-side-combinable shuffle for
+    stddev/variance; median needs the grouped values (Spark's percentile
+    buffer), fine per-group — at 100 TB swap median for approx_percentile
+    if group cardinality is adversarial."""
+    ev = table(spark, sf_dir, "events")
+    out = compile_query(
+        ev,
+        "* | stddev(value), variance(value), median(value) by event_type",
+        EVENTS_SCHEMA,
+    )
+    return out.select(
+        "event_type",
+        F.round("_stddev_value", 4).alias("stddev_value"),
+        F.round("_variance_value", 4).alias("variance_value"),
+        F.round("_median_value", 4).alias("median_value"),
+    )
+
+
+@query(
+    "sumoql_count_frequent",
+    oracle="""
+    SELECT json_extract_string(props, '$.k') AS k,
+           count(*) AS _approxcount
+    FROM events
+    WHERE event_type = 'view'
+    GROUP BY 1
+    ORDER BY _approxcount DESC, k
+    LIMIT 100
+    """,
+)
+def sumoql_count_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``count_frequent k`` — Sumo's most-frequent-values operator
+    (output field _approxcount, result cap 100).  GroupBy-count +
+    TakeOrderedAndProject: no global sort, map-side partial agg
+    (``plans/sumoql.py::_stage_count_frequent``)."""
+    ev = table(spark, sf_dir, "events")
+    return compile_query(
+        ev,
+        '_sourceCategory=view | json "k" | count_frequent k',
+        EVENTS_SCHEMA,
+    )

@@ -358,3 +358,33 @@ def test_csv_short_row_null_fills(spark):
     got = {r["id"]: (r["f1"], r["f2"], r["f3"]) for r in out.collect()}
     assert got[1] == ("a", "b", "c")
     assert got[2] == ("only-one", None, None)
+
+
+def test_stats_aggs_and_median(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 20.0)],
+        "k string, v double",
+    )
+    out = compile_query(
+        df, "* | stddev(v), variance(v), median(v) by k",
+        SumoSchema(raw_col="k"),
+    )
+    got = {r["k"]: r for r in out.collect()}
+    assert got["a"]["_stddev_v"] == pytest.approx(1.0)
+    assert got["a"]["_variance_v"] == pytest.approx(1.0)
+    assert got["a"]["_median_v"] == pytest.approx(2.0)
+    assert got["b"]["_median_v"] == pytest.approx(15.0)  # interpolated
+
+
+def test_count_frequent_caps_and_orders(spark):
+    rows = [("x",)] * 5 + [("y",)] * 3 + [("z",)] * 3
+    df = spark.createDataFrame(rows, "k string")
+    out = compile_query(df, "* | count_frequent k", SumoSchema(raw_col="k"))
+    got = [(r["k"], r["_approxcount"]) for r in out.collect()]
+    assert got == [("x", 5), ("y", 3), ("z", 3)]  # desc count, tie on key
+
+
+def test_count_frequent_rejects_bad_field(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(SumoQLError, match="count_frequent"):
+        compile_query(df, "* | count_frequent k; drop", SumoSchema(raw_col="k"))
