@@ -17,9 +17,11 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..operators.similarity import (
     brute_force_topk,
+    cosine,
     hyperplanes,
     knn_classify,
     lsh_topk,
+    quantize_int8,
 )
 from . import query
 
@@ -137,3 +139,177 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall trades against the number of planes."""
     emb = table(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 50), _PLANES, k=5)
+
+
+@query(
+    "int8_ann_rerank",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), s AS (
+        SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        FROM e
+    ), qd AS (
+        SELECT vec_id, e,
+               CASE WHEN scale = 0
+                    THEN list_transform(e, x -> 0)
+                    ELSE list_transform(e,
+                         x -> CAST(round(x / scale) AS INT))
+               END AS q
+        FROM s
+    ), qry AS (
+        SELECT vec_id AS query_id, e AS qe, q AS qq
+        FROM qd WHERE vec_id < 10
+    ), coarse AS (
+        SELECT qry.query_id, c.vec_id AS neighbor_id, qry.qe, c.e,
+               CAST(list_dot_product(qry.qq, c.q) AS BIGINT) AS iscore,
+               row_number() OVER (
+                   PARTITION BY qry.query_id
+                   ORDER BY CAST(list_dot_product(qry.qq, c.q) AS BIGINT)
+                            DESC, c.vec_id
+               ) AS crank
+        FROM qry CROSS JOIN qd c
+        WHERE c.vec_id <> qry.query_id
+    ), rerank AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qe, e) /
+                     (sqrt(list_dot_product(qe, qe)) *
+                      sqrt(list_dot_product(e, e))), 6) AS sim,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(list_dot_product(qe, e) /
+                            (sqrt(list_dot_product(qe, qe)) *
+                             sqrt(list_dot_product(e, e))), 6) DESC,
+                            neighbor_id
+               ) AS rank
+        FROM coarse WHERE crank <= 20
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM rerank WHERE rank <= 5
+    """,
+)
+def int8_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN on int8 codes: coarse top-20 by INTEGER dot product
+    over the quantized vectors (exact cross-engine — no float ordering
+    anywhere in the candidate stage), then exact-cosine rerank of the
+    20 candidates to top-5.
+
+    This is the 100 TB serving shape: the coarse pass streams 4×-smaller
+    codes with SIMD integer math and the expensive float scoring touches
+    only ``20 × n_queries`` rows.  Query codes broadcast; the corpus
+    never shuffles — the only exchange is the per-query top-k window
+    over the coarse candidate set, which AQE sizes by n_queries, not
+    corpus size."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    codes = quantize_int8(emb)
+    qset = F.broadcast(
+        codes.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("q").alias("qq"),
+        )
+    )
+    to_long = lambda c: c.cast("bigint")  # noqa: E731
+    idot = F.aggregate(
+        F.zip_with("qq", "q", lambda x, y: to_long(x * y)),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    coarse = (
+        codes.select(F.col("vec_id").alias("neighbor_id"), "e", "q")
+        .crossJoin(qset)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("iscore", idot)
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("iscore").desc(), F.col("neighbor_id")
+    )
+    cands = (
+        coarse.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= 20)
+    )
+    sim = F.round(cosine(F.col("qe"), F.col("e")), 6)
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e
+        FROM embeddings WHERE vec_id % 7 = 0
+    ), s AS (
+        SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        FROM e
+    ), qd AS (
+        SELECT vec_id, e, scale,
+               CASE WHEN scale = 0
+                    THEN list_transform(e, x -> 0)
+                    ELSE list_transform(e, x -> CAST(round(x / scale) AS INT))
+               END AS q
+        FROM s
+    ), agg AS (
+        SELECT vec_id, e, scale, q,
+               list_transform(q, v -> v * scale) AS dq,
+               CAST(list_sum(q) AS BIGINT) AS sum_q,
+               CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT)
+                   AS sum_q2
+        FROM qd
+    )
+    SELECT vec_id,
+           CAST(len(q) AS INT) AS n_dims,
+           COALESCE(sum_q, 0) AS sum_q,
+           COALESCE(sum_q2, 0) AS sum_q2,
+           md5(array_to_string(q, ',')) AS q_md5,
+           round(scale, 6) AS scale_r,
+           CASE WHEN sum_q2 = 0 THEN NULL
+                ELSE round(list_dot_product(e, dq) /
+                     (sqrt(list_dot_product(e, e)) *
+                      sqrt(list_dot_product(dq, dq))), 6)
+           END AS self_cos
+    FROM agg
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization audit: per-vector codes (hash-matched
+    byte-for-byte via md5 of the code array) plus the reconstruction
+    quality ``self_cos = cos(x, dequant(x))`` — the number you watch when
+    deciding whether the 4×-smaller codes are safe to use for ANN
+    candidate generation.  Fully narrow; the corpus never shuffles
+    (``operators.similarity.quantize_int8``)."""
+    emb = table(spark, sf_dir, "embeddings")
+    base = quantize_int8(emb.filter(F.col("vec_id") % 7 == 0))
+    to_long = lambda c: c.cast("bigint")  # noqa: E731
+    staged = base.select(
+        "vec_id", "e", "scale", "q",
+        F.transform("q", lambda v: v.cast("double") * F.col("scale"))
+        .alias("dq"),
+        F.aggregate("q", F.lit(0).cast("bigint"),
+                    lambda a, x: a + to_long(x)).alias("sum_q"),
+        F.aggregate("q", F.lit(0).cast("bigint"),
+                    lambda a, x: a + to_long(x * x)).alias("sum_q2"),
+    )
+    return staged.select(
+        "vec_id",
+        F.size("q").cast("int").alias("n_dims"),
+        "sum_q",
+        "sum_q2",
+        F.md5(F.concat_ws(",", F.col("q").cast("array<string>")))
+        .alias("q_md5"),
+        F.round("scale", 6).alias("scale_r"),
+        F.when(F.col("sum_q2") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(cosine(F.col("e"), F.col("dq")), 6)
+        ).alias("self_cos"),
+    )
