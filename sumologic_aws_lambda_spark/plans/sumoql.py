@@ -237,7 +237,7 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
 
 _SIMPLE_ARG = r"[^(),]+?"
 
-_EXPR_REWRITES: list[tuple[re.Pattern, str]] = [
+_EXPR_REWRITES: list[tuple[re.Pattern, object]] = [
     # x matches "glob*" → glob-to-regex rlike (Sumo matches uses * wildcards)
     # handled separately in _rewrite_matches (needs glob translation)
     (re.compile(rf"\bnum\(({_SIMPLE_ARG})\)", re.IGNORECASE),
@@ -271,6 +271,25 @@ _EXPR_REWRITES: list[tuple[re.Pattern, str]] = [
     (re.compile(rf"\btoDate\(({_SIMPLE_ARG})\)", re.IGNORECASE),
      r"CAST(\1 AS DATE)"),
     (re.compile(r"\bnow\(\)", re.IGNORECASE), "current_timestamp()"),
+    (re.compile(rf"\bdecToHex\(({_SIMPLE_ARG})\)", re.IGNORECASE),
+     r"conv(\1, 10, 16)"),
+    (re.compile(rf"\bhexToDec\(({_SIMPLE_ARG})\)", re.IGNORECASE),
+     r"CAST(conv(\1, 16, 10) AS BIGINT)"),
+    # isNumeric: try_cast beats a hand-rolled numeric regex — it accepts
+    # exactly what a later num()/toDouble() would, so the pair composes.
+    (re.compile(rf"\bisNumeric\(({_SIMPLE_ARG})\)", re.IGNORECASE),
+     r"(try_cast(\1 AS DOUBLE) IS NOT NULL)"),
+    # Callable replacements below: the regex bodies contain backslashes
+    # that re.sub's escape processing would mangle in a string repl.
+    (re.compile(rf"\bisValidIP\(({_SIMPLE_ARG})\)", re.IGNORECASE),
+     lambda m: "(" + m.group(1).strip()
+     + " rlike '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\\\.){3}"
+       "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')"),
+    # RFC1918 ranges: 10/8, 192.168/16, 172.16/12.
+    (re.compile(rf"\bisPrivateIP\(({_SIMPLE_ARG})\)", re.IGNORECASE),
+     lambda m: "(" + m.group(1).strip()
+     + " rlike '^(10\\\\.|192\\\\.168\\\\.|172\\\\.(1[6-9]|2[0-9]|3[01])"
+       "\\\\.)')"),
 ]
 
 _MATCHES_RE = re.compile(

@@ -388,3 +388,31 @@ def test_count_frequent_rejects_bad_field(spark):
     df = spark.createDataFrame([("a",)], "k string")
     with pytest.raises(SumoQLError, match="count_frequent"):
         compile_query(df, "* | count_frequent k; drop", SumoSchema(raw_col="k"))
+
+
+def test_scalar_rewrites_hex_numeric_ip(spark):
+    df = spark.createDataFrame(
+        [(1, 255, "ff", "abc", "10.1.2.3"),
+         (2, 10, "A0", "3.5", "300.1.2.3"),
+         (3, 16, "0", "", "172.31.0.1"),
+         (4, 7, "10", "-2e3", "8.8.8.8")],
+        "id int, dec bigint, hex string, maybe string, ip string",
+    )
+    out = compile_query(
+        df,
+        "* | decToHex(dec) as h"
+        " | hexToDec(hex) as d"
+        " | isNumeric(maybe) as isnum"
+        " | isValidIP(ip) as valid"
+        " | isPrivateIP(ip) as private",
+        SumoSchema(raw_col="ip"),
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert [rows[i]["h"] for i in (1, 2, 3, 4)] == ["FF", "A", "10", "7"]
+    assert [rows[i]["d"] for i in (1, 2, 3, 4)] == [255, 160, 0, 16]
+    assert [rows[i]["isnum"] for i in (1, 2, 3, 4)] == [
+        False, True, False, True]  # "-2e3" parses as a double
+    assert [rows[i]["valid"] for i in (1, 2, 3, 4)] == [
+        True, False, True, True]  # 300 octet out of range
+    assert [rows[i]["private"] for i in (1, 2, 3, 4)] == [
+        True, False, True, False]  # 10/8, —, 172.31/12, public
