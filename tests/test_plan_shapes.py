@@ -203,3 +203,44 @@ def test_char_entropy_is_fully_narrow(spark, qs):
     """Entropy is a pure per-row expression — zero exchanges."""
     plan = _plan(qs["char_entropy_scores"](spark, SF_DIR))
     assert "Exchange" not in plan
+
+
+def test_int8_quantize_is_fully_narrow(spark, qs):
+    """Quantization is per-row Column math — zero exchanges."""
+    plan = _plan(qs["embedding_quantize_int8"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_int8_ann_rerank_broadcasts_queries_no_corpus_shuffle(spark, qs):
+    """Coarse scoring must broadcast the query codes over the corpus
+    (never a shuffle join / cartesian), and the only hash exchanges are
+    the two per-query top-k windows over candidate rows."""
+    plan = _plan(qs["int8_ann_rerank"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_count_frequent_is_take_ordered(spark, qs):
+    """count_frequent must lower to TakeOrderedAndProject over the
+    grouped counts — no global sort."""
+    plan = _plan(qs["sumoql_count_frequent"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_top_bigrams_stages_token_split(spark, qs):
+    """The staged gram build must survive optimization as TWO projections
+    — the Project computing ``grams`` references the bound ``_toks``
+    attribute, never a re-inlined ``split``.  (CollapseProject merging
+    them would re-evaluate the split per gram reference.  The separate
+    ``size(...) > 0`` filter Catalyst infers from the explode does inline
+    the split — that's InferFiltersFromGenerate, identical in both forms
+    and not what this guards.)"""
+    df = qs["top_bigrams_per_source"](spark, SF_DIR)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    gram_lines = [ln for ln in optimized.splitlines()
+                  if "AS grams" in ln]
+    assert gram_lines, "staged grams projection disappeared"
+    assert all("split(" not in ln for ln in gram_lines)
+    assert all("_toks" in ln for ln in gram_lines)
