@@ -60,6 +60,10 @@ OPTIONAL = [
     "domain_mixture_sample",
     "char_entropy_scores",
     "tfidf_top_terms",
+    "embedding_quantize_int8",
+    "int8_ann_rerank",
+    "sumoql_stats_aggs",
+    "sumoql_count_frequent",
 ]
 
 
