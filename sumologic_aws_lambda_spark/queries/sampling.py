@@ -45,8 +45,8 @@ def _split_col():
         FROM documents
     )
     SELECT split, lang, count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
-           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
     FROM tagged
     GROUP BY 1, 2
     """,
@@ -62,8 +62,9 @@ def dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            (F.sum("n_chars").cast("double") / F.count(F.lit(1)))
-            .alias("avg_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_chars"),
         )
     )
 
