@@ -77,28 +77,43 @@ def main() -> None:
     names = HEADLINE + [n for n in OPTIONAL if n in qs]
 
     # Warmup: JVM/codegen spin-up outside the timed region.
-    qs["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        qs["pricing_summary"](spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()
+    except Exception:  # noqa: BLE001 — warmup must never kill the bench
+        pass
 
     # min of two runs per query: the second run reuses compiled codegen,
     # so this measures the plan, not JIT/compile noise (±15% otherwise).
+    # Each query is isolated — one bad plan must not zero the whole
+    # artifact (round-3 lesson: a single AnalysisException cost every
+    # recorded number).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite").save()
-            best = min(best, time.time() - t0)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite").save()
+                best = min(best, time.time() - t0)
+        except Exception as e:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            continue
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

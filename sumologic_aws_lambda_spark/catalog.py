@@ -62,6 +62,31 @@ def table(spark: SparkSession, sf_dir: str, name: str,
             df = df.withColumn(
                 "ts", F.expr("timestamp_micros(ts DIV 1000)")
             )
+    df = _normalize_ntz(df)
+    return df
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-zone TIMESTAMP (LTZ).
+
+    Fixture generations have flip-flopped between ``timestamp[ns]`` (read
+    as long under nanosAsLong) and ``timestamp[us]`` with no UTC flag, which
+    PySpark 4.x surfaces as TIMESTAMP_NTZ.  NTZ breaks epoch math —
+    ``cast(ts as bigint)`` / ``unix_micros(ts)`` are illegal on NTZ — and
+    every consumer (sessionize, sumoql transaction, timeslice) does epoch
+    math, matching the reference's epoch-seconds handling
+    (``sumologic-securityhub-connector/.../securityhub_forwarder.py:39-53``).
+    The session timezone is pinned to UTC (session.DEFAULT_CONFS), so the
+    wall-clock reinterpretation is the identity and DuckDB's ``epoch(ts)``
+    oracle agrees.  Narrow per-row cast — no shuffle, survives any scale.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
