@@ -46,6 +46,17 @@ def table(spark: SparkSession, sf_dir: str, name: str,
     # external correctness driver builds its own).  The conf is
     # runtime-settable, so set it here — idempotent and cheap.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # See session.DEFAULT_CONFS: the inferred size(generator)>0 filter gets
+    # inlined below the parallelizing exchange and re-runs the whole gram
+    # expression single-partition.  Runtime-settable, so pin it here too for
+    # caller-provided sessions (the external driver builds its own).
+    _RULE = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    current = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    if not current:
+        spark.conf.set("spark.sql.optimizer.excludedRules", _RULE)
+    elif _RULE not in current:
+        spark.conf.set("spark.sql.optimizer.excludedRules",
+                       f"{current},{_RULE}")
     df = spark.read.parquet(path)
     if parallel and _worth_splitting(path):
         target = spark.sparkContext.defaultParallelism
