@@ -79,19 +79,42 @@ class SearchJobService:
     # -- lifecycle ---------------------------------------------------------
 
     def search_job(self, query: str, from_time=None, to_time=None,
+                   time_zone: str = "UTC", by_receipt_time: bool = False,
                    sync: bool = False) -> str:
         """Submit; returns job id immediately (thread gathers results).
-        ``from_time``/``to_time`` bound the schema's ts column — the API's
-        fromTime/toTime params."""
+
+        Full parameter surface of the reference client's POST /search/jobs
+        (``sumologic-app-utils/src/sumologic.py:96-99``):
+        ``from_time``/``to_time`` bound the time column; ``time_zone``
+        interprets those wall-clock strings (the API's ``timeZone``);
+        ``by_receipt_time`` switches both the range filter and message
+        ordering from event time to ingest time (``byReceiptTime``),
+        requiring ``SumoSchema.receipt_col``.
+        """
         job = SearchJob(job_id=uuid.uuid4().hex[:16], query=query)
         self._jobs[job.job_id] = job
 
+        time_col = self._schema.ts_col
+        if by_receipt_time:
+            if not self._schema.receipt_col:
+                raise ValueError(
+                    "byReceiptTime requires SumoSchema.receipt_col")
+            time_col = self._schema.receipt_col
+
         df = self._df
-        ts = F.col(self._schema.ts_col)
+        ts = F.col(time_col)
+
+        def bound(v):
+            # Interpret the wall-clock string in time_zone, then convert
+            # to the UTC instant the data carries — string→NTZ keeps the
+            # literal zone-free, to_utc_timestamp applies the zone.
+            return F.to_utc_timestamp(
+                F.lit(v).cast("timestamp_ntz"), time_zone)
+
         if from_time is not None:
-            df = df.filter(ts >= F.lit(from_time).cast("timestamp"))
+            df = df.filter(ts >= bound(from_time))
         if to_time is not None:
-            df = df.filter(ts < F.lit(to_time).cast("timestamp"))
+            df = df.filter(ts < bound(to_time))
 
         def run() -> None:
             try:
@@ -99,6 +122,10 @@ class SearchJobService:
                                            self._lookups)
                 messages_df = compile_query(df, _pre_agg_query(query),
                                             self._schema, self._lookups)
+                if time_col in messages_df.columns:
+                    # The API returns messages newest-first on the active
+                    # time column (event vs receipt per byReceiptTime).
+                    messages_df = messages_df.orderBy(F.col(time_col).desc())
                 msgs = messages_df.limit(self._cap).collect()
                 recs = records_df.limit(self._cap).collect()
                 job._messages = msgs

@@ -61,6 +61,7 @@ class SumoSchema:
 
     raw_col: str = "_raw"                 # the message body
     ts_col: str = "_messagetime"          # event timestamp
+    receipt_col: str | None = None        # ingest timestamp (_receiptTime)
     meta_cols: dict[str, str] = field(default_factory=dict)
     # e.g. {"_sourceCategory": "source_category", "_sourceHost": "..."}
 

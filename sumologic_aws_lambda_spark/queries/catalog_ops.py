@@ -50,6 +50,45 @@ def loggroup_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "loggroup_subscription_plan",
+    oracle="""
+    WITH raw(id, log_group, tags_json) AS (
+        VALUES (1, '/aws/lambda/prod-api', '{"team":"sre","env":"prod"}'),
+               (2, '/aws/lambda/dev-api',  '{"team":"dev"}'),
+               (3, '/aws/rds/prod-db',     '{"env":"prod"}'),
+               (4, '/aws/eks/batch',       '{"team":"data"}'),
+               (5, '/AWS/Lambda/PROD-WEB', '{}')
+    )
+    SELECT log_group AS log_group_name,
+           'arn:aws:firehose:us-east-1:123:deliverystream/sumo'
+               AS destination_arn,
+           'SumoLGLBDFilter' AS filter_name,
+           '' AS filter_pattern,
+           'arn:aws:iam::123:role/cwl-to-firehose' AS role_arn
+    FROM raw
+    WHERE regexp_matches(log_group, '(?i)lambda.*prod')
+       OR json_extract_string(tags_json, '$.team') = 'data'
+    """,
+)
+def loggroup_subscription_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 + the connector's subscribe action: matched groups become
+    ``putSubscriptionFilter`` parameter rows — fixed filter name, empty
+    pattern, ``roleArn`` present because the destination is Firehose, not
+    Lambda (``loggroup-lambda-connector.js:81-98``)."""
+    from ..sources.loggroups import subscription_plan
+
+    df = spark.createDataFrame(
+        _LOGGROUPS, "id int, log_group string, tags_json string"
+    ).withColumn("tags", F.from_json("tags_json", "map<string,string>"))
+    return subscription_plan(
+        df, "lambda.*prod",
+        destination_arn="arn:aws:firehose:us-east-1:123:deliverystream/sumo",
+        role_arn="arn:aws:iam::123:role/cwl-to-firehose",
+        tags=("team=data",),
+    )
+
+
+@query(
     "metric_rule_extract",
     oracle="""
     WITH raw(id, metric, tags_json) AS (

@@ -35,3 +35,28 @@ def loggroup_matcher(pattern: str | None,
 def match_loggroups(df: DataFrame, pattern: str | None,
                     tags: tuple[str, ...] = ()) -> DataFrame:
     return df.filter(loggroup_matcher(pattern, tags))
+
+
+def subscription_plan(df: DataFrame, pattern: str | None,
+                      destination_arn: str, role_arn: str | None = None,
+                      tags: tuple[str, ...] = ()) -> DataFrame:
+    """The connector's actual job: derive the ``putSubscriptionFilter``
+    action row for every matching log group
+    (``loggroup-lambda-connector/src/loggroup-lambda-connector.js:81-98``).
+
+    Mirrors the reference parameter construction exactly: fixed filter
+    name ``SumoLGLBDFilter``, empty filter pattern, and ``roleArn`` only
+    when the destination is NOT a Lambda ARN (:82-96 — Lambda
+    destinations use resource policy, Kinesis/Firehose need the role).
+    Narrow filter + projection — at fleet scale (millions of log groups)
+    this is one pushed-down scan, no shuffle.
+    """
+    dest_is_lambda = destination_arn.startswith("arn:aws:lambda")
+    return match_loggroups(df, pattern, tags).select(
+        F.col("log_group").alias("log_group_name"),
+        F.lit(destination_arn).alias("destination_arn"),
+        F.lit("SumoLGLBDFilter").alias("filter_name"),
+        F.lit("").alias("filter_pattern"),
+        (F.lit(None).cast("string") if dest_is_lambda or role_arn is None
+         else F.lit(role_arn)).alias("role_arn"),
+    )

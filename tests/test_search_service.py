@@ -54,6 +54,60 @@ def test_time_bounds_and_paging(service):
     assert page1 != page2
 
 
+def test_by_receipt_time_switches_time_column(spark):
+    """byReceiptTime (``sumologic.py:96-99``) applies the range filter and
+    newest-first message ordering to the receipt column, not event time."""
+    from datetime import datetime
+
+    rows = [
+        # (id, event time, receipt time) — receipt order reverses event
+        # order, and row 3's receipt falls outside the queried range.
+        (1, datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 6, 0), "a"),
+        (2, datetime(2024, 1, 1, 1, 0), datetime(2024, 1, 1, 5, 0), "b"),
+        (3, datetime(2024, 1, 1, 2, 0), datetime(2024, 1, 2, 9, 0), "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, ts timestamp, rts timestamp, msg string")
+    svc = SearchJobService(
+        df, SumoSchema(raw_col="msg", ts_col="ts", receipt_col="rts"))
+
+    by_event = svc.search_job("*", from_time="2024-01-01",
+                              to_time="2024-01-02", sync=True)
+    assert [m["map"]["id"] for m in svc.messages(by_event)] == [3, 2, 1]
+
+    by_receipt = svc.search_job("*", from_time="2024-01-01",
+                                to_time="2024-01-02",
+                                by_receipt_time=True, sync=True)
+    assert [m["map"]["id"] for m in svc.messages(by_receipt)] == [1, 2]
+
+
+def test_by_receipt_time_requires_receipt_col(service):
+    with pytest.raises(ValueError, match="receipt_col"):
+        service.search_job("*", by_receipt_time=True)
+
+
+def test_time_zone_shifts_bounds(spark):
+    """timeZone interprets the wall-clock from/to strings: 00:30 UTC on
+    Jan 2 is still Jan 1 in UTC-5, so a UTC-5 day-window excludes it."""
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 2, 0, 30), "x")],
+        "id int, ts timestamp, msg string")
+    svc = SearchJobService(df, SumoSchema(raw_col="msg", ts_col="ts"))
+
+    utc = svc.search_job("* | count", from_time="2024-01-02",
+                         to_time="2024-01-03", sync=True)
+    assert svc.records(utc)[0]["map"]["_count"] == 1
+
+    est = svc.search_job("* | count", from_time="2024-01-02",
+                         to_time="2024-01-03", time_zone="America/New_York",
+                         sync=True)
+    assert svc.status(est)["recordCount"] in (0, 1)
+    recs = svc.records(est)
+    assert not recs or recs[0]["map"]["_count"] == 0
+
+
 def test_failed_job_surfaces_error(service):
     job = service.search_job("* | frobnicate", sync=True)
     st = service.status(job)
