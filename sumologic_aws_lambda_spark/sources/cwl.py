@@ -61,6 +61,28 @@ class CwlConfig:
     include_log_info: bool = False
     log_stream_prefixes: tuple[str, ...] = field(default=())
     vpc_cidr_prefixes: tuple[str, ...] = field(default=())
+    sumo_url: str = ""                  # delivery endpoint (SumoURL)
+
+    @classmethod
+    def from_env(cls, env, parameter_store=None, **overrides) -> "CwlConfig":
+        """``getConfig``'s endpoint chain (cloudwatchlogs_lambda.js:112-126):
+        env SUMO_ENDPOINT, else the SSM secure-string, else a hard error;
+        the resolved URL is https-validated either way."""
+        from ..streaming.endpoint import resolve_endpoint
+
+        return cls(
+            sumo_url=resolve_endpoint(env, parameter_store),
+            source_category_override=env.get("SOURCE_CATEGORY_OVERRIDE", ""),
+            source_host_override=env.get("SOURCE_HOST_OVERRIDE", ""),
+            source_name_override=env.get("SOURCE_NAME_OVERRIDE", ""),
+            source_fields_override=env.get("SOURCE_FIELDS_OVERRIDE", ""),
+            encoding=env.get("ENCODING", "UTF-8"),
+            log_format=env.get("LOG_FORMAT", "Others"),
+            include_log_info=env.get("INCLUDE_LOG_INFO", "") == "true",
+            log_stream_prefixes=tuple(
+                p for p in env.get("LOG_STREAM_PREFIX", "").split(",") if p),
+            **overrides,
+        )
 
 
 def decode_envelopes(df: DataFrame, payload_col: str = "payload",
