@@ -46,7 +46,7 @@ def _split_col():
     )
     SELECT split, lang, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
     FROM tagged
     GROUP BY 1, 2
     """,
@@ -62,9 +62,11 @@ def dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.round(
-                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
-            ).alias("avg_chars"),
+            # Unrounded bigint/bigint double division is IEEE-identical in
+            # Spark and DuckDB; symmetric round(_, 4) reintroduced a
+            # half-up-vs-half-even tie risk at the 5th decimal for no gain.
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1)))
+            .alias("avg_chars"),
         )
     )
 
