@@ -64,6 +64,8 @@ OPTIONAL = [
     "int8_ann_rerank",
     "sumoql_stats_aggs",
     "sumoql_count_frequent",
+    "paragraph_dedup_stats",
+    "incremental_dedup_batch",
 ]
 
 

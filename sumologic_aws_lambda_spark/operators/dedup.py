@@ -306,3 +306,73 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
             break
         prev_sum = cur_sum
     return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
+
+
+def paragraph_units(col: Column | str, tokens_per_para: int = 12) -> Column:
+    """Fixed-size token chunks standing in for paragraphs: array of
+    ``tokens_per_para``-token strings over normalized text.  Real corpora
+    split on blank lines first; the downstream dedup is unit-agnostic."""
+    toks = F.split(normalize_text(col), " ")
+    n = F.ceil(F.size(toks) / F.lit(tokens_per_para)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * tokens_per_para + 1, tokens_per_para), " "),
+    )
+
+
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    tokens_per_para: int = 12) -> DataFrame:
+    """C4-style corpus-level paragraph dedup: every repeated paragraph is
+    kept only at its FIRST occurrence (lowest ``(doc_id, position)``);
+    documents are reassembled from their surviving paragraphs.
+
+    Scale shape: posexplode (narrow) → one row_number window partitioned
+    by the paragraph's md5 — a uniform 128-bit key, so the single shuffle
+    has no skew even when a boilerplate paragraph appears millions of
+    times — → one groupBy(doc) to reassemble.  Nothing is ever joined
+    corpus×corpus and no paragraph list is collected to the driver.
+
+    Returns (id_col, n_paras, n_kept, text_kept).
+    """
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(paragraph_units(text_col, tokens_per_para))
+        .alias("pos", "para"),
+    )
+    w = Window.partitionBy(F.md5("para")).orderBy(id_col, "pos")
+    ranked = paras.withColumn("_rn", F.row_number().over(w))
+    kept = F.array_sort(
+        F.collect_list(F.when(F.col("_rn") == 1,
+                              F.struct(F.col("pos"), F.col("para"))))
+    )  # collect_list drops the NULLs (dropped paragraphs); sort by pos
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(kept, lambda s: s.getField("para")), " "
+        ).alias("text_kept"),
+    )
+
+
+def incremental_dedup(new_docs: DataFrame, seen: DataFrame,
+                      text_col: str = "text") -> DataFrame:
+    """Dedup an incoming batch against a prior corpus snapshot: drop any
+    new document whose content fingerprint already exists in ``seen``
+    (a fingerprint store with a ``fingerprint`` column).
+
+    LEFT ANTI hash join on the md5 fingerprint — at 100 TB the store is
+    far larger than any daily batch, so the batch side is the small side:
+    Spark broadcasts it or AQE picks a shuffled hash join on the uniform
+    key; either way the snapshot is scanned once, never materialized.
+    Persist the store bucketed by fingerprint and the shuffle disappears
+    entirely.
+    """
+    return new_docs.withColumn("_fp", fingerprint(text_col)).join(
+        seen.select(F.col("fingerprint").alias("_fp")),
+        "_fp", "left_anti",
+    ).drop("_fp")

@@ -229,3 +229,84 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         d.select("doc_id"), pairs, node_col="doc_id"
     ).withColumnRenamed("node", "doc_id")
+
+
+@query(
+    "paragraph_dedup_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS t
+        FROM documents WHERE doc_id % 4 = 0
+    ),
+    paras AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(t, i * 12 + 1, i * 12 + 12), ' ')
+                   AS para
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(0,
+                          CAST(ceil(len(t) / 12.0) AS INT) - 1)) AS i) g
+    ),
+    ranked AS (
+        SELECT doc_id, pos, para,
+               row_number() OVER (
+                   PARTITION BY md5(para) ORDER BY doc_id, pos
+               ) AS rn
+        FROM paras
+    )
+    SELECT doc_id, count(*) AS n_paras,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' '
+                                   ORDER BY pos), '')) AS kept_md5
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level paragraph dedup: repeated paragraphs (12-token
+    units here — synthetic docs have no newlines) survive only at their
+    first (doc_id, pos) occurrence; docs are reassembled from survivors.
+    One skew-free window shuffle on md5(para) + one groupBy(doc) —
+    nothing pairwise, nothing driver-side (see
+    ``operators/dedup.py::paragraph_dedup``)."""
+    from ..operators.dedup import paragraph_dedup
+
+    d = table(spark, sf_dir, "documents", parallel=True).filter(
+        F.col("doc_id") % 4 == 0
+    )
+    out = paragraph_dedup(d, tokens_per_para=12)
+    return out.select(
+        "doc_id", "n_paras", "n_kept",
+        F.md5("text_kept").alias("kept_md5"),
+    )
+
+
+@query(
+    "incremental_dedup_batch",
+    oracle=f"""
+    WITH seen AS (
+        SELECT DISTINCT md5({_NORM}) AS fingerprint
+        FROM documents WHERE doc_id % 7 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, source, md5({_NORM}) AS fp
+        FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT b.doc_id, b.source
+    FROM batch b LEFT JOIN seen s ON b.fp = s.fingerprint
+    WHERE s.fingerprint IS NULL
+    """,
+)
+def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: an incoming batch (doc_id % 7 = 0) is
+    anti-joined against the fingerprint store of everything already
+    ingested — the shape a daily pipeline runs so re-crawled content
+    never re-enters training data (``operators/dedup.py::
+    incremental_dedup``)."""
+    from ..operators.dedup import incremental_dedup
+    from ..operators.text import fingerprint
+
+    docs = table(spark, sf_dir, "documents", parallel=True)
+    seen = docs.filter(F.col("doc_id") % 7 != 0).select(
+        fingerprint("text").alias("fingerprint")).distinct()
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    return incremental_dedup(batch, seen).select("doc_id", "source")
