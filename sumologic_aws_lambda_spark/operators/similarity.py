@@ -132,6 +132,29 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, planes: list[list[float]],
     )
 
 
+def ann_recall(exact_topk: DataFrame, ann_topk: DataFrame, k: int,
+               query_id_col: str = "query_id") -> DataFrame:
+    """Recall@k of an ANN result against exact ground truth: per query,
+    |ann ∩ exact| / k.
+
+    The evaluation harness every ANN deployment needs before trading
+    planes/probes against recall.  Left join from the exact set (so
+    queries the ANN missed entirely still score 0), one count aggregate —
+    both inputs are already top-k-sized (k × n_queries rows), so this is
+    driver-free and broadcastable at any corpus scale.
+    """
+    hits = exact_topk.select(query_id_col, "neighbor_id").join(
+        ann_topk.select(query_id_col, "neighbor_id",
+                        F.lit(1).alias("_hit")),
+        [query_id_col, "neighbor_id"], "left",
+    )
+    n_hits = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+    return hits.groupBy(query_id_col).agg(
+        n_hits.cast("bigint").alias("hits"),
+        (n_hits.cast("double") / F.lit(float(k))).alias("recall_at_k"),
+    )
+
+
 def quantize(vec: Column, scale: int = 1_000_000) -> Column:
     """Element-wise ``floor(x·scale)`` as BIGINT.  Integer sums are exact
     and order-independent, which is what makes iterative centroid math

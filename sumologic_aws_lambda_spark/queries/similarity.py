@@ -313,3 +313,68 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("e"), F.col("dq")), 6)
         ).alias("self_cos"),
     )
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH {_planes_sql(_PLANES)},
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    bucketed AS (
+        SELECT vec_id, e,
+               string_agg(CASE WHEN list_dot_product(e, pv) >= 0
+                               THEN '1' ELSE '0' END, '' ORDER BY p)
+                   AS bucket
+        FROM c CROSS JOIN planes
+        GROUP BY vec_id, e
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM bucketed
+          WHERE vec_id < 50),
+    exact_scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, {_COS} AS sim
+        FROM q CROSS JOIN c
+        WHERE c.vec_id <> q.query_id
+    ),
+    exact_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+            ) AS rank FROM exact_scored
+        ) WHERE rank <= 5
+    ),
+    ann_scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, {_COS} AS sim
+        FROM q JOIN bucketed c ON q.bucket = c.bucket
+        WHERE c.vec_id <> q.query_id
+    ),
+    ann_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+            ) AS rank FROM ann_scored
+        ) WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 5.0 AS recall_at_k
+    FROM exact_topk e
+    LEFT JOIN ann_topk a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the 8-plane LSH index against exact cosine ground
+    truth for 50 queries — the evaluation loop run before trading
+    planes/probes against recall in production.  Ground truth and ANN
+    results are each k×n_queries rows, so the comparison join is
+    negligible at any corpus scale (``operators.similarity.ann_recall``)."""
+    from ..operators.similarity import ann_recall
+
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 50)
+    exact = brute_force_topk(emb, qs, k=5)
+    ann = lsh_topk(emb, qs, _PLANES, k=5)
+    return ann_recall(exact, ann, k=5)

@@ -25,6 +25,12 @@ from sumologic_aws_lambda_spark.catalog import table  # noqa: E402
 from sumologic_aws_lambda_spark.operators.dedup import (  # noqa: E402
     minhash_signatures,
     ngram_jaccard_pairs,
+    paragraph_dedup,
+)
+from sumologic_aws_lambda_spark.operators.similarity import (  # noqa: E402
+    brute_force_topk,
+    hyperplanes,
+    lsh_topk,
 )
 from sumologic_aws_lambda_spark.operators.text import (  # noqa: E402
     add_char_entropy,
@@ -59,12 +65,36 @@ def main() -> int:
         "char_entropy": lambda d: add_char_entropy(d).select(
             "doc_id", "entropy_nats"
         ),
+        "paragraph_dedup": lambda d: paragraph_dedup(d).select(
+            "doc_id", "n_kept"
+        ),
     }
     for name, fn in probes.items():
         small = docs.filter(F.col("doc_id") % 10 == 0)
         t1, n1 = _time(fn(small))     # warm
         t1, n1 = _time(fn(small))
         t10, n10 = _time(fn(docs))
+        ratio = t10 / t1 if t1 else float("inf")
+        print(
+            f"{name}: 1x {t1:.2f}s ({n1} rows) -> 10x {t10:.2f}s "
+            f"({n10} rows), time ratio {ratio:.1f}x"
+        )
+
+    # ANN probes scale in CORPUS size with a fixed query set: the corpus
+    # side must stay narrow (bucketing / scoring), so healthy ratios track
+    # rows, never rows².
+    emb = table(spark, args.sf, "embeddings", parallel=True)
+    queries = emb.filter(F.col("vec_id") < 20)
+    planes = hyperplanes(num_planes=8, dim=64)
+    ann_probes = {
+        "lsh_ann_topk": lambda c: lsh_topk(c, queries, planes, k=5),
+        "brute_force_topk": lambda c: brute_force_topk(c, queries, k=5),
+    }
+    for name, fn in ann_probes.items():
+        small = emb.filter(F.col("vec_id") % 10 == 0)
+        t1, n1 = _time(fn(small))     # warm
+        t1, n1 = _time(fn(small))
+        t10, n10 = _time(fn(emb))
         ratio = t10 / t1 if t1 else float("inf")
         print(
             f"{name}: 1x {t1:.2f}s ({n1} rows) -> 10x {t10:.2f}s "
