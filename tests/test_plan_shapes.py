@@ -244,3 +244,20 @@ def test_top_bigrams_stages_token_split(spark, qs):
     assert gram_lines, "staged grams projection disappeared"
     assert all("split(" not in ln for ln in gram_lines)
     assert all("_toks" in ln for ln in gram_lines)
+
+
+def test_no_inferred_generator_filter(spark, qs):
+    """InferFiltersFromGenerate must stay excluded: it infers
+    size(grams) > 0 before explode and pushdown then inlines the WHOLE
+    gram expression into a Filter below the parallelizing exchange,
+    re-running split+regexp per element on a single partition (measured
+    9x on top_bigrams_per_source).  Guard the optimized plan: no Filter
+    node may contain the gram-generating transform."""
+    opt = qs["top_bigrams_per_source"](spark, SF_DIR) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        if line.strip().startswith(("Filter", "+- Filter")) or \
+                " Filter " in f" {line.split('[')[0]} ":
+            assert "transform(" not in line, (
+                "generator expression inlined into a Filter — "
+                "InferFiltersFromGenerate is active again:\n" + line[:300])
