@@ -1,0 +1,46 @@
+"""Streaming incremental dedup: cross-batch fingerprint store semantics."""
+
+from __future__ import annotations
+
+import json
+
+from sumologic_aws_lambda_spark.streaming.dedup import run_incremental_dedup
+
+
+def _write_batch(d, name, rows):
+    (d / name).write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n")
+
+
+def _run(spark, base):
+    q, sink = run_incremental_dedup(
+        spark, str(base / "in"), str(base / "out"),
+        str(base / "store"), str(base / "ckpt"))
+    q.awaitTermination(120)
+    return sink
+
+
+def test_cross_batch_dedup(spark, tmp_path):
+    (tmp_path / "in").mkdir()
+    _write_batch(tmp_path / "in", "b1.json", [
+        {"doc_id": 1, "text": "alpha beta"},
+        {"doc_id": 2, "text": "gamma delta"},
+        {"doc_id": 3, "text": "ALPHA  beta"},   # within-batch near-identical
+    ])
+    sink = _run(spark, tmp_path)
+    assert sink.batch_stats[-1][2] == 2        # 3 in, 2 survive
+
+    # second run: one repeat (even re-cased), one new
+    _write_batch(tmp_path / "in", "b2.json", [
+        {"doc_id": 4, "text": "Alpha Beta"},
+        {"doc_id": 5, "text": "epsilon zeta"},
+    ])
+    sink = _run(spark, tmp_path)
+    # batch id resumes from the checkpoint (this is micro-batch 1)
+    assert sink.batch_stats[-1] == (1, 2, 1)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    texts = {r.text.lower().split()[0] for r in out.collect()}
+    assert texts == {"alpha", "gamma", "epsilon"}
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert store.count() == 3
