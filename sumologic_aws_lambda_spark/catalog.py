@@ -46,6 +46,11 @@ def table(spark: SparkSession, sf_dir: str, name: str,
     # external correctness driver builds its own).  The conf is
     # runtime-settable, so set it here — idempotent and cheap.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timeslice/date-format semantics (and the NTZ→LTZ normalization
+    # below) assume UTC — the engine contract session.py declares.  Pin it
+    # for caller-provided sessions too: a driver machine with a non-UTC
+    # default would silently shift every date_trunc bucket vs the oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # See session.DEFAULT_CONFS: the inferred size(generator)>0 filter gets
     # inlined below the parallelizing exchange and re-runs the whole gram
     # expression single-partition.  Runtime-settable, so pin it here too for
