@@ -280,6 +280,19 @@ _EXPR_REWRITES: list[tuple[re.Pattern, object]] = [
     # exactly what a later num()/toDouble() would, so the pair composes.
     (re.compile(rf"\bisNumeric\(({_SIMPLE_ARG})\)", re.IGNORECASE),
      r"(try_cast(\1 AS DOUBLE) IS NOT NULL)"),
+    # luhn(cc) → credit-card checksum validity (Sumo search-language
+    # `luhn`); Spark 3.5+ ships the checksum natively.
+    (re.compile(rf"\bluhn\(({_SIMPLE_ARG})\)", re.IGNORECASE),
+     r"luhn_check(\1)"),
+    # haversine(lat1, lon1, lat2, lon2) → great-circle km (Sumo returns
+    # kilometers, inputs in decimal degrees).
+    (re.compile(
+        rf"\bhaversine\(({_SIMPLE_ARG}),({_SIMPLE_ARG}),"
+        rf"({_SIMPLE_ARG}),({_SIMPLE_ARG})\)", re.IGNORECASE),
+     r"(2 * 6371.0 * asin(sqrt("
+     r"pow(sin(radians((\3 - \1) / 2)), 2) + "
+     r"cos(radians(\1)) * cos(radians(\3)) * "
+     r"pow(sin(radians((\4 - \2) / 2)), 2))))"),
     # Callable replacements below: the regex bodies contain backslashes
     # that re.sub's escape processing would mangle in a string repl.
     (re.compile(rf"\bisValidIP\(({_SIMPLE_ARG})\)", re.IGNORECASE),

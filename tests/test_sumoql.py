@@ -416,3 +416,18 @@ def test_scalar_rewrites_hex_numeric_ip(spark):
         True, False, True, True]  # 300 octet out of range
     assert [rows[i]["private"] for i in (1, 2, 3, 4)] == [
         True, False, True, False]  # 10/8, —, 172.31/12, public
+
+
+def test_scalar_rewrites_luhn_haversine(spark):
+    df = spark.createDataFrame(
+        [(1, "79927398713"), (2, "79927398710")], "id int, cc string")
+    out = compile_query(
+        df,
+        "* | luhn(cc) as valid_cc"
+        " | haversine(36.12, -86.67, 33.94, -118.40) as dist_km",
+        SumoSchema(raw_col="cc"),
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["valid_cc"] is True and rows[2]["valid_cc"] is False
+    # LAX–BNA great-circle distance ≈ 2887 km (classic haversine example)
+    assert abs(rows[1]["dist_km"] - 2887.26) < 1.0
