@@ -512,9 +512,7 @@ def transpose_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                sqrt(greatest((sq - s * s / n) / (n - 1), 0)) AS sigma
         FROM seq WHERE n >= 2
     )
-    SELECT user_id, event_id,
-           round(value, 4) AS value,
-           round(mu, 4) AS mu
+    SELECT user_id, event_id, value, mu
     FROM stats
     WHERE abs(value - mu) > 3 * sigma
     """,
@@ -554,13 +552,14 @@ def outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sigma"),
     )
+    # No round(_, 4) on the outputs: mu = s/n with exact-decimal s lands
+    # on x.xxxx5 boundaries CONSTANTLY (44.4725/2 = 22.23625), where
+    # Spark's BigDecimal HALF_UP and DuckDB's float rounding disagree.
+    # s and n are bit-identical doubles in both engines, so unrounded
+    # s/n is bit-identical too (found at sf0.1; sf0.01 never hit a tie).
     return stats.filter(
         F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma")
-    ).select(
-        "user_id", "event_id",
-        F.round("value", 4).alias("value"),
-        F.round("mu", 4).alias("mu"),
-    )
+    ).select("user_id", "event_id", "value", "mu")
 
 
 _KM_K = 8
