@@ -66,6 +66,8 @@ OPTIONAL = [
     "sumoql_count_frequent",
     "paragraph_dedup_stats",
     "incremental_dedup_batch",
+    "embedding_neardup_pairs",
+    "ann_recall_eval",
 ]
 
 

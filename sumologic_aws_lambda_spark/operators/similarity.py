@@ -43,24 +43,38 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_with_norms(a: Column, b: Column,
+                      a_norm: Column, b_norm: Column) -> Column:
+    """Cosine over PRE-COMPUTED norms.  sqrt(dot(v,v)) depends only on
+    one side, so staging it as a per-vector column before a pairwise
+    join evaluates it once per vector instead of once per pair — the
+    same doubles in the same operation order, so results are
+    bit-identical to :func:`cosine` (the oracle compare relies on that),
+    but the pair stage drops from 3 array folds to 1."""
+    return dot(a, b) / (a_norm * b_norm)
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      query_id_col: str = "query_id") -> DataFrame:
     """Exact cosine top-k: broadcast the query set, score every corpus row,
-    rank per query.  Ties break on neighbor id for determinism."""
+    rank per query.  Ties break on neighbor id for determinism.  Norms are
+    hoisted to the per-vector projections (``cosine_with_norms``)."""
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias(query_id_col),
             as_double(vec_col).alias("q_vec"),
-        )
+        ).withColumn("q_norm", l2_norm(F.col("q_vec")))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("c_vec")
-    )
+    ).withColumn("c_norm", l2_norm(F.col("c_vec")))
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col(query_id_col))
-        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn("sim", F.round(
+            cosine_with_norms(F.col("q_vec"), F.col("c_vec"),
+                              F.col("q_norm"), F.col("c_norm")), 6))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -110,17 +124,21 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, planes: list[list[float]],
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(vec_col).alias("c_vec"),
-    ).withColumn("bucket", lsh_bucket(F.col("c_vec"), planes))
+    ).withColumn("bucket", lsh_bucket(F.col("c_vec"), planes)) \
+     .withColumn("c_norm", l2_norm(F.col("c_vec")))
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias(query_id_col),
             as_double(vec_col).alias("q_vec"),
         ).withColumn("bucket", lsh_bucket(F.col("q_vec"), planes))
+        .withColumn("q_norm", l2_norm(F.col("q_vec")))
     )
     scored = (
         c.join(q, on="bucket")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
-        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn("sim", F.round(
+            cosine_with_norms(F.col("q_vec"), F.col("c_vec"),
+                              F.col("q_norm"), F.col("c_norm")), 6))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col("neighbor_id")

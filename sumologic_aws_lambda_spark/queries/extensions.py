@@ -53,14 +53,19 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a deterministic subset.  At 100 TB the pair space is pruned by the
     hyperplane-LSH buckets first (``lsh_ann_topk``); this is the exact
     verifier stage."""
-    from ..operators.similarity import as_double, cosine
+    from ..operators.similarity import as_double, cosine_with_norms, l2_norm
 
     emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
+    # Norms hoisted to the per-vector projections: evaluated n times, not
+    # n²/2 times, and bit-identical to the inline form (same op order).
     a = emb.select(F.col("vec_id").alias("a"),
-                   as_double("embedding").alias("a_vec"))
+                   as_double("embedding").alias("a_vec")) \
+           .withColumn("a_norm", l2_norm(F.col("a_vec")))
     b = emb.select(F.col("vec_id").alias("b"),
-                   as_double("embedding").alias("b_vec"))
-    sim = cosine(F.col("a_vec"), F.col("b_vec"))
+                   as_double("embedding").alias("b_vec")) \
+           .withColumn("b_norm", l2_norm(F.col("b_vec")))
+    sim = cosine_with_norms(F.col("a_vec"), F.col("b_vec"),
+                            F.col("a_norm"), F.col("b_norm"))
     return (
         a.join(b, F.col("a") < F.col("b"))
         .withColumn("raw_sim", sim)
