@@ -256,14 +256,15 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the corpus assignment is computed once and persisted,
     turning every query into a prune-then-scan of ~nprobe/K of the data.
     """
-    from ..operators.similarity import as_double, cosine
+    from ..operators.similarity import as_double, cosine, dot, l2_norm
 
     vecs = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
-    )
+    ).withColumn("en", l2_norm(F.col("e")))
     cent = F.broadcast(
         vecs.filter(F.col("vec_id") < _N_CENTROIDS).select(
-            F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+            l2_norm(F.col("e")).alias("cn"),
         )
     )
 
@@ -272,9 +273,13 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window, no shuffle.  The previous shape (crossJoin + row_number
     # window partitioned by vec_id) re-shuffled the entire corpus×K
     # candidate set just to pick a max; at 100 TB the assignment pass is
-    # the dominant cost, so it must stay narrow.
+    # the dominant cost, so it must stay narrow.  Norms ride along
+    # pre-computed (vector-side column, centroid-side struct field) so the
+    # per-(vector, centroid) work is ONE dot — bit-identical to the inline
+    # cosine (same op order), 3× less array folding.
     cent_arr = F.broadcast(
-        cent.groupBy().agg(F.collect_list(F.struct("cid", "ce")).alias("cents"))
+        cent.groupBy().agg(
+            F.collect_list(F.struct("cid", "ce", "cn")).alias("cents"))
     )
 
     def nearest(df: DataFrame, n: int, id_out: str) -> DataFrame:
@@ -284,7 +289,8 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 F.col("cents"),
                 lambda c: F.struct(
-                    (-cosine(F.col("e"), c["ce"])).alias("neg_sim"),
+                    (-(dot(F.col("e"), c["ce"])
+                       / (F.col("en") * c["cn"]))).alias("neg_sim"),
                     c["cid"].alias("cid"),
                 ),
             )
