@@ -667,8 +667,16 @@ def _stage_dedup(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
 
 
 def _stage_json(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
-    """``json "a.b", "c" as x, y`` → get_json_object projections
-    (FER example ``sumoresource.py:1147-1158``)."""
+    """``json [field=<col>] "a.b", "c[0].d" as x, y`` → get_json_object
+    projections (FER example ``sumoresource.py:1147-1158``).  Paths pass
+    through as JSONPath, so array indices (``phones[0]``) work; an
+    optional ``field=`` reads from a column other than the raw message,
+    same as the parse stage."""
+    fm = re.match(r"^field\s*=\s*(\w+)\s+(.*)$", rest,
+                  re.IGNORECASE | re.DOTALL)
+    src = F.col(fm.group(1)) if fm else F.col(schema.raw_col)
+    if fm:
+        rest = fm.group(2)
     if " as " in rest:
         paths_part, names_part = rest.rsplit(" as ", 1)
         names = [n.strip() for n in names_part.split(",")]
@@ -678,14 +686,13 @@ def _stage_json(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
     if not paths:
         raise SumoQLError(f"json stage needs quoted paths: {rest!r}")
     if not names:
-        names = [p.split(".")[-1] for p in paths]
+        # default alias: last path segment, array index stripped
+        names = [p.split(".")[-1].split("[")[0] for p in paths]
     if len(names) != len(paths):
         raise SumoQLError("json stage: paths/aliases arity mismatch")
     out = df
     for p, n in zip(paths, names):
-        out = out.withColumn(
-            n, F.get_json_object(F.col(schema.raw_col), f"$.{p}")
-        )
+        out = out.withColumn(n, F.get_json_object(src, f"$.{p}"))
     return out
 
 

@@ -431,3 +431,24 @@ def test_scalar_rewrites_luhn_haversine(spark):
     assert rows[1]["valid_cc"] is True and rows[2]["valid_cc"] is False
     # LAX–BNA great-circle distance ≈ 2887 km (classic haversine example)
     assert abs(rows[1]["dist_km"] - 2887.26) < 1.0
+
+
+def test_json_stage_field_and_array_path(spark):
+    df = spark.createDataFrame(
+        [(1, "x", '{"user":{"name":"ann"},"phones":["p1","p2"]}')],
+        "id int, msg string, payload string",
+    )
+    out = compile_query(
+        df,
+        '* | json field=payload "user.name", "phones[1]" as uname, phone2',
+        SumoSchema(raw_col="msg"),
+    )
+    row = out.collect()[0]
+    assert row["uname"] == "ann" and row["phone2"] == "p2"
+
+
+def test_json_stage_default_alias_strips_index(spark):
+    df = spark.createDataFrame(
+        [(1, '{"a":{"b":[10,20]}}')], "id int, raw string")
+    out = compile_query(df, '* | json "a.b[0]"', SumoSchema(raw_col="raw"))
+    assert out.collect()[0]["b"] == "10"
