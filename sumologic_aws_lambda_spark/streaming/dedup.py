@@ -65,6 +65,66 @@ class IncrementalDedupSink:
         self.batch_stats.append((batch_id, n_in, n_kept))
 
 
+class ParagraphDedupSink:
+    """foreachBatch paragraph-level dedup (the streaming twin of
+    ``operators.dedup.paragraph_dedup``): a paragraph survives only at
+    its first occurrence across ALL batches seen so far.
+
+    Per micro-batch: the batch operator resolves within-batch first
+    occurrences (one skew-free window on md5(para)); survivors are then
+    re-split and anti-joined against the persistent paragraph-hash store
+    so anything seen in an earlier batch is dropped too, documents are
+    reassembled, and the new paragraph hashes append to the store.  Store
+    rows are md5 hex only — 32 bytes per distinct paragraph, never the
+    text itself.
+    """
+
+    def __init__(self, spark: SparkSession, store_dir: str, out_dir: str,
+                 text_col: str = "text", tokens_per_para: int = 12):
+        self._spark = spark
+        self._store = store_dir
+        self._out = out_dir
+        self._text = text_col
+        self._k = tokens_per_para
+        self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, kept)
+
+    def _seen(self) -> DataFrame:
+        if os.path.isdir(self._store) and any(
+                f.endswith(".parquet") for f in os.listdir(self._store)):
+            return self._spark.read.parquet(self._store)
+        return self._spark.createDataFrame([], "para_md5 string")
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from ..operators.dedup import paragraph_dedup, paragraph_units
+
+        within = paragraph_dedup(batch_df, self._text,
+                                 tokens_per_para=self._k)
+        paras = within.select(
+            "doc_id",
+            F.posexplode(paragraph_units("text_kept", self._k))
+            .alias("pos", "para"),
+        ).filter(F.col("para") != "")
+        kept = paras.withColumn("para_md5", F.md5("para")).join(
+            self._seen(), "para_md5", "left_anti").localCheckpoint()
+        docs = (
+            kept.groupBy("doc_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s.getField("para")),
+                " ").alias("text_kept"))
+        )
+        n_in = batch_df.count()
+        n_kept = docs.count()
+        if n_kept:
+            docs.write.mode("append").parquet(self._out)
+            kept.select("para_md5").distinct().write.mode("append") \
+                .parquet(self._store)
+        self.batch_stats.append((batch_id, n_in, n_kept))
+
+
 def run_incremental_dedup(spark: SparkSession, in_path: str, out_dir: str,
                           store_dir: str, checkpoint_dir: str,
                           available_now: bool = True):
@@ -76,6 +136,29 @@ def run_incremental_dedup(spark: SparkSession, in_path: str, out_dir: str,
         .load(in_path)
     )
     sink = IncrementalDedupSink(spark, store_dir, out_dir)
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink
+
+
+def run_paragraph_dedup(spark: SparkSession, in_path: str, out_dir: str,
+                        store_dir: str, checkpoint_dir: str,
+                        tokens_per_para: int = 12,
+                        available_now: bool = True):
+    """Wire a json-lines document stream through the paragraph-dedup
+    sink.  Returns (StreamingQuery, sink)."""
+    stream = (
+        spark.readStream.format("json")
+        .schema("doc_id long, text string")
+        .load(in_path)
+    )
+    sink = ParagraphDedupSink(spark, store_dir, out_dir,
+                              tokens_per_para=tokens_per_para)
     writer = (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)

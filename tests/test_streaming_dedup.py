@@ -44,3 +44,41 @@ def test_cross_batch_dedup(spark, tmp_path):
     assert texts == {"alpha", "gamma", "epsilon"}
     store = spark.read.parquet(str(tmp_path / "store"))
     assert store.count() == 3
+
+
+def test_cross_batch_paragraph_dedup(spark, tmp_path):
+    from sumologic_aws_lambda_spark.streaming.dedup import (
+        run_paragraph_dedup,
+    )
+
+    (tmp_path / "in").mkdir()
+    P1, P2, P3 = "a b c d", "e f g h", "i j k l"
+
+    def run():
+        q, sink = run_paragraph_dedup(
+            spark, str(tmp_path / "in"), str(tmp_path / "out"),
+            str(tmp_path / "store"), str(tmp_path / "ckpt"),
+            tokens_per_para=4)
+        q.awaitTermination(120)
+        return sink
+
+    _write_batch(tmp_path / "in", "b1.json", [
+        {"doc_id": 1, "text": f"{P1} {P2}"},
+        {"doc_id": 2, "text": f"{P1} {P3}"},   # P1 repeat within batch
+    ])
+    sink = run()
+    assert sink.batch_stats[-1][2] == 2
+
+    _write_batch(tmp_path / "in", "b2.json", [
+        {"doc_id": 3, "text": f"{P2} {P3}"},   # all seen in batch 1
+        {"doc_id": 4, "text": f"{P2} m n o p"},
+    ])
+    sink = run()
+    assert sink.batch_stats[-1][2] == 1        # only doc 4 survives
+
+    out = {r.doc_id: r.text_kept
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert out[1] == f"{P1} {P2}" and out[2] == P3
+    assert 3 not in out and out[4] == "m n o p"
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert store.count() == 4                  # P1 P2 P3 + "m n o p"
