@@ -28,17 +28,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative of every exact-duplicate group.
 
-    One shuffle keyed by the md5 fingerprint (uniform 128-bit → no skew)
-    + per-partition sort; the groupBy-then-semi-join formulation would
-    shuffle twice.
+    Skew-safe shape: a ``row_number`` window partitioned by the content
+    hash looks tempting ("uniform 128-bit key") but is wrong for THIS
+    workload — every *copy* of a duplicated document shares one hash
+    value, so a boilerplate doc repeated 10 M times serializes into a
+    single window partition.  Instead the winner per fingerprint comes
+    from a partial-aggregatable ``min`` groupBy (map-side combine absorbs
+    the hot key before anything shuffles), and keepers are selected with
+    a LEFT SEMI join on the composite ``(fingerprint, id)`` — unique per
+    row on the probe side, so the join key distributes every copy of a
+    hot document across partitions instead of concentrating them.
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(fingerprint(text_col)).orderBy(id_col)
+    with_fp = df.withColumn("_fp", fingerprint(text_col))
+    winners = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        with_fp.join(winners, on=["_fp", id_col], how="left_semi")
+        .drop("_fp")
     )
 
 
@@ -328,30 +333,47 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     kept only at its FIRST occurrence (lowest ``(doc_id, position)``);
     documents are reassembled from their surviving paragraphs.
 
-    Scale shape: posexplode (narrow) → one row_number window partitioned
-    by the paragraph's md5 — a uniform 128-bit key, so the single shuffle
-    has no skew even when a boilerplate paragraph appears millions of
-    times — → one groupBy(doc) to reassemble.  Nothing is ever joined
-    corpus×corpus and no paragraph list is collected to the driver.
+    Scale shape: posexplode (narrow) → winner per paragraph-hash via a
+    partial-aggregatable ``min(struct(id, pos))`` groupBy → keeper flag
+    via a join on the COMPOSITE ``(hash, id, pos)`` key → one
+    groupBy(doc) to reassemble.  A ``row_number`` window partitioned by
+    the paragraph hash would serialize every copy of a hot boilerplate
+    paragraph (the C4 motivation case — one paragraph repeated 10 M
+    times) into a single window partition; the groupBy's map-side
+    combine absorbs the hot key before the shuffle, and the flag join's
+    composite key is unique per paragraph instance, so copies of the hot
+    paragraph hash-distribute across partitions instead of landing on
+    one task.  Nothing is ever joined corpus×corpus and no paragraph
+    list is collected to the driver.
 
     Returns (id_col, n_paras, n_kept, text_kept).
     """
-    from pyspark.sql import Window
-
     paras = df.select(
         F.col(id_col),
         F.posexplode(paragraph_units(text_col, tokens_per_para))
         .alias("pos", "para"),
+    ).withColumn("_ph", F.md5("para"))
+    winners = paras.groupBy("_ph").agg(
+        F.min(F.struct(F.col(id_col).alias("id"),
+                       F.col("pos").alias("pos"))).alias("w")
     )
-    w = Window.partitionBy(F.md5("para")).orderBy(id_col, "pos")
-    ranked = paras.withColumn("_rn", F.row_number().over(w))
+    flagged = paras.join(
+        winners.select(
+            "_ph",
+            F.col("w.id").alias(id_col),
+            F.col("w.pos").alias("pos"),
+            F.lit(1).alias("_keep"),
+        ),
+        on=["_ph", id_col, "pos"],
+        how="left",
+    )
     kept = F.array_sort(
-        F.collect_list(F.when(F.col("_rn") == 1,
+        F.collect_list(F.when(F.col("_keep") == 1,
                               F.struct(F.col("pos"), F.col("para"))))
     )  # collect_list drops the NULLs (dropped paragraphs); sort by pos
-    return ranked.groupBy(id_col).agg(
+    return flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_paras"),
-        F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+        F.sum(F.when(F.col("_keep") == 1, 1).otherwise(0))
         .cast("bigint").alias("n_kept"),
         F.array_join(
             F.transform(kept, lambda s: s.getField("para")), " "

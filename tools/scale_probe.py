@@ -80,6 +80,29 @@ def main() -> int:
             f"({n10} rows), time ratio {ratio:.1f}x"
         )
 
+    # Hot-key probe: the C4 motivation case — ONE boilerplate paragraph
+    # duplicated across ~10⁵ synthetic docs (every copy shares one
+    # paragraph hash).  The r4 content-hash-window form serialized all
+    # copies into a single task, so 10× hot rows meant ~10× wall time on
+    # one core; the groupBy-winner + composite-key-join form absorbs the
+    # hot key map-side, so the ratio should track rows (≤ ~linear), not
+    # concentrate.
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+    for n_hot, tag in ((10_000, "1x"), (100_000, "10x")):
+        hot = spark.range(n_hot).select(
+            (F.col("id") + 1_000_000).alias("doc_id"),
+            F.concat(F.lit(boiler + " unique tail "),
+                     F.col("id").cast("string")).alias("text"),
+        )
+        t, n = _time(paragraph_dedup(hot).select("doc_id", "n_kept"))
+        if tag == "1x":
+            t_hot1 = t
+        else:
+            print(
+                f"paragraph_dedup_hotkey: 1x {t_hot1:.2f}s -> 10x {t:.2f}s "
+                f"({n} rows), time ratio {t / t_hot1 if t_hot1 else 0:.1f}x"
+            )
+
     # ANN probes scale in CORPUS size with a fixed query set: the corpus
     # side must stay narrow (bucketing / scoring), so healthy ratios track
     # rows, never rows².
