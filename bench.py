@@ -107,7 +107,11 @@ def main() -> None:
             continue
         timings[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
+    # A failed query must not read as a speedup: when any headline query
+    # errored, the total is meaningless to consumers comparing across
+    # rounds, so emit value=null plus an explicit incomplete flag instead
+    # of silently summing the survivors.
+    total = None if errors else round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -117,6 +121,7 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+        out["incomplete"] = True
     print(json.dumps(out))
     spark.stop()
 

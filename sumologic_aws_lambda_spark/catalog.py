@@ -27,6 +27,18 @@ def table(spark: SparkSession, sf_dir: str, name: str,
           parallel: bool = False) -> DataFrame:
     """Load a fixture table.
 
+    SESSION-WIDE SIDE EFFECT: this call pins three runtime confs on the
+    *caller's* session — ``spark.sql.session.timeZone=UTC``,
+    ``spark.sql.legacy.parquet.nanosAsLong=true``, and appends
+    ``InferFiltersFromGenerate`` to ``spark.sql.optimizer.excludedRules``
+    — because the engine's timestamp/oracle contract requires them and
+    the external driver hands us a bare session we cannot configure at
+    build time.  They affect every subsequent query on that session, not
+    just this read; a warning is emitted if the session timezone is
+    actually being CHANGED (it was set to something other than UTC).
+    Sessions built via ``session.get_spark`` already carry these confs,
+    so the pin is a no-op there.
+
     ``parallel=True`` is for CPU-heavy narrow consumers (shingling,
     hashing, vector math): the fixture files are single-row-group parquet,
     which Spark cannot split, so the scan arrives as ONE partition and a
@@ -50,6 +62,18 @@ def table(spark: SparkSession, sf_dir: str, name: str,
     # below) assume UTC — the engine contract session.py declares.  Pin it
     # for caller-provided sessions too: a driver machine with a non-UTC
     # default would silently shift every date_trunc bucket vs the oracle.
+    # Warn when this actually flips an explicit non-UTC setting — the pin
+    # changes timezone semantics for everything else on that session.
+    prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if prev_tz not in (None, "UTC"):
+        import warnings
+
+        warnings.warn(
+            f"catalog.table() is pinning spark.sql.session.timeZone=UTC "
+            f"on this session (was {prev_tz!r}); all subsequent queries "
+            f"on the session use UTC semantics",
+            stacklevel=2,
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # See session.DEFAULT_CONFS: the inferred size(generator)>0 filter gets
     # inlined below the parallelizing exchange and re-runs the whole gram

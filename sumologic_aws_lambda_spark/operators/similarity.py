@@ -161,55 +161,83 @@ def lsh_neardup_pairs(df: DataFrame, planes: list[list[float]],
     The planes are split into ``n_bands`` bands; a pair becomes a
     candidate iff it agrees on EVERY sign bit of at least one band
     (classic banding: per-band match probability ``p_bit^(planes/band)``,
-    overall recall ``1 − (1 − p_band)^n_bands``).  Candidate generation
-    is an equi-join on ``(band, bucket)`` — bucketed, shuffle-partitioned,
-    never corpus² — followed by a DISTINCT on the (a, b) id pairs and an
-    exact cosine re-score of just those pairs via two joins back to the
-    vectors.  Every stage is partial-aggregatable / equi-joinable, so the
-    plan survives a 1000-executor scale-up; recall tunes via
-    planes-per-band (lower → more candidates) and n_bands (higher → more
-    candidates).
+    overall recall ``1 − (1 − p_band)^n_bands``).  Recall tunes via
+    planes-per-band (lower → more candidates) and n_bands (higher →
+    more candidates).
+
+    100 TB shape, stage by stage:
+
+    - The full sign signature is ONE narrow expression — a fold over a
+      single literal plane matrix (``transform`` over array-of-arrays),
+      not ``n_planes`` unrolled folds — so signature computation never
+      shuffles and the codegen tree stays small.
+    - Candidate generation is an equi-self-join on ``(band, bucket)``
+      (bucket = the band's signature slice) — bucketed,
+      shuffle-partitioned, never corpus².
+    - A pair sharing several bands would duplicate; instead of a DISTINCT
+      shuffle + joins back to the vectors, each pair is kept only at its
+      FIRST matching band — a per-row predicate over the two carried
+      signatures — and vectors/norms ride through the one join, so the
+      whole operator is: narrow map → one equi-join shuffle → narrow
+      score/filter.
 
     Returns ``(a, b, sim)`` with ``a < b`` and ``sim`` rounded to 6 dp.
     """
     if len(planes) % n_bands:
         raise ValueError("len(planes) must divide evenly into n_bands")
     per_band = len(planes) // n_bands
+    mat = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
     base = df.select(F.col(id_col).alias("id"),
                      as_double(vec_col).alias("vec"))
+    bits = F.transform(
+        mat, lambda p: F.when(dot(F.col("vec"), p) >= 0, "1").otherwise("0")
+    )
+    base = (
+        base.withColumn("sig", F.array_join(bits, ""))
+        .withColumn("norm", l2_norm(F.col("vec")))
+    )
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            lsh_bucket(F.col("vec"),
-                       planes[b * per_band:(b + 1) * per_band])
-            .alias("bucket"),
+            F.substring("sig", b * per_band + 1, per_band).alias("bucket"),
         )
         for b in range(n_bands)
     ])
     bucketed = (
-        base.select("id", F.explode(bands).alias("bb"))
-        .select("id", F.col("bb.band").alias("band"),
+        base.select("id", "vec", "norm", "sig",
+                    F.explode(bands).alias("bb"))
+        .select("id", "vec", "norm", "sig",
+                F.col("bb.band").alias("band"),
                 F.col("bb.bucket").alias("bucket"))
     )
-    cand = (
-        bucketed.alias("x")
-        .join(bucketed.alias("y"), on=["band", "bucket"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .distinct()
+    x = bucketed.select(
+        *[F.col(c).alias(f"a_{c}") for c in ("id", "vec", "norm", "sig")],
+        "band", "bucket")
+    y = bucketed.select(
+        *[F.col(c).alias(f"b_{c}") for c in ("id", "vec", "norm", "sig")],
+        "band", "bucket")
+    pairs = (
+        x.join(y, on=["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
     )
-    norms = base.withColumn("norm", l2_norm(F.col("vec")))
-    a_side = norms.select(F.col("id").alias("a"), F.col("vec").alias("a_vec"),
-                          F.col("norm").alias("a_norm"))
-    b_side = norms.select(F.col("id").alias("b"), F.col("vec").alias("b_vec"),
-                          F.col("norm").alias("b_norm"))
+    # Emit each pair only from its first matching band: no earlier band's
+    # signature slices may also agree.  Pure row-local predicate — the
+    # dedup costs zero shuffles.
+    earlier = F.lit(False)
+    for b in range(n_bands - 1):
+        earlier = earlier | (
+            (F.col("band") > b)
+            & (F.substring("a_sig", b * per_band + 1, per_band)
+               == F.substring("b_sig", b * per_band + 1, per_band))
+        )
     return (
-        cand.join(a_side, on="a").join(b_side, on="b")
+        pairs.filter(~earlier)
         .withColumn("raw_sim", cosine_with_norms(
             F.col("a_vec"), F.col("b_vec"),
             F.col("a_norm"), F.col("b_norm")))
         .filter(F.col("raw_sim") >= threshold)
-        .select("a", "b", F.round("raw_sim", 6).alias("sim"))
+        .select(F.col("a_id").alias("a"), F.col("b_id").alias("b"),
+                F.round("raw_sim", 6).alias("sim"))
     )
 
 

@@ -289,10 +289,14 @@ _EXPR_REWRITES: list[tuple[re.Pattern, object]] = [
     (re.compile(
         rf"\bhaversine\(({_SIMPLE_ARG}),({_SIMPLE_ARG}),"
         rf"({_SIMPLE_ARG}),({_SIMPLE_ARG})\)", re.IGNORECASE),
+     # Each capture parenthesized: _SIMPLE_ARG admits arithmetic like
+     # `lat - 0.5`, which unparenthesized would rebind inside the
+     # subtractions ((\3 - \1) with \1 = "lat - 0.5" reads as
+     # lat2 - lat - 0.5) and silently skew distances.
      r"(2 * 6371.0 * asin(sqrt("
-     r"pow(sin(radians((\3 - \1) / 2)), 2) + "
-     r"cos(radians(\1)) * cos(radians(\3)) * "
-     r"pow(sin(radians((\4 - \2) / 2)), 2))))"),
+     r"pow(sin(radians(((\3) - (\1)) / 2)), 2) + "
+     r"cos(radians((\1))) * cos(radians((\3))) * "
+     r"pow(sin(radians(((\4) - (\2)) / 2)), 2))))"),
     # Callable replacements below: the regex bodies contain backslashes
     # that re.sub's escape processing would mangle in a string repl.
     (re.compile(rf"\bisValidIP\(({_SIMPLE_ARG})\)", re.IGNORECASE),

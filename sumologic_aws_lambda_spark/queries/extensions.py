@@ -34,7 +34,7 @@ def grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _neardup_planes() -> list[list[float]]:
     from ..operators.similarity import hyperplanes
 
-    return hyperplanes(num_planes=16, dim=64)
+    return hyperplanes(num_planes=24, dim=64)
 
 
 def _neardup_oracle() -> str:
@@ -44,12 +44,12 @@ def _neardup_oracle() -> str:
     WITH {_planes_sql(_neardup_planes())},
     c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     bucketed AS (
-        SELECT vec_id, p // 4 AS band,
+        SELECT vec_id, p // 8 AS band,
                string_agg(CASE WHEN list_dot_product(e, pv) >= 0
                                THEN '1' ELSE '0' END, '' ORDER BY p)
                    AS bucket
         FROM c CROSS JOIN planes
-        GROUP BY vec_id, p // 4
+        GROUP BY vec_id, p // 8
     ),
     cand AS (
         SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
@@ -64,26 +64,33 @@ def _neardup_oracle() -> str:
               JOIN c cb ON cand.b = cb.vec_id
     WHERE list_dot_product(ca.e, cb.e) /
           (sqrt(list_dot_product(ca.e, ca.e)) *
-           sqrt(list_dot_product(cb.e, cb.e))) >= 0.9
+           sqrt(list_dot_product(cb.e, cb.e))) >= 0.35
     """
 
 
 @query("embedding_neardup_pairs", oracle=_neardup_oracle())
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection at the scale shape:
-    banded hyperplane LSH (4 bands × 4 planes) generates candidate pairs
+    banded hyperplane LSH (3 bands × 8 planes) generates candidate pairs
     via an equi-join on (band, bucket) — never corpus² — and only those
-    candidates are exactly re-scored (cosine ≥ 0.9).  The oracle computes
-    the identical banded candidate set, so the pruning itself is
-    hard-signal-verified, not just the scoring.  Replaces the r4 all-pairs
-    theta join (BroadcastNestedLoopJoin, the slowest bench query); the
-    plan now contains only equi-joins (guarded by
-    ``tests/test_plan_shapes.py::test_neardup_pairs_no_cartesian``)."""
+    candidates are exactly re-scored.  The oracle computes the identical
+    banded candidate set (first-matching-band dedup on the Spark side ≡
+    DISTINCT on the oracle side), so the pruning itself is
+    hard-signal-verified, not just the scoring.  Replaces the r4
+    all-pairs theta join (BroadcastNestedLoopJoin, the slowest bench
+    query); the plan now contains only equi-joins (guarded by
+    ``tests/test_plan_shapes.py::test_neardup_pairs_no_cartesian``).
+
+    Threshold note: the fixture embeddings are random vectors (max
+    pairwise cosine ≈ 0.51), so a production dedup threshold of 0.9
+    returns zero rows on every engine.  The registered query uses 0.35 so
+    the hard-signal compare exercises real candidate generation and
+    scoring; the operator default stays 0.9."""
     from ..operators.similarity import lsh_neardup_pairs
 
     emb = table(spark, sf_dir, "embeddings")
-    return lsh_neardup_pairs(emb, _neardup_planes(), n_bands=4,
-                             threshold=0.9)
+    return lsh_neardup_pairs(emb, _neardup_planes(), n_bands=3,
+                             threshold=0.35)
 
 
 _SNS_EVENTS = [

@@ -71,12 +71,19 @@ class ParagraphDedupSink:
     its first occurrence across ALL batches seen so far.
 
     Per micro-batch: the batch operator resolves within-batch first
-    occurrences (one skew-free window on md5(para)); survivors are then
-    re-split and anti-joined against the persistent paragraph-hash store
-    so anything seen in an earlier batch is dropped too, documents are
-    reassembled, and the new paragraph hashes append to the store.  Store
-    rows are md5 hex only — 32 bytes per distinct paragraph, never the
-    text itself.
+    occurrences (skew-safe groupBy winner per paragraph hash); survivors
+    are then re-split and anti-joined against the persistent
+    paragraph-hash store so anything seen in an earlier batch is dropped
+    too, documents are reassembled, and the new paragraph hashes append
+    to the store.  Store rows are md5 hex only — 32 bytes per distinct
+    paragraph, never the text itself.
+
+    Output parity with the batch operator: a document whose every
+    paragraph was already seen (within the batch OR in earlier batches)
+    is still emitted, with ``text_kept = ''`` — so a streaming run and a
+    batch backfill over the same corpus produce the same doc_id set and
+    per-doc text, batch boundaries only affecting which copy survives.
+    ``batch_stats`` records ``kept`` as docs with non-empty text.
     """
 
     def __init__(self, spark: SparkSession, store_dir: str, out_dir: str,
@@ -108,7 +115,7 @@ class ParagraphDedupSink:
         ).filter(F.col("para") != "")
         kept = paras.withColumn("para_md5", F.md5("para")).join(
             self._seen(), "para_md5", "left_anti").localCheckpoint()
-        docs = (
+        survivors = (
             kept.groupBy("doc_id")
             .agg(F.array_join(
                 F.transform(
@@ -116,10 +123,20 @@ class ParagraphDedupSink:
                     lambda s: s.getField("para")),
                 " ").alias("text_kept"))
         )
+        # Batch-operator parity: docs whose every paragraph was seen
+        # before still emit a row with empty text (left join back to the
+        # batch's full doc_id set), matching paragraph_dedup's output.
+        docs = (
+            within.select("doc_id")
+            .join(survivors, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("text_kept", F.lit("")).alias("text_kept"))
+        )
         n_in = batch_df.count()
-        n_kept = docs.count()
-        if n_kept:
+        n_kept = survivors.count()
+        if n_in:
             docs.write.mode("append").parquet(self._out)
+        if n_kept:
             kept.select("para_md5").distinct().write.mode("append") \
                 .parquet(self._store)
         self.batch_stats.append((batch_id, n_in, n_kept))

@@ -74,11 +74,13 @@ def test_cross_batch_paragraph_dedup(spark, tmp_path):
         {"doc_id": 4, "text": f"{P2} m n o p"},
     ])
     sink = run()
-    assert sink.batch_stats[-1][2] == 1        # only doc 4 survives
+    assert sink.batch_stats[-1][2] == 1        # only doc 4 keeps text
 
     out = {r.doc_id: r.text_kept
            for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert out[1] == f"{P1} {P2}" and out[2] == P3
-    assert 3 not in out and out[4] == "m n o p"
+    # batch-operator parity: a fully-duplicate doc still emits a row
+    # with empty text (same as paragraph_dedup on a batch backfill)
+    assert out[3] == "" and out[4] == "m n o p"
     store = spark.read.parquet(str(tmp_path / "store"))
     assert store.count() == 4                  # P1 P2 P3 + "m n o p"

@@ -433,6 +433,21 @@ def test_scalar_rewrites_luhn_haversine(spark):
     assert abs(rows[1]["dist_km"] - 2887.26) < 1.0
 
 
+def test_haversine_parenthesizes_operator_bearing_args(spark):
+    # _SIMPLE_ARG admits arithmetic like `lat - 0.5`; without parens the
+    # substitution into `(\3 - \1)` would rebind as lat2 - lat - 0.5 and
+    # silently skew distances.  Both spellings must agree.
+    df = spark.createDataFrame([(1, 36.62, -86.17)], "id int, lat double, lon double")
+    out = compile_query(
+        df,
+        "* | haversine(lat - 0.5, lon - 0.5, 33.94, -118.40) as d1"
+        " | haversine(36.12, -86.67, 33.94, -118.40) as d2",
+        SumoSchema(raw_col="id"),
+    )
+    r = out.collect()[0]
+    assert abs(r["d1"] - r["d2"]) < 1e-9
+
+
 def test_json_stage_field_and_array_path(spark):
     df = spark.createDataFrame(
         [(1, "x", '{"user":{"name":"ann"},"phones":["p1","p2"]}')],
