@@ -66,6 +66,18 @@ class Source:
         ]
 
 
+@dataclass
+class OrgField:
+    """One org-level fields-schema entry (``sumoresource.py:1351``
+    ``SumoLogicFieldsSchema``).  In Sumo, a field key must exist in the
+    org schema for its values to be ingested; a disabled field's values
+    are dropped at ingest but the key is reserved."""
+
+    field_name: str
+    field_id: str = ""
+    enabled: bool = True
+
+
 class CatalogStore:
     """Create-or-fetch catalog with optional JSON persistence."""
 
@@ -73,6 +85,7 @@ class CatalogStore:
         self._path = pathlib.Path(path) if path else None
         self._collectors: dict[str, Collector] = {}
         self._sources: dict[str, Source] = {}
+        self._fields: dict[str, OrgField] = {}
         if self._path and self._path.exists():
             self._load()
 
@@ -124,6 +137,68 @@ class CatalogStore:
     def sources_for(self, collector_id: str) -> list[Source]:
         return [s for s in self._sources.values()
                 if s.collector_id == collector_id]
+
+    # -- org-level fields schema (sumoresource.py:1041,1351) ---------------
+
+    def create_field(self, field_name: str) -> OrgField:
+        """Create-or-fetch by name: the reference maps the
+        ``field:already_exists`` API error to a lookup of the existing
+        field's id (``sumoresource.py:1369-1378``)."""
+        for f in self._fields.values():
+            if f.field_name == field_name:
+                return f
+        f = OrgField(field_name=field_name, field_id=uuid.uuid4().hex[:12])
+        self._fields[f.field_id] = f
+        self._save()
+        return f
+
+    def get_field_id(self, field_name: str) -> str:
+        """Lookup by name, raising when absent (``:1353-1360``)."""
+        for f in self._fields.values():
+            if f.field_name == field_name:
+                return f.field_id
+        raise KeyError(f"field name {field_name!r} not found")
+
+    def set_field_enabled(self, field_id: str, enabled: bool) -> OrgField:
+        f = self._fields[field_id]
+        f.enabled = enabled
+        self._save()
+        return f
+
+    def rename_field(self, field_id: str, new_name: str) -> OrgField:
+        """There is no update API: a rename is create-new + delete-old
+        (``sumoresource.py:1386-1390``), so the renamed field gets a NEW
+        id and the old id stops resolving."""
+        old = self._fields.pop(field_id)
+        self._save()
+        new = self.create_field(new_name)
+        new.enabled = old.enabled
+        self._save()
+        return new
+
+    def delete_field(self, field_id: str) -> None:
+        self._fields.pop(field_id, None)
+        self._save()
+
+    def org_fields(self) -> list[OrgField]:
+        return sorted(self._fields.values(), key=lambda f: f.field_name)
+
+    def fields_schema_filter(self, attrs_col: str = "attrs") -> Column:
+        """The ingest-side dropped-fields semantics as ONE Column: keep
+        only map entries whose key is a registered, enabled org field —
+        everything else is dropped at ingest, exactly what the backend
+        does for keys missing from the org fields schema.  The schema is
+        dimension-sized (hundreds of names), so it rides along as a map
+        literal — fully narrow, no join, no UDF."""
+        allowed = sorted(
+            f.field_name for f in self._fields.values() if f.enabled)
+        if not allowed:
+            return F.map_filter(F.col(attrs_col), lambda k, v: F.lit(False))
+        allowed_arr = F.array(*[F.lit(n) for n in allowed])
+        return F.map_filter(
+            F.col(attrs_col),
+            lambda k, v: F.array_contains(allowed_arr, k),
+        )
 
     # -- the engine bridge -------------------------------------------------
 
@@ -180,6 +255,7 @@ class CatalogStore:
         self._path.write_text(json.dumps({
             "collectors": [asdict(c) for c in self._collectors.values()],
             "sources": [asdict(s) for s in self._sources.values()],
+            "fields": [asdict(f) for f in self._fields.values()],
         }, indent=2))
 
     def _load(self) -> None:
@@ -190,3 +266,6 @@ class CatalogStore:
         for s in data.get("sources", []):
             src = Source(**s)
             self._sources[src.source_id] = src
+        for f in data.get("fields", []):
+            fld = OrgField(**f)
+            self._fields[fld.field_id] = fld

@@ -125,5 +125,6 @@ def _import_all() -> None:
         advanced,
         timeseries,
         sampling,
+        monitoring,
     )
     _IMPORTED = True

@@ -1,0 +1,165 @@
+"""Monitors and org-fields-schema queries — the alerting / governance
+surface of the reference (``sumologic-app-utils/src/sumoresource.py``
+``AlertsMonitor`` :1503, ``SumoLogicUpdateFields`` :1041,
+``SumoLogicFieldsSchema`` :1351) re-expressed as oracled analytics."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..plans.monitors import evaluate_monitors, parse_monitor_folder
+from ..provisioning import CatalogStore
+from . import query
+from .sumoql_queries import EVENTS_SCHEMA
+
+# A monitors-export folder in the public shape the reference imports
+# (``sumoresource.py:1509-1527`` fetches JSON from S3, substitutes
+# ``${var}`` templates, and imports into the monitors library).  The
+# source categories are templated to exercise the substitution path.
+_MONITOR_FOLDER = json.dumps({
+    "type": "MonitorsLibraryFolderExport",
+    "name": "Engine Health",
+    "children": [
+        {
+            "type": "MonitorsLibraryMonitorExport",
+            "name": "high_click_volume",
+            "monitorType": "Logs",
+            "queries": [{
+                "rowId": "A",
+                "query": "_sourceCategory=${click_category}"
+                         " | timeslice 1d | count by _timeslice",
+            }],
+            "triggers": [
+                {"detectionMethod": "StaticCondition",
+                 "triggerType": "Critical", "threshold": 75,
+                 "thresholdType": "GreaterThan", "timeRange": "-1d"},
+                {"detectionMethod": "StaticCondition",
+                 "triggerType": "Warning", "threshold": 65,
+                 "thresholdType": "GreaterThan", "timeRange": "-1d"},
+            ],
+        },
+        {
+            "type": "MonitorsLibraryMonitorExport",
+            "name": "purchase_volume_drop",
+            "monitorType": "Logs",
+            "queries": [{
+                "rowId": "A",
+                "query": "_sourceCategory=${purchase_category}"
+                         " | timeslice 1d | count by _timeslice",
+            }],
+            "triggers": [
+                {"detectionMethod": "StaticCondition",
+                 "triggerType": "Critical", "threshold": 56,
+                 "thresholdType": "LessThan", "timeRange": "-1d"},
+                {"detectionMethod": "StaticCondition",
+                 "triggerType": "Warning", "threshold": 60,
+                 "thresholdType": "LessThanOrEqual", "timeRange": "-1d"},
+            ],
+        },
+    ],
+})
+
+
+@query(
+    "monitor_threshold_alerts",
+    oracle="""
+    WITH click AS (
+        SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)
+                   AS slice_epoch,
+               count(*) AS n
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    purch AS (
+        SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)
+                   AS slice_epoch,
+               count(*) AS n
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT 'high_click_volume' AS monitor, 'Critical' AS severity,
+           slice_epoch, CAST(n AS DOUBLE) AS value, 75.0 AS threshold
+    FROM click WHERE n > 75
+    UNION ALL
+    SELECT 'high_click_volume', 'Warning',
+           slice_epoch, CAST(n AS DOUBLE), 65.0
+    FROM click WHERE n > 65
+    UNION ALL
+    SELECT 'purchase_volume_drop', 'Critical',
+           slice_epoch, CAST(n AS DOUBLE), 56.0
+    FROM purch WHERE n < 56
+    UNION ALL
+    SELECT 'purchase_volume_drop', 'Warning',
+           slice_epoch, CAST(n AS DOUBLE), 60.0
+    FROM purch WHERE n <= 60
+    """,
+)
+def monitor_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold monitors over compiled SumoQL results: a monitors-export
+    folder JSON (two monitors, four static triggers covering all four
+    thresholdType comparators) parses into specs, each monitor's search
+    compiles through the SumoQL compiler into a daily-timeslice count,
+    and each trigger's comparator filters the aggregate into alert rows.
+    Triggers evaluate independently — a Critical breach also emits its
+    Warning row — matching the reference's per-trigger alerting."""
+    specs = parse_monitor_folder(_MONITOR_FOLDER, {
+        "click_category": "click",
+        "purchase_category": "purchase",
+    })
+    ev = table(spark, sf_dir, "events")
+    return evaluate_monitors(ev, specs, EVENTS_SCHEMA)
+
+
+@query(
+    "fields_schema_apply",
+    oracle="""
+    SELECT event_id,
+           'k,user' AS kept_keys,
+           json_extract_string(props, '$.k') AS k_val,
+           CAST(CASE WHEN value > 100 THEN 2 ELSE 1 END AS BIGINT)
+               AS n_dropped
+    FROM events WHERE event_id % 97 = 0
+    """,
+)
+def fields_schema_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Org-level fields schema applied at ingest: only map keys that are
+    registered AND enabled in the org field registry survive; everything
+    else is dropped (the backend's dropped-fields semantics for keys
+    missing from the fields schema).  Here ``user`` and ``k`` are
+    registered, ``etype`` is registered but disabled, and ``latency``
+    (present only on high-value events) was never registered — so
+    ``n_dropped`` is data-dependent.  The filter is a narrow
+    ``map_filter`` against a literal allow-list (the schema is
+    dimension-sized by construction) — no join, no UDF, no shuffle."""
+    store = CatalogStore()
+    store.create_field("user")
+    store.create_field("k")
+    etype = store.create_field("etype")
+    store.set_field_enabled(etype.field_id, False)
+    # "latency" intentionally never registered.
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    attrs = F.map_filter(
+        F.map_from_arrays(
+            F.array(F.lit("user"), F.lit("k"),
+                    F.lit("etype"), F.lit("latency")),
+            F.array(
+                F.col("user_id").cast("string"),
+                F.get_json_object("props", "$.k"),
+                F.col("event_type"),
+                F.when(F.col("value") > 100,
+                       F.col("value").cast("string")),
+            ),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    d = ev.withColumn("attrs", attrs)
+    kept = store.fields_schema_filter("attrs")
+    return d.select(
+        "event_id",
+        F.concat_ws(",", F.array_sort(F.map_keys(kept))).alias("kept_keys"),
+        kept.getItem("k").alias("k_val"),
+        (F.size("attrs") - F.size(kept)).cast("bigint").alias("n_dropped"),
+    )
