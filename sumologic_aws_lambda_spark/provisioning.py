@@ -86,6 +86,7 @@ class CatalogStore:
         self._collectors: dict[str, Collector] = {}
         self._sources: dict[str, Source] = {}
         self._fields: dict[str, OrgField] = {}
+        self._connections: dict[str, object] = {}
         if self._path and self._path.exists():
             self._load()
 
@@ -137,6 +138,39 @@ class CatalogStore:
     def sources_for(self, collector_id: str) -> list[Source]:
         return [s for s in self._sources.values()
                 if s.collector_id == collector_id]
+
+    # -- webhook connections (sumoresource.py:161) -------------------------
+
+    def create_connection(self, name: str, url: str, **kwargs):
+        """Create-or-fetch by name: the reference maps the
+        ``connection:name_already_exists`` API error back to the existing
+        connection's id (``sumoresource.py:197-204``)."""
+        from .streaming.webhook import WebhookConnection
+
+        for c in self._connections.values():
+            if c.name == name:
+                return c
+        c = WebhookConnection(name=name, url=url,
+                              connection_id=uuid.uuid4().hex[:12], **kwargs)
+        self._connections[c.connection_id] = c
+        self._save()
+        return c
+
+    def update_connection(self, connection_id: str, **updates):
+        c = self._connections[connection_id]
+        for k, v in updates.items():
+            if not hasattr(c, k):
+                raise AttributeError(f"connection has no field {k!r}")
+            setattr(c, k, v)
+        self._save()
+        return c
+
+    def delete_connection(self, connection_id: str) -> None:
+        self._connections.pop(connection_id, None)
+        self._save()
+
+    def connections(self) -> list:
+        return sorted(self._connections.values(), key=lambda c: c.name)
 
     # -- org-level fields schema (sumoresource.py:1041,1351) ---------------
 
@@ -256,6 +290,7 @@ class CatalogStore:
             "collectors": [asdict(c) for c in self._collectors.values()],
             "sources": [asdict(s) for s in self._sources.values()],
             "fields": [asdict(f) for f in self._fields.values()],
+            "connections": [asdict(c) for c in self._connections.values()],
         }, indent=2))
 
     def _load(self) -> None:
@@ -269,3 +304,9 @@ class CatalogStore:
         for f in data.get("fields", []):
             fld = OrgField(**f)
             self._fields[fld.field_id] = fld
+        if data.get("connections"):
+            from .streaming.webhook import WebhookConnection
+
+            for c in data["connections"]:
+                conn = WebhookConnection(**c)
+                self._connections[conn.connection_id] = conn

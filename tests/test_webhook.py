@@ -1,0 +1,110 @@
+"""Webhook connections (``sumoresource.py:161``): payload templating,
+delivery with retry, and connection CRUD on the CatalogStore."""
+
+from __future__ import annotations
+
+import json
+
+from sumologic_aws_lambda_spark.provisioning import CatalogStore
+from sumologic_aws_lambda_spark.streaming.webhook import (
+    WebhookConnection,
+    WebhookDeliverySink,
+    render_payload,
+)
+
+TEMPLATE = (
+    '{"Types":"{{Types}}","GeneratorID":"InsertFindingsScheduledSearch",'
+    '"Severity":{{Severity}},"NumRawResults":"{{NumRawResults}}",'
+    '"Rows":"{{Rows}}","Later":"{{NotMine}}"}'
+)
+
+
+def test_render_payload_double_encodes_rows():
+    rows = [{"title": "Vulnerability", "resource_id": "10.178.11.43"}]
+    body = render_payload(TEMPLATE, rows,
+                          {"Types": "HIPAA Controls", "Severity": 30})
+    doc = json.loads(body)                     # stays valid JSON
+    assert doc["Types"] == "HIPAA Controls"
+    assert doc["Severity"] == 30
+    assert doc["NumRawResults"] == "1"
+    # Rows is a JSON *string* embedding the rows — the reference's
+    # defaultPayload shape, parseable by apigw_body_rows_parse (S9)
+    assert json.loads(doc["Rows"]) == rows
+    assert doc["Later"] == "{{NotMine}}"       # unknown vars left intact
+
+
+def test_render_escapes_string_variables():
+    body = render_payload('{"t":"{{T}}"}', [], {"T": 'say "hi"\n'})
+    assert json.loads(body)["t"] == 'say "hi"\n'
+
+
+def _sink(post, **kw):
+    conn = WebhookConnection(
+        name="securityhub", url="https://hooks.example.com/x",
+        headers={"accessKey": "ak", "awsRegion": "us-east-1"},
+        default_payload='{"NumRawResults":{{NumRawResults}},'
+                        '"Rows":"{{Rows}}"}')
+    return WebhookDeliverySink(conn, post, sleep=lambda s: None, **kw)
+
+
+def test_sink_posts_rendered_batch(spark):
+    calls = []
+    sink = _sink(lambda url, body, headers: calls.append(
+        (url, body, headers)))
+    df = spark.createDataFrame(
+        [(2, "b"), (1, "a")], "id int, name string")
+    sink(df, batch_id=7)
+
+    assert len(calls) == 1
+    url, body, headers = calls[0]
+    assert url == "https://hooks.example.com/x"
+    assert headers["accessKey"] == "ak"
+    doc = json.loads(body)
+    assert doc["NumRawResults"] == 2
+    # deterministic order regardless of input/partition order
+    assert json.loads(doc["Rows"]) == [
+        {"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
+    assert sink.reports[0].ok and sink.reports[0].attempts == 1
+
+
+def test_sink_retries_then_reports_failure(spark):
+    attempts = []
+
+    def post(url, body, headers):
+        attempts.append(1)
+        raise RuntimeError("503")
+
+    sink = _sink(post)
+    df = spark.createDataFrame([(1,)], "id int")
+    sink(df, batch_id=1)
+    assert len(attempts) == 3                  # reference 3x linear backoff
+    assert not sink.reports[0].ok and "503" in sink.reports[0].error
+
+
+def test_sink_skips_empty_batch(spark):
+    calls = []
+    sink = _sink(lambda *a: calls.append(a))
+    sink(spark.createDataFrame([], "id int"), batch_id=0)
+    assert calls == [] and sink.reports == []
+
+
+def test_connection_crud_round_trip(tmp_path):
+    p = tmp_path / "cat.json"
+    store = CatalogStore(str(p))
+    c1 = store.create_connection(
+        "pager", "https://hooks.example.com/p",
+        headers={"accessKey": "ak"}, webhook_type="Webhook")
+    assert store.create_connection(
+        "pager", "https://other.example.com").connection_id \
+        == c1.connection_id                    # name_already_exists → fetch
+
+    store.update_connection(c1.connection_id,
+                            url="https://hooks.example.com/v2")
+    store2 = CatalogStore(str(p))              # persistence round-trip
+    conns = store2.connections()
+    assert [c.name for c in conns] == ["pager"]
+    assert conns[0].url == "https://hooks.example.com/v2"
+    assert conns[0].headers == {"accessKey": "ak"}
+
+    store2.delete_connection(c1.connection_id)
+    assert store2.connections() == []
