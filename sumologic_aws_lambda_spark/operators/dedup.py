@@ -28,23 +28,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative of every exact-duplicate group.
 
-    Skew-safe shape: a ``row_number`` window partitioned by the content
-    hash looks tempting ("uniform 128-bit key") but is wrong for THIS
-    workload — every *copy* of a duplicated document shares one hash
-    value, so a boilerplate doc repeated 10 M times serializes into a
-    single window partition.  Instead the winner per fingerprint comes
-    from a partial-aggregatable ``min`` groupBy (map-side combine absorbs
-    the hot key before anything shuffles), and keepers are selected with
-    a LEFT SEMI join on the composite ``(fingerprint, id)`` — unique per
-    row on the probe side, so the join key distributes every copy of a
-    hot document across partitions instead of concentrating them.
+    Skew-safe ONE-shuffle shape: a ``row_number`` window partitioned by
+    the content hash looks tempting ("uniform 128-bit key") but is wrong
+    for THIS workload — every *copy* of a duplicated document shares one
+    hash value, so a boilerplate doc repeated 10 M times serializes into
+    a single window partition.  Instead the whole winning ROW rides
+    through a partial-aggregatable ``min(struct(id, row))`` groupBy on
+    the fingerprint: map-side combine keeps at most one row per hash per
+    input partition, so the hot key is absorbed before the shuffle and
+    no join back to the corpus is needed (the earlier groupBy + semi-join
+    formulation shuffled the full corpus twice).  ``min`` over a struct
+    compares fields in order — id first — so ties are deterministic.
     """
-    with_fp = df.withColumn("_fp", fingerprint(text_col))
-    winners = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    return (
-        with_fp.join(winners, on=["_fp", id_col], how="left_semi")
-        .drop("_fp")
+    row = F.struct(*[F.col(c) for c in df.columns])
+    winners = (
+        df.groupBy(fingerprint(text_col).alias("_fp"))
+        .agg(F.min(F.struct(F.col(id_col).alias("_k"),
+                            row.alias("_row"))).alias("_w"))
     )
+    return winners.select([F.col(f"_w._row.{c}").alias(c)
+                           for c in df.columns])
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
@@ -326,6 +329,16 @@ def paragraph_units(col: Column | str, tokens_per_para: int = 12) -> Column:
     )
 
 
+def paragraph_count(col: Column | str, tokens_per_para: int = 12) -> Column:
+    """``size(paragraph_units(col))`` without materializing the units:
+    just ``ceil(n_tokens / tokens_per_para)`` over the normalized token
+    count — a pure arithmetic projection, so the per-doc totals branch of
+    :func:`paragraph_dedup` never pays the O(text) slice/join transform a
+    second time."""
+    toks = F.split(normalize_text(col), " ")
+    return F.ceil(F.size(toks) / F.lit(tokens_per_para)).cast("bigint")
+
+
 def paragraph_dedup(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
                     tokens_per_para: int = 12) -> DataFrame:
@@ -333,51 +346,55 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     kept only at its FIRST occurrence (lowest ``(doc_id, position)``);
     documents are reassembled from their surviving paragraphs.
 
-    Scale shape: posexplode (narrow) → winner per paragraph-hash via a
-    partial-aggregatable ``min(struct(id, pos))`` groupBy → keeper flag
-    via a join on the COMPOSITE ``(hash, id, pos)`` key → one
-    groupBy(doc) to reassemble.  A ``row_number`` window partitioned by
-    the paragraph hash would serialize every copy of a hot boilerplate
+    Scale shape: posexplode (narrow) → the winning OCCURRENCE (id, pos,
+    para text) rides through a partial-aggregatable
+    ``min(struct(id, pos, para))`` groupBy on the paragraph hash — since
+    ``(id, pos)`` is unique the text never decides the ordering, it is
+    just cargo — → per-doc totals as a NARROW ``size(units)`` projection
+    (one row per doc already, no explode, no shuffle) → reassembly
+    groupBy + a doc-keyed join of two per-doc frames.  A ``row_number`` window partitioned by the
+    paragraph hash would serialize every copy of a hot boilerplate
     paragraph (the C4 motivation case — one paragraph repeated 10 M
     times) into a single window partition; the groupBy's map-side
-    combine absorbs the hot key before the shuffle, and the flag join's
-    composite key is unique per paragraph instance, so copies of the hot
-    paragraph hash-distribute across partitions instead of landing on
-    one task.  Nothing is ever joined corpus×corpus and no paragraph
-    list is collected to the driver.
+    combine keeps at most one occurrence per hash per input partition,
+    so the hot key is absorbed before the shuffle.  The full exploded
+    corpus shuffles exactly once (by hash); everything after operates on
+    deduplicated winners or two-column doc stats, and the final join is
+    on the uniform doc id.  Nothing is ever joined corpus×corpus and no
+    paragraph list is collected to the driver.
 
-    Returns (id_col, n_paras, n_kept, text_kept).
+    Returns (id_col, n_paras, n_kept, text_kept).  A document whose
+    every paragraph first appeared in an earlier document comes back
+    with ``n_kept = 0`` and ``text_kept = ''``.
     """
     paras = df.select(
         F.col(id_col),
         F.posexplode(paragraph_units(text_col, tokens_per_para))
         .alias("pos", "para"),
-    ).withColumn("_ph", F.md5("para"))
-    winners = paras.groupBy("_ph").agg(
+    )
+    winners = paras.groupBy(F.md5("para").alias("_ph")).agg(
         F.min(F.struct(F.col(id_col).alias("id"),
-                       F.col("pos").alias("pos"))).alias("w")
+                       F.col("pos").alias("pos"),
+                       F.col("para").alias("para"))).alias("w")
     )
-    flagged = paras.join(
-        winners.select(
-            "_ph",
-            F.col("w.id").alias(id_col),
-            F.col("w.pos").alias("pos"),
-            F.lit(1).alias("_keep"),
-        ),
-        on=["_ph", id_col, "pos"],
-        how="left",
-    )
-    kept = F.array_sort(
-        F.collect_list(F.when(F.col("_keep") == 1,
-                              F.struct(F.col("pos"), F.col("para"))))
-    )  # collect_list drops the NULLs (dropped paragraphs); sort by pos
-    return flagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_paras"),
-        F.sum(F.when(F.col("_keep") == 1, 1).otherwise(0))
-        .cast("bigint").alias("n_kept"),
+    totals = df.select(
+        F.col(id_col),
+        paragraph_count(text_col, tokens_per_para).alias("n_paras"))
+    kept_sorted = F.array_sort(
+        F.collect_list(F.struct(F.col("w.pos").alias("pos"),
+                                F.col("w.para").alias("para"))))
+    kept_per_doc = winners.groupBy(F.col("w.id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
         F.array_join(
-            F.transform(kept, lambda s: s.getField("para")), " "
+            F.transform(kept_sorted, lambda s: s.getField("para")), " "
         ).alias("text_kept"),
+    )
+    return totals.join(kept_per_doc, id_col, "left").select(
+        id_col,
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint"))
+        .alias("n_kept"),
+        F.coalesce(F.col("text_kept"), F.lit("")).alias("text_kept"),
     )
 
 
