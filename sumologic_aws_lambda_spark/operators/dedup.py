@@ -210,10 +210,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("inter_sz"))
         )
+    # No broadcast() hint on the sizes joins: ``sizes`` is PER-DOC, i.e.
+    # corpus-sized at 100 TB — a forced broadcast would OOM the driver.
+    # Both joins key on a uniform doc id; AQE broadcasts when the sizes
+    # frame is actually small (it is at test scale) and shuffles
+    # otherwise.
     sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("a_sz"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("b_sz"))
     out = (
-        inter.join(F.broadcast(sa), "a").join(F.broadcast(sb), "b")
+        inter.join(sa, "a").join(sb, "b")
         .withColumn(
             "jaccard",
             F.round(

@@ -242,13 +242,18 @@ def kv_flatten_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 def two_hop_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: the inspector's memoized two-hop dimension lookup
     (``inspector.py:58-111,156-162``) as chained broadcast joins —
-    fact → dim → dim with zero fact-side shuffle before the agg."""
+    fact → dim → dim with zero fact-side shuffle before the agg.
+
+    nation/region are true fixed-size dims and carry the hint; customer
+    scales with the facts, so no hard broadcast() — AQE picks broadcast
+    at small SF and a shuffled hash join on the uniform custkey at
+    scale."""
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"))

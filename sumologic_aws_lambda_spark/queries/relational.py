@@ -122,16 +122,19 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 def revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape — multi-join + agg + top-k.
 
-    customer (filtered on segment) broadcasts; orders⋈lineitem is the one
-    real shuffle, on the natural key.  ``orderBy().limit()`` lowers to
-    TakeOrderedAndProject — no global sort at scale.
+    orders⋈lineitem is the one real shuffle, on the natural key.
+    ``orderBy().limit()`` lowers to TakeOrderedAndProject — no global
+    sort at scale.  No broadcast() hint on customer: it SCALES WITH THE
+    FACTS (15 B rows at SF100k), so a hard hint would OOM the driver at
+    scale — AQE broadcasts it when the filtered side is actually small
+    (it is at test scale) and shuffle-joins otherwise.
     """
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
-    # Broadcast-reduce orders by the selective customer filter FIRST, so
-    # the big li⋈o shuffle joins against a ~1/5-sized build side.
-    o_building = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    # Reduce orders by the selective customer filter FIRST, so the big
+    # li⋈o shuffle joins against a ~1/5-sized build side.
+    o_building = o.join(c, o.o_custkey == c.c_custkey)
     return (
         li.join(o_building, li.l_orderkey == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
