@@ -208,6 +208,8 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
         return _stage_geoip(df, rest, lookups or {})
     if head == "dedup":
         return _stage_dedup(df, rest, schema)
+    if head == "logexplain":
+        return _stage_logexplain(df, rest, schema)
     if head == "sort":
         return _stage_sort(df, rest)
     if head == "limit":
@@ -632,6 +634,75 @@ def _stage_count_frequent(df: DataFrame, rest: str,
         .agg(F.count(F.lit(1)).alias("_approxcount"))
         .orderBy(F.col("_approxcount").desc(), *cols)
         .limit(limit)
+    )
+
+
+_LOGEXPLAIN_RE = re.compile(
+    r"^(?P<test>.+?)(?:\s+against\s+(?P<ctrl>.+?))?"
+    r"\s+on\s+(?P<fields>[\w.]+(?:\s*,\s*[\w.]+)*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _stage_logexplain(df: DataFrame, rest: str,
+                      schema: SumoSchema) -> DataFrame:
+    """``logexplain <test-cond> [against <control-cond>] on f1[, f2…]`` —
+    Sumo's explanation miner: which values of the ``on`` fields
+    over-index in the rows matching the test condition vs the control
+    population (default control: everything NOT matching the test).
+
+    Output per value combination: ``explanation`` ("f1=v1, f2=v2"),
+    ``test_coverage`` / ``control_coverage`` (fraction of test/control
+    rows carrying the combination), ``relevance``, and the raw counts.
+    Sumo's relevance score is unpublished; this engine defines it
+    deterministically as ``round(test_coverage * (1 - control_coverage),
+    6)`` — 1.0 when a value covers every abnormal row and no normal row,
+    0 when it never appears in the test group.
+
+    Scale shape: ONE corpus pass — a groupBy on the ``on`` fields with
+    two conditional counts (map-side partial agg); the denominators come
+    from re-aggregating the already-grouped frame (no second scan) and
+    ride a 1-row broadcast crossJoin.  The final sort orders the
+    aggregated report, never the corpus.
+    """
+    m = _LOGEXPLAIN_RE.match(rest.strip())
+    if not m:
+        raise SumoQLError(f"bad logexplain stage: {rest!r}")
+    # Sumo-facing name → bound column (meta fields like _sourceCategory
+    # resolve through the schema, parsed fields pass through).
+    fields = [(f.strip(), schema.meta_cols.get(f.strip(), f.strip()))
+              for f in m.group("fields").split(",") if f.strip()]
+    try:
+        test = F.expr(_rewrite_expr(m.group("test")))
+        ctrl = (F.expr(_rewrite_expr(m.group("ctrl")))
+                if m.group("ctrl") else ~test)
+    except Exception as exc:
+        raise SumoQLError(f"bad logexplain condition: {rest!r}") from exc
+    grouped = df.groupBy(*[c for _, c in fields]).agg(
+        F.sum(F.when(test, 1).otherwise(0)).alias("_tc"),
+        F.sum(F.when(ctrl, 1).otherwise(0)).alias("_cc"),
+    )
+    totals = grouped.agg(F.sum("_tc").alias("_tt"),
+                         F.sum("_cc").alias("_ct"))
+    explanation = F.concat_ws(", ", *[
+        F.concat(F.lit(name + "="),
+                 F.coalesce(F.col(col).cast("string"), F.lit("null")))
+        for name, col in fields
+    ])
+    test_cov = F.round(F.col("_tc") / F.col("_tt"), 6)
+    ctrl_cov = F.round(F.col("_cc") / F.greatest(F.col("_ct"), F.lit(1)), 6)
+    return (
+        grouped.crossJoin(F.broadcast(totals))
+        .filter(F.col("_tc") > 0)
+        .select(
+            explanation.alias("explanation"),
+            F.round(test_cov * (1 - ctrl_cov), 6).alias("relevance"),
+            test_cov.alias("test_coverage"),
+            ctrl_cov.alias("control_coverage"),
+            F.col("_tc").alias("test_count"),
+            F.col("_cc").alias("control_count"),
+        )
+        .orderBy(F.col("relevance").desc(), "explanation")
     )
 
 

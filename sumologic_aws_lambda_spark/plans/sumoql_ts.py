@@ -348,7 +348,64 @@ def stage_predict(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
     return observed.unionByName(future.select(*keep))
 
 
+_COMPARE_RE = re.compile(
+    r"^(?:with\s+)?timeshift\s+(\d+)([smhd])(?:\s+(\d+))?$",
+    re.IGNORECASE,
+)
+
+
+def stage_compare(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
+    """``compare [with] timeshift <dur> [N]`` — Sumo's period-over-period
+    comparison: every aggregate column ``X`` of a timesliced series gains
+    ``X_<dur>`` holding the value one ``<dur>`` earlier (with ``N``:
+    ``X_<dur>_avg``, the mean of the N previous periods).
+
+    Physical shape: the input is an already-aggregated series, so the
+    shifted replica is built by adding the offset to ``_timeslice`` (for
+    ``N`` periods: a ``sequence`` explode — N small copies of the
+    aggregated frame, never the fact table) and equi-joined back on
+    ``(_timeslice, group keys)``.  AQE broadcasts the shifted side when
+    small; there is no window, so nothing serializes on a single task.
+    """
+    m = _COMPARE_RE.match(rest.strip())
+    if not m:
+        raise SumoQLError(f"bad compare stage: {rest!r}")
+    n_units, unit, periods = int(m.group(1)), m.group(2), m.group(3)
+    shift_s = n_units * _UNIT_SECONDS[unit.lower()]
+    n_periods = int(periods) if periods else 1
+    if "_timeslice" not in df.columns:
+        raise SumoQLError("compare requires a timesliced series "
+                          "(run `timeslice` + an aggregate first)")
+    spec = f"{n_units}{unit.lower()}"
+    measures = [c for c, t in df.dtypes
+                if c != "_timeslice"
+                and (t in ("bigint", "int", "double", "float", "long",
+                           "smallint", "tinyint")
+                     or t.startswith("decimal"))]
+    keys = [c for c in df.columns if c != "_timeslice" and c not in measures]
+    suffix = f"_{spec}" + ("_avg" if n_periods > 1 else "")
+
+    shifted = df.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n_periods))).alias("_i"),
+        F.col("_timeslice").alias("_ts0"),
+        *keys,
+        *[F.col(c) for c in measures],
+    ).select(
+        (F.col("_ts0") + F.make_dt_interval(
+            secs=F.col("_i").cast("double") * shift_s)).alias("_timeslice"),
+        *keys,
+        *[F.col(c) for c in measures],
+    )
+    prev = shifted.groupBy("_timeslice", *keys).agg(*[
+        F.avg(c).alias(c + suffix) if n_periods > 1
+        else F.first(c).alias(c + suffix)
+        for c in measures
+    ])
+    return df.join(prev, on=["_timeslice", *keys], how="left")
+
+
 STAGES = {
+    "compare": stage_compare,
     "accum": stage_accum,
     "total": stage_total,
     "backshift": stage_backshift,

@@ -634,3 +634,76 @@ def sumoql_count_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
         '_sourceCategory=view | json "k" | count_frequent k',
         EVENTS_SCHEMA,
     )
+
+
+@query(
+    "sumoql_logexplain",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) > 80 AS t
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+               CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        FROM base GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(tc) AS BIGINT) AS tt,
+               CAST(sum(cc) AS BIGINT) AS ct
+        FROM g
+    )
+    SELECT concat('_sourceCategory=', coalesce(event_type, 'null'))
+               AS explanation,
+           round(round(tc / tt, 6) * (1 - round(cc / greatest(ct, 1), 6)), 6)
+               AS relevance,
+           round(tc / tt, 6) AS test_coverage,
+           round(cc / greatest(ct, 1), 6) AS control_coverage,
+           tc AS test_count,
+           cc AS control_count
+    FROM g, tot
+    WHERE tc > 0
+    """,
+)
+def sumoql_logexplain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``logexplain <cond> on _sourceCategory`` — Sumo's explanation
+    miner: which source categories over-index among high-``k`` events.
+    One corpus pass (conditional-count groupBy), denominators re-derived
+    from the grouped frame, 1-row broadcast crossJoin
+    (``plans/sumoql.py::_stage_logexplain``)."""
+    ev = table(spark, sf_dir, "events")
+    return compile_query(
+        ev,
+        '* | json "k" | logexplain CAST(k AS BIGINT) > 80 on '
+        "_sourceCategory",
+        EVENTS_SCHEMA,
+    )
+
+
+@query(
+    "sumoql_compare_timeshift",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS _timeslice,
+               count(*) AS _count
+        FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT s._timeslice, s._count, p._count AS _count_1d
+    FROM s LEFT JOIN s p ON p._timeslice + INTERVAL 1 DAY = s._timeslice
+    """,
+)
+def sumoql_compare_timeshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``timeslice 1d | count by _timeslice | compare with timeshift 1d``
+    — period-over-period comparison on the aggregated series: an
+    equi-join of the series against its day-shifted replica, never a
+    window and never the fact table
+    (``plans/sumoql_ts.py::stage_compare``)."""
+    ev = table(spark, sf_dir, "events")
+    return compile_query(
+        ev,
+        "_sourceCategory=error | timeslice 1d | count by _timeslice"
+        " | compare with timeshift 1d",
+        EVENTS_SCHEMA,
+    )

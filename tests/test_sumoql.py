@@ -467,3 +467,49 @@ def test_json_stage_default_alias_strips_index(spark):
         [(1, '{"a":{"b":[10,20]}}')], "id int, raw string")
     out = compile_query(df, '* | json "a.b[0]"', SumoSchema(raw_col="raw"))
     assert out.collect()[0]["b"] == "10"
+
+
+def test_logexplain_default_control(spark):
+    # 4 error rows (3 on host a, 1 on host b), 4 ok rows (all host b):
+    # host a should fully separate with relevance = 0.75 * (1 - 0) = 0.75.
+    rows = [("error", "a")] * 3 + [("error", "b")] + [("ok", "b")] * 4
+    df = spark.createDataFrame(rows, "status string, host string")
+    out = compile_query(
+        df, '* | logexplain status = "error" on host',
+        SumoSchema(raw_col="status"),
+    ).collect()
+    by_expl = {r.explanation: r for r in out}
+    a = by_expl["host=a"]
+    assert a.test_count == 3 and a.control_count == 0
+    assert a.test_coverage == 0.75 and a.control_coverage == 0.0
+    assert a.relevance == 0.75
+    b = by_expl["host=b"]
+    assert b.test_count == 1 and b.control_count == 4
+    assert b.control_coverage == 1.0
+    # Sorted by relevance descending: the separating value leads.
+    assert out[0].explanation == "host=a"
+
+
+def test_logexplain_against_and_meta_resolution(spark):
+    rows = [("error", "a", "x"), ("warn", "a", "x"),
+            ("ok", "b", "y"), ("error", "b", "y")]
+    df = spark.createDataFrame(rows, "status string, host string, cat string")
+    out = compile_query(
+        df,
+        '* | logexplain status = "error" against status = "ok" '
+        "on host, _sourceCategory",
+        SumoSchema(raw_col="status", meta_cols={"_sourceCategory": "cat"}),
+    ).collect()
+    expl = {r.explanation for r in out}
+    # Meta name appears in the label, bound column drives the grouping;
+    # only combos with at least one test row survive.
+    assert expl == {"host=a, _sourceCategory=x", "host=b, _sourceCategory=y"}
+    # Control totals count only rows matching the against-condition.
+    b = next(r for r in out if r.explanation.startswith("host=b"))
+    assert b.control_count == 1 and b.control_coverage == 1.0
+
+
+def test_logexplain_rejects_garbage(spark):
+    df = spark.createDataFrame([("x",)], "a string")
+    with pytest.raises(SumoQLError):
+        compile_query(df, "* | logexplain on ", SumoSchema(raw_col="a"))

@@ -234,3 +234,38 @@ def test_formatdate_todate_rewrites(spark):
     ).collect()
     assert out[0]["ym"] == "2024-01"
     assert out[0]["d"] == datetime.date(2024, 1, 3)
+
+
+def test_compare_with_timeshift(spark):
+    df = _series(spark, [(1, "a", 10), (2, "a", 20), (3, "a", 35)]).select(
+        "_timeslice", "grp", "v")
+    out = compile_query(df, "* | compare with timeshift 1d", SCHEMA)
+    rows = {r["_timeslice"].day: r["v_1d"] for r in out.collect()}
+    # Day N sees day N-1's value; day 1 has no prior period.
+    assert rows == {1: None, 2: 10, 3: 20}
+
+
+def test_compare_timeshift_multi_period_avg(spark):
+    df = _series(spark, [(1, "a", 10), (2, "a", 20), (3, "a", 60)]).select(
+        "_timeslice", "grp", "v")
+    out = compile_query(df, "* | compare timeshift 1d 2", SCHEMA)
+    rows = {r["_timeslice"].day: r["v_1d_avg"] for r in out.collect()}
+    # Day 3 averages days 1+2; day 2 only sees day 1.
+    assert rows == {1: None, 2: 10.0, 3: 15.0}
+
+
+def test_compare_keeps_groups_separate(spark):
+    df = _series(spark, [(1, "a", 1), (2, "a", 2),
+                         (1, "b", 100), (2, "b", 200)]).select(
+        "_timeslice", "grp", "v")
+    out = compile_query(df, "* | compare with timeshift 1d", SCHEMA)
+    rows = {(r["grp"], r["_timeslice"].day): r["v_1d"]
+            for r in out.collect()}
+    assert rows == {("a", 1): None, ("a", 2): 1,
+                    ("b", 1): None, ("b", 2): 100}
+
+
+def test_compare_requires_timeslice(spark):
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(SumoQLError):
+        compile_query(df, "* | compare with timeshift 1d", SCHEMA)
