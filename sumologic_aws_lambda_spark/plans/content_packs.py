@@ -1,0 +1,161 @@
+"""Content packs: install an exported app's saved searches and run them.
+
+The reference's ``App`` custom resource downloads an ApiExported content
+JSON, substitutes ``$$param`` placeholders, creates/uses the app folder
+(upserting on ``content:duplicate_content``), and imports the folder tree
+of saved searches into the org (``sumologic-app-utils/src/
+sumoresource.py:543-609``; the export format is the public Sumo content
+sync-definition: ``FolderSyncDefinition`` nodes with ``children``,
+``SavedSearchWithScheduleSyncDefinition`` leaves carrying
+``search.queryText``).
+
+Here the install target is a session-scoped catalog instead of a SaaS
+folder API, and "running" a saved search compiles its queryText through
+the SumoQL compiler (``plans/sumoql.py``) into a DataFrame plan — so a
+pack is a distributable bundle of queries a user installs once and runs
+against any bound source.
+
+Scale stance: installation touches only pack metadata (pure driver-side
+dict work, no Spark job); execution inherits the compiler's physical
+plans, so nothing here adds a shuffle or a collect.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from .sumoql import SumoQLError, SumoSchema, compile_query
+
+
+class ContentPackError(ValueError):
+    pass
+
+
+@dataclass
+class SavedSearch:
+    """One exported saved search (queryText + metadata)."""
+
+    name: str
+    query_text: str
+    description: str = ""
+    # Sumo exports carry the search's default time range; kept verbatim.
+    time_range: dict | None = None
+
+
+@dataclass
+class ContentPack:
+    """A parsed export: the app folder's name/description and its saved
+    searches, flattened to ``folder/sub-folder/name`` paths."""
+
+    name: str
+    description: str = ""
+    searches: dict[str, SavedSearch] = field(default_factory=dict)
+
+    @classmethod
+    def from_json(cls, text: str,
+                  params: dict[str, str] | None = None) -> "ContentPack":
+        """Parse an ApiExported content JSON.
+
+        ``params`` substitutes ``$$key`` placeholders in the RAW text
+        before parsing — byte-for-byte the reference's
+        ``_replace_source_category`` contract (``sumoresource.py:552``):
+        the export embeds ``$$logsrc``-style markers inside queryText
+        strings, and substitution happens before JSON decoding.
+        """
+        if params:
+            for k, v in params.items():
+                text = text.replace(f"$${k}", v)
+        if re.search(r"\$\$\w+", text):
+            missing = sorted(set(re.findall(r"\$\$(\w+)", text)))
+            raise ContentPackError(
+                f"unsubstituted pack parameters: {missing}")
+        try:
+            root = json.loads(text)
+        except json.JSONDecodeError as exc:
+            raise ContentPackError(f"bad pack JSON: {exc}") from exc
+
+        pack = cls(name=root.get("name", "pack"),
+                   description=root.get("description", "")[:255])
+        pack._walk(root, prefix="", is_root=True)
+        if not pack.searches:
+            raise ContentPackError(
+                f"pack {pack.name!r} contains no saved searches")
+        return pack
+
+    def _walk(self, node: dict, prefix: str, is_root: bool) -> None:
+        ntype = node.get("type", "")
+        if ntype.startswith("SavedSearch"):
+            name = node.get("name", "unnamed")
+            search = node.get("search", {})
+            qt = search.get("queryText")
+            if not qt:
+                raise ContentPackError(f"saved search {name!r} has no "
+                                       "queryText")
+            tr = search.get("defaultTimeRange")
+            self.searches[f"{prefix}{name}"] = SavedSearch(
+                name=name,
+                query_text=qt,
+                description=node.get("description", ""),
+                time_range=tr if isinstance(tr, dict) else None,
+            )
+        elif ntype.startswith("Folder") or "children" in node:
+            # The ROOT folder's name is the pack name, not a path
+            # component — matches the reference, which creates the app
+            # folder itself at the install root; nested folders become
+            # path segments.
+            sub = node.get("name", "")
+            child_prefix = prefix if is_root or not sub \
+                else f"{prefix}{sub}/"
+            for child in node.get("children", []):
+                self._walk(child, child_prefix, is_root=False)
+        # Dashboards / other content types: ignored (no analytics-engine
+        # analog — panels reference the saved searches we do install).
+
+
+class ContentPackCatalog:
+    """Session-scoped install target for content packs.
+
+    ``install`` upserts: re-installing a pack with the same name replaces
+    its searches (the reference maps ``content:duplicate_content`` to
+    reusing the existing folder, then imports over it).
+    """
+
+    def __init__(self) -> None:
+        self._packs: dict[str, ContentPack] = {}
+
+    def install(self, pack: ContentPack) -> list[str]:
+        """Install (or upsert) a pack; returns the installed paths."""
+        self._packs[pack.name] = pack
+        return sorted(pack.searches)
+
+    def uninstall(self, name: str) -> None:
+        self._packs.pop(name, None)
+
+    def packs(self) -> list[str]:
+        return sorted(self._packs)
+
+    def search(self, pack: str, path: str) -> SavedSearch:
+        try:
+            p = self._packs[pack]
+        except KeyError:
+            raise ContentPackError(f"pack not installed: {pack!r}")
+        try:
+            return p.searches[path]
+        except KeyError:
+            raise ContentPackError(
+                f"no saved search {path!r} in pack {pack!r} "
+                f"(has: {sorted(p.searches)})")
+
+    def run(self, df: DataFrame, pack: str, path: str, schema: SumoSchema,
+            lookups: dict[str, DataFrame] | None = None) -> DataFrame:
+        """Compile a pack's saved search against a bound source frame."""
+        s = self.search(pack, path)
+        try:
+            return compile_query(df, s.query_text, schema, lookups=lookups)
+        except SumoQLError as exc:
+            raise ContentPackError(
+                f"saved search {path!r} failed to compile: {exc}") from exc

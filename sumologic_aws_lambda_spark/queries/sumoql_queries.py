@@ -707,3 +707,51 @@ def sumoql_compare_timeshift(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | compare with timeshift 1d",
         EVENTS_SCHEMA,
     )
+
+
+_PACK_JSON = """
+{
+  "type": "FolderSyncDefinition",
+  "name": "Events Overview",
+  "description": "synthetic app export",
+  "children": [
+    {
+      "type": "FolderSyncDefinition",
+      "name": "Engagement",
+      "children": [
+        {
+          "type": "SavedSearchWithScheduleSyncDefinition",
+          "name": "High-k by category",
+          "search": {
+            "queryText": "_sourceCategory=$$cat | json \\"k\\" | where CAST(k AS BIGINT) > 60 | count by k"
+          }
+        }
+      ]
+    }
+  ]
+}
+"""
+
+
+@query(
+    "content_pack_saved_search",
+    oracle="""
+    SELECT json_extract_string(props, '$.k') AS k, count(*) AS _count
+    FROM events
+    WHERE event_type = 'signup'
+      AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 60
+    GROUP BY 1
+    """,
+)
+def content_pack_saved_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Install a content pack (ApiExported JSON with a ``$$cat``
+    parameter, per the reference App resource ``sumoresource.py:543``)
+    into a session catalog and run its nested saved search against the
+    events source (``plans/content_packs.py``)."""
+    from ..plans.content_packs import ContentPack, ContentPackCatalog
+
+    cat = ContentPackCatalog()
+    cat.install(ContentPack.from_json(_PACK_JSON, {"cat": "signup"}))
+    ev = table(spark, sf_dir, "events")
+    return cat.run(ev, "Events Overview", "Engagement/High-k by category",
+                   EVENTS_SCHEMA)
