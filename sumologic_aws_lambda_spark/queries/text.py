@@ -162,10 +162,12 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at 100 TB: the whole filter chain is ONE narrow codegen
     stage over the scan (all predicates pushed/pipelined), then a single
-    shuffle on the uniform fingerprint for dedup and a map-side-combined
-    rollup — two exchanges total for the full pipeline."""
-    from pyspark.sql import Window
-
+    shuffle on the fingerprint for dedup and a map-side-combined rollup
+    — two exchanges total for the full pipeline.  The dedup winner comes
+    from a partial-aggregatable ``min(struct(doc_id, …))`` groupBy, not
+    a content-hash window: every copy of a duplicated document shares
+    one hash, so a window would serialize the hot document's copies into
+    a single task while the groupBy combine absorbs them map-side."""
     d = table(spark, sf_dir, "documents", parallel=True)
     feat = quality_features(d).withColumn(
         "pred_lang", detect_lang("text")
@@ -175,10 +177,13 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("nonalpha_ratio") <= 0.05)
         & (F.col("pred_lang") == "en")
     )
-    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
     deduped = (
-        curated.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        curated.groupBy(fingerprint("text").alias("_fp"))
+        .agg(F.min(F.struct(F.col("doc_id"),
+                            F.col("source"),
+                            F.col("n_tokens"))).alias("_w"))
+        .select(F.col("_w.source").alias("source"),
+                F.col("_w.n_tokens").alias("n_tokens"))
     )
     return deduped.groupBy("source").agg(
         F.count(F.lit(1)).alias("kept_docs"),

@@ -279,3 +279,21 @@ def test_no_inferred_generator_filter(spark, qs):
             assert "transform(" not in line, (
                 "generator expression inlined into a Filter — "
                 "InferFiltersFromGenerate is active again:\n" + line[:300])
+
+
+def test_curation_pipeline_dedup_has_no_window(spark, qs):
+    """Exact dedup inside the curation composite must be the
+    partial-aggregatable min(struct) groupBy, never a row_number window
+    partitioned by the content hash (VERDICT r4 #3: every copy of a hot
+    duplicated doc shares one hash, so the window serializes them into a
+    single task)."""
+    plan = _plan(qs["curation_pipeline"](spark, SF_DIR))
+    assert "Window" not in plan
+
+
+def test_paragraph_dedup_has_no_window_and_one_corpus_shuffle(spark, qs):
+    """paragraph_dedup: winner-by-min groupBy on the paragraph hash, no
+    content-hash window; totals come from a narrow arithmetic
+    projection, so the exploded corpus shuffles exactly once."""
+    plan = _plan(qs["paragraph_dedup_stats"](spark, SF_DIR))
+    assert "Window" not in plan
