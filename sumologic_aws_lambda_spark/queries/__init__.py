@@ -76,13 +76,14 @@ _PRIORITY: tuple[str, ...] = (
     # -- new or implementation-changed this round --
     "monitor_threshold_alerts", "fields_schema_apply",
     "embedding_neardup_pairs", "exact_dedup_stats",
+    "sumoql_logexplain", "sumoql_compare_timeshift",
+    "content_pack_saved_search", "semantic_dedup_clusters",
+    "quality_binned_sample", "curation_pipeline",
+    "revenue_topk", "two_hop_dim_join",
     # -- cross-family regression picks (previously green; keep them hot) --
     "cwl_decode_pipeline", "sessionize_events", "timeslice_5m",
     "vpc_eni_enrichment", "minhash_lsh_pairs", "ngram_jaccard_pairs",
-    "tfidf_top_terms", "ivf_ann_topk", "kmeans_centroid_stats",
-    "sumoql_transaction", "scalar_function_battery",
-    "carry_forward_last_value", "paged_results", "multiline_assembly",
-    "timestamp_locator_extract",
+    "tfidf_top_terms",
 )
 
 

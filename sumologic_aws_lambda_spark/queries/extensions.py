@@ -37,11 +37,13 @@ def _neardup_planes() -> list[list[float]]:
     return hyperplanes(num_planes=24, dim=64)
 
 
-def _neardup_oracle() -> str:
+def _neardup_cte() -> str:
+    """The banded-LSH candidate + exact-rescore pair set as a CTE chain
+    ending in ``scored(a, b, sim)`` — shared by the pair query's oracle
+    and the semantic-dedup clustering oracle."""
     from .similarity import _planes_sql
 
-    return f"""
-    WITH {_planes_sql(_neardup_planes())},
+    return f"""{_planes_sql(_neardup_planes())},
     c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     bucketed AS (
         SELECT vec_id, p // 8 AS band,
@@ -55,16 +57,24 @@ def _neardup_oracle() -> str:
         SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
         FROM bucketed x JOIN bucketed y USING (band, bucket)
         WHERE x.vec_id < y.vec_id
-    )
-    SELECT a, b,
-           round(list_dot_product(ca.e, cb.e) /
-                 (sqrt(list_dot_product(ca.e, ca.e)) *
-                  sqrt(list_dot_product(cb.e, cb.e))), 6) AS sim
-    FROM cand JOIN c ca ON cand.a = ca.vec_id
-              JOIN c cb ON cand.b = cb.vec_id
-    WHERE list_dot_product(ca.e, cb.e) /
-          (sqrt(list_dot_product(ca.e, ca.e)) *
-           sqrt(list_dot_product(cb.e, cb.e))) >= 0.35
+    ),
+    scored AS (
+        SELECT a, b,
+               round(list_dot_product(ca.e, cb.e) /
+                     (sqrt(list_dot_product(ca.e, ca.e)) *
+                      sqrt(list_dot_product(cb.e, cb.e))), 6) AS sim
+        FROM cand JOIN c ca ON cand.a = ca.vec_id
+                  JOIN c cb ON cand.b = cb.vec_id
+        WHERE list_dot_product(ca.e, cb.e) /
+              (sqrt(list_dot_product(ca.e, ca.e)) *
+               sqrt(list_dot_product(cb.e, cb.e))) >= 0.35
+    )"""
+
+
+def _neardup_oracle() -> str:
+    return f"""
+    WITH {_neardup_cte()}
+    SELECT a, b, sim FROM scored
     """
 
 
@@ -91,6 +101,56 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return lsh_neardup_pairs(emb, _neardup_planes(), n_bands=3,
                              threshold=0.35)
+
+
+@query(
+    "semantic_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_neardup_cte()},
+    edges AS (
+        SELECT a AS src, b AS dst FROM scored
+        UNION SELECT b, a FROM scored
+    ),
+    reach(node, lbl) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (
+        SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+    FROM labels GROUP BY cluster_id HAVING count(*) >= 2
+    """,
+)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: embedding-cosine near-dup pairs
+    (banded hyperplane LSH → exact rescore, same pruning as
+    ``embedding_neardup_pairs``) resolved into duplicate clusters by
+    min-label connected components; downstream dedup keeps
+    ``vec_id == cluster_id`` (the min member IS the canonical doc).
+    Output: every non-singleton cluster with its member count — the
+    corpus-level duplicate inventory.
+
+    Scale: pairs are LSH-pruned (never corpus²), the component loop is
+    per-round one shuffle join on a shrinking edge frontier, and the
+    final rollup is a map-side-combined count — no window, no collect.
+    The DuckDB oracle replays the identical LSH pruning AND the
+    fixpoint via a recursive CTE, so clustering is hard-signal-checked
+    end to end."""
+    from ..operators.dedup import connected_components
+    from ..operators.similarity import lsh_neardup_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = lsh_neardup_pairs(emb, _neardup_planes(), n_bands=3,
+                              threshold=0.35).select("a", "b")
+    labels = connected_components(
+        emb.select("vec_id"), pairs, node_col="vec_id")
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
 
 
 _SNS_EVENTS = [

@@ -197,3 +197,66 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(tok).alias("kept_tokens"),
         )
     )
+
+
+@query(
+    "quality_binned_sample",
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id,
+               len(string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ')) AS n_tokens
+        FROM documents
+    ),
+    binned AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens < 40 THEN 'short'
+                    WHEN n_tokens < 80 THEN 'medium'
+                    ELSE 'long' END AS bin,
+               CASE WHEN n_tokens < 40 THEN '0c'
+                    WHEN n_tokens < 80 THEN '3f'
+                    ELSE 'ff' END AS cut
+        FROM feat
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(n_tokens) AS BIGINT) AS sampled_tokens
+    FROM binned
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= cut
+    GROUP BY bin
+    """,
+)
+def quality_binned_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-style quality-binned sampling: documents are binned by
+    a quality proxy (token count: short/medium/long) and each bin gets a
+    different deterministic sampling rate — 5% of short docs (md5 prefix
+    ≤ 0x0c), 25% of medium (≤ 0x3f), 100% of long.  The standard "keep
+    all high-quality, downsample the tail" recipe for assembling a
+    training mix.
+
+    Scale: binning and membership are pure row-local expressions (no
+    quantile job, no rand(), no shuffle before the final rollup) and the
+    per-bin rollup is a 3-group map-side-combined count — ONE exchange
+    total, any corpus size, reproducible on any engine."""
+    d = table(spark, sf_dir, "documents", parallel=True)
+    from ..operators.text import token_count, normalize_text
+
+    n_tokens = token_count(normalize_text(F.col("text")))
+    binned = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.when(n_tokens < 40, "short")
+        .when(n_tokens < 80, "medium")
+        .otherwise("long").alias("bin"),
+        F.when(n_tokens < 40, "0c")
+        .when(n_tokens < 80, "3f")
+        .otherwise("ff").alias("cut"),
+    )
+    return (
+        binned.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+            <= F.col("cut"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+             F.sum("n_tokens").cast("bigint").alias("sampled_tokens"))
+    )
