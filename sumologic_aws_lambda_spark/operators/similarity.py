@@ -390,3 +390,173 @@ def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rn") == 1)
         .select("query_id", F.col(label_col).alias("predicted_label"), "votes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): sub-vector codebooks + asymmetric-distance scan
+# ---------------------------------------------------------------------------
+
+
+def _pq_sub_argmin(sub_slice: Column,
+                   sub_cents: list[list[float]]) -> Column:
+    """Argmin centroid id for one subspace slice: array_sort over
+    (d2, cid) structs — same narrow shape as ``kmeans_lite``'s
+    assignment, no join, no window.  Ties break on cid."""
+    cells = []
+    for cid, ce in enumerate(sub_cents):
+        lit_c = F.array(*[F.lit(float(v)) for v in ce])
+        d2 = F.aggregate(
+            F.zip_with(sub_slice, lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        cells.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
+    return F.element_at(F.array_sort(F.array(*cells)), 1)["cid"]
+
+
+def pq_train(df: DataFrame, m: int = 8, k: int = 8, iters: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             scale: int = 1_000_000) -> list[list[list[float]]]:
+    """Train PQ codebooks: ``m`` independent per-subspace Lloyd's runs,
+    executed in the SAME Spark jobs (the subspace index is just another
+    grouping key, so one assignment pass + one integer-sum shuffle per
+    round trains all ``m`` codebooks at once).
+
+    Same determinism contract as ``kmeans_lite``: init = the first ``k``
+    vectors' sub-slices, centroid updates from exact ``floor(x·scale)``
+    integer sums divided once at the driver, distance folds
+    left-to-right.  Driver state is O(m·k·subdim) — for m=8, k=256,
+    subdim=8 that's 16 K floats regardless of corpus size.
+
+    Returns ``codebooks[sub][cid] -> centroid`` (list of m lists of k
+    subvectors).
+    """
+    vecs = df.select(F.col(id_col).alias("id"),
+                     as_double(vec_col).alias("e"))
+    seed = vecs.orderBy("id").limit(k).collect()
+    dim = len(seed[0]["e"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+    books: list[list[list[float]]] = [
+        [list(r["e"][s * sub_dim:(s + 1) * sub_dim]) for r in seed]
+        for s in range(m)
+    ]
+    subs = vecs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("sub"),
+                     F.slice("e", s * sub_dim + 1, sub_dim).alias("sv"))
+            for s in range(m)
+        ])).alias("x"),
+    ).select("id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
+
+    for _ in range(iters):
+        # Assignment: one CASE over the subspace index, each arm a
+        # narrow argmin against that subspace's literal codebook.
+        cid_expr = None
+        for s in range(m):
+            arm = _pq_sub_argmin(F.col("sv"), books[s])
+            cid_expr = (F.when(F.col("sub") == s, arm) if cid_expr is None
+                        else cid_expr.when(F.col("sub") == s, arm))
+        assigned = subs.withColumn("cid", cid_expr)
+        q = quantize(F.col("sv"), scale)
+        stats = assigned.groupBy("sub", "cid").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at(q, i + 1)).alias(f"s{i}")
+              for i in range(sub_dim)],
+        ).collect()
+        by_key = {(int(r["sub"]), int(r["cid"])): r for r in stats}
+        books = [
+            [
+                [by_key[(s, c)][f"s{i}"] / (by_key[(s, c)]["n"]
+                                            * float(scale))
+                 for i in range(sub_dim)]
+                if (s, c) in by_key else old
+                for c, old in enumerate(books[s])
+            ]
+            for s in range(m)
+        ]
+    return books
+
+
+def pq_encode(df: DataFrame, books: list[list[list[float]]],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """PQ-encode every vector: ``codes[sub] = argmin_cid d2(slice, cent)``
+    — a FULLY NARROW projection (the codebooks ride as literals), no
+    explode, no shuffle.  64-dim float64 (512 B) compresses to m bytes.
+
+    Returns ``(id_col, codes array<int>)``.
+    """
+    m = len(books)
+    sub_dim = len(books[0][0])
+    e = as_double(vec_col)
+    codes = F.array(*[
+        _pq_sub_argmin(F.slice(e, s * sub_dim + 1, sub_dim), books[s])
+        for s in range(m)
+    ])
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_adc_topk(codes_df: DataFrame, books: list[list[list[float]]],
+                queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    full-precision, each corpus vector is its m-byte code, and the
+    distance is ``Σ_s d2(query_slice_s, codebook[s][code_s])``.
+
+    Scale shape: queries broadcast (crossJoin of a tiny frame), the
+    per-row score is an ordered fold over the m code entries against the
+    LITERAL codebook tensor — pure codegen, no join against a distance
+    table — and the only shuffle is the per-query top-k
+    (row_number ≤ k lowers to WindowGroupLimit).  The corpus side reads
+    ``codes`` only: at 100 TB the scan is 64× narrower than raw floats.
+
+    Returns ``(query_id, neighbor_id, adc_d2, rank)`` — ascending
+    distance, rank ties broken on neighbor id.
+    """
+    m = len(books)
+    sub_dim = len(books[0][0])
+    cents = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(float(v)) for v in ce])
+            for ce in books[s]
+        ])
+        for s in range(m)
+    ])
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias(query_id_col),
+                       as_double(vec_col).alias("q_vec"))
+    )
+    scored = (
+        codes_df.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("_cents", cents)
+        .withColumn(
+            "adc_raw",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, s: acc + F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("q_vec"), s * sub_dim + 1, sub_dim),
+                        F.element_at(
+                            F.element_at(F.col("_cents"), s + 1),
+                            F.element_at(F.col("codes"), s + 1) + 1),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0), lambda a2, x: a2 + x,
+                ),
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_raw"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id",
+                F.round("adc_raw", 6).alias("adc_d2"), "rank")
+    )

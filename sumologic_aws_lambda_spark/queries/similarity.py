@@ -378,3 +378,163 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = brute_force_topk(emb, qs, k=5)
     ann = lsh_topk(emb, qs, _PLANES, k=5)
     return ann_recall(exact, ann, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: codebook training + asymmetric-distance search
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8          # subspaces (64-dim -> 8 x 8-dim)
+_PQ_K = 8          # centroids per subspace
+_PQ_SCALE = 1_000_000
+_PQ_D2 = ("list_sum(list_transform(list_zip({a}, {b}),"
+          " p -> (p[1] - p[2]) * (p[1] - p[2])))")
+
+_PQ_BASE_CTE = f"""
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    subsq AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub),
+    seed AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
+        FROM c ORDER BY vec_id LIMIT {_PQ_K}
+    ),
+    cents0 AS (
+        SELECT s.sub, seed.cid,
+               list_slice(seed.e, s.sub * 8 + 1, s.sub * 8 + 8) AS ce
+        FROM seed CROSS JOIN subsq s
+    ),
+    subs AS (
+        SELECT vec_id, s.sub,
+               list_slice(e, s.sub * 8 + 1, s.sub * 8 + 8) AS sv
+        FROM c CROSS JOIN subsq s
+    )"""
+
+
+def _pq_assign_cte(cent_cte: str, name: str) -> str:
+    d2 = _PQ_D2.format(a="subs.sv", b=f"{cent_cte}.ce")
+    return f"""
+    {name} AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT subs.vec_id, subs.sub, {cent_cte}.cid,
+                   row_number() OVER (PARTITION BY subs.vec_id, subs.sub
+                       ORDER BY {d2}, {cent_cte}.cid) AS rn
+            FROM subs JOIN {cent_cte} USING (sub)
+        ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "pq_codebook_stats",
+    oracle=f"""
+    WITH {_PQ_BASE_CTE.lstrip()},
+    {_pq_assign_cte("cents0", "a1").lstrip()},
+    sums1 AS (
+        SELECT a1.sub, a1.cid, t.i,
+               sum(CAST(floor(t.x * {_PQ_SCALE}) AS BIGINT)) AS s,
+               count(*) AS n
+        FROM a1
+        JOIN (SELECT vec_id, sub, generate_subscripts(sv, 1) AS i,
+                     unnest(sv) AS x
+              FROM subs) t USING (vec_id, sub)
+        GROUP BY a1.sub, a1.cid, t.i
+    ),
+    cents1 AS (
+        SELECT sub, cid,
+               list(s / (n * {_PQ_SCALE}.0) ORDER BY i) AS ce
+        FROM sums1 GROUP BY sub, cid
+    ),
+    {_pq_assign_cte("cents1", "a2").lstrip()},
+    counts2 AS (
+        SELECT sub, cid, CAST(count(*) AS BIGINT) AS n_assigned
+        FROM a2 GROUP BY sub, cid
+    ),
+    checks AS (
+        SELECT sub, cid,
+               CAST(list_sum(list_transform(ce,
+                   x -> CAST(floor(x * {_PQ_SCALE}) AS BIGINT)))
+                   AS BIGINT) AS qcent_sum
+        FROM cents1
+    )
+    SELECT sub, cid, coalesce(n_assigned, 0) AS n_assigned, qcent_sum
+    FROM checks LEFT JOIN counts2 USING (sub, cid)
+    """,
+)
+def pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training: one Lloyd's round per
+    subspace, all ``m`` subspaces trained in the same two Spark jobs
+    (``operators.similarity.pq_train`` — the subspace index is just a
+    grouping key).  Emits every (subspace, centroid) with its
+    assignment count under the trained codebooks and an integer
+    centroid checksum; the oracle replays seed → assign → integer-sum
+    update → re-assign bit-for-bit, so the whole training trajectory is
+    hard-signal-verified.  Driver state O(m·k·subdim); the corpus only
+    ever flows through one narrow assignment pass and one map-side-
+    combined sum shuffle per round."""
+    from ..operators.similarity import pq_encode, pq_train, quantize
+
+    emb = table(spark, sf_dir, "embeddings", parallel=True)
+    books = pq_train(emb, m=_PQ_M, k=_PQ_K, iters=1, scale=_PQ_SCALE)
+    codes = pq_encode(emb, books)
+    counts = (
+        codes.select(F.posexplode("codes").alias("sub", "cid"))
+        .groupBy("sub", "cid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_assigned"))
+    )
+    import math
+
+    check_rows = [
+        (s, c, sum(int(math.floor(v * _PQ_SCALE)) for v in ce))
+        for s in range(_PQ_M) for c, ce in enumerate(books[s])
+    ]
+    checks = spark.createDataFrame(
+        check_rows, "sub int, cid int, qcent_sum bigint")
+    return (
+        checks.join(counts, ["sub", "cid"], "left")
+        .select("sub", "cid",
+                F.coalesce("n_assigned", F.lit(0)).cast("bigint")
+                .alias("n_assigned"),
+                "qcent_sum")
+    )
+
+
+@query(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_BASE_CTE.lstrip()},
+    {_pq_assign_cte("cents0", "codes").lstrip()},
+    q AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, codes.vec_id AS neighbor_id,
+               list_sum(list(
+                   {_PQ_D2.format(
+                       a="list_slice(q.qe, codes.sub * 8 + 1,"
+                         " codes.sub * 8 + 8)",
+                       b="cents0.ce")}
+                   ORDER BY codes.sub)) AS adc_raw
+        FROM q CROSS JOIN codes
+        JOIN cents0 ON codes.sub = cents0.sub AND codes.cid = cents0.cid
+        WHERE codes.vec_id <> q.query_id
+        GROUP BY q.query_id, codes.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, round(adc_raw, 6) AS adc_d2,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_raw, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_d2, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search: corpus vectors as m-byte codes
+    (seed codebooks — deterministic, so the oracle is closed-form),
+    queries full-precision, distance = ordered sum of per-subspace
+    d2 lookups against the literal codebook tensor.  Scan reads only
+    the code column (64× narrower than raw floats at 100 TB); the lone
+    shuffle is the per-query top-k WindowGroupLimit
+    (``operators.similarity.pq_encode`` / ``pq_adc_topk``)."""
+    from ..operators.similarity import pq_adc_topk, pq_encode, pq_train
+
+    emb = table(spark, sf_dir, "embeddings", parallel=True)
+    books = pq_train(emb, m=_PQ_M, k=_PQ_K, iters=0)
+    return pq_adc_topk(pq_encode(emb, books), books,
+                       emb.filter(F.col("vec_id") < 5), k=5)

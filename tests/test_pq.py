@@ -1,0 +1,69 @@
+"""Product-quantization operator semantics (operators/similarity.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sumologic_aws_lambda_spark.operators.similarity import (
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    # 8-dim vectors, m=2 subspaces of 4 dims; two tight clusters per
+    # subspace so training has an obvious optimum.
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0, 9.0, 9.0, 9.0, 9.0]),
+        (1, [9.0, 9.0, 9.0, 9.0, 0.0, 0.0, 0.0, 0.0]),
+        (2, [0.1, 0.1, 0.1, 0.1, 9.1, 9.1, 9.1, 9.1]),
+        (3, [9.1, 9.1, 9.1, 9.1, 0.1, 0.1, 0.1, 0.1]),
+        (4, [0.2, 0.0, 0.1, 0.0, 8.9, 9.0, 9.2, 9.0]),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_train_shapes_and_determinism(vecs):
+    b1 = pq_train(vecs, m=2, k=2, iters=1)
+    b2 = pq_train(vecs, m=2, k=2, iters=1)
+    assert b1 == b2                       # deterministic end to end
+    assert len(b1) == 2 and len(b1[0]) == 2 and len(b1[0][0]) == 4
+    # After one round the sub-0 codebook separates the near-0 and near-9
+    # clusters: one centroid < 1, one > 8 in every dimension.
+    lo, hi = sorted(b1[0], key=lambda c: c[0])
+    assert all(v < 1.0 for v in lo) and all(v > 8.0 for v in hi)
+
+
+def test_pq_encode_is_narrow_and_correct(vecs):
+    books = pq_train(vecs, m=2, k=2, iters=1)
+    codes = pq_encode(vecs, books)
+    got = {r.vec_id: list(r.codes) for r in codes.collect()}
+    # Docs 0/2/4 share a sub-0 cluster and docs 1/3 the other.
+    assert got[0][0] == got[2][0] == got[4][0] != got[1][0] == got[3][0]
+    # Narrow projection: no exchange in the encode plan.
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pq_adc_topk_ranks_same_cluster_first(vecs):
+    books = pq_train(vecs, m=2, k=2, iters=1)
+    codes = pq_encode(vecs, books)
+    out = pq_adc_topk(codes, books, vecs.filter(F.col("vec_id") == 0), k=4)
+    rows = sorted((r.rank, r.neighbor_id) for r in out.collect())
+    # Query 0's nearest PQ neighbors are its own cluster (2, 4) before
+    # the opposite cluster (1, 3).
+    assert {n for _, n in rows[:2]} == {2, 4}
+    assert {n for _, n in rows[2:]} == {1, 3}
+    # Distances are non-decreasing with rank.
+    d = [r.adc_d2 for r in sorted(out.collect(), key=lambda r: r.rank)]
+    assert d == sorted(d)
+
+
+def test_pq_train_rejects_indivisible_dim(vecs):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(vecs, m=3, k=2)
