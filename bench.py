@@ -68,6 +68,10 @@ OPTIONAL = [
     "incremental_dedup_batch",
     "embedding_neardup_pairs",
     "ann_recall_eval",
+    "semantic_dedup_clusters",
+    "pq_adc_topk",
+    "sumoql_logexplain",
+    "quality_binned_sample",
 ]
 
 

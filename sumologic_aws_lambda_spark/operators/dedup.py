@@ -289,31 +289,53 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     body to the alternating large-star/small-star method — the driver
     loop and checkpointing stay identical.
     """
+    # Materialize the edge list ONCE: the candidate-pair lineage is
+    # typically an expensive LSH + rescore pipeline, and every fixpoint
+    # round joins against edges — without the checkpoint each round
+    # (plus its convergence action) would recompute that whole pipeline.
+    # Post-LSH edges are a small fraction of the corpus by contract, so
+    # the materialization is cheap.
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(pairs.select(F.col("b").alias("src"),
                             F.col("a").alias("dst")))
+        .localCheckpoint()
     )
+    # The edge count is free once the checkpoint is materialized; when
+    # the duplicate subgraph is tiny (the common post-LSH case — most of
+    # the corpus has no near-dup edge at all), collapse to one partition
+    # so each fixpoint round is a single-task job instead of a
+    # 32-partition shuffle round-trip.  Large graphs keep the parallel
+    # layout.
+    small = edges.count() <= 100_000
+    if small:
+        edges = edges.coalesce(1)
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("lbl")
-    ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
-    for _ in range(max_iter):
+    )
+    if small:
+        labels = labels.coalesce(1)
+    labels = labels.localCheckpoint()
+    def propagate(lbls: DataFrame) -> DataFrame:
         neigh = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(lbls, edges.src == lbls.node)
             .groupBy("dst")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        labels = (
-            labels.join(neigh, labels.node == neigh.dst, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
-                ).alias("lbl"),
-            )
-            .localCheckpoint()
+        return lbls.join(neigh, lbls.node == neigh.dst, "left").select(
+            "node",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+            ).alias("lbl"),
         )
+
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iter):
+        # TWO propagation hops per materialization: the checkpoint and
+        # the convergence action dominate each round's wall time (fixed
+        # job latency, not data), so doubling the hop count halves the
+        # number of driver round-trips for the same diameter coverage.
+        labels = propagate(propagate(labels)).localCheckpoint()
         cur_sum = labels.agg(F.sum("lbl")).first()[0]
         if cur_sum == prev_sum:
             break

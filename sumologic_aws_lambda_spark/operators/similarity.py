@@ -399,18 +399,26 @@ def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def _pq_sub_argmin(sub_slice: Column,
                    sub_cents: list[list[float]]) -> Column:
-    """Argmin centroid id for one subspace slice: array_sort over
-    (d2, cid) structs — same narrow shape as ``kmeans_lite``'s
-    assignment, no join, no window.  Ties break on cid."""
-    cells = []
-    for cid, ce in enumerate(sub_cents):
-        lit_c = F.array(*[F.lit(float(v)) for v in ce])
-        d2 = F.aggregate(
-            F.zip_with(sub_slice, lit_c, lambda x, y: (x - y) * (x - y)),
+    """Argmin centroid id for one subspace slice.
+
+    A single ``transform`` over the LITERAL codebook array computes all
+    k distances with ONE lambda — the expression tree is O(1) in k, so
+    Catalyst analysis/codegen stays fast even at k=256 (an unrolled
+    k-struct argmin made plan compilation, not execution, the dominant
+    cost).  ``array_position`` of the min takes the FIRST match, so ties
+    break on the lowest cid, same as the oracle's ``ORDER BY d2, cid``.
+    """
+    book = F.array(*[
+        F.array(*[F.lit(float(v)) for v in ce]) for ce in sub_cents
+    ])
+    d2s = F.transform(
+        book,
+        lambda c: F.aggregate(
+            F.zip_with(sub_slice, c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0), lambda acc, x: acc + x,
-        )
-        cells.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
-    return F.element_at(F.array_sort(F.array(*cells)), 1)["cid"]
+        ),
+    )
+    return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
 
 
 def pq_train(df: DataFrame, m: int = 8, k: int = 8, iters: int = 1,
@@ -518,39 +526,33 @@ def pq_adc_topk(codes_df: DataFrame, books: list[list[list[float]]],
     """
     m = len(books)
     sub_dim = len(books[0][0])
-    cents = F.array(*[
-        F.array(*[
-            F.array(*[F.lit(float(v)) for v in ce])
-            for ce in books[s]
-        ])
-        for s in range(m)
-    ])
     q = F.broadcast(
         queries.select(F.col(id_col).alias(query_id_col),
                        as_double(vec_col).alias("q_vec"))
     )
+    # Statically unrolled ordered sum over subspaces: each term slices
+    # the query once and indexes that subspace's LITERAL codebook array
+    # with the dynamic code byte — pure codegen, no carried tensor
+    # column, left-associated so the fold order matches the oracle.
+    adc = F.lit(0.0)
+    for s in range(m):
+        book_s = F.array(*[
+            F.array(*[F.lit(float(v)) for v in ce]) for ce in books[s]
+        ])
+        cent = F.element_at(book_s, F.element_at("codes", s + 1) + 1)
+        adc = adc + F.aggregate(
+            F.zip_with(
+                F.slice(F.col("q_vec"), s * sub_dim + 1, sub_dim),
+                cent,
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0), lambda a2, x: a2 + x,
+        )
     scored = (
         codes_df.select(F.col(id_col).alias("neighbor_id"), "codes")
         .crossJoin(q)
         .filter(F.col("neighbor_id") != F.col(query_id_col))
-        .withColumn("_cents", cents)
-        .withColumn(
-            "adc_raw",
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0.0),
-                lambda acc, s: acc + F.aggregate(
-                    F.zip_with(
-                        F.slice(F.col("q_vec"), s * sub_dim + 1, sub_dim),
-                        F.element_at(
-                            F.element_at(F.col("_cents"), s + 1),
-                            F.element_at(F.col("codes"), s + 1) + 1),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0), lambda a2, x: a2 + x,
-                ),
-            ),
-        )
+        .withColumn("adc_raw", adc)
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_raw"), F.col("neighbor_id"))

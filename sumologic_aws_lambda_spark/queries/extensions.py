@@ -132,8 +132,10 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: every non-singleton cluster with its member count — the
     corpus-level duplicate inventory.
 
-    Scale: pairs are LSH-pruned (never corpus²), the component loop is
-    per-round one shuffle join on a shrinking edge frontier, and the
+    Scale: pairs are LSH-pruned (never corpus²), and the component
+    fixpoint iterates over PAIR-TOUCHED nodes only — a vector with no
+    near-dup edge can never join a ≥2-member cluster, so the iterative
+    joins run on the (tiny) duplicate subgraph, not the corpus.  The
     final rollup is a map-side-combined count — no window, no collect.
     The DuckDB oracle replays the identical LSH pruning AND the
     fixpoint via a recursive CTE, so clustering is hard-signal-checked
@@ -144,8 +146,12 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     pairs = lsh_neardup_pairs(emb, _neardup_planes(), n_bands=3,
                               threshold=0.35).select("a", "b")
-    labels = connected_components(
-        emb.select("vec_id"), pairs, node_col="vec_id")
+    touched = (
+        pairs.select(F.col("a").alias("vec_id"))
+        .union(pairs.select(F.col("b").alias("vec_id")))
+        .distinct()
+    )
+    labels = connected_components(touched, pairs, node_col="vec_id")
     return (
         labels.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
