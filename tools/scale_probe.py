@@ -123,6 +123,33 @@ def main() -> int:
             f"{name}: 1x {t1:.2f}s ({n1} rows) -> 10x {t10:.2f}s "
             f"({n10} rows), time ratio {ratio:.1f}x"
         )
+
+    # PQ probes: encode is a narrow projection (ratio ≈ rows); ADC reads
+    # codes only, scoring corpus × fixed-query-set (ratio ≈ rows).  Both
+    # pay a fixed Catalyst-compile cost that dominates at sf0.1 — the
+    # ratio, not the absolute, is the scaling signal.
+    from sumologic_aws_lambda_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    books = pq_train(emb, m=8, k=8, iters=1)
+    pq_probes = {
+        "pq_encode": lambda c: pq_encode(c, books),
+        "pq_adc_topk": lambda c: pq_adc_topk(
+            pq_encode(c, books), books, queries, k=5),
+    }
+    for name, fn in pq_probes.items():
+        small = emb.filter(F.col("vec_id") % 10 == 0)
+        t1, n1 = _time(fn(small))     # warm
+        t1, n1 = _time(fn(small))
+        t10, n10 = _time(fn(emb))
+        ratio = t10 / t1 if t1 else float("inf")
+        print(
+            f"{name}: 1x {t1:.2f}s ({n1} rows) -> 10x {t10:.2f}s "
+            f"({n10} rows), time ratio {ratio:.1f}x"
+        )
     spark.stop()
     return 0
 
