@@ -80,11 +80,10 @@ _PRIORITY: tuple[str, ...] = (
     "content_pack_saved_search", "semantic_dedup_clusters",
     "quality_binned_sample", "curation_pipeline",
     "revenue_topk", "two_hop_dim_join",
-    "pq_codebook_stats", "pq_adc_topk",
+    "pq_codebook_stats", "pq_adc_topk", "shard_plan",
     # -- cross-family regression picks (previously green; keep them hot) --
     "cwl_decode_pipeline", "sessionize_events",
     "minhash_lsh_pairs", "ngram_jaccard_pairs",
-    "tfidf_top_terms",
 )
 
 

@@ -260,3 +260,50 @@ def quality_binned_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
              F.sum("n_tokens").cast("bigint").alias("sampled_tokens"))
     )
+
+
+def _hex8_to_int_sql(hexpr: str) -> str:
+    """DuckDB SQL for Spark's ``conv(substr(<hex>, 1, 8), 16, 10)``:
+    positional strpos arithmetic over the first 8 hex chars (DuckDB has
+    no base-conv builtin).  ``hexpr`` must be a 32-char hex expression."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({hexpr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+_SHARD_NORM = ("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+_SHARD_HASH = _hex8_to_int_sql("md5(CAST(doc_id AS VARCHAR))")
+_ROW_HASH = _hex8_to_int_sql(
+    "md5(concat_ws(chr(31), shard, doc_id, text))")
+
+
+@query(
+    "shard_plan",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, text,
+               CAST({_SHARD_HASH} % 8 AS INT) AS shard,
+               len(string_split({_SHARD_NORM}, ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum({_ROW_HASH}) AS BIGINT) AS content_checksum
+    FROM b GROUP BY shard
+    """,
+)
+def shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data export plan: deterministic md5-mod shard
+    assignment + per-shard manifest rows (count, token total,
+    order-independent content checksum).  The write itself
+    (``operators/shards.py::write_training_shards``) streams one file
+    per shard via partitionBy with an O(n_shards) driver manifest; this
+    query hard-signal-verifies the assignment and checksum math."""
+    from ..operators.shards import shard_assignments, shard_manifest
+
+    d = table(spark, sf_dir, "documents", parallel=True)
+    return shard_manifest(shard_assignments(d, n_shards=8))
