@@ -70,7 +70,7 @@ _UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
 
 _AGG_RE = re.compile(
     r"^(count_distinct|count|sum|avg|min|max|first|last"
-    r"|stddev|variance|median)"
+    r"|stddev|variance|median|values)"
     r"\s*(?:\(\s*([\w.]*)\s*\))?$"
 )
 _PCTL_RE = re.compile(r"^percentile\s*\(\s*([\w.]+)\s*,\s*([\d.]+)\s*\)$")
@@ -81,17 +81,22 @@ class SumoQLError(ValueError):
 
 
 def _split_stages(query: str) -> list[str]:
-    """Split on top-level '|' (quotes and parens respected — a '|' inside
-    a ``join (sub | query)`` block belongs to the sub-query)."""
-    parts, buf, in_q, depth = [], [], False, 0
+    """Split on top-level '|' (quotes and parens respected — a '|'
+    inside a ``join (sub | query)`` block belongs to the sub-query, and
+    one inside a quoted literal — ``split f delim='|'`` — belongs to the
+    literal).  Single quotes are tracked only outside double quotes, so
+    an apostrophe inside a double-quoted string stays plain text."""
+    parts, buf, in_q, in_sq, depth = [], [], False, False, 0
     for ch in query:
-        if ch == '"':
+        if ch == '"' and not in_sq:
             in_q = not in_q
-        elif not in_q and ch == "(":
+        elif ch == "'" and not in_q:
+            in_sq = not in_sq
+        elif not in_q and not in_sq and ch == "(":
             depth += 1
-        elif not in_q and ch == ")":
+        elif not in_q and not in_sq and ch == ")":
             depth -= 1
-        if ch == "|" and not in_q and depth == 0:
+        if ch == "|" and not in_q and not in_sq and depth == 0:
             parts.append("".join(buf).strip())
             buf = []
         else:
@@ -190,6 +195,8 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
         return _stage_keyvalue(df, rest, schema)
     if head == "csv":
         return _stage_csv(df, rest, schema)
+    if head == "split":
+        return _stage_split(df, rest, schema)
     if head == "where":
         return df.filter(F.expr(_rewrite_expr(rest)))
     if head == "fields":
@@ -501,6 +508,33 @@ def _stage_csv(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
         # try_element_at: a row with fewer fields than declared names
         # null-fills the missing columns (Sumo semantics) instead of
         # failing the job under ANSI element_at.
+        out = out.withColumn(
+            n, F.trim(F.try_element_at(parts, F.lit(i + 1)))
+        )
+    return out
+
+
+_SPLIT_RE = re.compile(
+    r"^([\w.]+)\s+delim\s*=\s*'([^']+)'\s+extract\s+(.+)$",
+    re.IGNORECASE,
+)
+
+
+def _stage_split(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
+    """``split <field> delim='<d>' extract n1, n2, …`` — Sumo's
+    delimited-field splitter: positional pieces of ``field`` become the
+    named columns (null-filled when the row has fewer pieces, same
+    try_element_at semantics as ``csv``).  Narrow projection."""
+    m = _SPLIT_RE.match(rest.strip())
+    if not m:
+        raise SumoQLError(f"bad split stage: {rest!r}")
+    src, delim, names_part = m.groups()
+    names = [n.strip() for n in names_part.split(",") if n.strip()]
+    if not names or not all(re.fullmatch(r"\w+", n) for n in names):
+        raise SumoQLError(f"bad split field list: {names_part!r}")
+    parts = F.split(F.col(src), re.escape(delim))
+    out = df
+    for i, n in enumerate(names):
         out = out.withColumn(
             n, F.trim(F.try_element_at(parts, F.lit(i + 1)))
         )
@@ -964,6 +998,17 @@ def _stage_agg(df: DataFrame, stage: str,
             # median = pct(x, 50); DuckDB's quantile_cont is the oracle.
             agg_cols.append(
                 F.expr(f"percentile({arg}, 0.5)").alias(f"_median_{arg}")
+            )
+        elif fn == "values":
+            # Sumo's `values(x)`: the distinct value set.  Emitted as a
+            # sorted comma-joined string — deterministic under any
+            # partitioning and hash-comparable across engines (array
+            # columns canonicalize differently engine to engine).
+            agg_cols.append(
+                F.array_join(
+                    F.array_sort(F.collect_set(F.col(arg).cast("string"))),
+                    ",",
+                ).alias(f"_values_{arg}")
             )
         elif fn in ("first", "last"):
             if schema.ts_col not in df.columns:

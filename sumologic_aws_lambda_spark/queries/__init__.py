@@ -81,9 +81,10 @@ _PRIORITY: tuple[str, ...] = (
     "quality_binned_sample", "curation_pipeline",
     "revenue_topk", "two_hop_dim_join",
     "pq_codebook_stats", "pq_adc_topk", "shard_plan",
+    "sumoql_split_values",
     # -- cross-family regression picks (previously green; keep them hot) --
     "cwl_decode_pipeline", "sessionize_events",
-    "minhash_lsh_pairs", "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs",
 )
 
 

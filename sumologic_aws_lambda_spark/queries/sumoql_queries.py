@@ -755,3 +755,31 @@ def content_pack_saved_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return cat.run(ev, "Events Overview", "Engagement/High-k by category",
                    EVENTS_SCHEMA)
+
+
+@query(
+    "sumoql_split_values",
+    oracle="""
+    SELECT event_type AS etype,
+           array_to_string(
+               list_sort(list(DISTINCT CAST(user_id % 5 AS VARCHAR))),
+               ',') AS _values_ubucket
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sumoql_split_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``eval concat → split delim='~' extract → values() by`` — the
+    delimited-field splitter (quoted pipes survive stage splitting) and
+    Sumo's distinct-value-set aggregate, emitted as a sorted
+    comma-joined string so the hash compare is engine-stable
+    (``plans/sumoql.py::_stage_split`` / ``_stage_agg``)."""
+    ev = table(spark, sf_dir, "events")
+    return compile_query(
+        ev,
+        "* | concat(event_type, '~', CAST(user_id % 5 AS STRING))"
+        " as combo"
+        " | split combo delim='~' extract etype, ubucket"
+        " | values(ubucket) by etype",
+        EVENTS_SCHEMA,
+    )

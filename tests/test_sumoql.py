@@ -513,3 +513,31 @@ def test_logexplain_rejects_garbage(spark):
     df = spark.createDataFrame([("x",)], "a string")
     with pytest.raises(SumoQLError):
         compile_query(df, "* | logexplain on ", SumoSchema(raw_col="a"))
+
+
+def test_split_stage_named_pieces(spark):
+    df = spark.createDataFrame(
+        [("a|b|c",), ("x|y",)], "msg string")
+    out = compile_query(
+        df, "* | split msg delim='|' extract p1, p2, p3",
+        SumoSchema(raw_col="msg"),
+    ).collect()
+    got = {r.msg: (r.p1, r.p2, r.p3) for r in out}
+    assert got == {"a|b|c": ("a", "b", "c"), "x|y": ("x", "y", None)}
+
+
+def test_split_stage_rejects_garbage(spark):
+    df = spark.createDataFrame([("x",)], "msg string")
+    with pytest.raises(SumoQLError):
+        compile_query(df, "* | split msg delim= extract a",
+                      SumoSchema(raw_col="msg"))
+
+
+def test_values_aggregate_sorted_distinct(spark):
+    df = spark.createDataFrame(
+        [("a", "z"), ("a", "m"), ("a", "z"), ("b", "k")],
+        "grp string, v string")
+    out = compile_query(df, "* | values(v) by grp",
+                        SumoSchema(raw_col="v")).collect()
+    got = {r.grp: r._values_v for r in out}
+    assert got == {"a": "m,z", "b": "k"}
