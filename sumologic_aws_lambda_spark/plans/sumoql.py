@@ -217,6 +217,8 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
         return _stage_dedup(df, rest, schema)
     if head == "logexplain":
         return _stage_logexplain(df, rest, schema)
+    if head == "trace":
+        return _stage_trace(df, rest, schema)
     if head == "sort":
         return _stage_sort(df, rest)
     if head == "limit":
@@ -668,6 +670,74 @@ def _stage_count_frequent(df: DataFrame, rest: str,
         .agg(F.count(F.lit(1)).alias("_approxcount"))
         .orderBy(F.col("_approxcount").desc(), *cols)
         .limit(limit)
+    )
+
+
+def _stage_trace(df: DataFrame, rest: str, schema: SumoSchema,
+                 max_iter: int = 10) -> DataFrame:
+    """``trace "<id-regex>" "<seed>"`` — Sumo's transitive ID chase:
+    starting from the seed identifier, repeatedly pull in every message
+    carrying an already-reached id and every id those messages carry
+    (request-id ↔ session-id chains across services).
+
+    Physical shape: ids per message come from one narrow
+    ``regexp_extract_all``; within-message connectivity is a STAR on the
+    row's first id (clique-equivalent for reachability, so edges are
+    O(ids-per-row), not O(ids²)); the reachable set grows by iterated
+    equi-joins on the checkpointed edge list (same driver-loop contract
+    as ``operators.dedup.connected_components`` — fixed rounds of one
+    shuffle each, converging in chain-depth rounds, capped at
+    ``max_iter``).  The final membership filter broadcasts the reached
+    set — a trace result is a transaction chain, small by semantics —
+    so each original row is emitted exactly once (left semi).
+    """
+    lits = _quoted_list(rest)
+    if len(lits) != 2:
+        raise SumoQLError(
+            f'trace needs "<id-regex>" "<seed>", got: {rest!r}')
+    regex, seed = lits
+    with_ids = df.withColumn(
+        "_tids",
+        F.regexp_extract_all(F.col(schema.raw_col), F.lit(regex), 0),
+    ).filter(F.size("_tids") > 0)
+
+    star = F.transform(
+        F.slice(F.col("_tids"), F.lit(2),
+                F.greatest(F.size("_tids") - 1, F.lit(0))),
+        lambda x: F.struct(
+            F.element_at("_tids", 1).alias("src"), x.alias("dst")),
+    )
+    half = with_ids.select(F.explode(star).alias("e")).select(
+        F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    if edges.count() <= 100_000:
+        edges = edges.coalesce(1)
+
+    spark = df.sparkSession
+    reach = spark.createDataFrame([(seed,)], "_tid string").localCheckpoint()
+    prev = 1
+    for _ in range(max_iter):
+        reach = (
+            edges.join(reach, edges.src == reach._tid)
+            .select(F.col("dst").alias("_tid"))
+            .union(reach)
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = reach.count()
+        if cur == prev:
+            break
+        prev = cur
+
+    return (
+        with_ids.join(
+            F.broadcast(reach),
+            F.array_contains(F.col("_tids"), F.col("_tid")),
+            "left_semi",
+        )
+        .drop("_tids")
     )
 
 

@@ -81,10 +81,9 @@ _PRIORITY: tuple[str, ...] = (
     "quality_binned_sample", "curation_pipeline",
     "revenue_topk", "two_hop_dim_join",
     "pq_codebook_stats", "pq_adc_topk", "shard_plan",
-    "sumoql_split_values",
+    "sumoql_split_values", "sumoql_trace_chain",
     # -- cross-family regression picks (previously green; keep them hot) --
-    "cwl_decode_pipeline", "sessionize_events",
-    "ngram_jaccard_pairs",
+    "cwl_decode_pipeline", "ngram_jaccard_pairs",
 )
 
 

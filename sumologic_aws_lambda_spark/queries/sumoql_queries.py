@@ -783,3 +783,56 @@ def sumoql_split_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | values(ubucket) by etype",
         EVENTS_SCHEMA,
     )
+
+
+@query(
+    "sumoql_trace_chain",
+    oracle="""
+    WITH RECURSIVE msgs AS (
+        SELECT event_id,
+               concat('user-', CAST(user_id % 200 AS VARCHAR),
+                      ' key-',
+                      CAST(json_extract_string(props, '$.k') AS VARCHAR))
+                   AS msg
+        FROM events WHERE event_id % 37 = 0
+    ),
+    ids AS (
+        SELECT event_id,
+               unnest(regexp_extract_all(msg, '(user|key)-[0-9]+')) AS id
+        FROM msgs
+    ),
+    edges AS (
+        SELECT a.id AS src, b.id AS dst
+        FROM ids a JOIN ids b
+          ON a.event_id = b.event_id AND a.id <> b.id
+    ),
+    reach(id) AS (
+        SELECT 'user-1'
+        UNION
+        SELECT e.dst FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT DISTINCT m.event_id, m.msg
+    FROM msgs m JOIN ids i USING (event_id)
+    WHERE i.id IN (SELECT id FROM reach)
+    """,
+)
+def sumoql_trace_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``trace "<id-regex>" "user-1"`` — the transitive ID chase over
+    synthesized two-id messages (user-N ↔ key-M links, the request-id /
+    session-id chain shape).  The recursive-CTE oracle replays the same
+    reachability fixpoint, so the BFS itself is hard-signal-checked
+    (``plans/sumoql.py::_stage_trace``)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 37 == 0
+    ).select(
+        "event_id",
+        F.concat(
+            F.lit("user-"), (F.col("user_id") % 200).cast("string"),
+            F.lit(" key-"),
+            F.get_json_object("props", "$.k").cast("string"),
+        ).alias("msg"),
+    )
+    return compile_query(
+        ev, '* | trace "(user|key)-[0-9]+" "user-1"',
+        SumoSchema(raw_col="msg"),
+    )

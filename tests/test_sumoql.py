@@ -541,3 +541,35 @@ def test_values_aggregate_sorted_distinct(spark):
                         SumoSchema(raw_col="v")).collect()
     got = {r.grp: r._values_v for r in out}
     assert got == {"a": "m,z", "b": "k"}
+
+
+def test_trace_follows_id_chain(spark):
+    # Chain: A-1 <-> B-1 <-> A-2 <-> B-2 ; island: A-9 <-> B-9.
+    rows = [
+        (1, "start A-1"),
+        (2, "A-1 linked B-1"),
+        (3, "B-1 linked A-2"),
+        (4, "A-2 linked B-2"),
+        (5, "island A-9 B-9"),
+        (6, "no ids here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, msg string")
+    out = compile_query(
+        df, '* | trace "[AB]-[0-9]+" "A-1"', SumoSchema(raw_col="msg"))
+    assert sorted(r.id for r in out.collect()) == [1, 2, 3, 4]
+    assert "_tids" not in out.columns
+
+
+def test_trace_seed_only_matches_itself(spark):
+    df = spark.createDataFrame(
+        [(1, "only X-5"), (2, "only X-7")], "id long, msg string")
+    out = compile_query(
+        df, '* | trace "X-[0-9]+" "X-5"', SumoSchema(raw_col="msg"))
+    assert [r.id for r in out.collect()] == [1]
+
+
+def test_trace_rejects_bad_args(spark):
+    df = spark.createDataFrame([("x",)], "msg string")
+    with pytest.raises(SumoQLError):
+        compile_query(df, '* | trace "only-one-arg"',
+                      SumoSchema(raw_col="msg"))
