@@ -252,9 +252,13 @@ def ann_recall(exact_topk: DataFrame, ann_topk: DataFrame, k: int,
     both inputs are already top-k-sized (k × n_queries rows), so this is
     driver-free and broadcastable at any corpus scale.
     """
+    # Broadcast the ANN side: both inputs are k × n_queries rows by
+    # CONSTRUCTION (top-k outputs), so the hint is safe at any corpus
+    # scale — without it the planner sees unknown stats behind the
+    # ranking windows and falls back to a sort-merge join.
     hits = exact_topk.select(query_id_col, "neighbor_id").join(
-        ann_topk.select(query_id_col, "neighbor_id",
-                        F.lit(1).alias("_hit")),
+        F.broadcast(ann_topk.select(query_id_col, "neighbor_id",
+                                    F.lit(1).alias("_hit"))),
         [query_id_col, "neighbor_id"], "left",
     )
     n_hits = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
