@@ -67,3 +67,62 @@ def test_pq_adc_topk_ranks_same_cluster_first(vecs):
 def test_pq_train_rejects_indivisible_dim(vecs):
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(vecs, m=3, k=2)
+
+
+# --- property tests: Python reference for encode + ADC -------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_vec8 = st.lists(
+    st.floats(min_value=-10, max_value=10,
+              allow_nan=False, allow_infinity=False, width=32),
+    min_size=8, max_size=8,
+)
+
+
+def _py_encode(vec, books):
+    m, sub = len(books), len(books[0][0])
+    codes = []
+    for s in range(m):
+        sl = vec[s * sub:(s + 1) * sub]
+        d2s = [sum((x - y) * (x - y) for x, y in zip(sl, ce))
+               for ce in books[s]]
+        codes.append(d2s.index(min(d2s)))   # first min = lowest cid
+    return codes
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_vec8, min_size=2, max_size=6))
+def test_pq_encode_matches_python_argmin(spark, vecs):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    books = pq_train(df, m=2, k=2, iters=0)   # seed books, no training
+    got = {r.vec_id: list(r.codes) for r in pq_encode(df, books).collect()}
+    for i, v in enumerate(vecs):
+        assert got[i] == _py_encode(v, books), (i, v, books)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_vec8, min_size=3, max_size=5))
+def test_pq_adc_matches_python_distance(spark, vecs):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    books = pq_train(df, m=2, k=2, iters=0)
+    codes = pq_encode(df, books)
+    out = pq_adc_topk(codes, books, df.filter(F.col("vec_id") == 0),
+                      k=len(vecs)).collect()
+    py_codes = {i: _py_encode(v, books) for i, v in enumerate(vecs)}
+    q = vecs[0]
+    sub = len(books[0][0])
+    for r in out:
+        c = py_codes[r.neighbor_id]
+        want = 0.0
+        for s in range(len(books)):
+            ce = books[s][c[s]]
+            sl = q[s * sub:(s + 1) * sub]
+            want += sum((x - y) * (x - y) for x, y in zip(sl, ce))
+        assert abs(r.adc_d2 - round(want, 6)) < 1e-6, (r, want)
