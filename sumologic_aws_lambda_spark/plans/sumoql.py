@@ -12,7 +12,10 @@ cited examples):
 
     query     := scope ('|' stage)*
     scope     := (field '=' value | word)*          -- metadata equality +
-                                                        full-text terms
+                 ['[subquery:' query '|' 'compose' --   full-text terms
+                  field (',' field)*               -- Sumo subquery: inner
+                  ['maxresults=' N] ']']           -- result set filters the
+                                                   -- outer (semi-join)
     stage     := 'json' '"'path'"' (',' '"'path'"')* ['as' name (',' name)*]
                | 'parse' '"' prefix '*' suffix '"' 'as' name   -- anchor parse
                | 'parse' 'regex' '"' re-with-named-groups '"'
@@ -92,9 +95,9 @@ def _split_stages(query: str) -> list[str]:
             in_q = not in_q
         elif ch == "'" and not in_q:
             in_sq = not in_sq
-        elif not in_q and not in_sq and ch == "(":
+        elif not in_q and not in_sq and ch in "([":
             depth += 1
-        elif not in_q and not in_sq and ch == ")":
+        elif not in_q and not in_sq and ch in ")]":
             depth -= 1
         if ch == "|" and not in_q and not in_sq and depth == 0:
             parts.append("".join(buf).strip())
@@ -121,7 +124,10 @@ def compile_query(df: DataFrame, query: str,
     stages = _split_stages(query)
     if not stages:
         raise SumoQLError("empty query")
-    out = _apply_scope(df, stages[0], schema)
+    scope, subqueries = _extract_subqueries(stages[0])
+    out = _apply_scope(df, scope or "*", schema)
+    for sub in subqueries:
+        out = _apply_subquery(out, df, sub, schema, lookups)
     for stage in stages[1:]:
         out = _apply_stage(out, stage, schema, lookups)
     return out
@@ -154,6 +160,107 @@ def _apply_scope(df: DataFrame, scope: str, schema: SumoSchema) -> DataFrame:
     if scope == "*":
         return df
     return df.filter(scope_predicate(scope, schema))
+
+
+def _extract_subqueries(scope: str) -> tuple[str, list[str]]:
+    """Split ``[subquery:…]`` blocks out of a scope stage.  Returns the
+    scope text with the blocks removed plus each block's inner query."""
+    rest, subs, pos = [], [], 0
+    while pos < len(scope):
+        m = re.compile(r"\[\s*subquery\s*:", re.IGNORECASE).search(scope, pos)
+        if not m:
+            rest.append(scope[pos:])
+            break
+        rest.append(scope[pos:m.start()])
+        depth, in_q, i = 0, False, m.start()
+        end = -1
+        while i < len(scope):
+            ch = scope[i]
+            if ch == '"':
+                in_q = not in_q
+            elif not in_q and ch == "[":
+                depth += 1
+            elif not in_q and ch == "]":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+            i += 1
+        if end < 0:
+            raise SumoQLError(f"unbalanced [subquery: …] in scope: {scope!r}")
+        subs.append(scope[m.end():end].strip())
+        pos = end + 1
+    return " ".join("".join(rest).split()), subs
+
+
+_COMPOSE_RE = re.compile(
+    r"^([\w,\s]+?)(?:\s+maxresults\s*=\s*(\d+))?$", re.IGNORECASE
+)
+
+# Sumo caps subquery result sets at 10k composed rows (public subquery
+# docs); the cap is what keeps the semi-join side broadcast-safe.
+_SUBQUERY_MAX_RESULTS = 10_000
+
+
+def _apply_subquery(out: DataFrame, base: DataFrame, text: str,
+                    schema: SumoSchema,
+                    lookups: dict[str, DataFrame] | None) -> DataFrame:
+    """Sumo subquery: run the inner query over the same stream, then keep
+    outer rows whose ``compose`` fields match any inner result row (AND
+    across fields, OR across rows) — a left-semi join.
+
+    Physical shape: the composed key set is distinct-reduced and capped at
+    ``maxresults`` (default 10k, Sumo's documented subquery limit), so the
+    build side is always tiny → explicit ``broadcast()``; the outer fact
+    stream never shuffles.  Only the field-equality form of ``compose`` is
+    supported — Sumo's ``keywords`` form turns values into full-text terms,
+    which is a nested-loop contains-join; at 100 TB express that as a
+    field match on a parsed column instead.
+    """
+    inner_stages = _split_stages(text)
+    if len(inner_stages) < 2 or not re.match(
+        r"^compose\b", inner_stages[-1], re.IGNORECASE
+    ):
+        raise SumoQLError(
+            f"subquery must end with '| compose <fields>': {text!r}"
+        )
+    compose = inner_stages[-1].split(None, 1)[1] if " " in inner_stages[-1] \
+        else ""
+    if re.search(r"\bkeywords\b", compose, re.IGNORECASE):
+        raise SumoQLError(
+            "subquery 'compose … keywords' (full-text form) is not "
+            "supported — compose on a parsed field instead"
+        )
+    cm = _COMPOSE_RE.match(compose.strip())
+    if not cm or not cm.group(1).strip():
+        raise SumoQLError(f"bad compose clause: {compose!r}")
+    fields = [f.strip() for f in cm.group(1).split(",") if f.strip()]
+    cap = int(cm.group(2)) if cm.group(2) else _SUBQUERY_MAX_RESULTS
+
+    inner = _apply_scope(base, inner_stages[0], schema)
+    for stage in inner_stages[1:-1]:
+        inner = _apply_stage(inner, stage, schema, lookups)
+
+    def resolve(frame: DataFrame, f: str) -> str:
+        if f in frame.columns:
+            return f
+        mapped = schema.meta_cols.get(f)
+        if mapped and mapped in frame.columns:
+            return mapped
+        raise SumoQLError(f"compose field {f!r} not present")
+
+    keys = (
+        inner.select(
+            *[F.col(resolve(inner, f)).alias(f"__sq_{f}") for f in fields]
+        )
+        .distinct()
+        .limit(cap)
+    )
+    cond = None
+    for f in fields:
+        e = F.col(resolve(out, f)) == F.col(f"__sq_{f}")
+        cond = e if cond is None else (cond & e)
+    return out.join(F.broadcast(keys), cond, "left_semi")
 
 
 def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
@@ -319,6 +426,20 @@ _EXPR_REWRITES: list[tuple[re.Pattern, object]] = [
      lambda m: "(" + m.group(1).strip()
      + " rlike '^(10\\\\.|192\\\\.168\\\\.|172\\\\.(1[6-9]|2[0-9]|3[01])"
        "\\\\.)')"),
+    # urlencode(s) → percent-encoding (inverse of urldecode above).
+    (re.compile(rf"\burlencode\(({_SIMPLE_ARG})\)", re.IGNORECASE),
+     r"url_encode(\1)"),
+    # ipv4ToNumber(ip) → 32-bit integer form (Sumo's CIDR-math helper):
+    # a narrow octet fold, no UDF.
+    (re.compile(rf"\bipv4ToNumber\(({_SIMPLE_ARG})\)", re.IGNORECASE),
+     lambda m: f"aggregate(split({m.group(1).strip()}, '\\\\.'), "
+               "CAST(0 AS BIGINT), "
+               "(acc, x) -> acc * 256 + CAST(x AS BIGINT))"),
+    # parseDate(s, "fmt") → epoch millis; Sumo's format strings are Java
+    # SimpleDateFormat patterns, which is exactly Spark's to_timestamp.
+    (re.compile(rf"\bparseDate\(({_SIMPLE_ARG}),\s*(\"[^\"]*\"|'[^']*')\)",
+                re.IGNORECASE),
+     r"unix_millis(to_timestamp(\1, \2))"),
 ]
 
 _MATCHES_RE = re.compile(

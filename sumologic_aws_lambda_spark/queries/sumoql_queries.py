@@ -836,3 +836,80 @@ def sumoql_trace_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, '* | trace "(user|key)-[0-9]+" "user-1"',
         SumoSchema(raw_col="msg"),
     )
+
+
+@query(
+    "sumoql_subquery_compose",
+    oracle="""
+    SELECT user_id, count(*) AS _count
+    FROM events
+    WHERE event_type = 'click'
+      AND user_id IN (
+          SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'error' AND value > 9.0)
+    GROUP BY user_id
+    """,
+)
+def sumoql_subquery_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sumo subquery: ``scope [subquery:… | compose user_id] | count by``
+    — click activity of users who also hit a high-value error.  Compiles
+    to a broadcast left-semi join on the composed key set (capped at
+    Sumo's documented 10k subquery-result limit), so the outer fact
+    stream never shuffles for the filter
+    (``plans/sumoql.py::_apply_subquery``)."""
+    ev = table(spark, sf_dir, "events")
+    return compile_query(
+        ev,
+        "_sourceCategory=click "
+        "[subquery:_sourceCategory=error | where value > 9.0"
+        " | compose user_id]"
+        " | count by user_id",
+        EVENTS_SCHEMA,
+    )
+
+
+@query(
+    "sumoql_ip_date_functions",
+    oracle="""
+    WITH raw(id, ip, seen) AS (
+        VALUES (1, '10.1.2.3',      '2024-03-01 10:00:00'),
+               (2, '192.168.0.200', '2024-03-02 23:59:59'),
+               (3, '8.8.8.8',       '2024-04-15 00:30:00'),
+               (4, '172.31.255.1',  '2024-12-31 12:00:00')
+    )
+    SELECT id,
+           (CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+            + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+            + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+            + CAST(string_split(ip, '.')[4] AS BIGINT)) AS ip_num,
+           (regexp_matches(ip,
+               '^(10\\.|192\\.168\\.|172\\.(1[6-9]|2[0-9]|3[01])\\.)'))
+               AS is_private,
+           CAST(epoch_ms(CAST(seen AS TIMESTAMP)) AS BIGINT) AS epoch_millis
+    FROM raw
+    """,
+)
+def sumoql_ip_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sumo scalar surface: ``ipv4ToNumber`` (octet fold — no UDF),
+    ``isPrivateIP`` (RFC1918 regex) and ``parseDate`` (SimpleDateFormat →
+    ``to_timestamp``), each an eval-projection rewrite that stays inside
+    whole-stage codegen (``plans/sumoql.py::_EXPR_REWRITES``)."""
+    rows = [
+        (1, "10.1.2.3", "2024-03-01 10:00:00"),
+        (2, "192.168.0.200", "2024-03-02 23:59:59"),
+        (3, "8.8.8.8", "2024-04-15 00:30:00"),
+        (4, "172.31.255.1", "2024-12-31 12:00:00"),
+    ]
+    # parseDate interprets naive datetime strings in the session zone;
+    # the oracle's epoch_ms() is UTC — pin it (idempotent; catalog.table()
+    # sets the same conf, but this query never touches the catalog).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame(rows, "id int, ip string, seen string")
+    out = compile_query(
+        df,
+        "* | ipv4ToNumber(ip) as ip_num"
+        " | isPrivateIP(ip) as is_private"
+        ' | parseDate(seen, "yyyy-MM-dd HH:mm:ss") as epoch_millis',
+        SumoSchema(raw_col="ip"),
+    )
+    return out.select("id", "ip_num", "is_private", "epoch_millis")

@@ -573,3 +573,123 @@ def test_trace_rejects_bad_args(spark):
     with pytest.raises(SumoQLError):
         compile_query(df, '* | trace "only-one-arg"',
                       SumoSchema(raw_col="msg"))
+
+
+# --- subquery / compose ---------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sub_logs(spark):
+    rows = [
+        (1, "click", 10, 1.0),
+        (2, "click", 20, 2.0),
+        (3, "click", 30, 3.0),
+        (4, "error", 10, 99.0),
+        (5, "error", 20, 1.0),
+        (6, "error", 40, 99.0),
+    ]
+    return spark.createDataFrame(rows, "id int, cat string, uid int, v double")
+
+
+SUB_SCHEMA = SumoSchema(raw_col="cat", meta_cols={"_sourceCategory": "cat"})
+
+
+def test_subquery_semi_joins_composed_keys(sub_logs):
+    out = compile_query(
+        sub_logs,
+        "_sourceCategory=click "
+        "[subquery:_sourceCategory=error | where v > 50 | compose uid]",
+        SUB_SCHEMA,
+    )
+    # users 10 and 40 had high-value errors; only 10 also clicked.
+    assert sorted(r.id for r in out.collect()) == [1]
+    assert out.columns == sub_logs.columns  # semi join adds nothing
+
+
+def test_subquery_multi_field_and_maxresults(sub_logs):
+    out = compile_query(
+        sub_logs,
+        "* [subquery:_sourceCategory=error | compose uid, cat"
+        " maxresults=100]",
+        SUB_SCHEMA,
+    )
+    # (uid, cat) must match — clicks never match the error rows' cat.
+    assert sorted(r.id for r in out.collect()) == [4, 5, 6]
+
+
+def test_subquery_plan_is_broadcast_semi_join(sub_logs):
+    out = compile_query(
+        sub_logs,
+        "_sourceCategory=click "
+        "[subquery:_sourceCategory=error | compose uid]",
+        SUB_SCHEMA,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_subquery_meta_field_resolution(sub_logs):
+    # compose on the Sumo meta name; resolves through schema.meta_cols.
+    out = compile_query(
+        sub_logs,
+        "* [subquery:_sourceCategory=error | compose _sourceCategory]",
+        SUB_SCHEMA,
+    )
+    assert sorted(r.id for r in out.collect()) == [4, 5, 6]
+
+
+def test_subquery_rejects_keywords_and_missing_compose(sub_logs):
+    with pytest.raises(SumoQLError):
+        compile_query(
+            sub_logs,
+            "* [subquery:_sourceCategory=error | compose uid keywords]",
+            SUB_SCHEMA,
+        )
+    with pytest.raises(SumoQLError):
+        compile_query(
+            sub_logs, "* [subquery:_sourceCategory=error]", SUB_SCHEMA)
+    with pytest.raises(SumoQLError):
+        compile_query(
+            sub_logs,
+            "* [subquery:_sourceCategory=error | compose nosuchfield]",
+            SUB_SCHEMA,
+        )
+
+
+def test_subquery_inner_aggregation_compose(sub_logs):
+    # compose a post-aggregation column: users with >= 2 error events.
+    out = compile_query(
+        sub_logs,
+        "_sourceCategory=click "
+        "[subquery:_sourceCategory=error | count by uid"
+        " | where _count >= 1 | compose uid]",
+        SUB_SCHEMA,
+    )
+    assert sorted(r.uid for r in out.collect()) == [10, 20]
+
+
+# --- ipv4ToNumber / parseDate / urlencode rewrites ------------------------
+
+
+def test_ipv4_to_number_and_urlencode(spark):
+    df = spark.createDataFrame([("1.2.3.4", "a b&c")], "ip string, s string")
+    out = compile_query(
+        df,
+        "* | ipv4ToNumber(ip) as n | urlencode(s) as enc",
+        SumoSchema(raw_col="ip"),
+    )
+    row = out.collect()[0]
+    assert row.n == (1 << 24) + (2 << 16) + (3 << 8) + 4
+    assert row.enc == "a+b%26c"
+
+
+def test_parse_date_epoch_millis(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame([("2024-01-01 00:00:01",)], "d string")
+    out = compile_query(
+        df,
+        '* | parseDate(d, "yyyy-MM-dd HH:mm:ss") as ms',
+        SumoSchema(raw_col="d"),
+    )
+    assert out.collect()[0].ms == 1704067201000
