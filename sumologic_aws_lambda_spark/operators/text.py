@@ -79,6 +79,103 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Gopher repetition-free quality rules (Rae et al. 2021, Table A1 — public
+# paper thresholds).  Stop-set is the paper's 8-word list.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rule_flags(df: DataFrame, text_col: str = "text",
+                      min_words: int = 50, max_words: int = 100_000,
+                      min_mean_word_len: float = 3.0,
+                      max_mean_word_len: float = 10.0,
+                      max_symbol_ratio: float = 0.1,
+                      max_bullet_line_frac: float = 0.9,
+                      max_ellipsis_line_frac: float = 0.3,
+                      min_alpha_word_frac: float = 0.8,
+                      min_stopwords: int = 2) -> DataFrame:
+    """Gopher-style document quality rules as one narrow projection: each
+    rule becomes a boolean ``fail_*`` column plus ``pass_all``.
+
+    All pure Column expressions over one staged token array — no UDF, no
+    shuffle; at 100 TB this is a map stage fused into the scan.  The
+    thresholds are the paper's; callers tune per corpus.  Rules:
+
+    * word count within [min_words, max_words]
+    * mean word length within [3, 10]
+    * symbol-to-word ratio (# and …) below 0.1
+    * < 90% of lines bullet-started, < 30% ellipsis-ended
+    * ≥ 80% of words contain an alphabetic character
+    * ≥ 2 of the 8 Gopher stop words present
+    """
+    t = F.col(text_col)
+    df = df.withColumn("_w", tokens(t))
+    w = F.col("_w")
+    n_words = F.size(w)
+    # mean word length = non-whitespace chars / words
+    mean_len = F.length(F.regexp_replace(t, r"\s", "")) / n_words
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"^[-*•]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda x: F.rtrim(x).endswith("..."))
+    )
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(w, F.lower),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    return (
+        df.withColumn(
+            "fail_word_count",
+            (n_words < min_words) | (n_words > max_words),
+        )
+        .withColumn(
+            "fail_mean_word_len",
+            (mean_len < min_mean_word_len) | (mean_len > max_mean_word_len),
+        )
+        .withColumn(
+            "fail_symbol_ratio",
+            (n_hash + n_ellipsis) / n_words > max_symbol_ratio,
+        )
+        .withColumn(
+            "fail_bullet_lines",
+            bullet_lines / n_lines > max_bullet_line_frac,
+        )
+        .withColumn(
+            "fail_ellipsis_lines",
+            ellipsis_lines / n_lines > max_ellipsis_line_frac,
+        )
+        .withColumn(
+            "fail_alpha_words",
+            alpha_words / n_words < min_alpha_word_frac,
+        )
+        .withColumn("fail_stopwords", stop_hits < min_stopwords)
+        .withColumn(
+            "pass_all",
+            ~(
+                F.col("fail_word_count")
+                | F.col("fail_mean_word_len")
+                | F.col("fail_symbol_ratio")
+                | F.col("fail_bullet_lines")
+                | F.col("fail_ellipsis_lines")
+                | F.col("fail_alpha_words")
+                | F.col("fail_stopwords")
+            ),
+        )
+        .drop("_w")
+    )
+
+
 def detect_lang(col: Column | str) -> Column:
     """Marker-count argmax language ID.  Ties break by fixed language
     order (en, de, es, fr), 'und' when nothing matches."""

@@ -79,11 +79,11 @@ _PRIORITY: tuple[str, ...] = (
     "sumoql_logexplain", "sumoql_compare_timeshift",
     "content_pack_saved_search", "semantic_dedup_clusters",
     "quality_binned_sample", "curation_pipeline",
-    "revenue_topk", "two_hop_dim_join",
+    "revenue_topk",
     "pq_codebook_stats", "pq_adc_topk", "shard_plan",
     "sumoql_split_values", "sumoql_trace_chain",
-    # -- cross-family regression picks (previously green; keep them hot) --
-    "cwl_decode_pipeline", "ngram_jaccard_pairs",
+    "sumoql_subquery_compose", "sumoql_ip_date_functions",
+    "gopher_quality_filters",
 )
 
 

@@ -547,3 +547,79 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("tfidf"), "rank",
         )
     )
+
+
+@query(
+    "gopher_quality_filters",
+    oracle="""
+    WITH feat AS (
+        SELECT source,
+               string_split_regex(trim(text), '\\s+') AS w,
+               string_split(text, chr(10)) AS lines,
+               length(regexp_replace(text, '\\s', '', 'g')) AS nonws_chars,
+               length(text) - length(replace(text, '#', '')) AS n_hash,
+               (length(text) - length(replace(text, '...', ''))) / 3
+                   AS n_ellipsis
+        FROM documents
+    ),
+    flags AS (
+        SELECT source,
+               (len(w) < 50 OR len(w) > 100000) AS f_wc,
+               (nonws_chars / len(w) < 3.0
+                OR nonws_chars / len(w) > 10.0) AS f_mwl,
+               ((n_hash + n_ellipsis) / len(w) > 0.1) AS f_sym,
+               (len(list_filter(lines,
+                    x -> regexp_matches(trim(x), '^[-*•]'))) / len(lines)
+                > 0.9) AS f_bullet,
+               (len(list_filter(lines,
+                    x -> ends_with(rtrim(x), '...'))) / len(lines)
+                > 0.3) AS f_ellipsis,
+               (len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+                / len(w) < 0.8) AS f_alpha,
+               (len(list_intersect(list_transform(w, x -> lower(x)),
+                    ['the','be','to','of','and','that','have','with'])) < 2)
+                   AS f_stop
+        FROM feat
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE f_wc) AS BIGINT) AS n_fail_word_count,
+           CAST(count(*) FILTER (WHERE f_mwl) AS BIGINT)
+               AS n_fail_mean_word_len,
+           CAST(count(*) FILTER (WHERE f_sym) AS BIGINT)
+               AS n_fail_symbol_ratio,
+           CAST(count(*) FILTER (WHERE f_bullet) AS BIGINT)
+               AS n_fail_bullet_lines,
+           CAST(count(*) FILTER (WHERE f_ellipsis) AS BIGINT)
+               AS n_fail_ellipsis_lines,
+           CAST(count(*) FILTER (WHERE f_alpha) AS BIGINT)
+               AS n_fail_alpha_words,
+           CAST(count(*) FILTER (WHERE f_stop) AS BIGINT) AS n_fail_stopwords,
+           CAST(count(*) FILTER (WHERE NOT (f_wc OR f_mwl OR f_sym
+                OR f_bullet OR f_ellipsis OR f_alpha OR f_stop)) AS BIGINT)
+               AS n_pass_all
+    FROM flags GROUP BY source
+    """,
+)
+def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality battery (Rae et al. 2021 Table A1 thresholds)
+    rolled up per source: how many documents each rule rejects and how
+    many survive all seven.  The flags are one narrow projection fused
+    into the scan (``operators.text.gopher_rule_flags``); the rollup is a
+    map-side-combined aggregation — two stages total at any scale."""
+    from ..operators.text import gopher_rule_flags
+
+    d = table(spark, sf_dir, "documents", parallel=True)
+    flagged = gopher_rule_flags(d)
+    cnt = lambda c: F.count_if(F.col(c)).cast("bigint")  # noqa: E731
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        cnt("fail_word_count").alias("n_fail_word_count"),
+        cnt("fail_mean_word_len").alias("n_fail_mean_word_len"),
+        cnt("fail_symbol_ratio").alias("n_fail_symbol_ratio"),
+        cnt("fail_bullet_lines").alias("n_fail_bullet_lines"),
+        cnt("fail_ellipsis_lines").alias("n_fail_ellipsis_lines"),
+        cnt("fail_alpha_words").alias("n_fail_alpha_words"),
+        cnt("fail_stopwords").alias("n_fail_stopwords"),
+        F.count_if(F.col("pass_all")).cast("bigint").alias("n_pass_all"),
+    )
