@@ -72,6 +72,8 @@ OPTIONAL = [
     "pq_adc_topk",
     "sumoql_logexplain",
     "quality_binned_sample",
+    "sumoql_subquery_compose",
+    "gopher_quality_filters",
 ]
 
 

@@ -144,8 +144,12 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import lsh_neardup_pairs
 
     emb = table(spark, sf_dir, "embeddings")
+    # Materialize the LSH + rescore pipeline ONCE: three consumers below
+    # (touched nodes, the component edge checkpoint, the label frame's
+    # lineage) would otherwise each re-run the full candidate generation.
     pairs = lsh_neardup_pairs(emb, _neardup_planes(), n_bands=3,
-                              threshold=0.35).select("a", "b")
+                              threshold=0.35).select("a", "b") \
+        .localCheckpoint()
     touched = (
         pairs.select(F.col("a").alias("vec_id"))
         .union(pairs.select(F.col("b").alias("vec_id")))
