@@ -74,6 +74,7 @@ OPTIONAL = [
     "quality_binned_sample",
     "sumoql_subquery_compose",
     "gopher_quality_filters",
+    "hll_daily_rollup",
 ]
 
 

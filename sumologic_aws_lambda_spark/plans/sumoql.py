@@ -778,14 +778,36 @@ def _stage_count_frequent(df: DataFrame, rest: str,
 
     Exact groupBy-count + TakeOrderedAndProject here: the count shuffle is
     map-side combinable, and the top-100 never materializes a global sort.
-    Sumo's implementation is approximate (hence the field name); at 100 TB
-    a sketch (e.g. per-partition space-saving summaries merged on the
-    driver) bounds memory for ultra-high-cardinality keys, but the exact
-    form is shuffle-identical to ``top`` and correct at any scale where
-    the grouped frame fits — the cap applies to output rows, not state."""
+    Sumo's implementation is approximate (hence the field name); the
+    ``approx`` suffix (``count_frequent f approx``) switches to the
+    DataSketches frequent-items aggregate ``approx_top_k`` — one
+    partial-aggregatable sketch pass, bounded memory at ANY key
+    cardinality, no groupBy shuffle of the key universe.  The exact form
+    is shuffle-identical to ``top`` and correct at any scale where the
+    grouped frame fits — the cap applies to output rows, not state."""
+    approx = False
+    m = re.search(r"\s+approx\s*$", rest, re.IGNORECASE)
+    if m:
+        approx, rest = True, rest[:m.start()]
     cols = [c.strip() for c in rest.split(",") if c.strip()]
     if not cols or not all(re.fullmatch(r"[\w.]+", c) for c in cols):
         raise SumoQLError(f"bad count_frequent stage: {rest!r}")
+    if approx:
+        key = cols[0] if len(cols) == 1 else F.concat_ws("\x1f", *cols)
+        tk = df.select(F.col(key).alias("_k") if isinstance(key, str)
+                       else key.alias("_k")).agg(
+            F.expr(f"approx_top_k(_k, {limit}, {max(10 * limit, 1000)})")
+            .alias("_tk")
+        )
+        out = tk.select(F.explode("_tk").alias("_e"))
+        if len(cols) == 1:
+            items = [F.col("_e.item").alias(cols[0])]
+        else:
+            split = F.split(F.col("_e.item"), "\x1f")
+            items = [split.getItem(i).alias(c) for i, c in enumerate(cols)]
+        return out.select(
+            *items, F.col("_e.count").alias("_approxcount")
+        ).orderBy(F.col("_approxcount").desc(), *cols)
     return (
         df.groupBy(*cols)
         .agg(F.count(F.lit(1)).alias("_approxcount"))

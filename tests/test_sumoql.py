@@ -693,3 +693,23 @@ def test_parse_date_epoch_millis(spark):
         SumoSchema(raw_col="d"),
     )
     assert out.collect()[0].ms == 1704067201000
+
+
+def test_count_frequent_approx_matches_exact_at_low_cardinality(spark):
+    rows = [(i, f"k{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, k string")
+    exact = compile_query(df, "* | count_frequent k",
+                          SumoSchema(raw_col="k")).collect()
+    approx = compile_query(df, "* | count_frequent k approx",
+                           SumoSchema(raw_col="k")).collect()
+    assert {(r.k, r._approxcount) for r in approx} == \
+        {(r.k, r._approxcount) for r in exact}
+
+
+def test_count_frequent_approx_multi_field(spark):
+    rows = [(i, f"k{i % 3}", f"g{i % 2}") for i in range(60)]
+    df = spark.createDataFrame(rows, "id int, k string, g string")
+    out = compile_query(df, "* | count_frequent k, g approx",
+                        SumoSchema(raw_col="k")).collect()
+    assert out[0]._approxcount == 10
+    assert len(out) == 6 and {r.k for r in out} == {"k0", "k1", "k2"}
