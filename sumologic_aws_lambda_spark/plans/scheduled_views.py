@@ -1,0 +1,199 @@
+"""Scheduled views: continuously materialized SumoQL aggregates.
+
+Sumo's scheduled views (public product surface, queried as
+``_view=<name>``; the saved searches the reference's benchmark content
+packs install — e.g. ``cloudtrailbenchmark/template.yaml:316`` — are the
+manual form of the same pre-aggregation) take an aggregate query, run it
+continuously, and materialize the reduced results into their own index so
+dashboards read slices instead of raw logs — with automatic backfill over
+history.
+
+Spark design:
+
+* A view's definition is a SumoQL query that must reduce to
+  ``timeslice + mergeable aggregates`` — the same restriction Sumo
+  documents (scheduled views reject non-aggregate / non-deterministic
+  queries).  Mergeable means re-aggregatable partials: ``count`` and
+  ``sum`` merge by SUM, ``min``/``max`` by MIN/MAX.  ``avg``/
+  ``percentile``/``values`` are rejected with a clear error — store
+  sum+count and divide at read time instead (the classic partial-agg
+  decomposition).
+* **Backfill** is simply the compiled plan over history.
+* **Refresh** aggregates ONLY the new batch (partial-agg shuffle over the
+  increment, never the history) and merges it with the materialized frame
+  by re-aggregating on (slice × group) with the per-column merge
+  functions.  Incremental refresh == full recompute, exactly — the
+  registered query ``scheduled_view_rollup`` hard-signal-checks that
+  equality against DuckDB.
+* **Storage** partitions by slice date; refresh rewrites only the dates
+  the increment touched (dynamic partition overwrite), so a late batch
+  costs O(touched slices), not O(view).  At 100 TB the view frame is
+  slices × groups — orders of magnitude smaller than the fact table; the
+  merge's shuffle is on the view, not the corpus.
+* **Read** (``_view=name``): scan the materialized parquet, then apply
+  any further pipe stages through the ordinary stage compiler — a
+  dashboard rollup over a view is a second, tiny aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sumoql import SumoQLError, SumoSchema, _apply_stage, compile_query
+
+#: materialized column-name prefix → merge aggregate
+_MERGE_FNS = {
+    "_count": F.sum,
+    "_sum": F.sum,
+    "_min": F.min,
+    "_max": F.max,
+}
+
+_UNMERGEABLE = ("_avg", "_count_distinct", "_median", "_values", "_first",
+                "_last", "_stddev", "_variance", "_pctl")
+
+
+@dataclass(frozen=True)
+class ScheduledViewSpec:
+    """One view: a name and the aggregate query that defines it."""
+
+    name: str
+    query: str
+
+    def __post_init__(self) -> None:
+        if not re.fullmatch(r"\w+", self.name):
+            raise SumoQLError(f"bad view name {self.name!r}")
+
+
+def _merge_exprs(df: DataFrame) -> tuple[list[str], list[Column]]:
+    """(group keys, merge aggregates) for a materialized view frame.
+    Aggregate columns are recognized by the compiler's ``_``-prefix
+    naming; everything else (including ``_timeslice``) is a key."""
+    keys, aggs = [], []
+    for c in df.columns:
+        if c == "_timeslice":
+            keys.append(c)
+            continue
+        hit = next(
+            (fn for p, fn in _MERGE_FNS.items()
+             if c == p or c.startswith(p + "_")), None,
+        )
+        if hit is not None:
+            aggs.append(hit(c).alias(c))
+        elif c.startswith(_UNMERGEABLE):
+            raise SumoQLError(
+                f"view column {c!r} is not mergeable — materialize the "
+                "sum/count partials instead (e.g. 'sum(x), count' and "
+                "divide at read time)"
+            )
+        else:
+            keys.append(c)
+    if "_timeslice" not in keys:
+        raise SumoQLError(
+            "a scheduled view must reduce by timeslice — add a "
+            "'timeslice <dur>' stage and group by _timeslice"
+        )
+    if not aggs:
+        raise SumoQLError("a scheduled view needs at least one aggregate")
+    return keys, aggs
+
+
+def materialize(df: DataFrame, spec: ScheduledViewSpec,
+                schema: SumoSchema = SumoSchema()) -> DataFrame:
+    """Backfill: the view's compiled plan over a history frame.  Also
+    validates the query's shape (timeslice key + mergeable aggregates)."""
+    out = compile_query(df, spec.query, schema)
+    _merge_exprs(out)  # shape validation
+    return out
+
+
+def merge_increment(current: DataFrame, increment: DataFrame) -> DataFrame:
+    """Merge a new batch's aggregate partials into the materialized
+    frame: union + one re-aggregation on (slice × group).  Count/sum
+    partials SUM, min/max partials MIN/MAX — so refresh(backfill(A), B)
+    is bit-equal to backfill(A ∪ B) for any batch split."""
+    if set(current.columns) != set(increment.columns):
+        raise SumoQLError(
+            f"view schema mismatch: {current.columns} vs "
+            f"{increment.columns}"
+        )
+    keys, aggs = _merge_exprs(current)
+    return (
+        current.unionByName(increment)
+        .groupBy(*keys)
+        .agg(*aggs)
+    )
+
+
+class ScheduledViewStore:
+    """Directory-backed store: one parquet dataset per view, partitioned
+    by slice date so refreshes rewrite only the dates a batch touched."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self._specs: dict[str, ScheduledViewSpec] = {}
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def backfill(self, df: DataFrame, spec: ScheduledViewSpec,
+                 schema: SumoSchema = SumoSchema()) -> None:
+        """Create/replace the view from history."""
+        self._specs[spec.name] = spec
+        view = materialize(df, spec, schema).withColumn(
+            "_slice_date", F.to_date("_timeslice")
+        )
+        (view.write.partitionBy("_slice_date")
+         .mode("overwrite").parquet(self._path(spec.name)))
+
+    def refresh(self, spark: SparkSession, new_batch: DataFrame,
+                name: str, schema: SumoSchema = SumoSchema()) -> None:
+        """Incremental maintenance: aggregate ONLY the new batch, merge
+        with the stored partials for the touched slice dates, rewrite
+        those partitions (dynamic overwrite — untouched dates are never
+        read or written)."""
+        spec = self._specs[name]
+        inc = materialize(new_batch, spec, schema)
+        touched = inc.select(
+            F.to_date("_timeslice").alias("_slice_date")
+        ).distinct()
+        current = self.read(spark, name).join(
+            F.broadcast(touched),
+            F.to_date("_timeslice") == F.col("_slice_date"),
+            "left_semi",
+        )
+        merged = merge_increment(current, inc).withColumn(
+            "_slice_date", F.to_date("_timeslice")
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (merged.write.partitionBy("_slice_date")
+             .mode("overwrite").parquet(self._path(name)))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self._path(name)).drop("_slice_date")
+
+    def query(self, spark: SparkSession, text: str,
+              schema: SumoSchema = SumoSchema()) -> DataFrame:
+        """``_view=<name> [| stages…]`` — scan the materialized view and
+        apply any further pipe stages (dashboard rollups) through the
+        ordinary stage compiler."""
+        m = re.match(r"^\s*_view\s*=\s*(\w+)\s*(?:\|(.*))?$", text,
+                     re.DOTALL)
+        if not m:
+            raise SumoQLError(f"view query must start with _view=: {text!r}")
+        out = self.read(spark, m.group(1))
+        if m.group(2):
+            from .sumoql import _split_stages
+            for stage in _split_stages(m.group(2)):
+                out = _apply_stage(out, stage, schema)
+        return out

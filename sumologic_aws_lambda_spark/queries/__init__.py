@@ -87,7 +87,11 @@ _PRIORITY: tuple[str, ...] = (
     "sumoql_split_values", "sumoql_trace_chain",
     "sumoql_subquery_compose", "sumoql_ip_date_functions",
     "gopher_quality_filters",
-    "approx_topk_routing_keys", "hll_daily_rollup", "theta_user_overlap",
+    # (theta_user_overlap shares the sketch family's exact+bound oracle
+    #  pattern with the two entries below and yields its slot to the
+    #  scheduled-view merge-algebra check; it stays in the self-replica.)
+    "approx_topk_routing_keys", "hll_daily_rollup",
+    "scheduled_view_rollup",
 )
 
 

@@ -913,3 +913,47 @@ def sumoql_ip_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         SumoSchema(raw_col="ip"),
     )
     return out.select("id", "ip_num", "is_private", "epoch_millis")
+
+
+@query(
+    "scheduled_view_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS _timeslice,
+           event_type,
+           count(*) AS _count,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def scheduled_view_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheduled view maintained incrementally: backfill on ~80% of the
+    stream, then merge the held-out ~20% as a late batch
+    (``plans/scheduled_views.py``).  The oracle is the FULL recompute
+    over all events, so the hard signal checks the partial-aggregate
+    merge algebra itself: refresh(backfill(A), B) must equal
+    backfill(A ∪ B) per (slice × group).  Values sum as DECIMAL partials
+    — exact and order-independent — so the equality is bit-level, not
+    tolerance-based."""
+    from ..plans.scheduled_views import (
+        ScheduledViewSpec,
+        materialize,
+        merge_increment,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    spec = ScheduledViewSpec(
+        name="events_daily",
+        query="* | CAST(value AS DECIMAL(18,2)) as dval"
+              " | timeslice 1d | count, sum(dval) by _timeslice, event_type",
+    )
+    history = ev.filter(F.col("event_id") % 5 != 0)
+    late = ev.filter(F.col("event_id") % 5 == 0)
+    view = materialize(history, spec, EVENTS_SCHEMA)
+    refreshed = merge_increment(view, materialize(late, spec, EVENTS_SCHEMA))
+    return refreshed.select(
+        "_timeslice",
+        "event_type",
+        "_count",
+        F.col("_sum_dval").cast("double").alias("sum_value"),
+    )

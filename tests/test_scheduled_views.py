@@ -1,0 +1,125 @@
+"""Scheduled-view store tests (plans/scheduled_views.py): backfill,
+incremental refresh equivalence, touched-date partition rewrites, view
+querying with further stages, and unmergeable-aggregate rejection."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sumologic_aws_lambda_spark.plans.scheduled_views import (
+    ScheduledViewSpec,
+    ScheduledViewStore,
+    materialize,
+    merge_increment,
+)
+from sumologic_aws_lambda_spark.plans.sumoql import SumoQLError, SumoSchema
+
+SCHEMA = SumoSchema(raw_col="msg", ts_col="ts",
+                    meta_cols={"_sourceCategory": "cat"})
+
+SPEC = ScheduledViewSpec(
+    name="daily_counts",
+    query="* | timeslice 1d | count, sum(v) by _timeslice, cat",
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        (i, f"2024-01-{(i % 3) + 1:02d} 10:{i % 60:02d}:00",
+         "api" if i % 2 == 0 else "web", "m", i)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id int, ts string, cat string, "
+                                     "msg string, v long")
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _as_dict(df):
+    return {
+        (r["_timeslice"], r["cat"]): (r["_count"], r["_sum_v"])
+        for r in df.collect()
+    }
+
+
+def test_incremental_merge_equals_full_recompute(events):
+    full = materialize(events, SPEC, SCHEMA)
+    old = events.filter(F.col("id") % 4 != 0)
+    late = events.filter(F.col("id") % 4 == 0)
+    merged = merge_increment(
+        materialize(old, SPEC, SCHEMA), materialize(late, SPEC, SCHEMA)
+    )
+    assert _as_dict(merged) == _as_dict(full)
+
+
+def test_store_backfill_refresh_and_read(spark, events, tmp_path):
+    store = ScheduledViewStore(str(tmp_path))
+    old = events.filter(F.col("id") % 4 != 0)
+    late = events.filter(F.col("id") % 4 == 0)
+    store.backfill(old, SPEC, SCHEMA)
+    store.refresh(spark, late, "daily_counts", SCHEMA)
+    got = _as_dict(store.read(spark, "daily_counts"))
+    assert got == _as_dict(materialize(events, SPEC, SCHEMA))
+
+
+def test_refresh_rewrites_only_touched_dates(spark, events, tmp_path):
+    store = ScheduledViewStore(str(tmp_path))
+    store.backfill(events, SPEC, SCHEMA)
+    path = os.path.join(str(tmp_path), "daily_counts")
+    before = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path) if d.startswith("_slice_date=")
+    }
+    assert len(before) == 3
+    # late batch touching only 2024-01-02
+    late = events.filter(
+        F.to_date("ts") == F.lit("2024-01-02").cast("date")
+    ).limit(5)
+    store.refresh(spark, late, "daily_counts", SCHEMA)
+    after = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path) if d.startswith("_slice_date=")
+    }
+    untouched = [d for d in before if "2024-01-02" not in d]
+    assert untouched and all(before[d] == after[d] for d in untouched)
+    assert after["_slice_date=2024-01-02"] != before["_slice_date=2024-01-02"]
+
+
+def test_query_view_with_further_stages(spark, events, tmp_path):
+    store = ScheduledViewStore(str(tmp_path))
+    store.backfill(events, SPEC, SCHEMA)
+    out = store.query(
+        spark, "_view=daily_counts | sum(_count) by cat", SCHEMA
+    )
+    got = {r.cat: r._sum__count for r in out.collect()}
+    assert got == {"api": 60, "web": 60}
+
+
+def test_view_rejects_unmergeable_and_sliceless(events):
+    with pytest.raises(SumoQLError, match="not mergeable"):
+        materialize(
+            events,
+            ScheduledViewSpec(
+                name="bad",
+                query="* | timeslice 1d | avg(v) by _timeslice, cat",
+            ),
+            SCHEMA,
+        )
+    with pytest.raises(SumoQLError, match="timeslice"):
+        materialize(
+            events,
+            ScheduledViewSpec(name="bad2", query="* | count by cat"),
+            SCHEMA,
+        )
+
+
+def test_bad_view_name_and_query_prefix(spark, tmp_path):
+    with pytest.raises(SumoQLError):
+        ScheduledViewSpec(name="no spaces", query="* | count")
+    store = ScheduledViewStore(str(tmp_path))
+    with pytest.raises(SumoQLError):
+        store.query(spark, "not_a_view_query")
