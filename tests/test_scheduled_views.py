@@ -123,3 +123,51 @@ def test_bad_view_name_and_query_prefix(spark, tmp_path):
     store = ScheduledViewStore(str(tmp_path))
     with pytest.raises(SumoQLError):
         store.query(spark, "not_a_view_query")
+
+
+def test_streaming_maintenance_matches_batch(spark, tmp_path):
+    import json
+
+    from sumologic_aws_lambda_spark.plans.scheduled_views import (
+        run_view_stream,
+    )
+
+    (tmp_path / "in").mkdir()
+    store = ScheduledViewStore(str(tmp_path / "views"))
+    spec = ScheduledViewSpec(
+        name="stream_daily",
+        query="* | timeslice 1d | count, sum(v) by _timeslice, cat",
+    )
+
+    def write_batch(fname, rows):
+        p = tmp_path / "in" / fname
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+
+    def run():
+        q = run_view_stream(
+            spark, str(tmp_path / "in"), store, spec,
+            str(tmp_path / "ckpt"), schema=SCHEMA)
+        q.awaitTermination()
+
+    write_batch("b1.json", [
+        {"ts": "2024-02-01 10:00:00", "cat": "api", "v": 5},
+        {"ts": "2024-02-01 11:00:00", "cat": "api", "v": 7},
+        {"ts": "2024-02-02 09:00:00", "cat": "web", "v": 1},
+    ])
+    run()
+    # late batch: touches day 1 again plus a new day
+    write_batch("b2.json", [
+        {"ts": "2024-02-01 23:00:00", "cat": "api", "v": 3},
+        {"ts": "2024-02-03 08:00:00", "cat": "web", "v": 9},
+    ])
+    run()
+
+    got = {
+        (str(r["_timeslice"].date()), r["cat"]): (r["_count"], r["_sum_v"])
+        for r in store.read(spark, "stream_daily").collect()
+    }
+    assert got == {
+        ("2024-02-01", "api"): (3, 15),
+        ("2024-02-02", "web"): (1, 1),
+        ("2024-02-03", "web"): (1, 9),
+    }
