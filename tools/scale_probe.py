@@ -45,6 +45,14 @@ def _time(df) -> tuple[float, int]:
     return time.time() - t0, n
 
 
+def _gopher_rollup(d):
+    from sumologic_aws_lambda_spark.operators.text import gopher_rule_flags
+
+    return gopher_rule_flags(d).groupBy("source").agg(
+        F.count_if(F.col("pass_all")).alias("n_pass")
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
@@ -68,6 +76,9 @@ def main() -> int:
         "paragraph_dedup": lambda d: paragraph_dedup(d).select(
             "doc_id", "n_kept"
         ),
+        # Gopher battery: one narrow flag projection + a map-side-combined
+        # rollup — the ratio should track rows.
+        "gopher_rules": lambda d: _gopher_rollup(d),
     }
     for name, fn in probes.items():
         small = docs.filter(F.col("doc_id") % 10 == 0)
@@ -150,6 +161,27 @@ def main() -> int:
             f"{name}: 1x {t1:.2f}s ({n1} rows) -> 10x {t10:.2f}s "
             f"({n10} rows), time ratio {ratio:.1f}x"
         )
+    # Sketch probe: per-day HLL sketches merged per type — two partial-
+    # aggregatable shuffles whose reduce side is days × types regardless
+    # of row count, so the ratio should track the scan, nothing more.
+    ev = table(spark, args.sf, "events")
+
+    def hll_rollup(e):
+        daily = e.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+        return daily.groupBy("event_type").agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        )
+
+    small = ev.filter(F.col("event_id") % 10 == 0)
+    t1, n1 = _time(hll_rollup(small))
+    t1, n1 = _time(hll_rollup(small))
+    t10, n10 = _time(hll_rollup(ev))
+    print(
+        f"hll_daily_rollup: 1x {t1:.2f}s ({n1} rows) -> 10x {t10:.2f}s "
+        f"({n10} rows), time ratio {t10 / t1 if t1 else 0:.1f}x"
+    )
     spark.stop()
     return 0
 
