@@ -148,3 +148,39 @@ def sample_frames(df: DataFrame, fps: float = 1.0) -> DataFrame:
         )
         .select("media_id", "frame_ms", "meta")
     )
+
+
+def chunk_audio(df: DataFrame, window_ms: int = 2000,
+                hop_ms: int = 1500) -> DataFrame:
+    """Audio chunking for ASR/embedding pipelines: overlapping windows
+    exploded from duration metadata — one row per (chunk_start_ms,
+    chunk_end_ms), standard framing count ``1 + ceil((dur - window) /
+    hop)`` so coverage reaches the clip end with no redundant tail (a
+    chunk fully inside its predecessor is never emitted); the final
+    chunk truncates at the clip end.  Pure narrow column math (no
+    decode, no shuffle); the (stubbed) waveform decode consumes this
+    plan through the same mapInPandas stage as ``extract_features``."""
+    if window_ms <= 0 or hop_ms <= 0:
+        raise ValueError("window_ms and hop_ms must be positive")
+    dur = F.col("meta")["duration_ms"].cast("long")
+    n = F.lit(1) + F.greatest(
+        F.ceil((dur - window_ms) / F.lit(float(hop_ms))).cast("long"),
+        F.lit(0),
+    )
+    return (
+        df.filter(F.col("modality") == "audio")
+        .withColumn(
+            "chunk_start_ms",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - 1),
+                    lambda i: i * F.lit(hop_ms),
+                )
+            ),
+        )
+        .withColumn(
+            "chunk_end_ms",
+            F.least(F.col("chunk_start_ms") + window_ms, dur),
+        )
+        .select("media_id", "chunk_start_ms", "chunk_end_ms", "meta")
+    )

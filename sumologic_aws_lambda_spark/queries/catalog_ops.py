@@ -488,3 +488,33 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_meta(media, max_side=128).select(
         "media_id", "modality", "target_width", "target_height"
     )
+
+
+@query(
+    "audio_chunk_plan",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id, 1000 * (1 + i % 7) AS dur,
+             1 + greatest(CAST(ceil((1000 * (1 + i % 7) - 2000) / 1500.0)
+                               AS BIGINT), 0) AS n
+      FROM range(60) t(i) WHERE i % 3 = 1
+    )
+    SELECT media_id,
+           CAST(j * 1500 AS BIGINT) AS chunk_start_ms,
+           CAST(least(j * 1500 + 2000, dur) AS BIGINT) AS chunk_end_ms
+    FROM m, LATERAL (SELECT unnest(range(0, n)) AS j) c
+    """,
+)
+def audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking (2 s windows, 1.5 s hop → 25% overlap): one row
+    per chunk exploded from duration metadata, tails truncated at clip
+    end — the shuffle-free fan-out an ASR/embedding decode stage consumes
+    via mapInPandas (``operators/multimodal.py::chunk_audio``)."""
+    from ..operators.multimodal import chunk_audio, synthetic_media
+
+    media = synthetic_media(spark, 60)
+    return chunk_audio(media, window_ms=2000, hop_ms=1500).select(
+        "media_id",
+        F.col("chunk_start_ms").cast("bigint").alias("chunk_start_ms"),
+        F.col("chunk_end_ms").cast("bigint").alias("chunk_end_ms"),
+    )

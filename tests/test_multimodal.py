@@ -57,3 +57,39 @@ def test_sample_frames_counts(spark):
 def test_decode_stub_raises_without_pil(spark):
     with pytest.raises(NotImplementedError):
         decode_image(b"not-an-image")
+
+
+def test_chunk_audio_windows_and_tails(spark):
+    from sumologic_aws_lambda_spark.operators.multimodal import (
+        chunk_audio,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 9)
+    out = chunk_audio(media, window_ms=2000, hop_ms=1500)
+    rows = {r.media_id: [] for r in out.collect()}
+    for r in out.collect():
+        rows[r.media_id].append((r.chunk_start_ms, r.chunk_end_ms))
+    # audio rows are i % 3 == 1; duration 1000*(1 + i % 7)
+    assert set(rows) == {1, 4, 7}
+    assert sorted(rows[1]) == [(0, 2000)]                 # dur 2000
+    assert sorted(rows[4]) == [(0, 2000), (1500, 3500),
+                               (3000, 5000)]              # dur 5000
+    # media 7 → dur 1000*(1 + 7%7) = 1000 < window → single short chunk
+    assert sorted(rows[7]) == [(0, 1000)]
+    # every chunk is inside the clip and windows overlap by 500ms
+    for media_id, chunks in rows.items():
+        for s, e in chunks:
+            assert 0 <= s < e
+
+
+def test_chunk_audio_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from sumologic_aws_lambda_spark.operators.multimodal import (
+        chunk_audio,
+        synthetic_media,
+    )
+
+    with _pytest.raises(ValueError):
+        chunk_audio(synthetic_media(spark, 3), window_ms=0)

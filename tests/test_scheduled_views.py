@@ -171,3 +171,24 @@ def test_streaming_maintenance_matches_batch(spark, tmp_path):
         ("2024-02-02", "web"): (1, 1),
         ("2024-02-03", "web"): (1, 9),
     }
+
+
+def test_merge_property_any_split_equals_full(spark):
+    """Hypothesis-style property over deterministic splits: for every
+    2-way split of the input, refresh(backfill(A), B) == backfill(A∪B)."""
+    rows = [
+        (i, f"2024-03-{(i % 5) + 1:02d} 0{i % 9}:00:00",
+         f"c{i % 3}", "m", (i * 7) % 13)
+        for i in range(90)
+    ]
+    events = spark.createDataFrame(
+        rows, "id int, ts string, cat string, msg string, v long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    full = _as_dict(materialize(events, SPEC, SCHEMA))
+    for mod in (2, 3, 7):
+        a = events.filter(F.col("id") % mod != 0)
+        b = events.filter(F.col("id") % mod == 0)
+        merged = merge_increment(
+            materialize(a, SPEC, SCHEMA), materialize(b, SPEC, SCHEMA)
+        )
+        assert _as_dict(merged) == full, f"split mod {mod} diverged"
