@@ -116,16 +116,24 @@ def gopher_rule_flags(df: DataFrame, text_col: str = "text",
     # mean word length = non-whitespace chars / words
     mean_len = F.length(F.regexp_replace(t, r"\s", "")) / n_words
     n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    # Both ellipsis forms: the three-dot ASCII spelling and the single
+    # U+2026 character (the common typographic form in scraped web text).
     n_ellipsis = (
         F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
-    ) / 3
+    ) / 3 + (
+        F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    )
     lines = F.split(t, "\n")
     n_lines = F.size(lines)
     bullet_lines = F.size(
         F.filter(lines, lambda x: F.trim(x).rlike(r"^[-*•]"))
     )
     ellipsis_lines = F.size(
-        F.filter(lines, lambda x: F.rtrim(x).endswith("..."))
+        F.filter(
+            lines,
+            lambda x: F.rtrim(x).endswith("...")
+            | F.rtrim(x).endswith("…"),
+        )
     )
     alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]")))
     stop_hits = F.size(

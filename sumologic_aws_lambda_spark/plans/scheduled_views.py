@@ -74,23 +74,28 @@ def _merge_exprs(df: DataFrame) -> tuple[list[str], list[Column]]:
     """(group keys, merge aggregates) for a materialized view frame.
     Aggregate columns are recognized by the compiler's ``_``-prefix
     naming; everything else (including ``_timeslice``) is a key."""
+    def _prefixed(c: str, p: str) -> bool:
+        return c == p or c.startswith(p + "_")
+
     keys, aggs = [], []
     for c in df.columns:
         if c == "_timeslice":
             keys.append(c)
             continue
-        hit = next(
-            (fn for p, fn in _MERGE_FNS.items()
-             if c == p or c.startswith(p + "_")), None,
-        )
-        if hit is not None:
-            aggs.append(hit(c).alias(c))
-        elif c.startswith(_UNMERGEABLE):
+        # Unmergeable check FIRST: `_count_distinct_x` also carries the
+        # `_count_` prefix, and merging distinct-counts by SUM would
+        # silently overcount shared values across batches.
+        if any(_prefixed(c, p) for p in _UNMERGEABLE):
             raise SumoQLError(
                 f"view column {c!r} is not mergeable — materialize the "
                 "sum/count partials instead (e.g. 'sum(x), count' and "
                 "divide at read time)"
             )
+        hit = next(
+            (fn for p, fn in _MERGE_FNS.items() if _prefixed(c, p)), None,
+        )
+        if hit is not None:
+            aggs.append(hit(c).alias(c))
         else:
             keys.append(c)
     if "_timeslice" not in keys:
@@ -164,16 +169,26 @@ class ScheduledViewStore:
         """Incremental maintenance: aggregate ONLY the new batch, merge
         with the stored partials for the touched slice dates, rewrite
         those partitions (dynamic overwrite — untouched dates are never
-        read or written)."""
+        read or written).
+
+        The increment is localCheckpointed (its lineage is an aggregation
+        over the batch and it feeds both the touched-date collect and the
+        merge), and the touched dates are collected to the driver — a
+        batch touches O(slices) dates, small by contract — so the store
+        scan filters on the PARTITION column ``_slice_date``: partition
+        pruning skips every untouched date's files, keeping refresh I/O
+        at O(touched slices) even on a years-deep view."""
         spec = self._specs[name]
-        inc = materialize(new_batch, spec, schema)
-        touched = inc.select(
-            F.to_date("_timeslice").alias("_slice_date")
-        ).distinct()
-        current = self.read(spark, name).join(
-            F.broadcast(touched),
-            F.to_date("_timeslice") == F.col("_slice_date"),
-            "left_semi",
+        inc = materialize(new_batch, spec, schema).localCheckpoint()
+        dates = [
+            r[0] for r in inc.select(
+                F.to_date("_timeslice").alias("d")
+            ).distinct().collect()
+        ]
+        current = (
+            spark.read.parquet(self._path(name))
+            .filter(F.col("_slice_date").isin(dates))
+            .drop("_slice_date")
         )
         merged = merge_increment(current, inc).withColumn(
             "_slice_date", F.to_date("_timeslice")

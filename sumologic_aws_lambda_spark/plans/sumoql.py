@@ -237,7 +237,13 @@ def _apply_subquery(out: DataFrame, base: DataFrame, text: str,
     fields = [f.strip() for f in cm.group(1).split(",") if f.strip()]
     cap = int(cm.group(2)) if cm.group(2) else _SUBQUERY_MAX_RESULTS
 
-    inner = _apply_scope(base, inner_stages[0], schema)
+    # Nested subqueries recurse: the inner scope may itself carry
+    # [subquery:…] blocks (Sumo allows one level of nesting; here any
+    # depth compiles — each level is its own broadcast semi-join).
+    inner_scope, nested = _extract_subqueries(inner_stages[0])
+    inner = _apply_scope(base, inner_scope or "*", schema)
+    for sub in nested:
+        inner = _apply_subquery(inner, base, sub, schema, lookups)
     for stage in inner_stages[1:-1]:
         inner = _apply_stage(inner, stage, schema, lookups)
 
@@ -249,13 +255,18 @@ def _apply_subquery(out: DataFrame, base: DataFrame, text: str,
             return mapped
         raise SumoQLError(f"compose field {f!r} not present")
 
-    keys = (
-        inner.select(
-            *[F.col(resolve(inner, f)).alias(f"__sq_{f}") for f in fields]
+    keys = inner.select(
+        *[F.col(resolve(inner, f)).alias(f"__sq_{f}") for f in fields]
+    ).distinct()
+    # Sumo FAILS a subquery whose result exceeds the cap rather than
+    # silently truncating (a limit() here would keep an arbitrary,
+    # partition-order-dependent subset).  The guard costs one extra
+    # bounded action: counting at most cap+1 distinct rows.
+    if keys.limit(cap + 1).count() > cap:
+        raise SumoQLError(
+            f"subquery produced more than {cap} composed rows — tighten "
+            "the inner query or raise maxresults"
         )
-        .distinct()
-        .limit(cap)
-    )
     cond = None
     for f in fields:
         e = F.col(resolve(out, f)) == F.col(f"__sq_{f}")
@@ -793,18 +804,30 @@ def _stage_count_frequent(df: DataFrame, rest: str,
     if not cols or not all(re.fullmatch(r"[\w.]+", c) for c in cols):
         raise SumoQLError(f"bad count_frequent stage: {rest!r}")
     if approx:
-        key = cols[0] if len(cols) == 1 else F.concat_ws("\x1f", *cols)
-        tk = df.select(F.col(key).alias("_k") if isinstance(key, str)
-                       else key.alias("_k")).agg(
+        # NULL-safe composite key: concat_ws SKIPS nulls (collapsing
+        # (NULL,'x') with ('x',NULL)) and the sketch aggregate ignores a
+        # NULL input entirely — encode every field through a sentinel and
+        # decode it back so the approx path groups exactly like the exact
+        # path's groupBy.  Key columns come back as strings (the sketch
+        # key is one encoded string); counts are unaffected.
+        sentinel = "\x00null\x00"
+        enc = [F.coalesce(F.col(c).cast("string"), F.lit(sentinel))
+               for c in cols]
+        key = enc[0] if len(enc) == 1 else F.concat_ws("\x1f", *enc)
+        tk = df.select(key.alias("_k")).agg(
             F.expr(f"approx_top_k(_k, {limit}, {max(10 * limit, 1000)})")
             .alias("_tk")
         )
         out = tk.select(F.explode("_tk").alias("_e"))
         if len(cols) == 1:
-            items = [F.col("_e.item").alias(cols[0])]
+            pieces = [F.col("_e.item")]
         else:
-            split = F.split(F.col("_e.item"), "\x1f")
-            items = [split.getItem(i).alias(c) for i, c in enumerate(cols)]
+            split = F.split(F.col("_e.item"), "\x1f", -1)
+            pieces = [split.getItem(i) for i in range(len(cols))]
+        items = [
+            F.when(p == sentinel, F.lit(None)).otherwise(p).alias(c)
+            for p, c in zip(pieces, cols)
+        ]
         return out.select(
             *items, F.col("_e.count").alias("_approxcount")
         ).orderBy(F.col("_approxcount").desc(), *cols)

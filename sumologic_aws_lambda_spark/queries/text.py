@@ -559,6 +559,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                length(regexp_replace(text, '\\s', '', 'g')) AS nonws_chars,
                length(text) - length(replace(text, '#', '')) AS n_hash,
                (length(text) - length(replace(text, '...', ''))) / 3
+               + (length(text) - length(replace(text, '…', '')))
                    AS n_ellipsis
         FROM documents
     ),
@@ -572,7 +573,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     x -> regexp_matches(trim(x), '^[-*•]'))) / len(lines)
                 > 0.9) AS f_bullet,
                (len(list_filter(lines,
-                    x -> ends_with(rtrim(x), '...'))) / len(lines)
+                    x -> ends_with(rtrim(x), '...')
+                         OR ends_with(rtrim(x), '…'))) / len(lines)
                 > 0.3) AS f_ellipsis,
                (len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
                 / len(w) < 0.8) AS f_alpha,

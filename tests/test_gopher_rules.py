@@ -76,3 +76,12 @@ def test_thresholds_are_tunable(spark):
     )
     out = gopher_rule_flags(df, "text", min_words=5).collect()[0]
     assert out.pass_all
+
+
+def test_unicode_ellipsis_counts(spark):
+    # 4 of 10 lines end with the single-character U+2026 ellipsis — the
+    # typographic form — and must trip the ellipsis-line rule like '...'.
+    line = "the cat and dog ran to the park with joy"
+    doc = "\n".join([line + " w…"] * 4 + [line] * 6)
+    rows = _run(spark, [doc])
+    assert "fail_ellipsis_lines" in _fails(rows[0])

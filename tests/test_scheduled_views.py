@@ -192,3 +192,18 @@ def test_merge_property_any_split_equals_full(spark):
             materialize(a, SPEC, SCHEMA), materialize(b, SPEC, SCHEMA)
         )
         assert _as_dict(merged) == full, f"split mod {mod} diverged"
+
+
+def test_view_rejects_count_distinct(events):
+    # `_count_distinct_v` also carries the `_count_` prefix — merging
+    # distinct counts by SUM would overcount values shared across batches.
+    with pytest.raises(SumoQLError, match="not mergeable"):
+        materialize(
+            events,
+            ScheduledViewSpec(
+                name="cd",
+                query="* | timeslice 1d | count_distinct(v)"
+                      " by _timeslice, cat",
+            ),
+            SCHEMA,
+        )

@@ -713,3 +713,55 @@ def test_count_frequent_approx_multi_field(spark):
                         SumoSchema(raw_col="k")).collect()
     assert out[0]._approxcount == 10
     assert len(out) == 6 and {r.k for r in out} == {"k0", "k1", "k2"}
+
+
+def test_nested_subquery_compiles_and_filters(sub_logs):
+    # errors by users whose uid also appears among high-value clicks:
+    # inner subquery (clicks v >= 3) composes uid=30; no error row has
+    # uid 30, so the outer nested filter yields nothing for errors —
+    # then the top-level subquery semi-join keeps no click rows either.
+    out = compile_query(
+        sub_logs,
+        "_sourceCategory=click "
+        "[subquery:_sourceCategory=error "
+        "[subquery:_sourceCategory=click | where v >= 3 | compose uid]"
+        " | compose uid]",
+        SUB_SCHEMA,
+    )
+    assert out.collect() == []
+    # and a nested subquery that DOES produce keys flows through:
+    out2 = compile_query(
+        sub_logs,
+        "_sourceCategory=click "
+        "[subquery:_sourceCategory=error "
+        "[subquery:_sourceCategory=click | where v <= 1 | compose uid]"
+        " | compose uid]",
+        SUB_SCHEMA,
+    )
+    assert sorted(r.uid for r in out2.collect()) == [10]
+
+
+def test_subquery_over_cap_raises(sub_logs):
+    with pytest.raises(SumoQLError, match="more than 2 composed rows"):
+        compile_query(
+            sub_logs,
+            "* [subquery:_sourceCategory=error | compose uid"
+            " maxresults=2]",
+            SUB_SCHEMA,
+        ).collect()
+
+
+def test_count_frequent_approx_null_keys_match_exact(spark):
+    rows = [(None, "x"), ("x", None), ("x", None), (None, None), ("a", "b")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    exact = compile_query(df, "* | count_frequent a, b",
+                          SumoSchema(raw_col="a")).collect()
+    approx = compile_query(df, "* | count_frequent a, b approx",
+                           SumoSchema(raw_col="a")).collect()
+    assert {(r.a, r.b, r._approxcount) for r in approx} == \
+        {(r.a, r.b, r._approxcount) for r in exact}
+    # single-column NULL keys are kept too
+    one = compile_query(df, "* | count_frequent a approx",
+                        SumoSchema(raw_col="a")).collect()
+    assert {(r.a, r._approxcount) for r in one} == {("x", 2), ("a", 1),
+                                                    (None, 2)}
