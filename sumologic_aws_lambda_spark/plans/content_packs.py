@@ -159,3 +159,28 @@ class ContentPackCatalog:
         except SumoQLError as exc:
             raise ContentPackError(
                 f"saved search {path!r} failed to compile: {exc}") from exc
+
+    def schedule(self, store, df: DataFrame, pack: str, path: str,
+                 schema: SumoSchema, view_name: str | None = None) -> str:
+        """Materialize a pack's saved search as a scheduled view: backfill
+        it into ``store`` (a ``ScheduledViewStore``) so the pack's
+        dashboard panels read pre-aggregated slices instead of re-scanning
+        the source (the Sumo pattern of backing installed-app dashboards
+        with scheduled views).  The search must fit the view contract —
+        timeslice key + mergeable aggregates — or this raises with the
+        view layer's explanation.  Returns the view name (derived
+        ``<pack>_<search>`` unless given)."""
+        from .scheduled_views import ScheduledViewSpec
+
+        s = self.search(pack, path)
+        name = view_name or re.sub(
+            r"\W+", "_", f"{pack}_{s.name}"
+        ).strip("_").lower()
+        try:
+            spec = ScheduledViewSpec(name=name, query=s.query_text)
+            store.backfill(df, spec, schema)
+        except SumoQLError as exc:
+            raise ContentPackError(
+                f"saved search {path!r} cannot back a scheduled view: "
+                f"{exc}") from exc
+        return name

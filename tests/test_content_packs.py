@@ -105,3 +105,52 @@ def test_run_compiles_saved_search(spark):
     assert got == {"h1": 2, "h2": 1}
     with pytest.raises(ContentPackError, match="no saved search"):
         cat.run(df, "AWS Observability", "nope", schema)
+
+
+def test_schedule_saved_search_as_view(spark, tmp_path):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from sumologic_aws_lambda_spark.plans.scheduled_views import (
+        ScheduledViewStore,
+    )
+    from sumologic_aws_lambda_spark.plans.sumoql import SumoSchema
+
+    pack_json = json.dumps({
+        "type": "FolderSyncDefinition", "name": "Ops Pack",
+        "children": [
+            {"type": "SavedSearchWithScheduleSyncDefinition",
+             "name": "Daily Volume",
+             "search": {"queryText":
+                        "* | timeslice 1d | count by _timeslice, cat"}},
+            {"type": "SavedSearchWithScheduleSyncDefinition",
+             "name": "Raw Avg",
+             "search": {"queryText": "* | avg(v) by cat"}},
+        ],
+    })
+    from sumologic_aws_lambda_spark.plans.content_packs import (
+        ContentPack,
+        ContentPackCatalog,
+        ContentPackError,
+    )
+
+    cat = ContentPackCatalog()
+    cat.install(ContentPack.from_json(pack_json))
+    rows = [(i, f"2024-04-{(i % 2) + 1:02d} 01:00:00", f"c{i % 2}", i)
+            for i in range(40)]
+    events = spark.createDataFrame(
+        rows, "id int, ts string, cat string, v long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    schema = SumoSchema(raw_col="cat", ts_col="ts")
+
+    store = ScheduledViewStore(str(tmp_path))
+    name = cat.schedule(store, events, "Ops Pack", "Daily Volume", schema)
+    assert name == "ops_pack_daily_volume"
+    got = {(str(r["_timeslice"].date()), r.cat): r["_count"]
+           for r in store.read(spark, name).collect()}
+    assert got == {("2024-04-01", "c0"): 20, ("2024-04-02", "c1"): 20}
+
+    # a non-view-shaped search (no timeslice / unmergeable agg) refuses
+    with pytest.raises(ContentPackError, match="cannot back"):
+        cat.schedule(store, events, "Ops Pack", "Raw Avg", schema)
