@@ -33,20 +33,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     for THIS workload — every *copy* of a duplicated document shares one
     hash value, so a boilerplate doc repeated 10 M times serializes into
     a single window partition.  Instead the whole winning ROW rides
-    through a partial-aggregatable ``min(struct(id, row))`` groupBy on
-    the fingerprint: map-side combine keeps at most one row per hash per
+    through a partial-aggregatable ``min_by(row, id)`` groupBy on the
+    fingerprint: map-side combine keeps at most one row per hash per
     input partition, so the hot key is absorbed before the shuffle and
     no join back to the corpus is needed (the earlier groupBy + semi-join
-    formulation shuffled the full corpus twice).  ``min`` over a struct
-    compares fields in order — id first — so ties are deterministic.
+    formulation shuffled the full corpus twice).  ``min_by`` orders by
+    the id alone — the carried row may contain non-orderable columns
+    (maps, binaries) that a ``min(struct(id, row))`` formulation would
+    reject with EXPRESSION_TYPE_IS_NOT_ORDERABLE.  Determinism requires
+    ``id_col`` to be unique, the usual contract for a document id.
     """
     row = F.struct(*[F.col(c) for c in df.columns])
     winners = (
         df.groupBy(fingerprint(text_col).alias("_fp"))
-        .agg(F.min(F.struct(F.col(id_col).alias("_k"),
-                            row.alias("_row"))).alias("_w"))
+        .agg(F.min_by(row, F.col(id_col)).alias("_row"))
     )
-    return winners.select([F.col(f"_w._row.{c}").alias(c)
+    return winners.select([F.col(f"_row.{c}").alias(c)
                            for c in df.columns])
 
 
@@ -305,15 +307,18 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     # the duplicate subgraph is tiny (the common post-LSH case — most of
     # the corpus has no near-dup edge at all), collapse to one partition
     # so each fixpoint round is a single-task job instead of a
-    # 32-partition shuffle round-trip.  Large graphs keep the parallel
-    # layout.
-    small = edges.count() <= 100_000
-    if small:
+    # 32-partition shuffle round-trip.  The NODE side must pass the same
+    # gate independently: a clean 100 TB corpus can have few edges but
+    # billions of nodes, and coalescing the label frame on edge count
+    # alone would serialize corpus-sized propagation onto one task.
+    # Large graphs keep the parallel layout.
+    small_edges = edges.count() <= 100_000
+    if small_edges:
         edges = edges.coalesce(1)
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("lbl")
     )
-    if small:
+    if small_edges and labels.count() <= 1_000_000:
         labels = labels.coalesce(1)
     labels = labels.localCheckpoint()
     def propagate(lbls: DataFrame) -> DataFrame:

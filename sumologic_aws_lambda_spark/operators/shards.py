@@ -82,19 +82,26 @@ def write_training_shards(df: DataFrame, out_dir: str, n_shards: int = 8,
     is one file (deterministic layout), sorted by id within the shard so
     shard bytes are reproducible run to run.  Returns the manifest dict.
     """
-    assigned = shard_assignments(df, n_shards, id_col, text_col)
-    (
-        assigned.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", id_col)
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .option("compression", compression)
-        .json(out_dir)
-    )
-    manifest_rows = sorted(
-        (r.asDict() for r in shard_manifest(assigned).collect()),
-        key=lambda r: r["shard"],
-    )
+    # Persisted across the two actions: the shard write and the manifest
+    # rollup both consume the full assignment lineage (scan + md5 +
+    # normalize + token_count over every row) — without the persist the
+    # corpus would be scanned and re-hashed twice.
+    assigned = shard_assignments(df, n_shards, id_col, text_col).persist()
+    try:
+        (
+            assigned.repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", id_col)
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .option("compression", compression)
+            .json(out_dir)
+        )
+        manifest_rows = sorted(
+            (r.asDict() for r in shard_manifest(assigned).collect()),
+            key=lambda r: r["shard"],
+        )
+    finally:
+        assigned.unpersist()
     manifest = {
         "n_shards": n_shards,
         "total_rows": sum(r["n_rows"] for r in manifest_rows),

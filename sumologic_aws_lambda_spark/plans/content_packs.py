@@ -78,8 +78,10 @@ class ContentPack:
         except json.JSONDecodeError as exc:
             raise ContentPackError(f"bad pack JSON: {exc}") from exc
 
-        pack = cls(name=root.get("name", "pack"),
-                   description=root.get("description", "")[:255])
+        # `"description": null` is common in real exports — get()'s
+        # default only covers a MISSING key, not an explicit null.
+        pack = cls(name=root.get("name") or "pack",
+                   description=(root.get("description") or "")[:255])
         pack._walk(root, prefix="", is_root=True)
         if not pack.searches:
             raise ContentPackError(

@@ -156,6 +156,10 @@ def evaluate_monitor(df: DataFrame, spec: MonitorSpec,
     so a Critical breach emits its Warning row too (reference semantics:
     each trigger is its own alerting condition).
     """
+    if not spec.triggers:
+        raise SumoQLError(
+            f"monitor {spec.name!r} has no triggers — nothing to evaluate"
+        )
     res = compile_query(df, spec.query, schema)
     vcol = _value_column(res, value_col)
     group_cols = [c for c in res.columns if c not in (vcol, "_timeslice")]
@@ -185,6 +189,8 @@ def evaluate_monitors(df: DataFrame, specs: list[MonitorSpec],
     different group columns should be evaluated separately — this union
     requires schema-aligned results (same timeslice/group shape), the
     common case for a folder of monitors over one source."""
+    if not specs:
+        raise SumoQLError("no monitor specs to evaluate")
     out = evaluate_monitor(df, specs[0], schema, value_col)
     for spec in specs[1:]:
         out = out.unionByName(evaluate_monitor(df, spec, schema, value_col))
@@ -205,9 +211,9 @@ def streaming_threshold_monitor(records: DataFrame, spec: MonitorSpec,
     of the same width is the streaming analog).  The aggregation is the
     same partial-aggregatable count the batch plan runs; no custom state.
     """
+    if not spec.triggers:
+        raise SumoQLError(f"monitor {spec.name!r} has no triggers")
     if window_seconds is None:
-        if not spec.triggers:
-            raise SumoQLError(f"monitor {spec.name!r} has no triggers")
         window_seconds = parse_time_range(spec.triggers[0].time_range)
     win = F.window(F.col(ts_col), f"{window_seconds} seconds")
     agg = (

@@ -907,11 +907,40 @@ def _stage_trace(df: DataFrame, rest: str, schema: SumoSchema,
     )
 
 
-_LOGEXPLAIN_RE = re.compile(
-    r"^(?P<test>.+?)(?:\s+against\s+(?P<ctrl>.+?))?"
-    r"\s+on\s+(?P<fields>[\w.]+(?:\s*,\s*[\w.]+)*)$",
-    re.IGNORECASE | re.DOTALL,
-)
+_FIELDS_LIST_RE = re.compile(r"^[\w.]+(?:\s*,\s*[\w.]+)*$")
+
+
+def _split_logexplain(rest: str) -> tuple[str, str | None, str]:
+    """Split ``<test> [against <ctrl>] on <fields>`` at the KEYWORDS,
+    quote-aware: ``against`` / ``on`` inside a quoted literal (``msg =
+    "fight against x"``) belong to the condition, not the grammar.  The
+    fields clause is the LAST top-level ``on``; the control split is the
+    first top-level ``against`` before it."""
+
+    def outside_quotes(idx: int) -> bool:
+        in_q = in_sq = False
+        for ch in rest[:idx]:
+            if ch == '"' and not in_sq:
+                in_q = not in_q
+            elif ch == "'" and not in_q:
+                in_sq = not in_sq
+        return not in_q and not in_sq
+
+    ons = [m for m in re.finditer(r"\s+on\s+", rest, re.IGNORECASE)
+           if outside_quotes(m.start())]
+    if not ons:
+        raise SumoQLError(f"bad logexplain stage (missing 'on'): {rest!r}")
+    on_m = ons[-1]
+    head, fields = rest[:on_m.start()], rest[on_m.end():].strip()
+    if not _FIELDS_LIST_RE.fullmatch(fields):
+        raise SumoQLError(f"bad logexplain field list: {fields!r}")
+    againsts = [m for m in re.finditer(r"\s+against\s+", head,
+                                       re.IGNORECASE)
+                if outside_quotes(m.start())]
+    if againsts:
+        a = againsts[0]
+        return head[:a.start()].strip(), head[a.end():].strip(), fields
+    return head.strip(), None, fields
 
 
 def _stage_logexplain(df: DataFrame, rest: str,
@@ -935,17 +964,15 @@ def _stage_logexplain(df: DataFrame, rest: str,
     ride a 1-row broadcast crossJoin.  The final sort orders the
     aggregated report, never the corpus.
     """
-    m = _LOGEXPLAIN_RE.match(rest.strip())
-    if not m:
-        raise SumoQLError(f"bad logexplain stage: {rest!r}")
+    test_text, ctrl_text, fields_text = _split_logexplain(rest.strip())
     # Sumo-facing name → bound column (meta fields like _sourceCategory
     # resolve through the schema, parsed fields pass through).
     fields = [(f.strip(), schema.meta_cols.get(f.strip(), f.strip()))
-              for f in m.group("fields").split(",") if f.strip()]
+              for f in fields_text.split(",") if f.strip()]
     try:
-        test = F.expr(_rewrite_expr(m.group("test")))
-        ctrl = (F.expr(_rewrite_expr(m.group("ctrl")))
-                if m.group("ctrl") else ~test)
+        test = F.expr(_rewrite_expr(test_text))
+        ctrl = (F.expr(_rewrite_expr(ctrl_text))
+                if ctrl_text else ~test)
     except Exception as exc:
         raise SumoQLError(f"bad logexplain condition: {rest!r}") from exc
     grouped = df.groupBy(*[c for _, c in fields]).agg(

@@ -377,11 +377,28 @@ def stage_compare(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
         raise SumoQLError("compare requires a timesliced series "
                           "(run `timeslice` + an aggregate first)")
     spec = f"{n_units}{unit.lower()}"
+    # Measures: prefer the compiler's aggregate columns (`_count`,
+    # `_sum_x`, … — the `_`-prefix convention every agg stage emits);
+    # only when the series carries NO prefixed aggregate fall back to
+    # numeric dtype.  Pure dtype sniffing is wrong after the compiler: a
+    # numeric group-by key (`count by user_id`) would be classified as a
+    # measure, collapsing the prior period to one arbitrary group's
+    # value via first().
+    def _numeric(t: str) -> bool:
+        return (t in ("bigint", "int", "double", "float", "long",
+                      "smallint", "tinyint")
+                or t.startswith("decimal"))
+
     measures = [c for c, t in df.dtypes
-                if c != "_timeslice"
-                and (t in ("bigint", "int", "double", "float", "long",
-                           "smallint", "tinyint")
-                     or t.startswith("decimal"))]
+                if c != "_timeslice" and c.startswith("_") and _numeric(t)]
+    if not measures:
+        measures = [c for c, t in df.dtypes
+                    if c != "_timeslice" and _numeric(t)]
+    if not measures:
+        raise SumoQLError(
+            "compare needs at least one numeric aggregate column — "
+            "run an aggregation first"
+        )
     keys = [c for c in df.columns if c != "_timeslice" and c not in measures]
     suffix = f"_{spec}" + ("_avg" if n_periods > 1 else "")
 

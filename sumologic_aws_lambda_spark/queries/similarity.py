@@ -438,9 +438,16 @@ def _pq_assign_cte(cent_cte: str, name: str) -> str:
         GROUP BY a1.sub, a1.cid, t.i
     ),
     cents1 AS (
-        SELECT sub, cid,
-               list(s / (n * {_PQ_SCALE}.0) ORDER BY i) AS ce
-        FROM sums1 GROUP BY sub, cid
+        -- Empty clusters KEEP their stale seed centroid (Spark's
+        -- pq_train contract): build round-1 centroids as seed LEFT JOIN
+        -- means so a (sub, cid) with zero assignments neither vanishes
+        -- from the checks nor from the a2 re-assignment argmin.
+        SELECT c0.sub, c0.cid, coalesce(m1.ce, c0.ce) AS ce
+        FROM cents0 c0 LEFT JOIN (
+            SELECT sub, cid,
+                   list(s / (n * {_PQ_SCALE}.0) ORDER BY i) AS ce
+            FROM sums1 GROUP BY sub, cid
+        ) m1 USING (sub, cid)
     ),
     {_pq_assign_cte("cents1", "a2").lstrip()},
     counts2 AS (

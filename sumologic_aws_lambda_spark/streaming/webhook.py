@@ -110,8 +110,15 @@ class WebhookDeliverySink:
         self._sleep = sleep
 
     def __call__(self, batch_df, batch_id: int) -> None:
+        # Cap AFTER an ordering: a bare limit() keeps an arbitrary
+        # partition-order-dependent subset when the batch exceeds the
+        # cap, so two runs of the same stream would deliver different
+        # rows.  Ordering by every column (name order) makes the kept
+        # subset a deterministic function of the data —
+        # TakeOrderedAndProject physically, no full sort materialized.
+        ordered = batch_df.orderBy(*sorted(batch_df.columns))
         encoded = sorted(
-            batch_df.limit(self.result_cap).toJSON().collect())
+            ordered.limit(self.result_cap).toJSON().collect())
         rows = [json.loads(s) for s in encoded]
         if not rows:
             return

@@ -201,3 +201,19 @@ def test_fields_schema_filter_drops_unregistered(spark):
         F.size(empty_store.fields_schema_filter("attrs")).alias("n")
     ).collect()[0].n
     assert none_kept == 0
+
+
+def test_triggerless_monitor_raises_clearly(spark):
+    from sumologic_aws_lambda_spark.plans.monitors import (
+        MonitorSpec,
+        evaluate_monitor,
+        evaluate_monitors,
+    )
+    from sumologic_aws_lambda_spark.plans.sumoql import SumoQLError, SumoSchema
+
+    df = spark.createDataFrame([("x",)], "msg string")
+    spec = MonitorSpec(name="empty", query="* | count", triggers=())
+    with pytest.raises(SumoQLError, match="no triggers"):
+        evaluate_monitor(df, spec, SumoSchema(raw_col="msg"))
+    with pytest.raises(SumoQLError, match="no monitor specs"):
+        evaluate_monitors(df, [], SumoSchema(raw_col="msg"))

@@ -67,3 +67,17 @@ def test_self_recall_is_one(spark, vecs):
         # queries with fewer than k neighbors still divide by k
         assert 0.0 <= r.recall_at_k <= 1.0
         assert r.hits * 0.5 == r.recall_at_k
+
+
+def test_exact_dedup_handles_map_columns(spark):
+    # min_by carries the row; a map column must not break orderability.
+    from sumologic_aws_lambda_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(2, "same text", {"k": "v2"}), (1, "same text", {"k": "v1"}),
+         (3, "other", {"k": "v3"})],
+        "doc_id long, text string, attrs map<string,string>",
+    )
+    out = exact_dedup(df).collect()
+    kept = {r.doc_id: r.attrs for r in out}
+    assert set(kept) == {1, 3} and kept[1] == {"k": "v1"}

@@ -765,3 +765,17 @@ def test_count_frequent_approx_null_keys_match_exact(spark):
                         SumoSchema(raw_col="a")).collect()
     assert {(r.a, r._approxcount) for r in one} == {("x", 2), ("a", 1),
                                                     (None, 2)}
+
+
+def test_logexplain_keywords_inside_quotes(spark):
+    # 'against' and 'on' inside quoted literals belong to the condition.
+    rows = [("fight against x", "h1"), ("peace on earth", "h1"),
+            ("fight against x", "h2"), ("calm", "h2")]
+    df = spark.createDataFrame(rows, "msg string, host string")
+    out = compile_query(
+        df,
+        '* | logexplain msg = "fight against x" on host',
+        SumoSchema(raw_col="msg"),
+    )
+    got = {r.explanation: r.test_count for r in out.collect()}
+    assert got == {"host=h1": 1, "host=h2": 1}

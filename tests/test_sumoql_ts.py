@@ -269,3 +269,49 @@ def test_compare_requires_timeslice(spark):
     df = spark.createDataFrame([(1,)], "v long")
     with pytest.raises(SumoQLError):
         compile_query(df, "* | compare with timeshift 1d", SCHEMA)
+
+
+def test_compare_keeps_numeric_group_keys(spark):
+    from pyspark.sql import functions as F
+
+    from sumologic_aws_lambda_spark.plans.sumoql import SumoSchema, compile_query
+
+    rows = []
+    for day in (1, 2):
+        for uid in (10, 20):
+            for _ in range(day * uid):  # distinct counts per (day, uid)
+                rows.append((f"2024-05-{day:02d} 00:00:00", uid))
+    df = spark.createDataFrame(rows, "ts string, user_id long").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    out = compile_query(
+        df,
+        "* | timeslice 1d | count by _timeslice, user_id"
+        " | compare with timeshift 1d",
+        SumoSchema(raw_col="ts", ts_col="ts"),
+    )
+    got = {(str(r["_timeslice"].date()), r.user_id):
+           (r["_count"], r["_count_1d"]) for r in out.collect()}
+    # day-2 rows must see THEIR OWN group's day-1 count, and user_id
+    # must survive as a key (no user_id_1d column).
+    assert got[("2024-05-02", 10)] == (20, 10)
+    assert got[("2024-05-02", 20)] == (40, 20)
+    assert "user_id_1d" not in out.columns
+
+
+def test_compare_without_aggregate_raises(spark):
+    from pyspark.sql import functions as F
+
+    from sumologic_aws_lambda_spark.plans.sumoql import (
+        SumoQLError,
+        SumoSchema,
+        compile_query,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-05-01 00:00:00", "x")], "ts string, label string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(SumoQLError, match="numeric aggregate"):
+        compile_query(
+            df, "* | timeslice 1d | compare with timeshift 1d",
+            SumoSchema(raw_col="ts", ts_col="ts"),
+        )
