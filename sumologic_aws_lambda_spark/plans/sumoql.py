@@ -281,21 +281,37 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
     rest = stage[len(head):].strip()
 
     if head == "lookup":
-        return _stage_lookup(df, rest, lookups or {})
+        # `is None`, not truthiness: an empty PersistentLookups store is
+        # falsy but still resolves tables from disk.
+        return _stage_lookup(df, rest, {} if lookups is None else lookups)
     if head == "join":
         return _stage_join(df, rest, schema, lookups)
     if head == "save":
-        # Sumo's `save <view>`: register the frame under a name so a later
-        # query can `lookup … from <view>`.  Session-scoped, not a write.
-        name = rest.strip()
-        if not re.fullmatch(r"\w+", name):
+        # Sumo's `save <table> [append]`: register the frame under a
+        # name so a later query can `lookup … from <table>`.  With a
+        # plain dict registry the save is session-scoped; with a
+        # `PersistentLookups` store (`plans/lookups.py`) it writes
+        # through to parquet, and `append` merges rows into an existing
+        # table (Sumo's save-with-merge).
+        m = re.fullmatch(r"(\w+)(\s+append)?", rest.strip(), re.IGNORECASE)
+        if not m:
             raise SumoQLError(f"bad save target: {rest!r}")
+        name, append = m.group(1), bool(m.group(2))
         if lookups is None:
             raise SumoQLError(
                 "save needs a lookups registry (pass lookups={} to "
                 "compile_query)"
             )
-        lookups[name] = df
+        saver = getattr(lookups, "save", None)
+        if callable(saver):
+            saver(name, df, append=append)
+        elif append:
+            raise SumoQLError(
+                "save … append needs a persistent lookup store "
+                "(plans.lookups.PersistentLookups), not a plain dict"
+            )
+        else:
+            lookups[name] = df
         return df
 
     # post-aggregation time-series stages (accum/total/backshift/diff/
@@ -330,7 +346,7 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
     if head == "transaction":
         return _stage_transaction(df, rest, schema)
     if head == "geoip":
-        return _stage_geoip(df, rest, lookups or {})
+        return _stage_geoip(df, rest, {} if lookups is None else lookups)
     if head == "dedup":
         return _stage_dedup(df, rest, schema)
     if head == "logexplain":
