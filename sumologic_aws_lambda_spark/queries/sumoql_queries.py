@@ -957,3 +957,40 @@ def scheduled_view_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_count",
         F.col("_sum_dval").cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "sumoql_save_lookup_roundtrip",
+    oracle="""
+    WITH sev AS (
+        SELECT event_type, round(avg(value), 4) AS _avg_value
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, s._avg_value AS type_avg
+    FROM events e JOIN sev s USING (event_type)
+    WHERE e.event_id % 211 = 0
+    """,
+)
+def sumoql_save_lookup_roundtrip(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """``save`` → ``lookup`` roundtrip through one registry: the first
+    query materializes a per-type average into the session lookup
+    registry, the second enriches the fact stream from it via the
+    always-broadcast lookup join (``plans/sumoql.py`` save/lookup
+    stages; the parquet-persistent form is ``plans/lookups.py``)."""
+    ev = table(spark, sf_dir, "events")
+    registry: dict = {}
+    compile_query(
+        ev,
+        "* | avg(value) by event_type | save type_stats",
+        EVENTS_SCHEMA, lookups=registry,
+    )
+    out = compile_query(
+        ev,
+        "* | where event_id % 211 = 0"
+        " | lookup _avg_value from type_stats on event_type",
+        EVENTS_SCHEMA, lookups=registry,
+    )
+    return out.select(
+        "event_id", F.round("_avg_value", 4).alias("type_avg")
+    )
