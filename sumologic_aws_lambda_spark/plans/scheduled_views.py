@@ -52,6 +52,10 @@ _MERGE_FNS = {
     "_sum": F.sum,
     "_min": F.min,
     "_max": F.max,
+    # HLL sketch partials merge register-wise: max of registers is
+    # associative and commutative, so incremental union == one-shot
+    # union bit-for-bit — the view-friendly distinct count.
+    "_hll": F.hll_union_agg,
 }
 
 _UNMERGEABLE = ("_avg", "_count_distinct", "_median", "_values", "_first",

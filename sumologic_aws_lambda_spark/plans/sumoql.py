@@ -73,7 +73,7 @@ _UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
 
 _AGG_RE = re.compile(
     r"^(count_distinct|count|sum|avg|min|max|first|last"
-    r"|stddev|variance|median|values)"
+    r"|stddev|variance|median|values|hll)"
     r"\s*(?:\(\s*([\w.]*)\s*\))?$"
 )
 _PCTL_RE = re.compile(r"^percentile\s*\(\s*([\w.]+)\s*,\s*([\d.]+)\s*\)$")
@@ -1288,6 +1288,16 @@ def _stage_agg(df: DataFrame, stage: str,
                     F.array_sort(F.collect_set(F.col(arg).cast("string"))),
                     ",",
                 ).alias(f"_values_{arg}")
+            )
+        elif fn == "hll":
+            # Mergeable distinct-count sketch (`_hll_x`, binary): the
+            # scheduled-view-friendly form of count_distinct — partials
+            # merge register-wise (hll_union_agg), so incremental
+            # maintenance equals a full recompute exactly.  Read the
+            # estimate with `hll_sketch_estimate(_hll_x) as n` (an eval
+            # stage; the function is a Spark built-in).
+            agg_cols.append(
+                F.hll_sketch_agg(arg).alias(f"_hll_{arg}")
             )
         elif fn in ("first", "last"):
             if schema.ts_col not in df.columns:

@@ -207,3 +207,44 @@ def test_view_rejects_count_distinct(events):
             ),
             SCHEMA,
         )
+
+
+def test_hll_sketch_views_merge_exactly(spark, events, tmp_path):
+    # Distinct-count views: HLL partials max-merge register-wise, so the
+    # incrementally maintained sketch equals the one-shot sketch and the
+    # estimates agree exactly.
+    spec = ScheduledViewSpec(
+        name="daily_users",
+        query="* | timeslice 1d | count, hll(v) by _timeslice, cat",
+    )
+    full = materialize(events, spec, SCHEMA)
+    old = events.filter(F.col("id") % 4 != 0)
+    late = events.filter(F.col("id") % 4 == 0)
+    merged = merge_increment(
+        materialize(old, spec, SCHEMA), materialize(late, spec, SCHEMA)
+    )
+
+    def est(df):
+        return {
+            (r["_timeslice"], r["cat"]): r["n"]
+            for r in df.selectExpr(
+                "_timeslice", "cat",
+                "hll_sketch_estimate(_hll_v) AS n").collect()
+        }
+
+    assert est(merged) == est(full)
+
+    # binary sketch column round-trips through the parquet store and the
+    # estimate reads back through an eval stage on the _view= path
+    store = ScheduledViewStore(str(tmp_path))
+    store.backfill(old, spec, SCHEMA)
+    store.refresh(spark, late, "daily_users", SCHEMA)
+    out = store.query(
+        spark,
+        "_view=daily_users | hll_sketch_estimate(_hll_v) as n_distinct"
+        " | fields cat, _timeslice, n_distinct",
+        SCHEMA,
+    )
+    got = {(r["_timeslice"], r["cat"]): r["n_distinct"]
+           for r in out.collect()}
+    assert got == est(full)
