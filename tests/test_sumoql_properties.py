@@ -79,3 +79,34 @@ def test_kv_roundtrip(spark, pairs):
     out = compile_query(df, f"* | kv {keys}", SCHEMA)
     row = out.collect()[0]
     assert {k: row[k] for k in pairs} == pairs
+
+
+_row = st.tuples(
+    st.sampled_from(["click", "error", "view"]),
+    st.integers(min_value=0, max_value=6),     # uid
+    st.integers(min_value=0, max_value=99),    # v
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(rows=st.lists(_row, min_size=1, max_size=20),
+       threshold=st.integers(min_value=0, max_value=99))
+def test_subquery_matches_python_semi_join(spark, rows, threshold):
+    """`A [subquery:B | where v > t | compose uid]` must equal the
+    Python-computed semi-join for arbitrary small corpora."""
+    df = spark.createDataFrame(
+        [(i, c, u, v) for i, (c, u, v) in enumerate(rows)],
+        "id int, cat string, uid int, v int",
+    )
+    schema = SumoSchema(raw_col="cat",
+                        meta_cols={"_sourceCategory": "cat"})
+    out = compile_query(
+        df,
+        f"_sourceCategory=click [subquery:_sourceCategory=error"
+        f" | where v > {threshold} | compose uid]",
+        schema,
+    )
+    keys = {u for (c, u, v) in rows if c == "error" and v > threshold}
+    expect = sorted(i for i, (c, u, v) in enumerate(rows)
+                    if c == "click" and u in keys)
+    assert sorted(r.id for r in out.collect()) == expect
