@@ -356,6 +356,8 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
     if head == "sort":
         return _stage_sort(df, rest)
     if head == "limit":
+        if not re.fullmatch(r"\d+", rest.strip()):
+            raise SumoQLError(f"bad limit stage: {rest!r}")
         return df.limit(int(rest))
     # "count," / "sum(x)," — first token of a multi-agg list keeps its comma
     if _AGG_RE.match(head.rstrip(",")) or head.startswith("percentile"):
@@ -1026,6 +1028,8 @@ def _stage_dedup(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
     from pyspark.sql import Window
 
     m = re.match(r"^(\d+)?\s*(?:by\s+(.+))?$", rest.strip())
+    if not m:
+        raise SumoQLError(f"bad dedup stage: {rest!r}")
     n = int(m.group(1)) if m.group(1) else 1
     if m.group(2):
         keys = [c.strip() for c in m.group(2).split(",")]

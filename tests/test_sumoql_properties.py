@@ -110,3 +110,35 @@ def test_subquery_matches_python_semi_join(spark, rows, threshold):
     expect = sorted(i for i, (c, u, v) in enumerate(rows)
                     if c == "click" and u in keys)
     assert sorted(r.id for r in out.collect()) == expect
+
+
+_stage_word = st.sampled_from([
+    "json", "parse", "kv", "csv", "where", "fields", "timeslice", "top",
+    "count_frequent", "transaction", "geoip", "dedup", "logexplain",
+    "trace", "sort", "limit", "count", "sum(v)", "save", "lookup",
+    "compose", "accum", "diff", "smooth", "predict", "compare",
+    "x as y", '"q"', "on", "against", "by", "1d", "5", ",", "(", ")",
+    "[subquery:", "]", "*", "|",
+])
+
+
+@settings(max_examples=120, deadline=None)
+@given(tokens=st.lists(_stage_word, min_size=1, max_size=8))
+def test_compiler_never_raises_foreign_exceptions(spark, tokens):
+    """Fuzz: any garbage query either compiles or raises SumoQLError —
+    never an IndexError/TypeError/AttributeError from parser internals.
+    (AnalysisException from Spark on a well-formed-but-unresolvable
+    expression is also acceptable: the text reached the engine.)"""
+    from sumologic_aws_lambda_spark.plans.sumoql import SumoQLError
+
+    df = spark.createDataFrame(
+        [(1, "m", "c")], "v long, msg string, cat string")
+    text = "* | " + " ".join(tokens)
+    try:
+        compile_query(df, text, SumoSchema(raw_col="msg"), lookups={})
+    except SumoQLError:
+        pass
+    except Exception as exc:  # noqa: BLE001
+        from pyspark.errors import PySparkException
+        assert isinstance(exc, PySparkException), (
+            f"query {text!r} leaked {type(exc).__name__}: {exc}")
