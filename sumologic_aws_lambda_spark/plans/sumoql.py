@@ -334,9 +334,14 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
     if head == "where":
         return df.filter(F.expr(_rewrite_expr(rest)))
     if head == "fields":
+        names = [c.strip() for c in rest.lstrip("-").split(",")]
+        if not rest.strip() or not all(
+            re.fullmatch(r"[\w.]+", c) for c in names
+        ):
+            raise SumoQLError(f"bad fields stage: {rest!r}")
         if rest.startswith("-"):
-            return df.drop(*[c.strip() for c in rest[1:].split(",")])
-        return df.select(*[c.strip() for c in rest.split(",")])
+            return df.drop(*names)
+        return df.select(*names)
     if head == "timeslice":
         return _stage_timeslice(df, rest, schema)
     if head == "top":
