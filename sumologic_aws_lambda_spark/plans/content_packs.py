@@ -48,12 +48,14 @@ class SavedSearch:
 
 @dataclass
 class ContentPack:
-    """A parsed export: the app folder's name/description and its saved
-    searches, flattened to ``folder/sub-folder/name`` paths."""
+    """A parsed export: the app folder's name/description, its saved
+    searches (flattened to ``folder/sub-folder/name`` paths), and its
+    dashboards (``plans/dashboards.py`` — panels compiled on demand)."""
 
     name: str
     description: str = ""
     searches: dict[str, SavedSearch] = field(default_factory=dict)
+    dashboards: dict[str, object] = field(default_factory=dict)
 
     @classmethod
     def from_json(cls, text: str,
@@ -83,9 +85,10 @@ class ContentPack:
         pack = cls(name=root.get("name") or "pack",
                    description=(root.get("description") or "")[:255])
         pack._walk(root, prefix="", is_root=True)
-        if not pack.searches:
+        if not pack.searches and not pack.dashboards:
             raise ContentPackError(
-                f"pack {pack.name!r} contains no saved searches")
+                f"pack {pack.name!r} contains no saved searches or "
+                "dashboards")
         return pack
 
     def _walk(self, node: dict, prefix: str, is_root: bool) -> None:
@@ -104,6 +107,19 @@ class ContentPack:
                 description=node.get("description", ""),
                 time_range=tr if isinstance(tr, dict) else None,
             )
+        elif "Dashboard" in ntype or "Mewboard" in ntype:
+            from .dashboards import Dashboard, DashboardError
+
+            name = node.get("name", "unnamed")
+            try:
+                self.dashboards[f"{prefix}{name}"] = Dashboard.from_node(node)
+            except DashboardError:
+                # Real exports carry dashboard variants this model can't
+                # compile (panel-less boards, metrics-only panels) —
+                # install the rest of the pack rather than aborting,
+                # matching the previous ignore-all-dashboards behavior
+                # for exactly the nodes that don't parse.
+                pass
         elif ntype.startswith("Folder") or "children" in node:
             # The ROOT folder's name is the pack name, not a path
             # component — matches the reference, which creates the app
@@ -114,8 +130,8 @@ class ContentPack:
                 else f"{prefix}{sub}/"
             for child in node.get("children", []):
                 self._walk(child, child_prefix, is_root=False)
-        # Dashboards / other content types: ignored (no analytics-engine
-        # analog — panels reference the saved searches we do install).
+        # Other content types (lookups-in-pack, metrics searches):
+        # ignored — no analytics-engine analog yet.
 
 
 class ContentPackCatalog:

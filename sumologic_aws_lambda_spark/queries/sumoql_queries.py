@@ -994,3 +994,43 @@ def sumoql_save_lookup_roundtrip(spark: SparkSession,
     return out.select(
         "event_id", F.round("_avg_value", 4).alias("type_avg")
     )
+
+
+@query(
+    "dashboard_panel_data",
+    oracle="""
+    SELECT 'by-type' AS panel, event_type, count(*) AS _count
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'high-value', event_type, count(*)
+    FROM events WHERE value > 9.0 GROUP BY event_type
+    """,
+)
+def dashboard_panel_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard evaluation (reference ``sumologic.py:172-183``
+    ``dashboard_data``): a two-panel board compiled per panel and
+    stacked with the panel key — panels share the source scan, each
+    panel is its own aggregation plan (``plans/dashboards.py``)."""
+    import json as _json
+
+    from ..plans.dashboards import Dashboard, DashboardService
+
+    svc = DashboardService()
+    svc.register(Dashboard.from_json(_json.dumps({
+        "type": "DashboardV2SyncDefinition", "name": "events-board",
+        "panels": [
+            {"key": "by-type", "title": "Counts",
+             "queries": [{"queryString": "* | count by event_type"}]},
+            {"key": "high-value", "title": "High value",
+             "queries": [{"queryString":
+                          "* | where value > 9.0 | count by event_type"}]},
+        ],
+    })))
+    ev = table(spark, sf_dir, "events")
+    data = svc.dashboard_data("events-board", ev, EVENTS_SCHEMA)
+    out = None
+    for key, frame in data.items():
+        piece = frame.select(
+            F.lit(key).alias("panel"), "event_type", "_count")
+        out = piece if out is None else out.unionByName(piece)
+    return out
