@@ -184,3 +184,32 @@ def chunk_audio(df: DataFrame, window_ms: int = 2000,
         )
         .select("media_id", "chunk_start_ms", "chunk_end_ms", "meta")
     )
+
+
+def patch_grid(df: DataFrame, patch: int = 16) -> DataFrame:
+    """ViT-style patch planning for image rows: one row per (row, col)
+    patch of a ``patch``×``patch`` grid over the image dimensions from
+    metadata (partial edge patches included, origin clamped to the
+    image).  Pure narrow column math — the (stubbed) pixel decode
+    consumes this fan-out via the same mapInPandas stage as
+    ``extract_features``."""
+    if patch <= 0:
+        raise ValueError("patch must be positive")
+    w = F.col("meta")["width"].cast("int")
+    h = F.col("meta")["height"].cast("int")
+    n_rows = F.ceil(h / F.lit(patch)).cast("int")
+    n_cols = F.ceil(w / F.lit(patch)).cast("int")
+    return (
+        df.filter(F.col("modality") == "image")
+        .withColumn("patch_row",
+                    F.explode(F.sequence(F.lit(0), n_rows - 1)))
+        .withColumn("patch_col",
+                    F.explode(F.sequence(F.lit(0), n_cols - 1)))
+        .select(
+            "media_id", "patch_row", "patch_col",
+            (F.col("patch_col") * patch).alias("x0"),
+            (F.col("patch_row") * patch).alias("y0"),
+            F.least(F.col("patch_col") * patch + patch, w).alias("x1"),
+            F.least(F.col("patch_row") * patch + patch, h).alias("y1"),
+        )
+    )

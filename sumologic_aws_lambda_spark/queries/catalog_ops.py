@@ -518,3 +518,42 @@ def audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_start_ms").cast("bigint").alias("chunk_start_ms"),
         F.col("chunk_end_ms").cast("bigint").alias("chunk_end_ms"),
     )
+
+
+@query(
+    "image_patch_grid",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id,
+             64 * (1 + i % 4) AS w, 48 * (1 + i % 4) AS h
+      FROM range(60) t(i) WHERE i % 3 = 0
+    )
+    SELECT media_id,
+           CAST(r AS INT) AS patch_row, CAST(c AS INT) AS patch_col,
+           CAST(c * 16 AS INT) AS x0, CAST(r * 16 AS INT) AS y0,
+           CAST(least(c * 16 + 16, w) AS INT) AS x1,
+           CAST(least(r * 16 + 16, h) AS INT) AS y1
+    FROM m,
+         LATERAL (SELECT unnest(range(CAST(ceil(h / 16.0) AS BIGINT)))
+                  AS r) rr,
+         LATERAL (SELECT unnest(range(CAST(ceil(w / 16.0) AS BIGINT)))
+                  AS c) cc
+    """,
+)
+def image_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch planning (16×16 grid with clamped edge patches): one
+    row per patch exploded from width/height metadata — the shuffle-free
+    fan-out a patch-embedding stage consumes via mapInPandas
+    (``operators/multimodal.py::patch_grid``)."""
+    from ..operators.multimodal import patch_grid, synthetic_media
+
+    media = synthetic_media(spark, 60)
+    return patch_grid(media, patch=16).select(
+        "media_id",
+        F.col("patch_row").cast("int").alias("patch_row"),
+        F.col("patch_col").cast("int").alias("patch_col"),
+        F.col("x0").cast("int").alias("x0"),
+        F.col("y0").cast("int").alias("y0"),
+        F.col("x1").cast("int").alias("x1"),
+        F.col("y1").cast("int").alias("y1"),
+    )

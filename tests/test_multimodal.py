@@ -93,3 +93,23 @@ def test_chunk_audio_rejects_bad_params(spark):
 
     with _pytest.raises(ValueError):
         chunk_audio(synthetic_media(spark, 3), window_ms=0)
+
+
+def test_patch_grid_dims_and_edge_clamping(spark):
+    from sumologic_aws_lambda_spark.operators.multimodal import (
+        patch_grid,
+        synthetic_media,
+    )
+
+    # media 0: image 64x48 → 4 cols x 3 rows of full 16px patches
+    out = patch_grid(synthetic_media(spark, 1), patch=16)
+    cells = {(r.patch_row, r.patch_col): (r.x0, r.y0, r.x1, r.y1)
+             for r in out.collect()}
+    assert len(cells) == 12
+    assert cells[(0, 0)] == (0, 0, 16, 16)
+    assert cells[(2, 3)] == (48, 32, 64, 48)
+    # non-divisible dims clamp the edge patch
+    out2 = patch_grid(synthetic_media(spark, 1), patch=60)
+    cells2 = {(r.patch_row, r.patch_col): (r.x0, r.y0, r.x1, r.y1)
+              for r in out2.collect()}
+    assert cells2 == {(0, 0): (0, 0, 60, 48), (0, 1): (60, 0, 64, 48)}
