@@ -315,12 +315,15 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     small_edges = edges.count() <= 100_000
     if small_edges:
         edges = edges.coalesce(1)
+    # Checkpoint BEFORE the gating count: counting first would execute
+    # the full nodes lineage once for the count and again for the
+    # materialization.  coalesce is narrow, so applying it on top of the
+    # checkpointed frame costs nothing extra.
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("lbl")
-    )
+    ).localCheckpoint()
     if small_edges and labels.count() <= 1_000_000:
         labels = labels.coalesce(1)
-    labels = labels.localCheckpoint()
     def propagate(lbls: DataFrame) -> DataFrame:
         neigh = (
             edges.join(lbls, edges.src == lbls.node)

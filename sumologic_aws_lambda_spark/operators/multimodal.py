@@ -200,7 +200,11 @@ def patch_grid(df: DataFrame, patch: int = 16) -> DataFrame:
     n_rows = F.ceil(h / F.lit(patch)).cast("int")
     n_cols = F.ceil(w / F.lit(patch)).cast("int")
     return (
-        df.filter(F.col("modality") == "image")
+        # Non-positive/corrupt dimensions yield NO patches: without the
+        # guard, sequence(0, n-1) with n <= 0 auto-DESCENDS in Spark
+        # (step defaults to -1 when start > stop), emitting bogus
+        # negative-index patches.
+        df.filter((F.col("modality") == "image") & (w > 0) & (h > 0))
         .withColumn("patch_row",
                     F.explode(F.sequence(F.lit(0), n_rows - 1)))
         .withColumn("patch_col",

@@ -188,12 +188,10 @@ class ContentPackCatalog:
         timeslice key + mergeable aggregates — or this raises with the
         view layer's explanation.  Returns the view name (derived
         ``<pack>_<search>`` unless given)."""
-        from .scheduled_views import ScheduledViewSpec
+        from .scheduled_views import ScheduledViewSpec, view_safe_name
 
         s = self.search(pack, path)
-        name = view_name or re.sub(
-            r"\W+", "_", f"{pack}_{s.name}"
-        ).strip("_").lower()
+        name = view_name or view_safe_name(pack, s.name)
         try:
             spec = ScheduledViewSpec(name=name, query=s.query_text)
             store.backfill(df, spec, schema)

@@ -26,7 +26,7 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 
 from .scheduled_views import ScheduledViewSpec, ScheduledViewStore
 from .sumoql import SumoQLError, SumoSchema, compile_query
@@ -126,13 +126,12 @@ class DashboardService:
         aggregates) into ``store``; returns {panel_key: view_name} for
         the panels that qualified.  Non-conforming panels are skipped —
         they keep reading the source directly."""
+        from .scheduled_views import view_safe_name
+
         dash = self.dashboard(name)
         backed: dict[str, str] = {}
-        for i, p in enumerate(dash.panels):
-            view_name = f"{dash.name}_{p.key}".replace("-", "_")
-            view_name = "".join(
-                ch if ch.isalnum() or ch == "_" else "_" for ch in view_name
-            ).lower()
+        for p in dash.panels:
+            view_name = view_safe_name(dash.name, p.key)
             try:
                 store.backfill(df, ScheduledViewSpec(
                     name=view_name, query=p.query_text), schema)

@@ -55,7 +55,22 @@ class PersistentLookups(dict):
             # Appending to a table that doesn't exist yet creates it —
             # matches Sumo's save-with-merge on a fresh table.
             append = False
-        df.write.mode("append" if append else "overwrite").parquet(path)
+        if append:
+            df.write.mode("append").parquet(path)
+        else:
+            # Overwrite via write-to-tmp + swap, for two reasons: the
+            # refresh pattern `… lookup … from t | … | save t` READS the
+            # path being overwritten (Spark refuses an in-place
+            # overwrite-while-reading), and a mid-write failure must not
+            # destroy the existing table.
+            import shutil
+
+            tmp = path + ".__tmp__"
+            shutil.rmtree(tmp, ignore_errors=True)
+            df.write.mode("overwrite").parquet(tmp)
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            os.rename(tmp, path)
         # Re-read so the cached frame reflects the post-write state.
         dict.__setitem__(self, name, self._spark.read.parquet(path))
 

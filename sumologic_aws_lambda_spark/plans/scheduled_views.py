@@ -62,6 +62,13 @@ _UNMERGEABLE = ("_avg", "_count_distinct", "_median", "_values", "_first",
                 "_last", "_stddev", "_variance", "_pctl")
 
 
+def view_safe_name(*parts: str) -> str:
+    """Canonical view-name derivation shared by every caller that names
+    a view after other content (pack searches, dashboard panels) — one
+    sanitizer, so derived names can't drift between entry points."""
+    return re.sub(r"\W+", "_", "_".join(parts)).strip("_").lower()
+
+
 @dataclass(frozen=True)
 class ScheduledViewSpec:
     """One view: a name and the aggregate query that defines it."""

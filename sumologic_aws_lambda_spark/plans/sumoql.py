@@ -1322,5 +1322,15 @@ def _stage_agg(df: DataFrame, stage: str,
                 getattr(F, fn)(arg).alias(f"_{fn}_{arg}")
             )
     if by_cols:
-        return df.groupBy(*by_cols).agg(*agg_cols)
+        out = df.groupBy(*by_cols).agg(*agg_cols)
+        # Mark the group keys in column METADATA so later stages that
+        # must split keys from measures (compare's period self-join) can
+        # do it structurally instead of guessing from names/dtypes —
+        # a numeric group key and an eval-derived measure are otherwise
+        # indistinguishable.  Metadata survives withColumn/eval stages.
+        return out.select(*[
+            F.col(c).alias(c, metadata={"_sumo_group_key": True})
+            if c in by_cols else F.col(c)
+            for c in out.columns
+        ])
     return df.agg(*agg_cols)

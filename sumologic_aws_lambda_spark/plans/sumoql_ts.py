@@ -377,23 +377,35 @@ def stage_compare(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:
         raise SumoQLError("compare requires a timesliced series "
                           "(run `timeslice` + an aggregate first)")
     spec = f"{n_units}{unit.lower()}"
-    # Measures: prefer the compiler's aggregate columns (`_count`,
-    # `_sum_x`, … — the `_`-prefix convention every agg stage emits);
-    # only when the series carries NO prefixed aggregate fall back to
-    # numeric dtype.  Pure dtype sniffing is wrong after the compiler: a
-    # numeric group-by key (`count by user_id`) would be classified as a
-    # measure, collapsing the prior period to one arbitrary group's
-    # value via first().
+    # Key/measure split, in preference order: (1) the agg stage marks
+    # its group-by columns in column metadata (`_sumo_group_key`) — the
+    # structural signal: everything else numeric (including eval-derived
+    # columns like `_count/86400 as rate`) is a measure; (2) without
+    # metadata (hand-built series) prefer `_`-prefixed aggregate names;
+    # (3) last resort, numeric dtype.  Pure dtype sniffing alone is
+    # wrong after the compiler: a numeric group-by key (`count by
+    # user_id`) would be classified as a measure, collapsing the prior
+    # period to one arbitrary group's value via first().
     def _numeric(t: str) -> bool:
         return (t in ("bigint", "int", "double", "float", "long",
                       "smallint", "tinyint")
                 or t.startswith("decimal"))
 
-    measures = [c for c, t in df.dtypes
-                if c != "_timeslice" and c.startswith("_") and _numeric(t)]
-    if not measures:
+    marked_keys = {
+        f.name for f in df.schema.fields
+        if f.metadata.get("_sumo_group_key")
+    }
+    if marked_keys:
         measures = [c for c, t in df.dtypes
-                    if c != "_timeslice" and _numeric(t)]
+                    if c != "_timeslice" and c not in marked_keys
+                    and _numeric(t)]
+    else:
+        measures = [c for c, t in df.dtypes
+                    if c != "_timeslice" and c.startswith("_")
+                    and _numeric(t)]
+        if not measures:
+            measures = [c for c, t in df.dtypes
+                        if c != "_timeslice" and _numeric(t)]
     if not measures:
         raise SumoQLError(
             "compare needs at least one numeric aggregate column — "

@@ -113,10 +113,17 @@ class WebhookDeliverySink:
         # Cap AFTER an ordering: a bare limit() keeps an arbitrary
         # partition-order-dependent subset when the batch exceeds the
         # cap, so two runs of the same stream would deliver different
-        # rows.  Ordering by every column (name order) makes the kept
-        # subset a deterministic function of the data —
-        # TakeOrderedAndProject physically, no full sort materialized.
-        ordered = batch_df.orderBy(*sorted(batch_df.columns))
+        # rows.  Order by every ORDERABLE column (maps cannot be sort
+        # keys — ordering on them throws; such columns still ride along
+        # and are delivered).  TakeOrderedAndProject physically, no full
+        # sort materialized.  A frame with no orderable column at all
+        # falls back to the arbitrary cap — deterministic delivery then
+        # needs an explicit key column upstream.
+        order_cols = sorted(
+            c for c, t in batch_df.dtypes if "map<" not in t
+        )
+        ordered = (batch_df.orderBy(*order_cols) if order_cols
+                   else batch_df)
         encoded = sorted(
             ordered.limit(self.result_cap).toJSON().collect())
         rows = [json.loads(s) for s in encoded]

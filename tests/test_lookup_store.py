@@ -63,3 +63,20 @@ def test_unknown_table_and_bad_name(spark, tmp_path):
         store["nosuch"]
     with pytest.raises(SumoQLError, match="bad lookup table name"):
         store.save("no spaces", df)
+
+
+def test_save_over_table_being_read(spark, tmp_path):
+    # the refresh pattern: enrich from a table, then save back to it.
+    store = PersistentLookups(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [("h1", 1), ("h2", 5)], "host string, hits long")
+    store.save("counters", base)
+    refreshed = compile_query(
+        spark.createDataFrame([("h1",), ("h2",)], "host string"),
+        "* | lookup hits from counters on host"
+        " | hits + 1 as hits2 | fields host, hits2",
+        SCHEMA, lookups=store,
+    ).withColumnRenamed("hits2", "hits")
+    store.save("counters", refreshed)   # overwrites the path it reads
+    got = {r.host: r.hits for r in store["counters"].collect()}
+    assert got == {"h1": 2, "h2": 6}

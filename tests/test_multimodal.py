@@ -113,3 +113,16 @@ def test_patch_grid_dims_and_edge_clamping(spark):
     cells2 = {(r.patch_row, r.patch_col): (r.x0, r.y0, r.x1, r.y1)
               for r in out2.collect()}
     assert cells2 == {(0, 0): (0, 0, 60, 48), (0, 1): (60, 0, 64, 48)}
+
+
+def test_patch_grid_skips_degenerate_dims(spark):
+    from sumologic_aws_lambda_spark.operators.multimodal import patch_grid
+
+    rows = [(1, "image", bytearray(b"x"), {"width": "0", "height": "48"}),
+            (2, "image", bytearray(b"x"), {"width": "32", "height": "32"})]
+    df = spark.createDataFrame(
+        rows, "media_id bigint, modality string, content binary,"
+              " meta map<string,string>")
+    out = patch_grid(df, patch=16).collect()
+    assert {r.media_id for r in out} == {2}
+    assert all(r.patch_row >= 0 and r.x0 >= 0 for r in out)

@@ -315,3 +315,30 @@ def test_compare_without_aggregate_raises(spark):
             df, "* | timeslice 1d | compare with timeshift 1d",
             SumoSchema(raw_col="ts", ts_col="ts"),
         )
+
+
+def test_compare_treats_derived_columns_as_measures(spark):
+    from pyspark.sql import functions as F
+
+    from sumologic_aws_lambda_spark.plans.sumoql import SumoSchema, compile_query
+
+    rows = []
+    for day in (1, 2):
+        for cat in ("a", "b"):
+            for _ in range(day * (2 if cat == "a" else 3)):
+                rows.append((f"2024-07-{day:02d} 00:00:00", cat))
+    df = spark.createDataFrame(rows, "ts string, cat string").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    out = compile_query(
+        df,
+        "* | timeslice 1d | count by _timeslice, cat"
+        " | _count * 10 as rate | compare with timeshift 1d",
+        SumoSchema(raw_col="ts", ts_col="ts"),
+    )
+    # the group-key metadata keeps cat a KEY while the derived 'rate'
+    # becomes a measure with its own _1d column
+    assert "rate_1d" in out.columns and "cat_1d" not in out.columns
+    got = {(str(r["_timeslice"].date()), r.cat): (r["_count_1d"], r.rate_1d)
+           for r in out.collect()}
+    assert got[("2024-07-02", "a")] == (2, 20)
+    assert got[("2024-07-02", "b")] == (3, 30)

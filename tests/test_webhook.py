@@ -108,3 +108,16 @@ def test_connection_crud_round_trip(tmp_path):
 
     store2.delete_connection(c1.connection_id)
     assert store2.connections() == []
+
+
+def test_sink_tolerates_map_columns(spark):
+    posts = []
+
+    conn = WebhookConnection(
+        name="c", url="https://x.example/hook",
+        default_payload='{"n": {{NumRawResults}}}')
+    sink = WebhookDeliverySink(conn, lambda u, b, h: posts.append(b))
+    df = spark.createDataFrame(
+        [(1, {"k": "v"})], "id int, attrs map<string,string>")
+    sink(df, 0)
+    assert posts and '"n": 1' in posts[0]
