@@ -1034,3 +1034,36 @@ def dashboard_panel_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(key).alias("panel"), "event_type", "_count")
         out = piece if out is None else out.unionByName(piece)
     return out
+
+
+@query(
+    "index_routing_stats",
+    oracle="""
+    SELECT CASE WHEN event_type = 'error' THEN 'security'
+                WHEN value > 9.0 THEN 'high_value'
+                ELSE 'sumologic_default' END AS _index,
+           count(*) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def index_routing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition routing (Sumo indexes): every event assigned its
+    partition by the first matching routing expression — one chained-when
+    projection, first-match-wins precedence, unmatched rows to the
+    default index (``plans/partitions.py::assign_index``; the physical
+    ``partitionBy(_index)`` layout is exercised in
+    ``tests/test_partitions.py``)."""
+    from ..plans.partitions import PartitionSpec, assign_index
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "high", (F.col("value") > 9.0).cast("string"))
+    specs = [
+        PartitionSpec("security", "_sourceCategory=error"),
+        PartitionSpec("high_value", "high=true"),
+    ]
+    routed = assign_index(ev, specs, EVENTS_SCHEMA)
+    return routed.groupBy("_index").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
