@@ -239,12 +239,14 @@ class ScheduledViewMaintainer:
     batch runs the incremental refresh (aggregate the batch, merge
     partials, rewrite touched dates).
 
-    Exactly-once caveat (same as every foreachBatch sink here): a batch
-    retried after its rewrite but before checkpoint commit re-merges its
-    partials — counts would double for the retried slice.  Production
-    hardening is a per-batch-id high-water mark in the store (skip
-    already-applied batch ids), noted rather than implemented because the
-    fixture harness replays deterministically.
+    Retry safety: a batch retried after its rewrite but before the
+    streaming checkpoint commits would re-merge its partials and double
+    the retried slices' counts — so each applied batch id is recorded as
+    a marker file AFTER its rewrite, and an already-marked id is skipped
+    on redelivery.  (Crash BETWEEN rewrite and marker still re-merges —
+    closing that last window needs a transactional table format; the
+    marker reduces the exposure from "any redelivery" to that one
+    instant.)
     """
 
     def __init__(self, spark: SparkSession, store: ScheduledViewStore,
@@ -256,14 +258,24 @@ class ScheduledViewMaintainer:
         self._schema = schema
         store.register(spec)
 
+    def _marker(self, batch_id: int) -> str:
+        d = os.path.join(self._store.root, f"_applied_{self._spec.name}")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, str(batch_id))
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        marker = self._marker(batch_id)
+        if os.path.exists(marker):
+            return  # redelivered batch: already merged
         if self._store.exists(self._spec.name):
             self._store.refresh(self._spark, batch_df, self._spec.name,
                                 self._schema)
         else:
             self._store.backfill(batch_df, self._spec, self._schema)
+        with open(marker, "w") as fh:
+            fh.write("applied")
 
 
 def run_view_stream(spark: SparkSession, in_path: str,

@@ -248,3 +248,25 @@ def test_hll_sketch_views_merge_exactly(spark, events, tmp_path):
     got = {(r["_timeslice"], r["cat"]): r["n_distinct"]
            for r in out.collect()}
     assert got == est(full)
+
+
+def test_maintainer_skips_redelivered_batch(spark, tmp_path):
+    from sumologic_aws_lambda_spark.plans.scheduled_views import (
+        ScheduledViewMaintainer,
+    )
+
+    store = ScheduledViewStore(str(tmp_path))
+    spec = ScheduledViewSpec(
+        name="retry_view",
+        query="* | timeslice 1d | count by _timeslice, cat",
+    )
+    m = ScheduledViewMaintainer(spark, store, spec, SCHEMA)
+    batch = spark.createDataFrame(
+        [("2024-08-01 10:00:00", "api", "m", 1)],
+        "ts string, cat string, msg string, v long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    m(batch, 0)
+    m(batch, 0)        # redelivery of the SAME batch id: no double merge
+    assert store.read(spark, "retry_view").collect()[0]["_count"] == 1
+    m(batch, 1)        # a genuinely new batch still merges
+    assert store.read(spark, "retry_view").collect()[0]["_count"] == 2
