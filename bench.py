@@ -75,6 +75,8 @@ OPTIONAL = [
     "sumoql_subquery_compose",
     "gopher_quality_filters",
     "hll_daily_rollup",
+    "scheduled_view_rollup",
+    "index_routing_stats",
 ]
 
 

@@ -658,3 +658,49 @@ def otlp_metric_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dims")["cloud.region"].alias("region"),
         "n", "total", "min_value", "max_value",
     )
+
+
+@query(
+    "ingest_budget_enforcement",
+    oracle="""
+    WITH sized AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               length(props) AS b,
+               sum(length(props)) OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts, event_id
+               ) AS cum
+        FROM events
+    )
+    SELECT event_type, day,
+           CAST(count(*) FILTER (WHERE cum <= 600) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE cum > 600) AS BIGINT) AS n_dropped,
+           CAST(coalesce(sum(b) FILTER (WHERE cum <= 600), 0) AS BIGINT)
+               AS kept_bytes
+    FROM sized GROUP BY event_type, day
+    """,
+)
+def ingest_budget_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest budgets: a 600-byte daily quota per event_type; rows past
+    the cutoff (cumulative bytes in (ts, event_id) order) are flagged.
+    Two-phase skew-aware plan — under-budget keys never see a window,
+    only the over-budget keys' rows pay the cumulative sum
+    (``operators/budgets.py::apply_ingest_budget``)."""
+    from ..operators.budgets import apply_ingest_budget
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts"))
+    flagged = apply_ingest_budget(
+        ev, budget_bytes=600,
+        key_cols=["event_type", "day"],
+        order_cols=["ts", "event_id"],
+        size=F.length("props"),
+    )
+    return flagged.groupBy("event_type", "day").agg(
+        F.count_if(~F.col("_over_budget")).cast("bigint").alias("n_kept"),
+        F.count_if(F.col("_over_budget")).cast("bigint").alias("n_dropped"),
+        F.coalesce(
+            F.sum(F.when(~F.col("_over_budget"), F.col("_bytes"))),
+            F.lit(0),
+        ).cast("bigint").alias("kept_bytes"),
+    )
