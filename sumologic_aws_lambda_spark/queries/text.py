@@ -625,3 +625,61 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("fail_stopwords").alias("n_fail_stopwords"),
         F.count_if(F.col("pass_all")).cast("bigint").alias("n_pass_all"),
     )
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w
+        FROM documents WHERE doc_id % 20 = 0
+    ),
+    pairs AS (
+        SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b
+        FROM words,
+             LATERAL (SELECT unnest(generate_series(1, length(w) - 1))
+                      AS i) s
+        WHERE length(w) >= 2
+    )
+    SELECT a, b, count(*) AS pair_count FROM pairs
+    GROUP BY a, b
+    ORDER BY pair_count DESC, a, b
+    LIMIT 30
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training round: adjacent-symbol pair frequencies over the
+    corpus vocabulary — the statistic each merge step of byte-pair
+    encoding maximizes.  Plan: explode words (narrow), per-word pair
+    fan-out via a sequence transform (no UDF, no per-character shuffle),
+    ONE map-side-combined groupBy on the pair, then a top-30
+    TakeOrderedAndProject.  Each further merge round is the same plan
+    over re-tokenized text — the driver loop is O(vocab), the cluster
+    work stays one aggregation per round."""
+    d = table(spark, sf_dir, "documents", parallel=True).filter(
+        F.col("doc_id") % 20 == 0
+    )
+    from ..operators.text import normalize_text
+
+    words = d.select(
+        F.explode(F.split(normalize_text("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    # Adjacent pairs as zip_with over two shifted character arrays —
+    # narrow, pure built-ins, no per-character shuffle.
+    chars = F.split(F.col("w"), "")
+    pairs = words.select(
+        F.explode(
+            F.zip_with(
+                F.slice(chars, 1, F.length("w") - 1),
+                F.slice(chars, 2, F.length("w") - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "a", "b")
+        .limit(30)
+    )
