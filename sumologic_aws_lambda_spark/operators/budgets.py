@@ -49,13 +49,20 @@ def apply_ingest_budget(df: DataFrame, budget_bytes: int,
     )
     over_keys = totals.filter(
         F.col("_total_bytes") > budget_bytes
-    ).select(*key_cols)
+    ).select(*[F.col(k).alias(f"__ok_{k}") for k in key_cols])
 
-    under = sized.join(F.broadcast(over_keys), key_cols, "left_anti") \
+    # NULL-SAFE key matching: groupBy puts NULL keys in one group, so a
+    # NULL key CAN be over budget — plain equality joins would never
+    # match it and every NULL-key row would silently bypass enforcement.
+    cond = None
+    for k in key_cols:
+        e = F.col(k).eqNullSafe(F.col(f"__ok_{k}"))
+        cond = e if cond is None else (cond & e)
+    under = sized.join(F.broadcast(over_keys), cond, "left_anti") \
         .withColumn("_over_budget", F.lit(False))
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     over = (
-        sized.join(F.broadcast(over_keys), key_cols, "left_semi")
+        sized.join(F.broadcast(over_keys), cond, "left_semi")
         .withColumn("_cum", F.sum("_bytes").over(w))
         .withColumn("_over_budget", F.col("_cum") > budget_bytes)
         .drop("_cum")

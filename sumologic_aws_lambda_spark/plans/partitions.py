@@ -32,8 +32,12 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .sumoql import SumoQLError, SumoSchema, _split_stages, _apply_stage, \
-    scope_predicate
+from .sumoql import (
+    SumoQLError,
+    SumoSchema,
+    compile_prefixed_query,
+    scope_predicate,
+)
 
 DEFAULT_INDEX = "sumologic_default"
 
@@ -99,16 +103,5 @@ class IndexStore:
     def query(self, spark: SparkSession, text: str,
               schema: SumoSchema = SumoSchema()) -> DataFrame:
         """``_index=<name> [rest-of-scope] [| stages…]``."""
-        m = re.match(r"^\s*_index\s*=\s*(\w+)\s*([^|]*)(?:\|(.*))?$",
-                     text, re.DOTALL)
-        if not m:
-            raise SumoQLError(
-                f"index query must start with _index=: {text!r}")
-        out = self.read_index(spark, m.group(1))
-        rest_scope = m.group(2).strip()
-        if rest_scope:
-            out = out.filter(scope_predicate(rest_scope, schema))
-        if m.group(3):
-            for stage in _split_stages(m.group(3)):
-                out = _apply_stage(out, stage, schema)
-        return out
+        return compile_prefixed_query(
+            text, "_index", lambda n: self.read_index(spark, n), schema)

@@ -44,7 +44,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .sumoql import SumoQLError, SumoSchema, _apply_stage, compile_query
+from .sumoql import SumoQLError, SumoSchema, compile_query
 
 #: materialized column-name prefix → merge aggregate
 _MERGE_FNS = {
@@ -167,13 +167,19 @@ class ScheduledViewStore:
 
     def backfill(self, df: DataFrame, spec: ScheduledViewSpec,
                  schema: SumoSchema = SumoSchema()) -> None:
-        """Create/replace the view from history."""
+        """Create/replace the view from history.  Replacing also clears
+        any streaming high-water marks — the new view has absorbed no
+        batches, so stale marks must not suppress future refreshes."""
         self._specs[spec.name] = spec
         view = materialize(df, spec, schema).withColumn(
             "_slice_date", F.to_date("_timeslice")
         )
         (view.write.partitionBy("_slice_date")
          .mode("overwrite").parquet(self._path(spec.name)))
+        import shutil
+
+        shutil.rmtree(os.path.join(self.root, f"_applied_{spec.name}"),
+                      ignore_errors=True)
 
     def refresh(self, spark: SparkSession, new_batch: DataFrame,
                 name: str, schema: SumoSchema = SumoSchema()) -> None:
@@ -218,19 +224,13 @@ class ScheduledViewStore:
 
     def query(self, spark: SparkSession, text: str,
               schema: SumoSchema = SumoSchema()) -> DataFrame:
-        """``_view=<name> [| stages…]`` — scan the materialized view and
-        apply any further pipe stages (dashboard rollups) through the
-        ordinary stage compiler."""
-        m = re.match(r"^\s*_view\s*=\s*(\w+)\s*(?:\|(.*))?$", text,
-                     re.DOTALL)
-        if not m:
-            raise SumoQLError(f"view query must start with _view=: {text!r}")
-        out = self.read(spark, m.group(1))
-        if m.group(2):
-            from .sumoql import _split_stages
-            for stage in _split_stages(m.group(2)):
-                out = _apply_stage(out, stage, schema)
-        return out
+        """``_view=<name> [extra scope] [| stages…]`` — scan the
+        materialized view and apply any further pipe stages (dashboard
+        rollups) through the shared prefixed-query compiler."""
+        from .sumoql import compile_prefixed_query
+
+        return compile_prefixed_query(
+            text, "_view", lambda n: self.read(spark, n), schema)
 
 
 class ScheduledViewMaintainer:
@@ -241,41 +241,57 @@ class ScheduledViewMaintainer:
 
     Retry safety: a batch retried after its rewrite but before the
     streaming checkpoint commits would re-merge its partials and double
-    the retried slices' counts — so each applied batch id is recorded as
-    a marker file AFTER its rewrite, and an already-marked id is skipped
-    on redelivery.  (Crash BETWEEN rewrite and marker still re-merges —
-    closing that last window needs a transactional table format; the
-    marker reduces the exposure from "any redelivery" to that one
-    instant.)
+    the retried slices' counts — so the maximum applied batch id is
+    recorded as a HIGH-WATER MARK after each rewrite (one small file per
+    (view, run), written via atomic rename — O(1) bookkeeping, not a
+    marker per batch), and a batch at or below the mark is skipped on
+    redelivery.  Batch ids are only meaningful within one streaming
+    checkpoint, so the mark is keyed by ``run_id`` (derived from the
+    checkpoint location by ``run_view_stream``): a fresh checkpoint
+    restarts ids at 0 under a NEW mark instead of being silently
+    swallowed by a stale one, and a re-backfill clears every mark for
+    the view.  (Crash BETWEEN rewrite and mark still re-merges —
+    closing that last window needs a transactional table format.)
     """
 
     def __init__(self, spark: SparkSession, store: ScheduledViewStore,
                  spec: ScheduledViewSpec,
-                 schema: SumoSchema = SumoSchema()) -> None:
+                 schema: SumoSchema = SumoSchema(),
+                 run_id: str = "default") -> None:
         self._spark = spark
         self._store = store
         self._spec = spec
         self._schema = schema
+        self._run_id = re.sub(r"\W+", "_", run_id).strip("_") or "default"
         store.register(spec)
 
-    def _marker(self, batch_id: int) -> str:
+    def _hwm_path(self) -> str:
         d = os.path.join(self._store.root, f"_applied_{self._spec.name}")
         os.makedirs(d, exist_ok=True)
-        return os.path.join(d, str(batch_id))
+        return os.path.join(d, self._run_id)
+
+    def _hwm(self) -> int:
+        try:
+            with open(self._hwm_path()) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return -1
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        marker = self._marker(batch_id)
-        if os.path.exists(marker):
+        if batch_id <= self._hwm():
             return  # redelivered batch: already merged
         if self._store.exists(self._spec.name):
             self._store.refresh(self._spark, batch_df, self._spec.name,
                                 self._schema)
         else:
             self._store.backfill(batch_df, self._spec, self._schema)
-        with open(marker, "w") as fh:
-            fh.write("applied")
+        path = self._hwm_path()
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, path)
 
 
 def run_view_stream(spark: SparkSession, in_path: str,
@@ -291,7 +307,13 @@ def run_view_stream(spark: SparkSession, in_path: str,
     )
     writer = (
         stream.writeStream
-        .foreachBatch(ScheduledViewMaintainer(spark, store, spec, schema))
+        .foreachBatch(ScheduledViewMaintainer(
+            spark, store, spec, schema,
+            # Batch ids are checkpoint-scoped: key the high-water mark
+            # by the checkpoint location so a fresh checkpoint gets a
+            # fresh mark instead of colliding with a previous run's.
+            run_id=checkpoint_dir,
+        ))
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

@@ -162,6 +162,27 @@ def _apply_scope(df: DataFrame, scope: str, schema: SumoSchema) -> DataFrame:
     return df.filter(scope_predicate(scope, schema))
 
 
+def compile_prefixed_query(text: str, prefix: str, reader,
+                           schema: SumoSchema) -> DataFrame:
+    """Shared ``<prefix>=<name> [extra scope] [| stages…]`` compiler for
+    store-backed sources (``_view=`` scheduled views, ``_index=``
+    partitions): one parse, one stage loop, so the two prefixes cannot
+    drift.  ``reader(name)`` supplies the pruned base frame."""
+    m = re.match(rf"^\s*{prefix}\s*=\s*(\w+)\s*([^|]*)(?:\|(.*))?$",
+                 text, re.DOTALL)
+    if not m:
+        raise SumoQLError(
+            f"query must start with {prefix}=<name>: {text!r}")
+    out = reader(m.group(1))
+    extra = m.group(2).strip()
+    if extra:
+        out = out.filter(scope_predicate(extra, schema))
+    if m.group(3):
+        for stage in _split_stages(m.group(3)):
+            out = _apply_stage(out, stage, schema)
+    return out
+
+
 def _extract_subqueries(scope: str) -> tuple[str, list[str]]:
     """Split ``[subquery:…]`` blocks out of a scope stage.  Returns the
     scope text with the blocks removed plus each block's inner query."""

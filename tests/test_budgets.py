@@ -48,3 +48,15 @@ def test_bad_params_raise(spark):
         apply_ingest_budget(df, 0, ["key"], ["id"], F.length("msg"))
     with pytest.raises(ValueError):
         apply_ingest_budget(df, 10, [], ["id"], F.length("msg"))
+
+
+def test_null_keys_are_enforced(spark):
+    rows = [(1, None, "a" * 40), (2, None, "b" * 40),
+            (3, None, "c" * 40), (4, None, "d" * 40)]
+    df = spark.createDataFrame(rows, "id int, key string, msg string")
+    out = apply_ingest_budget(
+        df, budget_bytes=100,
+        key_cols=["key"], order_cols=["id"], size=F.length("msg"),
+    )
+    got = {r.id: r._over_budget for r in out.collect()}
+    assert got == {1: False, 2: False, 3: True, 4: True}

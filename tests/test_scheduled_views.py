@@ -270,3 +270,34 @@ def test_maintainer_skips_redelivered_batch(spark, tmp_path):
     assert store.read(spark, "retry_view").collect()[0]["_count"] == 1
     m(batch, 1)        # a genuinely new batch still merges
     assert store.read(spark, "retry_view").collect()[0]["_count"] == 2
+
+
+def test_fresh_checkpoint_gets_fresh_high_water_mark(spark, tmp_path):
+    from sumologic_aws_lambda_spark.plans.scheduled_views import (
+        ScheduledViewMaintainer,
+    )
+
+    store = ScheduledViewStore(str(tmp_path))
+    spec = ScheduledViewSpec(
+        name="hwm_view",
+        query="* | timeslice 1d | count by _timeslice, cat",
+    )
+    batch = spark.createDataFrame(
+        [("2024-09-01 10:00:00", "api", "m", 1)],
+        "ts string, cat string, msg string, v long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    run1 = ScheduledViewMaintainer(spark, store, spec, SCHEMA, run_id="ck1")
+    run1(batch, 0)
+    run1(batch, 0)   # redelivery within the run: skipped
+    assert store.read(spark, "hwm_view").collect()[0]["_count"] == 1
+    # a NEW run (fresh checkpoint) restarts ids at 0 — must NOT be
+    # swallowed by run1's mark
+    run2 = ScheduledViewMaintainer(spark, store, spec, SCHEMA, run_id="ck2")
+    run2(batch, 0)
+    assert store.read(spark, "hwm_view").collect()[0]["_count"] == 2
+    # re-backfill clears every mark; the next batch applies again
+    store.backfill(batch, spec, SCHEMA)
+    run3 = ScheduledViewMaintainer(spark, store, spec, SCHEMA, run_id="ck1")
+    run3(batch, 0)
+    assert store.read(spark, "hwm_view").collect()[0]["_count"] == 2
