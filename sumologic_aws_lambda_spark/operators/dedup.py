@@ -450,3 +450,87 @@ def incremental_dedup(new_docs: DataFrame, seen: DataFrame,
         seen.select(F.col("fingerprint").alias("_fp")),
         "_fp", "left_anti",
     ).drop("_fp")
+
+
+def connected_components_star(nodes: DataFrame, pairs: DataFrame,
+                              node_col: str = "node",
+                              max_iter: int = 30) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the adversarial-graph alternative to :func:`connected_components`.
+
+    Min-label propagation needs rounds proportional to the graph
+    DIAMETER: a long duplicate chain (a₁~a₂~…~aₙ, the adversarial shape
+    for pairwise dedup output) costs O(n) rounds.  The star operations
+    contract chains doubly-logarithmically: large-star hangs every
+    larger neighbor off its neighborhood's minimum, small-star re-hangs
+    the smaller neighbors, and the edge set converges to direct
+    node→component-min stars in O(log²) rounds.
+
+    Physical shape per round: each star op is one groupBy(min) plus an
+    equi-join back to the edge list — NO ``collect_list`` neighborhood
+    materialization, so a celebrity node (every copy of a viral document
+    paired with the canonical one) never builds a giant array; its
+    neighborhood flows through the join as rows.  Same output contract
+    as ``connected_components``: (node, cluster_id = component min).
+    """
+    e0 = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+        .filter(F.col("u") != F.col("v"))
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mv")).select(
+            "u", F.least("_mv", F.col("u")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        canon = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = canon.groupBy("u").agg(F.min("v").alias("_mv")).select(
+            "u", F.least("_mv", F.col("u")).alias("m")
+        )
+        rehung = (
+            canon.join(mins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_edges = mins.where(F.col("u") != F.col("m")).select(
+            "u", F.col("m").alias("v")
+        )
+        return rehung.union(self_edges).distinct()
+
+    edges = e0.localCheckpoint()
+
+    def _sig(e: DataFrame):
+        # decimal accumulator: summing 64-bit hashes overflows BIGINT
+        # under ANSI semantics.
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    prev = _sig(edges)
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint()
+        cur = _sig(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    labels = edges.select(
+        F.col("u").alias(node_col), F.col("v").alias("cluster_id")
+    )
+    singles = nodes.select(F.col(node_col)).join(
+        labels.select(node_col), node_col, "left_anti"
+    ).select(F.col(node_col), F.col(node_col).alias("cluster_id"))
+    return labels.union(singles)

@@ -1,0 +1,49 @@
+"""Large-star/small-star components vs the min-label implementation:
+property-equal on random graphs, plus the adversarial chain shape."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from sumologic_aws_lambda_spark.operators.dedup import (
+    connected_components,
+    connected_components_star,
+)
+
+_edge = st.tuples(st.integers(0, 14), st.integers(0, 14))
+
+
+def _run(spark, fn, node_ids, edges):
+    nodes = spark.createDataFrame([(n,) for n in sorted(node_ids)],
+                                  "node long")
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "a long, b long"
+    ).filter(F.col("a") != F.col("b"))
+    out = fn(nodes, pairs, node_col="node")
+    return {r.node: r.cluster_id for r in out.collect()}
+
+
+@settings(max_examples=15, deadline=None)
+@given(edges=st.lists(_edge, min_size=0, max_size=12))
+def test_star_matches_min_label_on_random_graphs(spark, edges):
+    node_ids = {n for e in edges for n in e} | {0, 14}
+    a = _run(spark, connected_components, node_ids, edges)
+    b = _run(spark, connected_components_star, node_ids, edges)
+    assert a == b
+
+
+def test_star_contracts_a_long_chain(spark):
+    n = 40
+    edges = [(i, i + 1) for i in range(n)]
+    got = _run(spark, connected_components_star, set(range(n + 1)), edges)
+    assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_star_handles_celebrity_hub(spark):
+    # one canonical doc paired with every copy — a single high-degree
+    # node; no neighborhood array is ever materialized.
+    edges = [(0, i) for i in range(1, 60)]
+    got = _run(spark, connected_components_star, set(range(60)), edges)
+    assert set(got.values()) == {0}
