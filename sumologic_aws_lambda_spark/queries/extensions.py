@@ -163,6 +163,54 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "semantic_dedup_clusters_star",
+    oracle=f"""
+    WITH RECURSIVE {_neardup_cte()},
+    edges AS (
+        SELECT a AS src, b AS dst FROM scored
+        UNION SELECT b, a FROM scored
+    ),
+    reach(node, lbl) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (
+        SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+    FROM labels GROUP BY cluster_id HAVING count(*) >= 2
+    """,
+)
+def semantic_dedup_clusters_star(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The same semantic-dedup clustering as ``semantic_dedup_clusters``
+    resolved by the ALTERNATING-STAR engine path
+    (``operators/dedup.py::connected_components_star`` — O(log²) rounds
+    on chain graphs, no neighborhood arrays) under the identical
+    recursive-CTE oracle: both component algorithms must produce the
+    same min-labeled clusters, hard-signal-checked."""
+    from ..operators.dedup import connected_components_star
+    from ..operators.similarity import lsh_neardup_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = lsh_neardup_pairs(emb, _neardup_planes(), n_bands=3,
+                              threshold=0.35).select("a", "b") \
+        .localCheckpoint()
+    touched = (
+        pairs.select(F.col("a").alias("vec_id"))
+        .union(pairs.select(F.col("b").alias("vec_id")))
+        .distinct()
+    )
+    labels = connected_components_star(touched, pairs, node_col="vec_id")
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+
+
 _SNS_EVENTS = [
     (1, '{"Timestamp":"2024-02-01T10:00:00.000Z","MessageId":"m-1",'
         '"Message":"{\\"finding\\":\\"HighSeverity\\",\\"count\\":3}"}'),
