@@ -94,6 +94,16 @@ _PRIORITY: tuple[str, ...] = (
     "scheduled_view_rollup",
 )
 
+# ROUND-6 ROTATION CANDIDATES: queries added after this round's 50-slot
+# window froze — never externally validated; rotate them in next round
+# (everything in the current window will then carry hard-signal green):
+#   theta_user_overlap, sumoql_save_lookup_roundtrip, audio_chunk_plan,
+#   dashboard_panel_data, image_patch_grid, index_routing_stats,
+#   ingest_budget_enforcement, bpe_merge_candidates,
+#   semantic_dedup_clusters_star
+# All nine are green under tools/verify_driver_contract.py (sf0.01,
+# vanilla session) as of this writing.
+
 
 def _prioritized(d: dict) -> dict:
     head = {n: d[n] for n in _PRIORITY if n in d}
