@@ -454,7 +454,7 @@ def incremental_dedup(new_docs: DataFrame, seen: DataFrame,
 
 def connected_components_star(nodes: DataFrame, pairs: DataFrame,
                               node_col: str = "node",
-                              max_iter: int = 30) -> DataFrame:
+                              max_iter: int = 50) -> DataFrame:
     """Connected components by alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     the adversarial-graph alternative to :func:`connected_components`.
@@ -520,12 +520,25 @@ def connected_components_star(nodes: DataFrame, pairs: DataFrame,
         return row["n"], row["h"]
 
     prev = _sig(edges)
+    converged = False
     for _ in range(max_iter):
         edges = small_star(large_star(edges)).localCheckpoint()
         cur = _sig(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # At a fixpoint the edge set is min-rooted stars (one out-edge
+        # per non-root node); returning a NON-converged set would emit
+        # multiple differing labels per node — silently wrong cluster
+        # counts downstream.  Fail loudly instead.  (Empirically the
+        # alternation converges in well under 50 rounds even on huge
+        # graphs; hitting the cap signals something pathological.)
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"{max_iter} rounds — raise max_iter"
+        )
 
     labels = edges.select(
         F.col("u").alias(node_col), F.col("v").alias("cluster_id")

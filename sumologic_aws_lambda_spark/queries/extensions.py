@@ -103,9 +103,11 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              threshold=0.35)
 
 
-@query(
-    "semantic_dedup_clusters",
-    oracle=f"""
+def _cluster_oracle() -> str:
+    """Recursive-CTE component fixpoint over the LSH-pruned pair graph —
+    ONE definition shared by both clustering twins, so the "identical
+    oracle" contract is structural, not copy-paste."""
+    return f"""
     WITH RECURSIVE {_neardup_cte()},
     edges AS (
         SELECT a AS src, b AS dst FROM scored
@@ -121,7 +123,36 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
     FROM labels GROUP BY cluster_id HAVING count(*) >= 2
-    """,
+    """
+
+
+def _cluster_rollup(spark: SparkSession, sf_dir: str,
+                    components_fn) -> DataFrame:
+    """Shared pipeline body for the clustering twins: LSH pairs
+    (materialized once), pair-touched nodes, components via the supplied
+    engine, non-singleton rollup."""
+    from ..operators.similarity import lsh_neardup_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = lsh_neardup_pairs(emb, _neardup_planes(), n_bands=3,
+                              threshold=0.35).select("a", "b") \
+        .localCheckpoint()
+    touched = (
+        pairs.select(F.col("a").alias("vec_id"))
+        .union(pairs.select(F.col("b").alias("vec_id")))
+        .distinct()
+    )
+    labels = components_fn(touched, pairs, node_col="vec_id")
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+
+
+@query(
+    "semantic_dedup_clusters",
+    oracle=_cluster_oracle(),
 )
 def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: embedding-cosine near-dup pairs
@@ -132,83 +163,35 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: every non-singleton cluster with its member count — the
     corpus-level duplicate inventory.
 
-    Scale: pairs are LSH-pruned (never corpus²), and the component
-    fixpoint iterates over PAIR-TOUCHED nodes only — a vector with no
-    near-dup edge can never join a ≥2-member cluster, so the iterative
-    joins run on the (tiny) duplicate subgraph, not the corpus.  The
-    final rollup is a map-side-combined count — no window, no collect.
-    The DuckDB oracle replays the identical LSH pruning AND the
-    fixpoint via a recursive CTE, so clustering is hard-signal-checked
-    end to end."""
+    Scale: pairs are LSH-pruned (never corpus²) and materialized once;
+    the component fixpoint iterates over PAIR-TOUCHED nodes only — a
+    vector with no near-dup edge can never join a ≥2-member cluster, so
+    the iterative joins run on the (tiny) duplicate subgraph, not the
+    corpus.  The final rollup is a map-side-combined count — no window,
+    no collect.  The DuckDB oracle replays the identical LSH pruning AND
+    the fixpoint via a recursive CTE, so clustering is
+    hard-signal-checked end to end."""
     from ..operators.dedup import connected_components
-    from ..operators.similarity import lsh_neardup_pairs
 
-    emb = table(spark, sf_dir, "embeddings")
-    # Materialize the LSH + rescore pipeline ONCE: three consumers below
-    # (touched nodes, the component edge checkpoint, the label frame's
-    # lineage) would otherwise each re-run the full candidate generation.
-    pairs = lsh_neardup_pairs(emb, _neardup_planes(), n_bands=3,
-                              threshold=0.35).select("a", "b") \
-        .localCheckpoint()
-    touched = (
-        pairs.select(F.col("a").alias("vec_id"))
-        .union(pairs.select(F.col("b").alias("vec_id")))
-        .distinct()
-    )
-    labels = connected_components(touched, pairs, node_col="vec_id")
-    return (
-        labels.groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
-        .filter(F.col("n_members") >= 2)
-    )
+    return _cluster_rollup(spark, sf_dir, connected_components)
 
 
 @query(
     "semantic_dedup_clusters_star",
-    oracle=f"""
-    WITH RECURSIVE {_neardup_cte()},
-    edges AS (
-        SELECT a AS src, b AS dst FROM scored
-        UNION SELECT b, a FROM scored
-    ),
-    reach(node, lbl) AS (
-        SELECT vec_id, vec_id FROM embeddings
-        UNION
-        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
-    ),
-    labels AS (
-        SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
-    )
-    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
-    FROM labels GROUP BY cluster_id HAVING count(*) >= 2
-    """,
+    oracle=_cluster_oracle(),
 )
 def semantic_dedup_clusters_star(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
-    """The same semantic-dedup clustering as ``semantic_dedup_clusters``
-    resolved by the ALTERNATING-STAR engine path
+    """The same semantic-dedup clustering resolved by the
+    ALTERNATING-STAR engine path
     (``operators/dedup.py::connected_components_star`` — O(log²) rounds
-    on chain graphs, no neighborhood arrays) under the identical
-    recursive-CTE oracle: both component algorithms must produce the
-    same min-labeled clusters, hard-signal-checked."""
+    on chain graphs, no neighborhood arrays): both component algorithms
+    must produce the same min-labeled clusters under the ONE shared
+    oracle (``_cluster_oracle``) and pipeline body
+    (``_cluster_rollup``)."""
     from ..operators.dedup import connected_components_star
-    from ..operators.similarity import lsh_neardup_pairs
 
-    emb = table(spark, sf_dir, "embeddings")
-    pairs = lsh_neardup_pairs(emb, _neardup_planes(), n_bands=3,
-                              threshold=0.35).select("a", "b") \
-        .localCheckpoint()
-    touched = (
-        pairs.select(F.col("a").alias("vec_id"))
-        .union(pairs.select(F.col("b").alias("vec_id")))
-        .distinct()
-    )
-    labels = connected_components_star(touched, pairs, node_col="vec_id")
-    return (
-        labels.groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
-        .filter(F.col("n_members") >= 2)
-    )
+    return _cluster_rollup(spark, sf_dir, connected_components_star)
 
 
 _SNS_EVENTS = [
