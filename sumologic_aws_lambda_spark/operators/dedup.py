@@ -540,9 +540,13 @@ def connected_components_star(nodes: DataFrame, pairs: DataFrame,
             f"{max_iter} rounds — raise max_iter"
         )
 
+    # Restrict to the supplied node set: the star edges label every pair
+    # endpoint, but the contract (shared with connected_components) is
+    # one row per row of `nodes` — an endpoint absent from `nodes` must
+    # not appear in the output.  Left-semi on the uniform node key.
     labels = edges.select(
         F.col("u").alias(node_col), F.col("v").alias("cluster_id")
-    )
+    ).join(nodes.select(F.col(node_col)), node_col, "left_semi")
     singles = nodes.select(F.col(node_col)).join(
         labels.select(node_col), node_col, "left_anti"
     ).select(F.col(node_col), F.col(node_col).alias("cluster_id"))

@@ -43,6 +43,16 @@ class PersistentLookups(dict):
         self._spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # A crash between write-to-tmp and the rename in save() leaves a
+        # `<name>.__tmp__` directory that can never be loaded (_path
+        # rejects non-\w+ names); sweep leftovers so they don't linger
+        # forever or get half-reused by a later save.
+        import shutil
+
+        for d in os.listdir(root):
+            if d.endswith(".__tmp__") and os.path.isdir(
+                    os.path.join(root, d)):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
     def _path(self, name: str) -> str:
         if not re.fullmatch(r"\w+", name):
@@ -75,8 +85,12 @@ class PersistentLookups(dict):
         dict.__setitem__(self, name, self._spark.read.parquet(path))
 
     def tables(self) -> list[str]:
+        # Only \w+ names are loadable (_path rejects the rest), so a
+        # stray directory — e.g. a crash-leftover `<name>.__tmp__` from
+        # before the init sweep existed — must not be listed as a table.
         on_disk = [d for d in os.listdir(self.root)
-                   if os.path.isdir(os.path.join(self.root, d))]
+                   if re.fullmatch(r"\w+", d)
+                   and os.path.isdir(os.path.join(self.root, d))]
         return sorted(set(on_disk) | set(self.keys()))
 
     def __contains__(self, name: object) -> bool:  # `in` skips __missing__

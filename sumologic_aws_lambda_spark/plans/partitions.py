@@ -101,7 +101,9 @@ class IndexStore:
         return spark.read.parquet(path)
 
     def query(self, spark: SparkSession, text: str,
-              schema: SumoSchema = SumoSchema()) -> DataFrame:
+              schema: SumoSchema = SumoSchema(),
+              lookups=None) -> DataFrame:
         """``_index=<name> [rest-of-scope] [| stages…]``."""
         return compile_prefixed_query(
-            text, "_index", lambda n: self.read_index(spark, n), schema)
+            text, "_index", lambda n: self.read_index(spark, n), schema,
+            lookups)

@@ -37,6 +37,7 @@ Spark design:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 from dataclasses import dataclass
@@ -195,6 +196,15 @@ class ScheduledViewStore:
         scan filters on the PARTITION column ``_slice_date``: partition
         pruning skips every untouched date's files, keeping refresh I/O
         at O(touched slices) even on a years-deep view."""
+        if name not in self._specs:
+            from .sumoql import SumoQLError
+
+            raise SumoQLError(
+                f"view {name!r} not registered in this process — call "
+                f"register(spec) before refresh() (specs are in-memory; "
+                f"a fresh process must re-register even when the view's "
+                f"data exists on disk)"
+            )
         spec = self._specs[name]
         inc = materialize(new_batch, spec, schema).localCheckpoint()
         dates = [
@@ -223,14 +233,16 @@ class ScheduledViewStore:
         return spark.read.parquet(self._path(name)).drop("_slice_date")
 
     def query(self, spark: SparkSession, text: str,
-              schema: SumoSchema = SumoSchema()) -> DataFrame:
+              schema: SumoSchema = SumoSchema(),
+              lookups=None) -> DataFrame:
         """``_view=<name> [extra scope] [| stages…]`` — scan the
         materialized view and apply any further pipe stages (dashboard
-        rollups) through the shared prefixed-query compiler."""
+        rollups) through the shared prefixed-query compiler.
+        ``lookups`` (optional) enables lookup/save/geoip stages."""
         from .sumoql import compile_prefixed_query
 
         return compile_prefixed_query(
-            text, "_view", lambda n: self.read(spark, n), schema)
+            text, "_view", lambda n: self.read(spark, n), schema, lookups)
 
 
 class ScheduledViewMaintainer:
@@ -246,29 +258,59 @@ class ScheduledViewMaintainer:
     (view, run), written via atomic rename — O(1) bookkeeping, not a
     marker per batch), and a batch at or below the mark is skipped on
     redelivery.  Batch ids are only meaningful within one streaming
-    checkpoint, so the mark is keyed by ``run_id`` (derived from the
-    checkpoint location by ``run_view_stream``): a fresh checkpoint
-    restarts ids at 0 under a NEW mark instead of being silently
-    swallowed by a stale one, and a re-backfill clears every mark for
-    the view.  (Crash BETWEEN rewrite and mark still re-merges —
-    closing that last window needs a transactional table format.)
+    checkpoint INSTANCE, so the mark is keyed by the streaming query's
+    persistent id read from the checkpoint's ``metadata`` file (Spark
+    writes it at query start, before any batch): restarting on the same
+    checkpoint keeps the id — marks survive and redelivered batches are
+    skipped — while DELETING and recreating the checkpoint at the same
+    path mints a new id, so batch ids restarting at 0 land under a fresh
+    mark instead of being silently swallowed by the stale one.  The mark
+    filename carries a hash of the raw key, so distinct keys can never
+    collide after sanitization (``ck-1`` vs ``ck_1``).  A re-backfill
+    clears every mark for the view.  (Crash BETWEEN rewrite and mark
+    still re-merges — closing that last window needs a transactional
+    table format.)
     """
 
     def __init__(self, spark: SparkSession, store: ScheduledViewStore,
                  spec: ScheduledViewSpec,
                  schema: SumoSchema = SumoSchema(),
-                 run_id: str = "default") -> None:
+                 run_id: str = "default",
+                 checkpoint_dir: str | None = None) -> None:
         self._spark = spark
         self._store = store
         self._spec = spec
         self._schema = schema
-        self._run_id = re.sub(r"\W+", "_", run_id).strip("_") or "default"
+        self._run_id = run_id
+        self._checkpoint_dir = checkpoint_dir
+        self._query_id: str | None = None
         store.register(spec)
+
+    def _run_token(self) -> str:
+        """The mark key: the checkpoint's persistent query id when
+        available, else the caller-supplied run_id."""
+        if self._query_id is not None:
+            return self._query_id
+        if self._checkpoint_dir is not None:
+            try:
+                import json
+
+                with open(os.path.join(self._checkpoint_dir,
+                                       "metadata")) as fh:
+                    qid = json.load(fh)["id"]
+                self._query_id = f"qid_{qid}"
+                return self._query_id
+            except (OSError, ValueError, KeyError):
+                pass  # metadata not written yet / non-local fs: fall back
+        return self._run_id
 
     def _hwm_path(self) -> str:
         d = os.path.join(self._store.root, f"_applied_{self._spec.name}")
         os.makedirs(d, exist_ok=True)
-        return os.path.join(d, self._run_id)
+        token = self._run_token()
+        safe = (re.sub(r"\W+", "_", token).strip("_") or "default")[-48:]
+        digest = hashlib.sha1(token.encode()).hexdigest()[:12]
+        return os.path.join(d, f"{safe}-{digest}")
 
     def _hwm(self) -> int:
         try:
@@ -309,10 +351,13 @@ def run_view_stream(spark: SparkSession, in_path: str,
         stream.writeStream
         .foreachBatch(ScheduledViewMaintainer(
             spark, store, spec, schema,
-            # Batch ids are checkpoint-scoped: key the high-water mark
-            # by the checkpoint location so a fresh checkpoint gets a
-            # fresh mark instead of colliding with a previous run's.
+            # Batch ids are scoped to the checkpoint INSTANCE: the
+            # maintainer keys the high-water mark by the persistent
+            # query id inside this checkpoint's metadata file, so a
+            # deleted-and-recreated checkpoint at the same path gets a
+            # fresh mark.  The path is only the fallback key.
             run_id=checkpoint_dir,
+            checkpoint_dir=checkpoint_dir,
         ))
         .option("checkpointLocation", checkpoint_dir)
     )

@@ -163,11 +163,15 @@ def _apply_scope(df: DataFrame, scope: str, schema: SumoSchema) -> DataFrame:
 
 
 def compile_prefixed_query(text: str, prefix: str, reader,
-                           schema: SumoSchema) -> DataFrame:
+                           schema: SumoSchema,
+                           lookups: dict[str, DataFrame] | None = None,
+                           ) -> DataFrame:
     """Shared ``<prefix>=<name> [extra scope] [| stages…]`` compiler for
     store-backed sources (``_view=`` scheduled views, ``_index=``
     partitions): one parse, one stage loop, so the two prefixes cannot
-    drift.  ``reader(name)`` supplies the pruned base frame."""
+    drift.  ``reader(name)`` supplies the pruned base frame; ``lookups``
+    (optional, same contract as :func:`compile_query`) lets the piped
+    stages use ``lookup`` / ``save`` / ``geoip``."""
     m = re.match(rf"^\s*{prefix}\s*=\s*(\w+)\s*([^|]*)(?:\|(.*))?$",
                  text, re.DOTALL)
     if not m:
@@ -179,7 +183,7 @@ def compile_prefixed_query(text: str, prefix: str, reader,
         out = out.filter(scope_predicate(extra, schema))
     if m.group(3):
         for stage in _split_stages(m.group(3)):
-            out = _apply_stage(out, stage, schema)
+            out = _apply_stage(out, stage, schema, lookups)
     return out
 
 

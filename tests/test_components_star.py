@@ -47,3 +47,22 @@ def test_star_handles_celebrity_hub(spark):
     edges = [(0, i) for i in range(1, 60)]
     got = _run(spark, connected_components_star, set(range(60)), edges)
     assert set(got.values()) == {0}
+
+
+def test_star_labels_only_supplied_nodes(spark):
+    """Pair endpoints absent from `nodes` must not appear in the output
+    — the contract shared with connected_components."""
+    from sumologic_aws_lambda_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    nodes = spark.createDataFrame([(1,), (2,), (9,)], "node long")
+    # edge 2~5 references node 5, which is not in `nodes`
+    pairs = spark.createDataFrame([(1, 2), (2, 5)], "a long, b long")
+    star = {(r.node, r.cluster_id)
+            for r in connected_components_star(nodes, pairs).collect()}
+    base = {(r.node, r.cluster_id)
+            for r in connected_components(nodes, pairs).collect()}
+    assert {n for n, _ in star} == {1, 2, 9}
+    assert star == base

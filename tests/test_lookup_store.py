@@ -80,3 +80,20 @@ def test_save_over_table_being_read(spark, tmp_path):
     store.save("counters", refreshed)   # overwrites the path it reads
     got = {r.host: r.hits for r in store["counters"].collect()}
     assert got == {"h1": 2, "h2": 6}
+
+
+def test_stale_tmp_dirs_not_listed_and_swept(spark, tmp_path):
+    """A crash mid-save leaves `<name>.__tmp__` — it must never be
+    listed as a table, and a fresh registry sweeps it."""
+    import os
+
+    store = PersistentLookups(spark, str(tmp_path))
+    src = spark.createDataFrame([("h1", "warn")],
+                                "host string, level string")
+    compile_query(src, "* | save sev", SCHEMA, lookups=store)
+    # simulate a crash leftover
+    os.makedirs(tmp_path / "sev.__tmp__")
+    assert store.tables() == ["sev"]
+    fresh = PersistentLookups(spark, str(tmp_path))
+    assert not (tmp_path / "sev.__tmp__").exists()
+    assert fresh.tables() == ["sev"]

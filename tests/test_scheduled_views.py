@@ -301,3 +301,118 @@ def test_fresh_checkpoint_gets_fresh_high_water_mark(spark, tmp_path):
     run3 = ScheduledViewMaintainer(spark, store, spec, SCHEMA, run_id="ck1")
     run3(batch, 0)
     assert store.read(spark, "hwm_view").collect()[0]["_count"] == 2
+
+
+def test_recreated_checkpoint_is_keyed_by_query_id(spark, tmp_path):
+    """Deleting + recreating a checkpoint at the same PATH restarts
+    batch ids at 0 under a new streaming query id — the mark must be
+    keyed by that id, not the path, or early batches are swallowed."""
+    import json
+    import os
+
+    from sumologic_aws_lambda_spark.plans.scheduled_views import (
+        ScheduledViewMaintainer,
+    )
+
+    store = ScheduledViewStore(str(tmp_path / "views"))
+    ck = tmp_path / "ck"
+    spec = ScheduledViewSpec(
+        name="qid_view",
+        query="* | timeslice 1d | count by _timeslice, cat",
+    )
+    batch = spark.createDataFrame(
+        [("2024-09-02 10:00:00", "api", "m", 1)],
+        "ts string, cat string, msg string, v long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def start_checkpoint(qid: str) -> None:
+        os.makedirs(ck, exist_ok=True)
+        with open(ck / "metadata", "w") as fh:
+            json.dump({"id": qid}, fh)
+
+    start_checkpoint("11111111-aaaa")
+    run1 = ScheduledViewMaintainer(spark, store, spec, SCHEMA,
+                                   run_id=str(ck), checkpoint_dir=str(ck))
+    run1(batch, 0)
+    run1(batch, 0)  # redelivery under the same query id: skipped
+    assert store.read(spark, "qid_view").collect()[0]["_count"] == 1
+
+    # checkpoint deleted + recreated at the SAME path → new query id,
+    # batch ids restart at 0 — must merge, not be skipped
+    import shutil
+
+    shutil.rmtree(ck)
+    start_checkpoint("22222222-bbbb")
+    run2 = ScheduledViewMaintainer(spark, store, spec, SCHEMA,
+                                   run_id=str(ck), checkpoint_dir=str(ck))
+    run2(batch, 0)
+    assert store.read(spark, "qid_view").collect()[0]["_count"] == 2
+
+
+def test_mark_keys_do_not_collide_after_sanitization(spark, tmp_path):
+    """run_id 'ck-1' and 'ck_1' sanitize to the same \\w+ string; the
+    hashed filename must keep their marks distinct."""
+    from sumologic_aws_lambda_spark.plans.scheduled_views import (
+        ScheduledViewMaintainer,
+    )
+
+    store = ScheduledViewStore(str(tmp_path))
+    spec = ScheduledViewSpec(
+        name="collide_view",
+        query="* | timeslice 1d | count by _timeslice, cat",
+    )
+    batch = spark.createDataFrame(
+        [("2024-09-03 10:00:00", "api", "m", 1)],
+        "ts string, cat string, msg string, v long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    a = ScheduledViewMaintainer(spark, store, spec, SCHEMA, run_id="ck-1")
+    b = ScheduledViewMaintainer(spark, store, spec, SCHEMA, run_id="ck_1")
+    assert a._hwm_path() != b._hwm_path()
+    a(batch, 0)
+    b(batch, 0)  # distinct run: must not be swallowed by a's mark
+    assert store.read(spark, "collide_view").collect()[0]["_count"] == 2
+
+
+def test_refresh_unregistered_view_raises_helpful_error(spark, tmp_path):
+    store = ScheduledViewStore(str(tmp_path))
+    spec = ScheduledViewSpec(
+        name="orphan_view",
+        query="* | timeslice 1d | count by _timeslice, cat",
+    )
+    batch = spark.createDataFrame(
+        [("2024-09-04 10:00:00", "api", "m", 1)],
+        "ts string, cat string, msg string, v long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    store.register(spec)
+    store.backfill(batch, spec, SCHEMA)
+    # fresh-process resume: data on disk, spec not registered
+    fresh = ScheduledViewStore(str(tmp_path))
+    with pytest.raises(SumoQLError, match="not registered"):
+        fresh.refresh(spark, batch, "orphan_view", SCHEMA)
+
+
+def test_view_query_threads_lookups(spark, tmp_path):
+    """_view= piped stages can use the lookup verb when a registry is
+    passed through ScheduledViewStore.query."""
+    store = ScheduledViewStore(str(tmp_path))
+    spec = ScheduledViewSpec(
+        name="lkp_view",
+        query="* | timeslice 1d | count by _timeslice, cat",
+    )
+    store.register(spec)
+    batch = spark.createDataFrame(
+        [("2024-09-05 10:00:00", "api", "m", 1),
+         ("2024-09-05 11:00:00", "web", "m", 1)],
+        "ts string, cat string, msg string, v long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    store.backfill(batch, spec, SCHEMA)
+    dim = spark.createDataFrame(
+        [("api", "backend"), ("web", "frontend")],
+        "cat string, tier string",
+    )
+    out = store.query(
+        spark, "_view=lkp_view | lookup tier from tiers on cat",
+        SCHEMA, lookups={"tiers": dim},
+    )
+    got = {r.cat: r.tier for r in out.collect()}
+    assert got == {"api": "backend", "web": "frontend"}
