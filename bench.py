@@ -77,6 +77,10 @@ OPTIONAL = [
     "hll_daily_rollup",
     "scheduled_view_rollup",
     "index_routing_stats",
+    "substring_dup_spans",
+    "vocab_oov_rates",
+    "unigram_lm_scores",
+    "semdedup_prune",
 ]
 
 

@@ -551,3 +551,48 @@ def connected_components_star(nodes: DataFrame, pairs: DataFrame,
         labels.select(node_col), node_col, "left_anti"
     ).select(F.col(node_col), F.col(node_col).alias("cluster_id"))
     return labels.union(singles)
+
+
+def duplicate_span_stats(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """Cross-document repeated-span detection at fixed k-token
+    granularity — the distributable approximation of suffix-array
+    ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): every duplicated run of ≥ k tokens
+    contains at least one duplicated k-token window, so the k-gram pass
+    finds a superset of the suffix-array hits at window granularity and
+    a span-removal step can trim from there.
+
+    Returns one row per repeated span: ``(span_hash, n_docs, n_occ)``
+    for spans occurring in ≥ 2 distinct documents (``n_occ`` counts all
+    occurrences, including intra-document repeats).
+
+    Physical shape: the token split is STAGED once per row, the k
+    windows are a narrow higher-order ``transform`` over index
+    ``sequence`` (no join, no window function), and the only shuffle is
+    one groupBy on the 128-bit span hash.  The hash key is uniform
+    ACROSS spans; a single boilerplate span repeated millions of times
+    is one hot KEY, which partial (map-side) count/distinct aggregation
+    absorbs before the exchange — unlike a row_number window, no
+    single-task straggler.  At 100 TB the gram explosion is ~n_tokens
+    rows per doc; spans travel as md5 hashes (16 bytes), never as
+    strings.
+    """
+    d = df.select(
+        F.col(id_col),
+        F.split(normalize_text(text_col), " ").alias("_toks"),
+    ).filter(F.size("_toks") >= k)
+    idx = F.sequence(F.lit(0), F.size("_toks") - k)
+    grams = F.transform(
+        idx,
+        lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, k))),
+    )
+    return (
+        d.select(F.col(id_col), F.explode(grams).alias("span_hash"))
+        .groupBy("span_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

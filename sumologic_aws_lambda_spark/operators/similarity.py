@@ -566,3 +566,80 @@ def pq_adc_topk(codes_df: DataFrame, books: list[list[list[float]]],
         .select(query_id_col, "neighbor_id",
                 F.round("adc_raw", 6).alias("adc_d2"), "rank")
     )
+
+
+def semdedup_labels(df: DataFrame, n_centroids: int = 8,
+                    threshold: float = 0.2, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space coarsely, then deduplicate ONLY within clusters —
+    the cluster assignment bounds the pairwise space the way LSH buckets
+    do for MinHash.  Prune rule: a vector is pruned when a LOWER-id
+    vector in the same cluster has cosine ≥ ``threshold`` with it
+    (paper: keep one representative per semantic-duplicate group; the
+    lowest-id rule makes the choice deterministic and SQL-expressible).
+
+    Returns ``(vec_id, cluster_id, keep)``.
+
+    Centroids are the first ``n_centroids`` corpus vectors — the same
+    deterministic stand-in the IVF query uses; swap in ``kmeans_lite``
+    output for trained centroids (same shape: the assignment pass is
+    identical).
+
+    Plan shape: assignment is a narrow broadcast-array argmax per vector
+    (no shuffle — the corpus never moves to compute its cluster); the
+    within-cluster pair space is an equi-self-join on ``cluster_id``
+    with ``a < b``, and norms are hoisted per-vector before the join so
+    the per-pair work is one array fold.  Skew note: SemDeDup's cost is
+    inherently quadratic in the largest cluster — at 100 TB, cap
+    cluster sizes by raising ``n_centroids`` (paper uses 50k clusters
+    for 5B embeddings) so n²/k stays bounded; the join shape here is
+    unchanged by k.
+    """
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("e")
+    ).withColumn("en", l2_norm(F.col("e")))
+    cent_arr = F.broadcast(
+        vecs.filter(F.col("vec_id") < n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+                F.col("en").alias("cn"))
+        .groupBy()
+        .agg(F.collect_list(F.struct("cid", "ce", "cn")).alias("cents"))
+    )
+    # argmax cosine via array_sort on (−sim, cid): ties break to the
+    # lowest centroid id, matching the oracle's ORDER BY sim DESC, cid.
+    ranked = F.array_sort(F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (-(dot(F.col("e"), c["ce"]) / (F.col("en") * c["cn"])))
+            .alias("neg_sim"),
+            c["cid"].alias("cid"),
+        ),
+    ))
+    assign = vecs.crossJoin(cent_arr).select(
+        "vec_id", "e", "en",
+        F.element_at(ranked, 1)["cid"].alias("cluster_id"),
+    )
+    lo = assign.select(F.col("vec_id").alias("_u"), "cluster_id",
+                       F.col("e").alias("_ue"), F.col("en").alias("_un"))
+    hi = assign.select(F.col("vec_id").alias("_v"), "cluster_id",
+                       F.col("e").alias("_ve"), F.col("en").alias("_vn"))
+    dup_pairs = (
+        lo.join(hi, "cluster_id")
+        .filter(F.col("_u") < F.col("_v"))
+        .filter(
+            F.round(
+                cosine_with_norms(F.col("_ue"), F.col("_ve"),
+                                  F.col("_un"), F.col("_vn")), 6
+            ) >= threshold
+        )
+        .select(F.col("_v").alias("vec_id")).distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    return (
+        assign.join(dup_pairs, "vec_id", "left")
+        .select(
+            "vec_id", "cluster_id",
+            F.coalesce(~F.col("_pruned"), F.lit(True)).alias("keep"),
+        )
+    )

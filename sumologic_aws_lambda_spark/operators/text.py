@@ -408,3 +408,115 @@ def pack_sequences(df: DataFrame, budget: int = 512,
         ((offset + n_tok) > budget).alias("spills_over"),
     ]
     return df.select(*out_cols)
+
+
+def bpe_train(df: DataFrame, text_col: str = "text", n_merges: int = 10,
+              vocab_cap: int = 1_000_000) -> list[tuple[str, str, int]]:
+    """Byte-pair-encoding tokenizer training (Sennrich et al. 2016):
+    learn ``n_merges`` merge rules from corpus word frequencies.
+
+    Returns the ordered merge list ``[(left, right, pair_count), …]``.
+    Ties break deterministically (count desc, then (left, right) asc) so
+    two engines training on the same counts learn the same tokenizer.
+
+    Scale split — the standard one for tokenizer training: the ONLY
+    corpus-sized pass is the word-frequency aggregation (one
+    map-side-combined groupBy; at 100 TB this is the same shape as any
+    count agg).  Everything after operates on the VOCABULARY (distinct
+    word, freq) — bounded, typically ≤ 10⁶ entries — so the merge loop
+    runs driver-side over the collected counts, exactly like k-means
+    collects k centroids: the driver state is O(vocab), never O(corpus).
+    ``vocab_cap`` guards the collect; raise it deliberately, or pre-cut
+    the vocabulary (min-frequency threshold) upstream for huge corpora —
+    which is also what production BPE trainers do.
+    """
+    counts = (
+        df.select(F.explode(F.split(normalize_text(text_col), " "))
+                  .alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    rows = counts.limit(vocab_cap + 1).collect()
+    if len(rows) > vocab_cap:
+        raise ValueError(
+            f"vocabulary exceeds vocab_cap={vocab_cap}; raise the cap or "
+            f"apply a min-frequency cut before training"
+        )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["w"]): r["c"] for r in rows
+    }
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for sym, freq in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + freq
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((a, b, cnt))
+        merged = a + b
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, freq in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def bpe_apply(col: Column | str, merges: list[tuple[str, str, int]],
+              ) -> Column:
+    """Tokenize ``col`` with a trained merge list, fully distributed:
+    each word becomes its merged symbol sequence.
+
+    The merge rules are applied IN TRAINING ORDER as nested higher-order
+    array rewrites — pure built-ins on the executors (no UDF, no
+    shuffle): each rule folds the symbol array left-to-right, joining
+    adjacent (a, b) into ab.  Cost is O(rules × symbols) per word, the
+    same as any sequential BPE encoder; for production rule counts
+    (30k+) move the loop into a pandas UDF over the same word column —
+    the training output feeds either form unchanged.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(normalize_text(c), " ")
+    sym = F.transform(words, lambda w: F.split(w, ""))
+
+    def apply_rule(arr: Column, a: str, b: str) -> Column:
+        merged = a + b
+        # left-to-right fold: emit the merge greedily, matching the
+        # sequential reference encoder (chained merges like aa+a on
+        # 'aaa' must resolve left-first).
+        # try_element_at: NULL (not an ANSI error) on the empty initial
+        # accumulator, and NULL == 'a' is false, so the first symbol
+        # always appends.
+        return F.aggregate(
+            arr,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(merged))),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    def rule_on_words(a: str, b: str):
+        # closure factory: PySpark infers the lambda's ARITY from its
+        # signature, so default-arg capture (lambda w, _a=a: …) would
+        # make transform think this is a 3-arg lambda.
+        return lambda w: apply_rule(w, a, b)
+
+    for a, b, _ in merges:
+        sym = F.transform(sym, rule_on_words(a, b))
+    return F.flatten(sym)

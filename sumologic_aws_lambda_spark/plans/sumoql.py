@@ -499,7 +499,48 @@ _EXPR_REWRITES: list[tuple[re.Pattern, object]] = [
     (re.compile(rf"\bparseDate\(({_SIMPLE_ARG}),\s*(\"[^\"]*\"|'[^']*')\)",
                 re.IGNORECASE),
      r"unix_millis(to_timestamp(\1, \2))"),
+    # CIDR family (functions/ip.py holds the Column twins).  The prefix
+    # length is a quoted literal in Sumo ("24"), so the mask constant
+    # folds at REWRITE time — the emitted SQL is plain integer masking
+    # over the ipv4 octet fold, no UDF.
+    (re.compile(r"\bmaskFromCIDR\(\s*[\"']?(\d{1,2})[\"']?\s*\)",
+                re.IGNORECASE),
+     lambda m: "'" + ".".join(
+         str(((((1 << 32) - 1) ^ ((1 << (32 - int(m.group(1)))) - 1))
+              >> s) & 255)
+         for s in (24, 16, 8, 0)) + "'"),
+    (re.compile(rf"\bgetCIDRPrefix\(({_SIMPLE_ARG}),"
+                rf"\s*[\"']?(\d{{1,2}})[\"']?\s*\)", re.IGNORECASE),
+     lambda m: _cidr_prefix_sql(m.group(1).strip(), int(m.group(2)))),
+    (re.compile(rf"\bcompareCIDRPrefix\(({_SIMPLE_ARG}),({_SIMPLE_ARG}),"
+                rf"\s*[\"']?(\d{{1,2}})[\"']?\s*\)", re.IGNORECASE),
+     lambda m: "({a} = {b})".format(
+         a=_cidr_net_sql(m.group(1).strip(), int(m.group(3))),
+         b=_cidr_net_sql(m.group(2).strip(), int(m.group(3))))),
 ]
+
+
+def _ipv4_num_sql(ip: str) -> str:
+    return (f"aggregate(split({ip}, '\\\\.'), CAST(0 AS BIGINT), "
+            "(acc, x) -> acc * 256 + CAST(x AS BIGINT))")
+
+
+def _cidr_net_sql(ip: str, prefix_len: int) -> str:
+    """Masked network number of ``ip`` under ``prefix_len`` bits."""
+    if not 0 <= prefix_len <= 32:
+        raise SumoQLError(f"CIDR prefix length out of range: {prefix_len}")
+    mask = ((1 << 32) - 1) ^ ((1 << (32 - prefix_len)) - 1)
+    return f"(CAST({mask} AS BIGINT) & {_ipv4_num_sql(ip)})"
+
+
+def _cidr_prefix_sql(ip: str, prefix_len: int) -> str:
+    """``a.b.c.d/len`` network-address string of ``ip``."""
+    net = _cidr_net_sql(ip, prefix_len)
+    octets = " , ".join(
+        f"CAST((({net}) DIV {1 << s}) % 256 AS STRING)"
+        for s in (24, 16, 8, 0)
+    )
+    return f"(concat_ws('.', {octets}) || '/{prefix_len}')"
 
 _MATCHES_RE = re.compile(
     r"(\S+)\s+matches\s+\"([^\"]*)\"", re.IGNORECASE

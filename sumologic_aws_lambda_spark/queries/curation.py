@@ -1,0 +1,240 @@
+"""Round-6 data-curation wave: repeated-span dedup, vocabulary/OOV
+coverage, unigram-LM quality scoring, and SemDeDup cluster pruning —
+the remaining standard operators of a pre-training data pipeline
+(Lee et al. 2022 ExactSubstr; CCNet LM filtering, Wenzek et al. 2020;
+SemDeDup, Abbas et al. 2023)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.text import normalize_text
+from . import query
+
+# DuckDB twin of operators.text.normalize_text.
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_SPAN_K = 8
+
+
+@query(
+    "substring_dup_spans",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(t, i, i + {_SPAN_K} - 1), ' ')) AS span_hash
+        FROM docs,
+             LATERAL (SELECT unnest(generate_series(1, len(t) - {_SPAN_K} + 1))
+                      AS i) g
+        WHERE len(t) >= {_SPAN_K}
+    ),
+    per_span AS (
+        SELECT span_hash,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occ
+        FROM grams GROUP BY span_hash
+    )
+    SELECT n_docs,
+           count(*) AS n_spans,
+           CAST(sum(n_occ) AS BIGINT) AS total_occurrences
+    FROM per_span WHERE n_docs >= 2
+    GROUP BY n_docs
+    """,
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated k-token spans (the ExactSubstr
+    approximation — see ``operators/dedup.py::duplicate_span_stats``),
+    histogrammed by how many documents share each span.  The oracle
+    replays the identical window + hash pipeline, so the span
+    *generation* is hard-signal-checked, not just the counting."""
+    from ..operators.dedup import duplicate_span_stats
+
+    d = table(spark, sf_dir, "documents", parallel=True)
+    spans = duplicate_span_stats(d, k=_SPAN_K)
+    return spans.groupBy("n_docs").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("n_occ").alias("total_occurrences"),
+    )
+
+
+_VOCAB_N = 16
+
+
+@query(
+    "vocab_oov_rates",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split({_NORM}, ' ')) AS tok
+        FROM documents
+    ),
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT {_VOCAB_N})
+    SELECT t.source,
+           count(*) AS total_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS oov_tokens,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.source
+    """,
+)
+def vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-N token vocabulary
+    from the corpus itself (count desc, token asc — a deterministic
+    total order), then measure each source's out-of-vocabulary token
+    rate.  The standard pre-tokenizer sanity check before committing a
+    vocab size.  (N=16 against the fixture corpus's 31-token pool so
+    the rate is non-degenerate; production N is 10⁴–10⁵ — same plan.)
+
+    Plan shape: token counts are one partial-agg groupBy; the top-N cut
+    is ``orderBy().limit()`` — Spark's TakeOrdered (distributed per-
+    partition top-N + driver merge of N·partitions rows), never a
+    global sort; membership is a BROADCAST left join of the N-row vocab
+    against the exploded stream (integers only — exact on any engine).
+    """
+    d = table(spark, sf_dir, "documents", parallel=True)
+    toks = d.select(
+        "source", F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        cnt.orderBy(F.desc("c"), "tok").limit(_VOCAB_N)
+        .select("tok").withColumn("_in_vocab", F.lit(1))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .alias("oov_tokens"),
+            F.round(
+                F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)), 4
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@query(
+    "unigram_lm_scores",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(t) AS tok FROM docs),
+    cnt AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM cnt)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(log2(total) - sum(log2(c)) / count(*), 4)
+               AS bits_per_token
+    FROM ex JOIN cnt USING (tok) CROSS JOIN tot
+    WHERE doc_id < 200
+    GROUP BY doc_id, total
+    """,
+)
+def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020), with the
+    corpus's own unigram distribution as the LM: per-document
+    cross-entropy in bits/token, −(1/n)·Σ log₂ p(tok) where
+    p(tok) = count(tok)/total.  High bits/token = improbable text
+    (noise, gibberish); CCNet buckets documents into quality tiers on
+    exactly this score (there with an external KenLM — the plumbing is
+    identical, the LM table is just bigger).
+
+    Plan shape: the unigram table is vocabulary-sized → BROADCAST join
+    against the exploded token stream; the corpus-total is a 1-row
+    crossJoin.  Scoring is one partial-agg groupBy(doc_id).  At 100 TB
+    swap the corpus vocab for a trained LM table — same broadcast join.
+    Scored output is restricted to doc_id < 200 (like
+    ``quality_scores``) to keep the compare surface per-doc exact."""
+    d = table(spark, sf_dir, "documents", parallel=True)
+    ex = d.select("doc_id",
+                  F.explode(F.split(normalize_text("text"), " ")).alias("tok"))
+    cnt = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").cast("double").alias("total"))
+    return (
+        ex.filter(F.col("doc_id") < 200)
+        .join(F.broadcast(cnt), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.log2(F.col("total"))
+                - F.sum(F.log2("c")) / F.count(F.lit(1)), 4
+            ).alias("bits_per_token"),
+        )
+        .select("doc_id", "n_tokens", "bits_per_token")
+    )
+
+
+_SEM_K = 8          # coarse clusters
+_SEM_TAU = 0.2      # within-cluster duplicate threshold (fixture
+                    # embeddings are random; production uses ~0.95+)
+_SEM_COS = (
+    "list_dot_product(v.e, c.ce) /"
+    " (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce)))"
+)
+
+
+@query(
+    "semdedup_prune",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cid, e AS ce FROM vecs WHERE vec_id < {_SEM_K}
+    ), assign AS (
+        SELECT vec_id, cluster_id FROM (
+            SELECT v.vec_id, c.cid AS cluster_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_SEM_COS} DESC, c.cid
+                   ) AS rn
+            FROM vecs v CROSS JOIN cent c
+        ) WHERE rn = 1
+    ), pruned AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a JOIN assign b USING (cluster_id)
+        JOIN vecs x ON x.vec_id = a.vec_id
+        JOIN vecs y ON y.vec_id = b.vec_id
+        WHERE a.vec_id < b.vec_id
+          AND round(list_dot_product(x.e, y.e) /
+                    (sqrt(list_dot_product(x.e, x.e)) *
+                     sqrt(list_dot_product(y.e, y.e))), 6) >= {_SEM_TAU}
+    )
+    SELECT a.cluster_id,
+           count(*) AS n_members,
+           CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pruned,
+           CAST(count(*) - sum(CASE WHEN p.vec_id IS NOT NULL
+                                    THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM assign a LEFT JOIN pruned p ON a.vec_id = p.vec_id
+    GROUP BY a.cluster_id
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pruning statistics per coarse cluster (see
+    ``operators/similarity.py::semdedup_labels`` for algorithm and
+    100 TB notes).  The oracle replays assignment → within-cluster
+    pairing → prune rule end-to-end, so the whole pipeline — not just
+    the final counts — is hard-signal-verified."""
+    from ..operators.similarity import semdedup_labels
+
+    emb = table(spark, sf_dir, "embeddings")
+    labels = semdedup_labels(emb, n_centroids=_SEM_K, threshold=_SEM_TAU)
+    return labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_pruned"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+    )

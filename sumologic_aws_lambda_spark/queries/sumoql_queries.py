@@ -1067,3 +1067,55 @@ def index_routing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@query(
+    "sumoql_cidr_functions",
+    oracle="""
+    WITH raw(id, ip) AS (
+        VALUES (1, '10.10.1.32'),
+               (2, '10.10.14.7'),
+               (3, '192.168.0.200'),
+               (4, '10.10.1.99')
+    )
+    SELECT id,
+           '255.255.255.0' AS mask24,
+           (CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+            + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+            + CAST(string_split(ip, '.')[3] AS BIGINT) * 256) // 256 * 256
+               AS net24_num_helper,
+           concat_ws('.',
+               string_split(ip, '.')[1], string_split(ip, '.')[2],
+               string_split(ip, '.')[3], '0') || '/24' AS net24,
+           (string_split(ip, '.')[1] = '10'
+            AND string_split(ip, '.')[2] = '10'
+            AND string_split(ip, '.')[3] = '1') AS same_net_as_gw
+    FROM raw
+    """,
+)
+def sumoql_cidr_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sumo CIDR scalar family (``maskFromCIDR`` / ``getCIDRPrefix`` /
+    ``compareCIDRPrefix``): each rewrites at COMPILE time to plain
+    integer masking over the ipv4 octet fold — the mask constant-folds,
+    the emitted expression stays inside whole-stage codegen, no UDF
+    (``plans/sumoql.py::_EXPR_REWRITES``; Column twins in
+    ``functions/ip.py``).  The oracle recomputes mask/prefix/compare
+    with independent octet string math (/24 only needs the first three
+    octets), so the bit-twiddling rewrite is checked against a
+    formulation that shares none of its code."""
+    rows = [(1, "10.10.1.32"), (2, "10.10.14.7"),
+            (3, "192.168.0.200"), (4, "10.10.1.99")]
+    df = spark.createDataFrame(rows, "id int, ip string")
+    out = compile_query(
+        df,
+        '* | maskFromCIDR("24") as mask24'
+        " | ipv4ToNumber(ip) as ip_num"
+        ' | getCIDRPrefix(ip, "24") as net24'
+        ' | compareCIDRPrefix(ip, "10.10.1.1", "24") as same_net_as_gw',
+        SumoSchema(raw_col="ip"),
+    )
+    return out.select(
+        "id", "mask24",
+        (F.floor(F.col("ip_num") / 256) * 256).alias("net24_num_helper"),
+        "net24", "same_net_as_gw",
+    )

@@ -1,0 +1,156 @@
+"""Round-6 curation wave: repeated-span dedup, vocab/OOV, unigram-LM
+scoring, SemDeDup — operator semantics + the plan shapes the 100 TB
+design depends on."""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import functions as F
+
+from sumologic_aws_lambda_spark import queries as registry
+from sumologic_aws_lambda_spark.operators.dedup import duplicate_span_stats
+from sumologic_aws_lambda_spark.operators.similarity import semdedup_labels
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- spans
+
+def test_duplicate_spans_found_and_short_docs_skipped(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h tail one"),
+            (2, "head a b c d e f g h"),      # shares the 8-token span
+            (3, "completely different words here so no span repeats"),
+            (4, "short doc"),                 # < k tokens: skipped
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicate_span_stats(docs, k=8).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["n_occ"] == 2
+
+
+def test_duplicate_spans_counts_intra_doc_repeats(spark):
+    eight = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, f"{eight} x {eight}"), (2, eight)],
+        "doc_id long, text string",
+    )
+    out = {r["n_occ"]: r["n_docs"]
+           for r in duplicate_span_stats(docs, k=8).collect()}
+    # the repeated span occurs 3× total (twice in doc 1, once in doc 2)
+    assert 3 in out and out[3] == 2
+
+
+def test_span_pipeline_single_shuffle(spark):
+    """One groupBy on the span hash — the gram fan-out itself must stay
+    narrow (no join/window before the aggregation)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(duplicate_span_stats(docs, k=8))
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+# ------------------------------------------------------------ vocab/OOV
+
+def test_vocab_membership_is_broadcast(spark):
+    qs = registry.all_queries()
+    plan = _plan(qs["vocab_oov_rates"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # top-N vocab cut lowers to distributed take-ordered, not a sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_oov_rate_zero_when_vocab_covers_corpus(spark):
+    from sumologic_aws_lambda_spark.queries.curation import vocab_oov_rates
+
+    out = vocab_oov_rates(spark, SF_DIR)
+    rows = out.collect()
+    assert all(0.0 <= r["oov_rate"] <= 1.0 for r in rows)
+    assert all(r["oov_tokens"] <= r["total_tokens"] for r in rows)
+    assert any(r["oov_tokens"] > 0 for r in rows)  # N=16 < pool size
+
+
+# ------------------------------------------------------------ unigram LM
+
+def test_unigram_lm_matches_handrolled(spark):
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")],
+        "doc_id long, text string",
+    )
+    import sumologic_aws_lambda_spark.queries.curation as cur
+
+    # replicate the query body on a toy frame via the operators it uses
+    ex = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), " ")).alias("tok"),
+    )
+    cnt = {r["tok"]: r["c"] for r in
+           ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).collect()}
+    total = sum(cnt.values())          # a:2 b:2 c:1, total 5
+    # doc 0: tokens a a b → bits = log2(5) - (2*log2(2)+log2(2))/3
+    expect0 = round(math.log2(total) - (3 * math.log2(2)) / 3, 4)
+    expect1 = round(math.log2(total) - (math.log2(2) + math.log2(1)) / 2, 4)
+    assert cnt == {"a": 2, "b": 2, "c": 1}
+    # sanity of the closed form used in the SQL/Spark twin queries
+    p = {t: c / total for t, c in cnt.items()}
+    direct0 = round(-(2 * math.log2(p["a"]) + math.log2(p["b"])) / 3, 4)
+    assert expect0 == direct0
+    assert expect1 == round(-(math.log2(p["b"]) + math.log2(p["c"])) / 2, 4)
+
+
+def test_unigram_query_vocab_is_broadcast(spark):
+    qs = registry.all_queries()
+    plan = _plan(qs["unigram_lm_scores"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# -------------------------------------------------------------- SemDeDup
+
+def test_semdedup_prunes_near_duplicates(spark):
+    # four centroid seeds + two near-identical vectors far from seeds:
+    # the later twin must be pruned, the earlier kept
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (10, [0.5, 0.5, 0.7, 0.1]),
+        (11, [0.5, 0.5, 0.71, 0.1]),   # near-dup of 10
+        (12, [-1.0, -1.0, -0.1, 0.0]),  # alone in its cluster
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["cluster_id"], r["keep"])
+           for r in semdedup_labels(df, n_centroids=2,
+                                    threshold=0.95).collect()}
+    assert out[10][0] == out[11][0]          # same cluster
+    assert out[10][1] is True and out[11][1] is False
+    assert out[12][1] is True
+
+
+def test_semdedup_assignment_is_narrow(spark):
+    """The corpus-side cluster assignment must not shuffle: broadcast
+    centroid array + higher-order argmax, no exchange before the
+    within-cluster join."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    labels = semdedup_labels(emb)
+    plan = _plan(labels)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no row_number window anywhere — argmax is the array sort
+    assert "Window" not in plan
+
+
+def test_semdedup_keep_counts_consistent(spark):
+    qs = registry.all_queries()
+    rows = qs["semdedup_prune"](spark, SF_DIR).collect()
+    assert rows, "no clusters"
+    for r in rows:
+        assert r["n_members"] == r["n_pruned"] + r["n_kept"]
+        assert r["n_kept"] >= 1    # every cluster keeps a representative

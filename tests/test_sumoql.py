@@ -779,3 +779,36 @@ def test_logexplain_keywords_inside_quotes(spark):
     )
     got = {r.explanation: r.test_count for r in out.collect()}
     assert got == {"host=h1": 1, "host=h2": 1}
+
+
+def test_cidr_rewrites(spark):
+    df = spark.createDataFrame(
+        [("10.10.1.32", "10.10.1.1"), ("10.11.1.32", "10.10.1.1")],
+        "a string, b string",
+    )
+    out = compile_query(
+        df,
+        '* | maskFromCIDR("16") as m16'
+        ' | getCIDRPrefix(a, "16") as net'
+        ' | compareCIDRPrefix(a, b, "16") as same16'
+        ' | compareCIDRPrefix(a, b, "8") as same8',
+        SumoSchema(raw_col="a"),
+    ).collect()
+    assert out[0]["m16"] == "255.255.0.0"
+    assert out[0]["net"] == "10.10.0.0/16" and out[1]["net"] == "10.11.0.0/16"
+    assert out[0]["same16"] is True and out[1]["same16"] is False
+    assert out[1]["same8"] is True
+
+
+def test_cidr_edge_prefixes(spark):
+    df = spark.createDataFrame([("10.10.1.32",)], "a string")
+    out = compile_query(
+        df,
+        '* | maskFromCIDR("32") as m32'
+        ' | getCIDRPrefix(a, "32") as full'
+        ' | compareCIDRPrefix(a, "99.0.0.1", "0") as always',
+        SumoSchema(raw_col="a"),
+    ).collect()[0]
+    assert out["m32"] == "255.255.255.255"
+    assert out["full"] == "10.10.1.32/32"
+    assert out["always"] is True
