@@ -213,6 +213,47 @@ def main() -> int:
         f"hll_daily_rollup: 1x {t1:.2f}s ({n1} rows) -> 10x {t10:.2f}s "
         f"({n10} rows), time ratio {t10 / t1 if t1 else 0:.1f}x"
     )
+
+    # Round-6 probes.  Span dedup: gram fan-out is linear in tokens and
+    # the only shuffle is one partial-agg groupBy on the span hash — the
+    # ratio should track rows even though a boilerplate span is a hot
+    # KEY (map-side combine absorbs it; contrast the hot-key paragraph
+    # probe above).  SemDeDup: assignment is narrow, but the
+    # within-cluster pair space grows ~quadratically in cluster size
+    # when k is FIXED while the corpus grows 10× — the printed ratio
+    # documents exactly that (the design mitigation is scaling k with
+    # the corpus, which caps cluster sizes; see semdedup_labels's doc).
+    from sumologic_aws_lambda_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+    from sumologic_aws_lambda_spark.operators.similarity import (
+        semdedup_labels,
+    )
+
+    r6_probes = {
+        "substring_dup_spans": (
+            docs, lambda d: duplicate_span_stats(d, k=8)),
+        "semdedup_labels_fixed_k": (
+            emb, lambda e: semdedup_labels(e, n_centroids=8,
+                                           threshold=0.2)),
+        # the scale path: clusters per corpus size held constant by
+        # growing k 10× with the data — pair space per cluster stays
+        # bounded, ratio should fall back toward linear.
+        "semdedup_labels_scaled_k": (
+            emb, lambda e: semdedup_labels(e, n_centroids=80,
+                                           threshold=0.2)),
+    }
+    for name, (src, fn) in r6_probes.items():
+        id_col = "doc_id" if "doc_id" in src.columns else "vec_id"
+        small = src.filter(F.col(id_col) % 10 == 0)
+        t1, n1 = _time(fn(small))     # warm
+        t1, n1 = _time(fn(small))
+        t10, n10 = _time(fn(src))
+        ratio = t10 / t1 if t1 else float("inf")
+        print(
+            f"{name}: 1x {t1:.2f}s ({n1} rows) -> 10x {t10:.2f}s "
+            f"({n10} rows), time ratio {ratio:.1f}x"
+        )
     spark.stop()
     return 0
 
