@@ -616,10 +616,15 @@ def semdedup_labels(df: DataFrame, n_centroids: int = 8,
             c["cid"].alias("cid"),
         ),
     ))
+    # Materialize the assignment ONCE: three consumers read it (both
+    # sides of the pair join and the final label join), and without the
+    # checkpoint each would redo the k-centroid argmax over the corpus —
+    # the single most expensive narrow pass here.  Same pattern as the
+    # edge-list checkpoint in connected_components.
     assign = vecs.crossJoin(cent_arr).select(
         "vec_id", "e", "en",
         F.element_at(ranked, 1)["cid"].alias("cluster_id"),
-    )
+    ).localCheckpoint()
     lo = assign.select(F.col("vec_id").alias("_u"), "cluster_id",
                        F.col("e").alias("_ue"), F.col("en").alias("_un"))
     hi = assign.select(F.col("vec_id").alias("_v"), "cluster_id",

@@ -177,7 +177,8 @@ def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEM_K = 8          # coarse clusters
+_SEM_K = 32         # coarse clusters (pair space ~ n²/k: k scales
+                    # with the corpus so cluster sizes stay bounded)
 _SEM_TAU = 0.2      # within-cluster duplicate threshold (fixture
                     # embeddings are random; production uses ~0.95+)
 _SEM_COS = (
