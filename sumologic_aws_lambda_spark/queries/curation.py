@@ -239,3 +239,131 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_pruned"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
     )
+
+
+_MIX_ALPHA = 0.5    # temperature exponent (α→0 uniform, α=1 natural)
+
+
+@query(
+    "temperature_mixture_weights",
+    oracle=f"""
+    WITH tot AS (
+        SELECT source,
+               CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+                    AS BIGINT) AS src_tokens
+        FROM documents GROUP BY source
+    ),
+    g AS (SELECT CAST(sum(src_tokens) AS DOUBLE) AS total FROM tot),
+    powed AS (
+        SELECT source, src_tokens,
+               pow(src_tokens / total, {_MIX_ALPHA}) AS p_a
+        FROM tot CROSS JOIN g
+    ),
+    z AS (SELECT sum(p_a) AS norm FROM powed)
+    SELECT source, src_tokens,
+           round(p_a / norm, 6) AS weight,
+           round((p_a / norm) / (src_tokens / total), 4) AS epochs
+    FROM powed CROSS JOIN z CROSS JOIN g
+    """,
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual/LLaMA rule:
+    sample domain d with weight ∝ p_d^α, α < 1 upweights small
+    domains): per-source sampling weight and the implied number of
+    epochs (weight / natural share — >1 means the domain is repeated).
+    Complements ``domain_mixture_sample`` (the equal-token α→0 special
+    case, which actually materializes the sample).
+
+    Plan shape: everything after the one per-source token aggregation
+    operates on a sources-sized frame (two scalar aggs, broadcast
+    crossJoins) — the corpus is scanned once regardless of α."""
+    from ..operators.text import token_count
+
+    d = table(spark, sf_dir, "documents", parallel=True)
+    totals = d.groupBy("source").agg(
+        F.sum(token_count("text")).alias("src_tokens"))
+    g = totals.agg(F.sum("src_tokens").cast("double").alias("total"))
+    powed = totals.crossJoin(F.broadcast(g)).select(
+        "source", "src_tokens", "total",
+        F.pow(F.col("src_tokens") / F.col("total"), _MIX_ALPHA).alias("p_a"),
+    )
+    z = powed.agg(F.sum("p_a").alias("norm"))
+    return powed.crossJoin(F.broadcast(z)).select(
+        "source", "src_tokens",
+        F.round(F.col("p_a") / F.col("norm"), 6).alias("weight"),
+        F.round((F.col("p_a") / F.col("norm"))
+                / (F.col("src_tokens") / F.col("total")), 4).alias("epochs"),
+    )
+
+
+# Deterministic synthetic snapshots carved from one fixture table: the
+# OLD snapshot lacks doc_id % 7 == 0, the NEW snapshot lacks
+# doc_id % 13 == 0 and rewrites the text of doc_id % 11 == 0 — so the
+# diff has all four classes and both engines derive it identically.
+_MANIFEST_CASES = """
+        CASE
+            WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed'
+            ELSE 'unchanged'
+        END
+"""
+
+
+@query(
+    "dataset_manifest_diff",
+    oracle=f"""
+    WITH old AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fp
+        FROM documents WHERE doc_id % 7 <> 0
+    ),
+    new AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(lower(
+                   CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                        ELSE text END), '\\s+', ' ', 'g'))) AS fp
+        FROM documents WHERE doc_id % 13 <> 0
+    )
+    SELECT {_MANIFEST_CASES} AS change,
+           count(*) AS n_docs
+    FROM old o FULL OUTER JOIN new n USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def dataset_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot diff — the bookkeeping step between two
+    dataset versions: classify every document as added / removed /
+    changed / unchanged by comparing content FINGERPRINTS (md5 of
+    normalized text), not raw bytes, so a re-shard or re-encode that
+    preserves content diffs as unchanged.
+
+    Plan shape: each snapshot contributes (doc_id, fingerprint) — 24
+    bytes a row — to ONE full-outer equi-join on the uniform doc id;
+    the texts themselves never shuffle.  At 100 TB both manifests are
+    naturally persisted (the shard exporter writes them), so the diff
+    reads manifests, not corpora."""
+    from ..operators.text import fingerprint
+
+    d = table(spark, sf_dir, "documents", parallel=True)
+    old = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", fingerprint("text").alias("fp"))
+    new = d.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        fingerprint(
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    j = old.withColumnRenamed("fp", "ofp").join(
+        new.withColumnRenamed("fp", "nfp"), "doc_id", "full_outer")
+    change = (
+        F.when(F.col("ofp").isNull(), "added")
+        .when(F.col("nfp").isNull(), "removed")
+        .when(F.col("ofp") != F.col("nfp"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(change.alias("change")).agg(
+        F.count(F.lit(1)).alias("n_docs"))

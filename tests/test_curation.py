@@ -154,3 +154,44 @@ def test_semdedup_keep_counts_consistent(spark):
     for r in rows:
         assert r["n_members"] == r["n_pruned"] + r["n_kept"]
         assert r["n_kept"] >= 1    # every cluster keeps a representative
+
+
+# -------------------------------------------------- mixing / manifests
+
+def test_temperature_weights_sum_to_one_and_upweight_small(spark):
+    qs = registry.all_queries()
+    rows = qs["temperature_mixture_weights"](spark, SF_DIR).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-3
+    small = min(rows, key=lambda r: r["src_tokens"])
+    big = max(rows, key=lambda r: r["src_tokens"])
+    # α<1 gives the smallest domain MORE epochs than the largest
+    assert small["epochs"] > big["epochs"]
+    assert all(r["epochs"] > 0 for r in rows)
+
+
+def test_manifest_diff_classes(spark):
+    qs = registry.all_queries()
+    got = {r["change"]: r["n_docs"]
+           for r in qs["dataset_manifest_diff"](spark, SF_DIR).collect()}
+    n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    ids = range(n)
+    expect = {
+        "added": sum(1 for i in ids if i % 7 == 0 and i % 13 != 0),
+        "removed": sum(1 for i in ids if i % 13 == 0 and i % 7 != 0),
+        "changed": sum(1 for i in ids
+                       if i % 7 != 0 and i % 13 != 0 and i % 11 == 0),
+        "unchanged": sum(1 for i in ids
+                         if i % 7 != 0 and i % 13 != 0 and i % 11 != 0),
+    }
+    assert got == {k: v for k, v in expect.items() if v}
+
+
+def test_manifest_diff_joins_fingerprints_not_text(spark):
+    """The diff join must move only (doc_id, fp) — the text column is
+    projected away before the exchange."""
+    qs = registry.all_queries()
+    plan = _plan(qs["dataset_manifest_diff"](spark, SF_DIR))
+    import re as _re
+
+    for ex in _re.findall(r"Exchange hashpartitioning\([^)]*\)", plan):
+        assert "text" not in ex
