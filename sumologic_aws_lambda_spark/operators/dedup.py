@@ -596,3 +596,80 @@ def duplicate_span_stats(df: DataFrame, text_col: str = "text",
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """The REMOVAL half of ExactSubstr dedup (Lee et al. 2022):
+    :func:`duplicate_span_stats` finds repeated k-token windows; this
+    transform cuts them out of the corpus, keeping only the globally
+    FIRST occurrence (minimum ``(doc_id, position)``) of each repeated
+    window.  Overlapping duplicated windows merge naturally — removal is
+    position-based, so a 40-token duplicated run marked by 33 of its
+    k-windows is cut once, not 33 times.
+
+    Returns the input columns with ``text`` rewritten (duplicated-span
+    tokens dropped, single-space rejoined over the NORMALIZED tokens)
+    plus ``n_tokens_removed``.
+
+    Physical shape, corpus-sized stages only:
+      1. narrow gram fan-out (posexplode of the k-window hash array);
+      2. ONE groupBy on the span hash computing the global winner via
+         partial-aggregatable ``min(struct(doc_id, pos))`` AND the
+         occurrence count — hot boilerplate spans are absorbed map-side
+         (never a window function, the r4 lesson);
+      3. loser occurrences → per-doc covered-position sets: one groupBy
+         on the uniform doc id (``collect_set`` is bounded by the doc's
+         own token count);
+      4. LEFT join back to the corpus on doc id — only affected docs
+         carry a removal set; untouched docs pass through.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    d = df.withColumn("_toks", toks)
+    idx = F.sequence(F.lit(0), F.size("_toks") - k)
+    grams = F.transform(
+        idx, lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, k))).alias("h"),
+        ),
+    )
+    occ = (
+        d.filter(F.size("_toks") >= k)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    winners = occ.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"),
+        F.count(F.lit(1)).alias("n_occ"),
+    ).filter(F.col("n_occ") >= 2).select(
+        "h", F.col(f"w.{id_col}").alias("_wdoc"), F.col("w.pos").alias("_wpos"),
+    )
+    losers = (
+        occ.join(winners, "h")
+        .filter(~((F.col(id_col) == F.col("_wdoc"))
+                  & (F.col("pos") == F.col("_wpos"))))
+        .select(id_col, "pos")
+    )
+    covered = losers.groupBy(id_col).agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(F.sequence(F.col("pos"),
+                                          F.col("pos") + (k - 1)))
+            )
+        ).alias("_cut")
+    )
+    out_cols = [c for c in df.columns if c != text_col]
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i: ~F.coalesce(
+            F.array_contains("_cut", i), F.lit(False)),
+    )
+    return (
+        d.join(covered, id_col, "left")
+        .select(
+            *out_cols,
+            F.concat_ws(" ", F.when(F.col("_cut").isNull(), F.col("_toks"))
+                        .otherwise(kept)).alias(text_col),
+            F.coalesce(F.size("_cut"), F.lit(0)).alias("n_tokens_removed"),
+        )
+    )

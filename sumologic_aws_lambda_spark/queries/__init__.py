@@ -45,7 +45,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # caps at the first 50.  Rounds 1–5 driver-validated 153 of the
 # pre-round-6 160 registered queries (r5: 50/50 green).  Round 6 rotates
 # in (a) the 9 queries added late in round 5 that the frozen r5 window
-# never sampled, (b) the 4 new round-6 curation queries, then (c) fills
+# never sampled, (b) the 8 new round-6 curation-wave queries, then (c) fills
 # the window with cross-family regression picks — previously-green
 # queries whose machinery this round touched (lookups threading,
 # scheduled-view marks, star components) first, then a spread across
@@ -61,7 +61,8 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_merge_candidates", "semantic_dedup_clusters_star",
     # -- (b) new this round (round 6): the curation wave --
     "substring_dup_spans", "vocab_oov_rates", "unigram_lm_scores",
-    "semdedup_prune",
+    "semdedup_prune", "sumoql_cidr_functions", "exactsubstr_removal_stats",
+    "temperature_mixture_weights", "dataset_manifest_diff",
     # -- (c) machinery touched this round: lookups threading
     #    (compile_prefixed_query), scheduled-view refresh/marks, star
     #    components' shared cluster contract --
@@ -80,9 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "pq_adc_topk", "kmeans_centroid_stats",
     "tfidf_top_terms", "ngram_decontamination", "gopher_quality_filters",
     "stratified_hash_sample",
-    "hll_daily_rollup", "approx_topk_routing_keys",
-    "monitor_threshold_alerts", "fields_schema_apply",
-    "sumoql_transaction",
+    "monitor_threshold_alerts",
 )
 
 # After a green round 6, every registered query will have carried

@@ -367,3 +367,71 @@ def dataset_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy(change.alias("change")).agg(
         F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "exactsubstr_removal_stats",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, source, string_split({_NORM}, ' ') AS t
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(
+                   list_slice(t, i, i + {_SPAN_K} - 1), ' ')) AS h
+        FROM docs,
+             LATERAL (SELECT unnest(generate_series(1, len(t) - {_SPAN_K} + 1))
+                      AS i) g
+        WHERE len(t) >= {_SPAN_K}
+    ),
+    ranked AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos)
+                   AS rn,
+               count(*) OVER (PARTITION BY h) AS c
+        FROM occ
+    ),
+    losers AS (SELECT doc_id, pos FROM ranked WHERE c >= 2 AND rn >= 2),
+    cov AS (
+        SELECT doc_id, count(DISTINCT p) AS cut
+        FROM losers,
+             LATERAL (SELECT unnest(generate_series(pos, pos + {_SPAN_K} - 1))
+                      AS p) u
+        GROUP BY doc_id
+    )
+    SELECT d.source,
+           CAST(count(*) FILTER (WHERE cov.cut IS NOT NULL) AS BIGINT)
+               AS docs_affected,
+           CAST(coalesce(sum(cov.cut), 0) AS BIGINT) AS tokens_removed,
+           CAST(sum(len(d.t)) AS BIGINT) AS tokens_before
+    FROM docs d LEFT JOIN cov USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def exactsubstr_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (see
+    ``operators/dedup.py::remove_duplicate_spans``) rolled up per
+    source: documents touched, tokens cut, tokens before.  The oracle
+    independently replays winner selection (first global occurrence)
+    and position-coverage merging with window functions, so the
+    keep-first semantics — not just the counts — are checked."""
+    from ..operators.dedup import remove_duplicate_spans
+    from ..operators.text import normalize_text as _nt
+
+    d = table(spark, sf_dir, "documents", parallel=True)
+    before = d.select(
+        "doc_id", "source",
+        F.size(F.split(_nt("text"), " ")).alias("_n_before"))
+    cleaned = remove_duplicate_spans(d, k=_SPAN_K).select(
+        "doc_id", "n_tokens_removed")
+    return (
+        before.join(cleaned, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("n_tokens_removed") > 0, 1).otherwise(0))
+            .alias("docs_affected"),
+            F.sum("n_tokens_removed").alias("tokens_removed"),
+            F.sum("_n_before").alias("tokens_before"),
+        )
+    )

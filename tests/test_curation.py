@@ -195,3 +195,53 @@ def test_manifest_diff_joins_fingerprints_not_text(spark):
 
     for ex in _re.findall(r"Exchange hashpartitioning\([^)]*\)", plan):
         assert "text" not in ex
+
+
+# ------------------------------------------------------- span removal
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    from sumologic_aws_lambda_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    eight = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, f"{eight} x"), (2, f"z {eight}"), (3, "nothing shared here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(docs, k=8).collect()}
+    assert out[1]["text"] == f"{eight} x"          # winner untouched
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["text"] == "z"                   # loser span cut
+    assert out[2]["n_tokens_removed"] == 8
+    assert out[3]["text"] == "nothing shared here"
+    assert out[3]["n_tokens_removed"] == 0
+
+
+def test_remove_duplicate_spans_merges_overlapping_windows(spark):
+    from sumologic_aws_lambda_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    ten = "a b c d e f g h i j"     # 3 overlapping k=8 windows
+    docs = spark.createDataFrame(
+        [(1, ten), (2, ten)], "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(docs, k=8).collect()}
+    # doc 2 is fully covered by merged overlapping windows: 10 tokens
+    # removed ONCE (position-based), not 3×8
+    assert out[2]["n_tokens_removed"] == 10
+    assert out[2]["text"] == ""
+    assert out[1]["n_tokens_removed"] == 0
+
+
+def test_remove_duplicate_spans_no_window_in_plan(spark):
+    from sumologic_aws_lambda_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(remove_duplicate_spans(docs))
+    assert "Window" not in plan    # winner via min(struct), never a window
