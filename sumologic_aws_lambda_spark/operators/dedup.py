@@ -599,21 +599,37 @@ def duplicate_span_stats(df: DataFrame, text_col: str = "text",
 
 
 def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
-                           id_col: str = "doc_id", k: int = 8) -> DataFrame:
-    """The REMOVAL half of ExactSubstr dedup (Lee et al. 2022):
-    :func:`duplicate_span_stats` finds repeated k-token windows; this
-    transform cuts them out of the corpus, keeping only the globally
-    FIRST occurrence (minimum ``(doc_id, position)``) of each repeated
-    window.  Overlapping duplicated windows merge naturally — removal is
-    position-based, so a 40-token duplicated run marked by 33 of its
-    k-windows is cut once, not 33 times.
+                           id_col: str = "doc_id", k: int = 8,
+                           cross_doc_only: bool = False) -> DataFrame:
+    """The REMOVAL half of ExactSubstr dedup (Lee et al. 2022): cut
+    every repeated k-token window except its globally FIRST occurrence
+    (minimum ``(doc_id, position)``).  Overlapping duplicated windows
+    merge naturally — removal is position-based, so a 40-token
+    duplicated run marked by 33 of its k-windows is cut once, not 33
+    times.
+
+    SEMANTICS NOTE — this defaults to true ExactSubstr scope: ANY
+    repetition in the corpus counts, *including a span repeated twice
+    inside one document* (self-plagiarized boilerplate is duplication
+    too).  :func:`duplicate_span_stats` by contrast histograms only
+    CROSS-document spans (``n_docs >= 2``), so its output undercounts
+    what this transform cuts.  Pass ``cross_doc_only=True`` to restrict
+    removal to spans appearing in ≥ 2 distinct documents — then the
+    stats histogram and the removal impact line up exactly.
 
     Returns the input columns with ``text`` rewritten (duplicated-span
     tokens dropped, single-space rejoined over the NORMALIZED tokens)
     plus ``n_tokens_removed``.
 
     Physical shape, corpus-sized stages only:
-      1. narrow gram fan-out (posexplode of the k-window hash array);
+      1. narrow gram fan-out (posexplode of the k-window hash array).
+         The fan-out is evaluated TWICE (winners agg + losers join) on
+         purpose: a materialized occurrence stream is ~7× the corpus
+         bytes (44 B/token of hashes vs ~6 B/token of text), so at
+         100 TB recomputing the narrow explode from the scan is cheaper
+         than writing it to local disk — the opposite trade from
+         ``semdedup_labels``'s checkpoint, whose assignment frame is
+         SMALLER than its input;
       2. ONE groupBy on the span hash computing the global winner via
          partial-aggregatable ``min(struct(doc_id, pos))`` AND the
          occurrence count — hot boilerplate spans are absorbed map-side
@@ -638,10 +654,15 @@ def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
         .select(F.col(id_col), F.explode(grams).alias("g"))
         .select(id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
     )
-    winners = occ.groupBy("h").agg(
+    aggs = [
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"),
         F.count(F.lit(1)).alias("n_occ"),
-    ).filter(F.col("n_occ") >= 2).select(
+    ]
+    dup_pred = F.col("n_occ") >= 2
+    if cross_doc_only:
+        aggs.append(F.countDistinct(id_col).alias("n_docs"))
+        dup_pred = dup_pred & (F.col("n_docs") >= 2)
+    winners = occ.groupBy("h").agg(*aggs).filter(dup_pred).select(
         "h", F.col(f"w.{id_col}").alias("_wdoc"), F.col("w.pos").alias("_wpos"),
     )
     losers = (

@@ -44,15 +44,11 @@ class PersistentLookups(dict):
         self.root = root
         os.makedirs(root, exist_ok=True)
         # A crash between write-to-tmp and the rename in save() leaves a
-        # `<name>.__tmp__` directory that can never be loaded (_path
-        # rejects non-\w+ names); sweep leftovers so they don't linger
-        # forever or get half-reused by a later save.
-        import shutil
-
-        for d in os.listdir(root):
-            if d.endswith(".__tmp__") and os.path.isdir(
-                    os.path.join(root, d)):
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        # `<name>.__tmp__` directory.  It is harmless — tables() filters
+        # it out and the next save() of that name rmtree's it before
+        # writing — and an init-time sweep here would be UNSAFE: another
+        # live registry on the same root may be mid-save into its tmp
+        # dir, and constructing a registry must stay read-only.
 
     def _path(self, name: str) -> str:
         if not re.fullmatch(r"\w+", name):
@@ -86,8 +82,8 @@ class PersistentLookups(dict):
 
     def tables(self) -> list[str]:
         # Only \w+ names are loadable (_path rejects the rest), so a
-        # stray directory — e.g. a crash-leftover `<name>.__tmp__` from
-        # before the init sweep existed — must not be listed as a table.
+        # stray directory — e.g. a crash-leftover `<name>.__tmp__` —
+        # must not be listed as a table.
         on_disk = [d for d in os.listdir(self.root)
                    if re.fullmatch(r"\w+", d)
                    and os.path.isdir(os.path.join(self.root, d))]

@@ -286,38 +286,88 @@ class ScheduledViewMaintainer:
         self._query_id: str | None = None
         store.register(spec)
 
+    def _read_checkpoint_metadata(self) -> str | None:
+        """The checkpoint's ``metadata`` file contents, via local read
+        when possible, else through the Hadoop FileSystem API — the
+        checkpoint may live on hdfs://, s3a://, dbfs:/ etc., where a
+        silent local-open failure would fall back to path-keyed marks
+        and quietly reopen the stale-mark bug this class exists to
+        close."""
+        path = os.path.join(self._checkpoint_dir, "metadata")
+        try:
+            with open(path) as fh:
+                return fh.read()
+        except OSError:
+            pass
+        try:
+            jvm = self._spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(
+                self._checkpoint_dir.rstrip("/") + "/metadata")
+            fs = hpath.getFileSystem(
+                self._spark._jsc.hadoopConfiguration())
+            if not fs.exists(hpath):
+                return None
+            stream = fs.open(hpath)
+            try:
+                return jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8")
+            finally:
+                stream.close()
+        except Exception:  # noqa: BLE001 — any gateway/FS failure
+            import warnings
+
+            warnings.warn(
+                f"could not read streaming checkpoint metadata at "
+                f"{path!r}; high-water marks fall back to the checkpoint "
+                f"PATH as key — deleting and recreating this checkpoint "
+                f"without clearing marks would skip early batches",
+                stacklevel=3,
+            )
+            return None
+
     def _run_token(self) -> str:
         """The mark key: the checkpoint's persistent query id when
         available, else the caller-supplied run_id."""
         if self._query_id is not None:
             return self._query_id
         if self._checkpoint_dir is not None:
-            try:
-                import json
+            import json
 
-                with open(os.path.join(self._checkpoint_dir,
-                                       "metadata")) as fh:
-                    qid = json.load(fh)["id"]
-                self._query_id = f"qid_{qid}"
-                return self._query_id
-            except (OSError, ValueError, KeyError):
-                pass  # metadata not written yet / non-local fs: fall back
+            raw = self._read_checkpoint_metadata()
+            if raw is not None:
+                try:
+                    self._query_id = f"qid_{json.loads(raw)['id']}"
+                    return self._query_id
+                except (ValueError, KeyError):
+                    pass  # malformed metadata: fall back
         return self._run_id
 
-    def _hwm_path(self) -> str:
+    def _mark_dir(self) -> str:
         d = os.path.join(self._store.root, f"_applied_{self._spec.name}")
         os.makedirs(d, exist_ok=True)
+        return d
+
+    def _hwm_path(self) -> str:
         token = self._run_token()
         safe = (re.sub(r"\W+", "_", token).strip("_") or "default")[-48:]
         digest = hashlib.sha1(token.encode()).hexdigest()[:12]
-        return os.path.join(d, f"{safe}-{digest}")
+        return os.path.join(self._mark_dir(), f"{safe}-{digest}")
+
+    def _legacy_hwm_path(self) -> str:
+        """Pre-round-6 mark filename (sanitized run_id, no digest) —
+        read as a fallback so an upgrade doesn't orphan existing marks
+        and re-merge the last committed batch on restart."""
+        safe = re.sub(r"\W+", "_", self._run_id).strip("_") or "default"
+        return os.path.join(self._mark_dir(), safe)
 
     def _hwm(self) -> int:
-        try:
-            with open(self._hwm_path()) as fh:
-                return int(fh.read().strip())
-        except (OSError, ValueError):
-            return -1
+        for path in (self._hwm_path(), self._legacy_hwm_path()):
+            try:
+                with open(path) as fh:
+                    return int(fh.read().strip())
+            except (OSError, ValueError):
+                continue
+        return -1
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -334,6 +384,16 @@ class ScheduledViewMaintainer:
         with open(tmp, "w") as fh:
             fh.write(str(batch_id))
         os.replace(tmp, path)
+        # migrate away from the pre-round-6 filename: the new mark now
+        # carries the state, so the legacy file must not linger (it
+        # would shadow nothing — new path is read first — but would
+        # resurrect a stale id if the new mark were ever cleared).
+        legacy = self._legacy_hwm_path()
+        if legacy != path:
+            try:
+                os.remove(legacy)
+            except OSError:
+                pass
 
 
 def run_view_stream(spark: SparkSession, in_path: str,

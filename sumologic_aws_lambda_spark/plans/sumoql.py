@@ -399,6 +399,10 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
             return df.withColumn(
                 m.group(2), F.expr(_rewrite_expr(m.group(1)))
             )
+        except SumoQLError as exc:
+            # a rewrite already diagnosed the problem (e.g. CIDR prefix
+            # out of range) — keep its message, just add the stage.
+            raise SumoQLError(f"{exc} (in stage {stage!r})") from exc
         except Exception as exc:
             raise SumoQLError(f"bad expression stage: {stage!r}") from exc
     raise SumoQLError(f"unknown stage: {stage!r}")
@@ -491,9 +495,7 @@ _EXPR_REWRITES: list[tuple[re.Pattern, object]] = [
     # ipv4ToNumber(ip) → 32-bit integer form (Sumo's CIDR-math helper):
     # a narrow octet fold, no UDF.
     (re.compile(rf"\bipv4ToNumber\(({_SIMPLE_ARG})\)", re.IGNORECASE),
-     lambda m: f"aggregate(split({m.group(1).strip()}, '\\\\.'), "
-               "CAST(0 AS BIGINT), "
-               "(acc, x) -> acc * 256 + CAST(x AS BIGINT))"),
+     lambda m: _ipv4_num_sql(m.group(1).strip())),
     # parseDate(s, "fmt") → epoch millis; Sumo's format strings are Java
     # SimpleDateFormat patterns, which is exactly Spark's to_timestamp.
     (re.compile(rf"\bparseDate\(({_SIMPLE_ARG}),\s*(\"[^\"]*\"|'[^']*')\)",
@@ -505,10 +507,7 @@ _EXPR_REWRITES: list[tuple[re.Pattern, object]] = [
     # over the ipv4 octet fold, no UDF.
     (re.compile(r"\bmaskFromCIDR\(\s*[\"']?(\d{1,2})[\"']?\s*\)",
                 re.IGNORECASE),
-     lambda m: "'" + ".".join(
-         str(((((1 << 32) - 1) ^ ((1 << (32 - int(m.group(1)))) - 1))
-              >> s) & 255)
-         for s in (24, 16, 8, 0)) + "'"),
+     lambda m: _mask_from_cidr_sql(int(m.group(1)))),
     (re.compile(rf"\bgetCIDRPrefix\(({_SIMPLE_ARG}),"
                 rf"\s*[\"']?(\d{{1,2}})[\"']?\s*\)", re.IGNORECASE),
      lambda m: _cidr_prefix_sql(m.group(1).strip(), int(m.group(2)))),
@@ -525,12 +524,21 @@ def _ipv4_num_sql(ip: str) -> str:
             "(acc, x) -> acc * 256 + CAST(x AS BIGINT))")
 
 
-def _cidr_net_sql(ip: str, prefix_len: int) -> str:
-    """Masked network number of ``ip`` under ``prefix_len`` bits."""
+def _cidr_mask(prefix_len: int) -> int:
     if not 0 <= prefix_len <= 32:
         raise SumoQLError(f"CIDR prefix length out of range: {prefix_len}")
-    mask = ((1 << 32) - 1) ^ ((1 << (32 - prefix_len)) - 1)
-    return f"(CAST({mask} AS BIGINT) & {_ipv4_num_sql(ip)})"
+    return ((1 << 32) - 1) ^ ((1 << (32 - prefix_len)) - 1)
+
+
+def _mask_from_cidr_sql(prefix_len: int) -> str:
+    mask = _cidr_mask(prefix_len)
+    return ("'" + ".".join(str((mask >> s) & 255)
+                           for s in (24, 16, 8, 0)) + "'")
+
+
+def _cidr_net_sql(ip: str, prefix_len: int) -> str:
+    """Masked network number of ``ip`` under ``prefix_len`` bits."""
+    return f"(CAST({_cidr_mask(prefix_len)} AS BIGINT) & {_ipv4_num_sql(ip)})"
 
 
 def _cidr_prefix_sql(ip: str, prefix_len: int) -> str:

@@ -245,3 +245,26 @@ def test_remove_duplicate_spans_no_window_in_plan(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(remove_duplicate_spans(docs))
     assert "Window" not in plan    # winner via min(struct), never a window
+
+
+def test_remove_duplicate_spans_intra_doc_and_cross_doc_scope(spark):
+    from sumologic_aws_lambda_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    eight = "a b c d e f g h"
+    # the span repeats only WITHIN doc 1
+    docs = spark.createDataFrame(
+        [(1, f"{eight} x {eight}"), (2, "totally different words here")],
+        "doc_id long, text string",
+    )
+    corpus = {r["doc_id"]: r for r in
+              remove_duplicate_spans(docs, k=8).collect()}
+    # ExactSubstr scope: the second intra-doc occurrence is cut
+    assert corpus[1]["n_tokens_removed"] == 8
+    assert corpus[1]["text"] == f"{eight} x"
+    cross = {r["doc_id"]: r for r in
+             remove_duplicate_spans(docs, k=8,
+                                    cross_doc_only=True).collect()}
+    # cross-doc scope (matching duplicate_span_stats): nothing cut
+    assert cross[1]["n_tokens_removed"] == 0

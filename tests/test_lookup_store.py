@@ -82,9 +82,12 @@ def test_save_over_table_being_read(spark, tmp_path):
     assert got == {"h1": 2, "h2": 6}
 
 
-def test_stale_tmp_dirs_not_listed_and_swept(spark, tmp_path):
+def test_stale_tmp_dirs_not_listed_and_reclaimed_by_save(spark, tmp_path):
     """A crash mid-save leaves `<name>.__tmp__` — it must never be
-    listed as a table, and a fresh registry sweeps it."""
+    listed as a table (by any registry), and the next save of that name
+    reclaims it.  Constructing a registry stays read-only: an init-time
+    sweep could destroy ANOTHER live registry's in-flight save on a
+    shared root."""
     import os
 
     store = PersistentLookups(spark, str(tmp_path))
@@ -95,5 +98,10 @@ def test_stale_tmp_dirs_not_listed_and_swept(spark, tmp_path):
     os.makedirs(tmp_path / "sev.__tmp__")
     assert store.tables() == ["sev"]
     fresh = PersistentLookups(spark, str(tmp_path))
-    assert not (tmp_path / "sev.__tmp__").exists()
+    # read-only construction: the leftover is untouched, just unlisted
+    assert (tmp_path / "sev.__tmp__").exists()
     assert fresh.tables() == ["sev"]
+    # the next save of the same name reclaims the leftover
+    compile_query(src, "* | save sev", SCHEMA, lookups=fresh)
+    assert fresh["sev"].count() == 1
+    assert not (tmp_path / "sev.__tmp__").exists()

@@ -416,3 +416,38 @@ def test_view_query_threads_lookups(spark, tmp_path):
     )
     got = {r.cat: r.tier for r in out.collect()}
     assert got == {"api": "backend", "web": "frontend"}
+
+
+def test_legacy_high_water_mark_is_honored_and_migrated(spark, tmp_path):
+    """Marks written by the pre-round-6 filename (sanitized run_id, no
+    digest) must still suppress redelivered batches after upgrade, and
+    the first applied batch retires the legacy file."""
+    import os
+
+    from sumologic_aws_lambda_spark.plans.scheduled_views import (
+        ScheduledViewMaintainer,
+    )
+
+    store = ScheduledViewStore(str(tmp_path))
+    spec = ScheduledViewSpec(
+        name="legacy_view",
+        query="* | timeslice 1d | count by _timeslice, cat",
+    )
+    batch = spark.createDataFrame(
+        [("2024-09-06 10:00:00", "api", "m", 1)],
+        "ts string, cat string, msg string, v long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    m = ScheduledViewMaintainer(spark, store, spec, SCHEMA, run_id="ckX")
+    m(batch, 0)   # establishes the view + new-format mark at id 0
+    # simulate the pre-upgrade state: legacy-format mark at id 1,
+    # new-format mark absent
+    os.remove(m._hwm_path())
+    with open(m._legacy_hwm_path(), "w") as fh:
+        fh.write("1")
+    m2 = ScheduledViewMaintainer(spark, store, spec, SCHEMA, run_id="ckX")
+    m2(batch, 1)   # redelivery of batch 1: suppressed by the LEGACY mark
+    assert store.read(spark, "legacy_view").collect()[0]["_count"] == 1
+    m2(batch, 2)   # genuinely new batch applies and retires the legacy file
+    assert store.read(spark, "legacy_view").collect()[0]["_count"] == 2
+    assert not os.path.exists(m2._legacy_hwm_path())
+    assert os.path.exists(m2._hwm_path())

@@ -812,3 +812,12 @@ def test_cidr_edge_prefixes(spark):
     assert out["m32"] == "255.255.255.255"
     assert out["full"] == "10.10.1.32/32"
     assert out["always"] is True
+
+
+def test_cidr_prefix_out_of_range_raises_sumoql_error(spark):
+    df = spark.createDataFrame([("10.0.0.1",)], "a string")
+    for q in ('* | maskFromCIDR("40") as m',
+              '* | getCIDRPrefix(a, "99") as n',
+              '* | compareCIDRPrefix(a, a, "33") as c'):
+        with pytest.raises(SumoQLError, match="out of range"):
+            compile_query(df, q, SumoSchema(raw_col="a"))
