@@ -81,6 +81,9 @@ OPTIONAL = [
     "vocab_oov_rates",
     "unigram_lm_scores",
     "semdedup_prune",
+    "exactsubstr_removal_stats",
+    "temperature_mixture_weights",
+    "dataset_manifest_diff",
 ]
 
 
