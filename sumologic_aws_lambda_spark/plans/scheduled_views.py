@@ -59,8 +59,12 @@ _MERGE_FNS = {
     "_hll": F.hll_union_agg,
 }
 
+# NOTE: percentiles are compiled as `_pct_<arg>_<p>` (sumoql.py
+# `_pct_{arg}_{p}`), so the prefix here must be `_pct` — `_pctl` never
+# matched and percentile columns silently became GROUP KEYS, making the
+# incremental refresh diverge from a full recompute.
 _UNMERGEABLE = ("_avg", "_count_distinct", "_median", "_values", "_first",
-                "_last", "_stddev", "_variance", "_pctl")
+                "_last", "_stddev", "_variance", "_pct")
 
 
 def view_safe_name(*parts: str) -> str:

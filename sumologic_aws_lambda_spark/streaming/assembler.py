@@ -84,6 +84,10 @@ def assemble_multiline_stream(lines: DataFrame,
             first_seq, cur = -1, []
         batch = pd.concat(list(pdfs)).sort_values("seq")
         for seq, line in zip(batch["seq"], batch["line"]):
+            # a null line (e.g. a json row missing the field) must not
+            # poison the query: pat.match(None) raises TypeError and the
+            # failed task is re-read forever.  Treat it as empty.
+            line = line if isinstance(line, str) else ""
             if pat.match(line) and cur:
                 yield _entry_row(key[0], first_seq, cur)
                 first_seq, cur = int(seq), [line]
@@ -141,6 +145,7 @@ try:  # pragma: no cover - exercised only where protobuf is installed
                 first_seq, cur = -1, []
             batch = pd.concat(list(rows)).sort_values("seq")
             for seq, line in zip(batch["seq"], batch["line"]):
+                line = line if isinstance(line, str) else ""  # null guard
                 if pat.match(line) and cur:
                     yield _entry_row(key[0], first_seq, cur)
                     first_seq, cur = int(seq), [line]
@@ -149,6 +154,12 @@ try:  # pragma: no cover - exercised only where protobuf is installed
                 else:
                     cur.append(line)
             self._buf.update((first_seq, "\n".join(cur)))
+            # TWS timers ACCUMULATE per expiry timestamp (unlike the
+            # GroupState twin's setTimeoutDuration, which resets): drop
+            # the previous timer before arming the new one, or a stale
+            # timer fires mid-stream and flushes a growing entry early.
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
             self._handle.registerTimer(
                 timerValues.getCurrentProcessingTimeInMs()
                 + self._flush_after_ms

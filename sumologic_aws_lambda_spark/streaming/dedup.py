@@ -1,24 +1,32 @@
 """Streaming incremental dedup: a ``foreachBatch`` stage that drops any
 incoming document whose content fingerprint was already ingested, then
-appends the survivors' fingerprints to a persistent store.
+records the survivors' fingerprints in a persistent store.
 
 The batch operator is ``operators.dedup.incremental_dedup`` — the
 streaming wrapper only adds the store lifecycle, so batch backfills and
 the live stream share one code path (same principle as the CWL pipeline,
 SURVEY §3.1).
 
-Scale shape: the store is a parquet prefix keyed by fingerprint.  Each
-micro-batch does one anti-join (batch side small → broadcast or AQE hash
-join) and one append; within-batch duplicates are collapsed first with a
+Scale shape: the store is a parquet prefix keyed by fingerprint,
+partitioned by the writing batch id.  Each micro-batch does one
+anti-join (batch side small → broadcast or AQE hash join) and one
+partition write; within-batch duplicates are collapsed first with a
 groupBy on the uniform 128-bit key.  Nothing is collected to the driver
-and the store is never rewritten, only appended.  On a real deployment
-the store would be bucketed by fingerprint (or a Delta/Hudi table with
-merge) — the operator contract is unchanged.
+and no existing store partition is ever rewritten.  On a real
+deployment the store would be bucketed by fingerprint (or a Delta/Hudi
+table with merge) — the operator contract is unchanged.
 
-Exactly-once caveat (same as every foreachBatch sink here): a batch
-retried after appending but before checkpoint commit re-appends its
-fingerprints; dedup semantics tolerate that (duplicate store rows only
-make the anti-join match the same content twice).
+Exactly-once design (both sinks): every write is an OVERWRITE of a
+partition owned by this batch id (``batch_id=N`` under both the output
+and the store), and the anti-join EXCLUDES the store rows this same
+batch wrote — so a batch redelivered after any subset of its writes
+recomputes byte-identical results and overwrites them in place.  No
+duplicate output rows, no lost texts, no high-water-mark file.  The one
+caveat: batch ids are scoped to a streaming checkpoint, so reuse of a
+store across DIFFERENT checkpoints (deleting the checkpoint but keeping
+the store) can collide ids and re-admit content a dead run had seen —
+clear the store with the checkpoint, or key a fresh ``out``/``store``
+prefix per run.
 """
 
 from __future__ import annotations
@@ -26,14 +34,40 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.dedup import incremental_dedup
 from ..operators.text import fingerprint
 
 
+def _read_store(spark: SparkSession, store_dir: str, schema: str,
+                exclude_batch: int | None = None) -> DataFrame:
+    """The persistent hash store, or an empty frame before first write.
+    ``exclude_batch`` drops rows written by that batch id — the
+    redelivery-idempotence trick (see module doc).  Local-fs probe;
+    swap for a catalog/Delta table on object stores."""
+    if os.path.isdir(store_dir) and any(
+            e.startswith("batch_id=") or e.endswith(".parquet")
+            for e in os.listdir(store_dir)):
+        df = spark.read.parquet(store_dir)
+        if exclude_batch is not None and "batch_id" in df.columns:
+            df = df.filter(F.col("batch_id") != exclude_batch)
+        return df
+    return spark.createDataFrame([], schema)
+
+
+def _overwrite_batch_partition(df: DataFrame, base_dir: str,
+                               batch_id: int) -> None:
+    """Idempotent per-batch write: the batch OWNS ``base_dir/batch_id=N``
+    and overwrites it wholesale on redelivery (the sinks.py pattern).
+    Readers of ``base_dir`` see ``batch_id`` as a partition column."""
+    df.write.mode("overwrite").parquet(
+        os.path.join(base_dir, f"batch_id={batch_id}"))
+
+
 class IncrementalDedupSink:
     """foreachBatch callable: survivors → ``out_dir``, their fingerprints
-    → ``store_dir``."""
+    → ``store_dir`` (both per-batch overwrite partitions)."""
 
     def __init__(self, spark: SparkSession, store_dir: str, out_dir: str,
                  text_col: str = "text"):
@@ -43,25 +77,21 @@ class IncrementalDedupSink:
         self._text = text_col
         self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, kept)
 
-    def _seen(self) -> DataFrame:
-        if os.path.isdir(self._store) and any(
-                f.endswith(".parquet") for f in os.listdir(self._store)):
-            return self._spark.read.parquet(self._store)
-        return self._spark.createDataFrame([], "fingerprint string")
-
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         n_in = batch_df.count()
         # collapse within-batch duplicates (keep first by natural order of
         # the fingerprint groupBy — content-identical, so any row works)
         batch = batch_df.withColumn("_fp", fingerprint(self._text)) \
             .dropDuplicates(["_fp"]).drop("_fp")
-        kept = incremental_dedup(batch, self._seen(), self._text)
-        kept = kept.localCheckpoint()  # store append must not re-read input
+        seen = _read_store(self._spark, self._store, "fingerprint string",
+                           exclude_batch=batch_id)
+        kept = incremental_dedup(batch, seen, self._text)
+        kept = kept.localCheckpoint()  # store write must not re-read input
         n_kept = kept.count()
-        if n_kept:
-            kept.write.mode("append").parquet(self._out)
-            kept.select(fingerprint(self._text).alias("fingerprint")) \
-                .write.mode("append").parquet(self._store)
+        _overwrite_batch_partition(kept, self._out, batch_id)
+        _overwrite_batch_partition(
+            kept.select(fingerprint(self._text).alias("fingerprint")),
+            self._store, batch_id)
         self.batch_stats.append((batch_id, n_in, n_kept))
 
 
@@ -74,9 +104,9 @@ class ParagraphDedupSink:
     occurrences (skew-safe groupBy winner per paragraph hash); survivors
     are then re-split and anti-joined against the persistent
     paragraph-hash store so anything seen in an earlier batch is dropped
-    too, documents are reassembled, and the new paragraph hashes append
-    to the store.  Store rows are md5 hex only — 32 bytes per distinct
-    paragraph, never the text itself.
+    too, documents are reassembled, and the new paragraph hashes land in
+    the store's per-batch partition.  Store rows are md5 hex only — 32
+    bytes per distinct paragraph, never the text itself.
 
     Output parity with the batch operator: a document whose every
     paragraph was already seen (within the batch OR in earlier batches)
@@ -95,15 +125,7 @@ class ParagraphDedupSink:
         self._k = tokens_per_para
         self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, kept)
 
-    def _seen(self) -> DataFrame:
-        if os.path.isdir(self._store) and any(
-                f.endswith(".parquet") for f in os.listdir(self._store)):
-            return self._spark.read.parquet(self._store)
-        return self._spark.createDataFrame([], "para_md5 string")
-
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import functions as F
-
         from ..operators.dedup import paragraph_dedup, paragraph_units
 
         within = paragraph_dedup(batch_df, self._text,
@@ -113,8 +135,10 @@ class ParagraphDedupSink:
             F.posexplode(paragraph_units("text_kept", self._k))
             .alias("pos", "para"),
         ).filter(F.col("para") != "")
+        seen = _read_store(self._spark, self._store, "para_md5 string",
+                           exclude_batch=batch_id)
         kept = paras.withColumn("para_md5", F.md5("para")).join(
-            self._seen(), "para_md5", "left_anti").localCheckpoint()
+            seen, "para_md5", "left_anti").localCheckpoint()
         survivors = (
             kept.groupBy("doc_id")
             .agg(F.array_join(
@@ -134,25 +158,20 @@ class ParagraphDedupSink:
         )
         n_in = batch_df.count()
         n_kept = survivors.count()
-        if n_in:
-            docs.write.mode("append").parquet(self._out)
-        if n_kept:
-            kept.select("para_md5").distinct().write.mode("append") \
-                .parquet(self._store)
+        _overwrite_batch_partition(docs, self._out, batch_id)
+        _overwrite_batch_partition(
+            kept.select("para_md5").distinct(), self._store, batch_id)
         self.batch_stats.append((batch_id, n_in, n_kept))
 
 
-def run_incremental_dedup(spark: SparkSession, in_path: str, out_dir: str,
-                          store_dir: str, checkpoint_dir: str,
-                          available_now: bool = True):
-    """Wire a json-lines document stream (``{"doc_id": ..., "text": ...}``)
-    through the dedup sink.  Returns (StreamingQuery, sink)."""
+def _run_dedup_stream(spark: SparkSession, in_path: str, sink,
+                      checkpoint_dir: str, available_now: bool):
+    """Shared json-lines → foreachBatch wiring for both dedup sinks."""
     stream = (
         spark.readStream.format("json")
         .schema("doc_id long, text string")
         .load(in_path)
     )
-    sink = IncrementalDedupSink(spark, store_dir, out_dir)
     writer = (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
@@ -161,6 +180,16 @@ def run_incremental_dedup(spark: SparkSession, in_path: str, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start(), sink
+
+
+def run_incremental_dedup(spark: SparkSession, in_path: str, out_dir: str,
+                          store_dir: str, checkpoint_dir: str,
+                          available_now: bool = True):
+    """Wire a json-lines document stream (``{"doc_id": ..., "text": ...}``)
+    through the dedup sink.  Returns (StreamingQuery, sink)."""
+    return _run_dedup_stream(
+        spark, in_path, IncrementalDedupSink(spark, store_dir, out_dir),
+        checkpoint_dir, available_now)
 
 
 def run_paragraph_dedup(spark: SparkSession, in_path: str, out_dir: str,
@@ -169,18 +198,8 @@ def run_paragraph_dedup(spark: SparkSession, in_path: str, out_dir: str,
                         available_now: bool = True):
     """Wire a json-lines document stream through the paragraph-dedup
     sink.  Returns (StreamingQuery, sink)."""
-    stream = (
-        spark.readStream.format("json")
-        .schema("doc_id long, text string")
-        .load(in_path)
-    )
-    sink = ParagraphDedupSink(spark, store_dir, out_dir,
-                              tokens_per_para=tokens_per_para)
-    writer = (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start(), sink
+    return _run_dedup_stream(
+        spark, in_path,
+        ParagraphDedupSink(spark, store_dir, out_dir,
+                           tokens_per_para=tokens_per_para),
+        checkpoint_dir, available_now)

@@ -50,7 +50,10 @@ def resolve_endpoint(
             raise EndpointConfigError(
                 f"Unable to get EndpointURL from SSM: {exc}") from exc
     if not url:
+        # name the EXACT key the lookup above uses — advising a
+        # different parameter name would send operators in circles
         raise EndpointConfigError(
-            "Either define SUMO_ENDPOINT environment variable or create a "
-            "secure string named /sumologic/SUMO_ENDPOINT in SSM")
+            f"Either define the {PARAM_NAME} environment variable or "
+            f"create a secure string named {PARAM_NAME!r} in the "
+            f"parameter store this resolver was given")
     return validate_endpoint(url)

@@ -28,12 +28,20 @@ class BacklogAlert:
 
 class BacklogListener(StreamingQueryListener):
     """Alerts when a micro-batch's input exceeds ``threshold`` rows (the
-    backlog signal available without an external queue) or processing
-    falls behind the trigger interval."""
+    backlog signal available without an external queue) or — when
+    ``trigger_interval_seconds`` is supplied — a batch's execution time
+    exceeds the trigger interval (sustained lag: every batch slower than
+    the trigger means the stream falls further behind each tick).
+
+    ``seconds_behind`` carries the batch's triggerExecution duration in
+    seconds (the lag PER TICK, not total backlog — total backlog needs
+    the source's own queue metrics, T7's Kinesis monitor)."""
 
     def __init__(self, threshold: int = DEFAULT_BACKLOG_THRESHOLD,
-                 alert: Callable[[BacklogAlert], None] | None = None):
+                 alert: Callable[[BacklogAlert], None] | None = None,
+                 trigger_interval_seconds: float | None = None):
         self.threshold = threshold
+        self.trigger_interval_seconds = trigger_interval_seconds
         self.alerts: list[BacklogAlert] = []
         self._alert_fn = alert
 
@@ -43,14 +51,20 @@ class BacklogListener(StreamingQueryListener):
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
         rows = p.numInputRows or 0
-        if rows > self.threshold:
-            batch_duration = (p.durationMs or {}).get("triggerExecution")
+        batch_duration = (p.durationMs or {}).get("triggerExecution")
+        batch_seconds = (batch_duration / 1000.0
+                         if batch_duration is not None else None)
+        lagging = (
+            self.trigger_interval_seconds is not None
+            and batch_seconds is not None
+            and batch_seconds > self.trigger_interval_seconds
+        )
+        if rows > self.threshold or lagging:
             alert = BacklogAlert(
                 query_id=str(p.id),
                 batch_id=p.batchId,
                 num_input_rows=rows,
-                seconds_behind=(batch_duration / 1000.0
-                                if batch_duration else None),
+                seconds_behind=batch_seconds,
             )
             self.alerts.append(alert)
             if self._alert_fn is not None:

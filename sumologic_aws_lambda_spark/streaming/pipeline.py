@@ -84,9 +84,18 @@ def drain_quarantine(spark: SparkSession, quarantine_dir: str,
                      out_dir: str) -> list:
     """T5/§3.2: re-deliver quarantined batches through the same sink —
     the scheduled DLQProcessor.  Batch identity is preserved so re-
-    delivery overwrites (at-least-once → idempotent effect)."""
+    delivery overwrites (at-least-once → idempotent effect).
+
+    Failure isolation matches the reference DLQProcessor: one batch
+    whose redelivery exhausts its retries stays quarantined for the
+    next drain while the remaining batches still go out (its failed
+    attempt is in the returned reports), and a batch successfully
+    redelivered is REMOVED from quarantine — the analog of deleting the
+    SQS message — so the quarantine prefix cannot grow without bound or
+    re-deliver history forever."""
     import pathlib
     import re
+    import shutil
 
     from py4j.protocol import Py4JJavaError
 
@@ -107,7 +116,11 @@ def drain_quarantine(spark: SparkSession, quarantine_dir: str,
             df = spark.read.parquet(path)
         except Py4JJavaError:
             continue
-        sink(df, batch_id)
+        try:
+            sink(df, batch_id)
+        except RuntimeError:
+            continue    # still failing: keep quarantined, drain the rest
+        shutil.rmtree(path, ignore_errors=True)
     return sink.reports
 
 

@@ -15,8 +15,12 @@ corpus), so the batch is capped at ``result_cap`` rows before the one
 ``collect`` — same documented bound as the search-service paging surface.
 The POST transport is injected (tests record it; production passes an
 HTTP client), and retries follow the reference's linear backoff
-(``count * seed``) with quarantine-on-exhaustion semantics handled by the
-caller's DLQ loop.
+(``count * seed``); on exhaustion the batch is QUARANTINED
+(``quarantine_dir``, same ``batch_id=N`` parquet convention as
+``NdjsonDeliverySink``, drained by the same DLQ loop) or, with no
+quarantine configured, the sink raises so the streaming checkpoint does
+not commit and the batch is redelivered — a notification is never
+silently dropped.
 """
 
 from __future__ import annotations
@@ -99,13 +103,15 @@ class WebhookDeliverySink:
     def __init__(self, connection: WebhookConnection, post,
                  variables: dict[str, object] | None = None,
                  result_cap: int = 1000, max_retries: int = 3,
-                 backoff_seconds: float = 5.0, sleep=time.sleep):
+                 backoff_seconds: float = 5.0,
+                 quarantine_dir: str | None = None, sleep=time.sleep):
         self.connection = connection
         self.post = post
         self.variables = variables or {}
         self.result_cap = result_cap
         self.max_retries = max_retries
         self.backoff_seconds = backoff_seconds
+        self.quarantine_dir = quarantine_dir
         self.reports: list[WebhookReport] = []
         self._sleep = sleep
 
@@ -146,3 +152,17 @@ class WebhookDeliverySink:
         self.reports.append(
             WebhookReport(batch_id, self.max_retries, False, len(rows),
                           str(last_err)))
+        # Never swallow an exhausted delivery: either quarantine the
+        # batch for the DLQ drain (same batch_id=N convention as
+        # NdjsonDeliverySink) or raise so the checkpoint does NOT
+        # commit and the batch is redelivered — a silently-dropped
+        # notification is the worst outcome for an alerting sink.
+        if self.quarantine_dir is not None:
+            batch_df.write.mode("overwrite").parquet(
+                f"{self.quarantine_dir}/batch_id={batch_id}"
+            )
+        else:
+            raise RuntimeError(
+                f"webhook delivery failed after {self.max_retries} "
+                f"attempts for batch {batch_id}: {last_err}"
+            ) from last_err

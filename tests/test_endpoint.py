@@ -29,7 +29,8 @@ def test_store_fallback():
 
 
 def test_neither_source_errors_with_guidance():
-    with pytest.raises(EndpointConfigError, match="SSM"):
+    # the guidance must name the EXACT key the lookup uses
+    with pytest.raises(EndpointConfigError, match="'SUMO_ENDPOINT'"):
         resolve_endpoint({}, None)
 
 

@@ -60,3 +60,33 @@ def test_backlog_listener_thresholds():
     P.numInputRows = 3
     listener.onQueryProgress(E())
     assert len(listener.alerts) == 1  # below threshold → no alert
+
+
+def test_backlog_listener_lag_condition():
+    """A batch slower than the trigger interval alerts even when row
+    count is under the threshold."""
+    from types import SimpleNamespace
+
+    from sumologic_aws_lambda_spark.streaming.monitor import BacklogListener
+
+    fired = []
+    lst = BacklogListener(threshold=100_000, alert=fired.append,
+                          trigger_interval_seconds=60)
+    progress = SimpleNamespace(
+        id="q-1", batchId=7, numInputRows=10,
+        durationMs={"triggerExecution": 300_000},
+    )
+    lst.onQueryProgress(SimpleNamespace(progress=progress))
+    assert len(fired) == 1
+    assert fired[0].seconds_behind == 300.0
+    # a fast batch with few rows stays quiet
+    progress2 = SimpleNamespace(
+        id="q-1", batchId=8, numInputRows=10,
+        durationMs={"triggerExecution": 0},
+    )
+    lst.onQueryProgress(SimpleNamespace(progress=progress2))
+    assert len(fired) == 1
+    # a 0 ms duration is a legitimate value, not None
+    lst2 = BacklogListener(threshold=5, alert=fired.append)
+    lst2.onQueryProgress(SimpleNamespace(progress=progress2))
+    assert fired[-1].seconds_behind == 0.0

@@ -451,3 +451,17 @@ def test_legacy_high_water_mark_is_honored_and_migrated(spark, tmp_path):
     assert store.read(spark, "legacy_view").collect()[0]["_count"] == 2
     assert not os.path.exists(m2._legacy_hwm_path())
     assert os.path.exists(m2._hwm_path())
+
+
+def test_view_rejects_percentile(events):
+    """Percentiles compile to `_pct_<arg>_<p>` columns; they are not
+    mergeable partials and must be rejected at registration, not
+    silently treated as group keys (which would make refresh diverge
+    from a full recompute)."""
+    spec = ScheduledViewSpec(
+        name="pct_view",
+        query="* | timeslice 1d | count, percentile(v, 95) "
+              "by _timeslice, cat",
+    )
+    with pytest.raises(SumoQLError, match="not mergeable"):
+        materialize(events, spec, SCHEMA)

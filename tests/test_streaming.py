@@ -188,3 +188,25 @@ def test_streaming_exact_dedup_drops_redeliveries(spark, tmp_path):
     got = sorted(r["event_id"]
                  for r in spark.sql("select * from dedup").collect())
     assert got == ["evt-1", "evt-2"]
+
+
+def test_drain_removes_delivered_batches_and_isolates_failures(
+        spark, tmp_path):
+    """A drained batch leaves quarantine (the reference DLQProcessor
+    deletes the SQS message); a batch that cannot be read is skipped
+    without aborting the rest."""
+    import os
+
+    q = tmp_path / "dlq"
+    df = spark.createDataFrame([(1,)], "v int")
+    df.write.parquet(str(q / "batch_id=1"))
+    df.write.parquet(str(q / "batch_id=2"))
+    # an unreadable quarantined batch must not abort the drain
+    (q / "batch_id=3").mkdir()
+    (q / "batch_id=3" / "junk.parquet").write_text("not parquet")
+
+    reports = drain_quarantine(spark, str(q), str(tmp_path / "out"))
+    assert sorted(r.batch_id for r in reports) == [1, 2]
+    assert all(r.success for r in reports)
+    # delivered batches removed; the unreadable one stays for inspection
+    assert sorted(os.listdir(q)) == ["batch_id=3"]

@@ -84,3 +84,39 @@ def test_cross_batch_paragraph_dedup(spark, tmp_path):
     assert out[3] == "" and out[4] == "m n o p"
     store = spark.read.parquet(str(tmp_path / "store"))
     assert store.count() == 4                  # P1 P2 P3 + "m n o p"
+
+
+def test_redelivered_batch_is_idempotent(spark, tmp_path):
+    """A batch redelivered after ANY subset of its writes must recompute
+    byte-identical results: no duplicate output rows, no lost texts."""
+    from sumologic_aws_lambda_spark.streaming.dedup import (
+        IncrementalDedupSink,
+        ParagraphDedupSink,
+    )
+
+    inc = IncrementalDedupSink(spark, str(tmp_path / "s1"),
+                               str(tmp_path / "o1"))
+    b = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string")
+    inc(b, 0)
+    inc(b, 0)     # redelivery AFTER output + store writes
+    out = spark.read.parquet(str(tmp_path / "o1"))
+    assert out.count() == 2                       # not 4, not 0
+    assert {r.text for r in out.collect()} == {"alpha beta", "gamma delta"}
+    store = spark.read.parquet(str(tmp_path / "s1"))
+    assert store.count() == 2
+
+    para = ParagraphDedupSink(spark, str(tmp_path / "s2"),
+                              str(tmp_path / "o2"), tokens_per_para=4)
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string")
+    para(d, 0)
+    para(d, 0)    # redelivery: texts must NOT collapse to ''
+    out2 = {r.doc_id: r.text_kept
+            for r in spark.read.parquet(str(tmp_path / "o2")).collect()}
+    assert out2 == {1: "a b c d e f g h"}
+    # a later batch still dedups against batch 0's store rows
+    para(d, 1)
+    out3 = spark.read.parquet(str(tmp_path / "o2"))
+    rows = {(r.doc_id, r.batch_id): r.text_kept for r in out3.collect()}
+    assert rows[(1, 1)] == ""

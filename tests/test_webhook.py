@@ -74,11 +74,28 @@ def test_sink_retries_then_reports_failure(spark):
         attempts.append(1)
         raise RuntimeError("503")
 
+    import pytest
+
     sink = _sink(post)
     df = spark.createDataFrame([(1,)], "id int")
-    sink(df, batch_id=1)
+    # no quarantine configured: exhaustion must RAISE (checkpoint must
+    # not commit), never silently drop the notification
+    with pytest.raises(RuntimeError, match="after 3 attempts"):
+        sink(df, batch_id=1)
     assert len(attempts) == 3                  # reference 3x linear backoff
     assert not sink.reports[0].ok and "503" in sink.reports[0].error
+
+
+def test_sink_quarantines_on_exhaustion(spark, tmp_path):
+    def post(url, body, headers):
+        raise RuntimeError("503")
+
+    sink = _sink(post)
+    sink.quarantine_dir = str(tmp_path / "q")
+    df = spark.createDataFrame([(7,)], "id int")
+    sink(df, batch_id=2)                       # no raise: quarantined
+    q = spark.read.parquet(str(tmp_path / "q" / "batch_id=2"))
+    assert [r.id for r in q.collect()] == [7]
 
 
 def test_sink_skips_empty_batch(spark):
