@@ -60,7 +60,17 @@ def apply_ingest_budget(df: DataFrame, budget_bytes: int,
         cond = e if cond is None else (cond & e)
     under = sized.join(F.broadcast(over_keys), cond, "left_anti") \
         .withColumn("_over_budget", F.lit(False))
-    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    # ROWS frame, not the default RANGE frame: under RANGE, rows tying
+    # on order_cols are frame PEERS and all receive the sum including
+    # every peer — two 60-byte rows sharing a timestamp against a
+    # 100-byte budget would BOTH flag, though the first fits.  ROWS
+    # makes the cutoff row-accurate regardless of ties (the tie-break
+    # between equal-ordered rows is then arbitrary but the flagged
+    # BYTE COUNT is exact, which is the enforcement contract).
+    w = (
+        Window.partitionBy(*key_cols).orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     over = (
         sized.join(F.broadcast(over_keys), cond, "left_semi")
         .withColumn("_cum", F.sum("_bytes").over(w))

@@ -69,8 +69,16 @@ class ContentPack:
         strings, and substitution happens before JSON decoding.
         """
         if params:
-            for k, v in params.items():
-                text = text.replace(f"$${k}", v)
+            # longest key first: with plain replace, a key that prefixes
+            # another ("logsrc" vs "logsrcExt") would corrupt the longer
+            # marker into "<value>Ext" and slip past the unsubstituted-
+            # marker guard below.  A regex with a \w boundary enforces
+            # whole-marker matches regardless of dict order.
+            for k in sorted(params, key=len, reverse=True):
+                # callable repl: the VALUE must be spliced verbatim, not
+                # run through re.sub's \-escape processing
+                text = re.sub(rf"\$\${re.escape(k)}(?!\w)",
+                              lambda m, _v=params[k]: _v, text)
         if re.search(r"\$\$\w+", text):
             missing = sorted(set(re.findall(r"\$\$(\w+)", text)))
             raise ContentPackError(
@@ -104,7 +112,9 @@ class ContentPack:
             self.searches[f"{prefix}{name}"] = SavedSearch(
                 name=name,
                 query_text=qt,
-                description=node.get("description", ""),
+                # `or ""`: an explicit JSON null must normalize like the
+                # pack-level description two branches up
+                description=node.get("description") or "",
                 time_range=tr if isinstance(tr, dict) else None,
             )
         elif "Dashboard" in ntype or "Mewboard" in ntype:

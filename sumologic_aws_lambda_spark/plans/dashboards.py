@@ -60,7 +60,17 @@ class Dashboard:
                 qtext = q.get("queryString") or q.get("queryText")
                 if qtext:
                     break
+            # the legacy DashboardSyncDefinition format puts queryString
+            # directly on the panel, not under queries[]
             if not qtext:
+                qtext = p.get("queryString") or p.get("queryText")
+            if not qtext:
+                # query-less panels are routine (TextPanel headers in
+                # DashboardV2 exports) — skip the panel, never fail the
+                # dashboard: one text header must not drop nine
+                # compilable search panels from a pack install.
+                if "text" in str(p.get("panelType", "")).lower():
+                    continue
                 raise DashboardError(
                     f"panel {p.get('title', i)!r} has no query")
             panels.append(Panel(

@@ -112,6 +112,14 @@ def parse_monitor_folder(text: str,
         queries = node.get("queries", [])
         if not queries:
             raise SumoQLError(f"monitor {node.get('name')!r} has no queries")
+        # Alert-condition triggers only: real exports pair every alert
+        # trigger with its RESOLUTION twin (ResolvedCritical /
+        # ResolvedWarning — recovery notifications, whose condition
+        # holds on every HEALTHY window and must not become an alert
+        # filter) and may carry MissingData triggers (no 'threshold'
+        # key at all — a presence check, not a threshold).  Both are
+        # skipped here; resolution/no-data notification wiring is sink
+        # behavior, not query evaluation.
         triggers = tuple(
             TriggerCondition(
                 severity=t["triggerType"],
@@ -120,6 +128,9 @@ def parse_monitor_folder(text: str,
                 time_range=t.get("timeRange", "-15m"),
             )
             for t in node.get("triggers", [])
+            if not str(t.get("triggerType", "")).startswith("Resolved")
+            and "MissingData" not in str(t.get("triggerType", ""))
+            and "threshold" in t
         )
         specs.append(MonitorSpec(
             name=node["name"],
@@ -162,7 +173,16 @@ def evaluate_monitor(df: DataFrame, spec: MonitorSpec,
         )
     res = compile_query(df, spec.query, schema)
     vcol = _value_column(res, value_col)
-    group_cols = [c for c in res.columns if c not in (vcol, "_timeslice")]
+    # Group columns are the NON-aggregate columns: a query with several
+    # aggregates ('count, sum(bytes) by host') thresholds on one of them
+    # and must not leak the others into the output schema — the
+    # evaluate_monitors union requires every monitor to emit the same
+    # (monitor, severity, slice_epoch?, groups…, value, threshold) shape.
+    # The compiler names every aggregate with a leading underscore, the
+    # same convention _value_column keys on.
+    group_cols = [c for c in res.columns
+                  if c not in (vcol, "_timeslice")
+                  and not c.startswith("_")]
     frames = []
     for trig in spec.triggers:
         sel: list[Column] = [
@@ -201,20 +221,34 @@ def streaming_threshold_monitor(records: DataFrame, spec: MonitorSpec,
                                 ts_col: str = "ts",
                                 group_cols: tuple[str, ...] = (),
                                 window_seconds: int | None = None,
-                                watermark: str = "1 hour") -> DataFrame:
+                                watermark: str = "1 hour",
+                                schema: SumoSchema = SumoSchema()
+                                ) -> DataFrame:
     """The streaming twin of :func:`evaluate_monitor` for count-based
     monitors: event-time tumbling windows under a watermark, append-mode
     safe — each alert row emits exactly once, when its window finalizes.
+
+    The monitor query's SCOPE (everything before the first ``|``) is
+    applied as a filter — an 'error'-scoped monitor must not count 'ok'
+    records toward its threshold.  Pipe stages are NOT applied (the
+    tumbling count here replaces the query's own timeslice/count); a
+    query whose aggregation is not a plain count belongs in the batch
+    evaluator.
 
     ``window_seconds`` defaults to the first trigger's ``timeRange`` (the
     reference evaluates each trigger over its lookback; a tumbling window
     of the same width is the streaming analog).  The aggregation is the
     same partial-aggregatable count the batch plan runs; no custom state.
     """
+    from .sumoql import scope_predicate
+
     if not spec.triggers:
         raise SumoQLError(f"monitor {spec.name!r} has no triggers")
     if window_seconds is None:
         window_seconds = parse_time_range(spec.triggers[0].time_range)
+    scope = spec.query.split("|", 1)[0].strip()
+    if scope and scope != "*":
+        records = records.filter(scope_predicate(scope, schema))
     win = F.window(F.col(ts_col), f"{window_seconds} seconds")
     agg = (
         records.withWatermark(ts_col, watermark)
@@ -247,7 +281,8 @@ def run_monitor_stream(spark, in_path: str, out_dir: str,
                        group_cols: tuple[str, ...] = (),
                        window_seconds: int | None = None,
                        watermark: str = "1 hour",
-                       available_now: bool = True):
+                       available_now: bool = True,
+                       schema: SumoSchema = SumoSchema()):
     """Wire a json-lines event stream through the streaming monitor to a
     parquet alert sink.  Returns the StreamingQuery."""
     stream = (
@@ -255,7 +290,7 @@ def run_monitor_stream(spark, in_path: str, out_dir: str,
     )
     alerts = streaming_threshold_monitor(
         stream, spec, group_cols=group_cols,
-        window_seconds=window_seconds, watermark=watermark)
+        window_seconds=window_seconds, watermark=watermark, schema=schema)
     writer = (
         alerts.writeStream.format("parquet")
         .option("path", out_dir)

@@ -77,7 +77,12 @@ class IndexStore:
     def __init__(self, root: str,
                  specs: list[PartitionSpec] | None = None) -> None:
         self.root = root
-        self.specs: list[PartitionSpec] = list(specs or [])
+        self.specs: list[PartitionSpec] = []
+        # route through add_partition so the constructor enforces the
+        # same name-uniqueness rule — a duplicated name would silently
+        # shadow its twin (first-match routing) instead of erroring
+        for spec in specs or []:
+            self.add_partition(spec)
 
     def add_partition(self, spec: PartitionSpec) -> None:
         if any(s.name == spec.name for s in self.specs):
@@ -94,11 +99,31 @@ class IndexStore:
 
     def read_index(self, spark: SparkSession, name: str) -> DataFrame:
         """One partition's rows — a pruned scan (directory skip), never
-        a filter over the full store."""
+        a filter over the full store.
+
+        Existence check: fast local ``isdir`` when the root is a plain
+        path, else the Hadoop FileSystem API — ``os.path.isdir`` is
+        always False for ``s3a://``/``hdfs://`` roots, which would make
+        every remote read fail 'unknown index' despite the partition
+        existing (the module's whole design targets object stores)."""
         path = os.path.join(self.root, f"_index={name}")
-        if not os.path.isdir(path):
+        if not self._exists(spark, path):
             raise SumoQLError(f"unknown index {name!r}")
         return spark.read.parquet(path)
+
+    @staticmethod
+    def _exists(spark: SparkSession, path: str) -> bool:
+        if os.path.isdir(path):
+            return True
+        if "://" not in path and not path.startswith("dbfs:"):
+            return False    # plain local path: isdir was authoritative
+        try:
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            return bool(fs.exists(hpath))
+        except Exception:  # noqa: BLE001 — unreachable FS: treat as absent
+            return False
 
     def query(self, spark: SparkSession, text: str,
               schema: SumoSchema = SumoSchema(),

@@ -60,3 +60,22 @@ def test_null_keys_are_enforced(spark):
     )
     got = {r.id: r._over_budget for r in out.collect()}
     assert got == {1: False, 2: False, 3: True, 4: True}
+
+
+def test_budget_cutoff_is_rows_accurate_under_ties(spark):
+    """Rows tying on order_cols must not all inherit the peer-inclusive
+    RANGE sum: with a 100-byte budget and two 60-byte rows at the same
+    ts, exactly one flags."""
+    from pyspark.sql import functions as F
+
+    from sumologic_aws_lambda_spark.operators.budgets import (
+        apply_ingest_budget,
+    )
+
+    df = spark.createDataFrame(
+        [("k", 1, "x" * 60), ("k", 1, "y" * 60)],
+        "key string, ts long, msg string")
+    out = apply_ingest_budget(df, budget_bytes=100, key_cols=["key"],
+                              order_cols=["ts"], size=F.length("msg"))
+    flags = sorted(r["_over_budget"] for r in out.collect())
+    assert flags == [False, True]

@@ -154,3 +154,24 @@ def test_schedule_saved_search_as_view(spark, tmp_path):
     # a non-view-shaped search (no timeslice / unmergeable agg) refuses
     with pytest.raises(ContentPackError, match="cannot back"):
         cat.schedule(store, events, "Ops Pack", "Raw Avg", schema)
+
+
+def test_param_prefix_keys_do_not_corrupt_longer_markers():
+    import json as _json
+
+    pack = {
+        "type": "SavedSearchWithScheduleSyncDefinition",
+        "name": "s",
+        "description": None,
+        "search": {"queryText": "_sourceCategory=$$logsrcExt | count"},
+    }
+    from sumologic_aws_lambda_spark.plans.content_packs import ContentPack
+
+    got = ContentPack.from_json(
+        _json.dumps(pack),
+        params={"logsrc": "prod/cloudtrail", "logsrcExt": "prod/ext"},
+    )
+    s = next(iter(got.searches.values()))
+    assert "prod/ext" in s.query_text
+    assert "cloudtrailExt" not in s.query_text
+    assert s.description == ""      # explicit null normalizes

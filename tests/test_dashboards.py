@@ -102,3 +102,28 @@ def test_bad_dashboards_raise(spark):
     svc = DashboardService()
     with pytest.raises(DashboardError, match="unknown dashboard"):
         svc.dashboard("nope")
+
+
+def test_text_panels_are_skipped_not_fatal():
+    from sumologic_aws_lambda_spark.plans.dashboards import Dashboard
+
+    node = {
+        "name": "d",
+        "panels": [
+            {"panelType": "TextPanel", "title": "Overview"},
+            {"title": "p1", "queries": [{"queryString": "error | count"}]},
+        ],
+    }
+    d = Dashboard.from_node(node)
+    assert [p.title for p in d.panels] == ["p1"]
+
+
+def test_legacy_panel_querystring_is_read():
+    from sumologic_aws_lambda_spark.plans.dashboards import Dashboard
+
+    node = {
+        "name": "legacy",
+        "panels": [{"name": "p1", "queryString": "error | count"}],
+    }
+    d = Dashboard.from_node(node)
+    assert d.panels[0].query_text == "error | count"

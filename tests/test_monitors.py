@@ -129,13 +129,20 @@ def test_streaming_monitor_emits_finalized_windows(spark, tmp_path):
         for s in (10, 20, 30, 40)
     ] + [
         {"ts": "2024-01-01T01:00:10", "event_type": "err"},
+        # 'ok' noise in hour 0 must NOT count toward the scoped monitor
+        {"ts": "2024-01-01T00:00:50", "event_type": "ok"},
+        {"ts": "2024-01-01T00:00:55", "event_type": "ok"},
         # far-future sentinel advances the watermark past hours 0 and 1
-        {"ts": "2024-01-01T06:00:00", "event_type": "ok"},
+        # (matches the scope — a filtered-out row cannot move the
+        # watermark, which sits above the scope filter in the plan)
+        {"ts": "2024-01-01T06:00:00", "event_type": "err"},
     ]
     (tmp_path / "in" / "b1.json").write_text(
         "\n".join(json.dumps(r) for r in rows) + "\n")
+    # the monitor query's SCOPE is applied to the stream; pipe stages
+    # are replaced by the tumbling count
     spec = MonitorSpec(
-        name="error_spike", query="unused-for-streaming",
+        name="error_spike", query="event_type=err | timeslice 1h | count",
         triggers=(TriggerCondition("Critical", 3, "GreaterThanOrEqual",
                                    "-1h"),))
     q = run_monitor_stream(
@@ -217,3 +224,39 @@ def test_triggerless_monitor_raises_clearly(spark):
         evaluate_monitor(df, spec, SumoSchema(raw_col="msg"))
     with pytest.raises(SumoQLError, match="no monitor specs"):
         evaluate_monitors(df, [], SumoSchema(raw_col="msg"))
+
+
+def test_parse_folder_skips_resolution_and_missing_data_triggers():
+    doc = {
+        "type": "MonitorsLibraryFolderExport",
+        "children": [{
+            "type": "MonitorsLibraryMonitorExport",
+            "name": "m1",
+            "queries": [{"rowId": "A", "query": "error | count"}],
+            "triggers": [
+                {"triggerType": "Critical", "threshold": 10,
+                 "thresholdType": "GreaterThan"},
+                {"triggerType": "ResolvedCritical", "threshold": 10,
+                 "thresholdType": "LessThanOrEqual"},
+                {"triggerType": "MissingData", "timeRange": "-30m"},
+            ],
+        }],
+    }
+    import json as _json
+
+    specs = parse_monitor_folder(_json.dumps(doc))
+    assert [t.severity for t in specs[0].triggers] == ["Critical"]
+
+
+def test_evaluate_monitor_drops_extra_aggregates(spark):
+    """'count, sum(v) by cat' thresholds on one aggregate; the other
+    must not leak into the alert schema (the union contract)."""
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 6), ("b", 1)], "cat string, v long")
+    spec = MonitorSpec(
+        name="m", query="* | count, sum(v) by cat",
+        triggers=(TriggerCondition("Critical", 5, "GreaterThan"),))
+    out = evaluate_monitor(df, spec, SCHEMA, value_col="_sum_v")
+    assert set(out.columns) == {"monitor", "severity", "cat", "value",
+                                "threshold"}
+    assert {(r.cat, r.value) for r in out.collect()} == {("a", 11.0)}
