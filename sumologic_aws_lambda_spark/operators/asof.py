@@ -5,10 +5,10 @@ needs the temporal join its search surface implies (latest config/dim
 value at event time).  Spark has no built-in as-of join, so this is the
 canonical scale-path composition:
 
-    union(left tagged 1, right tagged 0)
-      → window last(right_cols, ignorenulls)
+    union(left tagged 1, right tagged 0 with right_cols packed in a struct)
+      → window last(struct, ignorenulls)
           over (partition by key order by ts, tag rows unbounded preceding)
-      → keep tag 1
+      → keep tag 1, unpack the struct
 
 One shuffle on the join key, per-partition sort, no theta join and no
 per-key collect.  At 100 TB this beats the naive ``a.ts >= b.ts`` range
@@ -53,24 +53,32 @@ def asof_join(
     l_tagged = left.withColumn(_TAG, F.lit(left_tag)).withColumn(
         _TS, F.col(left_ts)
     )
+    # Pack right_cols into ONE struct before the union: per-column
+    # last(ignorenulls) would skip a legitimately-NULL right value and
+    # back-fill it from an OLDER right row — and different columns could
+    # then come from different right rows, attaching a row that never
+    # existed.  last() of the whole struct carries the most recent right
+    # ROW atomically; its fields unpack after the window (NULL fields
+    # stay NULL).
+    _ROW = "__asof_row"
     r_tagged = right.select(
-        *keys, F.col(right_ts).alias(_TS), *right_cols
+        *keys,
+        F.col(right_ts).alias(_TS),
+        F.struct(*[F.col(c) for c in right_cols]).alias(_ROW),
     ).withColumn(_TAG, F.lit(right_tag))
 
-    for c in l_tagged.columns:
-        if c not in r_tagged.columns:
-            r_tagged = r_tagged.withColumn(c, F.lit(None))
-    for c in r_tagged.columns:
-        if c not in l_tagged.columns:
-            l_tagged = l_tagged.withColumn(c, F.lit(None))
-    u = l_tagged.unionByName(r_tagged)
+    l_tagged = l_tagged.withColumn(
+        _ROW, F.lit(None).cast(r_tagged.schema[_ROW].dataType))
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
     w = (
         Window.partitionBy(*keys)
         .orderBy(_TS, _TAG)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in right_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    u = u.withColumn(_ROW, F.last(_ROW, ignorenulls=True).over(w))
     is_left = F.col(_TAG) == left_tag
-    return u.filter(is_left).drop(_TAG, _TS)
+    picked = u.filter(is_left)
+    for c in right_cols:
+        picked = picked.withColumn(c, F.col(f"{_ROW}.{c}"))
+    return picked.drop(_TAG, _TS, _ROW)

@@ -102,14 +102,20 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # NULL content must yield NULL features, not kill the task:
+            # bytes(None) raises TypeError, and the re-read-on-retry loop
+            # would wedge the whole job on one corrupt row.
+            blobs = [None if c is None else bytes(c)
+                     for c in pdf["content"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "modality": pdf["modality"],
                 "features": [
-                    _fake_decode_features(bytes(c), dim)
-                    for c in pdf["content"]
+                    None if b is None else _fake_decode_features(b, dim)
+                    for b in blobs
                 ],
-                "content_bytes": [len(bytes(c)) for c in pdf["content"]],
+                "content_bytes": [None if b is None else len(b)
+                                  for b in blobs],
             })
 
     return df.mapInPandas(batches, out_schema)

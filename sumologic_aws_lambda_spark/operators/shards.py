@@ -36,9 +36,13 @@ def shard_assignments(df: DataFrame, n_shards: int,
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     # First 8 hex chars -> 32-bit int, mod N: md5 is uniform, so shards
-    # are balanced to ~sqrt(n/N) like any hash partitioner.
+    # are balanced to ~sqrt(n/N) like any hash partitioner.  A NULL id
+    # is pinned to a sentinel so it gets a REAL shard — md5(NULL) is
+    # NULL, which would route the row to Hive's default partition and
+    # crash the manifest sort on a None shard.
+    id_str = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null"))
     bucket = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        F.substring(F.md5(id_str), 1, 8), 16, 10
     ).cast("bigint") % n_shards
     return df.select(
         F.col(id_col),
@@ -108,6 +112,25 @@ def write_training_shards(df: DataFrame, out_dir: str, n_shards: int = 8,
         "total_tokens": sum(r["n_tokens"] for r in manifest_rows),
         "shards": manifest_rows,
     }
-    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
+    _write_text(df.sparkSession, os.path.join(out_dir, "manifest.json"),
+                json.dumps(manifest, indent=1, sort_keys=True))
     return manifest
+
+
+def _write_text(spark, path: str, text: str) -> None:
+    """Write a small text file next to the shards.  Plain ``open()``
+    only works for local paths; an ``s3a://``/``hdfs://`` out_dir (which
+    the Spark shard write itself handles fine) goes through the Hadoop
+    FileSystem API so the manifest lands beside the data it describes."""
+    if "://" not in path and not path.startswith("dbfs:"):
+        with open(path, "w") as fh:
+            fh.write(text)
+        return
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(hpath, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()

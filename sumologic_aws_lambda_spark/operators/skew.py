@@ -32,25 +32,36 @@ def with_salt(df: DataFrame, fan_out: int = 16,
 
 
 def salt_from(col: Column | str, fan_out: int = 16) -> Column:
-    """Deterministic salt from a unique column (portable across engines:
-    plain modulo, no hash needed when the column is already uniform)."""
+    """Deterministic salt from a unique column.
+
+    ``pmod``, NOT ``abs(hash) % n``: ``abs(Integer.MIN_VALUE)`` is still
+    negative (non-ANSI two's-complement), and Spark's ``%`` keeps the
+    dividend's sign — so for any ``fan_out`` not dividing 2³¹ a
+    1-in-2³² row would get a NEGATIVE salt, which silently misses every
+    dim replica (0..fan_out-1) in :func:`replicated_join`.  ``pmod`` is
+    non-negative by definition."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.abs(F.hash(c)) % fan_out).cast("int")
+    return F.pmod(F.hash(c), F.lit(fan_out)).cast("int")
 
 
 def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, str],
-               salt: Column, fan_out: int = 16) -> DataFrame:
-    """Two-phase skew-safe aggregation.
+               salt: Column) -> DataFrame:
+    """Two-phase skew-safe aggregation.  The ``salt`` column fully
+    determines the fan-out (build it with :func:`salt_from` /
+    :func:`with_salt`).
 
     ``aggs`` maps output column → ``"fn(col)"`` with fn ∈ sum | count |
-    min | max | avg.  avg decomposes into sum+count across the phases
-    (a plain avg-of-avgs would weight salt buckets wrongly).
+    min | max | avg (``count(*)`` included).  avg decomposes into
+    sum+count across the phases (a plain avg-of-avgs would weight salt
+    buckets wrongly).
     """
     import re
 
     partial_cols, final_cols = [], []
     for out, spec in aggs.items():
-        m = re.match(r"^(sum|count|min|max|avg)\((\w+)\)$", spec)
+        # \w+ OR the literal * — count(*) is the most common aggregate
+        # and the '*' branch below handles it
+        m = re.match(r"^(sum|count|min|max|avg)\((\w+|\*)\)$", spec)
         if not m:
             raise ValueError(f"unsupported salted aggregate: {spec!r}")
         fn, col = m.groups()

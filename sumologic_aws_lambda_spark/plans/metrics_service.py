@@ -78,9 +78,16 @@ def metrics_results(df: DataFrame, queries: list[MetricsQuery],
     return (
         df.filter((epoch >= start_epoch) & (epoch < end_epoch))
         .withColumn("row_id", F.explode(F.array_compact(tags)))
+        # Buckets align to START_EPOCH, not epoch zero: zero-aligned
+        # buckets straddle the range ends when start is not a multiple
+        # of the interval, yielding maxDataPoints+1 distinct buckets —
+        # above the cap quantize_interval promises.  Start-aligned,
+        # bucket count is exactly ceil(span/interval) <= points.
         .withColumn(
             "bucket_start",
-            (F.floor(epoch / interval) * interval).cast("long"),
+            (F.lit(start_epoch)
+             + F.floor((epoch - start_epoch) / interval) * interval)
+            .cast("long"),
         )
         .groupBy("row_id", metric_col, "bucket_start")
         .agg(

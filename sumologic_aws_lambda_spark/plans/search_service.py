@@ -91,15 +91,17 @@ class SearchJobService:
         ordering from event time to ingest time (``byReceiptTime``),
         requiring ``SumoSchema.receipt_col``.
         """
-        job = SearchJob(job_id=uuid.uuid4().hex[:16], query=query)
-        self._jobs[job.job_id] = job
-
+        # Validate BEFORE registering: raising after the insert would
+        # leave a zombie job stuck in GATHERING in self._jobs forever.
         time_col = self._schema.ts_col
         if by_receipt_time:
             if not self._schema.receipt_col:
                 raise ValueError(
                     "byReceiptTime requires SumoSchema.receipt_col")
             time_col = self._schema.receipt_col
+
+        job = SearchJob(job_id=uuid.uuid4().hex[:16], query=query)
+        self._jobs[job.job_id] = job
 
         df = self._df
         ts = F.col(time_col)
@@ -118,16 +120,24 @@ class SearchJobService:
 
         def run() -> None:
             try:
-                records_df = compile_query(df, query, self._schema,
-                                           self._lookups)
-                messages_df = compile_query(df, _pre_agg_query(query),
+                pre_agg = _pre_agg_query(query)
+                messages_df = compile_query(df, pre_agg,
                                             self._schema, self._lookups)
                 if time_col in messages_df.columns:
                     # The API returns messages newest-first on the active
                     # time column (event vs receipt per byReceiptTime).
                     messages_df = messages_df.orderBy(F.col(time_col).desc())
                 msgs = messages_df.limit(self._cap).collect()
-                recs = records_df.limit(self._cap).collect()
+                if pre_agg == query:
+                    # No aggregation stage: the records plan IS the
+                    # messages plan — compiling and collecting it again
+                    # would run the full scan+filter pipeline twice.
+                    recs = msgs
+                    records_df = messages_df
+                else:
+                    records_df = compile_query(df, query, self._schema,
+                                               self._lookups)
+                    recs = records_df.limit(self._cap).collect()
                 job._messages = msgs
                 job._records = recs
                 job._message_cols = messages_df.columns

@@ -46,3 +46,17 @@ def test_asof_column_collision_rejected(spark):
     with pytest.raises(ValueError, match="collides"):
         asof_join(df, df, on="k", left_ts="ts", right_ts="ts",
                   right_cols=["v"])
+
+
+def test_asof_attaches_whole_row_not_mixed_columns(spark):
+    """A legitimately-NULL right value must come through as NULL from
+    the matched row — not be back-filled from an older right row."""
+    from sumologic_aws_lambda_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 3)], "id string, lts long")
+    right = spark.createDataFrame(
+        [("k", 1, 1, 2), ("k", 2, None, 3)],
+        "id string, rts long, a long, b long")
+    out = asof_join(left, right, "id", "lts", "rts",
+                    ["a", "b"]).collect()[0]
+    assert out["a"] is None and out["b"] == 3   # the ts=2 row, atomically

@@ -77,3 +77,26 @@ def test_bad_selector_raises(metrics):
     with pytest.raises(ValueError, match="bad selector"):
         metrics_results(metrics, [MetricsQuery("A", "cpu")],
                         start_epoch=0, end_epoch=10)
+
+
+def test_bucket_count_never_exceeds_requested_points(spark):
+    from pyspark.sql import functions as F
+
+    """Unaligned start must not leak a maxDataPoints+1-th bucket: the
+    classic off-by-one of epoch-zero-aligned bucketing."""
+    from sumologic_aws_lambda_spark.plans.metrics_service import (
+        MetricsQuery,
+        metrics_results,
+    )
+
+    rows = [("m", {}, float(i), 35 + i * 10) for i in range(800)]
+    df = spark.createDataFrame(
+        rows, "metric string, dims map<string,string>, value double, es long"
+    ).withColumn("ts", F.timestamp_seconds("es"))
+    out = metrics_results(
+        df, [MetricsQuery("A", "metric=m")],
+        start_epoch=35, end_epoch=8035, requested_datapoints=800,
+    )
+    buckets = [r["bucket_start"] for r in out.collect()]
+    assert len(set(buckets)) <= 800
+    assert min(buckets) >= 35           # aligned to the range start

@@ -144,3 +144,18 @@ def test_search_with_lookup_and_top(spark):
     assert recs[0]["map"]["uname"] == "alice" or recs[0]["map"]["_count"] == 1
     msgs = svc.messages(job)
     assert all("uname" in m["map"] for m in msgs)
+
+
+def test_invalid_receipt_time_request_leaves_no_zombie_job(spark):
+    from sumologic_aws_lambda_spark.plans.search_service import (
+        SearchJobService,
+    )
+
+    df = spark.createDataFrame([("m", "2024-01-01 00:00:00")],
+                               "msg string, ts string")
+    svc = SearchJobService(
+        df.withColumn("ts", df.ts.cast("timestamp")),
+        SumoSchema(raw_col="msg", ts_col="ts", receipt_col=None))
+    with pytest.raises(ValueError, match="receipt_col"):
+        svc.search_job("* | count", by_receipt_time=True)
+    assert svc._jobs == {}      # nothing registered for the failed submit
