@@ -31,7 +31,16 @@ def gunzip_udf(data: pd.Series) -> pd.Series:
         if b is None:
             return None
         if len(b) >= 2 and b[0] == 0x1F and b[1] == 0x8B:
-            return gzip.decompress(bytes(b))
+            try:
+                return gzip.decompress(bytes(b))
+            except (OSError, EOFError):
+                # Truncated/corrupt member behind a valid magic: return
+                # None so the pipeline's null-drop / DLQ path routes the
+                # record (reference per-record try/catch,
+                # cloudwatchlogs_lambda.js:166-175).  Raising here is a
+                # poison pill — Spark retries the same split and the
+                # whole stream wedges on one bad envelope.
+                return None
         return bytes(b)
 
     return data.map(_one)

@@ -50,11 +50,19 @@ def number_to_ipv4(num: Column | str) -> Column:
     )
 
 
-def mask_from_cidr(prefix_len: int) -> Column:
-    """CIDR length → dotted-quad netmask literal (constant-folded)."""
+def _mask_int(prefix_len: int) -> int:
+    """Validated 32-bit netmask — the ONE place the mask math lives, so
+    every CIDR helper shares the 0-32 range check (an unchecked
+    out-of-range length either crashes with a raw shift error or, worse,
+    yields a mask that silently matches every IP pair)."""
     if not 0 <= prefix_len <= 32:
         raise ValueError(f"prefix length out of range: {prefix_len}")
-    mask = ((1 << 32) - 1) ^ ((1 << (32 - prefix_len)) - 1)
+    return ((1 << 32) - 1) ^ ((1 << (32 - prefix_len)) - 1)
+
+
+def mask_from_cidr(prefix_len: int) -> Column:
+    """CIDR length → dotted-quad netmask literal (constant-folded)."""
+    mask = _mask_int(prefix_len)
     return F.lit(
         ".".join(str((mask >> s) & 255) for s in (24, 16, 8, 0))
     )
@@ -62,16 +70,15 @@ def mask_from_cidr(prefix_len: int) -> Column:
 
 def get_cidr_prefix(ip: Column | str, prefix_len: int) -> Column:
     """IP → its network address under the given prefix, ``a.b.c.d/len``."""
-    mask = ((1 << 32) - 1) ^ ((1 << (32 - prefix_len)) - 1)
-    net = ipv4_to_number(ip).bitwiseAND(F.lit(mask))
+    net = ipv4_to_number(ip).bitwiseAND(F.lit(_mask_int(prefix_len)))
     return F.concat(number_to_ipv4(net), F.lit(f"/{prefix_len}"))
 
 
 def compare_cidr_prefix(ip1: Column | str, ip2: Column | str,
                         prefix_len: int) -> Column:
     """True when both IPs share the same ``prefix_len``-bit network."""
-    mask = ((1 << 32) - 1) ^ ((1 << (32 - prefix_len)) - 1)
+    mask = F.lit(_mask_int(prefix_len))
     return (
-        ipv4_to_number(ip1).bitwiseAND(F.lit(mask))
-        == ipv4_to_number(ip2).bitwiseAND(F.lit(mask))
+        ipv4_to_number(ip1).bitwiseAND(mask)
+        == ipv4_to_number(ip2).bitwiseAND(mask)
     )

@@ -63,11 +63,26 @@ def apply_fers(df: DataFrame, rules: Sequence[FieldExtractionRule],
         stages = _check_extraction_only(rule)
         pred = scope_predicate(rule.scope, schema)
         before = set(out.columns)
+        # Snapshot every pre-existing column: extraction stages
+        # overwrite colliding names IN PLACE (withColumn), so a rule
+        # extracting a name the frame already has would otherwise
+        # destroy the original value on every OUT-of-scope row.  The
+        # gated restore below is an identity for untouched columns
+        # (both branches carry the same value), so snapshotting all of
+        # them is safe and needs no knowledge of which names each stage
+        # writes; Catalyst collapses the extra projections.
+        orig = {c: f"__fer{i}_orig_{c}" for c in before}
+        for c, t in orig.items():
+            out = out.withColumn(t, F.col(c))
         for stage in stages:
             # FERs are ingest-time extractions: a non-matching row keeps
             # flowing with a null field, never drops (Sumo FER semantics,
             # unlike search-time `parse` whose default drops non-matches).
             out = _apply_stage(out, stage, schema, parse_keep_default=True)
+        for c in before:
+            out = out.withColumn(
+                c, F.when(pred, F.col(c)).otherwise(F.col(orig[c])))
+        out = out.drop(*orig.values())
         for c in [c for c in out.columns if c not in before]:
             tmp = f"__fer{i}_{c}"
             out = out.withColumnRenamed(c, tmp)

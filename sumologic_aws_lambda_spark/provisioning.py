@@ -251,9 +251,19 @@ class CatalogStore:
             cutoff = _dt.datetime.fromtimestamp(
                 now_epoch - source.cutoff_hours * 3600, _dt.timezone.utc
             )
-            opts["modifiedAfter"] = cutoff.strftime("%Y-%m-%dT%H:%M:%S")
-        if source.multiline_enabled and not source.use_autoline_matching:
-            opts["wholetext"] = "true"   # custom boundary assembly stage
+            # Explicit Z: Spark parses a zone-less modifiedAfter in the
+            # SESSION timezone, which would shift the cutoff window by
+            # the cluster offset (silently excluding up to a day of
+            # files on a non-UTC cluster).
+            opts["modifiedAfter"] = cutoff.strftime("%Y-%m-%dT%H:%M:%SZ")
+        if source.multiline_enabled:
+            # BOTH multiline modes need whole-object reads: autoline
+            # matching (the Sumo default, sumoresource.py:287-291) folds
+            # lines with the default boundary regex, a custom expression
+            # supplies its own — either way the assembly stage consumes
+            # a wholetext 'content' column, and a line-wise read would
+            # silently emit one record per line.
+            opts["wholetext"] = "true"
         return opts
 
     @staticmethod

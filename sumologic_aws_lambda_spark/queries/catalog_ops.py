@@ -364,7 +364,8 @@ _CFN_EVENTS = [
       FROM raw
     )
     SELECT 'req-42' AS requestid,
-           strftime(event_ts, '%Y-%m-%dT%H:%M:%S.%g') AS "timestamp",
+           strftime(event_ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z'
+               AS "timestamp",
            stack_id AS stackId,
            resource_type AS resourceType,
            logical_resource_id AS resourceName,

@@ -230,10 +230,10 @@ def firehose_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
                (5, 0,   'FAILED',  'edge ok',     'Software/CVE', 'arn:r5')
     )
     SELECT id,
-           (severity BETWEEN 0 AND 100)
+           COALESCE((severity BETWEEN 0 AND 100)
            AND compliance_status IN ('PASSED','WARNING','FAILED','NOT_AVAILABLE')
            AND title IS NOT NULL AND finding_type IS NOT NULL
-           AND resource_id IS NOT NULL AS valid
+           AND resource_id IS NOT NULL, FALSE) AS valid
     FROM raw
     """,
 )

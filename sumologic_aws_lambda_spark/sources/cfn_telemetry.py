@@ -51,8 +51,12 @@ def telemetry_records(events: DataFrame, request_id: str,
         .filter(F.col("_rn") == 1)
         .select(
             F.lit(request_id).alias("requestid"),
+            # date_format renders in the SESSION timezone; the engine
+            # pins sessions to UTC (session.py / catalog.table), so the
+            # 'Z' designator is truthful here and keeps the reference's
+            # UTC ISO-ms contract explicit for downstream parsers.
             F.date_format(
-                "event_ts", "yyyy-MM-dd'T'HH:mm:ss.SSS"
+                "event_ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
             ).alias("timestamp"),
             F.col("stack_id").alias("stackId"),
             F.col("resource_type").alias("resourceType"),

@@ -208,8 +208,12 @@ def create_records(events_df: DataFrame,
     if not config.include_log_info:
         drop_cols += ["log_group", "log_stream"]
 
-    # F3 falsy-message drop (:82-85).  JS drops records whose *parsed*
-    # message is falsy: '', and JSON scalars 0/false/null.
+    # F3 falsy-message drop (:82-85).  The reference attempts
+    # JSON.parse on EVERY message (cloudwatchlogs_lambda.js:65-70,
+    # unconditional try/catch), so the plain-text line "0" parses to the
+    # number 0 — falsy — and IS dropped there too; only a parse *failure*
+    # leaves the (truthy) string.  Matching that exactly: '', and the
+    # JSON scalars 0/false/null.  (Reviewed r6: NOT an over-drop.)
     falsy = F.col("message").isin("", "0", "false", "null")
     return df.filter(~falsy).drop(*drop_cols)
 

@@ -33,10 +33,22 @@ def transform_records(df: DataFrame, data_col: str = "data",
     append the ``\\n`` delimiter, re-encode; tag Ok/ProcessingFailed.
 
     A record fails when its payload is not decodable — the reference's
-    try/catch per record (:32-55) becomes a null-check on the decode
-    chain, keeping the whole stage in codegen.
+    try/catch per record (:32-55) becomes a VALIDATED decode chain,
+    keeping the whole stage in codegen.  Validation must be explicit:
+    Spark's ``unbase64`` is lenient (commons-codec silently discards
+    non-alphabet characters) and ``decode(…, 'UTF-8')`` substitutes
+    malformed bytes, so without the alphabet/padding check a garbage
+    payload would decode to mojibake and be delivered as Ok where the
+    reference's ``Buffer.from(..., 'base64')`` + try/catch tags it
+    ProcessingFailed.
     """
-    decoded = F.decode(F.unbase64(F.col(data_col)), "UTF-8")
+    is_b64 = (
+        F.col(data_col).isNotNull()
+        & F.regexp_replace(F.col(data_col), r"\s+", "")
+        .rlike("^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|"
+               "[A-Za-z0-9+/]{3}=)?$")
+    )
+    decoded = F.when(is_b64, F.decode(F.unbase64(F.col(data_col)), "UTF-8"))
     if flatten_json:
         parsed = F.from_json(decoded, "map<string,string>")
         payload = F.when(parsed.isNotNull(), kv_flatten(parsed)).otherwise(decoded)

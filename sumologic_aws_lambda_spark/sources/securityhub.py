@@ -48,7 +48,13 @@ def validate_findings(df: DataFrame) -> DataFrame:
         & F.col("finding_type").isNotNull()
         & F.col("resource_id").isNotNull()
     )
-    return df.withColumn("_valid", sev_ok & comp_ok & required_ok)
+    # coalesce: a NULL severity/compliance makes the conjunction NULL
+    # (three-valued logic), and a NULL flag fails BOTH filter(_valid)
+    # and filter(~_valid) — the row would vanish from valid AND error
+    # routes, defeating the route-not-drop contract.  NULL-caused
+    # invalidity is still invalidity: flag it False.
+    return df.withColumn(
+        "_valid", F.coalesce(sev_ok & comp_ok & required_ok, F.lit(False)))
 
 
 def build_findings(df: DataFrame, region: str, default_account: str,

@@ -80,10 +80,16 @@ def enrich_security_groups(flows: DataFrame, eni_dim: DataFrame) -> DataFrame:
     out = flows.join(eni, on="interface_id", how="left")
 
     # Second and third broadcast lookups: which side's IP maps to an ENI,
-    # and in which subnet (J2).  Only (ip → subnet) is needed.
+    # and in which subnet (J2).  Only (ip → subnet) is needed.  One row
+    # per IP: private ranges legitimately repeat across VPCs (two ENIs
+    # in different VPCs can both be 10.0.0.5), and a duplicated lookup
+    # key would fan each matching flow out into multiple rows, inflating
+    # byte/packet counts downstream.  min() keeps the choice
+    # deterministic; scoping by vpc_id is the precise fix when flows
+    # carry a VPC column.
     ip_subnet = F.broadcast(
-        eni_dim.select(F.col("ip_address").alias("peer_ip"),
-                       F.col("subnet_id").alias("peer_subnet"))
+        eni_dim.groupBy(F.col("ip_address").alias("peer_ip"))
+        .agg(F.min("subnet_id").alias("peer_subnet"))
     )
     src_m = ip_subnet.withColumnRenamed("peer_ip", "src_ip").withColumnRenamed(
         "peer_subnet", "src_subnet")

@@ -103,3 +103,22 @@ def test_metadata_override_and_key(spark):
 def test_include_log_info_off_drops_columns(spark):
     out = create_records(explode_events(decode_envelopes(_payload_df(spark))))
     assert "log_group" not in out.columns and "log_stream" not in out.columns
+
+
+def test_gunzip_udf_routes_corrupt_member_to_null(spark):
+    """A truncated payload behind a valid gzip magic must become NULL
+    (the DLQ/null-drop path), never a task-killing exception."""
+    import gzip as _gzip
+
+    from sumologic_aws_lambda_spark.functions.codecs import gunzip_udf
+
+    good = _gzip.compress(b"hello world")
+    corrupt = good[:8]                      # magic ok, member truncated
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(corrupt)), (3, None)],
+        "id int, payload binary",
+    )
+    out = {r.id: r.out for r in
+           df.select("id", gunzip_udf("payload").alias("out")).collect()}
+    assert bytes(out[1]) == b"hello world"
+    assert out[2] is None and out[3] is None

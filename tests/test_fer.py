@@ -66,3 +66,22 @@ def test_non_extraction_stage_rejected(logs):
     rule = FieldExtractionRule("bad", "*", "where id > 1")
     with pytest.raises(ValueError, match="not an extraction"):
         apply_fers(logs, [rule], SCHEMA)
+
+
+def test_fer_does_not_clobber_existing_column_out_of_scope(spark):
+    """A FER extracting a name the frame already carries must mask like
+    any other extraction: the original value survives on out-of-scope
+    rows, the extraction wins in scope."""
+    df = spark.createDataFrame(
+        [("prod/api", '{"status":"extracted"}', "orig-a"),
+         ("dev/x", '{"status":"extracted"}', "orig-b")],
+        "cat string, msg string, status string",
+    )
+    rule = FieldExtractionRule(
+        name="r", scope="_sourceCategory=prod/api",
+        parse_expression='json field=msg "status" as status',
+    )
+    out = {r.cat: r.status
+           for r in apply_fer(df, rule, SCHEMA).collect()}
+    assert out["prod/api"] == "extracted"   # in scope: extraction wins
+    assert out["dev/x"] == "orig-b"         # out of scope: original kept

@@ -54,7 +54,9 @@ def test_read_options_and_trigger():
                  scan_interval_ms=300_000, cutoff_hours=24)
     opts = CatalogStore.source_read_options(src, now_epoch=1_704_153_600)
     assert opts["pathGlobFilter"] == "prefix/*.json"
-    assert opts["modifiedAfter"] == "2024-01-01T00:00:00"  # now − 24 h
+    # explicit Z: a zone-less string parses in the SESSION timezone and
+    # shifts the cutoff window on non-UTC clusters
+    assert opts["modifiedAfter"] == "2024-01-01T00:00:00Z"  # now − 24 h
     assert CatalogStore.source_trigger(src) == "300 seconds"
 
 
@@ -114,3 +116,16 @@ def test_provisioned_source_drives_stream(spark, tmp_path):
     got = sorted(r["message"] for r in
                  spark.sql("select * from provisioned").collect())
     assert got == ["ERROR first", "WARN disk low"]
+
+
+def test_multiline_always_reads_wholetext():
+    # autoline matching (the Sumo default pairing) also folds lines from
+    # a wholetext read — both multiline modes need whole objects
+    auto = Source(name="a", collector_id="x", multiline_enabled=True,
+                  use_autoline_matching=True)
+    custom = Source(name="c", collector_id="x", multiline_enabled=True,
+                    use_autoline_matching=False)
+    off = Source(name="o", collector_id="x", multiline_enabled=False)
+    assert CatalogStore.source_read_options(auto).get("wholetext") == "true"
+    assert CatalogStore.source_read_options(custom).get("wholetext") == "true"
+    assert "wholetext" not in CatalogStore.source_read_options(off)

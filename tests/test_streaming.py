@@ -210,3 +210,22 @@ def test_drain_removes_delivered_batches_and_isolates_failures(
     assert all(r.success for r in reports)
     # delivered batches removed; the unreadable one stays for inspection
     assert sorted(os.listdir(q)) == ["batch_id=3"]
+
+
+def test_firehose_garbage_base64_is_processing_failed(spark):
+    """Spark's lenient unbase64 must not smuggle mojibake through as Ok:
+    non-alphabet payloads route to ProcessingFailed like the reference's
+    per-record try/catch."""
+    import base64
+
+    from sumologic_aws_lambda_spark.sources.firehose import (
+        transform_records,
+    )
+
+    ok = base64.b64encode(b"real payload").decode()
+    df = spark.createDataFrame(
+        [(1, ok), (2, "!!!not base64!!!"), (3, None)],
+        "id int, data string",
+    )
+    out = {r.id: r.result for r in transform_records(df).collect()}
+    assert out == {1: "Ok", 2: "ProcessingFailed", 3: "ProcessingFailed"}
