@@ -65,9 +65,10 @@ _PRIORITY: tuple[str, ...] = (
     "temperature_mixture_weights", "dataset_manifest_diff",
     # -- (c) machinery touched this round: lookups threading
     #    (compile_prefixed_query), scheduled-view refresh/marks, star
-    #    components' shared cluster contract --
-    "sumoql_lookup_expr", "sumoql_geoip_enrich", "scheduled_view_rollup",
-    "semantic_dedup_clusters", "dedup_clusters",
+    #    components' shared cluster contract, the review-campaign
+    #    rewrites (CFN timestamp contract, metrics bucket alignment) --
+    "sumoql_lookup_expr", "scheduled_view_rollup",
+    "semantic_dedup_clusters", "cfn_stack_telemetry", "metrics_quantize",
     # -- cross-family regression spread (green in earlier rounds; keep
     #    the hard signal warm across every family) --
     "pricing_summary", "revenue_topk", "window_topn_orders",
