@@ -84,6 +84,7 @@ OPTIONAL = [
     "exactsubstr_removal_stats",
     "temperature_mixture_weights",
     "dataset_manifest_diff",
+    "domain_interleave_order",
 ]
 
 

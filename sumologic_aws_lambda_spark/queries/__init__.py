@@ -63,6 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     "substring_dup_spans", "vocab_oov_rates", "unigram_lm_scores",
     "semdedup_prune", "sumoql_cidr_functions", "exactsubstr_removal_stats",
     "temperature_mixture_weights", "dataset_manifest_diff",
+    "domain_interleave_order",
     # -- (c) machinery touched this round: lookups threading
     #    (compile_prefixed_query), scheduled-view refresh/marks, star
     #    components' shared cluster contract, the review-campaign
@@ -74,7 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "pricing_summary", "revenue_topk", "window_topn_orders",
     "sessionize_events", "asof_join_last_click", "range_join_value_bands",
     "cwl_decode_pipeline", "cloudtrail_records_explode", "vpc_flow_parse",
-    "vpc_eni_enrichment", "guardduty_unwrap", "firehose_transform",
+    "vpc_eni_enrichment", "firehose_transform",
     "asff_validation_gate", "fer_registry_apply", "metric_rule_extract",
     "exact_dedup_stats", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "paragraph_dedup_stats",

@@ -435,3 +435,72 @@ def exactsubstr_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_n_before").alias("tokens_before"),
         )
     )
+
+
+_ILV_LIMIT = 200
+
+
+@query(
+    "domain_interleave_order",
+    oracle=f"""
+    WITH tot AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source,
+               row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id)
+                   AS rn,
+               t.n_docs
+        FROM documents d JOIN tot t USING (source)
+    ),
+    strided AS (
+        SELECT doc_id, source,
+               rn::DOUBLE / n_docs AS stride
+        FROM ranked
+    ),
+    ordered AS (
+        SELECT doc_id, source, stride,
+               row_number() OVER (ORDER BY stride, source, doc_id)
+                   AS order_idx
+        FROM strided
+    )
+    SELECT CAST(order_idx AS BIGINT) AS order_idx, doc_id, source,
+           round(stride, 6) AS stride
+    FROM ordered WHERE order_idx <= {_ILV_LIMIT}
+    """,
+)
+def domain_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order interleave: stride scheduling
+    (deficit round-robin) assigns document k of domain d the stride
+    k/|d|, and reading by ascending stride yields every domain at its
+    proportional rate with no long same-domain runs — the data-ORDER
+    half of mixture sampling (``temperature_mixture_weights`` chooses
+    how much of each domain; this chooses the sequence).  Strides are
+    one division of two exact integers, so the schedule is bit-identical
+    on any engine; ties (equal proportions) break on (source, doc_id).
+
+    Plan shape: one count agg (broadcast back), one per-domain
+    row_number window (parallelism = #domains; at 100 TB swap the
+    within-domain rank for the md5-fraction pseudo-rank used by the
+    sampling family — same stride algebra, no window), and a
+    distributed top-K on the stride for the emitted prefix
+    (TakeOrdered, never a global sort)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents", parallel=True)
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    strided = (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(tot), "source")
+        .withColumn("stride",
+                    F.col("rn").cast("double") / F.col("n_docs"))
+    )
+    head = strided.orderBy("stride", "source", "doc_id").limit(_ILV_LIMIT)
+    ow = Window.orderBy("stride", "source", "doc_id")
+    return head.select(
+        F.row_number().over(ow).cast("bigint").alias("order_idx"),
+        "doc_id", "source",
+        F.round("stride", 6).alias("stride"),
+    )

@@ -268,3 +268,23 @@ def test_remove_duplicate_spans_intra_doc_and_cross_doc_scope(spark):
                                     cross_doc_only=True).collect()}
     # cross-doc scope (matching duplicate_span_stats): nothing cut
     assert cross[1]["n_tokens_removed"] == 0
+
+
+def test_interleave_has_no_long_same_domain_runs(spark):
+    """Stride scheduling must alternate domains at their proportions —
+    the max same-source run in the prefix stays near total/min_share."""
+    qs = registry.all_queries()
+    rows = qs["domain_interleave_order"](spark, SF_DIR) \
+        .orderBy("order_idx").collect()
+    assert [r["order_idx"] for r in rows] == list(range(1, len(rows) + 1))
+    # every domain appears early: by index ~2×#domains all sources seen
+    n_sources = len({r["source"] for r in rows})
+    early = {r["source"] for r in rows[: 3 * n_sources]}
+    assert len(early) == n_sources
+    # no run longer than a handful for near-uniform fixture domains
+    longest, cur, prev = 1, 1, None
+    for r in rows:
+        cur = cur + 1 if r["source"] == prev else 1
+        prev = r["source"]
+        longest = max(longest, cur)
+    assert longest <= 4
