@@ -54,17 +54,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams as an array column — the shingle set for
-    MinHash / Jaccard.  Pure expressions: split → sequence → transform.
-    ``try_element_at``: a doc shorter than ``n`` tokens yields its whole
-    token list as one partial shingle (same as the oracle's truncating
-    ``list_slice``) instead of throwing under ANSI semantics."""
-    toks = F.split(normalize_text(col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j + 1)
-                                          for j in range(n)])
-    )
-    return F.array_distinct(grams)
+    MinHash / Jaccard.  Thin alias over ``text.word_ngrams`` so the gram
+    construction (short-doc truncation, ANSI-safe try_element_at) lives
+    in exactly one place; DataFrame pipelines should prefer
+    ``with_word_ngrams(distinct=True)``, which stages the token split."""
+    from .text import word_ngrams
+
+    return F.array_distinct(word_ngrams(col, n))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -241,10 +237,18 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     Token hash bits come from ``conv(md5 prefix, 16, 10)`` so the
     signature is engine-reproducible.  ``bits`` defaults to 16 (hamming
-    comparisons on small corpora); production would use 64.
+    comparisons on small corpora); the hash carries 15 hex chars = 60
+    usable bits, so ``bits`` is capped there — beyond 60 the votes are
+    constant zeros, and the 2^63 power in the signature fold overflows
+    BIGINT under ANSI.  (A true 64-bit simhash needs two 32-bit halves
+    or xxhash64 — at the cost of the cross-engine md5 contract.)
     Plan: explode tokens → explode bit positions → groupBy(id) — shuffle
     keyed by document id.
     """
+    if not 1 <= bits <= 60:
+        raise ValueError(
+            f"bits must be in [1, 60] (md5-prefix hash carries 60 usable "
+            f"bits; see docstring), got {bits}")
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
@@ -337,17 +341,29 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
             ).alias("lbl"),
         )
 
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    def _sig(lbls: DataFrame):
+        # Type-agnostic convergence signature: the labels converged iff
+        # the (node, lbl) multiset stopped changing.  A plain sum('lbl')
+        # would (a) throw CAST_INVALID_INPUT under ANSI when node ids
+        # are STRINGS (md5 fingerprints — the natural dedup id), and
+        # (b) overflow BIGINT summing billions of 64-bit ids; the
+        # decimal-summed row hash works for any orderable id type (same
+        # device as connected_components_star._sig).
+        return lbls.agg(
+            F.sum(F.xxhash64("node", "lbl").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sig = _sig(labels)
     for _ in range(max_iter):
         # TWO propagation hops per materialization: the checkpoint and
         # the convergence action dominate each round's wall time (fixed
         # job latency, not data), so doubling the hop count halves the
         # number of driver round-trips for the same diameter coverage.
         labels = propagate(propagate(labels)).localCheckpoint()
-        cur_sum = labels.agg(F.sum("lbl")).first()[0]
-        if cur_sum == prev_sum:
+        cur_sig = _sig(labels)
+        if cur_sig == prev_sig:
             break
-        prev_sum = cur_sum
+        prev_sig = cur_sig
     return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
 
 

@@ -51,29 +51,39 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(t)
     toks = tokens(t)
     n_tokens = F.size(toks)
+    # try_divide, not `/`: a scraped corpus always contains SOME empty
+    # documents, and under Spark 4's default ANSI mode a 0-char/0-token
+    # denominator would raise DIVIDE_BY_ZERO and fail the whole scan-
+    # fused stage.  NULL ratios for empty text are the honest value.
     return (
         df.withColumn("n_chars_calc", n_chars)
         .withColumn("n_tokens", n_tokens)
         .withColumn(
             "avg_token_len",
-            F.round((n_chars - n_tokens + 1) / n_tokens, 4),
+            F.round(F.try_divide(n_chars - n_tokens + 1, n_tokens), 4),
         )
         .withColumn(
             "punct_ratio",
             F.round(
-                F.length(F.regexp_replace(t, r"[^.,;:!?'\"]", "")) / n_chars, 4
+                F.try_divide(
+                    F.length(F.regexp_replace(t, r"[^.,;:!?'\"]", "")),
+                    n_chars), 4
             ),
         )
         .withColumn(
             "stopword_ratio",
             F.round(
-                F.regexp_count(t, F.lit(LANG_MARKERS["en"])) / n_tokens, 4
+                F.try_divide(
+                    F.regexp_count(t, F.lit(LANG_MARKERS["en"])),
+                    n_tokens), 4
             ),
         )
         .withColumn(
             "nonalpha_ratio",
             F.round(
-                F.length(F.regexp_replace(t, r"[a-zA-Z\s]", "")) / n_chars, 4
+                F.try_divide(
+                    F.length(F.regexp_replace(t, r"[a-zA-Z\s]", "")),
+                    n_chars), 4
             ),
         )
     )
@@ -397,7 +407,6 @@ def pack_sequences(df: DataFrame, budget: int = 512,
     w = Window.partitionBy(*part).orderBy(id_col) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = F.sum(n_tok).over(w)
-    start = (cum - n_tok).alias("start_tok")
     pack_id = F.floor((cum - n_tok) / budget)
     offset = (cum - n_tok) % budget
     out_cols = ([F.col(part_col)] if part_col else []) + [

@@ -347,21 +347,27 @@ def dataset_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import fingerprint
 
     d = table(spark, sf_dir, "documents", parallel=True)
+    # Presence markers, not fingerprint nullity: fingerprint(NULL text)
+    # is NULL, so classifying added/removed by `fp IS NULL` would call a
+    # NULL-text document present in BOTH snapshots "added" — the oracle
+    # keys on row presence (doc_id IS NULL after the full outer join)
+    # and the Spark side must too.
     old = d.filter(F.col("doc_id") % 7 != 0).select(
-        "doc_id", fingerprint("text").alias("fp"))
+        "doc_id", fingerprint("text").alias("ofp"),
+        F.lit(1).alias("_in_old"))
     new = d.filter(F.col("doc_id") % 13 != 0).select(
         "doc_id",
         fingerprint(
             F.when(F.col("doc_id") % 11 == 0,
                    F.concat(F.col("text"), F.lit(" v2")))
             .otherwise(F.col("text"))
-        ).alias("fp"),
+        ).alias("nfp"),
+        F.lit(1).alias("_in_new"),
     )
-    j = old.withColumnRenamed("fp", "ofp").join(
-        new.withColumnRenamed("fp", "nfp"), "doc_id", "full_outer")
+    j = old.join(new, "doc_id", "full_outer")
     change = (
-        F.when(F.col("ofp").isNull(), "added")
-        .when(F.col("nfp").isNull(), "removed")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
         .when(F.col("ofp") != F.col("nfp"), "changed")
         .otherwise("unchanged")
     )

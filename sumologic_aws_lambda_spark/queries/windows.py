@@ -194,8 +194,9 @@ def paged_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_events",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts,
-               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         <= 1800000000
                     THEN 0 ELSE 1 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -203,7 +204,7 @@ def paged_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions AS (
         SELECT user_id, ts,
                sum(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS session_id
         FROM flagged
@@ -222,15 +223,23 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands so the oracle can verify it; the streaming shell uses
     ``session_window`` itself, which Spark merges incrementally with state
     bounded by the watermark.
+
+    Determinism notes (both sides identical): the gap compares
+    MICROSECOND deltas (whole-second truncation would disagree with an
+    exact interval compare for gaps inside (1800 s, 1801 s)), and the
+    running-sum window orders by (ts, event_id) — the same total order
+    the flag window used, so tied timestamps cannot shuffle events
+    between sessions.
     """
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    gap_ok = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) <= 1800
+    gap_ok = (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+              <= 1_800_000_000)
     flagged = ev.withColumn(
         "new_session", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1))
     )

@@ -66,3 +66,20 @@ def test_star_labels_only_supplied_nodes(spark):
             for r in connected_components(nodes, pairs).collect()}
     assert {n for n, _ in star} == {1, 2, 9}
     assert star == base
+
+
+def test_min_label_components_handle_string_ids(spark):
+    """md5-fingerprint node ids (strings) are the natural dedup key —
+    the convergence check must not cast labels to numbers."""
+    from sumologic_aws_lambda_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # a 7-node chain: needs several rounds, exercising the signature
+    names = [f"n{i}" for i in range(7)]
+    nodes = spark.createDataFrame([(n,) for n in names], "node string")
+    pairs = spark.createDataFrame(
+        [(names[i], names[i + 1]) for i in range(6)], "a string, b string")
+    out = {r.node: r.cluster_id
+           for r in connected_components(nodes, pairs).collect()}
+    assert set(out.values()) == {"n0"}          # one cluster, min label

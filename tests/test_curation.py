@@ -288,3 +288,28 @@ def test_interleave_has_no_long_same_domain_runs(spark):
         prev = r["source"]
         longest = max(longest, cur)
     assert longest <= 4
+
+
+def test_quality_features_survive_empty_text(spark):
+    """ANSI divide-by-zero: one empty document must yield NULL ratios,
+    not kill the stage."""
+    from sumologic_aws_lambda_spark.operators.text import quality_features
+
+    df = spark.createDataFrame([(1, "real text here"), (2, "")],
+                               "doc_id long, text string")
+    rows = {r.doc_id: r for r in quality_features(df).collect()}
+    assert rows[1]["punct_ratio"] is not None
+    assert rows[2]["punct_ratio"] is None
+    assert rows[2]["n_chars_calc"] == 0
+
+
+def test_simhash_rejects_out_of_range_bits(spark):
+    import pytest
+
+    from sumologic_aws_lambda_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match=r"\[1, 60\]"):
+        simhash(df, bits=64)
+    # 60 bits — the documented maximum — must work
+    assert simhash(df, bits=60).count() == 1
