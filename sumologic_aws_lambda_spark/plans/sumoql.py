@@ -381,6 +381,8 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
         return _stage_dedup(df, rest, schema)
     if head == "logexplain":
         return _stage_logexplain(df, rest, schema)
+    if head == "logreduce":
+        return _stage_logreduce(df, rest, schema)
     if head == "trace":
         return _stage_trace(df, rest, schema)
     if head == "sort":
@@ -1097,6 +1099,67 @@ def _stage_logexplain(df: DataFrame, rest: str,
             F.col("_cc").alias("control_count"),
         )
         .orderBy(F.col("relevance").desc(), "explanation")
+    )
+
+
+# Variable-part masks for logreduce signatures, applied in order.  Each
+# is engine-portable regex (Java and RE2/DuckDB agree on every construct
+# used): UUIDs, then long hex runs (ids, digests), then IPv4 addresses,
+# then any remaining number.  Exposed so query oracles can replay the
+# identical chain.
+LOGREDUCE_MASKS: tuple[str, ...] = (
+    r"\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b",
+    r"\b[0-9a-fA-F]{8,}\b",
+    r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    r"\b\d+(\.\d+)?\b",
+)
+
+
+def logreduce_signature(col: Column | str) -> Column:
+    """Mask the variable parts of a message into its LogReduce
+    signature — a pure chained ``regexp_replace`` Column (codegen-
+    friendly, narrow)."""
+    sig = F.col(col) if isinstance(col, str) else col
+    for pat in LOGREDUCE_MASKS:
+        sig = F.regexp_replace(sig, pat, "*")
+    return sig
+
+
+def _stage_logreduce(df: DataFrame, rest: str,
+                     schema: SumoSchema) -> DataFrame:
+    """``logreduce [field=<col>] [limit=N]`` — Sumo's log-clustering
+    operator: messages collapse into signatures by masking variable
+    parts (ids, addresses, numbers), then signatures are ranked by
+    frequency.  Sumo's signature miner is a fuzzy learned clusterer;
+    this engine's deterministic analog masks with the fixed
+    ``LOGREDUCE_MASKS`` chain — the published behavior users act on
+    (group-by-template, rank by count) with reproducible output.
+
+    Scale shape: masking is a narrow map stage; the only shuffle is the
+    signature groupBy (map-side combined — duplicate templates collapse
+    per-partition first, which is the whole premise of the operator);
+    the rank is TakeOrdered (never a global sort).  Ties break on the
+    signature text for determinism.
+    """
+    field, limit = schema.raw_col, 100
+    rest = rest.strip()
+    m = re.search(r"\bfield\s*=\s*([\w.]+)", rest)
+    if m:
+        field = schema.meta_cols.get(m.group(1), m.group(1))
+        rest = rest[:m.start()] + rest[m.end():]
+    m = re.search(r"\blimit\s*=\s*(\d+)", rest)
+    if m:
+        limit = int(m.group(1))
+        rest = rest[:m.start()] + rest[m.end():]
+    if rest.strip():
+        raise SumoQLError(f"bad logreduce stage: {rest!r}")
+    return (
+        df.select(logreduce_signature(field).alias("_signature"))
+        .groupBy("_signature")
+        .agg(F.count(F.lit(1)).alias("_count"))
+        .orderBy(F.col("_count").desc(), "_signature")
+        .limit(limit)
     )
 
 

@@ -59,28 +59,32 @@ _PRIORITY: tuple[str, ...] = (
     "audio_chunk_plan", "dashboard_panel_data", "image_patch_grid",
     "index_routing_stats", "ingest_budget_enforcement",
     "bpe_merge_candidates", "semantic_dedup_clusters_star",
-    # -- (b) new this round (round 6): the curation wave --
+    # -- (b) new this round (round 6): the curation wave, then the
+    #    selection wave (DSIR, NB classifier, logreduce) --
     "substring_dup_spans", "vocab_oov_rates", "unigram_lm_scores",
     "semdedup_prune", "sumoql_cidr_functions", "exactsubstr_removal_stats",
     "temperature_mixture_weights", "dataset_manifest_diff",
     "domain_interleave_order",
+    "dsir_importance_weights", "dsir_resample_stats", "nb_quality_scores",
+    "sumoql_logreduce",
     # -- (c) machinery touched this round: lookups threading
     #    (compile_prefixed_query), scheduled-view refresh/marks, star
     #    components' shared cluster contract, the review-campaign
     #    rewrites (CFN timestamp contract, metrics bucket alignment) --
     "sumoql_lookup_expr", "scheduled_view_rollup",
     "semantic_dedup_clusters", "cfn_stack_telemetry", "metrics_quantize",
+    "quality_scores", "simhash_signatures", "salted_agg_routing_key",
+    "multimodal_feature_extract",
     # -- cross-family regression spread (green in earlier rounds; keep
     #    the hard signal warm across every family) --
-    "pricing_summary", "revenue_topk", "window_topn_orders",
-    "sessionize_events", "asof_join_last_click", "range_join_value_bands",
-    "cwl_decode_pipeline", "cloudtrail_records_explode", "vpc_flow_parse",
+    "sessionize_events", "asof_join_last_click",
+    "cwl_decode_pipeline",
     "vpc_eni_enrichment", "firehose_transform",
-    "asff_validation_gate", "fer_registry_apply", "metric_rule_extract",
+    "asff_validation_gate", "fer_registry_apply",
     "exact_dedup_stats", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "paragraph_dedup_stats",
     "embedding_neardup_pairs", "ivf_ann_topk",
-    "pq_adc_topk", "kmeans_centroid_stats",
+    "kmeans_centroid_stats",
     "tfidf_top_terms", "ngram_decontamination", "gopher_quality_filters",
     "stratified_hash_sample",
     "monitor_threshold_alerts",
@@ -135,5 +139,6 @@ def _import_all() -> None:
         monitoring,
         sketches,
         curation,
+        selection,
     )
     _IMPORTED = True

@@ -1,0 +1,200 @@
+"""Data-selection queries: DSIR importance resampling and the
+Naive-Bayes (fastText-style) quality classifier — the model-based
+selection recipes of a pre-training pipeline, on top of
+``operators/selection.py``.  Each oracle replays the full pipeline
+(feature hashing → model fit → scoring) in DuckDB, so the hard signal
+covers the math, not just the final rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.selection import dsir_weights, nb_token_scores
+from .sampling import _hex8_to_int_sql
+from . import query
+
+# DuckDB twin of operators.text.normalize_text.
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_DSIR_B = 64  # hashed-bigram buckets (production: 10k–100k; the
+              # fixture corpus has ~31 tokens → ~1k distinct bigrams)
+
+# Shared oracle CTEs: hashed-bigram features + smoothed log-ratio table.
+_DSIR_CTES = f"""
+    docs AS (
+        SELECT doc_id, source, (lang = 'en') AS is_t,
+               string_split({_NORM}, ' ') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source, is_t,
+               {_hex8_to_int_sql("md5(t[i] || ' ' || t[i+1])")} % {_DSIR_B}
+                   AS bucket
+        FROM docs,
+             LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+    ),
+    bstats AS (
+        SELECT bucket,
+               sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS p_c,
+               count(*) AS q_c
+        FROM grams GROUP BY bucket
+    ),
+    btot AS (
+        SELECT CAST(sum(p_c) AS DOUBLE) AS p_tot,
+               CAST(sum(q_c) AS DOUBLE) AS q_tot
+        FROM bstats
+    ),
+    lam AS (
+        SELECT bucket,
+               ln((p_c + 1) / (p_tot + {_DSIR_B}))
+                   - ln((q_c + 1) / (q_tot + {_DSIR_B})) AS lam
+        FROM bstats CROSS JOIN btot
+    ),
+    weights AS (
+        SELECT doc_id, source,
+               count(*) AS n_grams,
+               round(sum(lam), 4) AS dsir_weight
+        FROM grams JOIN lam USING (bucket)
+        GROUP BY doc_id, source
+    )
+"""
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, n_grams, dsir_weight
+    FROM weights WHERE doc_id < 200
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) importance weights with English documents
+    as the target distribution: per-document log-likelihood ratio under
+    hashed-bigram bag models of target vs raw.  Scored output restricted
+    to doc_id < 200 (the per-doc-exact compare convention, as
+    ``unigram_lm_scores``) — the oracle replays hashing, smoothing and
+    scoring end-to-end.
+
+    Plan shape (see ``operators/selection.py::dsir_weights``): the model
+    is {_DSIR_B} hash buckets → broadcast; ONE corpus-sized shuffle."""
+    d = table(spark, sf_dir, "documents", parallel=True)
+    w = dsir_weights(d, F.col("lang") == "en", n_buckets=_DSIR_B)
+    return w.filter(F.col("doc_id") < 200).select(
+        "doc_id", "n_grams", "dsir_weight")
+
+
+@query(
+    "dsir_resample_stats",
+    oracle=f"""
+    WITH {_DSIR_CTES}
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN dsir_weight > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected,
+           CAST(sum(CASE WHEN dsir_weight > 0 THEN n_grams ELSE 0 END)
+                AS BIGINT) AS selected_grams
+    FROM weights
+    GROUP BY source
+    """,
+)
+def dsir_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resampling half of DSIR: keep documents whose importance
+    weight clears the acceptance bar (0 = "looks more target than raw";
+    production draws Gumbel top-k, which is this filter with noise), and
+    account the per-source yield.  Thresholding happens on the ROUNDED
+    weight — the cross-engine convention for float compares — and the
+    rollup is a pure integer aggregate on top of the scored frame."""
+    d = table(spark, sf_dir, "documents", parallel=True)
+    w = dsir_weights(d, F.col("lang") == "en", n_buckets=_DSIR_B,
+                     keep=("doc_id", "source"))
+    return w.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("dsir_weight") > 0, 1).otherwise(0))
+        .cast("bigint").alias("n_selected"),
+        F.sum(F.when(F.col("dsir_weight") > 0, F.col("n_grams"))
+              .otherwise(0)).cast("bigint").alias("selected_grams"),
+    )
+
+
+_NB_MIN_CHARS = 300  # positive-class label: doc length proxy
+
+
+@query(
+    "nb_quality_scores",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, source, (n_chars >= {_NB_MIN_CHARS}) AS is_pos,
+               string_split({_NORM}, ' ') AS t
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, source, is_pos, unnest(t) AS tok FROM docs
+    ),
+    cnt AS (
+        SELECT tok,
+               sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS c_pos,
+               sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS c_neg
+        FROM toks GROUP BY tok
+    ),
+    norms AS (
+        SELECT CAST(sum(c_pos) AS DOUBLE) AS n_pos,
+               CAST(sum(c_neg) AS DOUBLE) AS n_neg,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM cnt
+    ),
+    prior AS (
+        SELECT ln((sum(CASE WHEN is_pos THEN 1 ELSE 0 END) + 1)
+                  / CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) + 1
+                         AS DOUBLE)) AS log_prior
+        FROM docs
+    ),
+    llr AS (
+        SELECT tok, ln((c_pos + 1) / (n_pos + v))
+                        - ln((c_neg + 1) / (n_neg + v)) AS llr
+        FROM cnt CROSS JOIN norms
+    ),
+    scored AS (
+        SELECT doc_id, source, is_pos,
+               round(sum(llr) + any_value(log_prior), 4) AS nb_score
+        FROM toks JOIN llr USING (tok) CROSS JOIN prior
+        GROUP BY doc_id, source, is_pos
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos_label,
+           CAST(sum(CASE WHEN nb_score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pred_pos,
+           CAST(sum(CASE WHEN (nb_score > 0) = is_pos THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM scored
+    GROUP BY source
+    """,
+)
+def nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-self-score a Naive-Bayes quality classifier (the
+    bag-of-words reduction of the fastText-style filters CCNet/LLaMA
+    pipelines use), with "long document" (n_chars ≥ {_NB_MIN_CHARS}) as
+    the positive label.  Per-source confusion counts: documents, true
+    positives by label, predicted positives, and agreement.  The oracle
+    refits the identical model, so training and scoring both carry the
+    hard signal (see ``operators/selection.py::nb_token_scores``)."""
+    d = table(spark, sf_dir, "documents", parallel=True)
+    scored = nb_token_scores(
+        d, F.col("n_chars") >= _NB_MIN_CHARS,
+        keep=("doc_id", "source", "__is_pos"),
+    )
+    pred = F.col("nb_score") > 0
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("__is_pos"), 1).otherwise(0))
+        .cast("bigint").alias("n_pos_label"),
+        F.sum(F.when(pred, 1).otherwise(0)).cast("bigint")
+        .alias("n_pred_pos"),
+        F.sum(F.when(pred == F.col("__is_pos"), 1).otherwise(0))
+        .cast("bigint").alias("n_correct"),
+    )

@@ -1119,3 +1119,48 @@ def sumoql_cidr_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("ip_num") / 256) * 256).alias("net24_num_helper"),
         "net24", "same_net_as_gw",
     )
+
+
+def _logreduce_oracle() -> str:
+    """DuckDB twin of ``plans/sumoql.py::logreduce_signature`` over the
+    synthesized message — the identical mask chain, applied in the
+    identical order."""
+    from ..plans.sumoql import LOGREDUCE_MASKS
+
+    sig = ("'type=' || coalesce(event_type, 'null') || ' took ' ||"
+           " json_extract_string(props, '$.k') || ' ms on host 10.0.' ||"
+           " json_extract_string(props, '$.k') || '.25'")
+    for pat in LOGREDUCE_MASKS:
+        sig = f"regexp_replace({sig}, '{pat}', '*', 'g')"
+    return f"""
+    WITH m AS (SELECT {sig} AS _signature FROM events)
+    SELECT _signature, CAST(count(*) AS BIGINT) AS _count
+    FROM m GROUP BY _signature
+    ORDER BY _count DESC, _signature
+    LIMIT 10
+    """
+
+
+@query("sumoql_logreduce", oracle=_logreduce_oracle())
+def sumoql_logreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``logreduce`` — Sumo's log-clustering operator: messages collapse
+    into signatures by masking variable parts (UUIDs, hex ids, IPv4s,
+    numbers), ranked by frequency.  The pipeline synthesizes a
+    realistic message (category + latency + host address) so THREE of
+    the four mask classes fire, then clusters it; the oracle replays
+    the same mask chain (``_logreduce_oracle``), so signature
+    construction — not just counting — carries the hard signal.
+
+    Plan: masking is narrow, the signature groupBy is map-side combined
+    (duplicate templates collapse per-partition — the operator's whole
+    premise), and the rank is TakeOrdered, never a global sort
+    (``plans/sumoql.py::_stage_logreduce``)."""
+    ev = table(spark, sf_dir, "events")
+    return compile_query(
+        ev,
+        '* | json "k"'
+        " | concat('type=', coalesce(event_type, 'null'), ' took ', k,"
+        " ' ms on host 10.0.', k, '.25') as msg"
+        " | logreduce field=msg limit=10",
+        EVENTS_SCHEMA,
+    )
