@@ -85,6 +85,10 @@ OPTIONAL = [
     "temperature_mixture_weights",
     "dataset_manifest_diff",
     "domain_interleave_order",
+    "dsir_resample_stats",
+    "nb_quality_scores",
+    "sumoql_logreduce",
+    "sumoql_logcompare",
 ]
 
 

@@ -383,6 +383,8 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
         return _stage_logexplain(df, rest, schema)
     if head == "logreduce":
         return _stage_logreduce(df, rest, schema)
+    if head == "logcompare":
+        return _stage_logcompare(df, rest, schema)
     if head == "trace":
         return _stage_trace(df, rest, schema)
     if head == "sort":
@@ -1159,6 +1161,74 @@ def _stage_logreduce(df: DataFrame, rest: str,
         .groupBy("_signature")
         .agg(F.count(F.lit(1)).alias("_count"))
         .orderBy(F.col("_count").desc(), "_signature")
+        .limit(limit)
+    )
+
+
+def _stage_logcompare(df: DataFrame, rest: str,
+                      schema: SumoSchema) -> DataFrame:
+    """``logcompare [field=<col>] last <duration> [limit=N]`` — Sumo's
+    signature-diff operator: cluster messages into logreduce signatures,
+    then compare how often each signature occurs in the trailing
+    ``<duration>`` (the TARGET window) against everything before it (the
+    BASELINE).  Sumo anchors the baseline with ``timeshift``; against a
+    bounded batch frame the deterministic analog is the trailing-window
+    split on the frame's own max timestamp.
+
+    Output per signature: baseline/target counts, ``_is_new`` (absent
+    from the baseline), and ``_change`` — the smoothed log₂ rate ratio
+    ``log2(((tc+1)/(T+2)) / ((bc+1)/(B+2)))``, positive when a template
+    surges, negative when it fades (Sumo's z-score is unpublished; the
+    smoothed ratio is this engine's documented, reproducible scoring).
+
+    Scale shape: ONE scalar aggregate for the time cut (1-row broadcast
+    crossJoin), then ONE signature groupBy with two conditional counts
+    (map-side combined — the same shape as ``logexplain``); denominators
+    re-aggregate the already-grouped frame; the rank is TakeOrdered.
+    """
+    field, limit = schema.raw_col, 100
+    rest = rest.strip()
+    m = re.search(r"\bfield\s*=\s*([\w.]+)", rest)
+    if m:
+        field = schema.meta_cols.get(m.group(1), m.group(1))
+        rest = rest[:m.start()] + rest[m.end():]
+    m = re.search(r"\blimit\s*=\s*(\d+)", rest)
+    if m:
+        limit = int(m.group(1))
+        rest = rest[:m.start()] + rest[m.end():]
+    m = re.fullmatch(r"\s*last\s+(\d+)([smhd])\s*", rest)
+    if not m:
+        raise SumoQLError(f"bad logcompare stage (need 'last <n><unit>'):"
+                          f" {rest!r}")
+    seconds = int(m.group(1)) * _UNIT_SECONDS[m.group(2)]
+    ts = F.col(schema.ts_col)
+    cut = df.agg(
+        (F.max(ts) - F.expr(f"INTERVAL {seconds} SECOND")).alias("_cut"))
+    grouped = (
+        df.select(logreduce_signature(field).alias("_signature"),
+                  ts.alias("_ts"))
+        .crossJoin(F.broadcast(cut))
+        .groupBy("_signature")
+        .agg(
+            F.sum(F.when(F.col("_ts") < F.col("_cut"), 1).otherwise(0))
+            .alias("_baseline_count"),
+            F.sum(F.when(F.col("_ts") >= F.col("_cut"), 1).otherwise(0))
+            .alias("_target_count"),
+        )
+    )
+    totals = grouped.agg(F.sum("_baseline_count").alias("_bt"),
+                         F.sum("_target_count").alias("_tt"))
+    t_rate = (F.col("_target_count") + 1) / (F.col("_tt") + 2)
+    b_rate = (F.col("_baseline_count") + 1) / (F.col("_bt") + 2)
+    return (
+        grouped.crossJoin(F.broadcast(totals))
+        .select(
+            "_signature", "_baseline_count", "_target_count",
+            ((F.col("_baseline_count") == 0)
+             & (F.col("_target_count") > 0)).alias("_is_new"),
+            F.round(F.log2(t_rate / b_rate), 4).alias("_change"),
+        )
+        .orderBy(F.col("_change").desc(), "_signature")
         .limit(limit)
     )
 

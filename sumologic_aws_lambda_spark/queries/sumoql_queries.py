@@ -1164,3 +1164,56 @@ def sumoql_logreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | logreduce field=msg limit=10",
         EVENTS_SCHEMA,
     )
+
+
+def _logcompare_oracle() -> str:
+    """DuckDB twin of ``plans/sumoql.py::_stage_logcompare`` over the
+    same synthesized message as ``sumoql_logreduce``."""
+    from ..plans.sumoql import LOGREDUCE_MASKS
+
+    sig = ("'type=' || coalesce(event_type, 'null') || ' took ' ||"
+           " json_extract_string(props, '$.k') || ' ms on host 10.0.' ||"
+           " json_extract_string(props, '$.k') || '.25'")
+    for pat in LOGREDUCE_MASKS:
+        sig = f"regexp_replace({sig}, '{pat}', '*', 'g')"
+    return f"""
+    WITH m AS (SELECT {sig} AS _signature, ts FROM events),
+    cut AS (SELECT max(ts) - INTERVAL 7 DAY AS _cut FROM events),
+    g AS (
+        SELECT _signature,
+               CAST(sum(CASE WHEN ts < _cut THEN 1 ELSE 0 END) AS BIGINT)
+                   AS _baseline_count,
+               CAST(sum(CASE WHEN ts >= _cut THEN 1 ELSE 0 END) AS BIGINT)
+                   AS _target_count
+        FROM m CROSS JOIN cut GROUP BY _signature
+    ),
+    tot AS (SELECT CAST(sum(_baseline_count) AS DOUBLE) AS bt,
+                   CAST(sum(_target_count) AS DOUBLE) AS tt
+            FROM g)
+    SELECT _signature, _baseline_count, _target_count,
+           (_baseline_count = 0 AND _target_count > 0) AS _is_new,
+           round(log2(((_target_count + 1) / (tt + 2))
+                      / ((_baseline_count + 1) / (bt + 2))), 4) AS _change
+    FROM g CROSS JOIN tot
+    ORDER BY _change DESC, _signature
+    LIMIT 20
+    """
+
+
+@query("sumoql_logcompare", oracle=_logcompare_oracle())
+def sumoql_logcompare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``logcompare last 7d`` — Sumo's signature-diff operator: cluster
+    messages into logreduce signatures and score how each template's
+    rate changed in the trailing week vs the prior baseline (surges,
+    fades, brand-new templates).  The oracle replays mask chain, time
+    split, smoothing and scoring end-to-end
+    (``plans/sumoql.py::_stage_logcompare``)."""
+    ev = table(spark, sf_dir, "events")
+    return compile_query(
+        ev,
+        '* | json "k"'
+        " | concat('type=', coalesce(event_type, 'null'), ' took ', k,"
+        " ' ms on host 10.0.', k, '.25') as msg"
+        " | logcompare field=msg last 7d limit=20",
+        EVENTS_SCHEMA,
+    )

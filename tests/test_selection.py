@@ -195,3 +195,62 @@ def test_logreduce_no_global_sort_of_corpus(spark):
     plan = _plan(compile_query(df, "* | logreduce",
                                SumoSchema(raw_col="line")))
     assert "TakeOrderedAndProject" in plan
+
+
+# ----------------------------------------------------------- logcompare
+
+def _lc_frame(spark):
+    return spark.createDataFrame(
+        [
+            # baseline (day 1): 3 "login" lines, 1 "disk" line
+            ("2024-01-01 01:00:00", "user 1 login"),
+            ("2024-01-01 02:00:00", "user 2 login"),
+            ("2024-01-01 03:00:00", "user 3 login"),
+            ("2024-01-01 04:00:00", "disk 50% full"),
+            # target (trailing 1h of the frame): 1 login, 1 brand-new
+            ("2024-01-02 23:30:00", "user 9 login"),
+            ("2024-01-02 23:45:00", "kernel panic code 7"),
+        ],
+        "t string, line string",
+    ).selectExpr("CAST(t AS TIMESTAMP) AS t", "line")
+
+
+def test_logcompare_counts_and_new_flag(spark):
+    out = {r["_signature"]: r for r in compile_query(
+        _lc_frame(spark), "* | logcompare last 1h",
+        SumoSchema(raw_col="line", ts_col="t")).collect()}
+    login = out["user * login"]
+    assert (login["_baseline_count"], login["_target_count"]) == (3, 1)
+    assert not login["_is_new"]
+    panic = out["kernel panic code *"]
+    assert (panic["_baseline_count"], panic["_target_count"]) == (0, 1)
+    assert panic["_is_new"]
+    disk = out["disk *% full"]
+    assert (disk["_baseline_count"], disk["_target_count"]) == (1, 0)
+    # The brand-new template scores above both incumbents (login and
+    # disk happen to tie at these counts: 2/4÷4/6 = 1/4÷2/6 = 3/4).
+    assert panic["_change"] > login["_change"]
+    assert panic["_change"] > disk["_change"]
+
+
+def test_logcompare_change_is_smoothed_log2_ratio(spark):
+    out = {r["_signature"]: r for r in compile_query(
+        _lc_frame(spark), "* | logcompare last 1h",
+        SumoSchema(raw_col="line", ts_col="t")).collect()}
+    # B=4 baseline rows, T=2 target rows.
+    expected = round(math.log2(((1 + 1) / (2 + 2)) / ((0 + 1) / (4 + 2))), 4)
+    assert out["kernel panic code *"]["_change"] == pytest.approx(expected)
+
+
+def test_logcompare_rejects_missing_window(spark):
+    with pytest.raises(SumoQLError):
+        compile_query(_lc_frame(spark), "* | logcompare",
+                      SumoSchema(raw_col="line", ts_col="t"))
+
+
+def test_logcompare_limit_takeordered(spark):
+    df = _lc_frame(spark)
+    plan = _plan(compile_query(
+        df, "* | logcompare last 1h limit=2",
+        SumoSchema(raw_col="line", ts_col="t")))
+    assert "TakeOrderedAndProject" in plan
