@@ -53,6 +53,20 @@ def _gopher_rollup(d):
     )
 
 
+def _dsir(d):
+    from sumologic_aws_lambda_spark.operators.selection import dsir_weights
+
+    return dsir_weights(d, F.col("lang") == "en", n_buckets=64)
+
+
+def _nb(d):
+    from sumologic_aws_lambda_spark.operators.selection import (
+        nb_token_scores,
+    )
+
+    return nb_token_scores(d, F.col("n_chars") >= 300)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
@@ -79,6 +93,11 @@ def main() -> int:
         # Gopher battery: one narrow flag projection + a map-side-combined
         # rollup — the ratio should track rows.
         "gopher_rules": lambda d: _gopher_rollup(d),
+        # Selection wave: model tables are bucket/vocabulary-sized
+        # broadcasts; the only corpus-sized shuffle is the per-doc score
+        # groupBy — ratios should track rows.
+        "dsir_weights": lambda d: _dsir(d),
+        "nb_token_scores": lambda d: _nb(d),
     }
     for name, fn in probes.items():
         small = docs.filter(F.col("doc_id") % 10 == 0)
