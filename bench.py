@@ -89,6 +89,7 @@ OPTIONAL = [
     "nb_quality_scores",
     "sumoql_logreduce",
     "sumoql_logcompare",
+    "document_chunking",
 ]
 
 

@@ -419,6 +419,51 @@ def pack_sequences(df: DataFrame, budget: int = 512,
     return df.select(*out_cols)
 
 
+def chunk_documents(df: DataFrame, chunk_tokens: int = 32,
+                    overlap: int = 8, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    ``chunk_tokens``-token windows that overlap by ``overlap`` tokens —
+    the context-window chunking step of an embedding/RAG/long-doc
+    training pipeline (complements ``pack_sequences``, which
+    concatenates SHORT docs; this splits LONG ones).
+
+    One output row per chunk: ``chunk_idx`` (0-based), ``start_tok``
+    (0-based token offset), ``n_chunk_tokens`` (the tail chunk may be
+    short), and ``chunk_text``.  Documents shorter than one window
+    yield exactly one chunk.
+
+    Scale: pure narrow row-local expressions — tokenize, a sequence
+    explode, an array slice; NO shuffle of any kind, so chunking 100 TB
+    is a single map stage that AQE never has to think about."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = F.split(normalize_text(text_col), " ")
+    n = F.size(t)
+    # ceil((n - chunk)/stride) + 1 extra windows beyond the first.
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.floor((n - F.lit(chunk_tokens) + F.lit(stride) - 1)
+                / F.lit(stride).cast("double")) + 1)
+    start = F.col("chunk_idx") * stride
+    chunk = F.slice(F.col("__t"), start + 1, chunk_tokens)
+    return (
+        df.select(id_col, t.alias("__t"), n_chunks.alias("__nc"))
+        .select(
+            id_col, "__t",
+            F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                 F.col("__nc") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            start.alias("start_tok"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
 def bpe_train(df: DataFrame, text_col: str = "text", n_merges: int = 10,
               vocab_cap: int = 1_000_000) -> list[tuple[str, str, int]]:
     """Byte-pair-encoding tokenizer training (Sennrich et al. 2016):

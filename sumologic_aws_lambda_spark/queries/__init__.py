@@ -66,7 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "temperature_mixture_weights", "dataset_manifest_diff",
     "domain_interleave_order",
     "dsir_importance_weights", "dsir_resample_stats", "nb_quality_scores",
-    "sumoql_logreduce", "sumoql_logcompare",
+    "sumoql_logreduce", "sumoql_logcompare", "document_chunking",
     # -- (c) machinery touched this round: lookups threading
     #    (compile_prefixed_query), scheduled-view refresh/marks, star
     #    components' shared cluster contract, the review-campaign
@@ -84,7 +84,6 @@ _PRIORITY: tuple[str, ...] = (
     "exact_dedup_stats", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "paragraph_dedup_stats",
     "embedding_neardup_pairs", "ivf_ann_topk",
-    "kmeans_centroid_stats",
     "ngram_decontamination", "gopher_quality_filters",
     "stratified_hash_sample",
     "monitor_threshold_alerts",

@@ -510,3 +510,57 @@ def domain_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source",
         F.round("stride", 6).alias("stride"),
     )
+
+
+_CHUNK_C = 32   # tokens per chunk
+_CHUNK_S = 24   # stride (overlap = 8)
+
+
+@query(
+    "document_chunking",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    c AS (
+        SELECT doc_id, t, len(t) AS n,
+               CASE WHEN len(t) <= {_CHUNK_C} THEN 1
+                    ELSE CAST(floor((len(t) - {_CHUNK_C} + {_CHUNK_S} - 1)
+                              / CAST({_CHUNK_S} AS DOUBLE)) AS BIGINT) + 1
+               END AS nc
+        FROM docs
+    ),
+    ex AS (
+        SELECT doc_id, t, i AS chunk_idx
+        FROM c, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS i) g
+    )
+    SELECT doc_id, chunk_idx,
+           chunk_idx * {_CHUNK_S} AS start_tok,
+           len(list_slice(t, chunk_idx * {_CHUNK_S} + 1,
+                          chunk_idx * {_CHUNK_S} + {_CHUNK_C}))
+               AS n_chunk_tokens,
+           array_to_string(list_slice(t, chunk_idx * {_CHUNK_S} + 1,
+                                      chunk_idx * {_CHUNK_S} + {_CHUNK_C}),
+                           ' ') AS chunk_text
+    FROM ex
+    """,
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of every document into {_CHUNK_C}-token
+    windows with {_CHUNK_C - _CHUNK_S}-token overlap — the
+    context-window step of an embedding/RAG/long-doc pipeline.  The
+    oracle replays window arithmetic, slicing, and reassembly for EVERY
+    chunk of every document (full per-chunk compare, no sampling).
+
+    Plan: pure narrow expressions, zero shuffles
+    (``operators/text.py::chunk_documents``)."""
+    from ..operators.text import chunk_documents
+
+    d = table(spark, sf_dir, "documents", parallel=True)
+    out = chunk_documents(d, chunk_tokens=_CHUNK_C,
+                          overlap=_CHUNK_C - _CHUNK_S)
+    return out.select(
+        "doc_id", "chunk_idx", "start_tok",
+        F.col("n_chunk_tokens").cast("bigint").alias("n_chunk_tokens"),
+        "chunk_text",
+    )

@@ -313,3 +313,63 @@ def test_simhash_rejects_out_of_range_bits(spark):
         simhash(df, bits=64)
     # 60 bits — the documented maximum — must work
     assert simhash(df, bits=60).count() == 1
+
+
+# -------------------------------------------------------------- chunking
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from sumologic_aws_lambda_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=8, overlap=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["chunk_idx"], r["start_tok"], r["n_chunk_tokens"]) == (0, 0, 3)
+    assert r["chunk_text"] == "a b c"
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from sumologic_aws_lambda_spark.operators.text import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    docs = spark.createDataFrame([(1, " ".join(toks))],
+                                 "doc_id long, text string")
+    out = sorted(
+        chunk_documents(docs, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: r["chunk_idx"])
+    # stride 2: starts 0,2,4,6 cover through token 9 (ceil((10-4)/2)+1=4)
+    assert [r["start_tok"] for r in out] == [0, 2, 4, 6]
+    assert [r["chunk_text"] for r in out] == [
+        "t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7", "t6 t7 t8 t9"]
+    # consecutive chunks share exactly the 2-token overlap
+    assert out[0]["chunk_text"].split()[-2:] == \
+        out[1]["chunk_text"].split()[:2]
+
+
+def test_chunk_documents_exact_boundary_no_empty_tail(spark):
+    from sumologic_aws_lambda_spark.operators.text import chunk_documents
+
+    toks = [f"t{i}" for i in range(8)]   # n == chunk + 2*stride exactly
+    docs = spark.createDataFrame([(1, " ".join(toks))],
+                                 "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    assert [r["n_chunk_tokens"] for r in
+            sorted(out, key=lambda r: r["chunk_idx"])] == [4, 4, 4]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+    from sumologic_aws_lambda_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_plan_has_no_shuffle(spark):
+    from sumologic_aws_lambda_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c d e")],
+                                 "doc_id long, text string")
+    plan = _plan(chunk_documents(docs, chunk_tokens=4, overlap=1))
+    assert "Exchange" not in plan
