@@ -103,3 +103,45 @@ def test_span_removal_matches_python(spark, texts, cross_only):
                df, k=K, cross_doc_only=cross_only).collect()}
     expect = py_removal(texts, cross_only)
     assert got == {i: e for i, e in enumerate(expect)}
+
+
+# ------------------------------------------------- chunking (sliding win)
+
+def py_chunks(text: str, chunk: int, overlap: int) -> list[tuple[int, int, str]]:
+    toks = _toks(text)
+    n, stride = len(toks), chunk - overlap
+    n_chunks = 1 if n <= chunk else -((n - chunk) // -stride) + 1
+    return [
+        (ci, ci * stride, " ".join(toks[ci * stride:ci * stride + chunk]))
+        for ci in range(n_chunks)
+    ]
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_texts, st.integers(2, 6), st.integers(0, 4))
+def test_chunking_matches_python(spark, texts, chunk, overlap):
+    from sumologic_aws_lambda_spark.operators.text import chunk_documents
+
+    overlap = min(overlap, chunk - 1)
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_tok"], r["chunk_text"])
+        for r in chunk_documents(df, chunk, overlap).collect()
+    }
+    want = {
+        (d, ci): (start, txt)
+        for d, t in enumerate(texts)
+        for ci, start, txt in py_chunks(t, chunk, overlap)
+    }
+    assert got == want
+    # Reconstruction: stitching chunks at the stride boundary recovers
+    # the normalized document exactly (no token lost or duplicated).
+    stride = chunk - overlap
+    for d, t in enumerate(texts):
+        parts = [txt.split(" ")[:stride] if i < len(py_chunks(t, chunk, overlap)) - 1
+                 else txt.split(" ")
+                 for i, (_, _, txt) in enumerate(py_chunks(t, chunk, overlap))]
+        flat = [tok for p in parts for tok in p]
+        assert flat == _toks(t)
