@@ -90,6 +90,7 @@ OPTIONAL = [
     "sumoql_logreduce",
     "sumoql_logcompare",
     "document_chunking",
+    "ivfpq_ann_topk",
 ]
 
 

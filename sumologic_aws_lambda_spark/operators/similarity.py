@@ -510,6 +510,32 @@ def pq_encode(df: DataFrame, books: list[list[list[float]]],
     return df.select(F.col(id_col), codes.alias("codes"))
 
 
+def _adc_expr(books: list[list[list[float]]], q_col: str = "q_vec",
+              codes_col: str = "codes") -> Column:
+    """Asymmetric-distance Column: ``Σ_s d2(query_slice_s,
+    codebook[s][code_s])`` — a statically unrolled ordered sum over
+    subspaces.  Each term slices the query once and indexes that
+    subspace's LITERAL codebook array with the dynamic code byte — pure
+    codegen, no carried tensor column, left-associated so the fold
+    order matches the oracles."""
+    sub_dim = len(books[0][0])
+    adc = F.lit(0.0)
+    for s in range(len(books)):
+        book_s = F.array(*[
+            F.array(*[F.lit(float(v)) for v in ce]) for ce in books[s]
+        ])
+        cent = F.element_at(book_s, F.element_at(codes_col, s + 1) + 1)
+        adc = adc + F.aggregate(
+            F.zip_with(
+                F.slice(F.col(q_col), s * sub_dim + 1, sub_dim),
+                cent,
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0), lambda a2, x: a2 + x,
+        )
+    return adc
+
+
 def pq_adc_topk(codes_df: DataFrame, books: list[list[list[float]]],
                 queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
@@ -528,35 +554,116 @@ def pq_adc_topk(codes_df: DataFrame, books: list[list[list[float]]],
     Returns ``(query_id, neighbor_id, adc_d2, rank)`` — ascending
     distance, rank ties broken on neighbor id.
     """
-    m = len(books)
-    sub_dim = len(books[0][0])
     q = F.broadcast(
         queries.select(F.col(id_col).alias(query_id_col),
                        as_double(vec_col).alias("q_vec"))
     )
-    # Statically unrolled ordered sum over subspaces: each term slices
-    # the query once and indexes that subspace's LITERAL codebook array
-    # with the dynamic code byte — pure codegen, no carried tensor
-    # column, left-associated so the fold order matches the oracle.
-    adc = F.lit(0.0)
-    for s in range(m):
-        book_s = F.array(*[
-            F.array(*[F.lit(float(v)) for v in ce]) for ce in books[s]
-        ])
-        cent = F.element_at(book_s, F.element_at("codes", s + 1) + 1)
-        adc = adc + F.aggregate(
-            F.zip_with(
-                F.slice(F.col("q_vec"), s * sub_dim + 1, sub_dim),
-                cent,
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0.0), lambda a2, x: a2 + x,
-        )
+    adc = _adc_expr(books)
     scored = (
         codes_df.select(F.col(id_col).alias("neighbor_id"), "codes")
         .crossJoin(q)
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .withColumn("adc_raw", adc)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_raw"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id",
+                F.round("adc_raw", 6).alias("adc_d2"), "rank")
+    )
+
+
+def _centroid_struct_arr(centroids: DataFrame, cid_col: str = "cid",
+                         ce_col: str = "ce") -> DataFrame:
+    """All centroids as ONE broadcast array-of-structs row (cid, ce,
+    norm) — the carrier for narrow in-row argmin assignment."""
+    return F.broadcast(
+        centroids.select(F.col(cid_col).alias("cid"),
+                         as_double(ce_col).alias("ce"))
+        .withColumn("cn", l2_norm(F.col("ce")))
+        .groupBy().agg(
+            F.collect_list(F.struct("cid", "ce", "cn")).alias("cents"))
+    )
+
+
+def _ranked_cells(vec: Column, norm: Column) -> Column:
+    """(−cosine, cid)-sorted centroid ranking against the ``cents``
+    array column — argmin/probe selection without explode, window, or
+    shuffle (sort key ≡ ORDER BY sim DESC, cid)."""
+    return F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (-(dot(vec, c["ce"]) / (norm * c["cn"]))).alias("neg_sim"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+
+
+def ivfpq_adc_topk(df: DataFrame, books: list[list[list[float]]],
+                   centroids: DataFrame, queries: DataFrame, k: int = 5,
+                   nprobe: int = 2, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   query_id_col: str = "query_id") -> DataFrame:
+    """IVF-PQ — the FAISS-style production recipe, composing the two
+    scale paths this module already has: a coarse inverted file prunes
+    the candidate space to the query's ``nprobe`` cells, and asymmetric
+    PQ distance scores only those candidates from their m-byte codes.
+
+    Plan shape (the point of the composition): ONE narrow corpus pass
+    computes BOTH the PQ codes and the coarse-cell assignment (the
+    centroid array and codebooks ride as a broadcast row / literals);
+    probes and query vectors are broadcast; candidate selection is a
+    broadcast equi-join on ``cluster_id``; the ONLY shuffle in the
+    whole plan is the final per-query top-k WindowGroupLimit.  At
+    100 TB the index build writes (id, cluster_id, codes) once —
+    64× narrower than raw floats — and every query batch reads
+    ~nprobe/K of it.
+
+    ``centroids`` is a (cid, ce) frame (trained externally or seeded
+    deterministically); assignment metric is cosine, matching
+    ``ivf_ann_topk``; scoring is L2 ADC, matching ``pq_adc_topk``.
+    Returns ``(query_id, neighbor_id, adc_d2, rank)``.
+    """
+    m = len(books)
+    sub_dim = len(books[0][0])
+    cent_arr = _centroid_struct_arr(centroids)
+
+    e = as_double(vec_col)
+    codes = F.array(*[
+        _pq_sub_argmin(F.slice(e, s * sub_dim + 1, sub_dim), books[s])
+        for s in range(m)
+    ])
+    indexed = (
+        df.crossJoin(cent_arr)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            codes.alias("codes"),
+            F.element_at(_ranked_cells(e, l2_norm(e)), 1)["cid"]
+            .alias("cluster_id"),
+        )
+    )
+    probes = (
+        queries.crossJoin(cent_arr)
+        .select(
+            F.col(id_col).alias(query_id_col),
+            F.explode(
+                F.slice(_ranked_cells(e, l2_norm(e)), 1, nprobe)
+            ).alias("cell"),
+        )
+        .select(query_id_col, F.col("cell.cid").alias("cluster_id"))
+    )
+    qvec = F.broadcast(
+        queries.select(F.col(id_col).alias(query_id_col),
+                       as_double(vec_col).alias("q_vec")))
+    scored = (
+        indexed.join(F.broadcast(probes), "cluster_id")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .join(qvec, query_id_col)
+        .withColumn("adc_raw", _adc_expr(books))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_raw"), F.col("neighbor_id"))

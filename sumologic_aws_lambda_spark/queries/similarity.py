@@ -545,3 +545,87 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq_train(emb, m=_PQ_M, k=_PQ_K, iters=0)
     return pq_adc_topk(pq_encode(emb, books), books,
                        emb.filter(F.col("vec_id") < 5), k=5)
+
+
+_IVFPQ_NC = 8       # coarse cells
+_IVFPQ_NPROBE = 2
+_IVFPQ_COS = (
+    "list_dot_product(v.e, ic.ce) /"
+    " (sqrt(list_dot_product(v.e, v.e)) *"
+    " sqrt(list_dot_product(ic.ce, ic.ce)))"
+)
+
+
+@query(
+    "ivfpq_ann_topk",
+    oracle=f"""
+    WITH {_PQ_BASE_CTE.lstrip()},
+    {_pq_assign_cte("cents0", "codes").lstrip()},
+    ivfc AS (SELECT vec_id AS cid, e AS ce FROM c
+             WHERE vec_id < {_IVFPQ_NC}),
+    assign AS (
+        SELECT vec_id, cluster_id FROM (
+            SELECT v.vec_id, ic.cid AS cluster_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {_IVFPQ_COS} DESC, ic.cid) AS rn
+            FROM c v CROSS JOIN ivfc ic
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cluster_id FROM (
+            SELECT v.vec_id, ic.cid AS cluster_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {_IVFPQ_COS} DESC, ic.cid) AS rn
+            FROM c v CROSS JOIN ivfc ic
+            WHERE v.vec_id < 5
+        ) WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a USING (cluster_id)
+        WHERE a.vec_id <> p.query_id
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id < 5),
+    scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               list_sum(list(
+                   {_PQ_D2.format(
+                       a="list_slice(q.qe, codes.sub * 8 + 1,"
+                         " codes.sub * 8 + 8)",
+                       b="cents0.ce")}
+                   ORDER BY codes.sub)) AS adc_raw
+        FROM cand cd
+        JOIN codes ON codes.vec_id = cd.neighbor_id
+        JOIN cents0 ON codes.sub = cents0.sub AND codes.cid = cents0.cid
+        JOIN q ON q.query_id = cd.query_id
+        GROUP BY cd.query_id, cd.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, round(adc_raw, 6) AS adc_d2,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_raw, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_d2, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search — the FAISS production recipe: coarse inverted-file
+    pruning (cosine cells, {_IVFPQ_NPROBE} probes of {_IVFPQ_NC}) +
+    asymmetric PQ distance over m-byte codes for the surviving
+    candidates only.  Centroids and codebooks are deterministic seeds,
+    so the oracle replays index build (assignment + encoding), probe
+    selection, candidate pruning, and ADC scoring end-to-end.  One
+    narrow corpus pass builds codes AND cells; the only shuffle is the
+    per-query top-k (``operators/similarity.py::ivfpq_adc_topk``)."""
+    from ..operators.similarity import ivfpq_adc_topk, pq_train
+
+    emb = table(spark, sf_dir, "embeddings", parallel=True)
+    books = pq_train(emb, m=_PQ_M, k=_PQ_K, iters=0)
+    cents = emb.filter(F.col("vec_id") < _IVFPQ_NC).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+    )
+    return ivfpq_adc_topk(
+        emb, books, cents, emb.filter(F.col("vec_id") < 5),
+        k=5, nprobe=_IVFPQ_NPROBE)

@@ -126,3 +126,75 @@ def test_pq_adc_matches_python_distance(spark, vecs):
             sl = q[s * sub:(s + 1) * sub]
             want += sum((x - y) * (x - y) for x, y in zip(sl, ce))
         assert abs(r.adc_d2 - round(want, 6)) < 1e-6, (r, want)
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+@pytest.fixture(scope="module")
+def ivf_corpus(spark):
+    # Two well-separated direction clusters (cosine cells) with distinct
+    # magnitudes inside each so ADC ranking is non-trivial.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),   # centroid A
+        (1, [0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0]),   # centroid B
+        (2, [2.0, 0.1, 0.0, 0.0, 2.0, 0.1, 0.0, 0.0]),   # near A
+        (3, [2.1, 0.0, 0.1, 0.0, 2.1, 0.0, 0.1, 0.0]),   # near A
+        (4, [0.1, 2.0, 0.0, 0.0, 0.1, 2.0, 0.0, 0.0]),   # near B
+        (5, [0.0, 2.1, 0.0, 0.1, 0.0, 2.1, 0.0, 0.1]),   # near B
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+
+
+def test_ivfpq_prunes_to_probed_cell_and_ranks(spark, ivf_corpus):
+    from sumologic_aws_lambda_spark.operators.similarity import (
+        ivfpq_adc_topk,
+    )
+
+    books = pq_train(ivf_corpus, m=2, k=2, iters=1)
+    cents = ivf_corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    queries = ivf_corpus.filter(F.col("vec_id") == 2)
+    out = ivfpq_adc_topk(ivf_corpus, books, cents, queries,
+                         k=5, nprobe=1).collect()
+    got = {r["neighbor_id"] for r in out}
+    # nprobe=1 → only cell A members (0, 2, 3) are candidates; the
+    # query itself is excluded, B-cell vectors are pruned out.
+    assert got == {0, 3}
+    assert all(r["query_id"] == 2 for r in out)
+    ranks = {r["neighbor_id"]: r["rank"] for r in out}
+    assert sorted(ranks.values()) == [1, 2]
+
+
+def test_ivfpq_nprobe_widens_candidates(spark, ivf_corpus):
+    from sumologic_aws_lambda_spark.operators.similarity import (
+        ivfpq_adc_topk,
+    )
+
+    books = pq_train(ivf_corpus, m=2, k=2, iters=1)
+    cents = ivf_corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    queries = ivf_corpus.filter(F.col("vec_id") == 2)
+    n1 = ivfpq_adc_topk(ivf_corpus, books, cents, queries,
+                        k=10, nprobe=1).count()
+    n2 = ivfpq_adc_topk(ivf_corpus, books, cents, queries,
+                        k=10, nprobe=2).count()
+    assert n2 == 5 and n1 < n2     # all non-self vectors once both cells probed
+
+
+def test_ivfpq_single_shuffle_no_smj(spark, ivf_corpus):
+    from sumologic_aws_lambda_spark.operators.similarity import (
+        ivfpq_adc_topk,
+    )
+
+    books = pq_train(ivf_corpus, m=2, k=2, iters=0)
+    cents = ivf_corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    plan = ivfpq_adc_topk(
+        ivf_corpus, books, cents,
+        ivf_corpus.filter(F.col("vec_id") == 2),
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # The corpus side sees exactly ONE hash exchange: the top-k window.
+    assert plan.count("Exchange hashpartitioning") == 1
