@@ -91,6 +91,7 @@ OPTIONAL = [
     "sumoql_logcompare",
     "document_chunking",
     "ivfpq_ann_topk",
+    "curation_pipeline_funnel",
 ]
 
 

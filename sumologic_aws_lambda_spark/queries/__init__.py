@@ -67,7 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "domain_interleave_order",
     "dsir_importance_weights", "dsir_resample_stats", "nb_quality_scores",
     "sumoql_logreduce", "sumoql_logcompare", "document_chunking",
-    "ivfpq_ann_topk", "pq_adc_topk",
+    "ivfpq_ann_topk", "pq_adc_topk", "curation_pipeline_funnel",
     # -- (c) machinery touched this round: lookups threading
     #    (compile_prefixed_query), scheduled-view refresh/marks, star
     #    components' shared cluster contract, the review-campaign
@@ -82,7 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "cwl_decode_pipeline",
     "vpc_eni_enrichment", "firehose_transform",
     "asff_validation_gate", "fer_registry_apply",
-    "exact_dedup_stats", "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs",
     "paragraph_dedup_stats",
     "embedding_neardup_pairs",
     "ngram_decontamination", "gopher_quality_filters",

@@ -198,3 +198,110 @@ def nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(pred == F.col("__is_pos"), 1).otherwise(0))
         .cast("bigint").alias("n_correct"),
     )
+
+
+_FUN_MIN_TOK, _FUN_MAX_TOK = 20, 180
+
+
+@query(
+    "curation_pipeline_funnel",
+    oracle=f"""
+    WITH docs0 AS (
+        SELECT doc_id, lang,
+               len(string_split({_NORM}, ' ')) AS n_tok,
+               {_NORM} AS norm
+        FROM documents
+    ),
+    s1 AS (SELECT * FROM docs0
+           WHERE n_tok BETWEEN {_FUN_MIN_TOK} AND {_FUN_MAX_TOK}),
+    s2 AS (SELECT * FROM s1 QUALIFY row_number() OVER (
+               PARTITION BY md5(norm) ORDER BY doc_id) = 1),
+    s3 AS (SELECT * FROM s2 WHERE lang <> 'zh'),
+    g3 AS (
+        SELECT doc_id, (lang = 'en') AS is_t,
+               string_split(norm, ' ') AS t
+        FROM s3
+    ),
+    grams AS (
+        SELECT doc_id, is_t,
+               {_hex8_to_int_sql("md5(t[i] || ' ' || t[i+1])")} % {_DSIR_B}
+                   AS bucket
+        FROM g3,
+             LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+    ),
+    bstats AS (
+        SELECT bucket,
+               sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS p_c,
+               count(*) AS q_c
+        FROM grams GROUP BY bucket
+    ),
+    btot AS (
+        SELECT CAST(sum(p_c) AS DOUBLE) AS p_tot,
+               CAST(sum(q_c) AS DOUBLE) AS q_tot
+        FROM bstats
+    ),
+    lam AS (
+        SELECT bucket,
+               ln((p_c + 1) / (p_tot + {_DSIR_B}))
+                   - ln((q_c + 1) / (q_tot + {_DSIR_B})) AS lam
+        FROM bstats CROSS JOIN btot
+    ),
+    weights AS (
+        SELECT doc_id, round(sum(lam), 4) AS w
+        FROM grams JOIN lam USING (bucket)
+        GROUP BY doc_id
+    ),
+    s4 AS (SELECT s3.* FROM s3 JOIN weights USING (doc_id) WHERE w > 0)
+    SELECT * FROM (
+        SELECT '0_ingest' AS stage, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM docs0
+        UNION ALL
+        SELECT '1_quality', count(*), CAST(sum(n_tok) AS BIGINT) FROM s1
+        UNION ALL
+        SELECT '2_dedup', count(*), CAST(sum(n_tok) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT '3_lang', count(*), CAST(sum(n_tok) AS BIGINT) FROM s3
+        UNION ALL
+        SELECT '4_select', count(*), CAST(sum(n_tok) AS BIGINT) FROM s4
+    )
+    """,
+)
+def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FineWeb-style end-to-end curation funnel as ONE composed
+    DataFrame program — quality gate (token-count band) → exact content
+    dedup (skew-safe min_by winners) → language gate → DSIR selection
+    (model fit on the surviving pool, English target) — reporting the
+    document/token counts surviving each stage.  The point is
+    COMPOSABILITY: every stage is an operator this engine already
+    hard-signal-verifies in isolation, chained here exactly the way a
+    production pipeline chains them, and the oracle replays the whole
+    funnel end-to-end.
+
+    Scale: stages are filters/narrow projections except the dedup
+    groupBy and the DSIR score groupBy (both partial-agg, skew-safe);
+    the DSIR scoring needs NO join back — the weight frame carries the
+    funnel columns through ``keep``."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.text import token_count
+
+    d = table(spark, sf_dir, "documents", parallel=True)
+    s0 = d.withColumn("__n_tok", token_count("text"))
+    s1 = s0.filter(F.col("__n_tok").between(_FUN_MIN_TOK, _FUN_MAX_TOK))
+    s2 = exact_dedup(s1)
+    s3 = s2.filter(F.col("lang") != "zh")
+    s4 = dsir_weights(
+        s3, F.col("lang") == "en", n_buckets=_DSIR_B,
+        keep=("doc_id", "__n_tok"),
+    ).filter(F.col("dsir_weight") > 0)
+
+    def stage_counts(name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n_tok").cast("bigint").alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+
+    out = stage_counts("0_ingest", s0)
+    for name, frame in (("1_quality", s1), ("2_dedup", s2),
+                        ("3_lang", s3), ("4_select", s4)):
+        out = out.unionAll(stage_counts(name, frame))
+    return out

@@ -254,3 +254,22 @@ def test_logcompare_limit_takeordered(spark):
         df, "* | logcompare last 1h limit=2",
         SumoSchema(raw_col="line", ts_col="t")))
     assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------------ pipeline funnel
+
+def test_curation_funnel_is_monotone_and_complete(spark):
+    from sumologic_aws_lambda_spark.queries.selection import (
+        curation_pipeline_funnel,
+    )
+
+    rows = {r["stage"]: r for r in curation_pipeline_funnel(
+        spark, "/root/testdata/sf0.001").collect()}
+    assert list(sorted(rows)) == [
+        "0_ingest", "1_quality", "2_dedup", "3_lang", "4_select"]
+    docs = [rows[s]["n_docs"] for s in sorted(rows)]
+    toks = [rows[s]["n_tokens"] for s in sorted(rows)]
+    # Every stage only removes documents/tokens.
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    assert docs[0] == 500 and docs[-1] > 0
