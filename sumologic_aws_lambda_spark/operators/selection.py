@@ -71,11 +71,17 @@ def dsir_weights(df: DataFrame, is_target: Column,
     live in ``n_buckets`` hash buckets with add-1 smoothing, so the
     log-ratio table is broadcast-sized by construction.
 
-    Returns one row per document (``keep`` columns) with:
+    Returns one row per SCORED document (``keep`` columns) with:
 
     * ``n_grams`` — bigram occurrences in the document,
     * ``dsir_weight`` — Σ_grams  ln p̂_target(b) − ln p̂_raw(b),
       rounded to 4 dp (the cross-engine float-compare convention).
+
+    Documents with fewer than 2 tokens carry no bigram evidence and are
+    NOT scored (no output row — they can neither be ranked nor
+    selected).  Callers aggregating per-source totals over this frame
+    count scored docs; gate or union short docs explicitly if they must
+    survive selection.
 
     Plan: feature explode (narrow) → bucket-count agg (n_buckets groups,
     map-side combined) → broadcast log-ratio join → ONE corpus-sized
@@ -126,10 +132,14 @@ def nb_token_scores(df: DataFrame, is_pos: Column,
 
     Returns one row per document with ``n_tokens`` and ``nb_score``
     (rounded to 4 dp); ``nb_score > 0`` predicts the positive class.
-    Self-scoring the training corpus (as the registered query does) is
-    the standard smoke-eval; production scores a disjoint corpus with
-    the same broadcast table.
+    A NULL label counts as negative (coalesced up front, matching the
+    oracle's CASE ELSE branch — a three-valued ``when`` would instead
+    drop NULL-label docs from both classes and silently shift every
+    llr).  Self-scoring the training corpus (as the registered query
+    does) is the standard smoke-eval; production scores a disjoint
+    corpus with the same broadcast table.
     """
+    is_pos = F.coalesce(is_pos, F.lit(False))
     cols = list(keep) + (["__is_pos"] if "__is_pos" not in keep else [])
     toks = (
         df.withColumn("__is_pos", is_pos)

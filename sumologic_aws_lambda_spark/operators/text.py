@@ -436,8 +436,13 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 32,
     Scale: pure narrow row-local expressions — tokenize, a sequence
     explode, an array slice; NO shuffle of any kind, so chunking 100 TB
     is a single map stage that AQE never has to think about."""
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be smaller than chunk_tokens")
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    if not 0 <= overlap < chunk_tokens:
+        # A negative overlap would mean stride > chunk: tokens between
+        # consecutive windows silently appear in NO chunk, breaking the
+        # reconstruction invariant the property test pins.
+        raise ValueError("overlap must be in [0, chunk_tokens)")
     stride = chunk_tokens - overlap
     t = F.split(normalize_text(text_col), " ")
     n = F.size(t)

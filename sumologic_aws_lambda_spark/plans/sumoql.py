@@ -1121,11 +1121,31 @@ LOGREDUCE_MASKS: tuple[str, ...] = (
 def logreduce_signature(col: Column | str) -> Column:
     """Mask the variable parts of a message into its LogReduce
     signature — a pure chained ``regexp_replace`` Column (codegen-
-    friendly, narrow)."""
+    friendly, narrow).  NULL messages become the visible ``(null)``
+    template rather than a NULL group: engines disagree on NULL sort
+    placement (Spark NULLS FIRST vs DuckDB NULLS LAST), so a NULL
+    group's membership at a ``limit`` cutoff would be engine-dependent."""
     sig = F.col(col) if isinstance(col, str) else col
     for pat in LOGREDUCE_MASKS:
         sig = F.regexp_replace(sig, pat, "*")
-    return sig
+    return F.coalesce(sig, F.lit("(null)"))
+
+
+def _parse_sig_opts(rest: str, schema: SumoSchema) -> tuple[str, int, str]:
+    """Shared ``field=<col>`` / ``limit=N`` option parsing for the
+    logreduce/logcompare twin verbs.  Returns (bound column, limit,
+    leftover text) — the caller validates the leftover."""
+    field, limit = schema.raw_col, 100
+    rest = rest.strip()
+    m = re.search(r"\bfield\s*=\s*([\w.]+)", rest)
+    if m:
+        field = schema.meta_cols.get(m.group(1), m.group(1))
+        rest = rest[:m.start()] + rest[m.end():]
+    m = re.search(r"\blimit\s*=\s*(\d+)", rest)
+    if m:
+        limit = int(m.group(1))
+        rest = rest[:m.start()] + rest[m.end():]
+    return field, limit, rest
 
 
 def _stage_logreduce(df: DataFrame, rest: str,
@@ -1144,16 +1164,7 @@ def _stage_logreduce(df: DataFrame, rest: str,
     the rank is TakeOrdered (never a global sort).  Ties break on the
     signature text for determinism.
     """
-    field, limit = schema.raw_col, 100
-    rest = rest.strip()
-    m = re.search(r"\bfield\s*=\s*([\w.]+)", rest)
-    if m:
-        field = schema.meta_cols.get(m.group(1), m.group(1))
-        rest = rest[:m.start()] + rest[m.end():]
-    m = re.search(r"\blimit\s*=\s*(\d+)", rest)
-    if m:
-        limit = int(m.group(1))
-        rest = rest[:m.start()] + rest[m.end():]
+    field, limit, rest = _parse_sig_opts(rest, schema)
     if rest.strip():
         raise SumoQLError(f"bad logreduce stage: {rest!r}")
     return (
@@ -1186,16 +1197,7 @@ def _stage_logcompare(df: DataFrame, rest: str,
     (map-side combined — the same shape as ``logexplain``); denominators
     re-aggregate the already-grouped frame; the rank is TakeOrdered.
     """
-    field, limit = schema.raw_col, 100
-    rest = rest.strip()
-    m = re.search(r"\bfield\s*=\s*([\w.]+)", rest)
-    if m:
-        field = schema.meta_cols.get(m.group(1), m.group(1))
-        rest = rest[:m.start()] + rest[m.end():]
-    m = re.search(r"\blimit\s*=\s*(\d+)", rest)
-    if m:
-        limit = int(m.group(1))
-        rest = rest[:m.start()] + rest[m.end():]
+    field, limit, rest = _parse_sig_opts(rest, schema)
     m = re.fullmatch(r"\s*last\s+(\d+)([smhd])\s*", rest)
     if not m:
         raise SumoQLError(f"bad logcompare stage (need 'last <n><unit>'):"

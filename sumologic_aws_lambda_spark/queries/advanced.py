@@ -256,17 +256,17 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the corpus assignment is computed once and persisted,
     turning every query into a prune-then-scan of ~nprobe/K of the data.
     """
-    from ..operators.similarity import as_double, cosine, dot, l2_norm
+    from ..operators.similarity import (
+        _centroid_struct_arr,
+        _ranked_cells,
+        as_double,
+        cosine,
+        l2_norm,
+    )
 
     vecs = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
     ).withColumn("en", l2_norm(F.col("e")))
-    cent = F.broadcast(
-        vecs.filter(F.col("vec_id") < _N_CENTROIDS).select(
-            F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
-            l2_norm(F.col("e")).alias("cn"),
-        )
-    )
 
     # All K centroids as ONE broadcast array row: the per-vector argmax
     # then happens inside a higher-order expression — no explode, no
@@ -276,25 +276,17 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the dominant cost, so it must stay narrow.  Norms ride along
     # pre-computed (vector-side column, centroid-side struct field) so the
     # per-(vector, centroid) work is ONE dot — bit-identical to the inline
-    # cosine (same op order), 3× less array folding.
-    cent_arr = F.broadcast(
-        cent.groupBy().agg(
-            F.collect_list(F.struct("cid", "ce", "cn")).alias("cents"))
-    )
+    # cosine (same op order), 3× less array folding.  The carrier/ranking
+    # machinery is shared with ivfpq_adc_topk so IVF and IVF-PQ cell
+    # assignment can never drift apart.
+    cent_arr = _centroid_struct_arr(
+        vecs.filter(F.col("vec_id") < _N_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce")))
 
     def nearest(df: DataFrame, n: int, id_out: str) -> DataFrame:
         # Sort key (−sim, cid) ≡ ORDER BY sim DESC, cid — matching the
         # oracle's row_number ordering.
-        ranked = F.array_sort(
-            F.transform(
-                F.col("cents"),
-                lambda c: F.struct(
-                    (-(dot(F.col("e"), c["ce"])
-                       / (F.col("en") * c["cn"]))).alias("neg_sim"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        )
+        ranked = _ranked_cells(F.col("e"), F.col("en"))
         joined = df.crossJoin(cent_arr)
         if n == 1:
             return joined.select(

@@ -546,8 +546,8 @@ _CHUNK_S = 24   # stride (overlap = 8)
     """,
 )
 def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window chunking of every document into {_CHUNK_C}-token
-    windows with {_CHUNK_C - _CHUNK_S}-token overlap — the
+    """Sliding-window chunking of every document into 32-token
+    windows with 8-token overlap — the
     context-window step of an embedding/RAG/long-doc pipeline.  The
     oracle replays window arithmetic, slicing, and reassembly for EVERY
     chunk of every document (full per-chunk compare, no sampling).

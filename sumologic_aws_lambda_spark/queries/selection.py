@@ -77,10 +77,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed-bigram bag models of target vs raw.  Scored output restricted
     to doc_id < 200 (the per-doc-exact compare convention, as
     ``unigram_lm_scores``) — the oracle replays hashing, smoothing and
-    scoring end-to-end.
+    scoring end-to-end.  Documents under 2 tokens carry no bigram
+    evidence and produce no row (both engines).
 
     Plan shape (see ``operators/selection.py::dsir_weights``): the model
-    is {_DSIR_B} hash buckets → broadcast; ONE corpus-sized shuffle."""
+    is 64 hash buckets → broadcast; ONE corpus-sized shuffle."""
     d = table(spark, sf_dir, "documents", parallel=True)
     w = dsir_weights(d, F.col("lang") == "en", n_buckets=_DSIR_B)
     return w.filter(F.col("doc_id") < 200).select(
@@ -178,7 +179,7 @@ _NB_MIN_CHARS = 300  # positive-class label: doc length proxy
 def nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-and-self-score a Naive-Bayes quality classifier (the
     bag-of-words reduction of the fastText-style filters CCNet/LLaMA
-    pipelines use), with "long document" (n_chars ≥ {_NB_MIN_CHARS}) as
+    pipelines use), with "long document" (n_chars ≥ 300) as
     the positive label.  Per-source confusion counts: documents, true
     positives by label, predicted positives, and agreement.  The oracle
     refits the identical model, so training and scoring both carry the

@@ -611,7 +611,7 @@ _IVFPQ_COS = (
 )
 def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ search — the FAISS production recipe: coarse inverted-file
-    pruning (cosine cells, {_IVFPQ_NPROBE} probes of {_IVFPQ_NC}) +
+    pruning (cosine cells, 2 probes of 8) +
     asymmetric PQ distance over m-byte codes for the surviving
     candidates only.  Centroids and codebooks are deterministic seeds,
     so the oracle replays index build (assignment + encoding), probe

@@ -1121,10 +1121,11 @@ def sumoql_cidr_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _logreduce_oracle() -> str:
+def _synthesized_sig_sql() -> str:
     """DuckDB twin of ``plans/sumoql.py::logreduce_signature`` over the
-    synthesized message — the identical mask chain, applied in the
-    identical order."""
+    message both verb queries synthesize — the identical mask chain,
+    applied in the identical order (shared by the logreduce and
+    logcompare oracles so the twins cannot drift apart)."""
     from ..plans.sumoql import LOGREDUCE_MASKS
 
     sig = ("'type=' || coalesce(event_type, 'null') || ' took ' ||"
@@ -1132,6 +1133,11 @@ def _logreduce_oracle() -> str:
            " json_extract_string(props, '$.k') || '.25'")
     for pat in LOGREDUCE_MASKS:
         sig = f"regexp_replace({sig}, '{pat}', '*', 'g')"
+    return sig
+
+
+def _logreduce_oracle() -> str:
+    sig = _synthesized_sig_sql()
     return f"""
     WITH m AS (SELECT {sig} AS _signature FROM events)
     SELECT _signature, CAST(count(*) AS BIGINT) AS _count
@@ -1169,13 +1175,7 @@ def sumoql_logreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _logcompare_oracle() -> str:
     """DuckDB twin of ``plans/sumoql.py::_stage_logcompare`` over the
     same synthesized message as ``sumoql_logreduce``."""
-    from ..plans.sumoql import LOGREDUCE_MASKS
-
-    sig = ("'type=' || coalesce(event_type, 'null') || ' took ' ||"
-           " json_extract_string(props, '$.k') || ' ms on host 10.0.' ||"
-           " json_extract_string(props, '$.k') || '.25'")
-    for pat in LOGREDUCE_MASKS:
-        sig = f"regexp_replace({sig}, '{pat}', '*', 'g')"
+    sig = _synthesized_sig_sql()
     return f"""
     WITH m AS (SELECT {sig} AS _signature, ts FROM events),
     cut AS (SELECT max(ts) - INTERVAL 7 DAY AS _cut FROM events),

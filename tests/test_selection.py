@@ -273,3 +273,13 @@ def test_curation_funnel_is_monotone_and_complete(spark):
     assert docs == sorted(docs, reverse=True)
     assert toks == sorted(toks, reverse=True)
     assert docs[0] == 500 and docs[-1] > 0
+
+
+def test_logreduce_null_messages_group_as_visible_template(spark):
+    df = spark.createDataFrame(
+        [("disk 1 full",), (None,), (None,)], "line string")
+    out = {r["_signature"]: r["_count"] for r in compile_query(
+        df, "* | logreduce", SumoSchema(raw_col="line")).collect()}
+    # NULLs collapse into one "(null)" group instead of an
+    # engine-ordering-dependent NULL group.
+    assert out == {"(null)": 2, "disk * full": 1}
