@@ -67,6 +67,19 @@ def _nb(d):
     return nb_token_scores(d, F.col("n_chars") >= 300)
 
 
+def _funnel(d):
+    from sumologic_aws_lambda_spark.operators.dedup import exact_dedup
+    from sumologic_aws_lambda_spark.operators.selection import dsir_weights
+    from sumologic_aws_lambda_spark.operators.text import token_count
+
+    s1 = d.withColumn("__n_tok", token_count("text")).filter(
+        F.col("__n_tok").between(20, 180))
+    s3 = exact_dedup(s1).filter(F.col("lang") != "zh")
+    return dsir_weights(
+        s3, F.col("lang") == "en", keep=("doc_id", "__n_tok")
+    ).filter(F.col("dsir_weight") > 0)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
@@ -98,6 +111,9 @@ def main() -> int:
         # groupBy — ratios should track rows.
         "dsir_weights": lambda d: _dsir(d),
         "nb_token_scores": lambda d: _nb(d),
+        # Five-stage funnel: filters + two partial-agg shuffles (dedup
+        # winners, DSIR scores) — ratio should track rows.
+        "curation_funnel": lambda d: _funnel(d),
     }
     for name, fn in probes.items():
         small = docs.filter(F.col("doc_id") % 10 == 0)
@@ -139,9 +155,23 @@ def main() -> int:
     emb = table(spark, args.sf, "embeddings", parallel=True)
     queries = emb.filter(F.col("vec_id") < 20)
     planes = hyperplanes(num_planes=8, dim=64)
+    def _ivfpq(c):
+        from sumologic_aws_lambda_spark.operators.similarity import (
+            ivfpq_adc_topk,
+            pq_train,
+        )
+
+        books = pq_train(c, m=8, k=8, iters=0)
+        cents = c.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        return ivfpq_adc_topk(c, books, cents, queries, k=5, nprobe=2)
+
     ann_probes = {
         "lsh_ann_topk": lambda c: lsh_topk(c, queries, planes, k=5),
         "brute_force_topk": lambda c: brute_force_topk(c, queries, k=5),
+        # Corpus work is one narrow codes+cells pass; candidates scale
+        # with rows/K, so the ratio should track rows or better.
+        "ivfpq_adc_topk": _ivfpq,
     }
     for name, fn in ann_probes.items():
         small = emb.filter(F.col("vec_id") % 10 == 0)
