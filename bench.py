@@ -92,6 +92,7 @@ OPTIONAL = [
     "document_chunking",
     "ivfpq_ann_topk",
     "curation_pipeline_funnel",
+    "winnowing_fingerprint_stats",
 ]
 
 

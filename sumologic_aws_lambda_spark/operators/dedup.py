@@ -710,3 +710,52 @@ def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
             F.coalesce(F.size("_cut"), F.lit(0)).alias("n_tokens_removed"),
         )
     )
+
+
+def winnowing_fingerprints(df: DataFrame, k: int = 4, w: int = 4,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every token ``k``-gram, slide a
+    ``w``-hash window, and select each window's minimum hash (rightmost
+    on ties).  The selected (hash, position) pairs are the document's
+    fingerprints: any shared substring of at least ``w + k - 1`` tokens
+    is GUARANTEED to contribute a shared fingerprint, while expected
+    density is only 2/(w+1) — the local, position-robust alternative to
+    MinHash when match *location* matters (plagiarism/provenance).
+
+    Output: one row per distinct fingerprint — (id, ``h`` 32-bit
+    md5-derived hash, ``p`` 0-based gram position).  Documents shorter
+    than ``k`` tokens have no grams and emit nothing; documents with
+    fewer than ``w`` grams are one window (their global min).
+
+    Scale: the whole selection is per-document array math — tokenize,
+    gram-hash, window-fold, distinct — a SINGLE narrow map stage, no
+    shuffle of any kind.  Downstream match-finding is one groupBy on
+    the fingerprint hash (partial-agg, bounded skew: one row per doc
+    per hash)."""
+    from .text import normalize_text
+
+    t = F.split(normalize_text(text_col), " ")
+    grams = F.expr(
+        f"transform(sequence(1, size(__t) - {k} + 1),"
+        f" i -> cast(conv(substr(md5(array_join(slice(__t, i, {k}), ' ')),"
+        f" 1, 8), 16, 10) as bigint))"
+    )
+    # (hash, −position) structs: array_min then yields the minimum hash
+    # with the RIGHTMOST position on ties (the winnowing tie rule).
+    gz = F.expr(
+        "transform(sequence(1, size(__g)),"
+        " i -> struct(try_element_at(__g, i) as h, -(i - 1) as np))")
+    wins = F.expr(
+        f"transform(sequence(1, greatest(size(__gz) - {w}, 0) + 1),"
+        f" j -> array_min(slice(__gz, j, {w})))")
+    return (
+        df.select(id_col, t.alias("__t"))
+        .filter(F.size("__t") >= k)
+        .select(id_col, grams.alias("__g"))
+        .select(id_col, gz.alias("__gz"))
+        .select(id_col, F.explode(F.array_distinct(wins)).alias("__fp"))
+        .select(id_col, F.col("__fp.h").alias("h"),
+                (-F.col("__fp.np")).alias("p"))
+    )

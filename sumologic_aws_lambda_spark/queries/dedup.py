@@ -311,3 +311,88 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint("text").alias("fingerprint")).distinct()
     batch = docs.filter(F.col("doc_id") % 7 == 0)
     return incremental_dedup(batch, seen).select("doc_id", "source")
+
+
+_WIN_K, _WIN_W = 4, 4
+from .sampling import _hex8_to_int_sql as _hex8_sql  # noqa: E402
+
+
+@query(
+    "winnowing_fingerprint_stats",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i - 1 AS p,
+               {_hex8_sql(f"md5(array_to_string("
+                          f"list_slice(t, i, i + {_WIN_K} - 1), ' '))")} AS h
+        FROM docs,
+             LATERAL (SELECT unnest(generate_series(1, len(t) - {_WIN_K} + 1))
+                      AS i) q
+        WHERE len(t) >= {_WIN_K}
+    ),
+    gc AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+    ws AS (SELECT doc_id, unnest(generate_series(0, greatest(ng - {_WIN_W},
+                                                             0))) AS j
+           FROM gc),
+    wg AS (SELECT ws.doc_id, ws.j, g.h, g.p
+           FROM ws JOIN g ON g.doc_id = ws.doc_id
+                         AND g.p BETWEEN ws.j AND ws.j + {_WIN_W} - 1),
+    sel AS (SELECT doc_id, h, p FROM (
+                SELECT doc_id, j, h, p, row_number() OVER (
+                    PARTITION BY doc_id, j ORDER BY h, p DESC) AS rn
+                FROM wg)
+            WHERE rn = 1),
+    fps AS (SELECT DISTINCT doc_id, h, p FROM sel),
+    fpc AS (SELECT doc_id, count(*) AS n_fingerprints
+            FROM fps GROUP BY doc_id),
+    dh AS (SELECT DISTINCT doc_id, h FROM fps),
+    hd AS (SELECT h, count(*) AS nd FROM dh GROUP BY h),
+    per AS (SELECT dh.doc_id, count(*) AS n_hashes,
+                   CAST(sum(CASE WHEN hd.nd >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared_hashes
+            FROM dh JOIN hd USING (h) GROUP BY dh.doc_id)
+    SELECT gc.doc_id,
+           CAST(greatest(gc.ng - {_WIN_W}, 0) + 1 AS BIGINT) AS n_windows,
+           fpc.n_fingerprints, per.n_hashes, per.n_shared_hashes
+    FROM gc JOIN fpc USING (doc_id) JOIN per USING (doc_id)
+    """,
+)
+def winnowing_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection over every document —
+    4-token grams, 4-hash windows, min-hash-rightmost-tie selection
+    (``operators/dedup.py::winnowing_fingerprints``) — plus the match
+    primitive: how many of each document's fingerprint hashes are
+    shared with at least one other document.  The oracle replays gram
+    hashing, window argmin (including the rightmost-tie rule), distinct
+    selection, and cross-document sharing end-to-end.
+
+    Scale: selection is a single narrow map stage (per-document array
+    math, zero shuffles); the sharing rollup is one partial-agg groupBy
+    on the fingerprint hash (≤1 row per doc per hash — bounded skew)."""
+    from ..operators.dedup import winnowing_fingerprints
+    from ..operators.text import normalize_text
+
+    d = table(spark, sf_dir, "documents", parallel=True)
+    fps = winnowing_fingerprints(d, k=_WIN_K, w=_WIN_W)
+    t = F.split(normalize_text(F.col("text")), " ")
+    nw = (
+        d.select("doc_id", F.size(t).alias("__nt"))
+        .filter(F.col("__nt") >= _WIN_K)
+        .select(
+            "doc_id",
+            (F.greatest(F.col("__nt") - _WIN_K + 1 - _WIN_W, F.lit(0)) + 1)
+            .cast("bigint").alias("n_windows"),
+        )
+    )
+    fpc = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"))
+    dh = fps.select("doc_id", "h").distinct()
+    hd = dh.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    per = dh.join(hd, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("bigint")
+        .alias("n_shared_hashes"),
+    )
+    return nw.join(fpc, "doc_id").join(per, "doc_id")

@@ -81,3 +81,81 @@ def test_exact_dedup_handles_map_columns(spark):
     out = exact_dedup(df).collect()
     kept = {r.doc_id: r.attrs for r in out}
     assert set(kept) == {1, 3} and kept[1] == {"k": "v1"}
+
+
+# ----------------------------------------------------------- winnowing
+
+def py_winnow(texts, k, w):
+    """Pure-Python winnowing reference (Schleimer et al. 2003: per
+    window of w gram-hashes keep the min, rightmost on ties)."""
+    import hashlib
+    import re as _re
+
+    out = {}
+    for doc_id, text in texts:
+        toks = _re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        if len(toks) < k:
+            continue
+        hs = [
+            int(hashlib.md5(
+                " ".join(toks[i:i + k]).encode()).hexdigest()[:8], 16)
+            for i in range(len(toks) - k + 1)
+        ]
+        sel = set()
+        for j in range(max(len(hs) - w, 0) + 1):
+            win = hs[j:j + w]
+            m = min(win)
+            p = j + max(i for i, h in enumerate(win) if h == m)
+            sel.add((m, p))
+        out[doc_id] = sel
+    return out
+
+
+def test_winnowing_matches_python_reference(spark):
+    from sumologic_aws_lambda_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again"),
+        (2, "a a a a a a a a"),            # all-equal hashes: tie rule
+        (3, "short"),                       # < k tokens: no output
+        (4, "quick brown fox jumps over the lazy dog elsewhere"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in winnowing_fingerprints(df, k=3, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["h"], r["p"]))
+    assert got == py_winnow(texts, 3, 4)
+
+
+def test_winnowing_guarantee_shared_span_shares_fingerprint(spark):
+    from sumologic_aws_lambda_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    k, w = 3, 4
+    # Docs 1 and 2 share a (w + k - 1)-token span in different contexts:
+    # winnowing GUARANTEES at least one common fingerprint hash.
+    shared = "alpha beta gamma delta epsilon zeta"   # w + k - 1 = 6
+    df = spark.createDataFrame(
+        [(1, f"intro words here {shared}"),
+         (2, f"{shared} trailing content words")],
+        "doc_id long, text string",
+    )
+    by_doc = {}
+    for r in winnowing_fingerprints(df, k=k, w=w).collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["h"])
+    assert by_doc[1] & by_doc[2]
+
+
+def test_winnowing_plan_is_shuffle_free(spark):
+    from sumologic_aws_lambda_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e f")],
+                               "doc_id long, text string")
+    plan = winnowing_fingerprints(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
