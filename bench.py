@@ -93,6 +93,7 @@ OPTIONAL = [
     "ivfpq_ann_topk",
     "curation_pipeline_funnel",
     "winnowing_fingerprint_stats",
+    "interval_overlap_pairs",
 ]
 
 

@@ -82,3 +82,55 @@ def asof_join(
     for c in right_cols:
         picked = picked.withColumn(c, F.col(f"{_ROW}.{c}"))
     return picked.drop(_TAG, _TS, _ROW)
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          left_start: str, left_end: str,
+                          right_start: str, right_end: str,
+                          on: str | list[str] | None = None,
+                          bucket: int = 3600) -> DataFrame:
+    """Overlap join of half-open intervals — every (l, r) pair with
+    ``l.start < r.end AND r.start < l.end`` (optionally also matching
+    the ``on`` equi-keys) — via the BUCKETIZED equi-join pattern, the
+    only interval-join shape that scales: a raw theta join is a
+    broadcast nested loop (corpus² at 100 TB).
+
+    Each interval explodes into the coarse time buckets it touches
+    (``sequence(floor(start/b), floor((end-1)/b))`` — fan-out is
+    interval_length/bucket, so pick ``bucket`` near the typical interval
+    length); the pair space is then an EQUI-join on (keys…, bucket)
+    with the exact overlap predicate as a post-filter.  A pair
+    overlapping several buckets is emitted exactly once — kept only in
+    the first bucket both intervals share (``bucket ==
+    floor(greatest(l.start, r.start)/b)``) — so no distinct shuffle is
+    needed.  Empty/degenerate intervals (end <= start) match nothing
+    and are dropped up front.
+    """
+    keys = [on] if isinstance(on, str) else list(on or [])
+    clash = (set(left.columns) & set(right.columns)) - set(keys)
+    if clash:
+        raise ValueError(f"rename overlapping columns first: {clash}")
+
+    def bucketed(df: DataFrame, start: str, end: str) -> DataFrame:
+        return (
+            df.filter(F.col(end) > F.col(start))
+            .withColumn(
+                "__bucket",
+                F.explode(F.sequence(
+                    F.floor(F.col(start) / bucket),
+                    F.floor((F.col(end) - 1) / bucket),
+                )),
+            )
+        )
+
+    joined = bucketed(left, left_start, left_end).join(
+        bucketed(right, right_start, right_end), keys + ["__bucket"])
+    first_shared = F.floor(
+        F.greatest(F.col(left_start), F.col(right_start)) / bucket)
+    return (
+        joined.filter(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+            & (F.col("__bucket") == first_shared))
+        .drop("__bucket")
+    )

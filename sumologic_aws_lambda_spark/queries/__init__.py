@@ -68,7 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "dsir_importance_weights", "dsir_resample_stats", "nb_quality_scores",
     "sumoql_logreduce", "sumoql_logcompare", "document_chunking",
     "ivfpq_ann_topk", "pq_adc_topk", "curation_pipeline_funnel",
-    "winnowing_fingerprint_stats",
+    "winnowing_fingerprint_stats", "interval_overlap_pairs",
     # -- (c) machinery touched this round: lookups threading
     #    (compile_prefixed_query), scheduled-view refresh/marks, star
     #    components' shared cluster contract, the review-campaign
@@ -83,7 +83,6 @@ _PRIORITY: tuple[str, ...] = (
     "cwl_decode_pipeline",
     "vpc_eni_enrichment", "firehose_transform",
     "asff_validation_gate", "fer_registry_apply",
-    "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
     "ngram_decontamination", "gopher_quality_filters",
     "stratified_hash_sample",

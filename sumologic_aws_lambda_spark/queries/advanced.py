@@ -635,3 +635,58 @@ def kmeans_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "cid int, n bigint, qsum_d1 bigint, qsum_total bigint"
     )
+
+
+@query(
+    "interval_overlap_pairs",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id AS pid,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ps,
+               CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS pe
+        FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+        SELECT user_id, event_id AS eid,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es,
+               CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS ee
+        FROM events WHERE event_type = 'error'
+    ),
+    pairs AS (
+        SELECT p.user_id, p.pid, e.eid
+        FROM p JOIN e USING (user_id)
+        WHERE p.ps < e.ee AND e.es < p.pe
+    )
+    SELECT user_id, count(*) AS n_pairs,
+           min(pid) AS first_pid, min(eid) AS first_eid
+    FROM pairs GROUP BY user_id
+    """,
+)
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (§2.5 family): every (purchase-session,
+    error-window) pair per user whose half-open time intervals overlap
+    — purchases open a 30-minute session, errors a 60-minute incident
+    window.  The oracle is the straightforward nested-loop predicate;
+    the Spark plan is the BUCKETIZED equi-join
+    (``operators/asof.py::interval_overlap_join``): explode to
+    30-minute buckets, equi-join on (user, bucket), exact predicate +
+    first-shared-bucket dedup as post-filters — no theta join, no
+    distinct shuffle, fan-out bounded by interval/bucket."""
+    ev = _events_epoch(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"),
+        F.col("epoch_s").alias("ps"),
+        (F.col("epoch_s") + 1800).alias("pe"))
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("eid"),
+        F.col("epoch_s").alias("es"),
+        (F.col("epoch_s") + 3600).alias("ee"))
+    from ..operators.asof import interval_overlap_join
+
+    j = interval_overlap_join(p, e, "ps", "pe", "es", "ee",
+                              on="user_id", bucket=1800)
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("pid").alias("first_pid"),
+        F.min("eid").alias("first_eid"),
+    )

@@ -60,3 +60,71 @@ def test_asof_attaches_whole_row_not_mixed_columns(spark):
     out = asof_join(left, right, "id", "lts", "rts",
                     ["a", "b"]).collect()[0]
     assert out["a"] is None and out["b"] == 3   # the ts=2 row, atomically
+
+
+# ---------------------------------------------------- interval overlap
+
+def _iv(spark, rows, side):
+    if side == "l":
+        return spark.createDataFrame(rows, "k long, lid long, ls long, le long")
+    return spark.createDataFrame(rows, "k long, rid long, rs long, re long")
+
+
+def test_interval_overlap_basic_and_half_open(spark):
+    from sumologic_aws_lambda_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    left = _iv(spark, [(1, 10, 0, 100), (1, 11, 200, 300)], "l")
+    right = _iv(spark, [
+        (1, 20, 50, 150),     # overlaps lid 10
+        (1, 21, 100, 120),    # touches lid 10 at its end: half-open -> NO
+        (1, 22, 299, 310),    # overlaps lid 11 by 1 unit
+        (2, 23, 0, 1000),     # other key: never matches
+    ], "r")
+    out = sorted((r["lid"], r["rid"]) for r in interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", on="k", bucket=60).collect())
+    assert out == [(10, 20), (11, 22)]
+
+
+def test_interval_overlap_emits_each_pair_once_across_buckets(spark):
+    from sumologic_aws_lambda_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    # Both intervals span many tiny buckets; the pair must appear once.
+    left = _iv(spark, [(1, 10, 0, 1000)], "l")
+    right = _iv(spark, [(1, 20, 500, 900)], "r")
+    out = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", on="k", bucket=10).collect()
+    assert len(out) == 1
+
+
+def test_interval_overlap_drops_degenerate_and_rejects_clash(spark):
+    import pytest as _pytest
+    from sumologic_aws_lambda_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    left = _iv(spark, [(1, 10, 100, 100)], "l")    # empty interval
+    right = _iv(spark, [(1, 20, 0, 1000)], "r")
+    assert interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", on="k").count() == 0
+    clashing = left.withColumnRenamed("lid", "rid")
+    with _pytest.raises(ValueError):
+        interval_overlap_join(clashing, right, "ls", "le", "rs", "re",
+                              on="k")
+
+
+def test_interval_overlap_plan_is_equi_join(spark):
+    from sumologic_aws_lambda_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    left = _iv(spark, [(1, 10, 0, 100)], "l")
+    right = _iv(spark, [(1, 20, 50, 150)], "r")
+    plan = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", on="k",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
