@@ -94,6 +94,8 @@ OPTIONAL = [
     "curation_pipeline_funnel",
     "winnowing_fingerprint_stats",
     "interval_overlap_pairs",
+    "domain_quality_caps",
+    "zipf_spectrum",
 ]
 
 

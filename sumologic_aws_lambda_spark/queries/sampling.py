@@ -307,3 +307,54 @@ def shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents", parallel=True)
     return shard_manifest(shard_assignments(d, n_shards=8))
+
+
+_CAP_K = 10
+
+
+@query(
+    "domain_quality_caps",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn <= {_CAP_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN rn <= {_CAP_K} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM ranked GROUP BY source
+    """,
+)
+def domain_quality_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps (the FineWeb-style guard against any
+    one domain flooding the mix): keep at most {_CAP_K} documents per
+    source, ranked by a quality proxy (length, doc_id tiebreak), and
+    account kept/total per domain.
+
+    Scale: ONE window shuffle keyed by the domain.  Unlike content-hash
+    dedup keys, the domain key set is the partition landscape the
+    pipeline is explicitly balancing — a domain hot enough to skew this
+    window is exactly the domain the cap exists to cut, and the
+    row_number lowers to WindowGroupLimit-style rank-then-filter with
+    the cap applied during the scan of each group, never materializing
+    the full ranked domain.  (A truly adversarial single-domain corpus
+    would use the two-phase budget plan of ``operators/budgets.py``.)"""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents", parallel=True)
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id")
+    ranked = d.select("source", "n_chars",
+                      F.row_number().over(w).alias("rn"))
+    keep = F.col("rn") <= _CAP_K
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(keep, F.col("n_chars")).otherwise(0)).cast("bigint")
+        .alias("kept_chars"),
+    )

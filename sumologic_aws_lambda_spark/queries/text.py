@@ -10,6 +10,7 @@ from ..catalog import table
 from ..operators.text import (
     detect_lang,
     fingerprint,
+    normalize_text,
     quality_features,
     token_count,
 )
@@ -682,4 +683,70 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .orderBy(F.col("pair_count").desc(), "a", "b")
         .limit(30)
+    )
+
+
+@query(
+    "zipf_spectrum",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok
+        FROM documents
+    ),
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM cnt
+    ),
+    pts AS (SELECT ln(r) AS x, ln(c) AS y FROM ranked),
+    s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM pts),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM cnt)
+    SELECT tot.total_tokens,
+           CAST(s.n AS BIGINT) AS vocab_size,
+           round((s.n * s.sxy - s.sx * s.sy)
+                 / (s.n * s.sxx - s.sx * s.sx), 4) AS zipf_slope,
+           round((s.sy - (s.n * s.sxy - s.sx * s.sy)
+                         / (s.n * s.sxx - s.sx * s.sx) * s.sx) / s.n, 4)
+               AS zipf_intercept
+    FROM s CROSS JOIN tot
+    """,
+)
+def zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf spectrum of the corpus token distribution: least-squares
+    slope/intercept of ln(count) against ln(rank) — the standard
+    token-frequency health diagnostic (natural text sits near slope −1;
+    synthetic/templated corpora flatten, boilerplate-heavy ones
+    steepen).  Closed-form regression over the ranked vocabulary, so
+    both engines compute identical arithmetic; requires ≥2 distinct
+    tokens.
+
+    Scale: corpus work is ONE token-count groupBy (map-side combined);
+    ranking and the 5-term regression sums run on the VOCABULARY-sized
+    frame (the unpartitioned rank window never sees corpus rows)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents", parallel=True)
+    toks = d.select(
+        F.explode(F.split(normalize_text("text"), " ")).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    pts = cnt.select("c", F.row_number().over(w).alias("r")).select(
+        F.log("r").alias("x"), F.log("c").alias("y"))
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("total_tokens"))
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "total_tokens",
+        F.col("n").cast("bigint").alias("vocab_size"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4)
+        .alias("zipf_intercept"),
     )
