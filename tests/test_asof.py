@@ -128,3 +128,35 @@ def test_interval_overlap_plan_is_equi_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_matches_nested_loop(spark):
+    """Property: the bucketized plan equals the O(n·m) reference for a
+    grid of boundary-heavy intervals at several bucket widths."""
+    from sumologic_aws_lambda_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    # Boundary-heavy deterministic grid: starts/ends on and off bucket
+    # edges, multiple keys, degenerate and containing intervals.
+    lrows = [(k, 100 + i, s, s + d)
+             for i, (k, s, d) in enumerate(
+                 [(1, 0, 10), (1, 10, 10), (1, 15, 1), (1, 19, 41),
+                  (2, 0, 100), (2, 60, 0), (1, 30, 30)])]
+    rrows = [(k, 200 + i, s, s + d)
+             for i, (k, s, d) in enumerate(
+                 [(1, 5, 10), (1, 20, 10), (1, 10, 0), (1, 59, 2),
+                  (2, 99, 2), (2, 0, 1), (1, 0, 60)])]
+    left = _iv(spark, lrows, "l")
+    right = _iv(spark, rrows, "r")
+    expect = sorted(
+        (lk, lid, rid)
+        for (lk, lid, ls, le) in lrows
+        for (rk, rid, rs, re) in rrows
+        if lk == rk and le > ls and re > rs and ls < re and rs < le)
+    for bucket in (1, 7, 10, 64, 1000):
+        got = sorted((r["k"], r["lid"], r["rid"])
+                     for r in interval_overlap_join(
+                         left, right, "ls", "le", "rs", "re",
+                         on="k", bucket=bucket).collect())
+        assert got == expect, f"bucket={bucket}"
