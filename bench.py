@@ -96,6 +96,7 @@ OPTIONAL = [
     "interval_overlap_pairs",
     "domain_quality_caps",
     "zipf_spectrum",
+    "zorder_cell_stats",
 ]
 
 

@@ -134,3 +134,23 @@ def _write_text(spark, path: str, text: str) -> None:
         stream.write(bytearray(text.encode("utf-8")))
     finally:
         stream.close()
+
+
+def morton_code(x, y, bits: int = 6):
+    """Z-order (Morton) interleave of two non-negative ``bits``-bit
+    Columns: x's bit i lands at position 2i, y's at 2i+1.  A pure
+    integer-bit expression (codegen, no UDF) — the multi-dimensional
+    clustering key behind data-skipping layouts (Delta/Iceberg
+    ``OPTIMIZE ZORDER BY``): sorting or prefix-bucketing by the code
+    keeps rows close in EVERY interleaved dimension, so per-file
+    min/max stats prune reads on any of them."""
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    code = F.lit(0).cast("bigint")
+    for i in range(bits):
+        code = (
+            code
+            + F.shiftleft(F.shiftright(xc, i).bitwiseAND(1), 2 * i)
+            + F.shiftleft(F.shiftright(yc, i).bitwiseAND(1), 2 * i + 1)
+        )
+    return code

@@ -69,7 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     "sumoql_logreduce", "sumoql_logcompare", "document_chunking",
     "ivfpq_ann_topk", "pq_adc_topk", "curation_pipeline_funnel",
     "winnowing_fingerprint_stats", "interval_overlap_pairs",
-    "domain_quality_caps", "zipf_spectrum",
+    "domain_quality_caps", "zipf_spectrum", "zorder_cell_stats",
     # -- (c) machinery touched this round: lookups threading
     #    (compile_prefixed_query), scheduled-view refresh/marks, star
     #    components' shared cluster contract, the review-campaign
@@ -85,7 +85,6 @@ _PRIORITY: tuple[str, ...] = (
     "vpc_eni_enrichment", "firehose_transform",
     "asff_validation_gate", "fer_registry_apply",
     "embedding_neardup_pairs",
-    "ngram_decontamination",
     "monitor_threshold_alerts",
 )
 

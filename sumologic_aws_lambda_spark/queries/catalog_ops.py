@@ -558,3 +558,62 @@ def image_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x1").cast("int").alias("x1"),
         F.col("y1").cast("int").alias("y1"),
     )
+
+
+def _morton_sql(x: str, y: str, bits: int = 6) -> str:
+    """DuckDB twin of ``operators/shards.py::morton_code``."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "zorder_cell_stats",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id % 64 AS u, CAST(day(ts) AS BIGINT) AS d
+        FROM events
+    ),
+    coded AS (
+        SELECT u, d, {_morton_sql('u', 'd')} >> 8 AS cell FROM pts
+    )
+    SELECT cell,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(u) AS BIGINT) AS min_u, CAST(max(u) AS BIGINT) AS max_u,
+           CAST(min(d) AS BIGINT) AS min_d, CAST(max(d) AS BIGINT) AS max_d
+    FROM coded GROUP BY cell
+    """,
+)
+def zorder_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout cells over (user bucket, day-of-month):
+    interleave the bits of both dimensions and bucket rows by the code's
+    4-bit prefix — each cell is a quadtree quadrant whose min/max stats
+    stay TIGHT in BOTH dimensions (≤16-wide here), which is exactly why
+    Delta/Iceberg ``OPTIMIZE ZORDER`` lays files out this way: a filter
+    on either dimension prunes most cells by their min/max alone,
+    where single-key sorting gives tight stats on one dimension only.
+
+    Scale: the code is a pure integer-bit row expression
+    (``operators/shards.py::morton_code``) and cell assignment is a
+    PREFIX of it — no global sort, no shuffle before the 16-group
+    rollup.  (Equal-size file chunking at scale range-partitions on the
+    full code; the prefix-cell form is the deterministic, shuffle-free
+    verification twin.)  The oracle replays the bit interleave."""
+    from ..operators.shards import morton_code
+
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.col("user_id") % 64).alias("u"),
+        F.dayofmonth("ts").cast("bigint").alias("d"),
+    )
+    coded = pts.select(
+        "u", "d", F.shiftright(morton_code("u", "d"), 8).alias("cell"))
+    return coded.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("u").cast("bigint").alias("min_u"),
+        F.max("u").cast("bigint").alias("max_u"),
+        F.min("d").cast("bigint").alias("min_d"),
+        F.max("d").cast("bigint").alias("max_d"),
+    )

@@ -70,3 +70,44 @@ def test_write_round_trip(docs, tmp_path):
 def test_rejects_bad_shard_count(docs):
     with pytest.raises(ValueError, match="n_shards"):
         shard_assignments(docs, 0)
+
+
+# -------------------------------------------------------------- z-order
+
+def test_morton_code_known_values(spark):
+    from sumologic_aws_lambda_spark.operators.shards import morton_code
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (63, 63)], "x long, y long")
+    got = [r["m"] for r in df.select(
+        morton_code("x", "y").alias("m")).collect()]
+
+    def py_morton(x, y):
+        return sum((((x >> i) & 1) << (2 * i))
+                   + (((y >> i) & 1) << (2 * i + 1)) for i in range(6))
+
+    assert got == [py_morton(x, y)
+                   for x, y in [(0, 0), (1, 0), (0, 1), (3, 5), (63, 63)]]
+    assert got[-1] == 4095          # full 12-bit code
+
+
+def test_zorder_cells_bound_both_dimensions(spark):
+    from sumologic_aws_lambda_spark.operators.shards import morton_code
+    from pyspark.sql import functions as F
+
+    pts = spark.range(64 * 32).select(
+        (F.col("id") % 64).alias("u"), (F.col("id") % 31 + 1).alias("d"))
+    cells = (
+        pts.select("u", "d",
+                   F.shiftright(morton_code("u", "d"), 8).alias("cell"))
+        .groupBy("cell")
+        .agg(F.min("u").alias("mnu"), F.max("u").alias("mxu"),
+             F.min("d").alias("mnd"), F.max("d").alias("mxd"))
+        .collect()
+    )
+    # Every 4-bit-prefix cell is a quadtree quadrant: both dimensions'
+    # ranges are bounded by 16 — the data-skipping property.
+    for r in cells:
+        assert r["mxu"] - r["mnu"] <= 15
+        assert r["mxd"] - r["mnd"] <= 15
