@@ -110,6 +110,11 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     clash = (set(left.columns) & set(right.columns)) - set(keys)
     if clash:
         raise ValueError(f"rename overlapping columns first: {clash}")
+    reserved = {"__bucket"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        # withColumn would silently overwrite it and the final drop
+        # would delete the caller's column.
+        raise ValueError(f"rename reserved column first: {reserved}")
 
     def bucketed(df: DataFrame, start: str, end: str) -> DataFrame:
         return (

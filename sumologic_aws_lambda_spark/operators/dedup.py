@@ -725,9 +725,11 @@ def winnowing_fingerprints(df: DataFrame, k: int = 4, w: int = 4,
     MinHash when match *location* matters (plagiarism/provenance).
 
     Output: one row per distinct fingerprint — (id, ``h`` 32-bit
-    md5-derived hash, ``p`` 0-based gram position).  Documents shorter
-    than ``k`` tokens have no grams and emit nothing; documents with
-    fewer than ``w`` grams are one window (their global min).
+    md5-derived hash, ``p`` 0-based gram position, ``n_grams`` the
+    document's gram count, constant per document so downstream stats
+    never re-tokenize).  Documents shorter than ``k`` tokens have no
+    grams and emit nothing; documents with fewer than ``w`` grams are
+    one window (their global min).
 
     Scale: the whole selection is per-document array math — tokenize,
     gram-hash, window-fold, distinct — a SINGLE narrow map stage, no
@@ -754,8 +756,9 @@ def winnowing_fingerprints(df: DataFrame, k: int = 4, w: int = 4,
         df.select(id_col, t.alias("__t"))
         .filter(F.size("__t") >= k)
         .select(id_col, grams.alias("__g"))
-        .select(id_col, gz.alias("__gz"))
-        .select(id_col, F.explode(F.array_distinct(wins)).alias("__fp"))
+        .select(id_col, F.size("__g").alias("n_grams"), gz.alias("__gz"))
+        .select(id_col, "n_grams",
+                F.explode(F.array_distinct(wins)).alias("__fp"))
         .select(id_col, F.col("__fp.h").alias("h"),
-                (-F.col("__fp.np")).alias("p"))
+                (-F.col("__fp.np")).alias("p"), "n_grams")
     )

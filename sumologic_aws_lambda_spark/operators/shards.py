@@ -143,7 +143,14 @@ def morton_code(x, y, bits: int = 6):
     clustering key behind data-skipping layouts (Delta/Iceberg
     ``OPTIMIZE ZORDER BY``): sorting or prefix-bucketing by the code
     keeps rows close in EVERY interleaved dimension, so per-file
-    min/max stats prune reads on any of them."""
+    min/max stats prune reads on any of them.
+
+    Values WRAP modulo 2**bits (only the low ``bits`` bits
+    interleave): two inputs ``2**bits`` apart share a code, which
+    trades locality for bounded width exactly like any hash bucket.
+    Callers that need true locality on a wider domain must pre-bucket
+    into range (e.g. ``col % 64`` / ``col >> shift``, as
+    ``zorder_cell_stats`` does) rather than rely on the wrap."""
     xc = F.col(x) if isinstance(x, str) else x
     yc = F.col(y) if isinstance(y, str) else y
     code = F.lit(0).cast("bigint")

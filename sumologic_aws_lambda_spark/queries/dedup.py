@@ -372,22 +372,16 @@ def winnowing_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     math, zero shuffles); the sharing rollup is one partial-agg groupBy
     on the fingerprint hash (≤1 row per doc per hash — bounded skew)."""
     from ..operators.dedup import winnowing_fingerprints
-    from ..operators.text import normalize_text
 
     d = table(spark, sf_dir, "documents", parallel=True)
     fps = winnowing_fingerprints(d, k=_WIN_K, w=_WIN_W)
-    t = F.split(normalize_text(F.col("text")), " ")
-    nw = (
-        d.select("doc_id", F.size(t).alias("__nt"))
-        .filter(F.col("__nt") >= _WIN_K)
-        .select(
-            "doc_id",
-            (F.greatest(F.col("__nt") - _WIN_K + 1 - _WIN_W, F.lit(0)) + 1)
-            .cast("bigint").alias("n_windows"),
-        )
-    )
+    # The fingerprint rows carry the document gram count, so window
+    # totals come from the same pass — the corpus is tokenized ONCE.
     fpc = fps.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_fingerprints"))
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        (F.greatest(F.max("n_grams") - _WIN_W, F.lit(0)) + 1)
+        .cast("bigint").alias("n_windows"),
+    ).select("doc_id", "n_windows", "n_fingerprints")
     dh = fps.select("doc_id", "h").distinct()
     hd = dh.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
     per = dh.join(hd, "h").groupBy("doc_id").agg(
@@ -395,4 +389,4 @@ def winnowing_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("bigint")
         .alias("n_shared_hashes"),
     )
-    return nw.join(fpc, "doc_id").join(per, "doc_id")
+    return fpc.join(per, "doc_id")

@@ -332,7 +332,7 @@ _CAP_K = 10
 )
 def domain_quality_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document caps (the FineWeb-style guard against any
-    one domain flooding the mix): keep at most {_CAP_K} documents per
+    one domain flooding the mix): keep at most 10 documents per
     source, ranked by a quality proxy (length, doc_id tiebreak), and
     account kept/total per domain.
 
