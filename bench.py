@@ -97,6 +97,7 @@ OPTIONAL = [
     "domain_quality_caps",
     "zipf_spectrum",
     "zorder_cell_stats",
+    "sumoql_logreduce_keys",
 ]
 
 

@@ -1165,6 +1165,24 @@ def _stage_logreduce(df: DataFrame, rest: str,
     signature text for determinism.
     """
     field, limit, rest = _parse_sig_opts(rest, schema)
+    if rest.strip() == "keys":
+        # ``logreduce keys`` — Sumo's JSON-schema clustering variant:
+        # the signature is the sorted key set of the JSON message, so
+        # logs cluster by SHAPE (which fields they carry) instead of by
+        # masked text.  Non-JSON / non-object / empty-object rows fall
+        # into one visible "(no keys)" group (cross-engine-safe, like
+        # the NULL template rule above).
+        keys = F.json_object_keys(F.col(field))
+        sig = F.when(
+            keys.isNull() | (F.size(keys) == 0), F.lit("(no keys)")
+        ).otherwise(F.array_join(F.array_sort(keys), ","))
+        return (
+            df.select(sig.alias("_signature"))
+            .groupBy("_signature")
+            .agg(F.count(F.lit(1)).alias("_count"))
+            .orderBy(F.col("_count").desc(), "_signature")
+            .limit(limit)
+        )
     if rest.strip():
         raise SumoQLError(f"bad logreduce stage: {rest!r}")
     return (

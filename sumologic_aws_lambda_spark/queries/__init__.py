@@ -70,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "ivfpq_ann_topk", "pq_adc_topk", "curation_pipeline_funnel",
     "winnowing_fingerprint_stats", "interval_overlap_pairs",
     "domain_quality_caps", "zipf_spectrum", "zorder_cell_stats",
+    "sumoql_logreduce_keys",
     # -- (c) machinery touched this round: lookups threading
     #    (compile_prefixed_query), scheduled-view refresh/marks, star
     #    components' shared cluster contract, the review-campaign
@@ -84,7 +85,6 @@ _PRIORITY: tuple[str, ...] = (
     "cwl_decode_pipeline",
     "vpc_eni_enrichment", "firehose_transform",
     "asff_validation_gate", "fer_registry_apply",
-    "embedding_neardup_pairs",
     "monitor_threshold_alerts",
 )
 

@@ -1217,3 +1217,43 @@ def sumoql_logcompare(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | logcompare field=msg last 7d limit=20",
         EVENTS_SCHEMA,
     )
+
+
+@query(
+    "sumoql_logreduce_keys",
+    oracle="""
+    WITH shapes AS (
+        SELECT CASE WHEN event_type = 'error' THEN 'code,k'
+                    WHEN event_type = 'purchase' THEN 'amount,k'
+                    ELSE 'k' END AS _signature
+        FROM events
+    )
+    SELECT _signature, CAST(count(*) AS BIGINT) AS _count
+    FROM shapes GROUP BY _signature
+    ORDER BY _count DESC, _signature
+    LIMIT 10
+    """,
+)
+def sumoql_logreduce_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``logreduce keys`` — Sumo's JSON-schema clustering: messages
+    group by the sorted set of JSON keys they carry (their SHAPE), the
+    first question against unfamiliar structured logs.  The pipeline
+    synthesizes schema variety (errors carry ``code``, purchases carry
+    ``amount``; ``to_json`` drops the NULL branch), then clusters; the
+    oracle derives the expected key sets INDEPENDENTLY from the event
+    type, so the whole construct-parse-sort-join path is cross-checked
+    rather than replayed.
+
+    Plan: key extraction is narrow; one map-side-combined signature
+    groupBy + TakeOrdered (``plans/sumoql.py::_stage_logreduce``)."""
+    ev = table(spark, sf_dir, "events")
+    return compile_query(
+        ev,
+        '* | json "k"'
+        " | to_json(named_struct('k', k,"
+        " 'code', CASE WHEN event_type = 'error' THEN k END,"
+        " 'amount', CASE WHEN event_type = 'purchase' THEN value END))"
+        " as msg"
+        " | logreduce keys field=msg limit=10",
+        EVENTS_SCHEMA,
+    )

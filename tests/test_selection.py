@@ -283,3 +283,15 @@ def test_logreduce_null_messages_group_as_visible_template(spark):
     # NULLs collapse into one "(null)" group instead of an
     # engine-ordering-dependent NULL group.
     assert out == {"(null)": 2, "disk * full": 1}
+
+
+def test_logreduce_keys_clusters_by_schema(spark):
+    df = spark.createDataFrame(
+        [('{"b": 1, "a": 2}',), ('{"a": 9, "b": 0}',),
+         ('{"a": 1}',), ("not json",), ("[1, 2]",)],
+        "j string",
+    )
+    out = {r["_signature"]: r["_count"] for r in compile_query(
+        df, "* | logreduce keys",
+        SumoSchema(raw_col="j")).collect()}
+    assert out == {"a,b": 2, "a": 1, "(no keys)": 2}
