@@ -67,6 +67,14 @@ def _nb(d):
     return nb_token_scores(d, F.col("n_chars") >= 300)
 
 
+def _winnow(d):
+    from sumologic_aws_lambda_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    return winnowing_fingerprints(d, k=4, w=4)
+
+
 def _funnel(d):
     from sumologic_aws_lambda_spark.operators.dedup import exact_dedup
     from sumologic_aws_lambda_spark.operators.selection import dsir_weights
@@ -114,6 +122,9 @@ def main() -> int:
         # Five-stage funnel: filters + two partial-agg shuffles (dedup
         # winners, DSIR scores) — ratio should track rows.
         "curation_funnel": lambda d: _funnel(d),
+        # Winnowing: per-document array math, zero shuffles — ratio
+        # should track rows even though windows fan out ~len×w structs.
+        "winnowing": lambda d: _winnow(d),
     }
     for name, fn in probes.items():
         small = docs.filter(F.col("doc_id") % 10 == 0)
