@@ -297,3 +297,40 @@ def test_paragraph_dedup_has_no_window_and_one_corpus_shuffle(spark, qs):
     projection, so the exploded corpus shuffles exactly once."""
     plan = _plan(qs["paragraph_dedup_stats"](spark, SF_DIR))
     assert "Window" not in plan
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark):
+    """100 TB technique: a selective filter on one join side should
+    propagate to the other side's SCAN as a runtime Bloom filter —
+    rows that cannot match are dropped before the shuffle, not after.
+    Spark injects it when the creation side is small enough; pin that
+    the engine's plans stay eligible (equi-join on a raw column, no
+    expression wrapping the key that would block the rewrite)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        o = spark.read.parquet(
+            "/root/testdata/sf0.001/orders.parquet"
+        ).filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
