@@ -98,6 +98,7 @@ OPTIONAL = [
     "zipf_spectrum",
     "zorder_cell_stats",
     "sumoql_logreduce_keys",
+    "minhash_calibration",
 ]
 
 

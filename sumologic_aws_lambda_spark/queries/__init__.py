@@ -70,7 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "ivfpq_ann_topk", "pq_adc_topk", "curation_pipeline_funnel",
     "winnowing_fingerprint_stats", "interval_overlap_pairs",
     "domain_quality_caps", "zipf_spectrum", "zorder_cell_stats",
-    "sumoql_logreduce_keys",
+    "sumoql_logreduce_keys", "minhash_calibration",
     # -- (c) machinery touched this round: lookups threading
     #    (compile_prefixed_query), scheduled-view refresh/marks, star
     #    components' shared cluster contract, the review-campaign
@@ -83,7 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     #    the hard signal warm across every family) --
     "sessionize_events", "asof_join_last_click",
     "cwl_decode_pipeline",
-    "vpc_eni_enrichment", "firehose_transform",
+    "firehose_transform",
     "asff_validation_gate", "fer_registry_apply",
     "monitor_threshold_alerts",
 )

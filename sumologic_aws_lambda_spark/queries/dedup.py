@@ -390,3 +390,106 @@ def winnowing_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_shared_hashes"),
     )
     return fpc.join(per, "doc_id")
+
+
+@query(
+    "minhash_calibration",
+    oracle=f"""
+    WITH {_shingle_cte("WHERE doc_id % 5 = 0")},
+    sig AS (
+        SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+        GROUP BY doc_id, seed
+    ),
+    banded AS (
+        SELECT doc_id, seed // 2 AS band,
+               string_agg(minhash, '|' ORDER BY minhash) AS band_key
+        FROM sig GROUP BY doc_id, seed // 2
+    ),
+    pairs AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.band_key = y.band_key
+             AND x.doc_id < y.doc_id
+    ),
+    agree AS (
+        SELECT p.a, p.b,
+               round(sum(CASE WHEN xa.minhash = xb.minhash
+                              THEN 1 ELSE 0 END) / 8.0, 4) AS est_jaccard
+        FROM pairs p
+        JOIN sig xa ON xa.doc_id = p.a
+        JOIN sig xb ON xb.doc_id = p.b AND xb.seed = xa.seed
+        GROUP BY p.a, p.b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.a, p.b, count(*) AS i
+        FROM pairs p
+        JOIN sh x ON x.doc_id = p.a
+        JOIN sh y ON y.doc_id = p.b AND y.shingle = x.shingle
+        GROUP BY p.a, p.b
+    )
+    SELECT ag.a, ag.b, ag.est_jaccard,
+           round(coalesce(i.i, 0)
+                 / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) AS exact_jaccard
+    FROM agree ag
+    LEFT JOIN inter i ON i.a = ag.a AND i.b = ag.b
+    JOIN sizes sa ON sa.doc_id = ag.a
+    JOIN sizes sb ON sb.doc_id = ag.b
+    """,
+)
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration for the dedup stack (the family's analog
+    of ``ann_recall_eval``): for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (fraction of agreeing seeds, the unbiased
+    estimator the banding decision rests on) next to the EXACT shingle
+    Jaccard — the eval run before trading bands/rows against recall in
+    production.
+
+    Scale: pairs come from banding (never corpus²); both the agreement
+    join (pairs × 8 seed rows) and the exact verifier run on CANDIDATE
+    pairs only — the whole-corpus work stays the one signature groupBy
+    each side already pays."""
+    d = table(spark, sf_dir, "documents", parallel=True).filter(
+        F.col("doc_id") % 5 == 0)
+    sigs = minhash_signatures(d, num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs)
+    sa = sigs.select(F.col("doc_id").alias("a"), "seed",
+                     F.col("minhash").alias("ha"))
+    sb = sigs.select(F.col("doc_id").alias("b"), "seed",
+                     F.col("minhash").alias("hb"))
+    est = (
+        pairs.join(sa, "a").join(sb, ["b", "seed"])
+        .groupBy("a", "b")
+        .agg(F.round(
+            F.sum(F.when(F.col("ha") == F.col("hb"), 1).otherwise(0))
+            / F.lit(8.0), 4).alias("est_jaccard"))
+    )
+    from ..operators.text import with_word_ngrams
+
+    sh = with_word_ngrams(d, "text", 3, keep=("doc_id",), distinct=True) \
+        .select("doc_id", F.explode("grams").alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs
+        .join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"),
+              ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        est.join(inter, ["a", "b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("a"),
+                           F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"),
+                           F.col("sz").alias("szb")), "b")
+        .select(
+            "a", "b", "est_jaccard",
+            F.round(
+                F.coalesce(F.col("i"), F.lit(0))
+                / (F.col("sza") + F.col("szb")
+                   - F.coalesce(F.col("i"), F.lit(0))), 6)
+            .alias("exact_jaccard"),
+        )
+    )
