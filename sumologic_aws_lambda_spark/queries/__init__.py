@@ -45,13 +45,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # caps at the first 50.  Rounds 1–5 driver-validated 153 of the
 # pre-round-6 160 registered queries (r5: 50/50 green).  Round 6 rotates
 # in (a) the 9 queries added late in round 5 that the frozen r5 window
-# never sampled, (b) the 8 new round-6 curation-wave queries, then (c) fills
-# the window with cross-family regression picks — previously-green
-# queries whose machinery this round touched (lookups threading,
-# scheduled-view marks, star components) first, then a spread across
-# every operator family so earlier greens keep being re-checked.
-# Everything else keeps registration order after the head and remains
-# covered by the repo's own full-surface driver replica
+# never sampled, (b) every query NEW in round 6 — the curation wave,
+# then the selection/late wave (DSIR, NB classifier, the
+# logreduce/logcompare verb family, chunking, IVF-PQ, the curation
+# funnel, winnowing, interval overlap, domain caps, zipf, z-order,
+# MinHash calibration), then (c) previously-green queries whose
+# machinery this round touched, then (d) a cross-family regression
+# spread.  Everything else keeps registration order after the head and
+# remains covered by the repo's own full-surface driver replica
 # (tools/verify_driver_contract.py, all queries).
 _PRIORITY: tuple[str, ...] = (
     # -- (a) added late in round 5, never driver-sampled --
@@ -88,11 +89,18 @@ _PRIORITY: tuple[str, ...] = (
     "monitor_threshold_alerts",
 )
 
-# After a green round 6, every registered query will have carried
-# hard-signal green at least once.  Next-round rotation: any query NEW
-# or implementation-changed in round 6 goes first, then continue the
-# regression spread over families the r6 window did not re-check
-# (windows/lag family, streaming-adjacent queries, sumoql parse verbs).
+# Round-7 rotation notes: (1) queries NEW or changed in round 7 first;
+# (2) these round-6 additions did NOT fit the 50-slot r6 window and
+# have only self-harness green — sample them next:
+# ngram_jaccard_pairs (dropped late), vpc_eni_enrichment (dropped
+# late), embedding_neardup_pairs, paragraph_dedup_stats,
+# gopher_quality_filters, stratified_hash_sample, ngram_decontamination,
+# exact_dedup_stats, minhash_lsh_pairs, ivf_ann_topk, tfidf_top_terms,
+# kmeans_centroid_stats, pricing_summary, revenue_topk,
+# window_topn_orders, range_join_value_bands, cloudtrail_records_explode,
+# vpc_flow_parse, metric_rule_extract — all were green r3–r5 and
+# unchanged-or-regression-tested, but re-warm them; (3) then spread over
+# windows/lag, streaming-adjacent, and sumoql parse verbs.
 
 
 def _prioritized(d: dict) -> dict:
