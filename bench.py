@@ -99,6 +99,7 @@ OPTIONAL = [
     "zorder_cell_stats",
     "sumoql_logreduce_keys",
     "minhash_calibration",
+    "slo_error_budget",
 ]
 
 

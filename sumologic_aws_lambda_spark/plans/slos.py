@@ -1,0 +1,90 @@
+"""SLOs — Sumo Logic's reliability-management surface (public feature:
+SLOs with error budgets and burn-rate alerting, built on the monitors
+library the reference provisions, ``sumologic-app-utils/src/
+sumoresource.py:1503``) re-expressed as a compiled plan.
+
+An SLO is {good-event condition, total condition, target, compliance
+slice}: the engine compiles it into a per-slice series of good/total
+counts, the SLI ratio, cumulative error-budget consumption over the
+compliance window, and the per-slice burn rate — the inputs every
+burn-rate alert policy (fast-burn/slow-burn) evaluates.
+
+Scale shape: ONE conditional-count groupBy on the time slice (map-side
+combined) — the corpus is never scanned twice for good vs total — and
+the cumulative/burn math runs on the slice-count series (window over
+~days of rows, never corpus rows).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sumoql import SumoQLError, SumoSchema, _rewrite_expr
+
+
+@dataclass(frozen=True)
+class SloSpec:
+    """Declarative SLO: Sumo-style conditions over the bound schema."""
+
+    name: str
+    good_condition: str           # Sumo-ish boolean expr (rewrites apply)
+    total_condition: str = "true"
+    target: float = 0.99          # SLI target in (0, 1)
+    slice_: str = "1d"            # compliance slice (timeslice grammar)
+
+
+_SLICE_TRUNC = {"1h": "hour", "1d": "day", "1w": "week"}
+
+
+def evaluate_slo(df: DataFrame, spec: SloSpec,
+                 schema: SumoSchema) -> DataFrame:
+    """Compile the SLO into its error-budget series.
+
+    One row per compliance slice: ``_timeslice``, ``good``, ``total``,
+    ``sli`` (rounded ratio), ``cum_consumed`` / ``cum_budget`` (error
+    events so far vs the budget the target allows on the traffic so
+    far), ``budget_remaining`` (fraction of budget left, negative =
+    blown), and ``burn_rate`` (this slice's error rate as a multiple of
+    the budgeted rate — the quantity fast/slow-burn alerts threshold).
+    """
+    if not 0.0 < spec.target < 1.0:
+        raise SumoQLError(f"SLO target must be in (0,1): {spec.target}")
+    if spec.slice_ not in _SLICE_TRUNC:
+        raise SumoQLError(f"unsupported SLO slice: {spec.slice_!r}")
+    try:
+        good = F.expr(_rewrite_expr(spec.good_condition))
+        total = F.expr(_rewrite_expr(spec.total_condition))
+        # Column expressions parse lazily — force analysis now so a
+        # malformed condition fails here with the SLO's name attached,
+        # not deep inside the budget plan.
+        df.select(good.cast("boolean"), total.cast("boolean")).schema
+    except Exception as exc:
+        raise SumoQLError(f"bad SLO condition in {spec.name!r}") from exc
+    ts = F.date_trunc(_SLICE_TRUNC[spec.slice_], F.col(schema.ts_col))
+    per = (
+        df.groupBy(ts.alias("_timeslice"))
+        .agg(
+            F.sum(F.when(total & good, 1).otherwise(0)).alias("good"),
+            F.sum(F.when(total, 1).otherwise(0)).alias("total"),
+        )
+    )
+    w = Window.orderBy("_timeslice").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    bad_frac = 1.0 - spec.target
+    cum_good = F.sum("good").over(w)
+    cum_total = F.sum("total").over(w)
+    consumed = (cum_total - cum_good).cast("double")
+    budget = cum_total * F.lit(bad_frac)
+    return per.select(
+        "_timeslice", "good", "total",
+        F.round(F.col("good") / F.col("total"), 6).alias("sli"),
+        (cum_total - cum_good).alias("cum_consumed"),
+        F.round(budget, 6).alias("cum_budget"),
+        F.round(1.0 - consumed / budget, 6).alias("budget_remaining"),
+        F.round((F.col("total") - F.col("good"))
+                / (F.col("total") * F.lit(bad_frac)), 6)
+        .alias("burn_rate"),
+    )

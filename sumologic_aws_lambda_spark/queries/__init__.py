@@ -71,7 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "ivfpq_ann_topk", "pq_adc_topk", "curation_pipeline_funnel",
     "winnowing_fingerprint_stats", "interval_overlap_pairs",
     "domain_quality_caps", "zipf_spectrum", "zorder_cell_stats",
-    "sumoql_logreduce_keys", "minhash_calibration",
+    "sumoql_logreduce_keys", "minhash_calibration", "slo_error_budget",
     # -- (c) machinery touched this round: lookups threading
     #    (compile_prefixed_query), scheduled-view refresh/marks, star
     #    components' shared cluster contract, the review-campaign
@@ -84,7 +84,6 @@ _PRIORITY: tuple[str, ...] = (
     #    the hard signal warm across every family) --
     "sessionize_events", "asof_join_last_click",
     "cwl_decode_pipeline",
-    "firehose_transform",
     "asff_validation_gate", "fer_registry_apply",
     "monitor_threshold_alerts",
 )
@@ -92,8 +91,9 @@ _PRIORITY: tuple[str, ...] = (
 # Round-7 rotation notes: (1) queries NEW or changed in round 7 first;
 # (2) these round-6 additions did NOT fit the 50-slot r6 window and
 # have only self-harness green — sample them next:
-# ngram_jaccard_pairs (dropped late), vpc_eni_enrichment (dropped
-# late), embedding_neardup_pairs, paragraph_dedup_stats,
+# ngram_jaccard_pairs (dropped late), vpc_eni_enrichment and
+# firehose_transform (dropped late), embedding_neardup_pairs,
+# paragraph_dedup_stats,
 # gopher_quality_filters, stratified_hash_sample, ngram_decontamination,
 # exact_dedup_stats, minhash_lsh_pairs, ivf_ann_topk, tfidf_top_terms,
 # kmeans_centroid_stats, pricing_summary, revenue_topk,

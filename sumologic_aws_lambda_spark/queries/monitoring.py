@@ -163,3 +163,47 @@ def fields_schema_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.getItem("k").alias("k_val"),
         (F.size("attrs") - F.size(kept)).cast("bigint").alias("n_dropped"),
     )
+
+
+@query(
+    "slo_error_budget",
+    oracle="""
+    WITH per AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS _timeslice,
+               CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS good,
+               CAST(count(*) AS BIGINT) AS total
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT *,
+               sum(good)  OVER (ORDER BY _timeslice) AS cg,
+               sum(total) OVER (ORDER BY _timeslice) AS ct
+        FROM per
+    )
+    SELECT _timeslice, good, total,
+           round(good / CAST(total AS DOUBLE), 6) AS sli,
+           CAST(ct - cg AS BIGINT) AS cum_consumed,
+           round(CAST(ct AS DOUBLE) * 0.25, 6) AS cum_budget,
+           round(1.0 - (ct - cg) / (ct * 0.25), 6) AS budget_remaining,
+           round((total - good) / (total * 0.25), 6) AS burn_rate
+    FROM cum
+    """,
+)
+def slo_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget series (Sumo's SLO reliability surface on top of
+    the monitors library): daily SLI for "events are not errors" at a
+    75% target, cumulative budget consumption over the window, and the
+    per-day burn rate that fast/slow-burn alert policies threshold.
+    The oracle replays counting, cumulative sums, and budget math
+    (``plans/slos.py::evaluate_slo``).
+
+    Plan: ONE conditional-count groupBy on the day slice; all budget
+    math runs on the ~30-row slice series."""
+    from ..plans.slos import SloSpec, evaluate_slo
+
+    ev = table(spark, sf_dir, "events")
+    spec = SloSpec(name="non_error_slo",
+                   good_condition="event_type <> 'error'",
+                   target=0.75, slice_="1d")
+    return evaluate_slo(ev, spec, EVENTS_SCHEMA)

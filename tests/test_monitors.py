@@ -260,3 +260,55 @@ def test_evaluate_monitor_drops_extra_aggregates(spark):
     assert set(out.columns) == {"monitor", "severity", "cat", "value",
                                 "threshold"}
     assert {(r.cat, r.value) for r in out.collect()} == {("a", 11.0)}
+
+
+# ------------------------------------------------------------------ SLOs
+
+def test_slo_budget_math(spark):
+    from sumologic_aws_lambda_spark.plans.slos import SloSpec, evaluate_slo
+    from sumologic_aws_lambda_spark.plans.sumoql import SumoSchema
+
+    rows = [
+        # day 1: 8 good, 2 bad of 10; day 2: 5 good, 5 bad of 10
+        *[("2024-01-01 0%d:00:00" % i, "ok") for i in range(8)],
+        ("2024-01-01 08:00:00", "err"), ("2024-01-01 09:00:00", "err"),
+        *[("2024-01-02 0%d:00:00" % i, "ok") for i in range(5)],
+        *[("2024-01-02 1%d:00:00" % i, "err") for i in range(5)],
+    ]
+    df = spark.createDataFrame(rows, "t string, kind string") \
+        .selectExpr("CAST(t AS TIMESTAMP) AS t", "kind")
+    spec = SloSpec(name="s", good_condition="kind = 'ok'", target=0.8)
+    out = {str(r["_timeslice"]): r for r in evaluate_slo(
+        df, spec, SumoSchema(ts_col="t")).collect()}
+    d1 = out["2024-01-01 00:00:00"]
+    # budget at 80% target = 20% of traffic; day 1 spent 2 of 2.0 → 0 left
+    assert (d1["good"], d1["total"], d1["sli"]) == (8, 10, 0.8)
+    assert d1["cum_consumed"] == 2 and d1["cum_budget"] == 2.0
+    assert d1["budget_remaining"] == 0.0 and d1["burn_rate"] == 1.0
+    d2 = out["2024-01-02 00:00:00"]
+    # cumulative: 7 errors vs budget 4 → remaining negative (blown)
+    assert d2["cum_consumed"] == 7 and d2["cum_budget"] == 4.0
+    assert d2["budget_remaining"] == -0.75
+    assert d2["burn_rate"] == 2.5       # 50% error rate / 20% budget
+
+
+def test_slo_rejects_bad_spec(spark):
+    import pytest as _pytest
+    from sumologic_aws_lambda_spark.plans.slos import SloSpec, evaluate_slo
+    from sumologic_aws_lambda_spark.plans.sumoql import (
+        SumoQLError,
+        SumoSchema,
+    )
+
+    df = spark.createDataFrame([("2024-01-01 00:00:00", "ok")],
+                               "t string, kind string") \
+        .selectExpr("CAST(t AS TIMESTAMP) AS t", "kind")
+    with _pytest.raises(SumoQLError):
+        evaluate_slo(df, SloSpec("s", "kind='ok'", target=1.0),
+                     SumoSchema(ts_col="t"))
+    with _pytest.raises(SumoQLError):
+        evaluate_slo(df, SloSpec("s", "kind='ok'", slice_="5m"),
+                     SumoSchema(ts_col="t"))
+    with _pytest.raises(SumoQLError):
+        evaluate_slo(df, SloSpec("s", "kind = = 'ok'"),
+                     SumoSchema(ts_col="t"))
