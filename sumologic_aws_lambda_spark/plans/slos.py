@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .sumoql import SumoQLError, SumoSchema, _rewrite_expr
@@ -64,12 +64,18 @@ def evaluate_slo(df: DataFrame, spec: SloSpec,
     except Exception as exc:
         raise SumoQLError(f"bad SLO condition in {spec.name!r}") from exc
     ts = F.date_trunc(_SLICE_TRUNC[spec.slice_], F.col(schema.ts_col))
+    # Slices where NO row satisfies total_condition carry no SLI signal
+    # and are EXCLUDED rather than emitted with 0/0 → NULL ratios (a
+    # NULL burn_rate silently passes every downstream threshold check).
+    # Cumulative sums are unaffected — zero-traffic slices contribute
+    # nothing to either side.
     per = (
         df.groupBy(ts.alias("_timeslice"))
         .agg(
             F.sum(F.when(total & good, 1).otherwise(0)).alias("good"),
             F.sum(F.when(total, 1).otherwise(0)).alias("total"),
         )
+        .filter(F.col("total") > 0)
     )
     w = Window.orderBy("_timeslice").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)

@@ -1169,13 +1169,17 @@ def _stage_logreduce(df: DataFrame, rest: str,
         # ``logreduce keys`` — Sumo's JSON-schema clustering variant:
         # the signature is the sorted key set of the JSON message, so
         # logs cluster by SHAPE (which fields they carry) instead of by
-        # masked text.  Non-JSON / non-object / empty-object rows fall
-        # into one visible "(no keys)" group (cross-engine-safe, like
-        # the NULL template rule above).
+        # masked text.  The key set is JSON-encoded (not bare-joined):
+        # a comma-join would merge {"a,b":1} with {"a":..,"b":..} and a
+        # literal "(no keys)" key with the sentinel — to_json escapes
+        # per the JSON standard identically in every engine.  Non-JSON /
+        # non-object / empty-object rows fall into one visible
+        # "(no keys)" group (cross-engine-safe, like the NULL template
+        # rule above).
         keys = F.json_object_keys(F.col(field))
         sig = F.when(
             keys.isNull() | (F.size(keys) == 0), F.lit("(no keys)")
-        ).otherwise(F.array_join(F.array_sort(keys), ","))
+        ).otherwise(F.to_json(F.array_sort(keys)))
         return (
             df.select(sig.alias("_signature"))
             .groupBy("_signature")

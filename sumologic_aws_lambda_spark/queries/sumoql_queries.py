@@ -1223,9 +1223,9 @@ def sumoql_logcompare(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sumoql_logreduce_keys",
     oracle="""
     WITH shapes AS (
-        SELECT CASE WHEN event_type = 'error' THEN 'code,k'
-                    WHEN event_type = 'purchase' THEN 'amount,k'
-                    ELSE 'k' END AS _signature
+        SELECT CASE WHEN event_type = 'error' THEN '["code","k"]'
+                    WHEN event_type = 'purchase' THEN '["amount","k"]'
+                    ELSE '["k"]' END AS _signature
         FROM events
     )
     SELECT _signature, CAST(count(*) AS BIGINT) AS _count

@@ -320,9 +320,9 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark):
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
-        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
         o = spark.read.parquet(
-            "/root/testdata/sf0.001/orders.parquet"
+            f"{SF_DIR}/orders.parquet"
         ).filter(F.col("o_orderpriority") == "1-URGENT")
         j = (li.join(o, li.l_orderkey == o.o_orderkey)
              .groupBy("o_orderpriority").count())

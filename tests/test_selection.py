@@ -294,4 +294,4 @@ def test_logreduce_keys_clusters_by_schema(spark):
     out = {r["_signature"]: r["_count"] for r in compile_query(
         df, "* | logreduce keys",
         SumoSchema(raw_col="j")).collect()}
-    assert out == {"a,b": 2, "a": 1, "(no keys)": 2}
+    assert out == {'["a","b"]': 2, '["a"]': 1, "(no keys)": 2}
