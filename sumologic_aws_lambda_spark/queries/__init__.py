@@ -80,12 +80,11 @@ _PRIORITY: tuple[str, ...] = (
     "semantic_dedup_clusters", "cfn_stack_telemetry", "metrics_quantize",
     "quality_scores", "simhash_signatures", "salted_agg_routing_key",
     "multimodal_feature_extract",
-    # -- cross-family regression spread (green in earlier rounds; keep
-    #    the hard signal warm across every family) --
-    "sessionize_events", "asof_join_last_click",
-    "cwl_decode_pipeline",
-    "asff_validation_gate", "fer_registry_apply",
-    "monitor_threshold_alerts",
+    # -- (d) behavior-analytics wave, added in the round-6 extension:
+    #    never driver-sampled --
+    "event_funnel_conversion", "retention_cohorts",
+    "event_markov_transitions", "event_pagerank",
+    "chi2_event_weekday", "range_partition_plan",
 )
 
 # Round-7 rotation notes: (1) queries NEW or changed in round 7 first;
@@ -146,5 +145,6 @@ def _import_all() -> None:
         sketches,
         curation,
         selection,
+        behavior,
     )
     _IMPORTED = True

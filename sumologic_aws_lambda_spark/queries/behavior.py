@@ -1,0 +1,383 @@
+"""Behavioral analytics over the events stream: funnel conversion,
+retention cohorts, Markov transitions, PageRank, chi-square association,
+and a TeraSort-style range-partition plan.
+
+These are the dashboard/report queries a Sumo user runs over app events
+(the App catalog ships funnel / "count by fromState, toState" panels);
+here each is expressed as a Catalyst plan with an explicit 100 TB story:
+
+* funnel / retention — every join is user-keyed, so all stages
+  co-partition on one shuffle key; no window ever sees more than one
+  user's rows.
+* transitions / pagerank — the aggregate-then-iterate regime: raw events
+  collapse to a node-count² edge list in one pass, then iteration is
+  broadcast-only (see ``operators/graph.py``).
+* chi² — two tiny marginal aggregates broadcast onto a 35-cell
+  contingency table; the raw data is scanned once.
+* range-partition plan — exact percentile boundaries (sampled at scale,
+  exact here so the oracle can verify) drive ``repartitionByRange``-style
+  bucketing; the plan proves buckets are contiguous and balanced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.graph import pagerank, transition_edges, \
+    transition_probabilities
+from . import query
+
+_EPOCH_S = "CAST(floor(epoch(%s)) AS BIGINT)"
+
+
+@query(
+    "event_funnel_conversion",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT s.user_id,
+           CAST(floor(epoch(s.t1)) AS BIGINT) AS signup_s,
+           coalesce(CAST(floor(epoch(c.t2)) AS BIGINT), -1) AS click_s,
+           coalesce(CAST(floor(epoch(p.t3)) AS BIGINT), -1) AS purchase_s
+    FROM s
+    LEFT JOIN c ON c.user_id = s.user_id
+    LEFT JOIN p ON p.user_id = s.user_id
+    """,
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase, strict event-time order.
+
+    Each stage keeps only events strictly after the user's previous-stage
+    completion, the standard ordered-funnel semantics.  Every join and
+    groupBy keys on ``user_id`` — one co-partitioned shuffle key end to
+    end, so at 100 TB this is three map-side-combinable aggregations over
+    the same partitioning, no windows, no skew beyond per-user volume.
+    Non-converting stages surface as -1 (not NULL) so downstream sorts
+    are engine-agnostic.
+    """
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_timestamp("t1").alias("signup_s"),
+            F.coalesce(F.unix_timestamp("t2"), F.lit(-1)).alias("click_s"),
+            F.coalesce(F.unix_timestamp("t3"), F.lit(-1)).alias("purchase_s"),
+        )
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT e.user_id, f.cohort,
+               date_trunc('week', e.ts) AS wk
+        FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+           CAST((floor(epoch(wk)) - floor(epoch(cohort))) / 604800
+                AS BIGINT) AS offset_weeks,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM active
+    GROUP BY cohort, wk
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: cohort = first-seen week, one row per
+    (cohort, week-offset) with the distinct-user count still active.
+
+    Two aggregations, both keyed on ``user_id`` / (cohort, week) — the
+    first-seen frame is users-sized (small relative to events), and the
+    join back is on the same user key the first groupBy shuffled on, so
+    AQE coalesces it onto one exchange.  The distinct is absorbed into
+    the groupBy (count of pre-distinct rows), never a global distinct
+    over raw events.
+    """
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    active = (
+        ev.join(first_seen, "user_id")
+        .select("user_id", "cohort", F.date_trunc("week", "ts").alias("wk"))
+        .distinct()
+    )
+    return active.groupBy("cohort", "wk").agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        (
+            (F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800
+        ).cast("long").alias("offset_weeks"),
+        "n_users",
+    )
+
+
+_SEQ_EDGES_SQL = """
+    seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS src
+        FROM events
+    ),
+    e AS (
+        SELECT src, event_type AS dst, count(*) AS n
+        FROM seq WHERE src IS NOT NULL GROUP BY src, event_type
+    ),
+    t AS (SELECT src, sum(n) AS tot FROM e GROUP BY src)
+"""
+
+
+@query(
+    "event_markov_transitions",
+    oracle="WITH " + _SEQ_EDGES_SQL + """
+    SELECT e.src, e.dst, CAST(e.n AS BIGINT) AS n_transitions,
+           round(e.n / t.tot, 6) AS p
+    FROM e JOIN t ON t.src = e.src
+    """,
+)
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-stochastic event-type transition matrix (the "count by
+    fromState, toState" dashboard verb, generalized).
+
+    One window lag on (user, ts, event_id), one groupBy — then the
+    normalizer joins against the *collapsed* edges, never raw events.
+    """
+    ev = table(spark, sf_dir, "events")
+    probs = transition_probabilities(transition_edges(ev))
+    return probs.select(
+        "src", "dst", "n_transitions", F.round("p", 6).alias("p")
+    )
+
+
+@query(
+    "event_pagerank",
+    oracle="WITH " + _SEQ_EDGES_SQL + """,
+    pr AS (
+        SELECT e.src, e.dst, e.n / t.tot AS p
+        FROM e JOIN t ON t.src = e.src
+    ),
+    nodes AS (
+        SELECT src AS node FROM e UNION SELECT dst FROM e
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outn AS (SELECT DISTINCT src AS node FROM pr),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+    d0 AS (
+        SELECT coalesce(sum(rank), 0.0) AS m FROM r0
+        WHERE node NOT IN (SELECT node FROM outn)
+    ),
+    i0 AS (
+        SELECT pr.dst AS node, sum(r0.rank * pr.p) AS mass
+        FROM pr JOIN r0 ON r0.node = pr.src GROUP BY pr.dst
+    ),
+    r1 AS (
+        SELECT nodes.node,
+               0.15 / nn.n + 0.85 * (coalesce(i0.mass, 0.0) + d0.m / nn.n)
+                   AS rank
+        FROM nodes CROSS JOIN nn CROSS JOIN d0
+        LEFT JOIN i0 ON i0.node = nodes.node
+    ),
+    d1 AS (
+        SELECT coalesce(sum(rank), 0.0) AS m FROM r1
+        WHERE node NOT IN (SELECT node FROM outn)
+    ),
+    i1 AS (
+        SELECT pr.dst AS node, sum(r1.rank * pr.p) AS mass
+        FROM pr JOIN r1 ON r1.node = pr.src GROUP BY pr.dst
+    ),
+    r2 AS (
+        SELECT nodes.node,
+               0.15 / nn.n + 0.85 * (coalesce(i1.mass, 0.0) + d1.m / nn.n)
+                   AS rank
+        FROM nodes CROSS JOIN nn CROSS JOIN d1
+        LEFT JOIN i1 ON i1.node = nodes.node
+    ),
+    d2 AS (
+        SELECT coalesce(sum(rank), 0.0) AS m FROM r2
+        WHERE node NOT IN (SELECT node FROM outn)
+    ),
+    i2 AS (
+        SELECT pr.dst AS node, sum(r2.rank * pr.p) AS mass
+        FROM pr JOIN r2 ON r2.node = pr.src GROUP BY pr.dst
+    ),
+    r3 AS (
+        SELECT nodes.node,
+               0.15 / nn.n + 0.85 * (coalesce(i2.mass, 0.0) + d2.m / nn.n)
+                   AS rank
+        FROM nodes CROSS JOIN nn CROSS JOIN d2
+        LEFT JOIN i2 ON i2.node = nodes.node
+    )
+    SELECT node, round(rank, 6) AS rank FROM r3
+    """,
+)
+def event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph, 3 power iterations,
+    d = 0.85, dangling mass redistributed uniformly.
+
+    The aggregate-then-iterate regime (``operators/graph.py``): 100 TB of
+    events collapse to a node-count² edge frame in one pass; iteration is
+    broadcast joins over kilobytes.  The oracle unrolls the same three
+    iterations as CTEs.
+    """
+    ev = table(spark, sf_dir, "events")
+    ranks = pagerank(transition_edges(ev), iterations=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "chi2_event_weekday",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, isodow(ts) - 1 AS dow, count(*) AS o
+        FROM events GROUP BY event_type, isodow(ts) - 1
+    ),
+    rt AS (SELECT event_type, sum(o) AS row_total FROM obs
+           GROUP BY event_type),
+    ct AS (SELECT dow, sum(o) AS col_total FROM obs GROUP BY dow),
+    g AS (SELECT sum(o) AS grand FROM obs)
+    SELECT obs.event_type, CAST(obs.dow AS INTEGER) AS dow,
+           CAST(obs.o AS BIGINT) AS observed,
+           round(rt.row_total * ct.col_total / CAST(g.grand AS DOUBLE), 4)
+               AS expected,
+           round(pow(obs.o - rt.row_total * ct.col_total
+                               / CAST(g.grand AS DOUBLE), 2)
+                 / (rt.row_total * ct.col_total / CAST(g.grand AS DOUBLE)),
+                 4) AS chi2_cell
+    FROM obs
+    JOIN rt ON rt.event_type = obs.event_type
+    JOIN ct ON ct.dow = obs.dow
+    CROSS JOIN g
+    """,
+)
+def chi2_event_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square association between event type and ISO weekday: the
+    35-cell contingency table with expected counts and per-cell χ²
+    contributions.
+
+    Raw events are scanned once into the contingency counts; marginals
+    and the grand total are re-aggregations of the 35-row table,
+    broadcast back on — integer counts until the single final division,
+    so the statistic is engine-exact before the round.
+    """
+    ev = table(spark, sf_dir, "events")
+    obs = (
+        ev.select("event_type", F.weekday("ts").alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("row_total"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("col_total"))
+    g = obs.agg(F.sum("o").alias("grand"))
+    expected = (
+        F.col("row_total") * F.col("col_total")
+        / F.col("grand").cast("double")
+    )
+    return (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("o").alias("observed"),
+            F.round(expected, 4).alias("expected"),
+            F.round(
+                F.pow(F.col("o") - expected, 2) / expected, 4
+            ).alias("chi2_cell"),
+        )
+    )
+
+
+_FRACS = (0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
+
+
+@query(
+    "range_partition_plan",
+    oracle="""
+    WITH b AS (
+        SELECT ["""
+    + ", ".join(f"round(quantile_cont(value, {f}), 6)" for f in _FRACS)
+    + """] AS bs
+        FROM events
+    ),
+    assigned AS (
+        SELECT e.value,
+               CAST(len(list_filter(b.bs, x -> e.value >= x)) AS BIGINT)
+                   AS bucket
+        FROM events e CROSS JOIN b
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(value), 6) AS lo, round(max(value), 6) AS hi
+    FROM assigned GROUP BY bucket
+    """,
+)
+def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TeraSort-style range partitioning: exact septile boundaries over
+    ``events.value`` assign each row to one of 8 contiguous buckets; the
+    output proves the ranges are disjoint and balanced (count, lo, hi per
+    bucket).
+
+    At 100 TB the boundaries come from a driver-side sample (Spark's
+    ``repartitionByRange`` sampler); here they are exact percentiles so
+    DuckDB can verify bucket membership bit-for-bit.  The boundary array
+    is a 1-row broadcast; assignment is a narrow projection (no shuffle),
+    and the audit groupBy is 8 keys with map-side combine.
+    """
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.transform(
+            F.percentile("value", F.array(*[F.lit(f) for f in _FRACS])),
+            lambda x: F.round(x, 6),
+        ).alias("bs")
+    )
+    assigned = ev.crossJoin(F.broadcast(bounds)).select(
+        "value",
+        F.size(
+            F.filter(F.col("bs"), lambda x: F.col("value") >= x)
+        ).cast("long").alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )

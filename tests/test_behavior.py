@@ -1,0 +1,166 @@
+"""Behavior-analytics wave: funnel, retention, transitions, PageRank,
+chi-square, range partitioning — value checks on the sf0.001 fixture
+plus the plan shapes the 100 TB story depends on."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sumologic_aws_lambda_spark import queries as registry
+from sumologic_aws_lambda_spark.operators.graph import (
+    pagerank,
+    transition_edges,
+    transition_probabilities,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return registry.all_queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- funnel
+
+def test_funnel_stage_times_strictly_ordered(spark, qs):
+    rows = qs["event_funnel_conversion"](spark, SF_DIR).collect()
+    assert rows, "fixture has signups"
+    for r in rows:
+        if r.click_s != -1:
+            assert r.click_s >= r.signup_s
+        if r.purchase_s != -1:
+            assert r.click_s != -1, "purchase requires a prior click"
+            assert r.purchase_s >= r.click_s
+
+
+def test_funnel_counts_monotone(spark, qs):
+    df = qs["event_funnel_conversion"](spark, SF_DIR)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("s"),
+        F.sum((F.col("click_s") != -1).cast("int")).alias("c"),
+        F.sum((F.col("purchase_s") != -1).cast("int")).alias("p"),
+    ).first()
+    assert agg.s >= agg.c >= agg.p
+
+
+# ------------------------------------------------------------- retention
+
+def test_retention_offsets_start_at_zero(spark, qs):
+    rows = qs["retention_cohorts"](spark, SF_DIR).collect()
+    assert rows
+    by_cohort: dict[str, list] = {}
+    for r in rows:
+        assert r.offset_weeks >= 0
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    for cohort, rs in by_cohort.items():
+        offs = {r.offset_weeks for r in rs}
+        assert 0 in offs, f"cohort {cohort} missing week-0 row"
+        # Week 0 has every cohort member, so it is the max count.
+        week0 = next(r.n_users for r in rs if r.offset_weeks == 0)
+        assert all(r.n_users <= week0 for r in rs)
+
+
+# ----------------------------------------------------------- transitions
+
+def test_transition_probabilities_row_stochastic(spark, qs):
+    rows = qs["event_markov_transitions"](spark, SF_DIR).collect()
+    assert rows
+    by_src: dict[str, float] = {}
+    for r in rows:
+        assert r.n_transitions > 0
+        by_src[r.src] = by_src.get(r.src, 0.0) + r.p
+    for src, total in by_src.items():
+        assert math.isclose(total, 1.0, abs_tol=1e-4), (src, total)
+
+
+def test_transition_edges_count_conservation(spark):
+    from sumologic_aws_lambda_spark.catalog import table
+    ev = table(spark, SF_DIR, "events")
+    edges = transition_edges(ev)
+    total_edges = edges.agg(F.sum("n_transitions")).first()[0]
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # Each user contributes (events - 1) transitions.
+    assert total_edges == n_events - n_users
+
+
+# -------------------------------------------------------------- pagerank
+
+def test_pagerank_sums_to_one(spark, qs):
+    rows = qs["event_pagerank"](spark, SF_DIR).collect()
+    assert rows
+    assert math.isclose(sum(r.rank for r in rows), 1.0, abs_tol=1e-3)
+    assert all(r.rank > 0 for r in rows)
+
+
+def test_pagerank_uniform_on_symmetric_graph(spark):
+    # A 3-cycle with equal weights must stay uniform at 1/3 each.
+    edges = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 5), ("c", "a", 5)],
+        "src string, dst string, n_transitions long",
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iterations=4).collect()}
+    for v in ranks.values():
+        assert math.isclose(v, 1.0 / 3.0, abs_tol=1e-9)
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    # b has no out-edges: its mass redistributes, total stays 1.
+    edges = spark.createDataFrame(
+        [("a", "b", 1)], "src string, dst string, n_transitions long"
+    )
+    ranks = pagerank(edges, iterations=3).collect()
+    assert math.isclose(sum(r.rank for r in ranks), 1.0, abs_tol=1e-9)
+
+
+def test_pagerank_iterates_on_broadcast_joins(spark):
+    from sumologic_aws_lambda_spark.catalog import table
+    ev = table(spark, SF_DIR, "events")
+    plan = _plan(pagerank(transition_edges(ev), iterations=2))
+    # Iteration joins over the collapsed graph must all broadcast —
+    # a SortMergeJoin would mean we are shuffling the graph per step.
+    assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------------------------ chi2
+
+def test_chi2_expected_totals_match_observed(spark, qs):
+    rows = qs["chi2_event_weekday"](spark, SF_DIR).collect()
+    assert rows
+    n_obs = sum(r.observed for r in rows)
+    n_exp = sum(r.expected for r in rows)
+    assert math.isclose(n_obs, n_exp, rel_tol=1e-3)
+    for r in rows:
+        assert 0 <= r.dow <= 6
+        assert r.chi2_cell >= 0
+
+
+# ---------------------------------------------------- range partitioning
+
+def test_range_buckets_contiguous_and_complete(spark, qs):
+    rows = sorted(
+        qs["range_partition_plan"](spark, SF_DIR).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(8))
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo, "bucket ranges must be disjoint and ordered"
+    # Exact percentile boundaries → near-equal bucket populations.
+    counts = [r.n_rows for r in rows]
+    assert max(counts) - min(counts) <= max(2, sum(counts) // 4)
+
+
+def test_range_assignment_is_shuffle_free(spark, qs):
+    plan = _plan(qs["range_partition_plan"](spark, SF_DIR))
+    # One exchange for the boundary agg, one for the final 8-key audit
+    # groupBy; bucket assignment itself must not add a third.
+    assert plan.count("Exchange") <= 3
+    assert "SortMergeJoin" not in plan
