@@ -78,13 +78,13 @@ _PRIORITY: tuple[str, ...] = (
     #    rewrites (CFN timestamp contract, metrics bucket alignment) --
     "sumoql_lookup_expr", "scheduled_view_rollup",
     "semantic_dedup_clusters", "cfn_stack_telemetry", "metrics_quantize",
-    "quality_scores", "simhash_signatures", "salted_agg_routing_key",
-    "multimodal_feature_extract",
     # -- (d) behavior-analytics wave, added in the round-6 extension:
     #    never driver-sampled --
     "event_funnel_conversion", "retention_cohorts",
     "event_markov_transitions", "event_pagerank",
     "chi2_event_weekday", "range_partition_plan",
+    "event_path_trigrams", "blocked_name_matching",
+    "weighted_reservoir_sample", "split_leakage_audit",
 )
 
 # Round-7 rotation notes: (1) queries NEW or changed in round 7 first;
@@ -146,5 +146,6 @@ def _import_all() -> None:
         curation,
         selection,
         behavior,
+        resolution,
     )
     _IMPORTED = True

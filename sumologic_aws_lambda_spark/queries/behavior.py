@@ -21,15 +21,13 @@ here each is expressed as a Catalyst plan with an explicit 100 TB story:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..operators.graph import pagerank, transition_edges, \
     transition_probabilities
 from . import query
-
-_EPOCH_S = "CAST(floor(epoch(%s)) AS BIGINT)"
 
 
 @query(
@@ -380,4 +378,51 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
+@query(
+    "event_path_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+               lag(event_type, 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS p2
+        FROM events
+    )
+    SELECT p2 || '>' || p1 || '>' || event_type AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE p2 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step event paths (path mining over per-user
+    sequences) — the n-gram generalization of the transition matrix.
+
+    Same single (user, ts, event_id) window shuffle as the transitions
+    query — two lags share one sort — then a groupBy over at most
+    |types|³ path keys and a TakeOrdered top-k.  Count ties at the
+    cutoff are broken on the path string so the result is stable across
+    engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    seq = ev.select(
+        F.col("event_type"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
     )

@@ -358,3 +358,121 @@ def domain_quality_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(keep, F.col("n_chars")).otherwise(0)).cast("bigint")
         .alias("kept_chars"),
     )
+
+
+_ES_K = 25
+_ES_U = (
+    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " / 4294967296.0)"
+)
+
+
+@query(
+    "weighted_reservoir_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               power({_ES_U}, 1.0 / n_chars) AS k
+        FROM documents
+    )
+    SELECT doc_id, n_chars, round(k, 6) AS es_key
+    FROM keyed
+    ORDER BY round(k, 9) DESC, doc_id
+    LIMIT {_ES_K}
+    """,
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis A-ES:
+    each row gets key u^(1/w) (weight w = n_chars) and the global top-k
+    keys are the sample — longer documents proportionally likelier.
+
+    The textbook algorithm uses rand(); at 100 TB that breaks
+    reproducibility, so u is the md5 fraction of the row key — the same
+    determinism-via-hashing the split/sample family uses, which also
+    lets DuckDB replay the identical draw.  The top-k lowers to
+    TakeOrderedAndProject: per-partition heaps of k, no global sort.
+    Ranking compares the key rounded to 9 places (engine-identical by
+    construction) with the doc_id tiebreak.
+    """
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    keyed = d.select(
+        "doc_id", "n_chars",
+        F.pow(u, F.lit(1.0) / F.col("n_chars")).alias("k"),
+    )
+    return (
+        keyed.orderBy(F.round("k", 9).desc(), "doc_id")
+        .limit(_ES_K)
+        .select("doc_id", "n_chars", F.round("k", 6).alias("es_key"))
+    )
+
+
+@query(
+    "split_leakage_audit",
+    oracle="""
+    WITH doc_level AS (
+        SELECT source,
+               CASE
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                   THEN 'train'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('c','d') THEN 'val'
+                 ELSE 'test'
+               END AS doc_split,
+               CASE
+                 WHEN substr(md5(source), 1, 1)
+                      IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                   THEN 'train'
+                 WHEN substr(md5(source), 1, 1)
+                      IN ('c','d') THEN 'val'
+                 ELSE 'test'
+               END AS group_split
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT doc_split) AS BIGINT) AS n_doc_splits,
+           any_value(group_split) AS group_split,
+           (count(DISTINCT doc_split) > 1) AS leaks_across_splits
+    FROM doc_level
+    GROUP BY source
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-leakage audit of train/val/test assignment: hashing per
+    *document* scatters each source across splits (near-duplicate docs
+    from one domain land in both train and test — the classic eval
+    contamination), while hashing per *group* (source) pins every doc
+    of a domain to one split.  One row per source: doc-level split
+    spread, the group-level assignment, and the leak flag.
+
+    Both assignments are pure row properties (md5) — no shuffle to
+    assign, one groupBy on source to audit.
+    """
+    d = table(spark, sf_dir, "documents")
+
+    def _nibble_split(col):
+        nib = F.substring(F.md5(col), 1, 1)
+        return (
+            F.when(nib.isin(*"0123456789ab"), "train")
+            .when(nib.isin("c", "d"), "val")
+            .otherwise("test")
+        )
+
+    tagged = d.select(
+        "source",
+        _nibble_split(F.col("doc_id").cast("string")).alias("doc_split"),
+        _nibble_split(F.col("source")).alias("group_split"),
+    )
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_split").alias("n_doc_splits"),
+        F.any_value("group_split").alias("group_split"),
+        (F.countDistinct("doc_split") > 1).alias("leaks_across_splits"),
+    )

@@ -164,3 +164,55 @@ def test_range_assignment_is_shuffle_free(spark, qs):
     # groupBy; bucket assignment itself must not add a third.
     assert plan.count("Exchange") <= 3
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------------------- trigrams
+
+def test_path_trigrams_shape_and_order(spark, qs):
+    rows = qs["event_path_trigrams"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    counts = [r.n for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert len(r.path.split(">")) == 3
+        assert r.n > 0
+
+
+# ------------------------------------------------------ weighted sample
+
+def test_weighted_reservoir_deterministic_and_bounded(spark, qs):
+    a = qs["weighted_reservoir_sample"](spark, SF_DIR).collect()
+    b = qs["weighted_reservoir_sample"](spark, SF_DIR).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    assert len(a) == 25
+    for r in a:
+        assert 0.0 <= r.es_key <= 1.0
+    keys = [r.es_key for r in a]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_weighted_sample_favors_heavy_docs(spark, qs):
+    from sumologic_aws_lambda_spark.catalog import table
+    from pyspark.sql import functions as F
+    sampled = qs["weighted_reservoir_sample"](spark, SF_DIR)
+    corpus_avg = (
+        table(spark, SF_DIR, "documents").agg(F.avg("n_chars")).first()[0]
+    )
+    sample_avg = sampled.agg(F.avg("n_chars")).first()[0]
+    # Weighting by n_chars must pull the sample mean above the corpus
+    # mean (A-ES property; deterministic here, so no flake).
+    assert sample_avg > corpus_avg
+
+
+# --------------------------------------------------------- split audit
+
+def test_split_leakage_audit_contract(spark, qs):
+    rows = qs["split_leakage_audit"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_doc_splits <= 3
+        assert r.group_split in {"train", "val", "test"}
+        assert r.leaks_across_splits == (r.n_doc_splits > 1)
+    # The audit's reason to exist: doc-level hashing leaks for any
+    # multi-doc source; at least one source must show it.
+    assert any(r.leaks_across_splits for r in rows)
