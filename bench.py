@@ -100,6 +100,13 @@ OPTIONAL = [
     "sumoql_logreduce_keys",
     "minhash_calibration",
     "slo_error_budget",
+    "event_funnel_conversion",
+    "retention_cohorts",
+    "event_pagerank",
+    "event_path_trigrams",
+    "range_partition_plan",
+    "blocked_name_matching",
+    "weighted_reservoir_sample",
 ]
 
 

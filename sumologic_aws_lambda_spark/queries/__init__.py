@@ -77,7 +77,7 @@ _PRIORITY: tuple[str, ...] = (
     #    components' shared cluster contract, the review-campaign
     #    rewrites (CFN timestamp contract, metrics bucket alignment) --
     "sumoql_lookup_expr", "scheduled_view_rollup",
-    "semantic_dedup_clusters", "cfn_stack_telemetry", "metrics_quantize",
+    "semantic_dedup_clusters",
     # -- (d) behavior-analytics wave, added in the round-6 extension:
     #    never driver-sampled --
     "event_funnel_conversion", "retention_cohorts",
@@ -85,9 +85,16 @@ _PRIORITY: tuple[str, ...] = (
     "chi2_event_weekday", "range_partition_plan",
     "event_path_trigrams", "blocked_name_matching",
     "weighted_reservoir_sample", "split_leakage_audit",
+    "trend_slopes_by_type", "mad_outlier_counts",
 )
 
-# Round-7 rotation notes: (1) queries NEW or changed in round 7 first;
+# Round-7 rotation notes: (0) these were bumped out of the r6 window by
+# the late behavior/resolution waves and carry round-6 rewrites — sample
+# them first: cfn_stack_telemetry, metrics_quantize, quality_scores,
+# simhash_signatures, salted_agg_routing_key, multimodal_feature_extract,
+# sessionize_events, asof_join_last_click, cwl_decode_pipeline,
+# asff_validation_gate, fer_registry_apply, monitor_threshold_alerts;
+# then: (1) queries NEW or changed in round 7 first;
 # (2) these round-6 additions did NOT fit the 50-slot r6 window and
 # have only self-harness green — sample them next:
 # ngram_jaccard_pairs (dropped late), vpc_eni_enrichment and

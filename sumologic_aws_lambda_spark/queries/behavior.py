@@ -426,3 +426,104 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )
+
+
+@query(
+    "trend_slopes_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(value, epoch(ts) / 86400.0), 6) AS slope_per_day,
+           round(regr_intercept(value, epoch(ts) / 86400.0), 4)
+               AS intercept,
+           round(regr_r2(value, epoch(ts) / 86400.0), 6) AS r2
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def trend_slopes_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time via the ANSI
+    ``regr_*`` aggregate family — closed-form regression from running
+    sums (n, Σx, Σy, Σxy, Σx²), so it is a single partial-aggregatable
+    groupBy: map-side combine does the heavy math and only five
+    accumulators per key cross the wire.  The per-series window-based
+    ``predict`` verb (``plans/sumoql_ts.py``) fits one series at a
+    time; this is the fleet-wide form that fits millions of keys in one
+    shuffle.
+    """
+    ev = table(spark, sf_dir, "events")
+    # Timestamp→double keeps the sub-second fraction, matching DuckDB's
+    # epoch(ts) exactly (unix_timestamp would truncate to seconds).
+    x = F.col("ts").cast("double") / F.lit(86400.0)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+    )
+
+
+@query(
+    "mad_outlier_counts",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(any_value(d.med), 6) AS med,
+           round(any_value(m.mad), 6) AS mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN abs(d.value - d.med)
+                              > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+)
+def mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per event type: median absolute deviation
+    with the standard 1.4826 normal-consistency factor and a 3σ-equivalent
+    fence — the robust sibling of the stddev-based ``outlier`` verb
+    (``plans/sumoql_ts.py``), immune to the outliers it hunts.
+
+    Two grouped exact percentiles (Spark ``percentile``, a proper
+    aggregate — no window, no sort of the full data) with the medians
+    broadcast back onto the events; at 100 TB the exact median swaps
+    for ``approx_percentile`` with the same plan shape.
+    """
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    fence = F.lit(3 * 1.4826)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("med"), 6).alias("med"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > fence * F.col("mad"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )

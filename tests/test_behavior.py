@@ -216,3 +216,33 @@ def test_split_leakage_audit_contract(spark, qs):
     # The audit's reason to exist: doc-level hashing leaks for any
     # multi-doc source; at least one source must show it.
     assert any(r.leaks_across_splits for r in rows)
+
+
+# ----------------------------------------------------------- wave 3
+
+def test_trend_slopes_contract(spark, qs):
+    rows = qs["trend_slopes_by_type"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n > 0
+        assert 0.0 <= r.r2 <= 1.0
+        # Synthetic values are ~trendless: the fitted line must pass
+        # near the data, i.e. intercept is finite and slope is small
+        # relative to the value range.
+        assert abs(r.slope_per_day) < 1e3
+
+
+def test_mad_outliers_bounded(spark, qs):
+    rows = qs["mad_outlier_counts"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.mad >= 0
+        assert 0 <= r.n_outliers <= r.n
+        # A 3-sigma-equivalent fence flags a small tail, never the bulk.
+        assert r.n_outliers < r.n * 0.2
+
+
+def test_mad_is_single_pass_no_window(spark, qs):
+    plan = _plan(qs["mad_outlier_counts"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan

@@ -137,6 +137,69 @@ def main() -> int:
             f"({n10} rows), time ratio {ratio:.1f}x"
         )
 
+    # Behavior wave: events-keyed probes.  Funnel/trigrams shuffle on
+    # the user key only; pagerank collapses events to a node² edge list
+    # then iterates on broadcasts — event-count growth should show in
+    # the one aggregation pass, never in the iteration.
+    ev = table(spark, args.sf, "events", parallel=True)
+
+    def _pagerank(e):
+        from sumologic_aws_lambda_spark.operators.graph import (
+            pagerank,
+            transition_edges,
+        )
+
+        return pagerank(transition_edges(e), iterations=3)
+
+    def _ev_funnel(e):
+        s = (e.filter(F.col("event_type") == "signup")
+             .groupBy("user_id").agg(F.min("ts").alias("t1")))
+        c = (e.filter(F.col("event_type") == "click")
+             .join(s, "user_id").filter(F.col("ts") > F.col("t1"))
+             .groupBy("user_id").agg(F.min("ts").alias("t2")))
+        return s.join(c, "user_id", "left")
+
+    def _trigrams(e):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = e.select(
+            "event_type",
+            F.lag("event_type", 1).over(w).alias("p1"),
+            F.lag("event_type", 2).over(w).alias("p2"),
+        ).filter(F.col("p2").isNotNull())
+        return (seq.groupBy("p2", "p1", "event_type")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    def _rangeparts(e):
+        fracs = (0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
+        bounds = e.agg(
+            F.percentile("value", F.array(*[F.lit(f) for f in fracs]))
+            .alias("bs"))
+        assigned = e.crossJoin(F.broadcast(bounds)).select(
+            F.size(F.filter(
+                F.col("bs"), lambda x: F.col("value") >= x
+            )).alias("bucket"))
+        return assigned.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n_rows"))
+
+    ev_probes = {
+        "event_pagerank": _pagerank,
+        "event_funnel": _ev_funnel,
+        "event_trigrams": _trigrams,
+        "range_partition": _rangeparts,
+    }
+    for name, fn in ev_probes.items():
+        small = ev.filter(F.col("event_id") % 10 == 0)
+        t1, n1 = _time(fn(small))     # warm
+        t1, n1 = _time(fn(small))
+        t10, n10 = _time(fn(ev))
+        ratio = t10 / t1 if t1 else float("inf")
+        print(
+            f"{name}: 1x {t1:.2f}s ({n1} rows) -> 10x {t10:.2f}s "
+            f"({n10} rows), time ratio {ratio:.1f}x"
+        )
+
     # Hot-key probe: the C4 motivation case — ONE boilerplate paragraph
     # duplicated across ~10⁵ synthetic docs (every copy shares one
     # paragraph hash).  The r4 content-hash-window form serialized all
