@@ -51,3 +51,61 @@ def running_totals(events: DataFrame, key_col: str = "user_id") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_SCHEMA = (
+    "user_id bigint, stage int, signup_s bigint, click_s bigint, "
+    "purchase_s bigint"
+)
+FUNNEL_STATE_SCHEMA = "stage int, t1 bigint, t2 bigint, t3 bigint"
+
+_FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+def _funnel_fn(key: tuple, pdfs, state: GroupState):
+    """Per-user ordered-funnel state machine (batch analog:
+    ``queries/behavior.py::event_funnel_conversion``): advance
+    signup → click → purchase only on events strictly later than the
+    previous stage's completion time.  State is four scalars per user,
+    durable across micro-batches."""
+    stage, t1, t2, t3 = state.get if state.exists else (0, -1, -1, -1)
+    rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["epoch_s", "event_id"])
+        for _, r in pdf.iterrows():
+            et, es = r["event_type"], int(r["epoch_s"])
+            if stage == 0 and et == "signup":
+                stage, t1 = 1, es
+            elif stage == 1 and et == "click" and es > t1:
+                stage, t2 = 2, es
+            elif stage == 2 and et == "purchase" and es > t2:
+                stage, t3 = 3, es
+    state.update((stage, t1, t2, t3))
+    rows.append({"user_id": key[0], "stage": stage,
+                 "signup_s": t1, "click_s": t2, "purchase_s": t3})
+    yield pd.DataFrame(rows)
+
+
+def streaming_funnel(events: DataFrame) -> DataFrame:
+    """Streaming ordered funnel: one state row per user (4 scalars),
+    key-partitioned in the state store, Arrow-batched per group.
+
+    Input needs columns (user_id, event_id, event_type, epoch_s).
+    Each micro-batch emits the user's current funnel row — 'update'
+    output, so the sink sees monotone stage progression.  Within a
+    micro-batch events are ordered by (epoch_s, event_id); across
+    batches ordering follows arrival, the standard at-least-once
+    streaming funnel semantics (late events that would have advanced a
+    passed stage are ignored, exactly like the batch form's strict
+    ordering).
+    """
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

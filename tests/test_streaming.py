@@ -229,3 +229,69 @@ def test_firehose_garbage_base64_is_processing_failed(spark):
     )
     out = {r.id: r.result for r in transform_records(df).collect()}
     assert out == {1: "Ok", 2: "ProcessingFailed", 3: "ProcessingFailed"}
+
+
+def test_streaming_funnel_advances_stages_across_batches(spark, tmp_path):
+    """Custom stateful funnel (applyInPandasWithState): state survives
+    micro-batches and stages only advance on strictly-later events."""
+    import json
+    from sumologic_aws_lambda_spark.streaming.stateful import (
+        streaming_funnel,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # Batch 1: user 1 signs up then clicks; user 2 clicks with no
+    # signup (must stay at stage 0).
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in [
+        {"user_id": 1, "event_id": 1, "event_type": "signup",
+         "epoch_s": 100},
+        {"user_id": 1, "event_id": 2, "event_type": "click",
+         "epoch_s": 200},
+        {"user_id": 2, "event_id": 3, "event_type": "click",
+         "epoch_s": 100},
+    ]))
+    stream = (
+        spark.readStream
+        .schema("user_id bigint, event_id bigint, event_type string, "
+                "epoch_s bigint")
+        .json(str(src))
+    )
+    collected: list = []
+
+    def _collect(batch_df, _bid):
+        collected.extend(batch_df.collect())
+
+    q = (
+        streaming_funnel(stream)
+        .writeStream.foreachBatch(_collect)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: r for r in collected}
+    assert got[1].stage == 2 and got[1].signup_s == 100 \
+        and got[1].click_s == 200
+    assert got[2].stage == 0
+
+    # Batch 2 (same checkpoint → state carries): user 1 purchases, but
+    # the purchase at epoch 150 (before the click) must NOT count; the
+    # one at 300 must.
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in [
+        {"user_id": 1, "event_id": 4, "event_type": "purchase",
+         "epoch_s": 150},
+        {"user_id": 1, "event_id": 5, "event_type": "purchase",
+         "epoch_s": 300},
+    ]))
+    collected.clear()
+    q2 = (
+        streaming_funnel(stream)
+        .writeStream.foreachBatch(_collect)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    got2 = {r.user_id: r for r in collected}
+    assert got2[1].stage == 3 and got2[1].purchase_s == 300
