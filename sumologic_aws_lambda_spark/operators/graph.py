@@ -76,10 +76,14 @@ def pagerank(edges: DataFrame, iterations: int = 3,
 
     Returns (node, rank) with rank unrounded.
     """
-    probs = transition_probabilities(edges)
+    # Eagerly materialize the collapsed graph (node² rows at most) so
+    # the expensive part — the one pass over raw events — runs exactly
+    # once, not once per iteration reference.  Same lineage-cut
+    # pattern as connected components (``operators/dedup.py``).
+    probs = transition_probabilities(edges).localCheckpoint()
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
+        probs.select(F.col("src").alias("node"))
+        .union(probs.select(F.col("dst").alias("node")))
         .distinct()
     )
     n_nodes = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
