@@ -118,5 +118,10 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                     )
                 ).alias("rank"),
             )
+            # ranks feeds BOTH the dangling aggregate and the incoming
+            # join next pass; without a lineage cut the plan doubles
+            # per iteration (2^iterations leaves).  The frame is
+            # node-sized, so the eager cut costs one tiny job.
+            .localCheckpoint()
         )
     return ranks

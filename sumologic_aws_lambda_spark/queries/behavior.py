@@ -21,10 +21,16 @@ here each is expressed as a Catalyst plan with an explicit 100 TB story:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators.behavior import (
+    RANGE_FRACS,
+    funnel_stage_times,
+    path_ngram_counts,
+    range_bucket_stats,
+)
 from ..operators.graph import pagerank, transition_edges, \
     transition_probabilities
 from . import query
@@ -70,31 +76,11 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     are engine-agnostic.
     """
     ev = table(spark, sf_dir, "events")
-    s = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id").agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id").agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id").agg(F.min("ts").alias("t3"))
-    )
-    return (
-        s.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .select(
-            "user_id",
-            F.unix_timestamp("t1").alias("signup_s"),
-            F.coalesce(F.unix_timestamp("t2"), F.lit(-1)).alias("click_s"),
-            F.coalesce(F.unix_timestamp("t3"), F.lit(-1)).alias("purchase_s"),
-        )
+    return funnel_stage_times(ev).select(
+        "user_id",
+        F.unix_timestamp("t1").alias("signup_s"),
+        F.coalesce(F.unix_timestamp("t2"), F.lit(-1)).alias("click_s"),
+        F.coalesce(F.unix_timestamp("t3"), F.lit(-1)).alias("purchase_s"),
     )
 
 
@@ -306,8 +292,11 @@ def chi2_event_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt = obs.groupBy("event_type").agg(F.sum("o").alias("row_total"))
     ct = obs.groupBy("dow").agg(F.sum("o").alias("col_total"))
     g = obs.agg(F.sum("o").alias("grand"))
+    # Cast before multiplying: long*long marginal products overflow at
+    # ~3e9 rows per marginal (ANSI throws, legacy wraps); double*long
+    # stays exact to 2^53 and degrades gracefully past it.
     expected = (
-        F.col("row_total") * F.col("col_total")
+        F.col("row_total").cast("double") * F.col("col_total")
         / F.col("grand").cast("double")
     )
     return (
@@ -326,7 +315,7 @@ def chi2_event_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FRACS = (0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
+_FRACS = RANGE_FRACS
 
 
 @query(
@@ -362,22 +351,10 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the audit groupBy is 8 keys with map-side combine.
     """
     ev = table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.transform(
-            F.percentile("value", F.array(*[F.lit(f) for f in _FRACS])),
-            lambda x: F.round(x, 6),
-        ).alias("bs")
-    )
-    assigned = ev.crossJoin(F.broadcast(bounds)).select(
-        "value",
-        F.size(
-            F.filter(F.col("bs"), lambda x: F.col("value") >= x)
-        ).cast("long").alias("bucket"),
-    )
-    return assigned.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.min("value"), 6).alias("lo"),
-        F.round(F.max("value"), 6).alias("hi"),
+    return range_bucket_stats(ev, "value", round_digits=6).select(
+        "bucket", "n_rows",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
     )
 
 
@@ -411,18 +388,8 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
     """
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
-    seq = ev.select(
-        F.col("event_type"),
-        F.lag("event_type", 1).over(w).alias("p1"),
-        F.lag("event_type", 2).over(w).alias("p2"),
-    ).filter(F.col("p2").isNotNull())
     return (
-        seq.select(
-            F.concat_ws(">", "p2", "p1", "event_type").alias("path")
-        )
-        .groupBy("path")
-        .agg(F.count(F.lit(1)).alias("n"))
+        path_ngram_counts(ev, n=3)
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )

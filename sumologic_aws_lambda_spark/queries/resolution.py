@@ -30,7 +30,8 @@ def blocked_match(left: DataFrame, right: DataFrame,
                   left_key: str, right_key: str,
                   left_id: str, right_id: str,
                   block_chars: int = 2,
-                  max_distance: int = 1) -> DataFrame:
+                  max_distance: int = 1,
+                  broadcast_right: bool = False) -> DataFrame:
     """Blocked edit-distance matching, best match per left row.
 
     Join on the last ``block_chars`` characters of the normalized key
@@ -38,6 +39,11 @@ def blocked_match(left: DataFrame, right: DataFrame,
     max_distance``, then resolve the best match per left row with two
     skew-safe groupBys: min distance first, then min right-id among the
     tied best — no window over a possibly-hot left key.
+
+    When both sides are large the block key makes this a plain
+    shuffled equi-join; pass ``broadcast_right=True`` only when the
+    right side is a genuine dim table (the optimizer is left to decide
+    otherwise).
 
     Returns (left_id, right_id, distance).
     """
@@ -53,8 +59,10 @@ def blocked_match(left: DataFrame, right: DataFrame,
         F.substring(F.col(right_key), -block_chars, block_chars)
         .alias("__blk"),
     )
+    if broadcast_right:
+        rb = F.broadcast(rb)
     pairs = (
-        lb.join(F.broadcast(rb), "__blk")
+        lb.join(rb, "__blk")
         .withColumn("distance", F.levenshtein("__lk", "__rk"))
         .filter(F.col("distance") <= max_distance)
         .select(left_id, right_id, "distance")
@@ -117,4 +125,5 @@ def blocked_name_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, s, left_key="ck", right_key="sk",
         left_id="c_custkey", right_id="s_suppkey",
         block_chars=2, max_distance=1,
+        broadcast_right=True,  # supplier is a genuine dim table
     )

@@ -70,9 +70,13 @@ def _funnel_fn(key: tuple, pdfs, state: GroupState):
     durable across micro-batches."""
     stage, t1, t2, t3 = state.get if state.exists else (0, -1, -1, -1)
     rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["epoch_s", "event_id"])
-        for _, r in pdf.iterrows():
+    # A group larger than one Arrow batch arrives as several chunks in
+    # arrival order — concatenate FIRST, then sort once, or the
+    # (epoch_s, event_id) ordering only holds within each chunk.
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch):
+        batch = batch.sort_values(["epoch_s", "event_id"])
+        for _, r in batch.iterrows():
             et, es = r["event_type"], int(r["epoch_s"])
             if stage == 0 and et == "signup":
                 stage, t1 = 1, es

@@ -246,3 +246,17 @@ def test_mad_is_single_pass_no_window(spark, qs):
     plan = _plan(qs["mad_outlier_counts"](spark, SF_DIR))
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_deep_iteration_plans_stay_linear(spark):
+    # Without the per-iteration lineage cut the plan doubles each pass
+    # (2^n leaves) and 12 iterations would hang analysis.
+    import time
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 1), ("c", "a", 3), ("b", "a", 1)],
+        "src string, dst string, n_transitions long",
+    )
+    t0 = time.time()
+    rows = pagerank(edges, iterations=12).collect()
+    assert time.time() - t0 < 60
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-9

@@ -295,3 +295,52 @@ def test_streaming_funnel_advances_stages_across_batches(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {r.user_id: r for r in collected}
     assert got2[1].stage == 3 and got2[1].purchase_s == 300
+
+
+def test_streaming_funnel_orders_across_arrow_chunks(spark, tmp_path):
+    """Events split across multiple Arrow chunks must still be replayed
+    in (epoch_s, event_id) order — the signup arriving in a later chunk
+    than the click must not lose the click."""
+    import json
+    from sumologic_aws_lambda_spark.streaming.stateful import (
+        streaming_funnel,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # File order is reverse time order; with maxRecordsPerBatch=2 the
+    # group spans 3 chunks.
+    events = [
+        {"user_id": 7, "event_id": i, "event_type": et, "epoch_s": es}
+        for i, (et, es) in enumerate([
+            ("purchase", 500), ("click", 400), ("purchase", 350),
+            ("click", 200), ("signup", 100),
+        ])
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in events))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        collected: list = []
+        stream = (
+            spark.readStream
+            .schema("user_id bigint, event_id bigint, event_type string, "
+                    "epoch_s bigint")
+            .json(str(src))
+        )
+        q = (
+            streaming_funnel(stream)
+            .writeStream.foreachBatch(
+                lambda df, _b: collected.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {r.user_id: r for r in collected}
+    assert got[7].stage == 3
+    assert (got[7].signup_s, got[7].click_s, got[7].purchase_s) \
+        == (100, 200, 350)

@@ -152,36 +152,25 @@ def main() -> int:
         return pagerank(transition_edges(e), iterations=3)
 
     def _ev_funnel(e):
-        s = (e.filter(F.col("event_type") == "signup")
-             .groupBy("user_id").agg(F.min("ts").alias("t1")))
-        c = (e.filter(F.col("event_type") == "click")
-             .join(s, "user_id").filter(F.col("ts") > F.col("t1"))
-             .groupBy("user_id").agg(F.min("ts").alias("t2")))
-        return s.join(c, "user_id", "left")
+        from sumologic_aws_lambda_spark.operators.behavior import (
+            funnel_stage_times,
+        )
+
+        return funnel_stage_times(e)
 
     def _trigrams(e):
-        from pyspark.sql import Window
+        from sumologic_aws_lambda_spark.operators.behavior import (
+            path_ngram_counts,
+        )
 
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        seq = e.select(
-            "event_type",
-            F.lag("event_type", 1).over(w).alias("p1"),
-            F.lag("event_type", 2).over(w).alias("p2"),
-        ).filter(F.col("p2").isNotNull())
-        return (seq.groupBy("p2", "p1", "event_type")
-                .agg(F.count(F.lit(1)).alias("n")))
+        return path_ngram_counts(e, n=3)
 
     def _rangeparts(e):
-        fracs = (0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
-        bounds = e.agg(
-            F.percentile("value", F.array(*[F.lit(f) for f in fracs]))
-            .alias("bs"))
-        assigned = e.crossJoin(F.broadcast(bounds)).select(
-            F.size(F.filter(
-                F.col("bs"), lambda x: F.col("value") >= x
-            )).alias("bucket"))
-        return assigned.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("n_rows"))
+        from sumologic_aws_lambda_spark.operators.behavior import (
+            range_bucket_stats,
+        )
+
+        return range_bucket_stats(e, "value")
 
     ev_probes = {
         "event_pagerank": _pagerank,
