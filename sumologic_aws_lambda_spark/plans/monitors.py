@@ -300,3 +300,31 @@ def run_monitor_stream(spark, in_path: str, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def throttle_alerts(alerts: DataFrame, cooldown_seconds: int,
+                    slice_col: str = "slice_epoch",
+                    key_cols: tuple[str, ...] = ("monitor", "severity"),
+                    ) -> DataFrame:
+    """Notification throttling: suppress an alert whose predecessor in
+    the same (monitor, severity) series fired less than
+    ``cooldown_seconds`` earlier — the first alert of a contiguous
+    breach burst notifies, the rest are marked suppressed (Sumo
+    monitors' notification-throttle semantics; the reference provisions
+    the monitor JSON, the backend throttles delivery).
+
+    Returns the input plus ``suppressed`` (boolean).  Scale: the window
+    partitions on the monitor/severity key — the monitor fleet is
+    config-sized and each series holds one row per breached timeslice,
+    so no partition outgrows a series; raw events were already reduced
+    by the monitor evaluation.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(slice_col)
+    prev = F.lag(slice_col).over(w)
+    return alerts.withColumn(
+        "suppressed",
+        prev.isNotNull()
+        & ((F.col(slice_col) - prev) < F.lit(cooldown_seconds)),
+    )

@@ -77,7 +77,6 @@ _PRIORITY: tuple[str, ...] = (
     #    components' shared cluster contract, the review-campaign
     #    rewrites (CFN timestamp contract, metrics bucket alignment) --
     "sumoql_lookup_expr", "scheduled_view_rollup",
-    "semantic_dedup_clusters",
     # -- (d) behavior-analytics wave, added in the round-6 extension:
     #    never driver-sampled --
     "event_funnel_conversion", "retention_cohorts",
@@ -86,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "event_path_trigrams", "blocked_name_matching",
     "weighted_reservoir_sample", "split_leakage_audit",
     "trend_slopes_by_type", "mad_outlier_counts",
+    "monitor_alert_throttle",
 )
 
 # Round-7 rotation notes: (0) these were bumped out of the r6 window by

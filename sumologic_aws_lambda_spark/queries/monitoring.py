@@ -64,9 +64,9 @@ _MONITOR_FOLDER = json.dumps({
 })
 
 
-@query(
-    "monitor_threshold_alerts",
-    oracle="""
+# Shared by monitor_threshold_alerts and monitor_alert_throttle: the
+# four triggers' alert rows as plain SQL.
+_ALERTS_ORACLE = """
     WITH click AS (
         SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)
                    AS slice_epoch,
@@ -94,8 +94,10 @@ _MONITOR_FOLDER = json.dumps({
     SELECT 'purchase_volume_drop', 'Warning',
            slice_epoch, CAST(n AS DOUBLE), 60.0
     FROM purch WHERE n <= 60
-    """,
-)
+"""
+
+
+@query("monitor_threshold_alerts", oracle=_ALERTS_ORACLE)
 def monitor_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold monitors over compiled SumoQL results: a monitors-export
     folder JSON (two monitors, four static triggers covering all four
@@ -207,3 +209,34 @@ def slo_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                    good_condition="event_type <> 'error'",
                    target=0.75, slice_="1d")
     return evaluate_slo(ev, spec, EVENTS_SCHEMA)
+
+
+@query(
+    "monitor_alert_throttle",
+    oracle="WITH alerts AS (" + _ALERTS_ORACLE + """)
+    SELECT monitor, severity, slice_epoch, value, threshold,
+           (lag(slice_epoch) OVER (
+                PARTITION BY monitor, severity ORDER BY slice_epoch
+            ) IS NOT NULL
+            AND slice_epoch - lag(slice_epoch) OVER (
+                PARTITION BY monitor, severity ORDER BY slice_epoch
+            ) < 172800) AS suppressed
+    FROM alerts
+    """,
+)
+def monitor_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Notification throttling over the monitor alert series: with a
+    2-day cooldown, only the first alert of a contiguous breach burst
+    notifies; followers within the cooldown are marked suppressed
+    (``plans/monitors.py::throttle_alerts``).  The window partitions on
+    the config-sized (monitor, severity) key over the already-reduced
+    alert series — raw events never reach the throttle."""
+    from ..plans.monitors import throttle_alerts
+
+    specs = parse_monitor_folder(_MONITOR_FOLDER, {
+        "click_category": "click",
+        "purchase_category": "purchase",
+    })
+    ev = table(spark, sf_dir, "events")
+    alerts = evaluate_monitors(ev, specs, EVENTS_SCHEMA)
+    return throttle_alerts(alerts, cooldown_seconds=172800)

@@ -312,3 +312,29 @@ def test_slo_rejects_bad_spec(spark):
     with _pytest.raises(SumoQLError):
         evaluate_slo(df, SloSpec("s", "kind = = 'ok'"),
                      SumoSchema(ts_col="t"))
+
+
+def test_throttle_alerts_first_of_burst(spark):
+    from sumologic_aws_lambda_spark.plans.monitors import throttle_alerts
+
+    alerts = spark.createDataFrame(
+        [
+            # contiguous daily burst: only day 0 notifies at 2d cooldown
+            ("m1", "Critical", 0), ("m1", "Critical", 86400),
+            ("m1", "Critical", 2 * 86400),
+            # gap >= cooldown: next one notifies again
+            ("m1", "Critical", 5 * 86400),
+            # other series throttles independently
+            ("m1", "Warning", 86400),
+        ],
+        "monitor string, severity string, slice_epoch long",
+    )
+    got = {
+        (r.monitor, r.severity, r.slice_epoch): r.suppressed
+        for r in throttle_alerts(alerts, cooldown_seconds=172800).collect()
+    }
+    assert got[("m1", "Critical", 0)] is False
+    assert got[("m1", "Critical", 86400)] is True
+    assert got[("m1", "Critical", 2 * 86400)] is True
+    assert got[("m1", "Critical", 5 * 86400)] is False
+    assert got[("m1", "Warning", 86400)] is False
