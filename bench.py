@@ -107,6 +107,9 @@ OPTIONAL = [
     "range_partition_plan",
     "blocked_name_matching",
     "weighted_reservoir_sample",
+    "trend_slopes_by_type",
+    "mad_outlier_counts",
+    "monitor_alert_throttle",
 ]
 
 

@@ -91,6 +91,8 @@ _PRIORITY: tuple[str, ...] = (
 # Round-7 rotation notes: (0) these were bumped out of the r6 window by
 # the late behavior/resolution waves and carry round-6 rewrites — sample
 # them first: cfn_stack_telemetry, metrics_quantize, quality_scores,
+# semantic_dedup_clusters (r6 star-contract rewrite; its _star twin IS
+# sampled),
 # simhash_signatures, salted_agg_routing_key, multimodal_feature_extract,
 # sessionize_events, asof_join_last_click, cwl_decode_pipeline,
 # asff_validation_gate, fer_registry_apply, monitor_threshold_alerts;
