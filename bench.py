@@ -110,6 +110,7 @@ OPTIONAL = [
     "trend_slopes_by_type",
     "mad_outlier_counts",
     "monitor_alert_throttle",
+    "seasonal_residual_outliers",
 ]
 
 

@@ -76,7 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     #    (compile_prefixed_query), scheduled-view refresh/marks, star
     #    components' shared cluster contract, the review-campaign
     #    rewrites (CFN timestamp contract, metrics bucket alignment) --
-    "sumoql_lookup_expr", "scheduled_view_rollup",
+    "scheduled_view_rollup",
     # -- (d) behavior-analytics wave, added in the round-6 extension:
     #    never driver-sampled --
     "event_funnel_conversion", "retention_cohorts",
@@ -85,14 +85,15 @@ _PRIORITY: tuple[str, ...] = (
     "event_path_trigrams", "blocked_name_matching",
     "weighted_reservoir_sample", "split_leakage_audit",
     "trend_slopes_by_type", "mad_outlier_counts",
-    "monitor_alert_throttle",
+    "monitor_alert_throttle", "seasonal_residual_outliers",
 )
 
 # Round-7 rotation notes: (0) these were bumped out of the r6 window by
 # the late behavior/resolution waves and carry round-6 rewrites — sample
 # them first: cfn_stack_telemetry, metrics_quantize, quality_scores,
 # semantic_dedup_clusters (r6 star-contract rewrite; its _star twin IS
-# sampled),
+# sampled), sumoql_lookup_expr (r6 lookups threading; save_lookup_
+# roundtrip in-window exercises the same machinery),
 # simhash_signatures, salted_agg_routing_key, multimodal_feature_extract,
 # sessionize_events, asof_join_last_click, cwl_decode_pipeline,
 # asff_validation_gate, fer_registry_apply, monitor_threshold_alerts;

@@ -21,7 +21,7 @@ here each is expressed as a Catalyst plan with an explicit 100 TB story:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -492,5 +492,73 @@ def mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     > fence * F.col("mad"), 1
                 ).otherwise(0)
             ).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "seasonal_residual_outliers",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)
+                   AS slice_epoch,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, 2
+    ),
+    resid AS (
+        SELECT *,
+               n - lag(n, 7) OVER (
+                   PARTITION BY event_type ORDER BY slice_epoch
+               ) AS r
+        FROM daily
+    ),
+    spread AS (
+        SELECT event_type,
+               avg(r) AS mu, stddev_samp(r) AS sd
+        FROM resid WHERE r IS NOT NULL GROUP BY event_type
+    )
+    SELECT d.event_type, d.slice_epoch, d.n,
+           CAST(d.r AS BIGINT) AS residual,
+           (abs(d.r - s.mu) > 2 * s.sd) AS is_outlier
+    FROM resid d JOIN spread s ON s.event_type = d.event_type
+    WHERE d.r IS NOT NULL
+    """,
+)
+def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly detection: the week-over-week residual of
+    the daily count per event type, flagged when it strays more than 2σ
+    from that series' residual spread — the differencing step that makes
+    the stddev-based ``outlier`` verb (``plans/sumoql_ts.py``) valid on
+    weekly-seasonal traffic.
+
+    One corpus groupBy to the (type, day) series; the lag-7 window and
+    the residual-spread aggregate both run on the series frame (days ×
+    types rows), broadcast back — raw events are scanned once.  The
+    flag compares integer residuals against a 2σ fence; the fence is a
+    float, but residuals sit far from it relative to engine ULP noise
+    (the nb/dsir float-compare precedent).
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+            .cast("long").alias("slice_epoch"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("slice_epoch")
+    resid = daily.withColumn("r", F.col("n") - F.lag("n", 7).over(w))
+    spread = resid.filter(F.col("r").isNotNull()).groupBy("event_type").agg(
+        F.avg("r").alias("mu"), F.stddev_samp("r").alias("sd")
+    )
+    return (
+        resid.filter(F.col("r").isNotNull())
+        .join(F.broadcast(spread), "event_type")
+        .select(
+            "event_type", "slice_epoch", "n",
+            F.col("r").cast("long").alias("residual"),
+            (F.abs(F.col("r") - F.col("mu")) > 2 * F.col("sd"))
+            .alias("is_outlier"),
         )
     )

@@ -260,3 +260,17 @@ def test_pagerank_deep_iteration_plans_stay_linear(spark):
     rows = pagerank(edges, iterations=12).collect()
     assert time.time() - t0 < 60
     assert abs(sum(r.rank for r in rows) - 1.0) < 1e-9
+
+
+def test_seasonal_residuals_contract(spark, qs):
+    rows = qs["seasonal_residual_outliers"](spark, SF_DIR).collect()
+    assert rows
+    by_type: dict[str, int] = {}
+    for r in rows:
+        by_type[r.event_type] = by_type.get(r.event_type, 0) + 1
+        assert r.n > 0
+    # 30 days of data, lag 7 → at most 23 residual days per type.
+    assert all(n <= 23 for n in by_type.values())
+    # A 2-sigma fence keeps outliers a small minority of each series.
+    n_out = sum(1 for r in rows if r.is_outlier)
+    assert n_out <= len(rows) * 0.15
