@@ -305,26 +305,43 @@ def run_monitor_stream(spark, in_path: str, out_dir: str,
 def throttle_alerts(alerts: DataFrame, cooldown_seconds: int,
                     slice_col: str = "slice_epoch",
                     key_cols: tuple[str, ...] = ("monitor", "severity"),
-                    ) -> DataFrame:
-    """Notification throttling: suppress an alert whose predecessor in
-    the same (monitor, severity) series fired less than
-    ``cooldown_seconds`` earlier — the first alert of a contiguous
-    breach burst notifies, the rest are marked suppressed (Sumo
-    monitors' notification-throttle semantics; the reference provisions
-    the monitor JSON, the backend throttles delivery).
+                    mode: str = "burst") -> DataFrame:
+    """Notification throttling (the reference provisions the monitor
+    JSON; the backend throttles delivery).  Two deterministic policies:
 
-    Returns the input plus ``suppressed`` (boolean).  Scale: the window
-    partitions on the monitor/severity key — the monitor fleet is
-    config-sized and each series holds one row per breached timeslice,
-    so no partition outgrows a series; raw events were already reduced
-    by the monitor evaluation.
+    ``mode="burst"`` — suppress an alert whose *immediate predecessor*
+    in the series (whether or not that predecessor itself notified) is
+    closer than the cooldown.  Exactly one notification per burst: a
+    breach that persists with gaps under the cooldown notifies once and
+    stays silent until a quiet gap ≥ cooldown, however long it lasts.
+    The "page once per incident" policy.
+
+    ``mode="bucket"`` — at most one notification per epoch-aligned
+    cooldown bucket: only the earliest alert inside each
+    ``floor(slice/cooldown)`` bucket notifies.  A sustained breach
+    re-notifies every cooldown period.  The "remind me periodically"
+    policy.  (True re-notify-exactly-cooldown-after-last-notification
+    is a running recurrence no window expresses; the bucket policy is
+    the standard shuffle-friendly equivalent.)
+
+    Returns the input plus ``suppressed`` (boolean).  Scale: both modes
+    window over the monitor/severity(+bucket) key — the monitor fleet
+    is config-sized and each series holds one row per breached
+    timeslice, so no partition outgrows a series; raw events were
+    already reduced by the monitor evaluation.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*key_cols).orderBy(slice_col)
-    prev = F.lag(slice_col).over(w)
-    return alerts.withColumn(
-        "suppressed",
-        prev.isNotNull()
-        & ((F.col(slice_col) - prev) < F.lit(cooldown_seconds)),
-    )
+    if mode == "burst":
+        w = Window.partitionBy(*key_cols).orderBy(slice_col)
+        prev = F.lag(slice_col).over(w)
+        suppressed = prev.isNotNull() & (
+            (F.col(slice_col) - prev) < F.lit(cooldown_seconds)
+        )
+    elif mode == "bucket":
+        bucket = F.floor(F.col(slice_col) / cooldown_seconds)
+        w = Window.partitionBy(*key_cols, bucket)
+        suppressed = F.col(slice_col) > F.min(slice_col).over(w)
+    else:
+        raise SumoQLError(f"unknown throttle mode {mode!r}")
+    return alerts.withColumn("suppressed", suppressed)

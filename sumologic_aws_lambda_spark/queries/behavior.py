@@ -507,22 +507,21 @@ def mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type, 2
     ),
     resid AS (
-        SELECT *,
-               n - lag(n, 7) OVER (
-                   PARTITION BY event_type ORDER BY slice_epoch
-               ) AS r
-        FROM daily
+        SELECT d.event_type, d.slice_epoch, d.n,
+               d.n - p.n AS r
+        FROM daily d JOIN daily p
+          ON p.event_type = d.event_type
+         AND p.slice_epoch = d.slice_epoch - 604800
     ),
     spread AS (
         SELECT event_type,
                avg(r) AS mu, stddev_samp(r) AS sd
-        FROM resid WHERE r IS NOT NULL GROUP BY event_type
+        FROM resid GROUP BY event_type
     )
     SELECT d.event_type, d.slice_epoch, d.n,
            CAST(d.r AS BIGINT) AS residual,
-           (abs(d.r - s.mu) > 2 * s.sd) AS is_outlier
+           (round(abs(d.r - s.mu) - 2 * s.sd, 6) > 0) AS is_outlier
     FROM resid d JOIN spread s ON s.event_type = d.event_type
-    WHERE d.r IS NOT NULL
     """,
 )
 def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,12 +531,14 @@ def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stddev-based ``outlier`` verb (``plans/sumoql_ts.py``) valid on
     weekly-seasonal traffic.
 
-    One corpus groupBy to the (type, day) series; the lag-7 window and
+    One corpus groupBy to the (type, day) series; the week-ago join and
     the residual-spread aggregate both run on the series frame (days ×
     types rows), broadcast back — raw events are scanned once.  The
-    flag compares integer residuals against a 2σ fence; the fence is a
-    float, but residuals sit far from it relative to engine ULP noise
-    (the nb/dsir float-compare precedent).
+    week-ago datum comes from an equi-join on ``slice_epoch - 604800``
+    (a row-offset lag would silently misalign onto a different weekday
+    whenever a day is missing from a series), and the 2σ compare is
+    rounded identically on both sides so the fence can't flip on
+    engine ULP noise.
     """
     ev = table(spark, sf_dir, "events")
     daily = (
@@ -547,18 +548,23 @@ def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("slice_epoch"),
         ).agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.partitionBy("event_type").orderBy("slice_epoch")
-    resid = daily.withColumn("r", F.col("n") - F.lag("n", 7).over(w))
-    spread = resid.filter(F.col("r").isNotNull()).groupBy("event_type").agg(
+    prior = daily.select(
+        "event_type",
+        (F.col("slice_epoch") + 604800).alias("slice_epoch"),
+        F.col("n").alias("n_prior"),
+    )
+    resid = daily.join(prior, ["event_type", "slice_epoch"]).withColumn(
+        "r", F.col("n") - F.col("n_prior")
+    )
+    spread = resid.groupBy("event_type").agg(
         F.avg("r").alias("mu"), F.stddev_samp("r").alias("sd")
     )
     return (
-        resid.filter(F.col("r").isNotNull())
-        .join(F.broadcast(spread), "event_type")
+        resid.join(F.broadcast(spread), "event_type")
         .select(
             "event_type", "slice_epoch", "n",
             F.col("r").cast("long").alias("residual"),
-            (F.abs(F.col("r") - F.col("mu")) > 2 * F.col("sd"))
-            .alias("is_outlier"),
+            (F.round(F.abs(F.col("r") - F.col("mu")) - 2 * F.col("sd"), 6)
+             > 0).alias("is_outlier"),
         )
     )

@@ -11,7 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..plans.monitors import evaluate_monitors, parse_monitor_folder
+from ..plans.monitors import (
+    evaluate_monitors,
+    parse_monitor_folder,
+    throttle_alerts,
+)
 from ..provisioning import CatalogStore
 from . import query
 from .sumoql_queries import EVENTS_SCHEMA
@@ -225,14 +229,15 @@ def slo_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def monitor_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Notification throttling over the monitor alert series: with a
-    2-day cooldown, only the first alert of a contiguous breach burst
-    notifies; followers within the cooldown are marked suppressed
-    (``plans/monitors.py::throttle_alerts``).  The window partitions on
-    the config-sized (monitor, severity) key over the already-reduced
-    alert series — raw events never reach the throttle."""
-    from ..plans.monitors import throttle_alerts
-
+    """Notification throttling over the monitor alert series
+    (burst mode): with a 2-day cooldown, an alert is suppressed when
+    its immediate predecessor in the series is closer than the
+    cooldown — one notification per burst; re-notification requires a
+    quiet gap ≥ cooldown (``plans/monitors.py::throttle_alerts``; the
+    periodic-reminder variant is ``mode="bucket"``).  The window
+    partitions on the config-sized (monitor, severity) key over the
+    already-reduced alert series — raw events never reach the
+    throttle."""
     specs = parse_monitor_folder(_MONITOR_FOLDER, {
         "click_category": "click",
         "purchase_category": "purchase",

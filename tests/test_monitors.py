@@ -338,3 +338,20 @@ def test_throttle_alerts_first_of_burst(spark):
     assert got[("m1", "Critical", 2 * 86400)] is True
     assert got[("m1", "Critical", 5 * 86400)] is False
     assert got[("m1", "Warning", 86400)] is False
+
+
+def test_throttle_alerts_bucket_mode_renotifies(spark):
+    from sumologic_aws_lambda_spark.plans.monitors import throttle_alerts
+
+    alerts = spark.createDataFrame(
+        [("m1", "Critical", d * 86400) for d in range(6)],
+        "monitor string, severity string, slice_epoch long",
+    )
+    got = {
+        r.slice_epoch: r.suppressed
+        for r in throttle_alerts(
+            alerts, cooldown_seconds=2 * 86400, mode="bucket"
+        ).collect()
+    }
+    # Epoch-aligned 2-day buckets: days 0, 2, 4 notify; 1, 3, 5 suppress.
+    assert {d * 86400: (d % 2 == 1) for d in range(6)} == got
