@@ -86,3 +86,48 @@ def test_weighted_reservoir_matches_python(spark):
     ]
     keyed.sort(key=lambda t: (-t[0], t[1]))
     assert got == [d for _, d in keyed[:25]]
+
+
+def py_pagerank(edges: list[tuple[str, str, int]], iters: int = 3,
+                d: float = 0.85) -> dict[str, float]:
+    """Straight-line replay of operators/graph.py::pagerank."""
+    out_tot: dict[str, int] = {}
+    for s, _t, n in edges:
+        out_tot[s] = out_tot.get(s, 0) + n
+    probs = [(s, t, n / out_tot[s]) for s, t, n in edges]
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    nn = float(len(nodes))
+    ranks = {v: 1.0 / nn for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r for v, r in ranks.items() if v not in out_tot)
+        incoming: dict[str, float] = {}
+        for s, t, p in probs:
+            incoming[t] = incoming.get(t, 0.0) + ranks[s] * p
+        ranks = {
+            v: (1.0 - d) / nn + d * (incoming.get(v, 0.0) + dangling / nn)
+            for v in nodes
+        }
+    return ranks
+
+
+_edges = st.lists(
+    st.tuples(st.sampled_from("abcde"), st.sampled_from("abcde"),
+              st.integers(1, 9)),
+    min_size=1, max_size=10,
+    unique_by=lambda e: (e[0], e[1]),
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_edges)
+def test_pagerank_matches_python_power_iteration(spark, edges):
+    from sumologic_aws_lambda_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        edges, "src string, dst string, n_transitions long")
+    got = {r.node: r.rank for r in pagerank(df, iterations=3).collect()}
+    want = py_pagerank(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
