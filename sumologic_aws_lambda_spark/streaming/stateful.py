@@ -113,3 +113,57 @@ def streaming_funnel(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DECAY_SCHEMA = "key string, decayed_count double, last_epoch_s bigint"
+DECAY_STATE_SCHEMA = "c double, last bigint"
+
+
+def _decayed_counts_fn_factory(half_life_s: float):
+    import math
+
+    lam = math.log(2.0) / half_life_s
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        # last = -1 means "no prior event"; epoch 0 is a valid time.
+        c, last = state.get if state.exists else (0.0, -1)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values("epoch_s")
+            for es, n in batch.groupby("epoch_s").size().items():
+                if last >= 0:
+                    c *= math.exp(-lam * max(0, int(es) - last))
+                c += int(n)
+                last = int(es)
+        state.update((c, last))
+        yield pd.DataFrame(
+            {"key": [key[0]], "decayed_count": [c], "last_epoch_s": [last]}
+        )
+
+    return fn
+
+
+def decayed_counts(events: DataFrame, half_life_s: float = 3600.0,
+                   key_col: str = "key") -> DataFrame:
+    """Exponentially-decayed per-key counts — the streaming
+    heavy-hitters / "trending keys" state: each event adds 1, and mass
+    halves every ``half_life_s`` of event time, so a key must keep
+    producing to stay hot.  Input needs (key, epoch_s).
+
+    State is two scalars per key in the state store; each micro-batch
+    emits the updated decayed count for keys seen in that batch
+    ('update' mode).  Top-k is the consumer's cheap final step over the
+    keys-sized output.  Decay applies per distinct event second (counts
+    within one second batch together), so replaying the same events in
+    different micro-batch slicings converges to the same state.
+    """
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            _decayed_counts_fn_factory(half_life_s),
+            outputStructType=DECAY_SCHEMA,
+            stateStructType=DECAY_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -344,3 +344,46 @@ def test_streaming_funnel_orders_across_arrow_chunks(spark, tmp_path):
     assert got[7].stage == 3
     assert (got[7].signup_s, got[7].click_s, got[7].purchase_s) \
         == (100, 200, 350)
+
+
+def test_decayed_counts_half_life_and_state_carry(spark, tmp_path):
+    """Trending-keys state: mass halves per half-life of event time and
+    carries across micro-batches."""
+    import json
+    import math
+    from sumologic_aws_lambda_spark.streaming.stateful import decayed_counts
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in [
+        {"key": "api", "epoch_s": 0},
+        {"key": "api", "epoch_s": 0},
+        {"key": "web", "epoch_s": 0},
+    ]))
+
+    def run(name):
+        out: list = []
+        stream = (
+            spark.readStream.schema("key string, epoch_s bigint")
+            .json(str(src))
+        )
+        q = (
+            decayed_counts(stream, half_life_s=100.0)
+            .writeStream.foreachBatch(lambda df, _b: out.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return {r.key: r for r in out}
+
+    got = run("d1")
+    assert got["api"].decayed_count == 2.0
+    assert got["web"].decayed_count == 1.0
+
+    # One half-life later: the carried 2.0 halves, plus one new event.
+    (src / "b2.json").write_text(json.dumps({"key": "api", "epoch_s": 100}))
+    got2 = run("d2")
+    assert math.isclose(got2["api"].decayed_count, 2.0 * 0.5 + 1.0,
+                        rel_tol=1e-9)
+    assert got2["api"].last_epoch_s == 100
