@@ -111,6 +111,8 @@ OPTIONAL = [
     "mad_outlier_counts",
     "monitor_alert_throttle",
     "seasonal_residual_outliers",
+    "funnel_conversion_rates",
+    "cohort_ltv",
 ]
 
 

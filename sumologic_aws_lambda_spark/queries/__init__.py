@@ -88,7 +88,10 @@ _PRIORITY: tuple[str, ...] = (
     "monitor_alert_throttle", "seasonal_residual_outliers",
 )
 
-# Round-7 rotation notes: (0) these were bumped out of the r6 window by
+# Round-7 rotation notes: (0a) two round-6 additions landed AFTER the
+# final window and have only replica-green — sample them first:
+# funnel_conversion_rates, cohort_ltv; (0) these were bumped out of the
+# r6 window by
 # the late behavior/resolution waves and carry round-6 rewrites — sample
 # them first: cfn_stack_telemetry, metrics_quantize, quality_scores,
 # semantic_dedup_clusters (r6 star-contract rewrite; its _star twin IS

@@ -568,3 +568,112 @@ def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              > 0).alias("is_outlier"),
         )
     )
+
+
+@query(
+    "funnel_conversion_rates",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
+           round((SELECT count(*) FROM c)
+                 / CAST((SELECT count(*) FROM s) AS DOUBLE), 6)
+               AS click_rate,
+           round((SELECT count(*) FROM p)
+                 / CAST((SELECT count(*) FROM s) AS DOUBLE), 6)
+               AS purchase_rate
+    """,
+)
+def funnel_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel's dashboard headline: per-stage completion counts and
+    conversion rates off the signup base — one row, exact integer
+    counts until the two final divisions.
+
+    Same user-key staged plan as ``event_funnel_conversion``; the
+    rollup is a single global aggregate over the users-sized stage
+    frame (count + two conditional counts), so the 100 TB cost is the
+    funnel itself, not the summary.
+    """
+    ev = table(spark, sf_dir, "events")
+    stages = funnel_stage_times(ev)
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_signup"),
+        F.count("t2").alias("n_click"),
+        F.count("t3").alias("n_purchase"),
+        F.round(F.count("t2") / F.count(F.lit(1)).cast("double"), 6)
+        .alias("click_rate"),
+        F.round(F.count("t3") / F.count(F.lit(1)).cast("double"), 6)
+        .alias("purchase_rate"),
+    )
+
+
+@query(
+    "cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        FROM events GROUP BY user_id
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST((floor(epoch(date_trunc('week', e.ts)))
+                 - floor(epoch(f.cohort))) / 604800 AS BIGINT)
+               AS offset_weeks,
+           CAST(count(DISTINCT CASE WHEN e.event_type = 'purchase'
+                                    THEN e.user_id END) AS BIGINT)
+               AS n_buyers,
+           round(sum(CASE WHEN e.event_type = 'purchase'
+                          THEN e.value ELSE 0 END), 4) AS revenue
+    FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    GROUP BY f.cohort, date_trunc('week', e.ts)
+    """,
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue twin of the retention triangle: per (cohort,
+    week-offset), distinct purchasing users and summed purchase value —
+    cumulative rows give the classic LTV curve per acquisition cohort.
+
+    Same two user-keyed aggregations as ``retention_cohorts``; the
+    revenue sum is a conditional aggregate in the same groupBy, so LTV
+    costs nothing beyond retention.  Float sums round(4) on both sides
+    (the established multi-row double-sum precedent).
+    """
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy("cohort", F.date_trunc("week", "ts").alias("wk"))
+        .agg(
+            F.countDistinct(
+                F.when(is_purchase, F.col("user_id"))
+            ).alias("n_buyers"),
+            F.round(
+                F.sum(F.when(is_purchase, F.col("value")).otherwise(0.0)), 4
+            ).alias("revenue"),
+        )
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            ((F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800)
+            .cast("long").alias("offset_weeks"),
+            "n_buyers",
+            "revenue",
+        )
+    )

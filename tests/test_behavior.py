@@ -274,3 +274,26 @@ def test_seasonal_residuals_contract(spark, qs):
     # A 2-sigma fence keeps outliers a small minority of each series.
     n_out = sum(1 for r in rows if r.is_outlier)
     assert n_out <= len(rows) * 0.15
+
+
+def test_funnel_rates_consistent_with_stage_rows(spark, qs):
+    rates = qs["funnel_conversion_rates"](spark, SF_DIR).first()
+    rows = qs["event_funnel_conversion"](spark, SF_DIR).collect()
+    assert rates.n_signup == len(rows)
+    assert rates.n_click == sum(1 for r in rows if r.click_s != -1)
+    assert rates.n_purchase == sum(1 for r in rows if r.purchase_s != -1)
+    assert 0.0 <= rates.purchase_rate <= rates.click_rate <= 1.0
+
+
+def test_cohort_ltv_aligns_with_retention(spark, qs):
+    ltv = qs["cohort_ltv"](spark, SF_DIR).collect()
+    ret = {(r.cohort_week, r.offset_weeks): r.n_users
+           for r in qs["retention_cohorts"](spark, SF_DIR).collect()}
+    assert ltv
+    for r in ltv:
+        # Every LTV cell has a retention cell, and buyers are a subset
+        # of active users.
+        assert (r.cohort_week, r.offset_weeks) in ret
+        assert 0 <= r.n_buyers <= ret[(r.cohort_week, r.offset_weeks)]
+        assert r.revenue >= 0.0
+        assert (r.revenue > 0) == (r.n_buyers > 0)
