@@ -80,5 +80,8 @@ def assemble_multiline(objects: DataFrame,
             "s3_key",
             F.posexplode("_records").alias("record_index", "message"),
         )
-        .filter(F.trim("message") != "")
+        # rlike, not trim(): Spark's trim strips only spaces, so a
+        # record assembled purely from empty lines ('\n') would survive
+        # while the reference loop's .strip() drops it.
+        .filter(~F.col("message").rlike(r"^\s*$"))
     )

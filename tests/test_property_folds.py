@@ -106,3 +106,16 @@ def test_multiline_assembly_matches_python_oracle(spark, lines):
                         key=lambda r: r.record_index)
     ]
     assert got == py_assemble(content, DEFAULT_BOUNDARY_RE)
+
+
+def test_assembly_drops_records_of_only_empty_lines(spark):
+    """Regression (hypothesis counterexample): leading empty lines fold
+    into a whitespace-only record ('\\n') which Spark's space-only
+    trim() kept while the reference loop's .strip() dropped it."""
+    from sumologic_aws_lambda_spark.sources.s3 import assemble_multiline
+
+    content = "\n\n2024-03-01 10:00:00 INFO boundary"
+    df = spark.createDataFrame([(content, "k")],
+                               "content string, s3_key string")
+    got = [r.message for r in assemble_multiline(df).collect()]
+    assert got == ["2024-03-01 10:00:00 INFO boundary"]
