@@ -105,6 +105,15 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     floor(greatest(l.start, r.start)/b)``) — so no distinct shuffle is
     needed.  Empty/degenerate intervals (end <= start) match nothing
     and are dropped up front.
+
+    Fractional bounds are safe: the last bucket a half-open interval
+    touches is ``floor((ceil(end) - 1) / b)`` — for integral ``end``
+    this is exactly ``floor((end-1)/b)``, and for fractional ``end``
+    (where ``end - 1 < start`` would make ``sequence`` descend and
+    emit wrong buckets) it is ``floor`` of the last instant strictly
+    inside the interval's ceiling, which covers every touched bucket.
+    The exact post-filter then discards any false candidates the
+    ceiling admitted.
     """
     keys = [on] if isinstance(on, str) else list(on or [])
     clash = (set(left.columns) & set(right.columns)) - set(keys)
@@ -123,7 +132,10 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
                 "__bucket",
                 F.explode(F.sequence(
                     F.floor(F.col(start) / bucket),
-                    F.floor((F.col(end) - 1) / bucket),
+                    F.greatest(
+                        F.floor(F.col(start) / bucket),
+                        F.floor((F.ceil(F.col(end)) - 1) / bucket),
+                    ),
                 )),
             )
         )

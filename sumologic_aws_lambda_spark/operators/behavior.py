@@ -65,6 +65,10 @@ def path_ngram_counts(events: DataFrame, n: int = 3,
     runs over at most |node values|ⁿ path keys with map-side combine.
     Returns (path, n) with path joined by '>'.
     """
+    if n < 2:
+        raise ValueError(
+            f"path_ngram_counts needs n >= 2 (a length-1 'path' is a "
+            f"plain groupBy on {node_col!r}); got n={n}")
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
     lag_names = [f"p{k}" for k in range(n - 1, 0, -1)]
     seq = events.select(

@@ -40,15 +40,35 @@ from ..operators.dedup import incremental_dedup
 from ..operators.text import fingerprint
 
 
+def _store_has_data(spark: SparkSession, store_dir: str) -> bool:
+    """Whether the fingerprint store exists with at least one batch
+    partition / parquet file.  Local paths use os probes; remote
+    schemes (s3a://, hdfs://, dbfs:) go through the Hadoop FileSystem
+    API — and an UNREACHABLE remote store raises rather than reading
+    as empty, because a silently-empty store re-admits every
+    previously-ingested document (silent data corruption, not a
+    recoverable default)."""
+    if "://" not in store_dir and not store_dir.startswith("dbfs:"):
+        return os.path.isdir(store_dir) and any(
+            e.startswith("batch_id=") or e.endswith(".parquet")
+            for e in os.listdir(store_dir))
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    return any(
+        st.getPath().getName().startswith("batch_id=")
+        or st.getPath().getName().endswith(".parquet")
+        for st in fs.listStatus(hpath))
+
+
 def _read_store(spark: SparkSession, store_dir: str, schema: str,
                 exclude_batch: int | None = None) -> DataFrame:
     """The persistent hash store, or an empty frame before first write.
     ``exclude_batch`` drops rows written by that batch id — the
-    redelivery-idempotence trick (see module doc).  Local-fs probe;
-    swap for a catalog/Delta table on object stores."""
-    if os.path.isdir(store_dir) and any(
-            e.startswith("batch_id=") or e.endswith(".parquet")
-            for e in os.listdir(store_dir)):
+    redelivery-idempotence trick (see module doc)."""
+    if _store_has_data(spark, store_dir):
         df = spark.read.parquet(store_dir)
         if exclude_batch is not None and "batch_id" in df.columns:
             df = df.filter(F.col("batch_id") != exclude_batch)

@@ -81,10 +81,21 @@ def run_cwl_ingest(spark: SparkSession, in_path: str, out_dir: str,
 
 
 def drain_quarantine(spark: SparkSession, quarantine_dir: str,
-                     out_dir: str) -> list:
+                     out_dir: str | None = None, sink=None) -> list:
     """T5/§3.2: re-deliver quarantined batches through the same sink —
     the scheduled DLQProcessor.  Batch identity is preserved so re-
     delivery overwrites (at-least-once → idempotent effect).
+
+    ``sink`` is any ``foreachBatch``-shaped callable with a ``reports``
+    list — pass the SAME sink type that quarantined the batches: an
+    ``NdjsonDeliverySink`` quarantine re-delivers as NDJSON, a
+    ``WebhookDeliverySink`` quarantine must be drained with a
+    ``WebhookDeliverySink`` (draining it as NDJSON would write alert
+    batches to files and never re-POST them).  With ``sink=None`` an
+    ``NdjsonDeliverySink(out_dir)`` is built for compatibility with the
+    file-delivery drain.  The drain sink must NOT quarantine into the
+    same directory it is draining: a batch that fails again is kept by
+    catching the sink's raise, not by re-writing it.
 
     Failure isolation matches the reference DLQProcessor: one batch
     whose redelivery exhausts its retries stays quarantined for the
@@ -99,7 +110,10 @@ def drain_quarantine(spark: SparkSession, quarantine_dir: str,
 
     from py4j.protocol import Py4JJavaError
 
-    sink = NdjsonDeliverySink(out_dir, quarantine_dir=None)
+    if sink is None:
+        if out_dir is None:
+            raise ValueError("drain_quarantine needs out_dir or sink")
+        sink = NdjsonDeliverySink(out_dir, quarantine_dir=None)
     try:
         matches = [
             re.match(r"batch_id=(\d+)", p.name)
@@ -116,10 +130,16 @@ def drain_quarantine(spark: SparkSession, quarantine_dir: str,
             df = spark.read.parquet(path)
         except Py4JJavaError:
             continue
+        n_before = len(sink.reports)
         try:
             sink(df, batch_id)
         except RuntimeError:
             continue    # still failing: keep quarantined, drain the rest
+        new = sink.reports[n_before:]
+        if new and not new[-1].ok:
+            # The sink swallowed the failure (its own quarantine_dir was
+            # set) — the batch did NOT go out, so keep it quarantined.
+            continue
         shutil.rmtree(path, ignore_errors=True)
     return sink.reports
 

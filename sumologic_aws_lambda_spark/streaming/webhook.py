@@ -17,7 +17,10 @@ The POST transport is injected (tests record it; production passes an
 HTTP client), and retries follow the reference's linear backoff
 (``count * seed``); on exhaustion the batch is QUARANTINED
 (``quarantine_dir``, same ``batch_id=N`` parquet convention as
-``NdjsonDeliverySink``, drained by the same DLQ loop) or, with no
+``NdjsonDeliverySink``; drain it with ``drain_quarantine(...,
+sink=WebhookDeliverySink(...))`` so the batches are re-POSTed — an
+NDJSON drain would write the alerts to files and never deliver them)
+or, with no
 quarantine configured, the sink raises so the streaming checkpoint does
 not commit and the batch is redelivered — a notification is never
 silently dropped.

@@ -160,3 +160,28 @@ def test_interval_overlap_matches_nested_loop(spark):
                          left, right, "ls", "le", "rs", "re",
                          on="k", bucket=bucket).collect())
         assert got == expect, f"bucket={bucket}"
+
+
+def test_interval_overlap_fractional_bounds(spark):
+    """ADVICE r6: fractional timestamps with end - start < 1 must not
+    make the bucket sequence descend — every true pair is found exactly
+    once, cross-checked against a brute-force pass."""
+    from sumologic_aws_lambda_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    lrows = [(i, 0.3 * i, 0.3 * i + 0.25) for i in range(40)]
+    rrows = [(j, 0.45 * j + 0.1, 0.45 * j + 0.4) for j in range(30)]
+    left = spark.createDataFrame(
+        lrows, "lid int, ls double, le double")
+    right = spark.createDataFrame(
+        rrows, "rid int, rs double, re double")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket=2).collect())
+    want = sorted(
+        (li, rj)
+        for (li, ls, le) in lrows for (rj, rs, re) in rrows
+        if ls < re and rs < le)
+    assert got == want and want          # non-empty and exact

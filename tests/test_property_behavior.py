@@ -85,3 +85,19 @@ def test_path_trigram_counts_match_python(spark, events):
     rows = path_ngram_counts(df, n=3).collect()
     got = {r.path: r.n for r in rows}
     assert got == py_trigrams(events)
+
+
+def test_path_ngram_counts_rejects_n_below_2(spark):
+    """ADVICE r6: n=1 used to die on an unresolved 'p0' column — now a
+    clear ValueError at entry."""
+    import pytest
+
+    from sumologic_aws_lambda_spark.operators.behavior import (
+        path_ngram_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("u", 1, 1, "a")], "user_id string, ts long, event_id long, "
+        "event_type string")
+    with pytest.raises(ValueError, match="n must be|n >= 2|n=1"):
+        path_ngram_counts(df, n=1)

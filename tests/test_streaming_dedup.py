@@ -120,3 +120,29 @@ def test_redelivered_batch_is_idempotent(spark, tmp_path):
     out3 = spark.read.parquet(str(tmp_path / "o2"))
     rows = {(r.doc_id, r.batch_id): r.text_kept for r in out3.collect()}
     assert rows[(1, 1)] == ""
+
+
+def test_store_probe_remote_scheme_uses_hadoop_fs(spark, tmp_path):
+    """ADVICE r6: a remote-scheme store_dir must not silently read as
+    an empty store.  file:// exercises the Hadoop-FS branch end-to-end;
+    an unreachable scheme raises instead of re-admitting duplicates."""
+    import pytest
+
+    from sumologic_aws_lambda_spark.streaming.dedup import (
+        _read_store,
+        _store_has_data,
+    )
+
+    store = tmp_path / "store"
+    assert _store_has_data(spark, f"file://{store}") is False
+
+    spark.createDataFrame(
+        [("abc",)], "fingerprint string"
+    ).write.parquet(str(store / "batch_id=0"))
+    assert _store_has_data(spark, f"file://{store}") is True
+    got = _read_store(spark, f"file://{store}", "fingerprint string")
+    assert [r["fingerprint"] for r in got.collect()] == ["abc"]
+
+    # Unreachable remote store: loud failure, never "empty".
+    with pytest.raises(Exception):
+        _store_has_data(spark, "hdfs://nonexistent-nn:1/store")

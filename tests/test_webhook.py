@@ -138,3 +138,56 @@ def test_sink_tolerates_map_columns(spark):
         [(1, {"k": "v"})], "id int, attrs map<string,string>")
     sink(df, 0)
     assert posts and '"n": 1' in posts[0]
+
+
+def test_webhook_quarantine_drained_by_webhook_sink(spark, tmp_path):
+    """ADVICE r6: a webhook quarantine drained through drain_quarantine
+    must be re-POSTed, not written out as NDJSON files.  A failing
+    transport quarantines the batch; draining with a WebhookDeliverySink
+    re-delivers it and empties the quarantine."""
+    from sumologic_aws_lambda_spark.streaming.pipeline import (
+        drain_quarantine,
+    )
+
+    q = tmp_path / "webhook_dlq"
+
+    def bad_post(url, body, headers):
+        raise RuntimeError("503")
+
+    failing = _sink(bad_post, max_retries=2, quarantine_dir=str(q))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    failing(df, batch_id=3)
+    assert (q / "batch_id=3").is_dir()
+    assert not failing.reports[-1].ok
+
+    posts = []
+    drain = _sink(lambda url, body, headers: posts.append(body))
+    reports = drain_quarantine(spark, str(q), sink=drain)
+    assert len(posts) == 1                     # re-POSTed, not NDJSON'd
+    body = json.loads(posts[0])
+    assert json.loads(body["Rows"]) == [
+        {"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
+    assert reports[-1].ok
+    assert not (q / "batch_id=3").exists()     # delivered → dequarantined
+
+
+def test_webhook_drain_keeps_still_failing_batch(spark, tmp_path):
+    """A drain sink that itself quarantines (returns normally with a
+    not-ok report) must leave the source batch quarantined."""
+    from sumologic_aws_lambda_spark.streaming.pipeline import (
+        drain_quarantine,
+    )
+
+    q = tmp_path / "webhook_dlq"
+    q2 = tmp_path / "webhook_dlq2"
+
+    def bad_post(url, body, headers):
+        raise RuntimeError("503")
+
+    failing = _sink(bad_post, max_retries=1, quarantine_dir=str(q))
+    df = spark.createDataFrame([(1, "a")], "id int, name string")
+    failing(df, batch_id=0)
+
+    drain = _sink(bad_post, max_retries=1, quarantine_dir=str(q2))
+    drain_quarantine(spark, str(q), sink=drain)
+    assert (q / "batch_id=0").is_dir()         # kept for the next drain
