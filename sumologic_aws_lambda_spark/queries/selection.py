@@ -278,31 +278,73 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     production pipeline chains them, and the oracle replays the whole
     funnel end-to-end.
 
-    Scale: stages are filters/narrow projections except the dedup
-    groupBy and the DSIR score groupBy (both partial-agg, skew-safe);
-    the DSIR scoring needs NO join back — the weight frame carries the
-    funnel columns through ``keep``."""
-    from ..operators.dedup import exact_dedup
-    from ..operators.text import token_count
+    Scale (the round-6 advisory fix — this used to re-scan the corpus
+    once per stage): the five stage aggregates are now CONDITIONAL sums
+    over exactly TWO corpus reads.  Stage 0/1 counts come from one
+    conditional aggregate directly over the scan; stages 2–4 all hang
+    off the single dedup-winner shuffle (the one required corpus
+    exchange), whose output is PERSISTED (memory-and-disk) because its
+    three consumers (stage-2/3 aggregate, DSIR bucket stats, DSIR score
+    groupBy) prune different column sets, so ReuseExchange cannot
+    dedupe them — at 100 TB the corpus is read twice and shuffled once,
+    and the winner pool (already dedup-reduced, three narrow columns
+    plus text) is materialized once instead of recomputed three times.
+    ``tests/test_plan_shapes.py`` pins the ≤2-scan property."""
+    from pyspark import StorageLevel
+
+    from ..operators.text import fingerprint, token_count
 
     d = table(spark, sf_dir, "documents", parallel=True)
-    s0 = d.withColumn("__n_tok", token_count("text"))
-    s1 = s0.filter(F.col("__n_tok").between(_FUN_MIN_TOK, _FUN_MAX_TOK))
-    s2 = exact_dedup(s1)
-    s3 = s2.filter(F.col("lang") != "zh")
+    base = d.select("doc_id", "lang", "text",
+                    token_count("text").alias("__n_tok"))
+    q = F.col("__n_tok").between(_FUN_MIN_TOK, _FUN_MAX_TOK)
+
+    # stages 0 + 1: one conditional aggregate over the scan (no shuffle
+    # beyond the single-row partial-agg exchange)
+    a01 = base.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("__n_tok").cast("bigint").alias("t0"),
+        F.count_if(q).alias("n1"),
+        F.sum(F.when(q, F.col("__n_tok"))).cast("bigint").alias("t1"),
+    )
+
+    # the one corpus shuffle: exact-dedup winners of the quality pool
+    # (inlined min_by shape of operators.dedup.exact_dedup so the winner
+    # frame carries only the funnel columns, not the full row)
+    row = F.struct("doc_id", "lang", "__n_tok", "text")
+    w = (
+        base.filter(q)
+        .groupBy(fingerprint("text").alias("_fp"))
+        .agg(F.min_by(row, F.col("doc_id")).alias("_row"))
+        .select("_row.doc_id", "_row.lang", "_row.__n_tok", "_row.text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # stages 2 + 3: one conditional aggregate over the winner exchange
+    zh = F.col("lang") != "zh"
+    a23 = w.agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.sum("__n_tok").cast("bigint").alias("t2"),
+        F.count_if(zh).alias("n3"),
+        F.sum(F.when(zh, F.col("__n_tok"))).cast("bigint").alias("t3"),
+    )
+
+    # stage 4: DSIR selection over the language-gated winners — its two
+    # reads of the winner frame reuse the same exchange
     s4 = dsir_weights(
-        s3, F.col("lang") == "en", n_buckets=_DSIR_B,
+        w.filter(zh), F.col("lang") == "en", n_buckets=_DSIR_B,
         keep=("doc_id", "__n_tok"),
     ).filter(F.col("dsir_weight") > 0)
+    a4 = s4.agg(
+        F.count(F.lit(1)).alias("n4"),
+        F.sum("__n_tok").cast("bigint").alias("t4"),
+    )
 
-    def stage_counts(name: str, frame: DataFrame) -> DataFrame:
-        return frame.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("__n_tok").cast("bigint").alias("n_tokens"),
-        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
-
-    out = stage_counts("0_ingest", s0)
-    for name, frame in (("1_quality", s1), ("2_dedup", s2),
-                        ("3_lang", s3), ("4_select", s4)):
-        out = out.unionAll(stage_counts(name, frame))
-    return out
+    # three single-row frames → one row → stack to the funnel shape
+    return (
+        a01.crossJoin(F.broadcast(a23)).crossJoin(F.broadcast(a4))
+        .select(F.expr(
+            "stack(5, '0_ingest', n0, t0, '1_quality', n1, t1, "
+            "'2_dedup', n2, t2, '3_lang', n3, t3, '4_select', n4, t4) "
+            "AS (stage, n_docs, n_tokens)"))
+    )

@@ -334,3 +334,23 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_curation_funnel_reads_corpus_at_most_twice(spark, qs):
+    """Round-6 advisory: the funnel used to re-scan documents once per
+    stage (5 reads).  Now: one conditional aggregate over the scan
+    (stage 0/1), one dedup-winner shuffle whose output is persisted for
+    the three downstream consumers — so the corpus contributes at most
+    TWO distinct parquet scans to the plan and the winner pool is
+    cached (InMemoryTableScan present)."""
+    import re
+
+    df = qs["curation_pipeline_funnel"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan
+    scan_lines = {
+        re.sub(r"^[\s:+\-*()\d]+", "", ln)
+        for ln in plan.splitlines()
+        if "Scan parquet" in ln or "FileScan parquet" in ln
+    }
+    assert len(scan_lines) <= 2, sorted(scan_lines)
