@@ -617,3 +617,63 @@ def zorder_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").cast("bigint").alias("min_d"),
         F.max("d").cast("bigint").alias("max_d"),
     )
+
+
+@query(
+    "entity_hierarchy_rollup",
+    oracle="""
+    WITH staged AS (
+        SELECT event_type AS v1,
+               CASE WHEN event_type = 'error'
+                    THEN 'u' || CAST(user_id % 10 AS VARCHAR)
+                    ELSE 'd' || CAST(dayofweek(ts) + 1 AS VARCHAR)
+               END AS v2,
+               value
+        FROM events
+    ),
+    g AS (
+        SELECT v1, v2, GROUPING(v1, v2) AS gid,
+               count(*) AS n_events,
+               round(sum(value), 4) AS value_sum
+        FROM staged GROUP BY ROLLUP (v1, v2)
+    )
+    SELECT CAST(CASE gid WHEN 0 THEN 2 ELSE 1 END AS INTEGER) AS depth,
+           CASE gid WHEN 0 THEN concat(v1, '/', v2) ELSE v1 END AS path,
+           CASE gid WHEN 0 THEN (CASE WHEN v1 = 'error'
+                                      THEN 'user_bucket'
+                                      ELSE 'weekday' END)
+                    ELSE 'event_type' END AS entity_type,
+           CASE gid WHEN 0 THEN v2 ELSE v1 END AS entity_value,
+           n_events, value_sum
+    FROM g WHERE gid < 3
+    """,
+)
+def entity_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AWS Explorer entity-hierarchy navigation (reference
+    ``sumoresource.py:884``, level spec ``Test/SampleTemplate.yaml:321``)
+    compiled to ONE rollup shuffle: event_type at the root, then a
+    CONDITIONAL second level — error events explore by user bucket,
+    everything else by weekday (``nextLevelsWithConditions`` with a
+    ``nextLevel`` fallback).  Every explorer tree node is one output
+    row; no per-node query, no driver tree walk."""
+    from ..plans.hierarchies import HierarchyLevel, explorer_rollup
+
+    level = HierarchyLevel.from_dict({
+        "entityType": "event_type",
+        "nextLevelsWithConditions": [
+            {"condition": "error", "level": {"entityType": "user_bucket"}},
+        ],
+        "nextLevel": {"entityType": "weekday"},
+    })
+    events = table(spark, sf_dir, "events")
+    dims = {
+        "event_type": F.col("event_type"),
+        "user_bucket": F.concat(
+            F.lit("u"), (F.col("user_id") % 10).cast("string")),
+        "weekday": F.concat(
+            F.lit("d"), F.dayofweek("ts").cast("string")),
+    }
+    return explorer_rollup(
+        events, level, dims,
+        measures={"value_sum": F.round(F.sum("value"), 4)},
+    )
