@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import re
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -210,3 +211,209 @@ class ContentPackCatalog:
                 f"saved search {path!r} cannot back a scheduled view: "
                 f"{exc}") from exc
         return name
+
+
+# ---------------------------------------------------------------------------
+# Content folder tree: copy / admin-mode import (sumologic.py:204-254)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ContentFolder:
+    """One folder node of the v2 content API (``sumologic.py:207-227``):
+    id, name, description, parentId, plus children (sub-folders and
+    saved-search leaves)."""
+
+    name: str
+    description: str = ""
+    parent_id: str = ""
+    folder_id: str = ""
+    folders: dict[str, "ContentFolder"] = field(default_factory=dict)
+    searches: dict[str, SavedSearch] = field(default_factory=dict)
+
+
+class ContentFolderStore:
+    """The content-folder half of the reference client
+    (``sumologic.py:204-254``): personal and admin-recommended roots,
+    folder CRUD gated by ``isAdminMode`` for anything under the admin
+    root, deep ``copy_folder`` with full id-remapping, and
+    import-into-folder with the ``overwrite`` flag — each async API
+    (copy, import) returning a job id whose status is polled, matching
+    the reference's check_copy_status / check_import_status loops."""
+
+    def __init__(self) -> None:
+        self._personal = ContentFolder(
+            name="Personal", folder_id="personal-root")
+        self._admin = ContentFolder(
+            name="Admin Recommended", folder_id="admin-root")
+        self._by_id: dict[str, ContentFolder] = {
+            "personal-root": self._personal, "admin-root": self._admin}
+        self._jobs: dict[str, dict] = {}
+
+    # -- lookup ------------------------------------------------------------
+
+    def get_personal_folder(self) -> ContentFolder:
+        return self._personal
+
+    def get_admin_recommended_folder(self) -> ContentFolder:
+        return self._admin
+
+    def _under_admin(self, folder: ContentFolder) -> bool:
+        while folder is not None:
+            if folder.folder_id == "admin-root":
+                return True
+            folder = self._by_id.get(folder.parent_id)
+        return False
+
+    def _check_admin(self, folder: ContentFolder, is_admin: bool) -> None:
+        """The ``isAdminMode`` header contract: content under the Admin
+        Recommended root is writable only in admin mode."""
+        if self._under_admin(folder) and not is_admin:
+            raise ContentPackError(
+                f"folder {folder.name!r} is under Admin Recommended — "
+                "pass is_admin=True (the isAdminMode header)")
+
+    def get_folder_by_id(self, folder_id: str,
+                         is_admin: bool = False) -> ContentFolder:
+        try:
+            f = self._by_id[folder_id]
+        except KeyError:
+            raise ContentPackError(f"no folder {folder_id!r}")
+        if f.folder_id == "admin-root" or self._under_admin(f):
+            if not is_admin:
+                raise ContentPackError(
+                    "admin-recommended content requires is_admin=True")
+        return f
+
+    # -- CRUD ----------------------------------------------------------------
+
+    def create_folder(self, name: str, description: str,
+                      parent_folder_id: str,
+                      is_admin: bool = False) -> ContentFolder:
+        parent = self._by_id.get(parent_folder_id)
+        if parent is None:
+            raise ContentPackError(f"no folder {parent_folder_id!r}")
+        self._check_admin(parent, is_admin)
+        if name in parent.folders:
+            raise ContentPackError(
+                f"content:duplicate_content — folder {name!r} exists "
+                f"in {parent.name!r}")
+        f = ContentFolder(name=name, description=description,
+                          parent_id=parent_folder_id,
+                          folder_id=uuid.uuid4().hex[:12])
+        parent.folders[name] = f
+        self._by_id[f.folder_id] = f
+        return f
+
+    def update_folder_by_id(self, folder_id: str, name: str | None = None,
+                            description: str | None = None,
+                            is_admin: bool = False) -> ContentFolder:
+        f = self._by_id.get(folder_id)
+        if f is None:
+            raise ContentPackError(f"no folder {folder_id!r}")
+        self._check_admin(f, is_admin)
+        parent = self._by_id.get(f.parent_id)
+        if name is not None and name != f.name and parent is not None:
+            if name in parent.folders:
+                raise ContentPackError(
+                    f"content:duplicate_content — folder {name!r}")
+            parent.folders.pop(f.name, None)
+            f.name = name
+            parent.folders[name] = f
+        if description is not None:
+            f.description = description
+        return f
+
+    def delete_folder(self, folder_id: str, is_admin: bool = False) -> None:
+        f = self._by_id.get(folder_id)
+        if f is None:
+            return
+        self._check_admin(f, is_admin)
+        parent = self._by_id.get(f.parent_id)
+        if parent is not None:
+            parent.folders.pop(f.name, None)
+        for sub in list(f.folders.values()):
+            self.delete_folder(sub.folder_id, is_admin=is_admin)
+        self._by_id.pop(folder_id, None)
+
+    # -- copy (async job, :229-232 / :244-245) -------------------------------
+
+    def copy_folder(self, folder_id: str, destination_folder_id: str,
+                    is_admin: bool = False) -> str:
+        """Deep-copy ``folder_id`` under the destination with EVERY node
+        remapped to a fresh id (the copy shares nothing with the
+        original); the copy is renamed ``<name> (Copy)`` when the name
+        already exists at the destination.  Returns the async job id —
+        poll ``check_copy_status`` for the new folder id."""
+        src = self._by_id.get(folder_id)
+        dst = self._by_id.get(destination_folder_id)
+        if src is None or dst is None:
+            raise ContentPackError("no such source/destination folder")
+        self._check_admin(dst, is_admin)
+
+        def clone(node: ContentFolder, parent_id: str,
+                  name: str) -> ContentFolder:
+            c = ContentFolder(name=name, description=node.description,
+                              parent_id=parent_id,
+                              folder_id=uuid.uuid4().hex[:12])
+            self._by_id[c.folder_id] = c
+            for s in node.searches.values():
+                c.searches[s.name] = SavedSearch(
+                    name=s.name, query_text=s.query_text,
+                    description=s.description, time_range=s.time_range)
+            for sub in node.folders.values():
+                c.folders[sub.name] = clone(sub, c.folder_id, sub.name)
+            return c
+
+        name = src.name if src.name not in dst.folders \
+            else f"{src.name} (Copy)"
+        copied = clone(src, dst.folder_id, name)
+        dst.folders[name] = copied
+        job_id = uuid.uuid4().hex[:12]
+        self._jobs[job_id] = {"status": "Success",
+                              "newFolderId": copied.folder_id}
+        return job_id
+
+    def check_copy_status(self, folder_id: str, job_id: str) -> dict:
+        return self._jobs.get(job_id, {"status": "NotFound"})
+
+    # -- import (async job, :234-241) ----------------------------------------
+
+    def import_content(self, folder_id: str, content: str | dict,
+                       is_overwrite: bool = False,
+                       is_admin: bool = False) -> str:
+        """Import a sync-definition tree (the ContentPack export format)
+        under ``folder_id``.  With ``is_overwrite=False`` a name clash
+        fails the job with ``content:duplicate_content`` (the error the
+        reference's App resource recovers from by switching to
+        overwrite); with ``True`` the existing child is replaced."""
+        f = self._by_id.get(folder_id)
+        if f is None:
+            raise ContentPackError(f"no folder {folder_id!r}")
+        self._check_admin(f, is_admin)
+        pack = ContentPack.from_json(
+            content if isinstance(content, str) else json.dumps(content))
+        job_id = uuid.uuid4().hex[:12]
+        if not is_overwrite and pack.name in f.folders:
+            self._jobs[job_id] = {
+                "status": "Failed",
+                "error": f"content:duplicate_content — {pack.name!r}"}
+            return job_id
+        old = f.folders.get(pack.name)
+        if old is not None:
+            self.delete_folder(old.folder_id, is_admin=is_admin)
+        imported = self.create_folder(
+            pack.name, pack.description, folder_id, is_admin=is_admin)
+        for path, s in pack.searches.items():
+            node = imported
+            parts = path.split("/")
+            for seg in parts[:-1]:
+                node = node.folders.get(seg) or self.create_folder(
+                    seg, "", node.folder_id, is_admin=is_admin)
+            node.searches[s.name] = s
+        self._jobs[job_id] = {"status": "Success",
+                              "folderId": imported.folder_id}
+        return job_id
+
+    def check_import_status(self, folder_id: str, job_id: str,
+                            is_admin: bool = False) -> dict:
+        return self._jobs.get(job_id, {"status": "NotFound"})

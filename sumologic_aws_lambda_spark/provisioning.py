@@ -20,8 +20,11 @@ F9 include/exclude Column predicate applied at ingest.
 
 from __future__ import annotations
 
+import csv
+import io
 import json
 import pathlib
+import re
 import uuid
 from dataclasses import asdict, dataclass, field
 
@@ -234,6 +237,46 @@ class CatalogStore:
             lambda k, v: F.array_contains(allowed_arr, k),
         )
 
+    # -- bulk field apply (sumoresource.py:1231
+    #    AddFieldsInHostMetricsSources) ------------------------------------
+
+    def add_fields_in_matching_sources(
+            self, instance_ids: list[str],
+            new_fields: dict[str, str] | None,
+            old_fields: dict[str, str] | None = None,
+            source_type: str = "hostmetrics",
+            instance_key: str = "InstanceId",
+            batch_size: int = 10) -> list[Source]:
+        """Bulk field update across every source of ``source_type`` whose
+        ``instance_key`` field matches one of ``instance_ids`` — the
+        reference's ``add_remove_fields`` (``sumoresource.py:1274-1295``):
+        instance ids are processed in chunks of ``batch_size``
+        (``batch_size_chunking``, ``:1236-1240``), matching sources are
+        located per chunk (the ``_contentType=HostMetrics (InstanceId=a
+        or InstanceId=b) | count by _sourceId, _collectorId`` metric
+        query, ``:1242-1271``), and each source's field map is updated in
+        place: ``old_fields`` keys popped first, then ``new_fields``
+        merged (``:1281-1290``).  Pass ``new_fields=None`` with
+        ``old_fields`` set for the delete path (``:1317-1320``).
+        Returns the updated sources."""
+        updated: list[Source] = []
+        for i in range(0, len(instance_ids), max(batch_size, 1)):
+            chunk = set(instance_ids[i:i + max(batch_size, 1)])
+            for s in self._sources.values():
+                if s.source_type != source_type:
+                    continue
+                if s.fields.get(instance_key) not in chunk:
+                    continue
+                if old_fields:
+                    for k in old_fields:
+                        s.fields.pop(k, None)
+                if new_fields:
+                    s.fields.update(new_fields)
+                updated.append(s)
+        if updated:
+            self._save()
+        return updated
+
     # -- the engine bridge -------------------------------------------------
 
     @staticmethod
@@ -320,3 +363,49 @@ class CatalogStore:
             for c in data["connections"]:
                 conn = WebhookConnection(**c)
                 self._connections[conn.connection_id] = conn
+
+
+# ---------------------------------------------------------------------------
+# Account-metadata scalars (sumoresource.py:1427,1452)
+# ---------------------------------------------------------------------------
+
+_ALIAS_OK = re.compile(r"[a-z0-9]+$")
+
+
+def account_alias(account_id: str,
+                  mapping_csv: str | None = None,
+                  fallback_alias: str | None = None) -> dict[str, str]:
+    """``AccountAlias`` resolution (``sumoresource.py:1452-1483``): look
+    the account up in an ``account_id,alias`` CSV mapping; an alias is
+    accepted only if it is <= 30 chars and matches ``[a-z0-9]+$``
+    (``:1466``).  Fallback chain on miss / unreadable mapping: the
+    explicit ``fallback_alias``, else the account id itself — the
+    reference never fails the stack over an alias."""
+    if mapping_csv is not None:
+        try:
+            for row in csv.reader(io.StringIO(mapping_csv)):
+                if len(row) >= 2 and row[0] == account_id and row[1]:
+                    alias = row[1]
+                    if len(alias) <= 30 and _ALIAS_OK.search(alias):
+                        return {"ACCOUNT_ALIAS": alias}
+        except csv.Error:
+            pass
+        if fallback_alias:
+            return {"ACCOUNT_ALIAS": fallback_alias}
+        return {"ACCOUNT_ALIAS": account_id}
+    if fallback_alias:
+        return {"ACCOUNT_ALIAS": fallback_alias}
+    return {"ACCOUNT_ALIAS": account_id}
+
+
+def enterprise_or_trial_check(is_enterprise: bool,
+                              app_count: int) -> dict[str, str]:
+    """``EnterpriseOrTrialAccountCheck`` (``sumoresource.py:1427-1438``):
+    an account is "paid" unless it is neither enterprise nor carries
+    more than five installed apps (the reference's free-trial
+    heuristic)."""
+    is_paid = "Yes"
+    if not is_enterprise and app_count <= 5:
+        is_paid = "No"
+    return {"is_enterprise": "Yes" if is_enterprise else "No",
+            "is_paid": is_paid}

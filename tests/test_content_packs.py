@@ -175,3 +175,94 @@ def test_param_prefix_keys_do_not_corrupt_longer_markers():
     assert "prod/ext" in s.query_text
     assert "cloudtrailExt" not in s.query_text
     assert s.description == ""      # explicit null normalizes
+
+
+# -- folder store: copy / admin import (sumologic.py:204-254) ---------------
+
+
+def _store_with_pack():
+    from sumologic_aws_lambda_spark.plans.content_packs import (
+        ContentFolderStore,
+    )
+
+    store = ContentFolderStore()
+    personal = store.get_personal_folder()
+    job = store.import_content(
+        personal.folder_id,
+        json.dumps(PACK).replace("$$logsrc", "prod/api"))
+    assert store.check_import_status(
+        personal.folder_id, job)["status"] == "Success"
+    return store, personal
+
+
+def test_import_builds_folder_tree_and_duplicate_contract():
+    store, personal = _store_with_pack()
+    app = personal.folders["AWS Observability"]
+    assert "Errors by host" in app.searches
+    assert "p95" in app.folders["Latency"].searches
+
+    # overwrite=False on a duplicate fails the job with the same error
+    # code the reference's App resource recovers from
+    job = store.import_content(
+        personal.folder_id,
+        json.dumps(PACK).replace("$$logsrc", "prod/api"))
+    st = store.check_import_status(personal.folder_id, job)
+    assert st["status"] == "Failed"
+    assert "duplicate_content" in st["error"]
+
+    # overwrite=True replaces (fresh folder id)
+    job = store.import_content(
+        personal.folder_id,
+        json.dumps(PACK).replace("$$logsrc", "other/cat"),
+        is_overwrite=True)
+    st = store.check_import_status(personal.folder_id, job)
+    assert st["status"] == "Success"
+    new_app = personal.folders["AWS Observability"]
+    assert new_app.folder_id != app.folder_id
+    assert "other/cat" in new_app.searches["Errors by host"].query_text
+
+
+def test_copy_folder_remaps_every_id():
+    store, personal = _store_with_pack()
+    app = personal.folders["AWS Observability"]
+    dest = store.create_folder("Backups", "", personal.folder_id)
+    job = store.copy_folder(app.folder_id, dest.folder_id)
+    st = store.check_copy_status(app.folder_id, job)
+    assert st["status"] == "Success"
+    copy = store.get_folder_by_id(st["newFolderId"])
+    assert copy.folder_id != app.folder_id
+    assert copy.folders["Latency"].folder_id != \
+        app.folders["Latency"].folder_id
+    # deep copy: mutating the copy leaves the original untouched
+    copy.searches["Errors by host"].query_text = "mutated"
+    assert app.searches["Errors by host"].query_text != "mutated"
+
+    # copying into a folder that already has the name appends " (Copy)"
+    job2 = store.copy_folder(app.folder_id, dest.folder_id)
+    st2 = store.check_copy_status(app.folder_id, job2)
+    assert store.get_folder_by_id(
+        st2["newFolderId"]).name == "AWS Observability (Copy)"
+
+
+def test_admin_recommended_requires_admin_mode():
+    from sumologic_aws_lambda_spark.plans.content_packs import (
+        ContentFolderStore,
+    )
+
+    store = ContentFolderStore()
+    admin_root = store.get_admin_recommended_folder()
+    with pytest.raises(ContentPackError, match="is_admin"):
+        store.create_folder("Apps", "", admin_root.folder_id)
+    f = store.create_folder("Apps", "", admin_root.folder_id,
+                            is_admin=True)
+    with pytest.raises(ContentPackError, match="admin"):
+        store.get_folder_by_id(f.folder_id)
+    assert store.get_folder_by_id(f.folder_id, is_admin=True) is f
+    with pytest.raises(ContentPackError, match="is_admin"):
+        store.import_content(
+            f.folder_id, json.dumps(PACK).replace("$$logsrc", "x"))
+    with pytest.raises(ContentPackError, match="is_admin"):
+        store.delete_folder(f.folder_id)
+    store.delete_folder(f.folder_id, is_admin=True)
+    with pytest.raises(ContentPackError, match="no folder"):
+        store.get_folder_by_id(f.folder_id, is_admin=True)

@@ -129,3 +129,75 @@ def test_multiline_always_reads_wholetext():
     assert CatalogStore.source_read_options(auto).get("wholetext") == "true"
     assert CatalogStore.source_read_options(custom).get("wholetext") == "true"
     assert "wholetext" not in CatalogStore.source_read_options(off)
+
+
+def test_add_fields_in_matching_sources_bulk_apply(tmp_path):
+    """AddFieldsInHostMetricsSources (sumoresource.py:1231): bulk field
+    merge across every hostmetrics source matching the instance list,
+    old fields popped before new ones merge, chunked processing hitting
+    every chunk, non-matching sources untouched."""
+    from sumologic_aws_lambda_spark.provisioning import CatalogStore
+
+    store = CatalogStore(str(tmp_path / "cat.json"))
+    c = store.create_collector("hosts")
+    srcs = {}
+    for i in range(12):
+        srcs[i] = store.create_source(
+            c.collector_id, f"hm-{i}", source_type="hostmetrics",
+            fields={"InstanceId": f"i-{i:03d}", "stale": "x"})
+    other = store.create_source(
+        c.collector_id, "http-in", source_type="http",
+        fields={"InstanceId": "i-000"})
+
+    ids = [f"i-{i:03d}" for i in range(11)]    # 11 ids → two chunks of 10
+    updated = store.add_fields_in_matching_sources(
+        ids, {"account": "prod", "namespace": "hostmetrics"},
+        old_fields={"stale": "x"}, batch_size=10)
+    assert len(updated) == 11                  # both chunks applied
+    for i in range(11):
+        assert srcs[i].fields == {
+            "InstanceId": f"i-{i:03d}", "account": "prod",
+            "namespace": "hostmetrics"}
+    assert srcs[11].fields == {"InstanceId": "i-011", "stale": "x"}
+    assert other.fields == {"InstanceId": "i-000"}  # wrong type untouched
+
+    # delete path (:1317-1320): new_fields=None removes the stack fields
+    store.add_fields_in_matching_sources(
+        ["i-000"], None, old_fields={"account": "1", "namespace": "1"})
+    assert srcs[0].fields == {"InstanceId": "i-000"}
+
+    # persistence round-trip
+    store2 = CatalogStore(str(tmp_path / "cat.json"))
+    got = [s for s in store2.sources_for(c.collector_id)
+           if s.name == "hm-1"][0]
+    assert got.fields["account"] == "prod"
+
+
+def test_account_alias_validation_and_fallbacks():
+    from sumologic_aws_lambda_spark.provisioning import account_alias
+
+    csv_text = "123,prodaccount\n456,Bad Alias!\n789," + "x" * 31 + "\n"
+    assert account_alias("123", csv_text) == {
+        "ACCOUNT_ALIAS": "prodaccount"}
+    # invalid alias (fails [a-z0-9]+$) → fallback chain
+    assert account_alias("456", csv_text, "fb1") == {
+        "ACCOUNT_ALIAS": "fb1"}
+    # >30 chars → fallback to account id when no explicit alias
+    assert account_alias("789", csv_text) == {"ACCOUNT_ALIAS": "789"}
+    # no mapping at all
+    assert account_alias("42", None, "alias42") == {
+        "ACCOUNT_ALIAS": "alias42"}
+    assert account_alias("42", None) == {"ACCOUNT_ALIAS": "42"}
+
+
+def test_enterprise_or_trial_check():
+    from sumologic_aws_lambda_spark.provisioning import (
+        enterprise_or_trial_check,
+    )
+
+    assert enterprise_or_trial_check(True, 0) == {
+        "is_enterprise": "Yes", "is_paid": "Yes"}
+    assert enterprise_or_trial_check(False, 5) == {
+        "is_enterprise": "No", "is_paid": "No"}
+    assert enterprise_or_trial_check(False, 6) == {
+        "is_enterprise": "No", "is_paid": "Yes"}
