@@ -109,7 +109,10 @@ def assemble_multiline_stream(lines: DataFrame,
     )
 
 
-try:  # pragma: no cover - exercised only where protobuf is installed
+try:  # the class itself imports WITHOUT protobuf — only the TWS
+    # state-server runtime needs it, so the processor's logic is unit-
+    # tested through a fake handle (tests/test_assembler.py) and the
+    # ImportError arm below is for older PySpark without the module
     from pyspark.sql.streaming.stateful_processor import (
         ExpiredTimerInfo,
         StatefulProcessor,

@@ -101,3 +101,102 @@ def test_timer_flushes_quiet_stream(spark, tmp_path):
     # dangling entry from b1 was flushed by timer OR closed by b2's
     # boundary; either way seq-3 entry exists
     assert ("A", 3) in entries
+
+
+# -- transformWithStateInPandas twin (protobuf-gated at RUNTIME only) -------
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    """Enough of StatefulProcessorHandle to drive the processor's logic
+    without the TWS state server (whose protocol needs protobuf)."""
+
+    def __init__(self):
+        self.state = _FakeValueState()
+        self.timers = []
+
+    def getValueState(self, name, schema):
+        return self.state
+
+    def listTimers(self):
+        return list(self.timers)
+
+    def deleteTimer(self, t):
+        self.timers.remove(t)
+
+    def registerTimer(self, t):
+        self.timers.append(t)
+
+
+class _FakeTimerValues:
+    def __init__(self, now_ms=1_000):
+        self._now = now_ms
+
+    def getCurrentProcessingTimeInMs(self):
+        return self._now
+
+
+def test_multiline_assembler_tws_logic_without_state_server():
+    """The TWS MultilineAssembler is importable WITHOUT protobuf (only
+    the state-server runtime needs it) — so the class must not be
+    dormant: its assembly logic is driven here through a fake handle
+    and must match the GroupState twin's semantics (boundary split,
+    cross-batch carry, timer re-arm, expiry flush)."""
+    import pandas as pd
+
+    from sumologic_aws_lambda_spark.streaming.assembler import (
+        MultilineAssembler,
+    )
+
+    assert MultilineAssembler is not None
+    p = MultilineAssembler(flush_after_ms=60_000)
+    h = _FakeHandle()
+    p.init(h)
+
+    batch1 = pd.DataFrame({
+        "seq": [0, 1, 2],
+        "line": ["2024-01-01 00:00:00 start", "  at frame one",
+                 "  at frame two"],
+    })
+    out1 = list(p.handleInputRows(("s1",), iter([batch1]),
+                                  _FakeTimerValues(1_000)))
+    assert out1 == []                       # entry still open
+    assert h.timers == [61_000]             # timer armed
+
+    # split batches: a chunked Arrow group must concat before sorting
+    batch2a = pd.DataFrame({"seq": [4], "line": ["  tail of next"]})
+    batch2b = pd.DataFrame(
+        {"seq": [3], "line": ["2024-01-01 00:00:01 next"]})
+    out2 = list(p.handleInputRows(("s1",), iter([batch2a, batch2b]),
+                                  _FakeTimerValues(2_000)))
+    assert len(out2) == 1                   # boundary flushed entry 1
+    row = out2[0].iloc[0]
+    assert row["first_seq"] == 0 and row["n_lines"] == 3
+    assert row["entry"].endswith("frame two")
+    assert h.timers == [62_000]             # old timer dropped, re-armed
+
+    # expiry flushes the open entry and clears state
+    out3 = list(p.handleExpiredTimer(("s1",), _FakeTimerValues(70_000),
+                                     None))
+    assert len(out3) == 1
+    row = out3[0].iloc[0]
+    assert row["first_seq"] == 3 and row["n_lines"] == 2
+    assert not h.state.exists()
+    assert list(p.handleExpiredTimer(("s1",), _FakeTimerValues(80_000),
+                                     None)) == []
