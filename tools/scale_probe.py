@@ -172,11 +172,39 @@ def main() -> int:
 
         return range_bucket_stats(e, "value")
 
+    def _funnel_rates(e):
+        from sumologic_aws_lambda_spark.operators.behavior import (
+            funnel_stage_times,
+        )
+
+        return funnel_stage_times(e).agg(
+            F.count(F.lit(1)).alias("n_signup"),
+            F.count("t2").alias("n_click"),
+            F.count("t3").alias("n_purchase"),
+        )
+
+    def _cohort_ltv(e):
+        first_seen = e.groupBy("user_id").agg(
+            F.date_trunc("week", F.min("ts")).alias("cohort"))
+        is_p = F.col("event_type") == "purchase"
+        return (
+            e.join(first_seen, "user_id")
+            .groupBy("cohort", F.date_trunc("week", "ts").alias("wk"))
+            .agg(
+                F.countDistinct(
+                    F.when(is_p, F.col("user_id"))).alias("n_buyers"),
+                F.round(F.sum(F.when(is_p, F.col("value"))
+                              .otherwise(0.0)), 4).alias("revenue"),
+            )
+        )
+
     ev_probes = {
         "event_pagerank": _pagerank,
         "event_funnel": _ev_funnel,
         "event_trigrams": _trigrams,
         "range_partition": _rangeparts,
+        "funnel_conversion_rates": _funnel_rates,
+        "cohort_ltv": _cohort_ltv,
     }
     def _time_full(fn, d):
         # pagerank localCheckpoints eagerly during CONSTRUCTION, so the
