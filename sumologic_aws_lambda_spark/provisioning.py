@@ -334,6 +334,37 @@ class CatalogStore:
             pred = pred & ~F.col(message_col).rlike(rx)
         return pred
 
+    @staticmethod
+    def source_mask_transform(source: Source,
+                              message_col: str = "message") -> Column:
+        """The other two processing-rule types of the same F9 surface
+        (public Sumo processing rules: Exclude / Include / Hash / Mask —
+        the reference provisions the filter list verbatim,
+        ``sumoresource.py:277-281``): ``Mask`` rules replace every
+        regex match with the rule's ``mask`` string; ``Hash`` rules
+        replace every match with a hash of the matched value (md5 here —
+        the engine-wide hash convention), so equal values stay joinable
+        after redaction.  Rules apply in list order.
+
+        Spark-first: Mask is a ``regexp_replace``; Hash folds the
+        DISTINCT matches over the message with literal ``replace`` —
+        safe because an md5 hex digest cannot re-introduce a value that
+        any sane PII regex matches (hex alphabet), and all-narrow (no
+        UDF, no shuffle)."""
+        col = F.col(message_col)
+        for f in source.filters:
+            ftype = f.get("filterType")
+            if ftype == "Mask":
+                col = F.regexp_replace(
+                    col, f["regexp"], f.get("mask", "#####"))
+            elif ftype == "Hash":
+                matches = F.array_distinct(
+                    F.regexp_extract_all(col, F.lit(f["regexp"]), 0))
+                col = F.aggregate(
+                    matches, col,
+                    lambda acc, m: F.replace(acc, m, F.md5(m)))
+        return col
+
     # -- persistence -------------------------------------------------------
 
     def _save(self) -> None:

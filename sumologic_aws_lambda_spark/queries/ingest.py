@@ -362,3 +362,49 @@ def cwl_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "envelope_id", "event_index", "ts", "request_id", "message",
         "log_group", "log_stream", "metadata_key",
     )
+
+
+@query(
+    "pii_masking_rules",
+    oracle="""
+    SELECT doc_id,
+           md5(replace(replace(
+                   regexp_replace(text, 'customer', '#####', 'g'),
+                   'join', md5('join')),
+               'merge', md5('merge'))) AS masked_md5,
+           CAST(length(regexp_extract_all(text, 'customer')) AS BIGINT)
+               AS n_masked,
+           CAST(length(regexp_extract_all(text, '\\b(?:join|merge)\\b'))
+               AS BIGINT) AS n_hashed
+    FROM documents
+    """,
+)
+def pii_masking_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash/Mask processing rules — the redaction half of the F9
+    processing-rule surface (public Sumo rule types; the reference
+    provisions the filter list verbatim, ``sumoresource.py:277-281``)
+    applied at ingest: a Mask rule blanks matches with its mask string,
+    a Hash rule replaces each match with its md5 so redacted values
+    stay joinable.  Narrow projection over the corpus (regexp_replace
+    + a distinct-match fold; no UDF, no shuffle) — at 100 TB this is a
+    pure map stage fused into the scan."""
+    from ..catalog import table
+    from ..provisioning import CatalogStore, Source
+
+    src = Source(name="docs", collector_id="c0", filters=[
+        {"filterType": "Mask", "name": "m1",
+         "regexp": "customer", "mask": "#####"},
+        {"filterType": "Hash", "name": "h1",
+         "regexp": r"\b(?:join|merge)\b"},
+    ])
+    d = table(spark, sf_dir, "documents")
+    masked = CatalogStore.source_mask_transform(src, "text")
+    return d.select(
+        "doc_id",
+        F.md5(masked).alias("masked_md5"),
+        F.size(F.regexp_extract_all("text", F.lit("customer"), 0))
+        .cast("bigint").alias("n_masked"),
+        F.size(F.regexp_extract_all(
+            "text", F.lit(r"\b(?:join|merge)\b"), 0))
+        .cast("bigint").alias("n_hashed"),
+    )

@@ -201,3 +201,33 @@ def test_enterprise_or_trial_check():
         "is_enterprise": "No", "is_paid": "No"}
     assert enterprise_or_trial_check(False, 6) == {
         "is_enterprise": "No", "is_paid": "Yes"}
+
+
+def test_source_mask_and_hash_rules(spark):
+    """Hash/Mask processing rules (the redaction half of F9): Mask
+    blanks matches, Hash replaces each match with md5 so equal values
+    stay joinable, rules apply in list order."""
+    import hashlib
+
+    from sumologic_aws_lambda_spark.provisioning import (
+        CatalogStore,
+        Source,
+    )
+
+    src = Source(name="s", collector_id="c", filters=[
+        {"filterType": "Mask", "name": "ssn",
+         "regexp": r"\d{3}-\d{2}-\d{4}", "mask": "###-##-####"},
+        {"filterType": "Hash", "name": "email",
+         "regexp": r"[\w.]+@[\w.]+"},
+        {"filterType": "Exclude", "name": "noise", "regexp": "DEBUG"},
+    ])
+    df = spark.createDataFrame(
+        [("ssn 123-45-6789 mail a@b.co",),
+         ("mail a@b.co and c@d.org",)], "message string")
+    out = [r["m"] for r in df.select(
+        CatalogStore.source_mask_transform(src).alias("m")).collect()]
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[0] == f"ssn ###-##-#### mail {h('a@b.co')}"
+    assert out[1] == f"mail {h('a@b.co')} and {h('c@d.org')}"
+    # same value → same hash across rows (joinable after redaction)
+    assert out[0].split()[-1] == out[1].split()[1]
