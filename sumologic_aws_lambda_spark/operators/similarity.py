@@ -755,3 +755,52 @@ def semdedup_labels(df: DataFrame, n_centroids: int = 8,
             F.coalesce(~F.col("_pruned"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def hard_negatives(corpus: DataFrame, anchors: DataFrame,
+                   planes: list[list[float]], k: int = 4,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   query_id_col: str = "query_id") -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor, the k most
+    similar vectors carrying a DIFFERENT label — the negatives a
+    contrastive/embedding trainer wants, because easy (dissimilar)
+    negatives teach nothing.
+
+    Same physical shape as ``lsh_topk`` — candidates share a hyperplane
+    bucket (equi-join, never all-pairs), the anchor side broadcasts,
+    exact cosine only within buckets — plus the label-inequality filter
+    before ranking.  At 100 TB this is the standard mining pass between
+    training epochs: one narrow bucketing pass over the corpus, one
+    bucket-keyed join against epoch-sized anchors.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neg_label"),
+        as_double(vec_col).alias("c_vec"),
+    ).withColumn("bucket", lsh_bucket(F.col("c_vec"), planes)) \
+     .withColumn("c_norm", l2_norm(F.col("c_vec")))
+    q = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(label_col).alias("anchor_label"),
+            as_double(vec_col).alias("q_vec"),
+        ).withColumn("bucket", lsh_bucket(F.col("q_vec"), planes))
+        .withColumn("q_norm", l2_norm(F.col("q_vec")))
+    )
+    scored = (
+        c.join(q, on="bucket")
+        .filter(F.col("neg_label") != F.col("anchor_label"))
+        .withColumn("sim", F.round(
+            cosine_with_norms(F.col("q_vec"), F.col("c_vec"),
+                              F.col("q_norm"), F.col("c_norm")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "anchor_label", "neighbor_id",
+                "neg_label", "sim", "rank")
+    )

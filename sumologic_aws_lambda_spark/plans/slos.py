@@ -94,3 +94,47 @@ def evaluate_slo(df: DataFrame, spec: SloSpec,
                 / (F.col("total") * F.lit(bad_frac)), 6)
         .alias("burn_rate"),
     )
+
+
+def burn_rate_windows(df: DataFrame, spec: SloSpec, schema: SumoSchema,
+                      long_hours: int = 6,
+                      threshold: float = 1.0) -> DataFrame:
+    """Multiwindow burn-rate alerting (the fast-burn/slow-burn policy
+    pattern from the public SRE workbook, the policy Sumo's SLO
+    monitors implement): the short window (one compliance slice, here
+    1 h) catches fast burns, the long trailing window (``long_hours``)
+    keeps the alert from flapping on a single bad slice — the alert
+    fires only when BOTH windows burn above ``threshold``.
+
+    One row per hour: good/total, ``burn_1h``, ``burn_long`` (an
+    event-time RANGE window over trailing epoch seconds, so gap hours
+    with no traffic still age out correctly), and the combined
+    ``fast_burn`` flag.
+
+    Scale: the corpus collapses to the hourly series in ONE
+    conditional-count groupBy; both burn windows run over the ~window-
+    count series rows, never corpus rows."""
+    if spec.slice_ != "1h":
+        raise SumoQLError("burn_rate_windows needs an hourly slice")
+    per = evaluate_slo(df, spec, schema).select(
+        "_timeslice", "good", "total")
+    epoch = F.unix_timestamp("_timeslice")
+    series = per.withColumn("slice_epoch", epoch)
+    w = (
+        Window.orderBy("slice_epoch")
+        .rangeBetween(-(long_hours * 3600 - 1), 0)
+    )
+    bad_frac = F.lit(1.0 - spec.target)
+    bad = F.col("total") - F.col("good")
+    burn_1h = bad / (F.col("total") * bad_frac)
+    burn_long = (
+        F.sum(bad).over(w).cast("double")
+        / (F.sum("total").over(w) * bad_frac)
+    )
+    return series.select(
+        "slice_epoch", "good", "total",
+        F.round(burn_1h, 6).alias("burn_1h"),
+        F.round(burn_long, 6).alias("burn_long"),
+        ((F.round(burn_1h, 6) >= threshold)
+         & (F.round(burn_long, 6) >= threshold)).alias("fast_burn"),
+    )

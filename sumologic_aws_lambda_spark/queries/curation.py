@@ -564,3 +564,86 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chunk_tokens").cast("bigint").alias("n_chunk_tokens"),
         "chunk_text",
     )
+
+
+@query(
+    "bigram_lm_perplexity",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+        FROM docs,
+             LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+    ),
+    uni AS (
+        SELECT tok, count(*) AS c
+        FROM (SELECT unnest(t) AS tok FROM docs) GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM uni),
+    bi AS (SELECT prev, cur, count(*) AS cb FROM pairs GROUP BY 1, 2)
+    SELECT p.doc_id,
+           count(*) AS n_transitions,
+           round(-sum(log2(
+               0.7 * cb / up.c + 0.3 * uc.c / total)) / count(*), 4)
+               AS bits_per_token
+    FROM pairs p
+    JOIN bi ON bi.prev = p.prev AND bi.cur = p.cur
+    JOIN uni up ON up.tok = p.prev
+    JOIN uni uc ON uc.tok = p.cur
+    CROSS JOIN tot
+    WHERE p.doc_id < 200
+    GROUP BY p.doc_id
+    """,
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM quality scoring — the CCNet scorer
+    (Wenzek et al. 2020) one order up from ``unigram_lm_scores``:
+    per-document cross-entropy −(1/n)·Σ log₂ p(wᵢ|wᵢ₋₁) under
+    p = λ·c(wᵢ₋₁wᵢ)/c(wᵢ₋₁) + (1−λ)·c(wᵢ)/total (λ = 0.7), corpus-
+    trained.  Repetitive template text scores low bits/token, token
+    soup scores near the unigram entropy — the discriminator CCNet's
+    quality tiers threshold.
+
+    Plan shape: bigram construction is NARROW (slice + arrays_zip per
+    document, no shuffle); the bigram and unigram tables are
+    vocabulary-bounded → broadcast joins onto the exploded transition
+    stream; scoring is one partial-agg groupBy(doc_id).  At 100 TB the
+    corpus-trained tables swap for a trained LM's top-M table with
+    unigram backoff — identical plumbing, the (1−λ) term IS the
+    backoff.  Scored output restricted to doc_id < 200 like its
+    unigram twin."""
+    d = table(spark, sf_dir, "documents", parallel=True)
+    toks = F.split(normalize_text("text"), " ")
+    n = F.size(toks)
+    pairs_arr = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("prev"),
+        F.slice(toks, 2, n - 1).alias("cur"),
+    )
+    pairs = d.select("doc_id", F.explode(pairs_arr).alias("p")) \
+        .select("doc_id", F.col("p.prev").alias("prev"),
+                F.col("p.cur").alias("cur"))
+    ex = d.select(F.explode(toks).alias("tok"))
+    uni = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").cast("double").alias("total"))
+    bi = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+    p = (
+        F.lit(0.7) * F.col("cb") / F.col("c_prev")
+        + F.lit(0.3) * F.col("c_cur") / F.col("total")
+    )
+    return (
+        pairs.filter(F.col("doc_id") < 200)
+        .join(F.broadcast(bi), ["prev", "cur"])
+        .join(F.broadcast(uni.withColumnRenamed("tok", "prev")
+                          .withColumnRenamed("c", "c_prev")), "prev")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "cur")
+                          .withColumnRenamed("c", "c_cur")), "cur")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.round(-F.sum(F.log2(p)) / F.count(F.lit(1)), 4)
+            .alias("bits_per_token"),
+        )
+    )

@@ -245,3 +245,46 @@ def monitor_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     alerts = evaluate_monitors(ev, specs, EVENTS_SCHEMA)
     return throttle_alerts(alerts, cooldown_seconds=172800)
+
+
+@query(
+    "slo_burn_rate_windows",
+    oracle="""
+    WITH per AS (
+        SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+                   AS slice_epoch,
+               CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS good,
+               CAST(count(*) AS BIGINT) AS total
+        FROM events GROUP BY 1
+    ),
+    rates AS (
+        SELECT slice_epoch, good, total,
+               round((total - good) / (total * 0.25), 6) AS burn_1h,
+               round(CAST(sum(total - good) OVER w AS DOUBLE)
+                     / (sum(total) OVER w * 0.25), 6) AS burn_long
+        FROM per
+        WINDOW w AS (ORDER BY slice_epoch
+                     RANGE BETWEEN 21599 PRECEDING AND CURRENT ROW)
+    )
+    SELECT *, (burn_1h >= 0.9 AND burn_long >= 0.9) AS fast_burn
+    FROM rates
+    """,
+)
+def slo_burn_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow burn-rate alert series (fast-burn policy: short AND
+    long window both above threshold) for the non-error SLO at a 75%
+    target — hourly slices, 6 h trailing long window over event-time
+    RANGE so traffic gaps age out correctly, threshold 0.9.
+
+    Plan: one conditional-count groupBy to the hourly series; both burn
+    windows and the flag run over series rows only
+    (``plans/slos.py::burn_rate_windows``)."""
+    from ..plans.slos import SloSpec, burn_rate_windows
+
+    ev = table(spark, sf_dir, "events")
+    spec = SloSpec(name="non_error_slo",
+                   good_condition="event_type <> 'error'",
+                   target=0.75, slice_="1h")
+    return burn_rate_windows(ev, spec, EVENTS_SCHEMA,
+                             long_hours=6, threshold=0.9)

@@ -629,3 +629,49 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_adc_topk(
         emb, books, cents, emb.filter(F.col("vec_id") < 5),
         k=5, nprobe=_IVFPQ_NPROBE)
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH {_planes_sql(_PLANES)},
+    c AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    bucketed AS (
+        SELECT vec_id, label, e,
+               string_agg(CASE WHEN list_dot_product(e, pv) >= 0
+                               THEN '1' ELSE '0' END, '' ORDER BY p)
+                   AS bucket
+        FROM c CROSS JOIN planes
+        GROUP BY vec_id, label, e
+    ),
+    q AS (SELECT vec_id AS query_id, label AS anchor_label, e AS qe,
+                 bucket
+          FROM bucketed WHERE vec_id < 50),
+    scored AS (
+        SELECT q.query_id, q.anchor_label,
+               c.vec_id AS neighbor_id, c.label AS neg_label,
+               {_COS} AS sim
+        FROM q JOIN bucketed c ON q.bucket = c.bucket
+        WHERE c.label <> q.anchor_label
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        ) AS rank
+        FROM scored
+    )
+    SELECT query_id, anchor_label, neighbor_id, neg_label, sim, rank
+    FROM ranked WHERE rank <= 4
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives: per anchor, the 4 most-similar
+    DIFFERENT-label vectors from its LSH bucket — the epoch-mining pass
+    of an embedding trainer (``operators/similarity.py::
+    hard_negatives``): narrow bucketing pass, bucket-keyed join,
+    broadcast anchors, never all-pairs."""
+    from ..operators.similarity import hard_negatives
+
+    emb = table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 50),
+                          _PLANES, k=4)
