@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -288,3 +288,82 @@ def slo_burn_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                    target=0.75, slice_="1h")
     return burn_rate_windows(ev, spec, EVENTS_SCHEMA,
                              long_hours=6, threshold=0.9)
+
+
+@query(
+    "ewma_drift_alerts",
+    oracle="""
+    WITH series AS (
+        SELECT event_type,
+               CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+                   AS slice_epoch,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    hist AS (
+        SELECT event_type, slice_epoch, cnt,
+               list(CAST(cnt AS DOUBLE)) OVER (
+                   PARTITION BY event_type ORDER BY slice_epoch
+                   ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS a
+        FROM series
+    )
+    SELECT event_type, slice_epoch, cnt,
+           CAST(len(a) AS BIGINT) AS n_hist,
+           round(
+               list_sum(list_transform(generate_series(1, len(a)),
+                        j -> a[j] * pow(0.7, len(a) - j)))
+               / list_sum(list_transform(generate_series(1, len(a)),
+                          j -> pow(0.7, len(a) - j))), 6) AS ewma_prev,
+           (cnt > 1.5 * round(
+               list_sum(list_transform(generate_series(1, len(a)),
+                        j -> a[j] * pow(0.7, len(a) - j)))
+               / list_sum(list_transform(generate_series(1, len(a)),
+                          j -> pow(0.7, len(a) - j))), 6)) AS drift
+    FROM hist WHERE len(a) >= 3
+    """,
+)
+def ewma_drift_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA drift detection — the classic smoothed-baseline anomaly
+    primitive (Sumo's ``outlier`` operator family, here as a registry
+    query over per-type hourly volumes): each hour compares its count
+    to the exponentially-weighted average of the TRAILING 12 closed
+    hours (α = 0.3, weights renormalized over the available history so
+    early hours are not biased toward zero), flagging hours more than
+    1.5× above their own baseline.
+
+    Plan: one conditional-count groupBy collapses the corpus to the
+    (type × hour) series; the EWMA is a per-row fold over an ordered
+    trailing collect_list window on SERIES rows (≤12 elements each) —
+    identical sequential fold both engines, so the float compare is
+    exact at round(6)."""
+    ev = table(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("slice_epoch"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type").orderBy("slice_epoch")
+        .rowsBetween(-12, -1)
+    )
+    hist = series.withColumn(
+        "a", F.collect_list(F.col("cnt").cast("double")).over(w))
+    n = F.size("a")
+    idx = F.sequence(F.lit(1), n)
+    arr = F.col("a")
+    num = F.aggregate(
+        idx, F.lit(0.0),
+        lambda acc, j: acc + F.try_element_at(arr, j)
+        * F.pow(F.lit(0.7), (n - j).cast("double")))
+    den = F.aggregate(
+        idx, F.lit(0.0),
+        lambda acc, j: acc + F.pow(F.lit(0.7), (n - j).cast("double")))
+    ewma = F.round(num / den, 6)
+    return (
+        hist.filter(n >= 3)
+        .select(
+            "event_type", "slice_epoch", "cnt",
+            n.cast("bigint").alias("n_hist"),
+            ewma.alias("ewma_prev"),
+            (F.col("cnt") > 1.5 * ewma).alias("drift"),
+        )
+    )
