@@ -29,6 +29,7 @@ from sumologic_aws_lambda_spark.operators.dedup import (  # noqa: E402
 )
 from sumologic_aws_lambda_spark.operators.similarity import (  # noqa: E402
     brute_force_topk,
+    hard_negatives,
     hyperplanes,
     lsh_topk,
 )
@@ -88,6 +89,36 @@ def _funnel(d):
     ).filter(F.col("dsir_weight") > 0)
 
 
+
+
+def _pii_mask(d):
+    from sumologic_aws_lambda_spark.provisioning import CatalogStore, Source
+
+    src = Source(name="p", collector_id="c", filters=[
+        {"filterType": "Mask", "name": "m", "regexp": "customer",
+         "mask": "#####"},
+        {"filterType": "Hash", "name": "h",
+         "regexp": r"\b(?:join|merge)\b"},
+    ])
+    return d.select(
+        "doc_id",
+        F.md5(CatalogStore.source_mask_transform(src, "text")).alias("m"))
+
+
+def _bigram_lm(d):
+    from sumologic_aws_lambda_spark.operators.text import normalize_text
+
+    toks = F.split(normalize_text("text"), " ")
+    n = F.size(toks)
+    pairs = d.select("doc_id", F.explode(F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("prev"),
+        F.slice(toks, 2, n - 1).alias("cur"))).alias("p")) \
+        .select("doc_id", "p.prev", "p.cur")
+    bi = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+    return pairs.join(F.broadcast(bi), ["prev", "cur"]) \
+        .groupBy("doc_id").agg(F.sum(F.log2("cb")).alias("s"))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
@@ -125,6 +156,9 @@ def main() -> int:
         # Winnowing: per-document array math, zero shuffles — ratio
         # should track rows even though windows fan out ~len×w structs.
         "winnowing": lambda d: _winnow(d),
+        # Round-7 wave: narrow redaction fold; broadcast-LM scoring.
+        "pii_masking": lambda d: _pii_mask(d),
+        "bigram_lm": lambda d: _bigram_lm(d),
     }
     for name, fn in probes.items():
         small = docs.filter(F.col("doc_id") % 10 == 0)
@@ -198,6 +232,63 @@ def main() -> int:
             )
         )
 
+
+    def _hier(e):
+        from sumologic_aws_lambda_spark.plans.hierarchies import (
+            HierarchyLevel,
+            explorer_rollup,
+        )
+
+        level = HierarchyLevel.from_dict({
+            "entityType": "event_type",
+            "nextLevelsWithConditions": [
+                {"condition": "error",
+                 "level": {"entityType": "user_bucket"}}],
+            "nextLevel": {"entityType": "weekday"},
+        })
+        return explorer_rollup(e, level, dims={
+            "event_type": F.col("event_type"),
+            "user_bucket": (F.col("user_id") % 10).cast("string"),
+            "weekday": F.dayofweek("ts").cast("string"),
+        })
+
+    def _ewma(e):
+        from pyspark.sql import Window
+
+        series = e.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", "ts"))
+            .alias("slice_epoch"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        w = (Window.partitionBy("event_type").orderBy("slice_epoch")
+             .rowsBetween(-12, -1))
+        hist = series.withColumn(
+            "a", F.collect_list(F.col("cnt").cast("double")).over(w))
+        n = F.size("a")
+        arr = F.col("a")
+        num = F.aggregate(
+            F.sequence(F.lit(1), n), F.lit(0.0),
+            lambda acc, j: acc + F.try_element_at(arr, j)
+            * F.pow(F.lit(0.7), (n - j).cast("double")))
+        den = F.aggregate(
+            F.sequence(F.lit(1), n), F.lit(0.0),
+            lambda acc, j: acc + F.pow(F.lit(0.7), (n - j).cast("double")))
+        return hist.filter(n >= 3).select(
+            "event_type", "slice_epoch", "cnt",
+            F.round(num / den, 6).alias("ewma_prev"))
+
+    def _burn(e):
+        from sumologic_aws_lambda_spark.plans.slos import (
+            SloSpec,
+            burn_rate_windows,
+        )
+        from sumologic_aws_lambda_spark.plans.sumoql import SumoSchema
+
+        spec = SloSpec(name="s", good_condition="event_type <> 'error'",
+                       target=0.75, slice_="1h")
+        return burn_rate_windows(
+            e, spec, SumoSchema(ts_col="ts"), long_hours=6)
+
     ev_probes = {
         "event_pagerank": _pagerank,
         "event_funnel": _ev_funnel,
@@ -205,6 +296,9 @@ def main() -> int:
         "range_partition": _rangeparts,
         "funnel_conversion_rates": _funnel_rates,
         "cohort_ltv": _cohort_ltv,
+        "entity_hierarchy": _hier,
+        "ewma_drift": _ewma,
+        "slo_burn_windows": _burn,
     }
     def _time_full(fn, d):
         # pagerank localCheckpoints eagerly during CONSTRUCTION, so the
@@ -271,6 +365,9 @@ def main() -> int:
         # Corpus work is one narrow codes+cells pass; candidates scale
         # with rows/K, so the ratio should track rows or better.
         "ivfpq_adc_topk": _ivfpq,
+        # Same bucket-join shape as lsh_topk plus the label filter.
+        "hard_negatives": lambda c: hard_negatives(
+            c, queries, planes, k=4),
     }
     for name, fn in ann_probes.items():
         small = emb.filter(F.col("vec_id") % 10 == 0)
