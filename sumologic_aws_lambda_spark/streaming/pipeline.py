@@ -136,7 +136,10 @@ def drain_quarantine(spark: SparkSession, quarantine_dir: str,
         except RuntimeError:
             continue    # still failing: keep quarantined, drain the rest
         new = sink.reports[n_before:]
-        if new and not new[-1].ok:
+        # report field differs by sink: WebhookReport.ok,
+        # DeliveryReport.success
+        if new and not getattr(new[-1], "ok",
+                               getattr(new[-1], "success", True)):
             # The sink swallowed the failure (its own quarantine_dir was
             # set) — the batch did NOT go out, so keep it quarantined.
             continue
