@@ -114,6 +114,13 @@ OPTIONAL = [
     "funnel_conversion_rates",
     "cohort_ltv",
     "entity_hierarchy_rollup",
+    "pii_masking_rules",
+    "slo_burn_rate_windows",
+    "bigram_lm_perplexity",
+    "hard_negative_mining",
+    "ewma_drift_alerts",
+    "embedding_decontamination",
+    "epoch_shard_manifest",
 ]
 
 

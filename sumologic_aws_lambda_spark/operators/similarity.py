@@ -804,3 +804,39 @@ def hard_negatives(corpus: DataFrame, anchors: DataFrame,
         .select(query_id_col, "anchor_label", "neighbor_id",
                 "neg_label", "sim", "rank")
     )
+
+
+def embedding_decontamination(corpus: DataFrame, bench: DataFrame,
+                              threshold: float = 0.2,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Benchmark decontamination in EMBEDDING space — the semantic twin
+    of n-gram decontamination (``text.benchmark_ngram_hits``): a corpus
+    vector is contaminated when its cosine against ANY benchmark vector
+    reaches ``threshold`` (paraphrased eval leakage that exact n-gram
+    matching misses).
+
+    100 TB shape: an eval benchmark is tiny by definition, so the whole
+    benchmark rides as ONE collected array on a broadcast single-row
+    frame; per corpus vector the max-cosine is an ``array_max`` over a
+    ``transform`` fold — the corpus pass is fully narrow (no explode, no
+    groupBy, no shuffle at all).  Each pairwise sim is rounded to 6 dp
+    BEFORE the max so an external replay agrees at the threshold.
+    """
+    b = bench.agg(F.collect_list(
+        F.struct(as_double(vec_col).alias("bv"))).alias("bs"))
+    vec = as_double(vec_col)
+    sims = F.transform(
+        F.col("bs"),
+        lambda s: F.round(
+            dot(F.col("__v"), s["bv"])
+            / (l2_norm(F.col("__v")) * l2_norm(s["bv"])), 6),
+    )
+    return (
+        corpus.withColumn("__v", vec)
+        .crossJoin(F.broadcast(b))
+        .withColumn("max_bench_sim", F.array_max(sims))
+        .withColumn("contaminated",
+                    F.col("max_bench_sim") >= threshold)
+        .drop("__v", "bs")
+    )

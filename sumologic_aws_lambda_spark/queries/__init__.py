@@ -42,8 +42,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The external correctness driver checks registrations in dict order and
-# caps at the first 50 (ewma_drift_alerts displaced the timeslice_5m
-# tail slot after the initial r7 rotation).  Cumulative state entering round 7 (aggregated
+# caps at the first 50 (ewma_drift_alerts, embedding_decontamination and
+# epoch_shard_manifest displaced the timeslice_5m / paged_results /
+# dataset_hash_split tail slots after the initial r7 rotation).  Cumulative state entering round 7 (aggregated
 # CORRECTNESS_r01-r06): 199 of 201 pre-round-7 queries driver-checked at
 # least once, all green at latest sample.  The round-7 window, in the
 # order the round-6 verdict prescribed: (a) the 7 never-driver-sampled
@@ -62,6 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     "entity_hierarchy_rollup", "pii_masking_rules",
     "slo_burn_rate_windows", "bigram_lm_perplexity",
     "hard_negative_mining", "ewma_drift_alerts",
+    "embedding_decontamination", "epoch_shard_manifest",
     # -- (b) machinery rewritten in round 7 --
     "curation_pipeline_funnel", "interval_overlap_pairs",
     # -- (c) latest sample round 1 --
@@ -83,7 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "ivf_ann_topk", "json_autodetect_parse", "json_extract_props",
     "kmeans_centroid_stats", "lsh_ann_topk", "minhash_lsh_pairs",
     "minhash_signatures", "multiline_assembly", "ngram_decontamination",
-    "ngram_jaccard_pairs", "paged_results", "dataset_hash_split",
+    "ngram_jaccard_pairs",
 )
 
 # Round-8 rotation notes: after the r7 window lands, the remaining

@@ -476,3 +476,51 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("group_split").alias("group_split"),
         (F.countDistinct("doc_split") > 1).alias("leaks_across_splits"),
     )
+
+
+@query(
+    "epoch_shard_manifest",
+    oracle="""
+    WITH keyed AS (
+        SELECT g.epoch, doc_id,
+               md5(CAST(g.epoch AS VARCHAR) || ':'
+                   || CAST(doc_id AS VARCHAR)) AS sort_key
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(0, 2)) AS epoch) g
+    )
+    SELECT epoch, substr(sort_key, 1, 1) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(sort_key) AS lo_key, max(sort_key) AS hi_key
+    FROM keyed GROUP BY 1, 2
+    """,
+)
+def epoch_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-data shuffle: each epoch orders
+    the corpus by ``md5(epoch:doc_id)`` — a different but fully
+    reproducible permutation per epoch, the property a training run
+    needs to resume mid-epoch or re-derive any example's position.
+    The manifest reports, per (epoch, 16-way shard = first key nibble),
+    the document count and key range a reader uses to fetch its slice.
+
+    Scale: the sort key is a narrow projection; the manifest is one
+    partial-agg groupBy on (epoch, shard).  Writing the actual epoch
+    order is ``repartitionByRange(sort_key)`` + ``sortWithinPartitions``
+    — TeraSort's shape, no global sort, no driver materialization."""
+    from ..catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select(
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("epoch"),
+        "doc_id",
+    ).withColumn(
+        "sort_key",
+        F.md5(F.concat_ws(":", F.col("epoch").cast("string"),
+                          F.col("doc_id").cast("string"))),
+    )
+    return keyed.groupBy(
+        "epoch", F.substring("sort_key", 1, 1).alias("shard")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("sort_key").alias("lo_key"),
+        F.max("sort_key").alias("hi_key"),
+    )

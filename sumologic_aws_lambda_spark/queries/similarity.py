@@ -675,3 +675,46 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return hard_negatives(emb, emb.filter(F.col("vec_id") < 50),
                           _PLANES, k=4)
+
+
+@query(
+    "embedding_decontamination",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+        WHERE vec_id >= 30
+    ),
+    b AS (
+        SELECT embedding::DOUBLE[] AS be FROM embeddings WHERE vec_id < 30
+    ),
+    scored AS (
+        SELECT c.vec_id, c.label,
+               max(round(list_dot_product(c.e, b.be) /
+                   (sqrt(list_dot_product(c.e, c.e)) *
+                    sqrt(list_dot_product(b.be, b.be))), 6))
+                   AS max_bench_sim
+        FROM c CROSS JOIN b
+        GROUP BY c.vec_id, c.label
+    )
+    SELECT vec_id, label, max_bench_sim,
+           (max_bench_sim >= 0.2) AS contaminated
+    FROM scored
+    """,
+)
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: a corpus vector is
+    contaminated when its max cosine against the benchmark set (vec_id
+    < 30 here) reaches 0.2 — the semantic-leakage sweep run beside
+    n-gram decontamination before training.  The benchmark broadcasts
+    as ONE collected array; the corpus pass is fully narrow (no
+    shuffle; ``operators/similarity.py::embedding_decontamination``)."""
+    from ..operators.similarity import (
+        embedding_decontamination as decon,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return decon(
+        emb.filter(F.col("vec_id") >= 30),
+        emb.filter(F.col("vec_id") < 30),
+        threshold=0.2,
+    ).select("vec_id", "label", "max_bench_sim", "contaminated")
