@@ -820,23 +820,30 @@ def embedding_decontamination(corpus: DataFrame, bench: DataFrame,
     benchmark rides as ONE collected array on a broadcast single-row
     frame; per corpus vector the max-cosine is an ``array_max`` over a
     ``transform`` fold — the corpus pass is fully narrow (no explode, no
-    groupBy, no shuffle at all).  Each pairwise sim is rounded to 6 dp
-    BEFORE the max so an external replay agrees at the threshold.
+    groupBy, no shuffle at all).  Norms are hoisted: the benchmark's
+    ride precomputed in the collected structs and the corpus vector's
+    is a per-row column, so the per-pair work is one dot product.  Each
+    pairwise sim is rounded to 6 dp BEFORE the max so an external
+    replay agrees at the threshold.  An EMPTY benchmark contaminates
+    nothing: ``max_bench_sim`` is NULL but ``contaminated`` coalesces
+    to False (a NULL flag would silently drop the whole corpus from a
+    boolean keep-filter).
     """
-    b = bench.agg(F.collect_list(
-        F.struct(as_double(vec_col).alias("bv"))).alias("bs"))
-    vec = as_double(vec_col)
+    b = bench.agg(F.collect_list(F.struct(
+        as_double(vec_col).alias("bv"),
+        l2_norm(as_double(vec_col)).alias("bn"))).alias("bs"))
     sims = F.transform(
         F.col("bs"),
         lambda s: F.round(
-            dot(F.col("__v"), s["bv"])
-            / (l2_norm(F.col("__v")) * l2_norm(s["bv"])), 6),
+            dot(F.col("__v"), s["bv"]) / (F.col("__vn") * s["bn"]), 6),
     )
     return (
-        corpus.withColumn("__v", vec)
+        corpus.withColumn("__v", as_double(vec_col))
+        .withColumn("__vn", l2_norm(F.col("__v")))
         .crossJoin(F.broadcast(b))
         .withColumn("max_bench_sim", F.array_max(sims))
-        .withColumn("contaminated",
-                    F.col("max_bench_sim") >= threshold)
-        .drop("__v", "bs")
+        .withColumn(
+            "contaminated",
+            F.coalesce(F.col("max_bench_sim") >= threshold, F.lit(False)))
+        .drop("__v", "__vn", "bs")
     )

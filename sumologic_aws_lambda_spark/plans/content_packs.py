@@ -348,6 +348,10 @@ class ContentFolderStore:
         dst = self._by_id.get(destination_folder_id)
         if src is None or dst is None:
             raise ContentPackError("no such source/destination folder")
+        # Both sides gate: copying admin-recommended content READS it,
+        # so a non-admin caller must not be able to clone the admin
+        # tree into a folder it can read (round-7 review finding).
+        self._check_admin(src, is_admin)
         self._check_admin(dst, is_admin)
 
         def clone(node: ContentFolder, parent_id: str,
@@ -359,7 +363,10 @@ class ContentFolderStore:
             for s in node.searches.values():
                 c.searches[s.name] = SavedSearch(
                     name=s.name, query_text=s.query_text,
-                    description=s.description, time_range=s.time_range)
+                    description=s.description,
+                    # dict copied — "the copy shares nothing"
+                    time_range=dict(s.time_range)
+                    if s.time_range is not None else None)
             for sub in node.folders.values():
                 c.folders[sub.name] = clone(sub, c.folder_id, sub.name)
             return c

@@ -346,23 +346,34 @@ class CatalogStore:
         the engine-wide hash convention), so equal values stay joinable
         after redaction.  Rules apply in list order.
 
-        Spark-first: Mask is a ``regexp_replace``; Hash folds the
-        DISTINCT matches over the message with literal ``replace`` —
-        safe because an md5 hex digest cannot re-introduce a value that
-        any sane PII regex matches (hex alphabet), and all-narrow (no
-        UDF, no shuffle)."""
+        Spark-first, both all-narrow (no UDF, no shuffle).  Mask is a
+        ``regexp_replace`` with the mask escaped as a LITERAL
+        replacement (a user mask containing ``$`` or ``\\`` must not be
+        read as a group reference).  Hash must replace each true regex
+        MATCH — a literal search-and-replace of the matched values
+        would also rewrite equal substrings the regex never matched
+        (boundary-anchored rules, matches nested in longer matches) —
+        so matches are sentinel-wrapped in one ``regexp_replace``
+        (NUL delimiters, absent from any sane log line), the message
+        splits into match/non-match segments, and only segments that
+        FULLY match the rule regex are hashed before rejoining."""
         col = F.col(message_col)
         for f in source.filters:
             ftype = f.get("filterType")
             if ftype == "Mask":
-                col = F.regexp_replace(
-                    col, f["regexp"], f.get("mask", "#####"))
+                literal_mask = (f.get("mask", "#####")
+                                .replace("\\", "\\\\").replace("$", r"\$"))
+                col = F.regexp_replace(col, f["regexp"], literal_mask)
             elif ftype == "Hash":
-                matches = F.array_distinct(
-                    F.regexp_extract_all(col, F.lit(f["regexp"]), 0))
-                col = F.aggregate(
-                    matches, col,
-                    lambda acc, m: F.replace(acc, m, F.md5(m)))
+                rx = f["regexp"]
+                wrapped = F.regexp_replace(col, rx, "\x00$0\x00")
+                segs = F.split(wrapped, "\x00")
+                col = F.array_join(
+                    F.transform(
+                        segs,
+                        lambda s: F.when(s.rlike(f"^(?:{rx})$"), F.md5(s))
+                        .otherwise(s)),
+                    "")
         return col
 
     # -- persistence -------------------------------------------------------
@@ -408,8 +419,11 @@ def account_alias(account_id: str,
                   fallback_alias: str | None = None) -> dict[str, str]:
     """``AccountAlias`` resolution (``sumoresource.py:1452-1483``): look
     the account up in an ``account_id,alias`` CSV mapping; an alias is
-    accepted only if it is <= 30 chars and matches ``[a-z0-9]+$``
-    (``:1466``).  Fallback chain on miss / unreadable mapping: the
+    accepted only if it is <= 30 chars and passes the reference's
+    ``re.search(r'[a-z0-9]+$')`` probe (``:1466`` — a SUFFIX search,
+    deliberately mirrored here including its leniency: ``Prod9``
+    passes because ``rod9`` anchors the end, while a non-alnum tail
+    fails).  Fallback chain on miss / unreadable mapping: the
     explicit ``fallback_alias``, else the account id itself — the
     reference never fails the stack over an alias."""
     if mapping_csv is not None:

@@ -47,8 +47,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # dataset_hash_split tail slots after the initial r7 rotation).  Cumulative state entering round 7 (aggregated
 # CORRECTNESS_r01-r06): 199 of 201 pre-round-7 queries driver-checked at
 # least once, all green at latest sample.  The round-7 window, in the
-# order the round-6 verdict prescribed: (a) the 7 never-driver-sampled
-# queries — the two round-6 post-window stragglers plus the five NEW
+# order the round-6 verdict prescribed: (a) the 10 never-driver-sampled
+# queries — the two round-6 post-window stragglers plus the eight NEW
 # round-7 queries; (b) queries whose machinery round 7 REWROTE
 # (single-scan curation funnel; interval-overlap fractional bucketing);
 # (c) the 4 queries whose latest sample is still round 1; (d) the 14

@@ -368,10 +368,16 @@ def cwl_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pii_masking_rules",
     oracle="""
     SELECT doc_id,
-           md5(replace(replace(
-                   regexp_replace(text, 'customer', '#####', 'g'),
-                   'join', md5('join')),
-               'merge', md5('merge'))) AS masked_md5,
+           md5(list_aggregate(list_transform(
+               string_split(
+                   regexp_replace(
+                       regexp_replace(text, 'customer', '#####', 'g'),
+                       '\\b(?:join|merge)\\b',
+                       chr(0) || '\\0' || chr(0), 'g'),
+                   chr(0)),
+               s -> CASE WHEN regexp_full_match(s, '\\b(?:join|merge)\\b')
+                         THEN md5(s) ELSE s END),
+               'string_agg', '')) AS masked_md5,
            CAST(length(regexp_extract_all(text, 'customer')) AS BIGINT)
                AS n_masked,
            CAST(length(regexp_extract_all(text, '\\b(?:join|merge)\\b'))

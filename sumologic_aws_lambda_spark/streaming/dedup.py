@@ -42,16 +42,15 @@ from ..operators.text import fingerprint
 
 def _store_has_data(spark: SparkSession, store_dir: str) -> bool:
     """Whether the fingerprint store exists with at least one batch
-    partition / parquet file.  Local paths use os probes; remote
-    schemes (s3a://, hdfs://, dbfs:) go through the Hadoop FileSystem
-    API — and an UNREACHABLE remote store raises rather than reading
-    as empty, because a silently-empty store re-admits every
-    previously-ingested document (silent data corruption, not a
-    recoverable default)."""
-    if "://" not in store_dir and not store_dir.startswith("dbfs:"):
-        return os.path.isdir(store_dir) and any(
-            e.startswith("batch_id=") or e.endswith(".parquet")
-            for e in os.listdir(store_dir))
+    partition / parquet file.  EVERY path goes through the Hadoop
+    FileSystem API (round-7 review: an ``'://' in path`` classifier
+    missed legal single-slash URIs like ``file:/x`` and sent bare paths
+    to ``os.path`` even when ``fs.defaultFS`` is remote) — so
+    ``file:/``, ``s3a://``, ``dbfs:`` and default-FS-relative paths all
+    resolve the way Spark's own writers resolve them, and an
+    UNREACHABLE store RAISES rather than reading as empty, because a
+    silently-empty store re-admits every previously-ingested document
+    (silent data corruption, not a recoverable default)."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(store_dir)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())

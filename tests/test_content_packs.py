@@ -266,3 +266,33 @@ def test_admin_recommended_requires_admin_mode():
     store.delete_folder(f.folder_id, is_admin=True)
     with pytest.raises(ContentPackError, match="no folder"):
         store.get_folder_by_id(f.folder_id, is_admin=True)
+
+
+def test_copy_folder_gates_admin_source_and_deep_copies_time_range():
+    """Round-7 review: copying admin-recommended content READS it, so
+    the source is admin-gated too; and the clone must not alias the
+    original's time_range dict."""
+    from sumologic_aws_lambda_spark.plans.content_packs import (
+        ContentFolderStore,
+    )
+
+    store = ContentFolderStore()
+    admin_root = store.get_admin_recommended_folder()
+    apps = store.create_folder("Apps", "", admin_root.folder_id,
+                               is_admin=True)
+    store.import_content(
+        apps.folder_id, json.dumps(PACK).replace("$$logsrc", "x"),
+        is_admin=True)
+    personal = store.get_personal_folder()
+    with pytest.raises(ContentPackError, match="is_admin"):
+        store.copy_folder(apps.folder_id, personal.folder_id)
+
+    job = store.copy_folder(apps.folder_id, personal.folder_id,
+                            is_admin=True)
+    st = store.check_copy_status(apps.folder_id, job)
+    copy = store.get_folder_by_id(st["newFolderId"])
+    orig = apps.folders["AWS Observability"].searches["Errors by host"]
+    dup = copy.folders["AWS Observability"].searches["Errors by host"]
+    assert dup.time_range == orig.time_range
+    dup.time_range["from"] = "-30d"
+    assert orig.time_range["from"] == "-1d"      # no aliasing

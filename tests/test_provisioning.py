@@ -231,3 +231,37 @@ def test_source_mask_and_hash_rules(spark):
     assert out[1] == f"mail {h('a@b.co')} and {h('c@d.org')}"
     # same value → same hash across rows (joinable after redaction)
     assert out[0].split()[-1] == out[1].split()[1]
+
+
+def test_hash_rule_respects_regex_boundaries_and_mask_is_literal(spark):
+    """Round-7 review findings: a Hash rule must rewrite only true
+    regex MATCHES (a value nested in a longer word stays intact), and a
+    Mask string containing $ or backslash is a literal, never a group
+    reference."""
+    import hashlib
+
+    from sumologic_aws_lambda_spark.provisioning import (
+        CatalogStore,
+        Source,
+    )
+
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    src = Source(name="s", collector_id="c", filters=[
+        {"filterType": "Hash", "name": "w", "regexp": r"\bjoin\b"},
+    ])
+    df = spark.createDataFrame(
+        [("adjoining join rejoins join",)], "message string")
+    out = df.select(
+        CatalogStore.source_mask_transform(src).alias("m")
+    ).first()["m"]
+    assert out == f"adjoining {h('join')} rejoins {h('join')}"
+
+    masked = Source(name="m", collector_id="c", filters=[
+        {"filterType": "Mask", "name": "amt", "regexp": r"\d+",
+         "mask": r"US$0-\REDACTED"},
+    ])
+    df2 = spark.createDataFrame([("paid 123 now",)], "message string")
+    got = df2.select(
+        CatalogStore.source_mask_transform(masked).alias("m")
+    ).first()["m"]
+    assert got == r"paid US$0-\REDACTED now"

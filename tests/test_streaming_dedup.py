@@ -140,6 +140,9 @@ def test_store_probe_remote_scheme_uses_hadoop_fs(spark, tmp_path):
         [("abc",)], "fingerprint string"
     ).write.parquet(str(store / "batch_id=0"))
     assert _store_has_data(spark, f"file://{store}") is True
+    # single-slash Hadoop URI (round-7 review: the '://' classifier
+    # used to silently read this as an empty local store)
+    assert _store_has_data(spark, f"file:{store}") is True
     got = _read_store(spark, f"file://{store}", "fingerprint string")
     assert [r["fingerprint"] for r in got.collect()] == ["abc"]
 

@@ -71,6 +71,15 @@ SHOWCASE = [
     "mad_outlier_counts",     # grouped exact percentiles, no window
     "monitor_alert_throttle",  # series-keyed lag over reduced alerts
     "seasonal_residual_outliers",  # week-ago equi-join on series frame
+    "entity_hierarchy_rollup",  # explorer tree: ONE expand+rollup shuffle
+    "pii_masking_rules",      # redaction fold, fully narrow
+    "slo_burn_rate_windows",  # series-row RANGE windows after one agg
+    "ewma_drift_alerts",      # trailing collect_list fold on series rows
+    "bigram_lm_perplexity",   # narrow bigram explode + broadcast LM join
+    "hard_negative_mining",   # LSH bucket join, broadcast anchors
+    "embedding_decontamination",  # broadcast bench array, narrow corpus
+    "epoch_shard_manifest",   # md5 keys + one partial-agg groupBy
+    "curation_pipeline_funnel",  # two scans + persisted winner exchange
 ]
 
 
