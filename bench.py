@@ -121,6 +121,7 @@ OPTIONAL = [
     "ewma_drift_alerts",
     "embedding_decontamination",
     "epoch_shard_manifest",
+    "tag_resources_plan",
 ]
 
 

@@ -42,14 +42,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The external correctness driver checks registrations in dict order and
-# caps at the first 50 (ewma_drift_alerts, embedding_decontamination and
+# caps at the first 50 (tag_resources_plan, ewma_drift_alerts, embedding_decontamination and
 # epoch_shard_manifest displaced the timeslice_5m / paged_results /
 # dataset_hash_split tail slots after the initial r7 rotation).  Cumulative state entering round 7 (aggregated
 # CORRECTNESS_r01-r06): 199 of 201 pre-round-7 queries driver-checked at
 # least once, all green at latest sample.  The round-7 window, in the
-# order the round-6 verdict prescribed: (a) the 10 never-driver-sampled
-# queries — the two round-6 post-window stragglers plus the eight NEW
-# round-7 queries; (b) queries whose machinery round 7 REWROTE
+# order the round-6 verdict prescribed: (a) the never-driver-sampled
+# queries — the two round-6 post-window stragglers plus the NEW
+# round-7 queries (eleven total with the late additions); (b) queries whose machinery round 7 REWROTE
 # (single-scan curation funnel; interval-overlap fractional bucketing);
 # (c) the 4 queries whose latest sample is still round 1; (d) the 14
 # entries the late round-6 waves bumped out of the r6 window; (e) the
@@ -64,6 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     "slo_burn_rate_windows", "bigram_lm_perplexity",
     "hard_negative_mining", "ewma_drift_alerts",
     "embedding_decontamination", "epoch_shard_manifest",
+    "tag_resources_plan",
     # -- (b) machinery rewritten in round 7 --
     "curation_pipeline_funnel", "interval_overlap_pairs",
     # -- (c) latest sample round 1 --
@@ -84,7 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "domain_mixture_sample", "exact_dedup_stats", "firehose_transform",
     "ivf_ann_topk", "json_autodetect_parse", "json_extract_props",
     "kmeans_centroid_stats", "lsh_ann_topk", "minhash_lsh_pairs",
-    "minhash_signatures", "multiline_assembly", "ngram_decontamination",
+    "multiline_assembly", "ngram_decontamination",
     "ngram_jaccard_pairs",
 )
 

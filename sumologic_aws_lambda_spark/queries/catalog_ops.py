@@ -677,3 +677,68 @@ def entity_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, level, dims,
         measures={"value_sum": F.round(F.sum("value"), 4)},
     )
+
+
+@query(
+    "tag_resources_plan",
+    oracle="""
+    WITH ec2 AS (
+        SELECT 'ec2' AS resource_type, 'us-east-1' AS region,
+               'arn:aws:ec2:us-east-1:111122223333:instance/'
+                   || printf('i-%04d', k) AS arn
+        FROM (SELECT unnest(generate_series(0, 24)) AS k)
+    ),
+    others(resource_type, region, arn) AS (VALUES
+        ('s3', 'us-east-1', 'arn:aws:s3:::team-a-data'),
+        ('elbv2', 'us-east-1', 'arn:aws:elasticloadbalancing:lb/app/x/1'),
+        ('elbv2', 'us-east-1', 'arn:aws:elasticloadbalancing:lb/app/y/2')
+    ),
+    all_arns AS (SELECT * FROM ec2 UNION ALL SELECT * FROM others),
+    chunked AS (
+        SELECT *,
+               CAST(floor((row_number() OVER (
+                   PARTITION BY resource_type, region ORDER BY arn
+               ) - 1) / 20) AS BIGINT) AS chunk
+        FROM all_arns
+    )
+    SELECT resource_type, region, chunk,
+           CAST(count(*) AS BIGINT) AS n_arns,
+           string_agg(arn, ',' ORDER BY arn) AS arns,
+           'tag_resources' AS action,
+           '{"env": "prod", "team": "sre"}' AS tags
+    FROM chunked GROUP BY 1, 2, 3
+    """,
+)
+def tag_resources_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TagAWSResources`` (awsresource.py:111) as a declarative plan:
+    CloudTrail create events classify/extract to per-resource ARNs, the
+    user filter drops non-matching resources, and the output is ONE row
+    per resourcegroupstaggingapi call — 20-ARN chunks per (type,
+    region), the reference's batch size.  The oracle independently
+    replays the ARN construction and the chunk math (25 instances → a
+    20-chunk and a 5-chunk)."""
+    import json as _json
+
+    from ..sources.autoenable import TAG_DETAIL_SCHEMA, plan_tag_actions
+
+    instances = _json.dumps({
+        "items": [{"instanceId": f"i-{k:04d}"} for k in range(25)]})
+    rows = [
+        (1, '{"eventName":"RunInstances","awsRegion":"us-east-1",'
+            f'"responseElements":{{"instancesSet":{instances}}}}}'),
+        (2, '{"eventName":"CreateBucket","awsRegion":"us-east-1",'
+            '"requestParameters":{"bucketName":"team-a-data"}}'),
+        (3, '{"eventName":"CreateBucket","awsRegion":"us-east-1",'
+            '"requestParameters":{"bucketName":"skip-me"}}'),
+        (4, '{"eventName":"CreateLoadBalancer","awsRegion":"us-east-1",'
+            '"responseElements":{"loadBalancers":'
+            '[{"loadBalancerArn":"arn:aws:elasticloadbalancing:lb/app/x/1"},'
+            '{"loadBalancerArn":"arn:aws:elasticloadbalancing:lb/app/y/2"}'
+            ']}}'),
+    ]
+    events = spark.createDataFrame(rows, "id int, raw string").select(
+        "id", F.from_json("raw", TAG_DETAIL_SCHEMA).alias("detail"))
+    return plan_tag_actions(
+        events, {"team": "sre", "env": "prod"},
+        account_id="111122223333",
+        filter_regex="team-a-data|RunInstances|LoadBalancer")

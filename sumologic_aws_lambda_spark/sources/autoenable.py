@@ -128,3 +128,102 @@ def plan_s3_logging_actions(events: DataFrame, bucket: str, prefix: str,
         F.lit("enable_s3_logs").alias("action"),
         destination.alias("log_destination"),
     )
+
+
+# awsresource.py:431-443 — the tagging flow additionally routes
+# RunInstances; its ids live in responseElements.instancesSet.items.
+TAG_DETAIL_SCHEMA = DETAIL_SCHEMA.replace(
+    "   loadBalancers:array<struct<loadBalancerArn:string>>>>",
+    "   loadBalancers:array<struct<loadBalancerArn:string>>,"
+    "   instancesSet:struct<items:array<struct<instanceId:string>>>>>",
+)
+
+
+def classify_tag_event(detail: Column) -> Column:
+    """``classify_event`` plus the tagging-only route: ``RunInstances``
+    → ec2 (awsresource.py:432).  Kept separate so the S3-logging plan
+    never starts emitting actions for types it cannot enable."""
+    return F.when(
+        detail["eventName"] == "RunInstances", F.lit("ec2")
+    ).otherwise(classify_event(detail))
+
+
+def _arn(rtype: Column, rid: Column, region: Column,
+         account_id: str) -> Column:
+    """Reference ``get_arn_list_cloud_trail_event`` per type: S3 ARNs
+    are global, ELBv2 events already carry full ARNs, EC2/VPC/classic-
+    ELB build from (region, account)."""
+    return (
+        F.when(rtype == "s3", F.concat(F.lit("arn:aws:s3:::"), rid))
+        .when(rtype == "elbv2", rid)
+        .when(rtype == "ec2",
+              F.concat(F.lit("arn:aws:ec2:"), region,
+                       F.lit(f":{account_id}:instance/"), rid))
+        .when(rtype == "vpc",
+              F.concat(F.lit("arn:aws:ec2:"), region,
+                       F.lit(f":{account_id}:vpc/"), rid))
+        .when(rtype == "elb",
+              F.concat(F.lit("arn:aws:elasticloadbalancing:"), region,
+                       F.lit(f":{account_id}:loadbalancer/"), rid))
+    )
+
+
+def plan_tag_actions(events: DataFrame, tags: dict[str, str],
+                     account_id: str, filter_regex: str | None = None,
+                     delete: bool = False, chunk_size: int = 20,
+                     detail_col: str = "detail") -> DataFrame:
+    """``TagAWSResources`` (awsresource.py:111) as a declarative plan:
+    CloudTrail create-events → per-resource ARNs → the user filter
+    regex (``re.search`` over the stringified resource, :456-473) →
+    tag/untag batches of ``chunk_size`` ARNs per (type, region) — the
+    exact 20-ARN chunking the resourcegroupstaggingapi calls use
+    (:491-507).  One output row per API call the sink will make:
+    ``(resource_type, region, chunk, n_arns, arns, action, tags)``.
+
+    Scale: classification/extraction/ARN build are narrow; the only
+    shuffle is the per-(type, region) window that assigns chunk
+    numbers — at CloudTrail volumes the create-event stream is already
+    tiny relative to the corpus, and the window key spreads across
+    type×region."""
+    from pyspark.sql import Window
+
+    import json as _json
+
+    detail = F.col(detail_col)
+    df = events.withColumn(
+        "resource_type", classify_tag_event(detail)
+    ).filter(F.col("resource_type").isNotNull())
+    if filter_regex:
+        df = df.filter(F.to_json(detail).rlike(filter_regex))
+    rtype = F.col("resource_type")
+    ids = F.when(
+        rtype == "ec2",
+        F.transform(detail["responseElements"]["instancesSet"]["items"],
+                    lambda x: x["instanceId"]),
+    ).otherwise(_resource_ids(detail, rtype))
+    df = (
+        df.withColumn("resource_id", F.explode(ids))
+        .filter(F.col("resource_id").isNotNull())
+        .withColumn("region", detail["awsRegion"])
+        .withColumn("arn", _arn(rtype, F.col("resource_id"),
+                                F.col("region"), account_id))
+    )
+    w = Window.partitionBy("resource_type", "region").orderBy("arn")
+    chunked = df.withColumn(
+        "chunk",
+        F.floor((F.row_number().over(w) - 1) / chunk_size).cast("bigint"),
+    )
+    action = "untag_resources" if delete else "tag_resources"
+    # untag sends only the keys (:497-500); tag sends the full map
+    payload = (sorted(tags) if delete
+               else {k: tags[k] for k in sorted(tags)})
+    return (
+        chunked.groupBy("resource_type", "region", "chunk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_arns"),
+            F.concat_ws(",", F.sort_array(F.collect_list("arn")))
+            .alias("arns"),
+        )
+        .withColumn("action", F.lit(action))
+        .withColumn("tags", F.lit(_json.dumps(payload)))
+    )

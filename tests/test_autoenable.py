@@ -70,3 +70,34 @@ def test_stack_in_progress_uses_latest_status_and_exclusion(spark):
         for r in stack_in_progress(df, exclude_logical_id="Primerinvoke").collect()
     }
     assert got == {"stk-1": False, "stk-2": True}
+
+
+def test_plan_tag_actions_untag_and_filter(spark):
+    """TagAWSResources delete path: untag batches carry only the tag
+    KEYS (awsresource.py:497-500); the filter regex drops non-matching
+    resources before chunking."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from sumologic_aws_lambda_spark.sources.autoenable import (
+        TAG_DETAIL_SCHEMA,
+        plan_tag_actions,
+    )
+
+    rows = [
+        (1, '{"eventName":"CreateBucket","awsRegion":"us-east-1",'
+            '"requestParameters":{"bucketName":"team-a-data"}}'),
+        (2, '{"eventName":"CreateBucket","awsRegion":"us-east-1",'
+            '"requestParameters":{"bucketName":"other"}}'),
+    ]
+    events = spark.createDataFrame(rows, "id int, raw string").select(
+        F.from_json("raw", TAG_DETAIL_SCHEMA).alias("detail"))
+    out = plan_tag_actions(
+        events, {"team": "sre", "env": "prod"}, account_id="1",
+        filter_regex="team-a", delete=True).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["action"] == "untag_resources"
+    assert json.loads(r["tags"]) == ["env", "team"]   # keys only, sorted
+    assert r["arns"] == "arn:aws:s3:::team-a-data"
