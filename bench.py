@@ -122,6 +122,7 @@ OPTIONAL = [
     "embedding_decontamination",
     "epoch_shard_manifest",
     "tag_resources_plan",
+    "sumoql_benchmark",
 ]
 
 

@@ -30,6 +30,8 @@ cited examples):
                                                     -- (_approxcount, cap 100)
                | 'dedup' [N] ['by' name (',' name)*]
                | 'lookup' out (',' out)* 'from' table 'on' key  -- dim join
+               | 'benchmark' col ['as' alias] 'from' table
+                 'on' bkey=field (',' ...)*         -- global baseline join
                | 'join' '(' stages ')' 'as' name (',' ...)* 'on' eq (',' eq)*
                | 'sort' 'by' name ['asc'|'desc']
                | 'limit' N
@@ -309,6 +311,9 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
         # `is None`, not truthiness: an empty PersistentLookups store is
         # falsy but still resolves tables from disk.
         return _stage_lookup(df, rest, {} if lookups is None else lookups)
+    if head == "benchmark":
+        return _stage_benchmark(
+            df, rest, {} if lookups is None else lookups)
     if head == "join":
         return _stage_join(df, rest, schema, lookups)
     if head == "save":
@@ -706,6 +711,42 @@ def _stage_lookup(df: DataFrame, rest: str,
         F.col(right_key).alias(left_key), *outs
     )
     return df.join(F.broadcast(dim), on=left_key, how="left")
+
+
+def _stage_benchmark(df: DataFrame, rest: str,
+                     lookups: dict[str, DataFrame]) -> DataFrame:
+    """``benchmark <col> [as <alias>] from <table> on bkey=field, …`` —
+    Sumo's benchmark operator (the reference's enterprise-account probe
+    runs ``benchmark percentage as global_percent from guardduty on
+    threatpurpose=threatPurpose, …``, ``sumoresource.py:56-62``): join
+    the stream against a curated global-baseline table and project the
+    baseline's value column beside each row.  The on-clause maps
+    BENCHMARK-table keys to local fields.  Always a broadcast left join
+    — benchmark tables are dimension-sized by contract, so the stream
+    never shuffles."""
+    m = re.match(
+        r"^(\w+)(?:\s+as\s+(\w+))?\s+from\s+(\w+)\s+on\s+(.+)$",
+        rest.strip(), re.IGNORECASE)
+    if not m:
+        raise SumoQLError(f"bad benchmark stage: {rest!r}")
+    value_col, alias, name = m.group(1), m.group(2) or m.group(1), m.group(3)
+    getter = getattr(lookups, "get", None)
+    dim = getter(name) if getter else None
+    if dim is None:
+        raise SumoQLError(
+            f"unknown benchmark table {name!r}; registered: "
+            f"{sorted(lookups)}")
+    keys = []
+    sel = []
+    for pair in m.group(4).split(","):
+        pm = re.fullmatch(r"\s*(\w+)\s*=\s*(\w+)\s*", pair)
+        if not pm:
+            raise SumoQLError(f"bad benchmark on-clause: {pair!r}")
+        bench_key, local = pm.group(1), pm.group(2)
+        keys.append(local)
+        sel.append(F.col(bench_key).alias(local))
+    sel.append(F.col(value_col).alias(alias))
+    return df.join(F.broadcast(dim.select(*sel)), on=keys, how="left")
 
 
 def _stage_keyvalue(df: DataFrame, rest: str, schema: SumoSchema) -> DataFrame:

@@ -64,7 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     "slo_burn_rate_windows", "bigram_lm_perplexity",
     "hard_negative_mining", "ewma_drift_alerts",
     "embedding_decontamination", "epoch_shard_manifest",
-    "tag_resources_plan",
+    "tag_resources_plan", "sumoql_benchmark",
     # -- (b) machinery rewritten in round 7 --
     "curation_pipeline_funnel", "interval_overlap_pairs",
     # -- (c) latest sample round 1 --
@@ -84,7 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "cube_order_priority", "curation_pipeline", "dedup_clusters",
     "domain_mixture_sample", "exact_dedup_stats", "firehose_transform",
     "ivf_ann_topk", "json_autodetect_parse", "json_extract_props",
-    "kmeans_centroid_stats", "lsh_ann_topk", "minhash_lsh_pairs",
+    "kmeans_centroid_stats", "minhash_lsh_pairs",
     "multiline_assembly", "ngram_decontamination",
     "ngram_jaccard_pairs",
 )

@@ -1257,3 +1257,46 @@ def sumoql_logreduce_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | logreduce keys field=msg limit=10",
         EVENTS_SCHEMA,
     )
+
+
+@query(
+    "sumoql_benchmark",
+    oracle="""
+    WITH baseline(etype, pct) AS (VALUES
+        ('click', 21.0), ('error', 20.0), ('purchase', 19.5),
+        ('signup', 20.0), ('view', 19.5)
+    )
+    SELECT e.event_type, b.pct AS global_pct,
+           CAST(count(*) AS BIGINT) AS _count,
+           round(100.0 * count(*) /
+                 (SELECT count(*) FROM events), 4) AS local_pct
+    FROM events e LEFT JOIN baseline b ON b.etype = e.event_type
+    GROUP BY 1, 2
+    """,
+)
+def sumoql_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sumo's ``benchmark`` operator (the verb the reference's
+    enterprise-account probe issues, ``sumoresource.py:56-62``):
+    broadcast-join the stream against a curated global-baseline table
+    keyed by mapped fields and carry the baseline value beside each
+    row — here the fleet-global event-type share next to this org's
+    local share.  The stream never shuffles for the benchmark join."""
+    ev = table(spark, sf_dir, "events")
+    baseline = spark.createDataFrame(
+        [("click", 21.0), ("error", 20.0), ("purchase", 19.5),
+         ("signup", 20.0), ("view", 19.5)],
+        "etype string, pct double")
+    out = compile_query(
+        ev,
+        "* | benchmark pct as global_pct from fleet on etype=event_type"
+        " | count by event_type, global_pct",
+        SumoSchema(raw_col="event_type", ts_col="ts"),
+        lookups={"fleet": baseline},
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("__tot"))
+    return (
+        out.crossJoin(F.broadcast(total))
+        .withColumn("local_pct",
+                    F.round(100.0 * F.col("_count") / F.col("__tot"), 4))
+        .drop("__tot")
+    )

@@ -821,3 +821,41 @@ def test_cidr_prefix_out_of_range_raises_sumoql_error(spark):
               '* | compareCIDRPrefix(a, a, "33") as c'):
         with pytest.raises(SumoQLError, match="out of range"):
             compile_query(df, q, SumoSchema(raw_col="a"))
+
+
+def test_benchmark_stage_maps_keys_and_broadcasts(spark):
+    """``benchmark <col> as <alias> from <table> on bkey=field`` — the
+    reference's enterprise-probe verb (sumoresource.py:56-62): baseline
+    keys map onto local fields, the value column lands under the alias,
+    unmatched rows keep NULL (left join), and the join broadcasts."""
+    import pytest as _pytest
+
+    from sumologic_aws_lambda_spark.plans.sumoql import (
+        SumoQLError,
+        SumoSchema,
+        compile_query,
+    )
+
+    df = spark.createDataFrame(
+        [("Recon", "sev2"), ("Recon", "sev2"), ("Exfil", "sev9")],
+        "threatPurpose string, sev string")
+    bench = spark.createDataFrame(
+        [("Recon", "sev2", 12.5)],
+        "threatpurpose string, severity string, percentage double")
+    out = compile_query(
+        df,
+        "* | benchmark percentage as global_percent from guardduty"
+        " on threatpurpose=threatPurpose, severity=sev",
+        SumoSchema(raw_col="threatPurpose"),
+        lookups={"guardduty": bench},
+    )
+    rows = {(r["threatPurpose"], r["global_percent"])
+            for r in out.collect()}
+    assert rows == {("Recon", 12.5), ("Exfil", None)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    with _pytest.raises(SumoQLError, match="unknown benchmark table"):
+        compile_query(df, "* | benchmark percentage from nope on a=sev",
+                      SumoSchema(raw_col="sev"), lookups={})
