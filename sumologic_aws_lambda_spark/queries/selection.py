@@ -325,14 +325,18 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(fingerprint("text").alias("_fp"))
         .agg(F.min_by(row, F.col("doc_id")).alias("_row"))
         .select("_row.doc_id", "_row.lang", "_row.__n_tok", "_row.text")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Unpersist the previous invocation's pool BEFORE persisting the new
+    # one: with an identical plan (same sf_dir) the CacheManager dedupes
+    # the two frames onto one cache entry, so unpersisting the old frame
+    # AFTER would evict the new frame's cache too.
     global _FUNNEL_CACHED
     if _FUNNEL_CACHED is not None:
         try:
             _FUNNEL_CACHED.unpersist(blocking=False)
         except Exception:  # noqa: BLE001 — a dead prior session is fine
             pass
+    w = w.persist(StorageLevel.MEMORY_AND_DISK)
     _FUNNEL_CACHED = w
 
     # stages 2 + 3: one conditional aggregate over the winner exchange
