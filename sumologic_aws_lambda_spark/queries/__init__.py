@@ -65,6 +65,9 @@ _PRIORITY: tuple[str, ...] = (
     "hard_negative_mining", "ewma_drift_alerts",
     "embedding_decontamination", "epoch_shard_manifest",
     "tag_resources_plan", "sumoql_benchmark",
+    "local_supplier_volume", "volume_shipping",
+    "customer_order_distribution", "large_volume_customers",
+    "global_sales_opportunity",
     # -- (b) machinery rewritten in round 7 --
     "curation_pipeline_funnel", "interval_overlap_pairs",
     # -- (c) latest sample round 1 --
@@ -84,9 +87,6 @@ _PRIORITY: tuple[str, ...] = (
     "cube_order_priority", "curation_pipeline", "dedup_clusters",
     "domain_mixture_sample", "exact_dedup_stats", "firehose_transform",
     "ivf_ann_topk", "json_autodetect_parse", "json_extract_props",
-    "kmeans_centroid_stats", "minhash_lsh_pairs",
-    "multiline_assembly", "ngram_decontamination",
-    "ngram_jaccard_pairs",
 )
 
 # Round-8 rotation notes: after the r7 window lands, the remaining
@@ -141,5 +141,6 @@ def _import_all() -> None:
         selection,
         behavior,
         resolution,
+        tpch_classics,
     )
     _IMPORTED = True
