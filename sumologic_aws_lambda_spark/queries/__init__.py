@@ -67,7 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "tag_resources_plan", "sumoql_benchmark",
     "local_supplier_volume", "volume_shipping",
     "customer_order_distribution", "large_volume_customers",
-    "global_sales_opportunity",
+    "global_sales_opportunity", "table_profile", "data_quality_checks",
     # -- (b) machinery rewritten in round 7 --
     "curation_pipeline_funnel", "interval_overlap_pairs",
     # -- (c) latest sample round 1 --
@@ -86,7 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "carry_forward_last_value", "cosine_topk_bruteforce",
     "cube_order_priority", "curation_pipeline", "dedup_clusters",
     "domain_mixture_sample", "exact_dedup_stats", "firehose_transform",
-    "ivf_ann_topk", "json_autodetect_parse", "json_extract_props",
+    "ivf_ann_topk",
 )
 
 # Round-8 rotation notes: after the r7 window lands, the remaining
@@ -142,5 +142,6 @@ def _import_all() -> None:
         behavior,
         resolution,
         tpch_classics,
+        profiling,
     )
     _IMPORTED = True
