@@ -68,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "local_supplier_volume", "volume_shipping",
     "customer_order_distribution", "large_volume_customers",
     "global_sales_opportunity", "table_profile", "data_quality_checks",
+    "blocklist_filter_stats", "truncation_waste",
     # -- (b) machinery rewritten in round 7 --
     "curation_pipeline_funnel", "interval_overlap_pairs",
     # -- (c) latest sample round 1 --
@@ -85,8 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "approx_count_distinct_parts", "approx_percentile_quantity",
     "carry_forward_last_value", "cosine_topk_bruteforce",
     "cube_order_priority", "curation_pipeline", "dedup_clusters",
-    "domain_mixture_sample", "exact_dedup_stats", "firehose_transform",
-    "ivf_ann_topk",
+    "domain_mixture_sample", "exact_dedup_stats",
 )
 
 # Round-8 rotation notes: after the r7 window lands, the remaining

@@ -647,3 +647,117 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bits_per_token"),
         )
     )
+
+
+# --- round-7 filter wave: blocklist filtering + truncation planning ----
+
+# The badwords list is a SUBSET of the fixture vocabulary so the filter
+# exercises real matches (the public C4 pipeline uses the LDNOOBW word
+# list the same way — exact token membership, not substring).
+_BLOCKLIST = ("slow", "corrupt", "broken")
+_TRUNC_CAPS = (32, 64, 128)
+
+
+@query(
+    "blocklist_filter_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               t -> t IN ('slow', 'corrupt', 'broken')))
+                   AS n_bad
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count_if(n_bad * 10 > n_tok) AS BIGINT) AS n_dropped,
+           round(avg(n_bad / n_tok), 4) AS avg_bad_ratio,
+           CAST(sum(n_bad) AS BIGINT)   AS total_bad_tokens
+    FROM toks
+    GROUP BY source
+    """,
+)
+def blocklist_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filter (the LDNOOBW badwords gate).
+
+    The blocklist is a LITERAL set folded into a narrow ``filter()``
+    higher-order expression — no explode, no join, no shuffle before
+    the per-source aggregate: per-doc bad-token counts are computed
+    inside whole-stage codegen and the only exchange is the final
+    groupBy(source).  A doc drops when >10% of its tokens are
+    blocklisted (the avg ratio and total counts are reported so the
+    threshold can be re-tuned without re-scanning).  At 100 TB a real
+    blocklist (thousands of terms) would broadcast as an array literal
+    or ride ``F.lit(...).isin`` the same way — still shuffle-free.
+    """
+    from ..operators.text import tokens
+
+    t = tokens("text")
+    bad = F.filter(t, lambda x: x.isin(*_BLOCKLIST))
+    per_doc = table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(t).alias("n_tok"),
+        F.size(bad).alias("n_bad"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("n_bad") * 10 > F.col("n_tok"))
+            .alias("n_dropped"),
+            F.round(F.avg(F.col("n_bad") / F.col("n_tok")), 4)
+            .alias("avg_bad_ratio"),
+            F.sum("n_bad").cast("bigint").alias("total_bad_tokens"),
+        )
+    )
+
+
+@query(
+    "truncation_waste",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tok
+        FROM documents
+    ),
+    caps AS (SELECT unnest([32, 64, 128]) AS cap)
+    SELECT caps.cap,
+           CAST(count_if(toks.n_tok > caps.cap) AS BIGINT) AS docs_truncated,
+           CAST(sum(least(toks.n_tok, caps.cap)) AS BIGINT) AS tokens_kept,
+           CAST(sum(greatest(toks.n_tok - caps.cap, 0)) AS BIGINT)
+               AS tokens_lost,
+           round(sum(greatest(toks.n_tok - caps.cap, 0))
+                 / sum(toks.n_tok), 4) AS waste_ratio
+    FROM toks, caps
+    GROUP BY caps.cap
+    """,
+)
+def truncation_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation planning: tokens lost per candidate cap.
+
+    One narrow scan computes each doc's token count; the tiny cap table
+    (one row per candidate context length) cross-joins as a broadcast,
+    so the corpus is read ONCE for every cap simultaneously — choosing
+    a sequence length never needs a re-scan per candidate.  The
+    ``sequence_packing`` registry entry is the downstream consumer of
+    the chosen cap.
+    """
+    from ..operators.text import token_count
+
+    toks = table(spark, sf_dir, "documents").select(
+        token_count("text").alias("n_tok"))
+    caps = spark.createDataFrame(
+        [(c,) for c in _TRUNC_CAPS], "cap int")
+    kept = F.least(F.col("n_tok"), F.col("cap"))
+    lost = F.greatest(F.col("n_tok") - F.col("cap"), F.lit(0))
+    return (
+        toks.crossJoin(F.broadcast(caps))
+        .groupBy("cap")
+        .agg(
+            F.count_if(F.col("n_tok") > F.col("cap")).alias("docs_truncated"),
+            F.sum(kept).cast("bigint").alias("tokens_kept"),
+            F.sum(lost).cast("bigint").alias("tokens_lost"),
+            F.round(F.sum(lost) / F.sum("n_tok"), 4).alias("waste_ratio"),
+        )
+    )
