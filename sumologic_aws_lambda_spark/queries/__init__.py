@@ -69,6 +69,8 @@ _PRIORITY: tuple[str, ...] = (
     "customer_order_distribution", "large_volume_customers",
     "global_sales_opportunity", "table_profile", "data_quality_checks",
     "blocklist_filter_stats", "truncation_waste",
+    "market_share", "promo_revenue", "top_supplier",
+    "small_quantity_revenue", "disjunctive_predicate_revenue",
     # -- (b) machinery rewritten in round 7 --
     "curation_pipeline_funnel", "interval_overlap_pairs",
     # -- (c) latest sample round 1 --
@@ -85,8 +87,6 @@ _PRIORITY: tuple[str, ...] = (
     # -- (e) oldest-validated spread (latest sample round 3) --
     "approx_count_distinct_parts", "approx_percentile_quantity",
     "carry_forward_last_value", "cosine_topk_bruteforce",
-    "cube_order_priority", "curation_pipeline", "dedup_clusters",
-    "domain_mixture_sample", "exact_dedup_stats",
 )
 
 # Round-8 rotation notes: after the r7 window lands, the remaining

@@ -297,3 +297,272 @@ def global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "market_share",
+    oracle="""
+    WITH vol AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+          AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                                AND TIMESTAMP '1996-12-31'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3'
+                          THEN volume ELSE 0 END), 2) AS nation_volume,
+           round(sum(volume), 2) AS total_volume,
+           round(round(sum(CASE WHEN supp_nation = 'NATION_3'
+                                THEN volume ELSE 0 END), 2)
+                 / round(sum(volume), 2), 6) AS mkt_share
+    FROM vol
+    GROUP BY o_year
+    """,
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 — national market share (7-way join + conditional ratio).
+
+    The deepest join tree in the suite: the fact stream picks up part
+    (type gate), supplier and orders/customer, then THREE broadcast dim
+    hops (customer nation → region gate, supplier nation → share label).
+    The share is a conditional-sum ratio computed from the ROUNDED
+    sums so the cross-engine hash compare is float-order-proof.
+    """
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31"))
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation")
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"))
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cust_region = (
+        c.join(F.broadcast(
+            n1.join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+            .select("n_nationkey")),
+            c.c_nationkey == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust_region, o.o_custkey == F.col("c_custkey"))
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("volume"),
+            "supp_nation",
+        )
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")) \
+        .otherwise(F.lit(0.0))
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(F.sum(nat), 2).alias("nation_volume"),
+            F.round(F.sum("volume"), 2).alias("total_volume"),
+        )
+        .select(
+            "o_year", "nation_volume", "total_volume",
+            F.round(F.col("nation_volume") / F.col("total_volume"), 6)
+            .alias("mkt_share"),
+        )
+    )
+
+
+@query(
+    "promo_revenue",
+    oracle="""
+    SELECT round(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN l.l_extendedprice * (1 - l.l_discount)
+                     ELSE 0 END), 2) AS promo_rev,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS total_rev,
+           round(100.0 * round(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN l.l_extendedprice * (1 - l.l_discount)
+                     ELSE 0 END), 2)
+                 / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2), 6)
+               AS promo_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 — promotion effect (conditional-aggregate ratio).
+
+    One month of lineitem joins part on the natural key (AQE decides
+    broadcast vs shuffle — part scales with the catalog, not the
+    facts); promo share computed from the rounded sums.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01"))
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.sum(promo), 2).alias("promo_rev"),
+            F.round(F.sum(rev), 2).alias("total_rev"),
+        )
+        .select(
+            "promo_rev", "total_rev",
+            F.round(100.0 * F.col("promo_rev") / F.col("total_rev"), 6)
+            .alias("promo_pct"),
+        )
+    )
+
+
+@query(
+    "top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.total_revenue
+    FROM supplier s
+    JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 — top supplier (argmax over an aggregate).
+
+    The quarter's per-supplier revenue aggregates once; its max rides
+    back as a broadcast single-row frame (the Q22 scalar pattern) and
+    an equality filter keeps every tied supplier.  The max compares
+    ROUNDED revenues, so ties are exact across engines.  No window over
+    the whole frame — the scalar max is cheaper than a global
+    rank()/max() window at scale (no single-partition sort).
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01"))
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("total_revenue"))
+    )
+    peak = rev.agg(F.max("total_revenue").alias("_peak"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(peak))
+        .filter(F.col("total_revenue") == F.col("_peak"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    WITH brand AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#11'
+    ),
+    thresh AS (
+        SELECT l_partkey, round(0.5 * avg(l_quantity), 4) AS cutoff
+        FROM brand
+        GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+           round(sum(b.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM brand b
+    JOIN thresh t ON b.l_partkey = t.l_partkey
+    WHERE b.l_quantity < t.cutoff
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 — small-quantity-order revenue (correlated avg → join).
+
+    The textbook form correlates ``avg(l_quantity)`` per part inside
+    WHERE; decorrelated here to ONE aggregate over the brand-gated
+    lineitem joined back on partkey (AQE broadcasts the per-part
+    threshold frame — it is bounded by the brand's part count).  The
+    threshold is ROUNDED before the strict compare so the cutoff
+    cannot flip on float noise across engines.
+    """
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    li = table(spark, sf_dir, "lineitem")
+    brand = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    thresh = brand.groupBy("l_partkey").agg(
+        F.round(0.5 * F.avg("l_quantity"), 4).alias("cutoff"))
+    return (
+        brand.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("cutoff"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        )
+    )
+
+
+@query(
+    "disjunctive_predicate_revenue",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#2'  AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 — discounted revenue under a disjunctive mixed predicate.
+
+    The three-arm OR mixes columns from BOTH join sides, so it cannot
+    ride the join key; Catalyst still pushes the single-side residues
+    (brand/size membership to the part scan, the quantity hull to the
+    lineitem scan) and evaluates the full disjunction post-join inside
+    codegen.  The join itself stays a plain equi-join on partkey —
+    never a theta join.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    arm1 = (F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 15) \
+        & F.col("l_quantity").between(1, 11)
+    arm2 = (F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 25) \
+        & F.col("l_quantity").between(10, 20)
+    arm3 = (F.col("p_brand") == "Brand#21") & F.col("p_size").between(1, 35) \
+        & F.col("l_quantity").between(20, 30)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(arm1 | arm2 | arm3)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+        )
+    )

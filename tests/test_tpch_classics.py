@@ -96,3 +96,53 @@ def test_q22_scalar_broadcast_single_row(spark, qs):
     row — never a shuffled join."""
     plan = _plan(qs["global_sales_opportunity"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_wave2_no_cartesian(spark, qs):
+    for name in ("market_share", "promo_revenue", "top_supplier",
+                 "small_quantity_revenue", "disjunctive_predicate_revenue"):
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_top_supplier_no_global_window(spark, qs):
+    """The argmax must be scalar-broadcast, not a whole-frame window
+    (a global Window would single-partition the supplier frame)."""
+    plan = _plan(qs["top_supplier"](spark, SF_DIR))
+    assert "Window" not in plan
+    rows = qs["top_supplier"](spark, SF_DIR).collect()
+    assert len(rows) >= 1
+    assert len({r["total_revenue"] for r in rows}) == 1
+
+
+def test_q19_residues_pushed_to_part_scan(spark, qs):
+    """Catalyst must derive the part-side residue of the disjunction
+    (brand membership) and push it into the part parquet scan."""
+    plan = _plan(qs["disjunctive_predicate_revenue"](spark, SF_DIR))
+    assert "p_brand" in plan.split("part.parquet")[0].rsplit("Scan", 1)[-1] \
+        or "In(p_brand" in plan
+
+
+def test_q17_threshold_join_semantics(spark, qs):
+    """Every surviving line sits strictly under half its part's average
+    quantity — replayed in pure Python."""
+    from sumologic_aws_lambda_spark.catalog import table
+
+    li = table(spark, SF_DIR, "lineitem")
+    p = table(spark, SF_DIR, "part").filter(F.col("p_brand") == "Brand#11")
+    rows = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice").collect()
+    from collections import defaultdict
+    per_part = defaultdict(list)
+    for r in rows:
+        per_part[r["l_partkey"]].append(r)
+    n_small, total = 0, 0.0
+    for pk, rs in per_part.items():
+        cutoff = round(0.5 * sum(x["l_quantity"] for x in rs) / len(rs), 4)
+        for x in rs:
+            if x["l_quantity"] < cutoff:
+                n_small += 1
+                total += x["l_extendedprice"]
+    got = qs["small_quantity_revenue"](spark, SF_DIR).collect()[0]
+    assert got["n_small_lines"] == n_small
+    assert abs(got["avg_yearly"] - round(total / 7.0, 2)) < 0.05
