@@ -122,8 +122,31 @@ def _bigram_lm(d):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--registry", nargs="*", default=None,
+                    help="probe named REGISTRY queries at sf0.01 (1x) vs "
+                         "sf0.1 (10x) instead of the operator probes")
     args = ap.parse_args()
     spark = get_spark("scale-probe")
+
+    if args.registry is not None:
+        # Generic registry probe: real 10x-row inputs via the sf dirs,
+        # so partition counts, dims and join fan-ins all grow the way a
+        # scale-up grows them (not a synthetic filter).
+        from sumologic_aws_lambda_spark import queries as registry
+
+        qs = registry.all_queries()
+        names = args.registry or list(qs)
+        for name in names:
+            fn = qs[name]
+            t1, n1 = _time(fn(spark, "/root/testdata/sf0.01"))   # warm
+            t1, n1 = _time(fn(spark, "/root/testdata/sf0.01"))
+            t10, n10 = _time(fn(spark, args.sf))
+            ratio = t10 / t1 if t1 else float("inf")
+            print(
+                f"{name}: 1x {t1:.2f}s ({n1} rows) -> 10x {t10:.2f}s "
+                f"({n10} rows), time ratio {ratio:.1f}x"
+            )
+        return 0
 
     docs = table(spark, args.sf, "documents", parallel=True)
     probes = {
