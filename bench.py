@@ -123,6 +123,20 @@ OPTIONAL = [
     "epoch_shard_manifest",
     "tag_resources_plan",
     "sumoql_benchmark",
+    "local_supplier_volume",
+    "volume_shipping",
+    "customer_order_distribution",
+    "large_volume_customers",
+    "global_sales_opportunity",
+    "market_share",
+    "promo_revenue",
+    "top_supplier",
+    "small_quantity_revenue",
+    "disjunctive_predicate_revenue",
+    "table_profile",
+    "data_quality_checks",
+    "blocklist_filter_stats",
+    "truncation_waste",
 ]
 
 
