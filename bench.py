@@ -137,6 +137,9 @@ OPTIONAL = [
     "data_quality_checks",
     "blocklist_filter_stats",
     "truncation_waste",
+    "resample_interpolate",
+    "window_rank_battery",
+    "pivot_status_matrix",
 ]
 
 

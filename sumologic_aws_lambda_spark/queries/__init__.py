@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "blocklist_filter_stats", "truncation_waste",
     "market_share", "promo_revenue", "top_supplier",
     "small_quantity_revenue", "disjunctive_predicate_revenue",
+    "resample_interpolate", "window_rank_battery", "pivot_status_matrix",
     # -- (b) machinery rewritten in round 7 --
     "curation_pipeline_funnel", "interval_overlap_pairs",
     # -- (c) latest sample round 1 --
@@ -85,8 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "asff_validation_gate", "fer_registry_apply",
     "monitor_threshold_alerts",
     # -- (e) oldest-validated spread (latest sample round 3) --
-    "approx_count_distinct_parts", "approx_percentile_quantity",
-    "carry_forward_last_value", "cosine_topk_bruteforce",
+    "approx_count_distinct_parts",
 )
 
 # Round-8 rotation notes: after the r7 window lands, the remaining

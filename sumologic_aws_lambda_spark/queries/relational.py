@@ -445,3 +445,54 @@ def approx_percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         ok(0.5, "p50_ok"), ok(0.95, "p95_ok"), ok(0.99, "p99_ok"),
     )
+
+
+@query(
+    "pivot_status_matrix",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS F,
+           CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS O,
+           CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS P,
+           round(sum(CASE WHEN o_orderstatus = 'F'
+                          THEN o_totalprice END), 2) AS rev_F,
+           round(sum(CASE WHEN o_orderstatus = 'O'
+                          THEN o_totalprice END), 2) AS rev_O,
+           round(sum(CASE WHEN o_orderstatus = 'P'
+                          THEN o_totalprice END), 2) AS rev_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order counts and revenue by priority × status.
+
+    ``groupBy().pivot(col, values)`` with the value list EXPLICIT — an
+    unlisted pivot first runs a distinct-scan job to discover values,
+    which is an extra pass over 100 TB and a non-deterministic column
+    order; pinned values keep it to ONE scan.  Spark lowers the pivot
+    to (priority, status) partial+final aggregation followed by a
+    pivotfirst aggregation on priority — two exchanges, but BOTH run
+    after map-side combine over the ~15-row key domain, so the shuffled
+    volume is partitions×keys rows regardless of input size (the
+    CASE-WHEN battery the oracle spells out is the same data flow with
+    the statuses unrolled by hand).
+    """
+    counts = F.count(F.lit(1)).alias("cnt")
+    rev = F.round(F.sum("o_totalprice"), 2).alias("rev")
+    wide = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(counts, rev)
+    )
+    # pivot names multi-agg columns "<value>_<alias>"; align to oracle
+    return wide.select(
+        "o_orderpriority",
+        F.col("F_cnt").alias("F"),
+        F.col("O_cnt").alias("O"),
+        F.col("P_cnt").alias("P"),
+        F.col("F_rev").alias("rev_F"),
+        F.col("O_rev").alias("rev_O"),
+        F.col("P_rev").alias("rev_P"),
+    )

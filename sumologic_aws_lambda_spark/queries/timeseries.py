@@ -16,7 +16,7 @@ DuckDB produce bit-identical doubles — no rounding in the compare.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -477,4 +477,123 @@ def logcompare_baseline_target(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("target_count").cast("double") / F.col("tt")
             - F.col("baseline_count").cast("double") / F.col("bt")
         ).alias("share_delta"),
+    )
+
+
+@query(
+    "resample_interpolate",
+    oracle="""
+    WITH slots AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS slot,
+               round(avg(value), 6) AS v
+        FROM events
+        GROUP BY event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+    ),
+    bounds AS (
+        SELECT event_type, min(slot) AS lo, max(slot) AS hi
+        FROM slots GROUP BY event_type
+    ),
+    grid AS (
+        SELECT b.event_type, g.slot
+        FROM bounds b, LATERAL (
+            SELECT unnest(generate_series(b.lo, b.hi)) AS slot
+        ) g
+    ),
+    joined AS (
+        SELECT g.event_type, g.slot, s.v,
+               last_value(s.v IGNORE NULLS) OVER w_prev  AS pv,
+               last_value(CASE WHEN s.v IS NOT NULL THEN g.slot END
+                          IGNORE NULLS) OVER w_prev      AS ps,
+               first_value(s.v IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN s.v IS NOT NULL THEN g.slot END
+                           IGNORE NULLS) OVER w_next     AS ns
+        FROM grid g
+        LEFT JOIN slots s ON s.event_type = g.event_type
+                         AND s.slot = g.slot
+        WINDOW
+            w_prev AS (PARTITION BY g.event_type ORDER BY g.slot
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            w_next AS (PARTITION BY g.event_type ORDER BY g.slot
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           slot * 3600 AS slot_epoch,
+           CASE WHEN v IS NOT NULL THEN round(v + 1e-9, 4)
+                WHEN pv IS NULL THEN round(nv + 1e-9, 4)
+                WHEN nv IS NULL THEN round(pv + 1e-9, 4)
+                ELSE round(pv + (nv - pv) * (slot - ps) / (ns - ps)
+                           + 1e-9, 4)
+           END AS value,
+           CAST(v IS NULL AS BOOLEAN) AS interpolated
+    FROM joined
+    """,
+)
+def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled resampling with linear interpolation (the metrics-
+    engine primitive behind dashboard line charts — Sumo's
+    ``fillmissing`` verb only zero/null-fills; this is the
+    interpolation mode a metrics store applies between sparse points).
+
+    Per event type: hourly averages → a dense slot grid (``sequence``
+    per series, exploded — the grid is series-count × slots, never a
+    cross join) → previous/next present points located with ONE pair of
+    ``last/first(ignorenulls=True)`` windows over the series partition
+    → linear value between them (edges carry the nearest present
+    point).  Slot averages are rounded BEFORE interpolating, so the
+    arithmetic is identical float-for-float across engines; the window
+    partitions on the series key — no global window, and the per-series
+    slot count is bounded by the retention span, so a 100 TB fleet
+    still windows only days×24 rows per series.
+    """
+    ev = table(spark, sf_dir, "events")
+    slots = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("ts").cast("double") / 3600)
+            .cast("bigint").alias("slot"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    grid = (
+        slots.groupBy("event_type")
+        .agg(F.min("slot").alias("lo"), F.max("slot").alias("hi"))
+        .select("event_type",
+                F.explode(F.sequence("lo", "hi")).alias("slot"))
+    )
+    j = grid.join(slots, ["event_type", "slot"], "left_outer")
+    w_prev = (
+        Window.partitionBy("event_type").orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type").orderBy("slot")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    present_slot = F.when(F.col("v").isNotNull(), F.col("slot"))
+    j = j.select(
+        "event_type", "slot", "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(present_slot, ignorenulls=True).over(w_prev).alias("ps"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(present_slot, ignorenulls=True).over(w_next).alias("ns"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) \
+        * (F.col("slot") - F.col("ps")) / (F.col("ns") - F.col("ps"))
+    # +1e-9 on BOTH engines before the 4-dp round: interpolation can
+    # land exactly on a .00005 tie where sub-ulp evaluation-order noise
+    # flips the rounded digit between engines; the shared nudge moves
+    # every tie decisively off the boundary (noise ~1e-12 << 1e-9 <<
+    # the 1e-4 quantum, and values are non-negative).
+    value = (
+        F.when(F.col("v").isNotNull(), F.round(F.col("v") + 1e-9, 4))
+        .when(F.col("pv").isNull(), F.round(F.col("nv") + 1e-9, 4))
+        .when(F.col("nv").isNull(), F.round(F.col("pv") + 1e-9, 4))
+        .otherwise(F.round(interp + 1e-9, 4))
+    )
+    return j.select(
+        "event_type",
+        (F.col("slot") * 3600).alias("slot_epoch"),
+        value.alias("value"),
+        F.col("v").isNull().alias("interpolated"),
     )

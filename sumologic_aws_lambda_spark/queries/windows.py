@@ -248,3 +248,57 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.min("ts")).alias("session_start_epoch"),
         F.count(F.lit(1)).alias("n_events"),
     ).drop("session_id")
+
+
+@query(
+    "window_rank_battery",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           round(o_totalprice, 2) AS total_price,
+           rnk, drnk,
+           round(prnk, 6) AS prnk,
+           round(cdist, 6) AS cdist,
+           quartile
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               rank()         OVER w AS rnk,
+               dense_rank()   OVER w AS drnk,
+               percent_rank() OVER w AS prnk,
+               cume_dist()    OVER w AS cdist,
+               ntile(4)       OVER w AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY round(o_totalprice, 2) DESC, o_orderkey)
+    ) t
+    WHERE rnk <= 5
+    """,
+)
+def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function surface over one partitioned window:
+    rank / dense_rank / percent_rank / cume_dist / ntile.
+
+    One window spec → ONE shuffle on the partition key serves all five
+    functions (Catalyst fuses same-spec window functions into a single
+    WindowExec).  The ordering key is the ROUNDED price with the order
+    key as tiebreak, so rank ties — and therefore every downstream
+    value — are identical across engines.  percent_rank/cume_dist/ntile
+    are computed over the FULL partition and only then top-5-filtered
+    (the filter cannot push through the window, by design).
+    """
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.round("o_totalprice", 2).desc(), F.col("o_orderkey"))
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority", "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )

@@ -73,3 +73,71 @@ def test_truncation_single_scan_broadcast_caps(spark, qs):
     assert plan.count("documents.parquet") == 1
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- analytics extras wave (resample / rank battery / pivot) ----------
+
+
+def test_resample_grid_contiguous_and_bounded(spark, qs):
+    """The slot grid is dense per series, and every interpolated value
+    lies within [min(prev, next), max(prev, next)]."""
+    rows = qs["resample_interpolate"](spark, SF_DIR).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["slot_epoch"])
+        slots = [r["slot_epoch"] for r in rs]
+        assert slots == list(range(slots[0], slots[-1] + 3600, 3600)), t
+        # interpolated points sit between their rounded neighbors
+        present = [(i, r["value"]) for i, r in enumerate(rs)
+                   if not r["interpolated"]]
+        for (i0, v0), (i1, v1) in zip(present, present[1:]):
+            lo, hi = min(v0, v1), max(v0, v1)
+            for j in range(i0 + 1, i1):
+                assert lo - 1e-3 <= rs[j]["value"] <= hi + 1e-3, (t, j)
+
+
+def test_rank_battery_semantics(spark, qs):
+    rows = qs["window_rank_battery"](spark, SF_DIR).collect()
+    assert rows and all(1 <= r["rnk"] <= 5 for r in rows)
+    for r in rows:
+        assert r["drnk"] <= r["rnk"]
+        assert 0.0 <= r["prnk"] <= 1.0
+        assert 0.0 < r["cdist"] <= 1.0
+        assert 1 <= r["quartile"] <= 4
+    # within a partition the top row is rank 1 with the max price
+    by_p: dict[str, list] = {}
+    for r in rows:
+        by_p.setdefault(r["o_orderpriority"], []).append(r)
+    for p, rs in by_p.items():
+        top = [r for r in rs if r["rnk"] == 1]
+        assert top and max(r["total_price"] for r in rs) == \
+            top[0]["total_price"], p
+
+
+def test_rank_battery_single_window_exec(spark, qs):
+    """All five ranking functions share one window spec — the plan must
+    contain exactly ONE Window operator (Catalyst fuses them)."""
+    plan = qs["window_rank_battery"](spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") - plan.count("WindowGroupLimit") \
+        <= plan.count("Window") and "Window" in plan
+    import re
+    n_window_ops = len(re.findall(r"\bWindow\b(?!GroupLimit)", plan))
+    assert n_window_ops == 1, plan[:500]
+
+
+def test_pivot_counts_reconcile(spark, qs):
+    from sumologic_aws_lambda_spark.catalog import table
+
+    rows = qs["pivot_status_matrix"](spark, SF_DIR).collect()
+    total = sum((r["F"] or 0) + (r["O"] or 0) + (r["P"] or 0) for r in rows)
+    assert total == table(spark, SF_DIR, "orders").count()
+    plan = qs["pivot_status_matrix"](spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # explicit pivot values: one scan, and only the two tiny-key
+    # post-partial-agg exchanges of Spark's pivot lowering
+    assert plan.count("orders.parquet") == 1
+    assert plan.count("Exchange") <= 2
+    assert "partial_pivotfirst" in plan
