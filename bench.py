@@ -140,6 +140,7 @@ OPTIONAL = [
     "resample_interpolate",
     "window_rank_battery",
     "pivot_status_matrix",
+    "triangle_communities",
 ]
 
 

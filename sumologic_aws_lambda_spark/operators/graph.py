@@ -125,3 +125,81 @@ def pagerank(edges: DataFrame, iterations: int = 3,
             .localCheckpoint()
         )
     return ranks
+
+
+def cooccurrence_edges(events: DataFrame, min_weight: int = 3,
+                       max_cell_users: int = 60) -> DataFrame:
+    """Undirected user co-occurrence edges from (event_type, hour) cells.
+
+    Two users are connected when they act in the same cell; the weight
+    counts shared cells.  The pair space is generated per cell, so the
+    worst case is cell_users² — the ``max_cell_users`` df-cut drops
+    degenerate hot cells (the same escape hatch as ngram-Jaccard's
+    max_doc_freq), which bounds fan-out regardless of skew at 100 TB.
+    Canonical orientation ``u < v`` — each edge appears once.
+    """
+    cell = [F.col("event_type"),
+            F.floor(F.col("ts").cast("double") / 3600).alias("h")]
+    cells = events.select(*cell, "user_id").distinct()
+    sizes = (
+        cells.groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_cell_users)
+        .select("event_type", "h")
+    )
+    small = cells.join(sizes, ["event_type", "h"])
+    a = small.select("event_type", "h", F.col("user_id").alias("u"))
+    b = small.select("event_type", "h", F.col("user_id").alias("v"))
+    return (
+        a.join(b, ["event_type", "h"])
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation
+    (Schank & Wagner 2005; the MapReduce formulation of Suri &
+    Vassilvitskii 2011).
+
+    Orienting every edge from its lower-(degree, id) endpoint to the
+    higher one makes each node's out-degree O(sqrt(edges)) — wedge
+    generation (the only quadratic-risk step) is bounded by the
+    arboricity instead of the max degree, which is what lets a hub
+    node with 10⁶ neighbors survive: its edges all point INTO it, so
+    it forms no wedges.  Three equi-joins total — wedge build on the
+    middle node, closure check on (lo, hi), then a 3-way explode and
+    one count per node.  No cartesian anywhere.
+    """
+    und = edges.select("u", "v")
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ranked = und.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    # Wedge (a, b, c) comes from a→b ⋈ b→c, so rank(a) < rank(b) <
+    # rank(c) — the closing edge, if present, is stored oriented a→c
+    # exactly: the closure check is a PURE equi-join (never a theta
+    # join), and each triangle is found exactly once via its middle-
+    # rank node.
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "b")
+    closing = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["a", "c"], "left_semi")
+    member = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("user_id"))
+    return member.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_triangles"))

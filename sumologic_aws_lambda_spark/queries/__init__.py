@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "market_share", "promo_revenue", "top_supplier",
     "small_quantity_revenue", "disjunctive_predicate_revenue",
     "resample_interpolate", "window_rank_battery", "pivot_status_matrix",
+    "triangle_communities",
     # -- (b) machinery rewritten in round 7 --
     "curation_pipeline_funnel", "interval_overlap_pairs",
     # -- (c) latest sample round 1 --
@@ -85,8 +86,6 @@ _PRIORITY: tuple[str, ...] = (
     "asof_join_last_click", "cwl_decode_pipeline",
     "asff_validation_gate", "fer_registry_apply",
     "monitor_threshold_alerts",
-    # -- (e) oldest-validated spread (latest sample round 3) --
-    "approx_count_distinct_parts",
 )
 
 # Round-8 rotation notes: after the r7 window lands, the remaining

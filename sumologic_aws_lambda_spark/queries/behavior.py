@@ -677,3 +677,79 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@query(
+    "triangle_communities",
+    oracle="""
+    WITH cells AS (
+        SELECT DISTINCT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+               user_id
+        FROM events
+    ),
+    sizes AS (
+        SELECT event_type, h FROM cells
+        GROUP BY event_type, h HAVING count(*) <= 60
+    ),
+    small AS (
+        SELECT c.* FROM cells c JOIN sizes s USING (event_type, h)
+    ),
+    edges AS (
+        SELECT a.user_id AS u, b.user_id AS v
+        FROM small a JOIN small b USING (event_type, h)
+        WHERE a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+        HAVING count(*) >= 3
+    ),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM edges
+            UNION ALL SELECT v FROM edges
+        ) t GROUP BY node
+    ),
+    oriented AS (
+        SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                    THEN e.u ELSE e.v END AS src,
+               CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                    THEN e.v ELSE e.u END AS dst
+        FROM edges e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ),
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM oriented e1
+        JOIN oriented e2 ON e1.dst = e2.src
+        JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (
+        SELECT a AS user_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) m
+    GROUP BY user_id
+    """,
+)
+def triangle_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user triangle counts over the co-occurrence graph — the
+    community-cohesion primitive (clustering coefficient's numerator).
+
+    Edges: users sharing ≥3 (event_type, hour) cells, with hot cells
+    df-cut at 60 users so pair fan-out is bounded under skew
+    (the cap sits above the p99 cell size at the largest test SF — a
+    production deployment picks the cell granularity, e.g. finer time
+    slots, so typical cells stay under the cap and only degenerate hot
+    cells are dropped).
+    Triangles: degree-ordered orientation (operators/graph.py::
+    triangle_counts) — wedges only fan out from LOW-rank endpoints, the
+    closure check is a pure equi-join, each triangle found exactly once
+    via its middle node.  Every join is an equi-join; the oracle
+    replays the identical orientation rule.
+    """
+    from ..operators.graph import cooccurrence_edges, triangle_counts
+
+    ev = table(spark, sf_dir, "events")
+    edges = cooccurrence_edges(ev, min_weight=3, max_cell_users=60)
+    return triangle_counts(edges)

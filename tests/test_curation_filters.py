@@ -141,3 +141,52 @@ def test_pivot_counts_reconcile(spark, qs):
     assert plan.count("orders.parquet") == 1
     assert plan.count("Exchange") <= 2
     assert "partial_pivotfirst" in plan
+
+
+def test_triangle_counts_pure_python_replay(spark, qs):
+    """Replay the full edge→orientation→triangle pipeline in pure
+    Python at sf0.001 and compare per-node counts exactly."""
+    from collections import defaultdict
+
+    from sumologic_aws_lambda_spark.catalog import table
+
+    ev = table(spark, SF_DIR, "events").select(
+        "event_type", (F.col("ts").cast("double") / 3600)
+        .cast("bigint").alias("h"), "user_id").collect()
+    cells = defaultdict(set)
+    for r in ev:
+        cells[(r["event_type"], r["h"])].add(r["user_id"])
+    w = defaultdict(int)
+    for users in cells.values():
+        if len(users) > 60:
+            continue
+        us = sorted(users)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                w[(us[i], us[j])] += 1
+    edges = {e for e, c in w.items() if c >= 3}
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    adj = defaultdict(set)
+    for u, v in edges:
+        s, t = (u, v) if (deg[u], u) < (deg[v], v) else (v, u)
+        adj[s].add(t)
+    tri_count = defaultdict(int)
+    for a in adj:
+        for b in adj[a]:
+            for c in adj.get(b, ()):
+                if c in adj[a]:
+                    for n in (a, b, c):
+                        tri_count[n] += 1
+    got = {r["user_id"]: r["n_triangles"]
+           for r in qs["triangle_communities"](spark, SF_DIR).collect()}
+    assert got == dict(tri_count)
+
+
+def test_triangle_plan_all_equi_joins(spark, qs):
+    plan = qs["triangle_communities"](spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
