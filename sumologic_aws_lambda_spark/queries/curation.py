@@ -655,7 +655,9 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exercises real matches (the public C4 pipeline uses the LDNOOBW word
 # list the same way — exact token membership, not substring).
 _BLOCKLIST = ("slow", "corrupt", "broken")
+_BL_SQL = ", ".join(repr(t) for t in _BLOCKLIST)
 _TRUNC_CAPS = (32, 64, 128)
+_CAPS_SQL = ", ".join(str(c) for c in _TRUNC_CAPS)
 
 
 @query(
@@ -665,7 +667,7 @@ _TRUNC_CAPS = (32, 64, 128)
         SELECT doc_id, source,
                len(string_split_regex(trim(text), '\\s+')) AS n_tok,
                len(list_filter(string_split_regex(trim(text), '\\s+'),
-                               t -> t IN ('slow', 'corrupt', 'broken')))
+                               t -> t IN ({_BL_SQL})))
                    AS n_bad
         FROM documents
     )

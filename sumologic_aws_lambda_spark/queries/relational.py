@@ -487,11 +487,15 @@ def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(counts, rev)
     )
     # pivot names multi-agg columns "<value>_<alias>"; align to oracle
+    # pivot emits NULL for an empty (priority, status) cell; the
+    # oracle's count_if emits 0 — coalesce so the engines agree when a
+    # fixture generation leaves a cell empty (revenue stays NULL on
+    # both sides: SQL sum over zero rows).
     return wide.select(
         "o_orderpriority",
-        F.col("F_cnt").alias("F"),
-        F.col("O_cnt").alias("O"),
-        F.col("P_cnt").alias("P"),
+        F.coalesce("F_cnt", F.lit(0)).alias("F"),
+        F.coalesce("O_cnt", F.lit(0)).alias("O"),
+        F.coalesce("P_cnt", F.lit(0)).alias("P"),
         F.col("F_rev").alias("rev_F"),
         F.col("O_rev").alias("rev_O"),
         F.col("P_rev").alias("rev_P"),

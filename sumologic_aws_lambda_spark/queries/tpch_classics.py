@@ -255,7 +255,8 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
     ),
     avg_bal AS (
-        SELECT avg(c_acctbal) AS cutoff FROM eligible WHERE c_acctbal > 0
+        SELECT round(avg(c_acctbal), 4) AS cutoff
+        FROM eligible WHERE c_acctbal > 0
     )
     SELECT e.c_nationkey AS nation_key,
            count(*)      AS numcust,
@@ -283,8 +284,10 @@ def global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     elig = table(spark, sf_dir, "customer").filter(
         F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
     ).select("c_custkey", "c_acctbal", "c_nationkey")
+    # cutoff ROUNDED before the strict compare (determinism rule: a
+    # cross-engine float aggregate must never gate membership raw)
     cutoff = elig.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("cutoff"))
+        F.round(F.avg("c_acctbal"), 4).alias("cutoff"))
     recent = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= "1999-01-01").select("o_custkey")
     return (

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import sys
 import time
 
@@ -131,15 +132,26 @@ def main() -> int:
     if args.registry is not None:
         # Generic registry probe: real 10x-row inputs via the sf dirs,
         # so partition counts, dims and join fan-ins all grow the way a
-        # scale-up grows them (not a synthetic filter).
+        # scale-up grows them (not a synthetic filter).  The 1x dir is
+        # DERIVED from --sf (one scale-factor decade down), so a
+        # non-default --sf keeps the printed 1x/10x labels truthful.
         from sumologic_aws_lambda_spark import queries as registry
 
+        m = re.fullmatch(r"(.*?/sf)0*([0-9.]+)/?", args.sf)
+        if not m:
+            raise SystemExit(f"--sf {args.sf!r} is not an sfN dir")
+        small_dir = f"{m.group(1)}{float(m.group(2)) / 10:g}"
+        if not os.path.isdir(small_dir):
+            raise SystemExit(f"no 1x dir {small_dir!r} below --sf")
         qs = registry.all_queries()
         names = args.registry or list(qs)
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
         for name in names:
             fn = qs[name]
-            t1, n1 = _time(fn(spark, "/root/testdata/sf0.01"))   # warm
-            t1, n1 = _time(fn(spark, "/root/testdata/sf0.01"))
+            t1, n1 = _time(fn(spark, small_dir))   # warm
+            t1, n1 = _time(fn(spark, small_dir))
             t10, n10 = _time(fn(spark, args.sf))
             ratio = t10 / t1 if t1 else float("inf")
             print(
