@@ -126,6 +126,12 @@ def drain_quarantine(spark: SparkSession, quarantine_dir: str,
         for m in matches if m
     ]
     for batch_id, path in sorted(dirs):
+        if pathlib.Path(f"{path}/_violations.json").exists():
+            # A QualityGateSink quarantine: the batch failed VALIDATION,
+            # not delivery — redelivering it would ship known-bad data.
+            # An operator resolves it by fixing and re-ingesting, not by
+            # draining (streaming/quality.py).
+            continue
         try:
             df = spark.read.parquet(path)
         except Py4JJavaError:
