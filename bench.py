@@ -141,6 +141,7 @@ OPTIONAL = [
     "window_rank_battery",
     "pivot_status_matrix",
     "triangle_communities",
+    "clustering_coefficients",
 ]
 
 

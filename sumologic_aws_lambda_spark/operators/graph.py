@@ -203,3 +203,35 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.explode(F.array("a", "b", "c")).alias("user_id"))
     return member.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_triangles"))
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient: 2·triangles / (deg·(deg−1)).
+
+    Reuses :func:`triangle_counts` (the only quadratic-risk work) and
+    joins it against the degree frame — both are node-sized, so the
+    join is broadcast-scale even when the edge list is huge.  Nodes
+    with degree < 2 have an undefined coefficient and report 0.0 (the
+    convention NetworkX uses).  The coefficient is rounded to 6 so the
+    single division is hash-stable cross-engine.
+    """
+    und = edges.select("u", "v")
+    deg = (
+        und.select(F.col("u").alias("user_id"))
+        .unionAll(und.select(F.col("v").alias("user_id")))
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(edges)
+    cc = F.when(
+        F.col("degree") >= 2,
+        F.round(2.0 * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tri, "user_id", "left_outer")
+        .select(
+            "user_id", "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            cc.alias("clustering_coeff"),
+        )
+    )

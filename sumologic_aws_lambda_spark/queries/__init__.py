@@ -48,8 +48,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # CORRECTNESS_r01-r06): 199 of 201 pre-round-7 queries driver-checked at
 # least once, all green at latest sample.  The round-7 window, in the
 # order the round-6 verdict prescribed: (a) the never-driver-sampled
-# queries — the two round-6 post-window stragglers plus the NEW
-# round-7 queries (eleven total with the late additions); (b) queries whose machinery round 7 REWROTE
+# queries — the two round-6 post-window stragglers, the round-7
+# queries, and the 19 continuation-session additions (TPC-H classics,
+# profiling, curation filters, resample/rank/pivot, triangles/cc);
+# (b) queries whose machinery round 7 REWROTE
 # (single-scan curation funnel; interval-overlap fractional bucketing);
 # (c) the 4 queries whose latest sample is still round 1; (d) the 14
 # entries the late round-6 waves bumped out of the r6 window; (e) the
@@ -72,14 +74,14 @@ _PRIORITY: tuple[str, ...] = (
     "market_share", "promo_revenue", "top_supplier",
     "small_quantity_revenue", "disjunctive_predicate_revenue",
     "resample_interpolate", "window_rank_battery", "pivot_status_matrix",
-    "triangle_communities",
+    "triangle_communities", "clustering_coefficients",
     # -- (b) machinery rewritten in round 7 --
     "curation_pipeline_funnel", "interval_overlap_pairs",
     # -- (c) latest sample round 1 --
     "count_distinct_parts", "percentile_quantity",
     "timestamp_locator_extract", "vpc_internal_filter",
     # -- (d) bumped out of the round-6 window by the late waves --
-    "cfn_stack_telemetry", "metrics_quantize", "quality_scores",
+    "cfn_stack_telemetry", "metrics_quantize",
     "semantic_dedup_clusters", "sumoql_lookup_expr",
     "simhash_signatures", "salted_agg_routing_key",
     "multimodal_feature_extract", "sessionize_events",

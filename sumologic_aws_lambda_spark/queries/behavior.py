@@ -753,3 +753,82 @@ def triangle_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     edges = cooccurrence_edges(ev, min_weight=3, max_cell_users=60)
     return triangle_counts(edges)
+
+
+@query(
+    "clustering_coefficients",
+    oracle="""
+    WITH cells AS (
+        SELECT DISTINCT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+               user_id
+        FROM events
+    ),
+    sizes AS (
+        SELECT event_type, h FROM cells
+        GROUP BY event_type, h HAVING count(*) <= 60
+    ),
+    small AS (
+        SELECT c.* FROM cells c JOIN sizes s USING (event_type, h)
+    ),
+    edges AS (
+        SELECT a.user_id AS u, b.user_id AS v
+        FROM small a JOIN small b USING (event_type, h)
+        WHERE a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+        HAVING count(*) >= 3
+    ),
+    deg AS (
+        SELECT node AS user_id, count(*) AS degree FROM (
+            SELECT u AS node FROM edges
+            UNION ALL SELECT v FROM edges
+        ) t GROUP BY node
+    ),
+    oriented AS (
+        SELECT CASE WHEN du.degree < dv.degree
+                      OR (du.degree = dv.degree AND e.u < e.v)
+                    THEN e.u ELSE e.v END AS src,
+               CASE WHEN du.degree < dv.degree
+                      OR (du.degree = dv.degree AND e.u < e.v)
+                    THEN e.v ELSE e.u END AS dst
+        FROM edges e
+        JOIN deg du ON du.user_id = e.u
+        JOIN deg dv ON dv.user_id = e.v
+    ),
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM oriented e1
+        JOIN oriented e2 ON e1.dst = e2.src
+        JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    tcount AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (
+            SELECT a AS user_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) m
+        GROUP BY user_id
+    )
+    SELECT d.user_id, d.degree,
+           COALESCE(t.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN round(2.0 * COALESCE(t.n_triangles, 0)
+                           / (d.degree * (d.degree - 1)), 6)
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg d
+    LEFT JOIN tcount t ON t.user_id = d.user_id
+    """,
+)
+def clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per user over the co-occurrence
+    graph — how tightly each user's neighborhood closes
+    (operators/graph.py::clustering_coefficients; same edge definition
+    and orientation as ``triangle_communities``)."""
+    from ..operators.graph import (
+        clustering_coefficients as _cc,
+        cooccurrence_edges,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return _cc(cooccurrence_edges(ev, min_weight=3, max_cell_users=60))

@@ -191,3 +191,14 @@ def test_triangle_plan_all_equi_joins(spark, qs):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_clustering_coefficients_bounds(spark, qs):
+    rows = qs["clustering_coefficients"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["clustering_coeff"] <= 1.0
+        if r["degree"] < 2:
+            assert r["clustering_coeff"] == 0.0
+        # a node cannot sit in more triangles than its degree pairs
+        assert r["n_triangles"] <= r["degree"] * (r["degree"] - 1) / 2
