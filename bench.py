@@ -142,6 +142,7 @@ OPTIONAL = [
     "pivot_status_matrix",
     "triangle_communities",
     "clustering_coefficients",
+    "sumoql_lookup_contains",
 ]
 
 

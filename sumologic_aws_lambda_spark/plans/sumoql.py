@@ -311,6 +311,9 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
         # `is None`, not truthiness: an empty PersistentLookups store is
         # falsy but still resolves tables from disk.
         return _stage_lookup(df, rest, {} if lookups is None else lookups)
+    if head == "lookupcontains":
+        return _stage_lookup_contains(
+            df, rest, {} if lookups is None else lookups)
     if head == "benchmark":
         return _stage_benchmark(
             df, rest, {} if lookups is None else lookups)
@@ -711,6 +714,37 @@ def _stage_lookup(df: DataFrame, rest: str,
         F.col(right_key).alias(left_key), *outs
     )
     return df.join(F.broadcast(dim), on=left_key, how="left")
+
+
+def _stage_lookup_contains(df: DataFrame, rest: str,
+                           lookups: dict[str, DataFrame]) -> DataFrame:
+    """``lookupContains <flag> from <table> on key[=right]`` — Sumo's
+    existence probe: sets ``flag`` true when the key appears in the
+    lookup table, without projecting any of its columns.  Compiled as a
+    broadcast left join against the DISTINCT key column of the dim
+    (never the full width), then ``flag = key matched`` — the stream
+    side never shuffles, and the build side is one deduplicated column
+    regardless of how wide the lookup table is."""
+    m = re.match(r"^(\w+)\s+from\s+(\w+)\s+on\s+([\w]+)(?:=([\w]+))?$",
+                 rest.strip(), re.IGNORECASE)
+    if not m:
+        raise SumoQLError(f"bad lookupContains stage: {rest!r}")
+    flag, name, left_key = m.group(1), m.group(2), m.group(3)
+    right_key = m.group(4) or left_key
+    getter = getattr(lookups, "get", None)
+    dim = getter(name) if getter else None
+    if dim is None:
+        raise SumoQLError(
+            f"unknown lookup table {name!r}; registered: {sorted(lookups)}"
+        )
+    probe = dim.select(
+        F.col(right_key).alias(left_key)
+    ).distinct().withColumn("__lc_hit", F.lit(True))
+    return (
+        df.join(F.broadcast(probe), on=left_key, how="left")
+        .withColumn(flag, F.coalesce(F.col("__lc_hit"), F.lit(False)))
+        .drop("__lc_hit")
+    )
 
 
 def _stage_benchmark(df: DataFrame, rest: str,

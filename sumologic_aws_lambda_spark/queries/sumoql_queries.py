@@ -1300,3 +1300,38 @@ def sumoql_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(100.0 * F.col("_count") / F.col("__tot"), 4))
         .drop("__tot")
     )
+
+
+@query(
+    "sumoql_lookup_contains",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count_if(big.c_custkey IS NOT NULL) AS BIGINT)
+               AS n_big_spender,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
+               WHERE c_acctbal > 5000) big
+           ON big.c_custkey = c.c_custkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def sumoql_lookup_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``lookupContains`` — Sumo's lookup-existence probe (the boolean
+    twin of ``lookup``): flags rows whose key appears in a lookup table
+    without projecting its columns, then aggregates on the flag.  The
+    probe side is the DISTINCT key column only, broadcast."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return compile_query(
+        joined,
+        "* | lookupContains is_big from big_spenders on c_custkey"
+        " | if(is_big, 1, 0) as big"
+        " | sum(big), count by o_orderpriority",
+        SumoSchema(raw_col="o_orderpriority"),
+        lookups={"big_spenders": big},
+    ).withColumnRenamed("_sum_big", "n_big_spender") \
+        .withColumnRenamed("_count", "n_orders")

@@ -859,3 +859,30 @@ def test_benchmark_stage_maps_keys_and_broadcasts(spark):
     with _pytest.raises(SumoQLError, match="unknown benchmark table"):
         compile_query(df, "* | benchmark percentage from nope on a=sev",
                       SumoSchema(raw_col="sev"), lookups={})
+
+
+def test_lookup_contains_flags_and_broadcasts(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("u1", 5), ("u2", 7), ("u3", 9)], "user string, n int")
+    allow = spark.createDataFrame(
+        [("u1", "x"), ("u1", "y"), ("u3", "z")],
+        "member string, extra string")
+    out = compile_query(
+        df,
+        "* | lookupContains known from allowlist on user=member",
+        SumoSchema(raw_col="user"),
+        lookups={"allowlist": allow},
+    )
+    got = {(r["user"], r["known"]) for r in out.collect()}
+    assert got == {("u1", True), ("u2", False), ("u3", True)}
+    # probe side is the distinct key only, broadcast; no width leak
+    assert "extra" not in out.columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    with _pytest.raises(SumoQLError, match="unknown lookup table"):
+        compile_query(df, "* | lookupContains f from nope on user",
+                      SumoSchema(raw_col="user"), lookups={})
