@@ -214,3 +214,45 @@ def streaming_sliding_counts(records: DataFrame,
         F.window(ts_col, length, slide).alias("slice"),
         key_col,
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def streaming_interval_join(clicks: DataFrame, purchases: DataFrame,
+                            key: str = "user_id",
+                            within_minutes: int = 30,
+                            watermark_minutes: int = 60) -> DataFrame:
+    """Stream-stream inner join: each purchase attributed to the same
+    user's click at most ``within_minutes`` earlier (last-touch
+    attribution as a CONTINUOUS query — the streaming twin of
+    ``operators/asof.py``'s batch as-of join).
+
+    Both sides carry watermarks, so Spark bounds the join state: a
+    buffered click is dropped once the purchase-side watermark passes
+    ``click_ts + within`` and vice versa — state is
+    O(traffic × window), never unbounded (the time-range condition in
+    the join is what lets the state store evict; an equi-join alone
+    would buffer both streams forever).  The join itself co-partitions
+    both streams on the user key — one shuffle per side, the same
+    partitioning a 1000-executor cluster would use.
+    """
+    c = (
+        clicks.withWatermark("ts", f"{watermark_minutes} minutes")
+        .select(F.col(key).alias("c_user"),
+                F.col("ts").alias("click_ts"))
+    )
+    p = (
+        purchases.withWatermark("ts", f"{watermark_minutes} minutes")
+        .select(F.col(key).alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("value").alias("purchase_value"))
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >=
+           F.col("purchase_ts") - F.expr(f"INTERVAL {within_minutes} MINUTES")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "click_ts", "purchase_ts", "purchase_value",
+    )

@@ -92,3 +92,42 @@ def test_drain_skips_quality_quarantine(spark, sink, tmp_path):
     assert reports == []
     assert os.path.exists(qdir)
     assert not os.path.exists(str(tmp_path / "drained"))
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two file streams; purchases join to same-user clicks at most
+    30 min earlier. The out-of-window click must not attribute."""
+    import json as _json
+
+    clicks_dir = tmp_path / "clicks"
+    buys_dir = tmp_path / "buys"
+    clicks_dir.mkdir()
+    buys_dir.mkdir()
+    (clicks_dir / "c.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"user_id": 1, "ts": "2024-01-01T10:00:00"},
+        {"user_id": 2, "ts": "2024-01-01T09:00:00"},   # 65 min early
+        {"user_id": 3, "ts": "2024-01-01T10:20:00"},   # after purchase
+    ]))
+    (buys_dir / "p.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"user_id": 1, "ts": "2024-01-01T10:05:00", "value": 9.5},
+        {"user_id": 2, "ts": "2024-01-01T10:05:00", "value": 4.0},
+        {"user_id": 3, "ts": "2024-01-01T10:05:00", "value": 2.5},
+    ]))
+    schema_c = "user_id long, ts timestamp"
+    schema_p = "user_id long, ts timestamp, value double"
+    from sumologic_aws_lambda_spark.streaming.pipeline import (
+        streaming_interval_join,
+    )
+
+    joined = streaming_interval_join(
+        spark.readStream.schema(schema_c).json(str(clicks_dir)),
+        spark.readStream.schema(schema_p).json(str(buys_dir)),
+    )
+    out = tmp_path / "out"
+    q = (joined.writeStream.format("parquet")
+         .option("path", str(out))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(out)).collect()
+    assert {(r["user_id"], r["purchase_value"]) for r in rows} == {(1, 9.5)}
