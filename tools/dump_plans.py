@@ -80,6 +80,14 @@ SHOWCASE = [
     "embedding_decontamination",  # broadcast bench array, narrow corpus
     "epoch_shard_manifest",   # md5 keys + one partial-agg groupBy
     "curation_pipeline_funnel",  # two scans + persisted winner exchange
+    "local_supplier_volume",  # Q5: 6-way snowflake, co-location key
+    "market_share",           # Q8: deepest join tree, conditional ratio
+    "customer_order_distribution",  # Q13: outer-join count-of-counts
+    "table_profile",          # one-scan multi-distinct Expand profile
+    "blocklist_filter_stats",  # higher-order filter, one exchange
+    "resample_interpolate",   # grid explode + ignorenulls windows
+    "window_rank_battery",    # five ranking fns, ONE WindowExec
+    "triangle_communities",   # degree-ordered wedges, equi-join closure
 ]
 
 
