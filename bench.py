@@ -143,6 +143,7 @@ OPTIONAL = [
     "triangle_communities",
     "clustering_coefficients",
     "sumoql_lookup_contains",
+    "value_percentile_bands",
 ]
 
 

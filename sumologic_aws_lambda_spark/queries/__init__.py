@@ -75,7 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "small_quantity_revenue", "disjunctive_predicate_revenue",
     "resample_interpolate", "window_rank_battery", "pivot_status_matrix",
     "triangle_communities", "clustering_coefficients",
-    "sumoql_lookup_contains",
+    "sumoql_lookup_contains", "value_percentile_bands",
     # -- (b) machinery rewritten in round 7 --
     "curation_pipeline_funnel", "interval_overlap_pairs",
     # -- (c) latest sample round 1 --
@@ -87,7 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "simhash_signatures", "salted_agg_routing_key",
     "multimodal_feature_extract", "sessionize_events",
     "asof_join_last_click", "cwl_decode_pipeline",
-    "asff_validation_gate", "fer_registry_apply",
+    "asff_validation_gate",
 )
 
 # Round-8 rotation notes: after the r7 window lands, the remaining

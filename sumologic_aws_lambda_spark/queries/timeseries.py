@@ -597,3 +597,48 @@ def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         value.alias("value"),
         F.col("v").isNull().alias("interpolated"),
     )
+
+
+@query(
+    "value_percentile_bands",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.90), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+    """,
+)
+def value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p90/p99 bands per series — the latency-chart staple.
+
+    One grouped aggregate computes all three EXACT percentiles (Spark
+    evaluates ``percentile(value, array(...))`` in a single pass per
+    group — one shuffle, no window, no per-quantile re-scan); exact
+    ``percentile`` matches DuckDB ``quantile_cont`` at round(6) (the
+    grouped-median precedent).  At 100 TB swap to
+    ``approx_percentile`` with the same call shape when groups grow
+    beyond memory — the exact form holds while day×type groups are
+    executor-sized.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .agg(
+            F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("_p"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type", "day",
+            F.round(F.col("_p")[0], 6).alias("p50"),
+            F.round(F.col("_p")[1], 6).alias("p90"),
+            F.round(F.col("_p")[2], 6).alias("p99"),
+            "n",
+        )
+    )
