@@ -173,7 +173,11 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     middle node, closure check on (lo, hi), then a 3-way explode and
     one count per node.  No cartesian anywhere.
     """
-    und = edges.select("u", "v")
+    # localCheckpoint: `und` feeds the degree union (twice) and the
+    # orientation join — without it the upstream edge build (a full
+    # event scan + per-cell self-join when called on cooccurrence_edges
+    # output) re-executes once per consumer (the pagerank precedent).
+    und = edges.select("u", "v").localCheckpoint()
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -215,6 +219,9 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     convention NetworkX uses).  The coefficient is rounded to 6 so the
     single division is hash-stable cross-engine.
     """
+    # one checkpoint serves the degree frame AND the triangle pass —
+    # the cooccurrence build otherwise re-executes ~5x across consumers
+    edges = edges.localCheckpoint()
     und = edges.select("u", "v")
     deg = (
         und.select(F.col("u").alias("user_id"))

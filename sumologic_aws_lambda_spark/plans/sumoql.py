@@ -731,12 +731,13 @@ def _stage_lookup_contains(df: DataFrame, rest: str,
         raise SumoQLError(f"bad lookupContains stage: {rest!r}")
     flag, name, left_key = m.group(1), m.group(2), m.group(3)
     right_key = m.group(4) or left_key
-    getter = getattr(lookups, "get", None)
-    dim = getter(name) if getter else None
-    if dim is None:
+    # membership + [] (not .get): a PersistentLookups store resolves
+    # disk-resident tables through __missing__, which .get bypasses
+    if name not in lookups:
         raise SumoQLError(
             f"unknown lookup table {name!r}; registered: {sorted(lookups)}"
         )
+    dim = lookups[name]
     probe = dim.select(
         F.col(right_key).alias(left_key)
     ).distinct().withColumn("__lc_hit", F.lit(True))
@@ -764,12 +765,12 @@ def _stage_benchmark(df: DataFrame, rest: str,
     if not m:
         raise SumoQLError(f"bad benchmark stage: {rest!r}")
     value_col, alias, name = m.group(1), m.group(2) or m.group(1), m.group(3)
-    getter = getattr(lookups, "get", None)
-    dim = getter(name) if getter else None
-    if dim is None:
+    # membership + [] so PersistentLookups.__missing__ can load from disk
+    if name not in lookups:
         raise SumoQLError(
             f"unknown benchmark table {name!r}; registered: "
             f"{sorted(lookups)}")
+    dim = lookups[name]
     keys = []
     sel = []
     for pair in m.group(4).split(","):

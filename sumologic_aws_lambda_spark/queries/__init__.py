@@ -53,9 +53,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # profiling, curation filters, resample/rank/pivot, triangles/cc);
 # (b) queries whose machinery round 7 REWROTE
 # (single-scan curation funnel; interval-overlap fractional bucketing);
-# (c) the 4 queries whose latest sample is still round 1; (d) the 14
-# entries the late round-6 waves bumped out of the r6 window; (e) the
-# oldest-validated spread (latest sample round 3), cross-family.
+# (c) the 4 queries whose latest sample is still round 1; (d) what
+# remains of the 14 entries the late round-6 waves bumped out of the
+# r6 window — the continuation waves displaced quality_scores,
+# monitor_threshold_alerts and fer_registry_apply from (d) and the
+# whole oldest-validated (e) spread; ALL displaced names go to the
+# round-8 head (recompute from CORRECTNESS_r01-r07, see note below).
 # Everything else keeps registration order after the head and remains
 # covered by the repo's own full-surface driver replica
 # (tools/verify_driver_contract.py, all queries).

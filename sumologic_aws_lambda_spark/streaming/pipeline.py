@@ -245,14 +245,26 @@ def streaming_interval_join(clicks: DataFrame, purchases: DataFrame,
                 F.col("ts").alias("purchase_ts"),
                 F.col("value").alias("purchase_value"))
     )
-    return p.join(
+    pairs = p.join(
         c,
         (F.col("p_user") == F.col("c_user"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >=
            F.col("purchase_ts") - F.expr(f"INTERVAL {within_minutes} MINUTES")),
         "inner",
-    ).select(
-        F.col("p_user").alias("user_id"),
-        "click_ts", "purchase_ts", "purchase_value",
+    )
+    # LAST-touch: a purchase preceded by N in-window clicks must emit
+    # ONE row (the latest click), or downstream revenue sums count the
+    # purchase N times.  The post-join streaming max groups on the
+    # purchase identity; Spark chains the two stateful operators in
+    # append mode because the join output carries the purchase-side
+    # event time (watermarked), and the aggregate emits once the
+    # watermark passes the purchase timestamp.
+    return (
+        pairs.groupBy("p_user", "purchase_ts", "purchase_value")
+        .agg(F.max("click_ts").alias("click_ts"))
+        .select(
+            F.col("p_user").alias("user_id"),
+            "click_ts", "purchase_ts", "purchase_value",
+        )
     )

@@ -52,9 +52,11 @@ def in_set(col: str, values) -> Column:
 
 
 def matches(col: str, pattern: str) -> Column:
-    """Violations = non-NULL rows not fully matching ``pattern``."""
+    """Violations = non-NULL rows not FULLY matching ``pattern`` — the
+    pattern is anchored (rlike alone is a substring search, which would
+    pass partially-matching garbage)."""
     c = F.col(col)
-    return F.count_if(c.isNotNull() & ~c.rlike(pattern))
+    return F.count_if(c.isNotNull() & ~c.rlike(f"^(?:{pattern})$"))
 
 
 @dataclass
@@ -98,23 +100,43 @@ class QualityGateSink:
         return rows, {n: int(v or 0) for n, v in row.items()}
 
     def __call__(self, batch_df, batch_id: int) -> None:
-        rows, metrics = self._metrics(batch_df)
-        violations = {n: v for n, v in metrics.items() if v > 0}
-        passed = not violations
-        if passed:
-            w = batch_df.write.mode("overwrite")
-            cols = [c for c in self.partition_cols
-                    if c in batch_df.columns]
-            if cols:
-                w = w.partitionBy(*cols)
-            w.parquet(f"{self.out_dir}/batch_id={batch_id}")
-        else:
-            qdir = f"{self.quarantine_dir}/batch_id={batch_id}"
-            batch_df.write.mode("overwrite").parquet(qdir)
-            os.makedirs(qdir, exist_ok=True)
-            with open(f"{qdir}/_violations.json", "w",
-                      encoding="utf-8") as fh:
-                json.dump({"batch_id": batch_id, "rows": rows,
-                           "violations": violations}, fh, sort_keys=True)
+        # persist: the batch feeds two actions (the validation aggregate
+        # and the delivery/quarantine write) — without it the micro-batch
+        # input is read and re-transformed twice.
+        batch_df.persist()
+        try:
+            rows, metrics = self._metrics(batch_df)
+            violations = {n: v for n, v in metrics.items() if v > 0}
+            passed = not violations
+            if passed:
+                w = batch_df.write.mode("overwrite")
+                cols = [c for c in self.partition_cols
+                        if c in batch_df.columns]
+                if cols:
+                    w = w.partitionBy(*cols)
+                w.parquet(f"{self.out_dir}/batch_id={batch_id}")
+            else:
+                # Stage into a tmp dir whose name the drain regex can
+                # NEVER match, add the marker, then rename into place —
+                # a crash at any point leaves either no visible batch
+                # dir or a complete one WITH its marker; the old
+                # parquet-then-marker order had a window where a crash
+                # left a marker-less dir that drain_quarantine would
+                # redeliver as if it had merely failed delivery.
+                import shutil
+
+                final = f"{self.quarantine_dir}/batch_id={batch_id}"
+                tmp = f"{self.quarantine_dir}/_staging_{batch_id}"
+                shutil.rmtree(tmp, ignore_errors=True)
+                batch_df.write.mode("overwrite").parquet(tmp)
+                with open(f"{tmp}/_violations.json", "w",
+                          encoding="utf-8") as fh:
+                    json.dump({"batch_id": batch_id, "rows": rows,
+                               "violations": violations}, fh,
+                              sort_keys=True)
+                shutil.rmtree(final, ignore_errors=True)
+                os.rename(tmp, final)
+        finally:
+            batch_df.unpersist()
         self.reports.append(
             QualityReport(batch_id, rows, passed, violations))

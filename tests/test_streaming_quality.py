@@ -95,24 +95,36 @@ def test_drain_skips_quality_quarantine(spark, sink, tmp_path):
 
 
 def test_stream_stream_interval_join(spark, tmp_path):
-    """Two file streams; purchases join to same-user clicks at most
-    30 min earlier. The out-of-window click must not attribute."""
+    """Two file streams; purchases attribute to the LATEST same-user
+    click at most 30 min earlier — one row per purchase even with two
+    in-window clicks.  The last-touch aggregate only emits once the
+    watermark passes the purchase time, so a second batch of later
+    events (maxFilesPerTrigger=1 forces the batch boundary) advances
+    the watermark and flushes the first batch's results — exactly the
+    production behavior."""
     import json as _json
+    import time as _time
 
     clicks_dir = tmp_path / "clicks"
     buys_dir = tmp_path / "buys"
     clicks_dir.mkdir()
     buys_dir.mkdir()
-    (clicks_dir / "c.json").write_text("\n".join(_json.dumps(r) for r in [
-        {"user_id": 1, "ts": "2024-01-01T10:00:00"},
+    (clicks_dir / "c0.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"user_id": 1, "ts": "2024-01-01T10:00:00"},   # in window
+        {"user_id": 1, "ts": "2024-01-01T09:50:00"},   # earlier in-window
         {"user_id": 2, "ts": "2024-01-01T09:00:00"},   # 65 min early
         {"user_id": 3, "ts": "2024-01-01T10:20:00"},   # after purchase
     ]))
-    (buys_dir / "p.json").write_text("\n".join(_json.dumps(r) for r in [
+    (buys_dir / "p0.json").write_text("\n".join(_json.dumps(r) for r in [
         {"user_id": 1, "ts": "2024-01-01T10:05:00", "value": 9.5},
         {"user_id": 2, "ts": "2024-01-01T10:05:00", "value": 4.0},
         {"user_id": 3, "ts": "2024-01-01T10:05:00", "value": 2.5},
     ]))
+    _time.sleep(1.1)   # file-source ordering is by modification time
+    (clicks_dir / "c1.json").write_text(_json.dumps(
+        {"user_id": 98, "ts": "2024-01-01T16:00:00"}))
+    (buys_dir / "p1.json").write_text(_json.dumps(
+        {"user_id": 99, "ts": "2024-01-01T16:00:00", "value": 1.0}))
     schema_c = "user_id long, ts timestamp"
     schema_p = "user_id long, ts timestamp, value double"
     from sumologic_aws_lambda_spark.streaming.pipeline import (
@@ -120,14 +132,18 @@ def test_stream_stream_interval_join(spark, tmp_path):
     )
 
     joined = streaming_interval_join(
-        spark.readStream.schema(schema_c).json(str(clicks_dir)),
-        spark.readStream.schema(schema_p).json(str(buys_dir)),
+        spark.readStream.schema(schema_c)
+        .option("maxFilesPerTrigger", 1).json(str(clicks_dir)),
+        spark.readStream.schema(schema_p)
+        .option("maxFilesPerTrigger", 1).json(str(buys_dir)),
     )
     out = tmp_path / "out"
     q = (joined.writeStream.format("parquet")
          .option("path", str(out))
          .option("checkpointLocation", str(tmp_path / "ck"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    q.awaitTermination(180)
     rows = spark.read.parquet(str(out)).collect()
-    assert {(r["user_id"], r["purchase_value"]) for r in rows} == {(1, 9.5)}
+    # user 1: ONE row, attributed to the LATEST in-window click
+    assert {(r["user_id"], str(r["click_ts"]), r["purchase_value"])
+            for r in rows} == {(1, "2024-01-01 10:00:00", 9.5)}

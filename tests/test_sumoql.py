@@ -886,3 +886,23 @@ def test_lookup_contains_flags_and_broadcasts(spark):
     with _pytest.raises(SumoQLError, match="unknown lookup table"):
         compile_query(df, "* | lookupContains f from nope on user",
                       SumoSchema(raw_col="user"), lookups={})
+
+
+def test_lookup_contains_resolves_disk_resident_tables(spark, tmp_path):
+    """PersistentLookups resolves tables via __missing__ (disk load);
+    lookupContains/benchmark must use membership + [] — .get() bypasses
+    __missing__ and wrongly reported saved tables as unknown."""
+    from sumologic_aws_lambda_spark.plans.lookups import PersistentLookups
+
+    store = PersistentLookups(spark, str(tmp_path / "lk"))
+    store.save("allow", spark.createDataFrame(
+        [("u1",)], "member string"))
+    # a FRESH store over the same root: table exists on disk only
+    fresh = PersistentLookups(spark, str(tmp_path / "lk"))
+    assert "allow" in fresh and dict.get(fresh, "allow") is None
+    df = spark.createDataFrame([("u1",), ("u2",)], "user string")
+    out = compile_query(
+        df, "* | lookupContains known from allow on user=member",
+        SumoSchema(raw_col="user"), lookups=fresh)
+    assert {(r["user"], r["known"]) for r in out.collect()} == \
+        {("u1", True), ("u2", False)}
