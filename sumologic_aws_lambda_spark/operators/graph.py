@@ -242,3 +242,44 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
             cc.alias("clustering_coeff"),
         )
     )
+
+
+def k_core(edges: DataFrame, k: int = 3,
+           max_rounds: int = 30) -> DataFrame:
+    """The k-core: the maximal subgraph where every node keeps degree
+    ≥ k, computed by iterative peeling (drop under-degree nodes, which
+    lowers neighbors' degrees, repeat to fixpoint).
+
+    Aggregate-then-iterate regime: every round is one degree aggregate
+    over the SURVIVING edge list plus two semi-joins; the iterated
+    frame is localCheckpointed per round so plans stay flat (the
+    components/pagerank discipline), and the fixpoint check is a
+    per-round scalar count — the only driver-side value.  Rounds are
+    bounded by the graph's degeneracy ordering depth, which is tiny
+    compared to diameter in practice; ``max_rounds`` is a runaway
+    backstop.  Returns (user_id, core_degree) — each survivor's degree
+    WITHIN the core (≥ k by construction).
+    """
+    cur = edges.select("u", "v").localCheckpoint()
+    n_prev = -1
+    for _ in range(max_rounds):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node").localCheckpoint()
+        n = keep.count()
+        if n == n_prev:
+            break
+        n_prev = n
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        cur.select(F.col("u").alias("user_id"))
+        .unionAll(cur.select(F.col("v").alias("user_id")))
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("core_degree"))
+    )

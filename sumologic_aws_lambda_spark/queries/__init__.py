@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "resample_interpolate", "window_rank_battery", "pivot_status_matrix",
     "triangle_communities", "clustering_coefficients",
     "sumoql_lookup_contains", "value_percentile_bands",
+    "k_core_membership",
     # -- (b) machinery rewritten in round 7 --
     "curation_pipeline_funnel", "interval_overlap_pairs",
     # -- (c) latest sample round 1 --
@@ -86,7 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "timestamp_locator_extract", "vpc_internal_filter",
     # -- (d) bumped out of the round-6 window by the late waves --
     "cfn_stack_telemetry", "metrics_quantize",
-    "semantic_dedup_clusters", "sumoql_lookup_expr",
+    "semantic_dedup_clusters",
     "simhash_signatures", "salted_agg_routing_key",
     "multimodal_feature_extract", "sessionize_events",
     "asof_join_last_click", "cwl_decode_pipeline",
@@ -97,7 +98,8 @@ _PRIORITY: tuple[str, ...] = (
 # r3-stale cohort (latest sample round 3, not in the r7 window) should
 # lead round 8, then the r4 cohort; recompute programmatically by
 # aggregating CORRECTNESS_r01-r07 latest-sample rounds — do not trust
-# hand-maintained lists.
+# hand-maintained lists.  sumoql_lookup_expr (last green r5) was
+# displaced late in r7 by k_core_membership and belongs in the r8 head.
 
 
 def _prioritized(d: dict) -> dict:

@@ -832,3 +832,70 @@ def clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return _cc(cooccurrence_edges(ev, min_weight=3, max_cell_users=60))
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled peel rounds as chained CTEs (the pagerank-oracle
+    technique for iterative algorithms: fix the round count ABOVE the
+    measured fixpoint depth — ≤4 at every fixture SF — so the unrolled
+    chain provably converges; extra rounds are no-ops on a fixpoint).
+    Every round CTE is MATERIALIZED: each level references the previous
+    one three times, so DuckDB's default inline expansion would blow up
+    3^rounds scans of the base table (observed as fd exhaustion)."""
+    parts = ["""
+    WITH cells AS (
+        SELECT DISTINCT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+               user_id
+        FROM events
+    ),
+    sizes AS (
+        SELECT event_type, h FROM cells
+        GROUP BY event_type, h HAVING count(*) <= 60
+    ),
+    small AS (
+        SELECT c.* FROM cells c JOIN sizes s USING (event_type, h)
+    ),
+    r0 AS MATERIALIZED (
+        SELECT a.user_id AS u, b.user_id AS v
+        FROM small a JOIN small b USING (event_type, h)
+        WHERE a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+        HAVING count(*) >= 3
+    )"""]
+    for i in range(rounds):
+        parts.append(f""",
+    k{i} AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT u AS node FROM r{i} UNION ALL SELECT v FROM r{i}
+        ) t GROUP BY node HAVING count(*) >= {k}
+    ),
+    r{i + 1} AS MATERIALIZED (
+        SELECT e.u, e.v FROM r{i} e
+        JOIN k{i} a ON a.node = e.u
+        JOIN k{i} b ON b.node = e.v
+    )""")
+    parts.append(f"""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM (
+        SELECT u AS user_id FROM r{rounds}
+        UNION ALL SELECT v FROM r{rounds}
+    ) m
+    GROUP BY user_id
+    """)
+    return "".join(parts)
+
+
+@query("k_core_membership", oracle=_kcore_oracle())
+def k_core_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the user co-occurrence graph: the maximal subgraph
+    where every surviving user keeps ≥3 surviving neighbors — the
+    standard cohesion filter separating embedded community members
+    from peripheral users (operators/graph.py::k_core, iterative
+    peeling with per-round lineage cuts; the oracle unrolls the peel
+    to a fixed depth above the measured fixpoint)."""
+    from ..operators.graph import cooccurrence_edges, k_core
+
+    ev = table(spark, sf_dir, "events")
+    return k_core(cooccurrence_edges(ev, min_weight=3, max_cell_users=60),
+                  k=3)

@@ -297,3 +297,28 @@ def test_cohort_ltv_aligns_with_retention(spark, qs):
         assert 0 <= r.n_buyers <= ret[(r.cohort_week, r.offset_weeks)]
         assert r.revenue >= 0.0
         assert (r.revenue > 0) == (r.n_buyers > 0)
+
+
+# ---------------------------------------------------------------- k-core
+
+
+def test_k_core_peels_to_known_core(spark):
+    # Graph: K4 on {1,2,3,4} (the 3-core) plus a pendant chain 4-5-6
+    # and a triangle {7,8,9} (only a 2-core) — peeling must remove the
+    # chain AND the triangle, keeping exactly the K4 at degree 3.
+    from sumologic_aws_lambda_spark.operators.graph import k_core
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    extra = [(4, 5), (5, 6), (7, 8), (7, 9), (8, 9)]
+    edges = spark.createDataFrame(k4 + extra, "u long, v long")
+    got = {r["user_id"]: r["core_degree"]
+           for r in k_core(edges, k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_k_core_empty_when_no_core(spark):
+    from sumologic_aws_lambda_spark.operators.graph import k_core
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "u long, v long")
+    assert k_core(chain, k=3).count() == 0
