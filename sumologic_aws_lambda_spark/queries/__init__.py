@@ -80,26 +80,30 @@ _PRIORITY: tuple[str, ...] = (
     "triangle_communities", "clustering_coefficients",
     "sumoql_lookup_contains", "value_percentile_bands",
     "k_core_membership",
+    # -- (a2) the late-session TPC-H completion wave (never sampled) --
+    "min_cost_supplier", "product_type_profit", "returned_item_report",
+    "important_part_value", "late_shipment_priority",
+    "supplier_part_variety", "excess_supply_candidates",
+    "waiting_orders_suppliers",
     # -- (b) machinery rewritten in round 7 --
     "curation_pipeline_funnel", "interval_overlap_pairs",
     # -- (c) latest sample round 1 --
     "count_distinct_parts", "percentile_quantity",
     "timestamp_locator_extract", "vpc_internal_filter",
     # -- (d) bumped out of the round-6 window by the late waves --
-    "cfn_stack_telemetry", "metrics_quantize",
-    "semantic_dedup_clusters",
-    "simhash_signatures", "salted_agg_routing_key",
-    "multimodal_feature_extract", "sessionize_events",
-    "asof_join_last_click", "cwl_decode_pipeline",
-    "asff_validation_gate",
+    "cwl_decode_pipeline", "asff_validation_gate",
 )
 
 # Round-8 rotation notes: after the r7 window lands, the remaining
 # r3-stale cohort (latest sample round 3, not in the r7 window) should
 # lead round 8, then the r4 cohort; recompute programmatically by
 # aggregating CORRECTNESS_r01-r07 latest-sample rounds — do not trust
-# hand-maintained lists.  sumoql_lookup_expr (last green r5) was
-# displaced late in r7 by k_core_membership and belongs in the r8 head.
+# hand-maintained lists.  Displaced late in r7 by k_core_membership and
+# the TPC-H completion wave, all green at their latest sample and owed
+# an r8 slot: sumoql_lookup_expr (r5), semantic_dedup_clusters (r5),
+# cfn_stack_telemetry, metrics_quantize, salted_agg_routing_key,
+# sessionize_events (r4), simhash_signatures, multimodal_feature_extract,
+# asof_join_last_click (r3).
 
 
 def _prioritized(d: dict) -> dict:
