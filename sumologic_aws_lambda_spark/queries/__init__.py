@@ -85,25 +85,27 @@ _PRIORITY: tuple[str, ...] = (
     "important_part_value", "late_shipment_priority",
     "supplier_part_variety", "excess_supply_candidates",
     "waiting_orders_suppliers",
+    # -- (a3) the segmentation / retrieval / series wave (never sampled) --
+    "rfm_segmentation", "part_affinity_rules", "revenue_concentration",
+    "daily_autocorrelation", "cusum_changepoints", "bm25_retrieval",
+    "link_prediction_scores",
     # -- (b) machinery rewritten in round 7 --
-    "curation_pipeline_funnel", "interval_overlap_pairs",
-    # -- (c) latest sample round 1 --
-    "count_distinct_parts", "percentile_quantity",
-    "timestamp_locator_extract", "vpc_internal_filter",
-    # -- (d) bumped out of the round-6 window by the late waves --
-    "cwl_decode_pipeline", "asff_validation_gate",
+    "curation_pipeline_funnel",
 )
 
 # Round-8 rotation notes: after the r7 window lands, the remaining
 # r3-stale cohort (latest sample round 3, not in the r7 window) should
 # lead round 8, then the r4 cohort; recompute programmatically by
 # aggregating CORRECTNESS_r01-r07 latest-sample rounds — do not trust
-# hand-maintained lists.  Displaced late in r7 by k_core_membership and
-# the TPC-H completion wave, all green at their latest sample and owed
-# an r8 slot: sumoql_lookup_expr (r5), semantic_dedup_clusters (r5),
-# cfn_stack_telemetry, metrics_quantize, salted_agg_routing_key,
-# sessionize_events (r4), simhash_signatures, multimodal_feature_extract,
-# asof_join_last_click (r3).
+# hand-maintained lists.  Displaced late in r7, all green at their
+# latest sample (or replica-green for interval_overlap_pairs, whose
+# fractional-bucketing fix has a dedicated pytest regression) and owed
+# an r8 slot: interval_overlap_pairs (rewritten r7!), count_distinct_parts,
+# percentile_quantity, timestamp_locator_extract, vpc_internal_filter (r1),
+# cwl_decode_pipeline, asff_validation_gate, sumoql_lookup_expr (r5),
+# semantic_dedup_clusters (r5), cfn_stack_telemetry, metrics_quantize,
+# salted_agg_routing_key, sessionize_events (r4), simhash_signatures,
+# multimodal_feature_extract, asof_join_last_click (r3).
 
 
 def _prioritized(d: dict) -> dict:
@@ -153,5 +155,6 @@ def _import_all() -> None:
         resolution,
         tpch_classics,
         profiling,
+        segmentation,
     )
     _IMPORTED = True

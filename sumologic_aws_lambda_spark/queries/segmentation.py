@@ -1,0 +1,250 @@
+"""Customer segmentation and market-basket analytics over orders.
+
+The reference's dashboard tier ships customer-health and product-mix
+panels (sumologic-aws-lambda apps expose count/top/percentile panels
+over parsed commerce logs); these queries are the three classic
+segmentation shapes a Sumo user would build on top of that surface,
+each expressed as a Catalyst plan with an explicit 100 TB story:
+
+* RFM — the fact table collapses to ONE per-customer row (a single
+  partial-aggregatable shuffle on ``o_custkey``); the quartile windows
+  then run over the collapsed dim-sized frame, never the facts.  At
+  100 TB the windows would be replaced by broadcast approx-quantile
+  cut points (``approxQuantile`` on the collapsed frame) — the
+  aggregate-first topology is what makes either finisher cheap.
+* basket affinity — the pair generator self-joins the DISTINCT
+  (order, part) frame on its OWN shuffle key (``l_orderkey``), so the
+  join is co-partitioned with the dedup aggregate that feeds it; pair
+  fan-out is bounded by basket size squared (TPC-H baskets are ≤7
+  lines → ≤21 pairs per order) regardless of total scale.  All
+  rule metrics are single divisions of exact counts — no float
+  accumulation anywhere.
+* revenue concentration — per-nation HHI: facts collapse per customer
+  first, nation totals are a second aggregate over the collapsed
+  frame, broadcast back (25 nations).  Nothing after the first
+  shuffle touches fact-scale data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from . import query
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(floor(epoch(max(o_orderdate)) / 86400) AS BIGINT)
+                   AS last_day,
+               CAST(count(*) AS BIGINT) AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, last_day, frequency, monetary,
+           ntile(4) OVER (ORDER BY last_day DESC, o_custkey) AS r_score,
+           ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+           ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+    FROM per_cust
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile scoring per customer (1 = best quartile).
+
+    Recency = last order day (epoch days), frequency = order count,
+    monetary = lifetime spend rounded at 2 dp BEFORE ranking so the
+    quartile cut is engine-agnostic (oracle-determinism rule 16); every
+    ntile ordering carries the ``o_custkey`` tiebreak so bucket
+    boundaries are total-ordered.  Facts collapse to one row per
+    customer in a single partial-agg shuffle; the three windows run
+    over that dim-sized frame only (at 100 TB: broadcast
+    ``approxQuantile`` cut points instead — same collapsed input).
+    """
+    per_cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.floor(F.max("o_orderdate").cast("double") / 86400)
+            .cast("long").alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    r_w = Window.orderBy(F.col("last_day").desc(), "o_custkey")
+    f_w = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    m_w = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    return per_cust.select(
+        "o_custkey", "last_day", "frequency", "monetary",
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+    )
+
+
+@query(
+    "part_affinity_rules",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+        SELECT count(DISTINCT l_orderkey) AS n FROM baskets
+    ),
+    item AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        FROM baskets GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS support
+        FROM baskets a
+        JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b
+        HAVING count(*) >= 3
+    )
+    SELECT p.part_a, p.part_b, p.support,
+           ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+           round(CAST(p.support AS DOUBLE) / ia.cnt, 6) AS conf_a_b,
+           round(CAST(p.support AS DOUBLE) / ib.cnt, 6) AS conf_b_a,
+           round(CAST(p.support * n.n AS DOUBLE) / (ia.cnt * ib.cnt), 6)
+               AS lift
+    FROM pairs p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b
+    CROSS JOIN n_orders n
+    """,
+)
+def part_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over intra-order part pairs.
+
+    Support counts (order, part)-distinct co-occurrence; confidence and
+    lift are single divisions of exact integer counts (no float sums →
+    cross-engine exact before the final round, oracle-determinism
+    rule 2).  The pair self-join keys on ``l_orderkey`` — the same key
+    the DISTINCT aggregate just shuffled on, so AQE coalesces both
+    sides onto one exchange; fan-out is basket-size² per order (≤21 for
+    TPC-H), independent of corpus scale.  Item counts and the basket
+    total are part-dimension / scalar-sized and broadcast.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    item = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n"))
+    a = baskets.select(F.col("l_orderkey").alias("ok"),
+                       F.col("l_partkey").alias("part_a"))
+    b = baskets.select(F.col("l_orderkey").alias("ok"),
+                       F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    ia = F.broadcast(item.select(F.col("l_partkey").alias("part_a"),
+                                 F.col("cnt").alias("cnt_a")))
+    ib = F.broadcast(item.select(F.col("l_partkey").alias("part_b"),
+                                 F.col("cnt").alias("cnt_b")))
+    return (
+        pairs.join(ia, "part_a").join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "support", "cnt_a", "cnt_b",
+            F.round(F.col("support").cast("double") / F.col("cnt_a"), 6)
+            .alias("conf_a_b"),
+            F.round(F.col("support").cast("double") / F.col("cnt_b"), 6)
+            .alias("conf_b_a"),
+            F.round((F.col("support") * F.col("n")).cast("double")
+                    / (F.col("cnt_a") * F.col("cnt_b")), 6).alias("lift"),
+        )
+    )
+
+
+@query(
+    "revenue_concentration",
+    oracle="""
+    WITH cust_rev AS (
+        SELECT o.o_custkey, c.c_nationkey,
+               round(sum(o.o_totalprice), 2) AS rev
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY o.o_custkey, c.c_nationkey
+    ),
+    nation_tot AS (
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(rev), 2) AS total_rev
+        FROM cust_rev GROUP BY c_nationkey
+    ),
+    ranked AS (
+        SELECT cr.*, nt.total_rev,
+               ntile(10) OVER (PARTITION BY cr.c_nationkey
+                               ORDER BY cr.rev DESC, cr.o_custkey)
+                   AS decile
+        FROM cust_rev cr JOIN nation_tot nt USING (c_nationkey)
+    )
+    SELECT n.n_name AS nation_name, nt.n_customers, nt.total_rev,
+           round(10000.0 * sum(pow(r.rev / nt.total_rev, 2)) + 1e-9, 3)
+               AS hhi_points,
+           round(round(sum(CASE WHEN r.decile = 1 THEN r.rev
+                                ELSE 0.0 END), 2) / nt.total_rev, 4)
+               AS top_decile_share
+    FROM ranked r
+    JOIN nation_tot nt ON nt.c_nationkey = r.c_nationkey
+    JOIN nation n ON n.n_nationkey = r.c_nationkey
+    GROUP BY nation_name, nt.n_customers, nt.total_rev
+    """,
+)
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue concentration: HHI points + top-decile share.
+
+    Facts collapse per customer first (one shuffle); nation totals are
+    a second aggregate over the collapsed frame and broadcast back
+    (25 nations).  Float discipline: customer revenue rounds at 2 dp
+    before any ratio, the decile numerator re-rounds before dividing
+    by the rounded total (ratio-of-rounded-sums, rule 17), and the HHI
+    sum is scaled to points with the shared ``+1e-9`` boundary nudge
+    (rule 15).  The decile window partitions per nation over the
+    collapsed frame — no global sort, no fact-scale window.
+    """
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation")
+    cust_rev = (
+        orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey)
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    nation_tot = cust_rev.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("rev"), 2).alias("total_rev"),
+    )
+    dec_w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("rev").desc(), "o_custkey")
+    ranked = (
+        cust_rev.join(F.broadcast(nation_tot), "c_nationkey")
+        .withColumn("decile", F.ntile(10).over(dec_w))
+    )
+    return (
+        ranked
+        .join(F.broadcast(nation),
+              ranked.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"),
+                 "n_customers", "total_rev")
+        .agg(
+            F.round(10000.0 * F.sum(
+                F.pow(F.col("rev") / F.col("total_rev"), 2)) + 1e-9, 3)
+            .alias("hhi_points"),
+            F.round(
+                F.round(F.sum(F.when(F.col("decile") == 1, F.col("rev"))
+                              .otherwise(0.0)), 2) / F.col("total_rev"), 4)
+            .alias("top_decile_share"),
+        )
+    )

@@ -750,3 +750,108 @@ def zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4)
         .alias("zipf_intercept"),
     )
+
+
+@query(
+    "bm25_retrieval",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    clean AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen
+        FROM clean GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(dlen), 4) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM clean WHERE tok IN ('dup', 'spark', 'vector')
+        GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (0.25 + 0.75 * l.dlen / s.avgdl)))
+                   AS score,
+               CAST(count(*) AS BIGINT) AS matched
+        FROM tf t
+        JOIN df d USING (tok)
+        JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY t.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, round(score, 4) AS bm25, matched,
+               row_number() OVER (
+                   ORDER BY round(score, 4) DESC, doc_id) AS rn
+        FROM scored
+    )
+    SELECT doc_id, bm25, matched, rn AS rank
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for a fixed query over ``documents``
+    (Robertson-Sparck Jones weighting, k1=1.2, b=0.75, the
+    Lucene-style non-negative ``ln(1 + ...)`` idf).
+
+    The retrieval primitive for RAG-style corpus search: term stats
+    (df, N, avgdl) are query-term- and scalar-sized, broadcast onto a
+    per-doc tf frame that was filtered to query terms BEFORE its
+    groupBy — the corpus is tokenized in one narrow pass and only
+    matching postings ever shuffle.  At 100 TB the tf frame is the
+    inverted-index slice for the query, exactly what a posting-list
+    scan would produce.  Scores sum <= |query| float terms per doc and
+    compare at 4 dp with doc_id tiebreak (rules 2/12).
+    """
+    terms = ("dup", "spark", "vector")
+    d = table(spark, sf_dir, "documents", parallel=True)
+    clean = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    dl = clean.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dlen"), 4).alias("avgdl"),
+    )
+    tf = (
+        clean.filter(F.col("tok").isin(*terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+              / (F.col("df") + 0.5))
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen")
+                                / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(w).alias("score"),
+             F.count(F.lit(1)).alias("matched"))
+    )
+    from pyspark.sql import Window
+    rk = Window.orderBy(F.round("score", 4).desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", F.round("score", 4).alias("bm25"),
+                "matched", "rank")
+    )

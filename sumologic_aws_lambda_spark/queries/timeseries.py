@@ -642,3 +642,140 @@ def value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "daily_autocorrelation",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type, day
+    ),
+    lags AS (SELECT unnest([1, 2, 3]) AS lag)
+    SELECT a.event_type, l.lag,
+           round(corr(a.cnt, b.cnt), 4) AS acf,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM daily a
+    CROSS JOIN lags l
+    JOIN daily b ON b.event_type = a.event_type
+                AND b.day = a.day + l.lag
+    GROUP BY a.event_type, l.lag
+    """,
+)
+def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily event volume at lags 1-3 per series.
+
+    The seasonality diagnostic behind Sumo's timeslice dashboards: the
+    fact stream collapses to (type, day) counts in ONE partial-agg
+    shuffle; the lagged pairing is a self-join of that collapsed frame
+    on its own grouping key (types x days rows — dashboard-sized, so
+    the join is broadcast-able and never touches facts again).  ACF at
+    lag k is Pearson corr over the (x_t, x_{t+k}) pairs; missing days
+    drop out of the join identically on both engines.  ``corr`` of
+    exact integer counts rounds at 4 dp (regr_* precedent, rule 13).
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("ts").cast("double") / 86400)
+            .cast("long").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lags = spark.range(1, 4).select(F.col("id").alias("lag"))
+    a = daily.select(
+        "event_type", F.col("day").alias("day_a"),
+        F.col("cnt").alias("cnt_a"))
+    b = daily.select(
+        F.col("event_type").alias("et_b"), F.col("day").alias("day_b"),
+        F.col("cnt").alias("cnt_b"))
+    return (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, (F.col("event_type") == F.col("et_b"))
+              & (F.col("day_b") == F.col("day_a") + F.col("lag")))
+        .drop("et_b")
+        .groupBy("event_type", "lag")
+        .agg(
+            F.round(F.corr("cnt_a", "cnt_b"), 4).alias("acf"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+
+
+@query(
+    "cusum_changepoints",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type, day
+    ),
+    mean_r AS (
+        SELECT event_type, round(avg(cnt), 4) AS mu,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type
+    ),
+    cusum AS (
+        SELECT d.event_type, d.day, m.n_days,
+               sum(d.cnt - m.mu) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+               ) AS s
+        FROM daily d JOIN mean_r m USING (event_type)
+    ),
+    ranked AS (
+        SELECT event_type, day, n_days, round(s, 4) AS s_r,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY round(abs(s), 4) DESC, day
+               ) AS rn
+        FROM cusum
+    )
+    SELECT event_type, day AS cp_day, s_r AS peak_cusum, n_days
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event series: the day where the cumulative
+    deviation from the series mean peaks (Page 1954's classic shift
+    detector, the batch twin of the streaming EWMA drift alarm in
+    ``streaming/monitor.py``).
+
+    Facts collapse to (type, day) counts in one shuffle; the mean is a
+    second aggregate over the collapsed frame joined back (broadcast,
+    one row per type), and the cumulative window runs per-type over
+    ~days rows.  Both engines accumulate the ordered window sum
+    left-to-right over identical operands, so the peak is compared on
+    the 4 dp-rounded magnitude with the day as tiebreak (rules 2/16).
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("ts").cast("double") / 86400)
+            .cast("long").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    mean_r = daily.groupBy("event_type").agg(
+        F.round(F.avg("cnt"), 4).alias("mu"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    cw = Window.partitionBy("event_type").orderBy("day")
+    cusum = (
+        daily.join(F.broadcast(mean_r), "event_type")
+        .withColumn("s", F.sum(F.col("cnt") - F.col("mu")).over(cw))
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.round(F.abs("s"), 4).desc(), "day")
+    return (
+        cusum.withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type", F.col("day").alias("cp_day"),
+            F.round("s", 4).alias("peak_cusum"), "n_days",
+        )
+    )
