@@ -85,21 +85,29 @@ _PRIORITY: tuple[str, ...] = (
     "important_part_value", "late_shipment_priority",
     "supplier_part_variety", "excess_supply_candidates",
     "waiting_orders_suppliers",
-    # -- (a3) the segmentation / retrieval / series wave (never sampled) --
-    "rfm_segmentation", "part_affinity_rules", "revenue_concentration",
-    "daily_autocorrelation", "cusum_changepoints", "bm25_retrieval",
-    "link_prediction_scores",
-    # -- (b) machinery rewritten in round 7 --
-    "curation_pipeline_funnel",
+    # -- (a3) the segmentation / retrieval / series wave (never sampled;
+    # rfm / cusum / link-prediction yield their slots to (a4) — each has
+    # a full pytest recompute or pure-Python replay, the strongest
+    # non-driver signal in the suite) --
+    "part_affinity_rules", "revenue_concentration",
+    "daily_autocorrelation", "bm25_retrieval",
+    # -- (a4) the diagnostics wave (never sampled) --
+    "embedding_dimension_stats", "degree_assortativity",
+    "compaction_bin_plan", "quality_score_calibration",
 )
 
 # Round-8 rotation notes: after the r7 window lands, the remaining
 # r3-stale cohort (latest sample round 3, not in the r7 window) should
 # lead round 8, then the r4 cohort; recompute programmatically by
 # aggregating CORRECTNESS_r01-r07 latest-sample rounds — do not trust
-# hand-maintained lists.  Displaced late in r7, all green at their
-# latest sample (or replica-green for interval_overlap_pairs, whose
-# fractional-bucketing fix has a dedicated pytest regression) and owed
+# hand-maintained lists.  NEVER-SAMPLED queries owed the r8 head:
+# rfm_segmentation, cusum_changepoints, link_prediction_scores (window
+# overflow — 53 never-sampled for 50 slots; these three carry pytest
+# recompute/replay coverage), then curation_pipeline_funnel (rewritten
+# r7, replica-green, plan-shape-guarded).  Displaced late in r7, all
+# green at their latest sample (or replica-green for
+# interval_overlap_pairs, whose fractional-bucketing fix has a
+# dedicated pytest regression) and owed
 # an r8 slot: interval_overlap_pairs (rewritten r7!), count_distinct_parts,
 # percentile_quantity, timestamp_locator_extract, vpc_internal_filter (r1),
 # cwl_decode_pipeline, asff_validation_gate, sumoql_lookup_expr (r5),

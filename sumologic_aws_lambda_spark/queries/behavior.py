@@ -1015,3 +1015,84 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard"),
         )
     )
+
+
+@query(
+    "degree_assortativity",
+    oracle="""
+    WITH cells AS (
+        SELECT DISTINCT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+               user_id
+        FROM events
+    ),
+    sizes AS (
+        SELECT event_type, h FROM cells
+        GROUP BY event_type, h HAVING count(*) <= 60
+    ),
+    small AS (
+        SELECT c.* FROM cells c JOIN sizes s USING (event_type, h)
+    ),
+    edges AS (
+        SELECT a.user_id AS u, b.user_id AS v
+        FROM small a JOIN small b USING (event_type, h)
+        WHERE a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+        HAVING count(*) >= 3
+    ),
+    sym AS (
+        SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ),
+    deg AS (
+        SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+        FROM sym GROUP BY u
+    )
+    SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           round((SELECT avg(d) FROM deg), 4) AS avg_degree,
+           round(corr(du.d, dv.d), 4) AS assortativity
+    FROM sym s
+    JOIN deg du ON du.node = s.u
+    JOIN deg dv ON dv.node = s.v
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-occurrence graph (Newman 2002):
+    Pearson correlation of endpoint degrees over directed edge stubs —
+    do high-degree users co-occur with other high-degree users?
+
+    The graph summary statistic that decides the skew strategy for
+    every downstream graph pass (assortative graphs concentrate load
+    on hub-hub edges).  Degrees are one aggregate over the collapsed
+    edge list, broadcast back onto the stubs (node-count-sized), and
+    the correlation is a single partial-aggregatable pass — nothing
+    here ever rescans events.  ``corr`` over exact integer degrees
+    rounds at 4 dp (rule 13).
+    """
+    from ..operators.graph import cooccurrence_edges
+
+    ev = table(spark, sf_dir, "events")
+    edges = cooccurrence_edges(
+        ev, min_weight=3, max_cell_users=60
+    ).select("u", "v").localCheckpoint()
+    sym = edges.union(edges.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d"))
+    du = F.broadcast(deg.select(F.col("node").alias("u"),
+                                F.col("d").alias("du")))
+    dv = F.broadcast(deg.select(F.col("node").alias("v"),
+                                F.col("d").alias("dv")))
+    deg_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.round(F.avg("d"), 4).alias("avg_degree"),
+    )
+    return (
+        sym.join(du, "u").join(dv, "v")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            F.round(F.corr("du", "dv"), 4).alias("assortativity"),
+        )
+        .crossJoin(F.broadcast(deg_stats))
+        .select("n_edges", "n_nodes", "avg_degree", "assortativity")
+    )

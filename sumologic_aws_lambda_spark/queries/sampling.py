@@ -12,7 +12,7 @@ deterministic output keys, ``securityhub_collector.py:45`` —
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -523,4 +523,59 @@ def epoch_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.min("sort_key").alias("lo_key"),
         F.max("sort_key").alias("hi_key"),
+    )
+
+
+@query(
+    "compaction_bin_plan",
+    oracle="""
+    WITH sized AS (
+        SELECT source, doc_id, n_chars,
+               sum(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+               ) - n_chars AS prev_cum
+        FROM documents
+    ),
+    binned AS (
+        SELECT source, doc_id, n_chars,
+               CAST(floor(prev_cum / 20000.0) AS BIGINT) AS bin
+        FROM sized
+    )
+    SELECT source, bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS bin_chars,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM binned GROUP BY source, bin
+    """,
+)
+def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: pack each source's files (documents
+    stand in, ``n_chars`` as the file size) into ~20 KB target bins by
+    cumulative-size assignment — the Delta/Iceberg OPTIMIZE planning
+    shape.
+
+    Sequential first-fit binning is an ordered prefix sum per source
+    (one window over the per-source manifest, which is metadata-scale
+    — file listings, not data), and the bin index is
+    floor(preceding-bytes / target), so bins are contiguous ranges and
+    every bin except the last overflows the target by at most one
+    file.  All arithmetic is exact integer prefix sums — no floats to
+    reconcile (rule 2).
+    """
+    d = table(spark, sf_dir, "documents", parallel=True)
+    w = (
+        Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = d.select(
+        "source", "doc_id", "n_chars",
+        F.floor((F.sum("n_chars").over(w) - F.col("n_chars")) / 20000.0)
+        .alias("bin"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_chars").alias("bin_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )

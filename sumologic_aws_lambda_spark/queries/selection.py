@@ -8,7 +8,7 @@ covers the math, not just the final rollup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -367,3 +367,44 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'2_dedup', n2, t2, '3_lang', n3, t3, '4_select', n4, t4) "
             "AS (stage, n_docs, n_tokens)"))
     )
+
+
+@query(
+    "quality_score_calibration",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               round(percent_rank() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id
+               ), 6) AS calibrated
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, calibrated,
+           CAST(calibrated >= 0.5 AS INT) AS selected
+    FROM ranked
+    """,
+)
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality-score calibration: map each document's raw
+    score (``n_chars`` stands in for the upstream quality model) to
+    its within-source percent rank, so a single global threshold
+    selects the same FRACTION from every domain — the standard fix for
+    cross-domain score-scale mismatch before mixing (CCNet buckets its
+    LM perplexities per language the same way, Wenzek 2020).
+
+    One window per source partition over (score, doc_id) — fully
+    tie-broken, so both engines assign identical ranks (rule 5's alias
+    discipline plus a total order).  percent_rank is the exact
+    rational (rank-1)/(n-1) — a single division, rounded at 6 dp.  At
+    100 TB the per-domain sort is the cost; the documented alternative
+    is broadcast approxQuantile cut points per domain, same topology
+    as RFM's finisher.
+    """
+    d = table(spark, sf_dir, "documents", parallel=True)
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "doc_id", "source", "n_chars",
+        F.round(F.percent_rank().over(w), 6).alias("calibrated"),
+    )
+    return ranked.withColumn(
+        "selected", (F.col("calibrated") >= 0.5).cast("int"))

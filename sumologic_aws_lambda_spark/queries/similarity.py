@@ -718,3 +718,47 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 30),
         threshold=0.2,
     ).select("vec_id", "label", "max_bench_sim", "contaminated")
+
+
+@query(
+    "embedding_dimension_stats",
+    oracle="""
+    WITH vals AS (
+        SELECT g.i AS dim, e.embedding[g.i] AS val
+        FROM embeddings e,
+             LATERAL (SELECT unnest(generate_series(1,
+                      len(e.embedding))) AS i) g
+    )
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(val), 4) AS mean,
+           round(stddev_samp(val), 4) AS std,
+           round(min(val), 6) AS vmin,
+           round(max(val), 6) AS vmax
+    FROM vals GROUP BY dim
+    """,
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution profile of the embedding space — the
+    feature-health diagnostic run before training an index or a probe
+    (dead dimensions, scale imbalance, outlier coordinates).
+
+    One narrow pass: ``posexplode`` fans each vector to (dim, val)
+    rows map-side and the aggregate partial-combines per dimension, so
+    the shuffle carries exactly d rows per partition regardless of
+    corpus size; output is d rows.  Values are float32 on both engines
+    (exact), the moment sums round at 4 dp, extrema at 6 (rule 2).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("pos", "val"))
+        .select((F.col("pos") + 1).alias("dim"), "val")
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("val"), 4).alias("mean"),
+            F.round(F.stddev_samp("val"), 4).alias("std"),
+            F.round(F.min("val"), 6).alias("vmin"),
+            F.round(F.max("val"), 6).alias("vmax"),
+        )
+    )
