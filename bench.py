@@ -181,7 +181,18 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = registry.all_queries()
-    names = HEADLINE + [n for n in OPTIONAL if n in qs]
+    # Canon runs FIRST, fresh after warmup: the round-7 verdict traced
+    # canon drift (1.24x on code-unchanged queries) to run-order bias —
+    # canon used to run at the END of a 100+-entry session, inheriting
+    # GC/codegen-cache pressure from everything before it.  Putting the
+    # cross-round comparison set first makes its numbers reflect the
+    # plans, not the session history.  BASELINE.md §R8 records the
+    # one-off both-orderings experiment quantifying the bias.
+    rest = [n for n in HEADLINE + [o for o in OPTIONAL if o in qs]
+            if n not in set(CANON)]
+    names = list(CANON) + rest
+    if os.environ.get("SPARK_GRAFT_BENCH_CANON_LAST"):
+        names = rest + list(CANON)  # bias-measurement mode only
 
     # Warmup: JVM/codegen spin-up outside the timed region.
     try:
@@ -227,6 +238,8 @@ def main() -> None:
         out["errors"] = errors
         out["incomplete"] = True
     # trailing keys survive front-truncation of the recorded artifact
+    out["canon_order"] = ("last" if os.environ.get(
+        "SPARK_GRAFT_BENCH_CANON_LAST") else "first")
     out["canon"] = canon
     out["canon_total"] = (round(sum(canon.values()), 3)
                           if len(canon) == len(CANON) else None)

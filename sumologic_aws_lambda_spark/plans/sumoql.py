@@ -1629,7 +1629,17 @@ def _stage_agg(df: DataFrame, stage: str,
                 getattr(F, fn)(arg).alias(f"_{fn}_{arg}")
             )
     if by_cols:
-        out = df.groupBy(*by_cols).agg(*agg_cols)
+        # Built-in metadata fields group by their BOUND column but keep
+        # the Sumo field name in the output (`count by _sourceCategory`
+        # with meta_cols={"_sourceCategory": "source_category"} groups
+        # on source_category, emits _sourceCategory) — the idiom every
+        # shipped app's panels use.
+        by_exprs = [
+            F.col(schema.meta_cols[c]).alias(c)
+            if c in schema.meta_cols and c not in df.columns else F.col(c)
+            for c in by_cols
+        ]
+        out = df.groupBy(*by_exprs).agg(*agg_cols)
         # Mark the group keys in column METADATA so later stages that
         # must split keys from measures (compare's period self-join) can
         # do it structurally instead of guessing from names/dtypes —

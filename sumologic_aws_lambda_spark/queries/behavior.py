@@ -961,60 +961,23 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors, Adamic-Adar, and Jaccard for non-adjacent pairs
     (Liben-Nowell & Kleinberg 2003's unsupervised baselines).
 
-    Candidate pairs are generated ONLY through a shared neighbor
-    (wedge join on the symmetric adjacency) — never all-pairs — and
-    only through non-hub neighbors (deg <= 30): a hub co-membership
-    carries no link signal (Adamic-Adar down-weights it toward zero
-    anyway), and the cut bounds wedge fan-out at nodes x cut^2
-    REGARDLESS of graph density — the same df-cut escape hatch as
-    ngram-Jaccard's max_doc_freq, and the reason the 10x scale probe
-    stays linear where the uncut wedge space grows 1000x on the
-    densified fixture graph.  Degrees are node-count-sized and
-    broadcast; existing edges are removed with a canonical-orientation
-    anti-join.  Adamic-Adar sums 1/ln(deg) over shared neighbors
-    (deg >= 2 by construction — the neighbor touches both endpoints);
-    Jaccard is a single division of exact counts (rules 2/12).
+    Delegates to :func:`operators.graph.link_prediction` with the
+    SQL-expressible ``hub_cut=30`` strategy (a hub co-membership
+    carries no link signal — Adamic-Adar down-weights it toward zero
+    anyway — and the cut bounds wedge fan-out at nodes x cut^2).  On
+    DENSE graphs the hub cut can silence the operator entirely (the
+    10x densified probe graph honestly returned 0 pairs); the operator
+    exposes ``neighbor_cap`` — per-neighbor top-k wedge sampling that
+    keeps every neighbor contributing — as the dense-graph knob
+    (density test in ``tests/test_behavior.py``).  No broadcast hints:
+    degree frames scale with the node count (round-5 hint policy).
     """
-    from ..operators.graph import cooccurrence_edges
+    from ..operators.graph import cooccurrence_edges, link_prediction
 
     ev = table(spark, sf_dir, "events")
     edges = cooccurrence_edges(
-        ev, min_weight=3, max_cell_users=60
-    ).select("u", "v").localCheckpoint()
-    sym = edges.union(edges.select(F.col("v").alias("u"),
-                                   F.col("u").alias("v")))
-    deg = sym.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).alias("d"))
-    nonhub = F.broadcast(
-        deg.filter(F.col("d") <= 30)
-        .select(F.col("node").alias("n"), F.col("d").alias("dn")))
-    a = sym.select(F.col("u").alias("n"), F.col("v").alias("x"))
-    b = sym.select(F.col("u").alias("n"), F.col("v").alias("y"))
-    cand = a.join(nonhub, "n").join(b, "n").filter(F.col("x") < F.col("y"))
-    agg = (
-        cand.groupBy("x", "y")
-        .agg(
-            F.count(F.lit(1)).alias("cn"),
-            F.round(F.sum(1.0 / F.log("dn")), 4).alias("adamic_adar"),
-        )
-        .filter(F.col("cn") >= 2)
-    )
-    non_adjacent = agg.join(
-        edges, (agg.x == edges.u) & (agg.y == edges.v), "left_anti")
-    dx = F.broadcast(deg.select(F.col("node").alias("x"),
-                                F.col("d").alias("dx")))
-    dy = F.broadcast(deg.select(F.col("node").alias("y"),
-                                F.col("d").alias("dy")))
-    return (
-        non_adjacent.join(dx, "x").join(dy, "y")
-        .select(
-            F.col("x").alias("u"), F.col("y").alias("v"),
-            "cn", "adamic_adar",
-            F.round(F.col("cn").cast("double")
-                    / (F.col("dx") + F.col("dy") - F.col("cn")), 6)
-            .alias("jaccard"),
-        )
-    )
+        ev, min_weight=3, max_cell_users=60).select("u", "v")
+    return link_prediction(edges, hub_cut=30, min_common=2)
 
 
 @query(

@@ -848,10 +848,14 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.lit(1)).alias("matched"))
     )
     from pyspark.sql import Window
-    rk = Window.orderBy(F.round("score", 4).desc(), "doc_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(rk))
-        .filter(F.col("rank") <= 10)
-        .select("doc_id", F.round("score", 4).alias("bm25"),
-                "matched", "rank")
-    )
+
+    # Top-10 via orderBy+limit (lowers to TakeOrdered — distributed
+    # partial top-k, no global sort); the rank window then runs over
+    # the ≤10-row head only, never the full scored frame.
+    head = scored.select(
+        "doc_id", F.round("score", 4).alias("bm25"), "matched"
+    ).orderBy(F.col("bm25").desc(), "doc_id").limit(10)
+    rk = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return head.select(
+        "doc_id", "bm25", "matched",
+        F.row_number().over(rk).alias("rank"))

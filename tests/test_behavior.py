@@ -322,3 +322,57 @@ def test_k_core_empty_when_no_core(spark):
     chain = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4)], "u long, v long")
     assert k_core(chain, k=3).count() == 0
+
+
+# ------------------------------------------------------- link prediction
+
+
+def test_link_prediction_hub_cut_silences_dense_graph(spark):
+    # K10 minus one edge: every node has degree >= 8, so hub_cut=5
+    # excludes EVERY neighbor from the wedge space — the documented
+    # dense-graph failure mode the neighbor_cap strategy exists for.
+    from sumologic_aws_lambda_spark.operators.graph import link_prediction
+
+    edges = [(a, b) for a in range(10) for b in range(a + 1, 10)
+             if (a, b) != (0, 1)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    assert link_prediction(df, hub_cut=5).count() == 0
+
+
+def test_link_prediction_neighbor_cap_keeps_dense_graph_alive(spark):
+    # Same dense graph: neighbor_cap caps each wedge center's fan-out
+    # instead of silencing it, so the one non-adjacent pair (0, 1) —
+    # reachable through 8 shared neighbors — must surface.
+    from sumologic_aws_lambda_spark.operators.graph import link_prediction
+
+    edges = [(a, b) for a in range(10) for b in range(a + 1, 10)
+             if (a, b) != (0, 1)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    rows = link_prediction(df, hub_cut=None, neighbor_cap=4).collect()
+    assert rows, "neighbor_cap path must not silence a dense graph"
+    got = {(r["u"], r["v"]) for r in rows}
+    assert (0, 1) in got
+    for r in rows:
+        assert r["cn"] >= 2 and 0.0 < r["jaccard"] <= 1.0
+
+
+def test_link_prediction_exact_matches_hand_computation(spark):
+    # Path graph 1-2-3-4 plus edge 2-4: candidate (1, 3) shares {2};
+    # (1, 4) shares {2}; (3, ...) etc.  With min_common=1, check the
+    # exact unbounded wedge space against hand-computed scores.
+    from sumologic_aws_lambda_spark.operators.graph import link_prediction
+    import math
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 4)], "u long, v long")
+    got = {(r["u"], r["v"]): r for r in link_prediction(
+        df, hub_cut=None, min_common=1).collect()}
+    # deg: 1->1, 2->3, 3->2, 4->2.  Non-adjacent pairs via a wedge:
+    # (1,3) via 2, (1,4) via 2.  (3,4) and (2,*) are adjacent.
+    assert set(got) == {(1, 3), (1, 4)}
+    aa = round(1.0 / math.log(3), 4)
+    assert got[(1, 3)]["cn"] == 1
+    assert got[(1, 3)]["adamic_adar"] == aa
+    # jaccard(1,3) = 1 / (1 + 2 - 1) = 0.5
+    assert got[(1, 3)]["jaccard"] == 0.5
+    assert got[(1, 4)]["jaccard"] == 0.5

@@ -354,3 +354,46 @@ def test_curation_funnel_reads_corpus_at_most_twice(spark, qs):
         if "Scan parquet" in ln or "FileScan parquet" in ln
     }
     assert len(scan_lines) <= 2, sorted(scan_lines)
+
+
+# Frames where an unpartitioned window is BOUNDED by construction, so a
+# single-partition sort is the point, not a bottleneck.  Every entry
+# must say why; anything not listed (and not fed by a Limit — the
+# pagination pattern) fails the registry-wide guard below.
+_GLOBAL_WINDOW_OK = {
+    # SumoQL `accum` / timeslice series semantics: the window runs over
+    # the post-aggregation timeslice series (one row per slice).
+    "sumoql_accum_total",
+    "sumoql_outlier_series",
+    # SLO burn-rate / error-budget: post-agg timeslice series frames.
+    "slo_burn_rate_windows",
+    "slo_error_budget",
+    # Rank over the vocabulary-sized token-count frame (vocab_cap).
+    "zipf_spectrum",
+    # Dimension-sized chunking (supplier); docstring records the
+    # foreachPartition local-batching 100 TB alternative.
+    "chunked_batches",
+}
+
+
+def test_no_unbounded_global_windows_registry_wide(spark, qs):
+    """Round-7 regression guard: rfm_segmentation shipped three global
+    ntile windows ("No Partition Defined for Window" × 8 at runtime).
+    Walk EVERY registry query's optimized plan and fail on any Window
+    with an empty partitionSpec that is neither Limit-bounded nor on
+    the documented allowlist of series/vocab/dim-sized frames."""
+    from sumologic_aws_lambda_spark.testing.plans import (
+        unbounded_global_windows,
+    )
+
+    offenders = {}
+    for name, fn in qs.items():
+        if name in _GLOBAL_WINDOW_OK:
+            continue
+        n = unbounded_global_windows(fn(spark, SF_DIR))
+        if n:
+            offenders[name] = n
+    assert not offenders, (
+        f"unbounded global windows (single-partition sort at scale): "
+        f"{offenders}; partition the window, bound it with limit(k), "
+        f"or justify an allowlist entry in _GLOBAL_WINDOW_OK")

@@ -16,6 +16,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from sumologic_aws_lambda_spark import queries as registry  # noqa: E402
 from sumologic_aws_lambda_spark.session import get_spark  # noqa: E402
+from sumologic_aws_lambda_spark.testing.plans import (  # noqa: E402
+    unbounded_global_windows,
+)
 
 
 def main() -> int:
@@ -28,8 +31,10 @@ def main() -> int:
     rows = []
     for name, fn in registry.all_queries().items():
         try:
-            plan = (fn(spark, args.sf)._jdf.queryExecution()
+            df = fn(spark, args.sf)
+            plan = (df._jdf.queryExecution()
                     .executedPlan().toString())
+            gwin = unbounded_global_windows(df)
         except Exception as exc:  # pragma: no cover
             rows.append((name, -1, -1, -1, f"ERROR {type(exc).__name__}"))
             continue
@@ -43,6 +48,8 @@ def main() -> int:
             flags.append("SMJ")
         if ex > args.max_exchanges:
             flags.append("MANY-EXCHANGES")
+        if gwin:
+            flags.append("GLOBAL-WINDOW")
         rows.append((name, ex, smj, cart, " ".join(flags)))
     rows.sort(key=lambda r: (-r[1], r[0]))
     print(f"{'query':40s} {'hashEx':>6s} {'smj':>4s} {'cart':>4s}  flags")
