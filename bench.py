@@ -194,12 +194,19 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_CANON_LAST"):
         names = rest + list(CANON)  # bias-measurement mode only
 
-    # Warmup: JVM/codegen spin-up outside the timed region.
-    try:
-        qs["pricing_summary"](spark, sf_dir).write.format("noop").mode(
-            "overwrite").save()
-    except Exception:  # noqa: BLE001 — warmup must never kill the bench
-        pass
+    # Warmup: one UNTIMED pass over the whole canon subset.  The round-8
+    # both-orderings experiment showed canon-first reads 43.1 s where
+    # canon-last reads 12.7 s on identical code — the dominant variance
+    # is JVM/JIT/codegen warmup accumulated across the session, not
+    # end-of-session pressure.  Warming on the canon plans themselves
+    # makes the timed region measure the plans, not the JIT, regardless
+    # of position.
+    for name in CANON:
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+        except Exception:  # noqa: BLE001 — warmup must never kill bench
+            pass
 
     # min of two runs per query: the second run reuses compiled codegen,
     # so this measures the plan, not JIT/compile noise (±15% otherwise).

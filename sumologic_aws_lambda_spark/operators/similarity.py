@@ -21,6 +21,31 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def lit_vector(vals) -> Column:
+    """A literal array<double> built as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(v) ...])`` costs one py4j round-trip per element;
+    the literal codebooks/centroid matrices in this module carry
+    hundreds of doubles and appear several times per plan, which made
+    driver-side plan CONSTRUCTION (not execution) the dominant cost of
+    ivfpq_ann_topk (8 s cold at sf0.1 — round-8 profiling).  One
+    ``F.expr`` string is a single round-trip.  ``repr(float)`` is the
+    shortest round-tripping decimal and Java's parseDouble applies the
+    same IEEE round-to-nearest, so values are bit-identical to the
+    F.lit form (the oracle compare depends on that)."""
+    return F.expr(
+        "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+
+
+def lit_matrix(rows) -> Column:
+    """A literal array<array<double>> as one parsed expression — see
+    :func:`lit_vector` for why this beats nested ``F.lit`` loops."""
+    return F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in row) + ")"
+            for row in rows) + ")")
+
+
 def as_double(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("array<double>")
@@ -104,9 +129,7 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-of-projection bit per plane, packed into a string bucket id
     (e.g. '1011...'), computed fully in Column expressions."""
     bits = [
-        F.when(
-            dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, "1"
-        ).otherwise("0")
+        F.when(dot(vec, lit_vector(plane)) >= 0, "1").otherwise("0")
         for plane in planes
     ]
     return F.concat(*bits)
@@ -186,7 +209,7 @@ def lsh_neardup_pairs(df: DataFrame, planes: list[list[float]],
     if len(planes) % n_bands:
         raise ValueError("len(planes) must divide evenly into n_bands")
     per_band = len(planes) // n_bands
-    mat = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    mat = lit_matrix(planes)
     base = df.select(F.col(id_col).alias("id"),
                      as_double(vec_col).alias("vec"))
     bits = F.transform(
@@ -336,7 +359,7 @@ def kmeans_lite(df: DataFrame, k: int = 8, iters: int = 2,
     def assign_expr(cents: list[tuple[int, list[float]]]) -> Column:
         cells = []
         for cid, ce in cents:
-            lit_c = F.array(*[F.lit(float(v)) for v in ce])
+            lit_c = lit_vector(ce)
             d2 = F.aggregate(
                 F.zip_with(F.col("e"), lit_c, lambda x, y: (x - y) * (x - y)),
                 F.lit(0.0),
@@ -412,9 +435,7 @@ def _pq_sub_argmin(sub_slice: Column,
     cost).  ``array_position`` of the min takes the FIRST match, so ties
     break on the lowest cid, same as the oracle's ``ORDER BY d2, cid``.
     """
-    book = F.array(*[
-        F.array(*[F.lit(float(v)) for v in ce]) for ce in sub_cents
-    ])
+    book = lit_matrix(sub_cents)
     d2s = F.transform(
         book,
         lambda c: F.aggregate(
@@ -521,9 +542,7 @@ def _adc_expr(books: list[list[list[float]]], q_col: str = "q_vec",
     sub_dim = len(books[0][0])
     adc = F.lit(0.0)
     for s in range(len(books)):
-        book_s = F.array(*[
-            F.array(*[F.lit(float(v)) for v in ce]) for ce in books[s]
-        ])
+        book_s = lit_matrix(books[s])
         cent = F.element_at(book_s, F.element_at(codes_col, s + 1) + 1)
         adc = adc + F.aggregate(
             F.zip_with(
@@ -847,3 +866,72 @@ def embedding_decontamination(corpus: DataFrame, bench: DataFrame,
             F.coalesce(F.col("max_bench_sim") >= threshold, F.lit(False)))
         .drop("__v", "__vn", "bs")
     )
+
+
+def mmr_topk(corpus: DataFrame, query_vec: DataFrame, k: int = 3,
+             lam: float = 0.7, pool_size: int = 10,
+             id_col: str = "vec_id", vec_col: str = "e") -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998, public):
+    greedy diversified top-k — each step picks the candidate maximizing
+    ``lam * relevance - (1 - lam) * max-similarity-to-selected``.
+
+    Scale shape: ONE narrow corpus pass scores relevance against the
+    broadcast query vector; ``orderBy + limit(pool_size)`` lowers to a
+    distributed TakeOrdered (no global sort) and everything after runs
+    on the pool-sized frame — the greedy loop is k tiny Spark jobs over
+    ≤ pool_size rows, never the corpus.  Determinism for the oracle
+    compare: relevance and every pairwise redundancy round at 6 dp
+    BEFORE the max/argmax (rule 2), ties break on the id.
+
+    ``corpus`` needs (id_col, vec_col double-array); ``query_vec`` is a
+    one-row frame with column ``qe``.  Returns (rank, vec_id,
+    relevance, mmr_score) — mmr_score of the first pick is lam*rel
+    (empty selected set ⇒ zero redundancy), matching the unrolled SQL.
+    """
+    rel = (
+        corpus.crossJoin(F.broadcast(query_vec))
+        .select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("e"),
+            F.round(cosine(F.col(vec_col), F.col("qe")), 6).alias("rel"),
+        )
+    )
+    pool = (
+        rel.orderBy(F.col("rel").desc(), "vec_id").limit(pool_size)
+        .localCheckpoint()
+    )
+    first = (
+        pool.orderBy(F.col("rel").desc(), "vec_id").limit(1)
+        .select("vec_id", "e", "rel",
+                F.round(F.lit(lam) * F.col("rel"), 6).alias("score"))
+    )
+    selected = [first.collect()[0]]
+    out_rows = [(1, selected[0]["vec_id"], selected[0]["rel"],
+                 selected[0]["score"])]
+    spark = corpus.sparkSession
+    for step in range(2, k + 1):
+        sel_df = spark.createDataFrame(
+            [(r["vec_id"], r["e"]) for r in selected],
+            "sel_id long, se array<double>")
+        chosen_ids = [r["vec_id"] for r in selected]
+        scored = (
+            pool.filter(~F.col("vec_id").isin(chosen_ids))
+            .crossJoin(F.broadcast(sel_df))
+            .withColumn("red", F.round(cosine(F.col("e"),
+                                              F.col("se")), 6))
+            .groupBy("vec_id", "rel", "e")
+            .agg(F.max("red").alias("max_red"))
+            .select(
+                "vec_id", "e", "rel",
+                F.round(F.lit(lam) * F.col("rel")
+                        - F.lit(1.0 - lam) * F.col("max_red"), 6)
+                .alias("score"),
+            )
+        )
+        pick = scored.orderBy(F.col("score").desc(), "vec_id") \
+            .limit(1).collect()[0]
+        selected.append(pick)
+        out_rows.append((step, pick["vec_id"], pick["rel"],
+                         pick["score"]))
+    return spark.createDataFrame(
+        out_rows, "rank int, vec_id long, relevance double, "
+                  "mmr_score double")

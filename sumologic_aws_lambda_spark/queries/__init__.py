@@ -42,78 +42,66 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The external correctness driver checks registrations in dict order and
-# caps at the first 50 (tag_resources_plan, ewma_drift_alerts, embedding_decontamination and
-# epoch_shard_manifest displaced the timeslice_5m / paged_results /
-# dataset_hash_split tail slots after the initial r7 rotation).  Cumulative state entering round 7 (aggregated
-# CORRECTNESS_r01-r06): 199 of 201 pre-round-7 queries driver-checked at
-# least once, all green at latest sample.  The round-7 window, in the
-# order the round-6 verdict prescribed: (a) the never-driver-sampled
-# queries — the two round-6 post-window stragglers, the round-7
-# queries, and the 19 continuation-session additions (TPC-H classics,
-# profiling, curation filters, resample/rank/pivot, triangles/cc);
-# (b) queries whose machinery round 7 REWROTE
-# (single-scan curation funnel; interval-overlap fractional bucketing);
-# (c) the 4 queries whose latest sample is still round 1; (d) what
-# remains of the 14 entries the late round-6 waves bumped out of the
-# r6 window — the continuation waves displaced quality_scores,
-# monitor_threshold_alerts and fer_registry_apply from (d) and the
-# whole oldest-validated (e) spread; ALL displaced names go to the
-# round-8 head (recompute from CORRECTNESS_r01-r07, see note below).
-# Everything else keeps registration order after the head and remains
-# covered by the repo's own full-surface driver replica
-# (tools/verify_driver_contract.py, all queries).
+# caps at the first 50.  Round-8 window (recomputed programmatically by
+# aggregating CORRECTNESS_r01-r07 latest-sample rounds): (a) the 13
+# never-driver-sampled queries — the three r7 post-window stragglers
+# (rfm_segmentation / cusum_changepoints / link_prediction_scores,
+# verdict item 1) plus the round-8 ETL/forecast/attribution/MMR/drift
+# wave;
+# (b) the 4 queries whose latest hard signal is still round 1 (verdict
+# item: r1-stale); (c) the 3 queries round 8 REWROTE (rfm is in (a);
+# revenue_concentration and part_affinity_rules lost their fact-side
+# broadcast hints, bm25_retrieval got the TakeOrdered finisher) —
+# changed plans need fresh hard signal; (d) 32 of the 48 queries whose
+# latest sample is round 3 (oldest cohort), in registry order — the
+# remaining 16 r3 + the r4 cohort lead round 9.  Everything else keeps
+# registration order after the head and remains covered by the repo's
+# own full-surface driver replica (tools/verify_driver_contract.py,
+# all 262 queries green this round).
 _PRIORITY: tuple[str, ...] = (
-    # -- (a) never driver-sampled --
-    "funnel_conversion_rates", "cohort_ltv",
-    "entity_hierarchy_rollup", "pii_masking_rules",
-    "slo_burn_rate_windows", "bigram_lm_perplexity",
-    "hard_negative_mining", "ewma_drift_alerts",
-    "embedding_decontamination", "epoch_shard_manifest",
-    "tag_resources_plan", "sumoql_benchmark",
-    "local_supplier_volume", "volume_shipping",
-    "customer_order_distribution", "large_volume_customers",
-    "global_sales_opportunity", "table_profile", "data_quality_checks",
-    "blocklist_filter_stats", "truncation_waste",
-    "market_share", "promo_revenue", "top_supplier",
-    "small_quantity_revenue", "disjunctive_predicate_revenue",
-    "resample_interpolate", "window_rank_battery", "pivot_status_matrix",
-    "triangle_communities", "clustering_coefficients",
-    "sumoql_lookup_contains", "value_percentile_bands",
-    "k_core_membership",
-    # -- (a2) the late-session TPC-H completion wave (never sampled) --
-    "min_cost_supplier", "product_type_profit", "returned_item_report",
-    "important_part_value", "late_shipment_priority",
-    "supplier_part_variety", "excess_supply_candidates",
-    "waiting_orders_suppliers",
-    # -- (a3) the segmentation / retrieval / series wave (never sampled;
-    # rfm / cusum / link-prediction yield their slots to (a4) — each has
-    # a full pytest recompute or pure-Python replay, the strongest
-    # non-driver signal in the suite) --
-    "part_affinity_rules", "revenue_concentration",
-    "daily_autocorrelation", "bm25_retrieval",
-    # -- (a4) the diagnostics wave (never sampled) --
-    "embedding_dimension_stats", "degree_assortativity",
-    "compaction_bin_plan", "quality_score_calibration",
+    # -- (a) never driver-sampled: r7 stragglers --
+    "rfm_segmentation", "cusum_changepoints", "link_prediction_scores",
+    # -- (a2) never driver-sampled: round-8 wave --
+    "scd2_intervals", "cdc_snapshot_merge",
+    "referential_integrity_audit", "join_key_skew_stats",
+    "k_anonymity_audit", "attribution_touchpoints",
+    "holt_linear_forecast", "mmr_diversified_topk",
+    "psi_drift_score", "benford_digit_audit",
+    # -- (b) latest hard signal is round 1 --
+    "count_distinct_parts", "percentile_quantity",
+    "timestamp_locator_extract", "vpc_internal_filter",
+    # -- (c) plans rewritten in round 8 --
+    "revenue_concentration", "part_affinity_rules", "bm25_retrieval",
+    # -- (d) oldest-validated cohort (latest sample round 3) --
+    "approx_count_distinct_parts", "approx_percentile_quantity",
+    "asff_validation_gate", "asof_join_last_click",
+    "carry_forward_last_value", "cosine_topk_bruteforce",
+    "cube_order_priority", "curation_pipeline", "cwl_decode_pipeline",
+    "dataset_hash_split", "dedup_clusters", "domain_mixture_sample",
+    "exact_dedup_stats", "firehose_transform", "ivf_ann_topk",
+    "json_autodetect_parse", "json_extract_props",
+    "kmeans_centroid_stats", "lsh_ann_topk", "minhash_lsh_pairs",
+    "minhash_signatures", "multiline_assembly",
+    "multimodal_feature_extract", "ngram_decontamination",
+    "ngram_jaccard_pairs", "paged_results", "pii_redaction",
+    "pricing_summary", "range_join_value_bands", "revenue_topk",
 )
 
-# Round-8 rotation notes: after the r7 window lands, the remaining
-# r3-stale cohort (latest sample round 3, not in the r7 window) should
-# lead round 8, then the r4 cohort; recompute programmatically by
-# aggregating CORRECTNESS_r01-r07 latest-sample rounds — do not trust
-# hand-maintained lists.  NEVER-SAMPLED queries owed the r8 head:
-# rfm_segmentation, cusum_changepoints, link_prediction_scores (window
-# overflow — 53 never-sampled for 50 slots; these three carry pytest
-# recompute/replay coverage), then curation_pipeline_funnel (rewritten
-# r7, replica-green, plan-shape-guarded).  Displaced late in r7, all
-# green at their latest sample (or replica-green for
-# interval_overlap_pairs, whose fractional-bucketing fix has a
-# dedicated pytest regression) and owed
-# an r8 slot: interval_overlap_pairs (rewritten r7!), count_distinct_parts,
-# percentile_quantity, timestamp_locator_extract, vpc_internal_filter (r1),
-# cwl_decode_pipeline, asff_validation_gate, sumoql_lookup_expr (r5),
-# semantic_dedup_clusters (r5), cfn_stack_telemetry, metrics_quantize,
-# salted_agg_routing_key, sessionize_events (r4), simhash_signatures,
-# multimodal_feature_extract, asof_join_last_click (r3).
+# Round-9 rotation notes: recompute programmatically by aggregating
+# CORRECTNESS_r01-r08 latest-sample rounds — do not trust
+# hand-maintained lists.  Owed the r9 head: any round-9 additions and
+# anything CORRECTNESS_r08 failed, then the 18 r3-stale queries this
+# window could not fit (registry order after range_join_value_bands:
+# revenue_topk was kept; scalar_function_battery,
+# securityhub_org_findings, semi_join_priority, sequence_packing,
+# simhash_signatures,
+# sumoql_accum_total, sumoql_count_by, sumoql_dedup_latest,
+# sumoql_outlier_series, sumoql_parse_anchor,
+# sumoql_parse_regex_where, sumoql_predict_linear,
+# sumoql_subsearch_join, sumoql_timeslice_agg, timeslice_5m,
+# timeslice_daily_active, vpc_eni_enrichment, window_lag_delta), then
+# the 49-query r4 cohort.  Keep the window EXACTLY 50 — re-count after
+# every edit (tests/test_doc_counts.py pins this).
 
 
 def _prioritized(d: dict) -> dict:
@@ -164,5 +152,7 @@ def _import_all() -> None:
         tpch_classics,
         profiling,
         segmentation,
+        etl,
+        drift,
     )
     _IMPORTED = True

@@ -1059,3 +1059,84 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(deg_stats))
         .select("n_edges", "n_nodes", "avg_degree", "assortativity")
     )
+
+
+@query(
+    "attribution_touchpoints",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS e,
+               first_value(CASE WHEN event_type IN ('click', 'view')
+                                THEN event_type END IGNORE NULLS)
+                   OVER w AS ft_type,
+               first_value(CASE WHEN event_type IN ('click', 'view')
+                                THEN CAST(floor(epoch(ts)) AS BIGINT)
+                                END IGNORE NULLS) OVER w AS ft_epoch,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS lt_type,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN CAST(floor(epoch(ts)) AS BIGINT)
+                               END IGNORE NULLS) OVER w AS lt_epoch
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id AS purchase_id, e AS purchase_epoch,
+           coalesce(ft_type, '(none)') AS first_touch_type,
+           coalesce(ft_epoch, -1) AS first_touch_epoch,
+           coalesce(lt_type, '(none)') AS last_touch_type,
+           coalesce(lt_epoch, -1) AS last_touch_epoch,
+           CASE WHEN lt_epoch IS NULL THEN -1
+                ELSE e - lt_epoch END AS seconds_since_last_touch
+    FROM marked WHERE event_type = 'purchase'
+    """,
+)
+def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch marketing attribution: for every
+    purchase, the user's earliest and latest preceding touch event
+    (click or view) plus the conversion lag — the two classic
+    single-touch attribution models over a raw event stream.
+
+    ONE window pass, PARTITIONED by user (parallelism = user
+    cardinality, never a global sort): ``first/last(..., ignorenulls)``
+    over the rows-preceding frame carries both touchpoints along the
+    stream, and the purchase filter afterwards keeps the window's
+    input untouched by the predicate (carry-forward semantics — the
+    same shape as P4's requestID fold).  Touch-less purchases emit the
+    ``(none)`` / -1 sentinels on both engines (rule 10).  Epochs are
+    whole seconds (rule 13).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    t_type = F.when(is_touch, F.col("event_type"))
+    t_epoch = F.when(is_touch, F.unix_timestamp("ts"))
+    marked = ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").alias("e"),
+        F.first(t_type, ignorenulls=True).over(w).alias("ft_type"),
+        F.first(t_epoch, ignorenulls=True).over(w).alias("ft_epoch"),
+        F.last(t_type, ignorenulls=True).over(w).alias("lt_type"),
+        F.last(t_epoch, ignorenulls=True).over(w).alias("lt_epoch"),
+    )
+    return (
+        marked.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.col("event_id").alias("purchase_id"),
+            F.col("e").alias("purchase_epoch"),
+            F.coalesce("ft_type", F.lit("(none)"))
+            .alias("first_touch_type"),
+            F.coalesce("ft_epoch", F.lit(-1)).alias("first_touch_epoch"),
+            F.coalesce("lt_type", F.lit("(none)"))
+            .alias("last_touch_type"),
+            F.coalesce("lt_epoch", F.lit(-1)).alias("last_touch_epoch"),
+            F.when(F.col("lt_epoch").isNull(), F.lit(-1))
+            .otherwise(F.col("e") - F.col("lt_epoch"))
+            .alias("seconds_since_last_touch"),
+        )
+    )

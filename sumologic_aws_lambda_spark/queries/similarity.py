@@ -762,3 +762,78 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("val"), 6).alias("vmax"),
         )
     )
+
+
+_COS2 = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * "
+    "sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@query(
+    "mmr_diversified_topk",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT e AS qe FROM c WHERE vec_id = 0),
+    rel AS (
+        SELECT c.vec_id, c.e,
+               {_COS2.format(a="c.e", b="q.qe")} AS rel
+        FROM c CROSS JOIN q WHERE c.vec_id <> 0
+    ),
+    cand AS (
+        SELECT vec_id, e, rel FROM (
+            SELECT *, row_number() OVER (ORDER BY rel DESC, vec_id)
+                AS rk
+            FROM rel
+        ) WHERE rk <= 10
+    ),
+    s1 AS (
+        SELECT vec_id, e, rel, round(0.7 * rel, 6) AS score
+        FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    r2 AS (
+        SELECT d.vec_id, d.e, d.rel,
+               round(0.7 * d.rel
+                     - 0.3 * {_COS2.format(a="d.e", b="s1.e")}, 6)
+                   AS score
+        FROM cand d, s1 WHERE d.vec_id <> s1.vec_id
+    ),
+    s2 AS (SELECT * FROM r2 ORDER BY score DESC, vec_id LIMIT 1),
+    r3 AS (
+        SELECT d.vec_id, d.rel,
+               round(0.7 * d.rel - 0.3 * greatest(
+                   {_COS2.format(a="d.e", b="s1.e")},
+                   {_COS2.format(a="d.e", b="s2.e")}), 6) AS score
+        FROM cand d, s1, s2
+        WHERE d.vec_id NOT IN (s1.vec_id, s2.vec_id)
+    ),
+    s3 AS (SELECT * FROM r3 ORDER BY score DESC, vec_id LIMIT 1)
+    SELECT 1 AS rank, vec_id, rel AS relevance, score AS mmr_score
+    FROM s1
+    UNION ALL
+    SELECT 2, vec_id, rel, score FROM s2
+    UNION ALL
+    SELECT 3, vec_id, rel, score FROM s3
+    """,
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (query = vector 0, lambda = 0.7,
+    pool = exact top-10, k = 3): the greedy re-ranking that trades
+    relevance against redundancy — the standard diversification layer
+    over any of the ANN top-k queries (Carbonell & Goldstein 1998).
+
+    See :func:`operators.similarity.mmr_topk` for the scale shape: one
+    narrow corpus pass + TakeOrdered builds the pool; the greedy loop
+    runs k tiny jobs over the ≤10-row pool, never the corpus.  The
+    oracle unrolls the three greedy steps as chained CTEs with the
+    identical round-before-argmax discipline.
+    """
+    from ..operators.similarity import as_double, mmr_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", as_double("embedding").alias("e"))
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        as_double("embedding").alias("qe"))
+    return mmr_topk(corpus, qv, k=3, lam=0.7, pool_size=10)

@@ -779,3 +779,89 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s", 4).alias("peak_cusum"), "n_days",
         )
     )
+
+
+@query(
+    "holt_linear_forecast",
+    oracle="""
+    WITH RECURSIVE series AS (
+        SELECT event_type,
+               CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+                   AS day,
+               CAST(count(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    numbered AS (
+        SELECT event_type, y,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS rn
+        FROM series
+    ),
+    holt AS (
+        SELECT event_type, rn, y AS level,
+               CAST(0.0 AS DOUBLE) AS trend
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT d.event_type, d.rn,
+               0.5 * d.y + 0.5 * (h.level + h.trend),
+               0.3 * ((0.5 * d.y + 0.5 * (h.level + h.trend)) - h.level)
+                   + 0.7 * h.trend
+        FROM holt h
+        JOIN numbered d ON d.event_type = h.event_type
+                       AND d.rn = h.rn + 1
+    )
+    SELECT event_type,
+           CAST(max(rn) AS BIGINT) AS n_days,
+           round(arg_max(level, rn), 4) AS level,
+           round(arg_max(trend, rn), 4) AS trend,
+           round(arg_max(level, rn) + 3 * arg_max(trend, rn), 4)
+               AS forecast_3d
+    FROM holt GROUP BY event_type
+    """,
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend, alpha = 0.5,
+    beta = 0.3) over per-type daily volumes, emitting the fitted state
+    and the 3-day-ahead linear forecast — the capacity-planning verb
+    one step past ``ewma_drift_alerts``'s single smoothing (Holt 1957,
+    public).
+
+    The recurrence is inherently sequential PER SERIES, so it runs as
+    a fold over each series' ordered daily array: one corpus groupBy
+    collapses facts to (type x day) counts, ``sort_array(collect_list
+    (struct(day, y)))`` makes the per-type array order-deterministic
+    under any partitioning, and ``F.aggregate`` folds (level, trend)
+    through it with EXACTLY the oracle's expression shape — identical
+    IEEE op order, so round(4) compares exactly (rule 12; the DuckDB
+    twin unrolls via a recursive CTE).  Series arrays are
+    days-per-type sized (bounded model state, the EWMA discipline);
+    the corpus is touched once.
+    """
+    ev = table(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    arr = F.sort_array(F.collect_list(F.struct("day", "y")))
+    per_type = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"), arr.alias("pts"))
+    ys = F.expr("transform(pts, p -> p.y)")
+    init = F.struct(
+        F.try_element_at(ys, F.lit(1)).alias("level"),
+        F.lit(0.0).alias("trend"))
+    fold = F.aggregate(
+        F.slice(ys, 2, F.greatest(F.size(ys) - 1, F.lit(0))),
+        init,
+        lambda acc, y: F.struct(
+            (0.5 * y + 0.5 * (acc["level"] + acc["trend"]))
+            .alias("level"),
+            (0.3 * ((0.5 * y + 0.5 * (acc["level"] + acc["trend"]))
+                    - acc["level"]) + 0.7 * acc["trend"]).alias("trend"),
+        ),
+    )
+    return per_type.select(
+        "event_type", "n_days",
+        F.round(fold["level"], 4).alias("level"),
+        F.round(fold["trend"], 4).alias("trend"),
+        F.round(fold["level"] + 3 * fold["trend"], 4).alias("forecast_3d"),
+    )

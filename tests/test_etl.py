@@ -1,0 +1,132 @@
+"""Edge-case semantics for the round-8 lifecycle wave (queries/etl.py,
+operators/similarity.mmr_topk).  The driver's DuckDB oracle checks
+value parity on the fixture tables; these tests pin the SEMANTICS on
+hand-built frames — open SCD2 intervals, CDC action classification,
+orphan detection, and MMR's relevance/diversity trade."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, "
+              "ts timestamp")
+
+
+def test_scd2_builds_versions_and_leaves_current_open(spark, monkeypatch):
+    from sumologic_aws_lambda_spark.queries import etl
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = _events(spark, [
+        (1, "view", 1, t0),
+        (1, "view", 2, t0 + dt.timedelta(seconds=10)),   # no change
+        (1, "click", 3, t0 + dt.timedelta(seconds=30)),  # v2
+        (1, "view", 4, t0 + dt.timedelta(seconds=90)),   # v3
+        (2, "error", 5, t0),                              # single state
+    ])
+    monkeypatch.setattr(etl, "table", lambda *a, **k: ev)
+    rows = {(r["user_id"], r["version"]): r
+            for r in etl.scd2_intervals(spark, "unused").collect()}
+    assert set(rows) == {(1, 1), (1, 2), (1, 3), (2, 1)}
+    v1, v2, v3 = rows[(1, 1)], rows[(1, 2)], rows[(1, 3)]
+    assert (v1["state"], v2["state"], v3["state"]) == (
+        "view", "click", "view")
+    # consecutive same-state events do NOT open a new version
+    assert v1["valid_to"] == v2["valid_from"]
+    assert v1["duration_s"] == 30
+    assert v2["duration_s"] == 60
+    # the current version stays open
+    assert v3["valid_to"] is None and v3["duration_s"] is None
+    assert rows[(2, 1)]["valid_to"] is None
+
+
+def test_cdc_merge_classifies_insert_update_carry(spark, monkeypatch):
+    from sumologic_aws_lambda_spark.queries import etl
+
+    t0 = dt.datetime(2024, 1, 1)
+    late = t0 + dt.timedelta(hours=10)
+    ev = _events(spark, [
+        # user 1: in both halves -> update, batch state wins
+        (1, "view", 1, t0), (1, "purchase", 2, late),
+        # user 2: only before the midpoint -> carry
+        (2, "click", 3, t0),
+        # user 3: only after -> insert
+        (3, "signup", 4, late),
+    ])
+    monkeypatch.setattr(etl, "table", lambda *a, **k: ev)
+    got = {r["user_id"]: r
+           for r in etl.cdc_snapshot_merge(spark, "unused").collect()}
+    assert got[1]["action"] == "update"
+    assert got[1]["state"] == "purchase"
+    assert got[2]["action"] == "carry" and got[2]["state"] == "click"
+    assert got[3]["action"] == "insert" and got[3]["state"] == "signup"
+
+
+def test_referential_integrity_counts_orphans(spark, monkeypatch):
+    from sumologic_aws_lambda_spark.queries import etl
+
+    frames = {
+        "lineitem": spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 10), (99, 12)],
+            "l_orderkey long, l_partkey long"),
+        "orders": spark.createDataFrame(
+            [(1, 5), (2, 6)], "o_orderkey long, o_custkey long"),
+        "part": spark.createDataFrame(
+            [(10,), (11,), (12,)], "p_partkey long"),
+        "customer": spark.createDataFrame(
+            [(5, 1)], "c_custkey long, c_nationkey long"),
+        "supplier": spark.createDataFrame(
+            [(100, 1), (101, 77)], "s_suppkey long, s_nationkey long"),
+        "nation": spark.createDataFrame([(1,)], "n_nationkey long"),
+    }
+    monkeypatch.setattr(
+        etl, "table", lambda spark, sf, name, **k: frames[name])
+    got = {r["fk"]: r for r in
+           etl.referential_integrity_audit(spark, "unused").collect()}
+    assert got["lineitem->orders"]["n_rows"] == 4
+    assert got["lineitem->orders"]["n_orphans"] == 1      # orderkey 99
+    assert got["lineitem->part"]["n_orphans"] == 0
+    assert got["orders->customer"]["n_orphans"] == 1      # custkey 6
+    assert got["supplier->nation"]["n_orphans"] == 1      # nation 77
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Hand-built geometry: query q = e0.  Candidates: a ~ q (rel .99),
+    b ~ a (near-duplicate of a, rel .98), c orthogonal-ish (rel .6).
+    Plain top-2 picks {a, b}; MMR must pick {a, c} — the duplicate's
+    redundancy penalty outweighs its relevance edge."""
+    from sumologic_aws_lambda_spark.operators.similarity import mmr_topk
+
+    vecs = [
+        (1, [1.0, 0.02, 0.0]),   # a: almost the query
+        (2, [1.0, 0.05, 0.0]),   # b: near-duplicate of a
+        (3, [0.5, 0.0, 0.9]),    # c: diverse, lower relevance
+    ]
+    corpus = spark.createDataFrame(vecs, "vec_id long, e array<double>")
+    qv = spark.createDataFrame([([1.0, 0.0, 0.0],)], "qe array<double>")
+    got = mmr_topk(corpus, qv, k=2, lam=0.5, pool_size=3).collect()
+    picked = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert picked == [1, 3], picked
+    assert got[0]["relevance"] > got[1]["relevance"]
+
+
+def test_mmr_rank_one_is_plain_argmax_relevance(spark):
+    from sumologic_aws_lambda_spark.operators.similarity import mmr_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 6)],
+        "vec_id long, e array<double>")
+    qv = spark.createDataFrame([([1.0, 0.0],)], "qe array<double>")
+    got = sorted(mmr_topk(corpus, qv, k=3, pool_size=5).collect(),
+                 key=lambda r: r["rank"])
+    rels = [r["relevance"] for r in got]
+    # rank 1 carries the global max relevance
+    assert got[0]["relevance"] == max(rels)
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    assert len({r["vec_id"] for r in got}) == 3

@@ -31,7 +31,12 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_rfm_quartiles_balanced_and_ordered(spark, qs):
+def test_rfm_quartiles_ordered_and_roughly_balanced(spark, qs):
+    # Round-8 semantics: quartile assignment is broadcast exact-
+    # percentile CUT POINTS (never a global ntile window — the r7
+    # verdict's single-partition flag), so ties share a bucket and
+    # sizes are only approximately n/4: assert ordering invariants
+    # for every measure, plus balance on the continuous measure.
     rows = qs["rfm_segmentation"](spark, SF_DIR).collect()
     n = len(rows)
     assert n == table(spark, SF_DIR, "customer").select(
@@ -39,13 +44,22 @@ def test_rfm_quartiles_balanced_and_ordered(spark, qs):
         table(spark, SF_DIR, "orders").select(
             F.col("o_custkey").alias("c_custkey")).distinct(),
         "c_custkey").count()
-    for col in ("r_score", "f_score", "m_score"):
-        sizes = {}
+    for col, measure in (("r_score", "last_day"),
+                         ("f_score", "frequency"),
+                         ("m_score", "monetary")):
+        by_score: dict[int, list] = {}
         for r in rows:
             assert 1 <= r[col] <= 4
-            sizes[r[col]] = sizes.get(r[col], 0) + 1
-        assert max(sizes.values()) - min(sizes.values()) <= 1
-    # quartile 1 of monetary dominates quartile 4
+            by_score.setdefault(r[col], []).append(r[measure])
+        # better quartile ⇒ strictly larger measure values at the seam
+        present = sorted(by_score)
+        for hi, lo in zip(present, present[1:]):
+            assert min(by_score[hi]) > max(by_score[lo]), (col, hi, lo)
+    # the continuous measure (2-dp monetary) has ~distinct values, so
+    # exact-percentile cuts keep buckets within ±n/8 of a quarter
+    m_sizes = [sum(1 for r in rows if r["m_score"] == s)
+               for s in (1, 2, 3, 4)]
+    assert all(abs(sz - n / 4) <= n / 8 + 1 for sz in m_sizes), m_sizes
     q1 = [r["monetary"] for r in rows if r["m_score"] == 1]
     q4 = [r["monetary"] for r in rows if r["m_score"] == 4]
     assert min(q1) >= max(q4)
