@@ -927,8 +927,11 @@ def mmr_topk(corpus: DataFrame, query_vec: DataFrame, k: int = 3,
                 .alias("score"),
             )
         )
-        pick = scored.orderBy(F.col("score").desc(), "vec_id") \
-            .limit(1).collect()[0]
+        picked = scored.orderBy(F.col("score").desc(), "vec_id") \
+            .limit(1).collect()
+        if not picked:  # pool exhausted before k picks (pool_size < k)
+            break
+        pick = picked[0]
         selected.append(pick)
         out_rows.append((step, pick["vec_id"], pick["rel"],
                          pick["score"]))

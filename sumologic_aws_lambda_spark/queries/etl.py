@@ -37,7 +37,7 @@ from . import query
     "scd2_intervals",
     oracle="""
     WITH ordered AS (
-        SELECT user_id, event_type, event_id,
+        SELECT user_id, event_type, event_id, ts,
                CAST(floor(epoch(ts)) AS BIGINT) AS e,
                coalesce(lag(event_type) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id),
@@ -45,7 +45,8 @@ from . import query
         FROM events
     ),
     changes AS (
-        SELECT user_id, event_type AS state, e AS valid_from, event_id
+        SELECT user_id, event_type AS state, e AS valid_from,
+               ts, event_id
         FROM ordered WHERE event_type <> prev
     )
     SELECT user_id, state, valid_from,
@@ -53,7 +54,7 @@ from . import query
            lead(valid_from) OVER w AS valid_to,
            lead(valid_from) OVER w - valid_from AS duration_s
     FROM changes
-    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
 def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,9 +81,11 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") != F.col("prev"))
         .select(
             "user_id", F.col("event_type").alias("state"),
-            F.unix_timestamp("ts").alias("valid_from"), "event_id")
+            F.unix_timestamp("ts").alias("valid_from"), "ts", "event_id")
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    # version ordering uses the FULL-precision ts (valid_from is
+    # whole seconds — two same-second changes must keep event order)
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return changes.select(
         "user_id", "state", "valid_from",
         F.row_number().over(w2).cast("bigint").alias("version"),

@@ -130,3 +130,23 @@ def test_mmr_rank_one_is_plain_argmax_relevance(spark):
     assert got[0]["relevance"] == max(rels)
     assert [r["rank"] for r in got] == [1, 2, 3]
     assert len({r["vec_id"] for r in got}) == 3
+
+
+def test_lit_vector_bit_identical_to_flit(spark):
+    """lit_vector/lit_matrix parse repr(float)+'D' strings — must yield
+    the exact doubles F.lit would (the ANN oracles depend on it),
+    including subnormal-ish, scientific-notation, and negative values."""
+    from sumologic_aws_lambda_spark.operators.similarity import (
+        lit_matrix,
+        lit_vector,
+    )
+
+    vals = [0.05424950644373894, 6.7e-05, -1.2e-300, 3.141592653589793,
+            -0.0, 1e16, 123456.78901234567]
+    row = spark.range(1).select(
+        lit_vector(vals).alias("a"),
+        F.array(*[F.lit(v) for v in vals]).alias("b"),
+        lit_matrix([vals, vals[::-1]]).alias("m"),
+    ).collect()[0]
+    assert row["a"] == row["b"] == vals
+    assert row["m"] == [vals, vals[::-1]]

@@ -88,6 +88,14 @@ SHOWCASE = [
     "resample_interpolate",   # grid explode + ignorenulls windows
     "window_rank_battery",    # five ranking fns, ONE WindowExec
     "triangle_communities",   # degree-ordered wedges, equi-join closure
+    "rfm_segmentation",       # broadcast percentile cut points, no window
+    "scd2_intervals",         # user-partitioned lag/lead versioning
+    "cdc_snapshot_merge",     # one-shuffle full-outer latest-wins merge
+    "referential_integrity_audit",  # per-edge left join + cond. count
+    "attribution_touchpoints",  # one user-partitioned ignorenulls pass
+    "holt_linear_forecast",   # series fold, one corpus groupBy
+    "mmr_diversified_topk",   # TakeOrdered pool + pool-sized greedy
+    "psi_drift_score",        # one conditional-count groupBy + scalar
 ]
 
 
