@@ -319,7 +319,21 @@ def link_prediction(edges: DataFrame, hub_cut: int | None = 30,
     construction); Jaccard is a single division of exact counts.
     Returns (u, v, cn, adamic_adar, jaccard).
     """
-    edges = edges.select("u", "v").localCheckpoint()
+    # Canonicalize BEFORE anything reads the edge list: the anti-join
+    # below compares candidates (always x < y) against (u, v), and the
+    # degree counts assume one row per undirected edge — a reversed or
+    # both-orientations input would otherwise leak adjacent pairs into
+    # the output and double every degree (round-8 review finding).
+    # For already-canonical input (the registry path) the projection is
+    # narrow and the distinct collapses on the exchange the
+    # localCheckpoint materializes anyway.
+    edges = (
+        edges.select(F.least("u", "v").alias("u"),
+                     F.greatest("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
     sym = edges.union(edges.select(F.col("v").alias("u"),
                                    F.col("u").alias("v")))
     deg = sym.groupBy(F.col("u").alias("node")).agg(

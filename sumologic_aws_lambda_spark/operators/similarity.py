@@ -16,6 +16,7 @@ engine can reproduce the bucketing bit-for-bit.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -32,18 +33,27 @@ def lit_vector(vals) -> Column:
     ``F.expr`` string is a single round-trip.  ``repr(float)`` is the
     shortest round-tripping decimal and Java's parseDouble applies the
     same IEEE round-to-nearest, so values are bit-identical to the
-    F.lit form (the oracle compare depends on that)."""
-    return F.expr(
-        "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+    F.lit form (the oracle compare depends on that).  FINITE values
+    only: repr(nan/inf) is not valid SQL (the F.lit form it replaced
+    accepted them), so non-finite input raises here instead of
+    surfacing later as an opaque AnalysisException."""
+    vs = [float(v) for v in vals]
+    if not all(math.isfinite(v) for v in vs):
+        raise ValueError("lit_vector requires finite values")
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in vs) + ")")
 
 
 def lit_matrix(rows) -> Column:
     """A literal array<array<double>> as one parsed expression — see
-    :func:`lit_vector` for why this beats nested ``F.lit`` loops."""
+    :func:`lit_vector` for why this beats nested ``F.lit`` loops and
+    the finite-values-only contract."""
+    mat = [[float(v) for v in row] for row in rows]
+    if not all(math.isfinite(v) for row in mat for v in row):
+        raise ValueError("lit_matrix requires finite values")
     return F.expr(
         "array(" + ",".join(
-            "array(" + ",".join(f"{float(v)!r}D" for v in row) + ")"
-            for row in rows) + ")")
+            "array(" + ",".join(f"{v!r}D" for v in row) + ")"
+            for row in mat) + ")")
 
 
 def as_double(col: Column | str) -> Column:
@@ -870,7 +880,8 @@ def embedding_decontamination(corpus: DataFrame, bench: DataFrame,
 
 def mmr_topk(corpus: DataFrame, query_vec: DataFrame, k: int = 3,
              lam: float = 0.7, pool_size: int = 10,
-             id_col: str = "vec_id", vec_col: str = "e") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "e",
+             redundancy_weight: float | None = None) -> DataFrame:
     """Maximal Marginal Relevance (Carbonell & Goldstein 1998, public):
     greedy diversified top-k — each step picks the candidate maximizing
     ``lam * relevance - (1 - lam) * max-similarity-to-selected``.
@@ -904,10 +915,21 @@ def mmr_topk(corpus: DataFrame, query_vec: DataFrame, k: int = 3,
         .select("vec_id", "e", "rel",
                 F.round(F.lit(lam) * F.col("rel"), 6).alias("score"))
     )
-    selected = [first.collect()[0]]
+    # mu is the redundancy multiplier the ORACLE must be able to spell
+    # as the same double: Python 1.0 - 0.7 is 0.30000000000000004, one
+    # ulp off a SQL literal 0.3, and the rounded score feeds an argmax
+    # (round-8 review finding) — callers with a SQL twin pass the
+    # literal weight explicitly.
+    mu = (1.0 - lam) if redundancy_weight is None else redundancy_weight
+    spark = corpus.sparkSession
+    schema = ("rank int, vec_id long, relevance double, "
+              "mmr_score double")
+    head = first.collect()
+    if not head:  # empty corpus/pool → empty frame, not an IndexError
+        return spark.createDataFrame([], schema)
+    selected = [head[0]]
     out_rows = [(1, selected[0]["vec_id"], selected[0]["rel"],
                  selected[0]["score"])]
-    spark = corpus.sparkSession
     for step in range(2, k + 1):
         sel_df = spark.createDataFrame(
             [(r["vec_id"], r["e"]) for r in selected],
@@ -923,7 +945,7 @@ def mmr_topk(corpus: DataFrame, query_vec: DataFrame, k: int = 3,
             .select(
                 "vec_id", "e", "rel",
                 F.round(F.lit(lam) * F.col("rel")
-                        - F.lit(1.0 - lam) * F.col("max_red"), 6)
+                        - F.lit(mu) * F.col("max_red"), 6)
                 .alias("score"),
             )
         )
@@ -935,6 +957,4 @@ def mmr_topk(corpus: DataFrame, query_vec: DataFrame, k: int = 3,
         selected.append(pick)
         out_rows.append((step, pick["vec_id"], pick["rel"],
                          pick["score"]))
-    return spark.createDataFrame(
-        out_rows, "rank int, vec_id long, relevance double, "
-                  "mmr_score double")
+    return spark.createDataFrame(out_rows, schema)

@@ -378,9 +378,9 @@ def _apply_stage(df: DataFrame, stage: str, schema: SumoSchema,
     if head == "timeslice":
         return _stage_timeslice(df, rest, schema)
     if head == "top":
-        return _stage_top(df, rest)
+        return _stage_top(df, rest, schema)
     if head == "count_frequent":
-        return _stage_count_frequent(df, rest)
+        return _stage_count_frequent(df, rest, schema=schema)
     if head == "transaction":
         return _stage_transaction(df, rest, schema)
     if head == "geoip":
@@ -943,7 +943,27 @@ def _stage_transaction(df: DataFrame, rest: str,
     )
 
 
-def _stage_top(df: DataFrame, rest: str) -> DataFrame:
+def _field_src(name: str, df: DataFrame, schema: SumoSchema) -> str:
+    """Bound source column for a Sumo field name: built-in metadata
+    fields (``_sourceCategory``, ``_index``, …) resolve through
+    ``schema.meta_cols`` unless the frame literally has that column —
+    the shared lookup every grouping stage uses (agg ``by`` keys, top,
+    count_frequent), so ``top 10 _sourceCategory`` works wherever
+    ``count by _sourceCategory`` does."""
+    if name in schema.meta_cols and name not in df.columns:
+        return schema.meta_cols[name]
+    return name
+
+
+def _group_expr(name: str, df: DataFrame, schema: SumoSchema) -> Column:
+    """Group-key Column for a Sumo field: groups on the BOUND column
+    but keeps the Sumo field name in the output."""
+    src = _field_src(name, df, schema)
+    return F.col(src).alias(name) if src != name else F.col(name)
+
+
+def _stage_top(df: DataFrame, rest: str,
+               schema: SumoSchema = SumoSchema()) -> DataFrame:
     """``top N field`` — most-frequent values, Sumo's dashboard staple.
     Lowers to groupBy + TakeOrderedAndProject (no global sort)."""
     m = re.match(r"^(\d+)\s+([\w]+)$", rest.strip())
@@ -951,7 +971,7 @@ def _stage_top(df: DataFrame, rest: str) -> DataFrame:
         raise SumoQLError(f"bad top stage: {rest!r}")
     n, col = int(m.group(1)), m.group(2)
     return (
-        df.groupBy(col)
+        df.groupBy(_group_expr(col, df, schema))
         .agg(F.count(F.lit(1)).alias("_count"))
         .orderBy(F.col("_count").desc(), F.col(col))
         .limit(n)
@@ -959,7 +979,8 @@ def _stage_top(df: DataFrame, rest: str) -> DataFrame:
 
 
 def _stage_count_frequent(df: DataFrame, rest: str,
-                          limit: int = 100) -> DataFrame:
+                          limit: int = 100,
+                          schema: SumoSchema = SumoSchema()) -> DataFrame:
     """``count_frequent f1[, f2…]`` — Sumo's most-frequent-values operator
     (dashboard panels; capped at 100 result rows, output field
     ``_approxcount``).
@@ -988,7 +1009,9 @@ def _stage_count_frequent(df: DataFrame, rest: str,
         # path's groupBy.  Key columns come back as strings (the sketch
         # key is one encoded string); counts are unaffected.
         sentinel = "\x00null\x00"
-        enc = [F.coalesce(F.col(c).cast("string"), F.lit(sentinel))
+        enc = [F.coalesce(
+                   F.col(_field_src(c, df, schema)).cast("string"),
+                   F.lit(sentinel))
                for c in cols]
         key = enc[0] if len(enc) == 1 else F.concat_ws("\x1f", *enc)
         tk = df.select(key.alias("_k")).agg(
@@ -1009,7 +1032,7 @@ def _stage_count_frequent(df: DataFrame, rest: str,
             *items, F.col("_e.count").alias("_approxcount")
         ).orderBy(F.col("_approxcount").desc(), *cols)
     return (
-        df.groupBy(*cols)
+        df.groupBy(*[_group_expr(c, df, schema) for c in cols])
         .agg(F.count(F.lit(1)).alias("_approxcount"))
         .orderBy(F.col("_approxcount").desc(), *cols)
         .limit(limit)
@@ -1634,11 +1657,7 @@ def _stage_agg(df: DataFrame, stage: str,
         # with meta_cols={"_sourceCategory": "source_category"} groups
         # on source_category, emits _sourceCategory) — the idiom every
         # shipped app's panels use.
-        by_exprs = [
-            F.col(schema.meta_cols[c]).alias(c)
-            if c in schema.meta_cols and c not in df.columns else F.col(c)
-            for c in by_cols
-        ]
+        by_exprs = [_group_expr(c, df, schema) for c in by_cols]
         out = df.groupBy(*by_exprs).agg(*agg_cols)
         # Mark the group keys in column METADATA so later stages that
         # must split keys from measures (compare's period self-join) can

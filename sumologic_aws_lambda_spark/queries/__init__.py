@@ -52,9 +52,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # item: r1-stale); (c) the 3 queries round 8 REWROTE (rfm is in (a);
 # revenue_concentration and part_affinity_rules lost their fact-side
 # broadcast hints, bm25_retrieval got the TakeOrdered finisher) —
-# changed plans need fresh hard signal; (d) 32 of the 48 queries whose
+# changed plans need fresh hard signal; (d) 30 of the 48 queries whose
 # latest sample is round 3 (oldest cohort), in registry order — the
-# remaining 16 r3 + the r4 cohort lead round 9.  Everything else keeps
+# remaining 18 r3 + the r4 cohort lead round 9.  Everything else keeps
 # registration order after the head and remains covered by the repo's
 # own full-surface driver replica (tools/verify_driver_contract.py,
 # all 262 queries green this round).

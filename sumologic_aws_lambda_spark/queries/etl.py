@@ -83,14 +83,14 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("event_type").alias("state"),
             F.unix_timestamp("ts").alias("valid_from"), "ts", "event_id")
     )
-    # version ordering uses the FULL-precision ts (valid_from is
-    # whole seconds — two same-second changes must keep event order)
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # versioning reuses the same (ts, event_id) event ordering — NOT
+    # valid_from, which is whole seconds and would reorder two
+    # same-second changes
     return changes.select(
         "user_id", "state", "valid_from",
-        F.row_number().over(w2).cast("bigint").alias("version"),
-        F.lead("valid_from").over(w2).alias("valid_to"),
-        (F.lead("valid_from").over(w2) - F.col("valid_from"))
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.lead("valid_from").over(w).alias("valid_to"),
+        (F.lead("valid_from").over(w) - F.col("valid_from"))
         .alias("duration_s"),
     )
 

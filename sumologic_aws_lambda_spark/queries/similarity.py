@@ -836,4 +836,9 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double("embedding").alias("e"))
     qv = emb.filter(F.col("vec_id") == 0).select(
         as_double("embedding").alias("qe"))
-    return mmr_topk(corpus, qv, k=3, lam=0.7, pool_size=10)
+    # redundancy_weight spelled as the literal 0.3 so the Spark double
+    # is bit-identical to the oracle's SQL literal (1.0 - 0.7 in Python
+    # is 0.30000000000000004 — one ulp off, enough to flip a rounded
+    # argmax at a 5e-7 boundary).
+    return mmr_topk(corpus, qv, k=3, lam=0.7, pool_size=10,
+                    redundancy_weight=0.3)

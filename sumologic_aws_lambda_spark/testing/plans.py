@@ -34,17 +34,40 @@ def _plan_tree(nodes: list[dict], i: int = 0):
     return (node, children), j
 
 
-def _subtree_has_limit(tree) -> bool:
+# Unary operators whose OUTPUT row count is bounded whenever their
+# input's is (so a Limit below them still bounds the window above).
+_ROW_PRESERVING_SUFFIXES = (
+    ".Project", ".Filter", ".Sort", ".SubqueryAlias", ".Window",
+    ".Repartition", ".RepartitionByExpression", ".WithCTE",
+    ".Deduplicate", ".Distinct",
+)
+
+
+def _input_is_bounded(tree) -> bool:
+    """True iff this subtree's row count is bounded by a Limit along
+    the row-producing path.  NOT the same as 'any descendant has a
+    Limit': `facts.join(dim.limit(5))` has a Limit in its subtree but
+    the join output is fact-sized (round-8 review finding) — a Join or
+    Union is bounded only if EVERY input is; an Aggregate is not
+    treated as bounded (group cardinality can be fact-scale); anything
+    unrecognized (scans, generators) is unbounded."""
     node, children = tree
     cls = node.get("class", "")
     if cls.endswith(".GlobalLimit") or cls.endswith(".LocalLimit"):
         return True
-    return any(_subtree_has_limit(c) for c in children)
+    if cls.endswith(".LocalRelation") or cls.endswith(".OneRowRelation"):
+        return True  # driver-local literal data
+    if cls.endswith(_ROW_PRESERVING_SUFFIXES):
+        return bool(children) and _input_is_bounded(children[0])
+    if cls.endswith(".Join") or cls.endswith(".Union"):
+        return bool(children) and all(_input_is_bounded(c)
+                                      for c in children)
+    return False
 
 
 def unbounded_global_windows(df: DataFrame) -> int:
-    """Count Window nodes with an empty partitionSpec that are NOT fed
-    by a Limit — each one moves its whole input to a single task."""
+    """Count Window nodes with an empty partitionSpec whose input is
+    not Limit-bounded — each one moves its whole input to one task."""
     nodes = json.loads(
         df._jdf.queryExecution().optimizedPlan().toJSON())
     tree, _ = _plan_tree(nodes)
@@ -55,7 +78,7 @@ def unbounded_global_windows(df: DataFrame) -> int:
         node, children = t
         if (node.get("class", "").endswith(".Window")
                 and not (node.get("partitionSpec") or [])
-                and not _subtree_has_limit(t)):
+                and not (children and _input_is_bounded(children[0]))):
             bad += 1
         for c in children:
             walk(c)

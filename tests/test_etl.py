@@ -150,3 +150,35 @@ def test_lit_vector_bit_identical_to_flit(spark):
     ).collect()[0]
     assert row["a"] == row["b"] == vals
     assert row["m"] == [vals, vals[::-1]]
+
+
+def test_mmr_empty_corpus_returns_empty_frame(spark):
+    from sumologic_aws_lambda_spark.operators.similarity import mmr_topk
+
+    corpus = spark.createDataFrame([], "vec_id long, e array<double>")
+    qv = spark.createDataFrame([([1.0, 0.0],)], "qe array<double>")
+    out = mmr_topk(corpus, qv, k=3, pool_size=5)
+    assert out.count() == 0
+    assert out.columns == ["rank", "vec_id", "relevance", "mmr_score"]
+
+
+def test_link_prediction_handles_noncanonical_edges(spark):
+    # Triangle with one edge stored reversed plus a both-orientations
+    # duplicate: adjacent pairs must never surface as predictions and
+    # degrees must count each undirected edge once (round-8 review).
+    from sumologic_aws_lambda_spark.operators.graph import link_prediction
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1),          # (3,1) is non-canonical
+         (2, 1),                           # duplicate, reversed
+         (2, 4)],                          # pendant: candidate wedges
+        "u long, v long")
+    rows = link_prediction(edges, hub_cut=None, min_common=1).collect()
+    got = {(r["u"], r["v"]): r for r in rows}
+    # (1,3) is adjacent (via the reversed edge) — must NOT appear
+    assert (1, 3) not in got
+    # non-adjacent wedge pairs through node 2: (1,4) and (3,4)
+    assert set(got) == {(1, 4), (3, 4)}
+    # deg(1)=2 (not 3 — the duplicate edge counts once), deg(4)=1,
+    # cn=1 → jaccard = 1/(2+1-1) = 0.5
+    assert got[(1, 4)]["jaccard"] == 0.5

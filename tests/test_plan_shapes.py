@@ -397,3 +397,28 @@ def test_no_unbounded_global_windows_registry_wide(spark, qs):
         f"unbounded global windows (single-partition sort at scale): "
         f"{offenders}; partition the window, bound it with limit(k), "
         f"or justify an allowlist entry in _GLOBAL_WINDOW_OK")
+
+
+def test_guard_flags_window_over_fact_join_with_limited_dim(spark):
+    """Round-8 review regression: a Limit ANYWHERE in the subtree must
+    not exempt the window — facts ⋈ dim.limit(5) is still fact-sized.
+    Conversely the sanctioned pagination pattern (window over the
+    orderBy+limit head) stays exempt."""
+    from sumologic_aws_lambda_spark.testing.plans import (
+        unbounded_global_windows,
+    )
+    from pyspark.sql import Window, functions as F
+
+    facts = spark.range(1000).withColumn("k", F.col("id") % 7)
+    dim = spark.range(7).withColumnRenamed("id", "k").limit(5)
+    bad = (
+        facts.join(dim, "k")
+        .withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    )
+    assert unbounded_global_windows(bad) == 1
+
+    ok = (
+        facts.orderBy("id").limit(20)
+        .withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    )
+    assert unbounded_global_windows(ok) == 0

@@ -906,3 +906,27 @@ def test_lookup_contains_resolves_disk_resident_tables(spark, tmp_path):
         SumoSchema(raw_col="user"), lookups=fresh)
     assert {(r["user"], r["known"]) for r in out.collect()} == \
         {("u1", True), ("u2", False)}
+
+
+def test_meta_field_grouping_in_agg_top_count_frequent(logs):
+    # Built-in metadata fields resolve through meta_cols in EVERY
+    # grouping stage (round-8 review: the agg-only fix left `top` and
+    # `count_frequent` throwing unresolved-column errors on the same
+    # idiom).
+    out = compile_query(logs, "* | count by _sourceCategory", SCHEMA)
+    got = {r["_sourceCategory"]: r["_count"] for r in out.collect()}
+    assert got == {"prod/api": 2, "prod/web": 1, "dev/api": 1}
+
+    top = compile_query(logs, "* | top 2 _sourceCategory", SCHEMA)
+    rows = top.collect()
+    assert [r["_sourceCategory"] for r in rows] == ["prod/api", "dev/api"]
+    assert rows[0]["_count"] == 2
+
+    cf = compile_query(logs, "* | count_frequent _sourceCategory", SCHEMA)
+    got = {r["_sourceCategory"]: r["_approxcount"] for r in cf.collect()}
+    assert got == {"prod/api": 2, "prod/web": 1, "dev/api": 1}
+
+    cfa = compile_query(
+        logs, "* | count_frequent _sourceCategory approx", SCHEMA)
+    got = {r["_sourceCategory"]: r["_approxcount"] for r in cfa.collect()}
+    assert got == {"prod/api": 2, "prod/web": 1, "dev/api": 1}
