@@ -144,6 +144,18 @@ OPTIONAL = [
     "clustering_coefficients",
     "sumoql_lookup_contains",
     "value_percentile_bands",
+    "rfm_segmentation",
+    "scd2_intervals",
+    "cdc_snapshot_merge",
+    "referential_integrity_audit",
+    "join_key_skew_stats",
+    "k_anonymity_audit",
+    "attribution_touchpoints",
+    "holt_linear_forecast",
+    "mmr_diversified_topk",
+    "psi_drift_score",
+    "benford_digit_audit",
+    "pmi_collocations",
 ]
 
 

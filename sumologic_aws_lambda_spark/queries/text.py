@@ -859,3 +859,90 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.select(
         "doc_id", "bm25", "matched",
         F.row_number().over(rk).alias("rank"))
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+    WITH docs AS (
+        SELECT string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(t) AS w FROM docs) GROUP BY w
+    ),
+    nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    bg AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM docs,
+             LATERAL (SELECT unnest(generate_series(1, len(t) - 1))
+                      AS i) g
+        WHERE len(t) >= 2
+    ),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bg),
+    bgc AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+        FROM bg GROUP BY 1, 2 HAVING count(*) >= 20
+    )
+    SELECT bgc.w1, bgc.w2, bgc.n_pair,
+           round(ln((CAST(bgc.n_pair AS DOUBLE) / nb.b)
+                    / ((CAST(u1.c AS DOUBLE) / nt.n)
+                       * (CAST(u2.c AS DOUBLE) / nt.n))), 4) + 0.0
+               AS pmi
+    FROM bgc
+    JOIN uni u1 ON u1.w = bgc.w1
+    JOIN uni u2 ON u2.w = bgc.w2
+    CROSS JOIN nt CROSS JOIN nb
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations: which adjacent word
+    pairs co-occur MORE than their unigram frequencies predict —
+    ``ln(p(xy) / (p(x) p(y)))`` over bigrams with support ≥ 20 (Church
+    & Hanks 1990, public).  `top_bigrams_per_source` ranks raw counts;
+    PMI is the association-strength view a phrase-mining / tokenizer-
+    merge pipeline wants.
+
+    Two partial-aggregatable count shuffles (unigrams, bigrams) over
+    ONE tokenization pass each; totals are broadcast scalars and the
+    PMI join runs on the vocabulary²-bounded bigram frame, never the
+    corpus.  The PMI expression is single divisions of exact counts
+    composed in the identical op order both engines, then ``ln`` +
+    round(4) (rules 2/12).
+    """
+    d = table(spark, sf_dir, "documents", parallel=True)
+    docs = d.select(F.split(normalize_text("text"), " ").alias("t"))
+    uni = (
+        docs.select(F.explode("t").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    nt = uni.agg(F.sum("c").alias("n"))
+    pairs = (
+        docs.filter(F.size("t") >= 2)
+        .select(F.expr(
+            "explode(transform(sequence(1, size(t) - 1), "
+            "i -> struct(t[i - 1] AS w1, t[i] AS w2)))").alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    nb = pairs.agg(F.count(F.lit(1)).alias("b"))
+    bgc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 20)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bgc.join(u1, "w1").join(u2, "w2")
+        .crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nb))
+        .select(
+            "w1", "w2", "n_pair",
+            # + 0.0 normalizes IEEE -0.0 (an exactly-independent pair
+            # rounds to -0.0 in DuckDB, 0.0 in Spark)
+            (F.round(F.log(
+                (F.col("n_pair").cast("double") / F.col("b"))
+                / ((F.col("c1").cast("double") / F.col("n"))
+                   * (F.col("c2").cast("double") / F.col("n")))), 4)
+             + 0.0).alias("pmi"),
+        )
+    )
