@@ -1,0 +1,112 @@
+"""Streaming snapshot upsert: maintain a keyed latest-wins parquet
+snapshot from a change stream (the foreachBatch MERGE-INTO pattern).
+
+The batch surface (``queries/etl.py::cdc_snapshot_merge``) merges one
+change batch against one snapshot; this sink runs that merge
+CONTINUOUSLY — each micro-batch collapses to its per-key latest row,
+merges against the stored snapshot, and atomically replaces it.  This
+is the table-maintenance half of the reference's delivery tier: the
+sinks move events, this keeps a queryable current-state table.
+
+Correctness properties:
+
+* latest-wins is total-ordered by (ts, _seq): event time first, then
+  the monotonically increasing batch id, so a replayed or reordered
+  delivery can never regress a key to an older state — replaying ANY
+  batch is idempotent by value.
+* the swap is crash-safe: the next snapshot is fully written to a
+  staging directory, then swapped in with two renames; a crash leaves
+  either the old snapshot or the new one, never a half-written mix.
+  The previous snapshot directory is kept as ``_prev`` until the next
+  batch, giving one generation of rollback.
+
+Scale shape: the per-batch merge is ONE shuffle on the key (the batch
+collapse and the merge groupBy share it); the snapshot is read
+narrow (key + ts + _seq + payload) and never collected.  At 100 TB
+the same code runs with the snapshot bucketed by key so the merge
+co-partitions — swap ``parquet`` for a bucketed table; the algebra is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+class SnapshotUpsertSink:
+    """``foreachBatch`` hook maintaining a latest-wins keyed snapshot.
+
+    ``key_cols`` identify the entity; ``ts_col`` orders versions
+    (event time).  Rows where ``delete_col`` (optional, boolean) is
+    true act as tombstones: the key is REMOVED from the snapshot when
+    the tombstone is the key's latest version.
+    """
+
+    def __init__(self, path: str, key_cols: tuple[str, ...],
+                 ts_col: str, delete_col: str | None = None):
+        if not key_cols:
+            raise ValueError("SnapshotUpsertSink needs key columns")
+        self.path = path
+        self.key_cols = tuple(key_cols)
+        self.ts_col = ts_col
+        self.delete_col = delete_col
+        self._current = os.path.join(path, "current")
+        self._prev = os.path.join(path, "_prev")
+
+    # -- snapshot access ------------------------------------------------
+
+    def snapshot(self, spark,
+                 include_tombstones: bool = False) -> DataFrame | None:
+        """The live snapshot frame, or None before the first batch.
+
+        Deleted keys are filtered at READ time — their tombstone rows
+        stay in storage so a late-arriving update OLDER than the
+        delete can never resurrect the key (the merge would otherwise
+        have nothing to outrank it).  ``include_tombstones=True``
+        returns the raw table; production compacts tombstones out
+        after a retention window (same TTL pattern as the streaming
+        dedup store)."""
+        if not os.path.exists(self._current):
+            return None
+        df = spark.read.parquet(self._current)
+        if self.delete_col and not include_tombstones:
+            df = df.filter(
+                ~F.coalesce(F.col(self.delete_col), F.lit(False)))
+        return df
+
+    # -- the merge ------------------------------------------------------
+
+    def _latest_per_key(self, df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            F.col(self.ts_col).desc(), F.col("_seq").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn")
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        staged = batch_df.withColumn("_seq", F.lit(int(batch_id)))
+        current = self.snapshot(spark, include_tombstones=True)
+        merged_input = (
+            staged if current is None
+            else current.unionByName(staged, allowMissingColumns=True)
+        )
+        # Tombstones are RETAINED (not filtered) so they keep
+        # outranking any older update that arrives later; the read
+        # view filters them (see snapshot()).
+        merged = self._latest_per_key(merged_input)
+        staging = os.path.join(self.path, f"_staging_{batch_id}")
+        shutil.rmtree(staging, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(staging)
+        # two-rename swap: old current becomes _prev (one generation of
+        # rollback), staging becomes current; a crash between the
+        # renames leaves a readable snapshot at one of the two names.
+        shutil.rmtree(self._prev, ignore_errors=True)
+        if os.path.exists(self._current):
+            os.rename(self._current, self._prev)
+        os.rename(staging, self._current)
