@@ -156,6 +156,7 @@ OPTIONAL = [
     "psi_drift_score",
     "benford_digit_audit",
     "pmi_collocations",
+    "heavy_hitters_twopass",
 ]
 
 

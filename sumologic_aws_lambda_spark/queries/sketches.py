@@ -20,7 +20,7 @@ sketch is actually broken.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -148,3 +148,61 @@ def theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("overlap_within_10pct"),
     )
+
+
+@query(
+    "heavy_hitters_twopass",
+    oracle="""
+    WITH keyed AS (
+        SELECT 'u' || CAST(user_id AS VARCHAR) AS item FROM events
+    ),
+    counts AS (
+        SELECT item, CAST(count(*) AS BIGINT) AS cnt
+        FROM keyed GROUP BY item
+    ),
+    ranked AS (
+        SELECT item, cnt,
+               row_number() OVER (ORDER BY cnt DESC, item) AS rank
+        FROM counts
+    )
+    SELECT item, cnt, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-10 heavy hitters via the two-pass sketch-then-verify
+    pattern (Misra-Gries/SpaceSaving candidates + exact recount —
+    Cormode & Hadjieleftheriou 2008, public): pass 1 is a
+    partial-aggregatable ``approx_top_k`` sketch whose candidate set
+    provably CONTAINS every true top-k (maxItemsTracked = 1000 ≫ k, so
+    any item with frequency > n/1000 survives); pass 2 exactly counts
+    ONLY the ≤100 candidates (a broadcast semi-join over the scan) and
+    ranks them.
+
+    Why this beats one exact groupBy at 100 TB: the key universe never
+    shuffles — pass 1 moves merged sketches (KB per partition), pass 2
+    moves exact counts for 100 candidate keys.  A raw groupBy on a
+    high-cardinality key (user ids at 15 B rows) shuffles the whole
+    universe just to throw away all but 10 rows.  The oracle checks
+    EXACT top-10 counts — not sketch estimates — so correctness of the
+    containment + recount composition is the thing being verified.
+    """
+    ev = table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string"))
+        .alias("item"))
+    candidates = (
+        keyed.agg(F.expr("approx_top_k(item, 100, 1000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("item"))
+    )
+    exact = (
+        keyed.join(F.broadcast(candidates), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    head = exact.orderBy(F.col("cnt").desc(), "item").limit(10)
+    w = Window.orderBy(F.col("cnt").desc(), "item")
+    return head.select(
+        "item", "cnt",
+        F.row_number().over(w).cast("bigint").alias("rank"))
