@@ -173,26 +173,37 @@ def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT top-10 heavy hitters via the two-pass sketch-then-verify
     pattern (Misra-Gries/SpaceSaving candidates + exact recount —
     Cormode & Hadjieleftheriou 2008, public): pass 1 is a
-    partial-aggregatable ``approx_top_k`` sketch whose candidate set
-    provably CONTAINS every true top-k (maxItemsTracked = 1000 ≫ k, so
-    any item with frequency > n/1000 survives); pass 2 exactly counts
-    ONLY the ≤100 candidates (a broadcast semi-join over the scan) and
-    ranks them.
+    partial-aggregatable ``approx_top_k`` sketch producing a candidate
+    set; pass 2 exactly counts ONLY the ≤100 candidates (a broadcast
+    semi-join over the scan) and ranks them.
+
+    Sizing contract (the part that makes the EXACT oracle sound):
+    top-k containment requires ``maxItemsTracked`` to dominate either
+    the distinct-key count (exact regime — nothing is ever purged) or
+    n / (the k-th frequency minus the error bound).  The fixture's
+    user universe is near-uniform (no frequency gap), so the width is
+    set to 100 000 ≫ the 15 000 distinct users at sf1 — the sketch is
+    in its exact regime at every test SF, which the round-8 review
+    demanded be explicit: at width 1000 the containment claim was
+    vacuous on this distribution and the oracle pass was luck.  On a
+    REAL heavy-hitter distribution (what the operator is for) the
+    frequency-gap bound applies and a few-thousand width suffices at
+    any n; when neither bound is satisfiable, pass 2 still returns
+    verified EXACT counts for the candidates — degraded to
+    "top-k among candidates", never silently-wrong counts.
 
     Why this beats one exact groupBy at 100 TB: the key universe never
-    shuffles — pass 1 moves merged sketches (KB per partition), pass 2
-    moves exact counts for 100 candidate keys.  A raw groupBy on a
-    high-cardinality key (user ids at 15 B rows) shuffles the whole
-    universe just to throw away all but 10 rows.  The oracle checks
-    EXACT top-10 counts — not sketch estimates — so correctness of the
-    containment + recount composition is the thing being verified.
+    shuffles — pass 1 moves merged sketch state (bounded by the
+    width), pass 2 moves exact counts for ≤100 candidate keys.  A raw
+    groupBy on a high-cardinality key (user ids at 15 B rows) shuffles
+    the whole universe just to throw away all but 10 rows.
     """
     ev = table(spark, sf_dir, "events")
     keyed = ev.select(
         F.concat(F.lit("u"), F.col("user_id").cast("string"))
         .alias("item"))
     candidates = (
-        keyed.agg(F.expr("approx_top_k(item, 100, 1000)").alias("tk"))
+        keyed.agg(F.expr("approx_top_k(item, 100, 100000)").alias("tk"))
         .select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("item"))
     )

@@ -36,14 +36,25 @@ class DriftReport:
     terms: dict[str, float] = field(default_factory=dict)
 
 
+def _category_counts(df: DataFrame, col: str) -> dict[str, int]:
+    """One partial-aggregatable groupBy → {category: count}.  NULLs
+    coalesce to the ``(null)`` sentinel BEFORE grouping (repo rule 10):
+    a None key would otherwise crash the sorted() category union in
+    the PSI fold — and the same snippet must be used for the reference
+    AND every batch or the two sides of the compare drift."""
+    rows = df.groupBy(
+        F.coalesce(F.col(col).cast("string"), F.lit("(null)"))
+        .alias("k")
+    ).agg(F.count(F.lit(1)).alias("n")).collect()
+    return {r["k"]: int(r["n"]) for r in rows}
+
+
 def reference_shares(ref: DataFrame, col: str) -> dict[str, int]:
     """Collapse a reference frame to category COUNTS (one
     partial-aggregatable groupBy; the result is category-cardinality
     sized).  Counts, not shares, so the monitor can apply the same
     Laplace smoothing to both sides."""
-    rows = ref.groupBy(F.col(col).cast("string").alias("k")).agg(
-        F.count(F.lit(1)).alias("n")).collect()
-    return {r["k"]: int(r["n"]) for r in rows}
+    return _category_counts(ref, col)
 
 
 class PsiDriftMonitor:
@@ -79,10 +90,7 @@ class PsiDriftMonitor:
         return terms
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.groupBy(
-            F.col(self.col).cast("string").alias("k")
-        ).agg(F.count(F.lit(1)).alias("n")).collect()
-        counts = {r["k"]: int(r["n"]) for r in rows}
+        counts = _category_counts(batch_df, self.col)
         n = sum(counts.values())
         terms = self._psi(counts)
         psi = sum(terms.values())

@@ -59,6 +59,18 @@ class SnapshotUpsertSink:
 
     # -- snapshot access ------------------------------------------------
 
+    def _recover(self) -> None:
+        """Heal the rename window: a crash between the two swap renames
+        leaves no ``current`` but an intact ``_prev`` — without this,
+        the next batch would rebuild the snapshot from itself alone and
+        silently drop every stored key (round-8 review finding).
+        Promoting ``_prev`` back to ``current`` restores the pre-swap
+        snapshot; the interrupted batch's staging dir is garbage (its
+        batch will be replayed) and is swept by ``__call__``."""
+        if (not os.path.exists(self._current)
+                and os.path.exists(self._prev)):
+            os.rename(self._prev, self._current)
+
     def snapshot(self, spark,
                  include_tombstones: bool = False) -> DataFrame | None:
         """The live snapshot frame, or None before the first batch.
@@ -70,6 +82,7 @@ class SnapshotUpsertSink:
         returns the raw table; production compacts tombstones out
         after a retention window (same TTL pattern as the streaming
         dedup store)."""
+        self._recover()
         if not os.path.exists(self._current):
             return None
         df = spark.read.parquet(self._current)
@@ -81,15 +94,39 @@ class SnapshotUpsertSink:
     # -- the merge ------------------------------------------------------
 
     def _latest_per_key(self, df: DataFrame) -> DataFrame:
+        # Final tiebreak: a content hash of the full row.  Two updates
+        # to the same key with EQUAL ts inside one batch share _seq
+        # too, and row_number over tied sort keys picks an arbitrary
+        # row — replay could then flip the survivor.  The hash makes
+        # the resolution arbitrary-but-DETERMINISTIC for identical
+        # batch content, preserving idempotent-by-value replays
+        # (round-8 review finding).
+        tie = F.md5(F.to_json(F.struct(*[
+            F.col(c) for c in df.columns if c != "_seq"])))
         w = Window.partitionBy(*self.key_cols).orderBy(
-            F.col(self.ts_col).desc(), F.col("_seq").desc())
+            F.col(self.ts_col).desc(), F.col("_seq").desc(), tie.desc())
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn")
         )
 
+    def _sweep_staging(self) -> None:
+        """Remove orphaned staging dirs from crashed/renumbered batches
+        — foreachBatch calls are serialized per query, so anything
+        matching ``_staging_*`` at batch start is dead (round-8 review
+        finding: only the same batch_id's staging was cleaned, letting
+        stale full-snapshot copies accumulate forever)."""
+        if not os.path.isdir(self.path):
+            return
+        for name in os.listdir(self.path):
+            if name.startswith("_staging_"):
+                shutil.rmtree(os.path.join(self.path, name),
+                              ignore_errors=True)
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        self._recover()
+        self._sweep_staging()
         staged = batch_df.withColumn("_seq", F.lit(int(batch_id)))
         current = self.snapshot(spark, include_tombstones=True)
         merged_input = (
@@ -101,7 +138,6 @@ class SnapshotUpsertSink:
         # view filters them (see snapshot()).
         merged = self._latest_per_key(merged_input)
         staging = os.path.join(self.path, f"_staging_{batch_id}")
-        shutil.rmtree(staging, ignore_errors=True)
         merged.write.mode("overwrite").parquet(staging)
         # two-rename swap: old current becomes _prev (one generation of
         # rollback), staging becomes current; a crash between the

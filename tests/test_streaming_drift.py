@@ -61,3 +61,14 @@ def test_psi_monitor_over_file_stream(spark, tmp_path):
 def test_empty_reference_rejected():
     with pytest.raises(ValueError):
         PsiDriftMonitor({}, col="k")
+
+
+def test_null_category_uses_sentinel_not_crash(spark):
+    mon = PsiDriftMonitor({"a": 10, "(null)": 10}, col="k")
+    batch = spark.createDataFrame(
+        [("a",), (None,), (None,)], "k string")
+    mon(batch, batch_id=0)
+    r = mon.reports[0]
+    assert r.rows == 3 and "(null)" in r.terms
+    ref = spark.createDataFrame([("a",), (None,)], "k string")
+    assert reference_shares(ref, "k") == {"a": 1, "(null)": 1}

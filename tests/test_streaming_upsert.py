@@ -109,3 +109,35 @@ def test_upsert_over_file_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["k"]: r["v"] for r in sink.snapshot(spark).collect()}
     assert got == {1: "y", 2: "z"}
+
+
+def test_recovery_from_crash_between_swap_renames(spark, tmp_path):
+    import os
+
+    base = tmp_path / "snap"
+    sink = SnapshotUpsertSink(str(base), key_cols=("k",), ts_col="ts")
+    sink(_batch(spark, [(1, "a1", T0, False)]), batch_id=0)
+    # simulate a crash between the two renames: current was moved to
+    # _prev, the new current never landed
+    os.rename(str(base / "current"), str(base / "_prev"))
+    # plus an orphaned staging dir from the interrupted batch
+    (base / "_staging_99").mkdir()
+    # recovery: snapshot() heals _prev -> current; next batch sweeps
+    assert _snap(sink, spark) == {1: ("a1", 0)}
+    sink(_batch(spark, [(2, "b1", T0, False)]), batch_id=1)
+    assert _snap(sink, spark) == {1: ("a1", 0), 2: ("b1", 1)}
+    assert not (base / "_staging_99").exists()
+
+
+def test_intra_batch_same_ts_conflict_is_deterministic(spark, tmp_path):
+    # two updates to one key with EQUAL ts in ONE batch: the survivor
+    # must be identical across replays (content-hash tiebreak), never
+    # partition-order luck
+    rows = [(1, "x", T0, False), (1, "y", T0, False)]
+    winners = set()
+    for trial in range(3):
+        sink = SnapshotUpsertSink(str(tmp_path / f"s{trial}"),
+                                  key_cols=("k",), ts_col="ts")
+        sink(_batch(spark, rows).repartition(4), batch_id=0)
+        winners.add(_snap(sink, spark)[1][0])
+    assert len(winners) == 1
