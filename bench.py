@@ -157,6 +157,7 @@ OPTIONAL = [
     "benford_digit_audit",
     "pmi_collocations",
     "heavy_hitters_twopass",
+    "pointintime_feature_join",
 ]
 
 

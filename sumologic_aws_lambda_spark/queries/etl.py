@@ -351,3 +351,79 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(below).cast("double") / F.sum("sz"), 6)
         .alias("share_below_k"),
     )
+
+
+@query(
+    "pointintime_feature_join",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, event_id, ts,
+               CAST(floor(epoch(ts)) AS BIGINT) AS e,
+               coalesce(lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id),
+                   '(first)') AS prev
+        FROM events
+    ),
+    intervals AS (
+        SELECT user_id, event_type AS state, e AS valid_from,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               lead(e) OVER w AS valid_to
+        FROM ordered WHERE event_type <> prev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    purchases AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS e
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id, p.e AS purchase_epoch,
+           i.state AS state_at_purchase, i.version
+    FROM purchases p
+    JOIN intervals i
+      ON i.user_id = p.user_id
+     AND p.e >= i.valid_from
+     AND (i.valid_to IS NULL OR p.e < i.valid_to)
+    """,
+)
+def pointintime_feature_join(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Point-in-time correct feature join: each purchase event looks up
+    the SCD2 state version that was ACTIVE at its event time — the
+    as-of join every feature store runs to prevent training-serving
+    skew (a plain latest-state join would leak the future into
+    training rows).
+
+    Composes :func:`scd2_intervals`' interval build with an interval-
+    containment join.  Scale shape: BOTH sides key on ``user_id``, so
+    the equi-join part co-partitions on one shuffle key and the range
+    predicate evaluates within each user's (small) interval list —
+    never a global range join.  Epochs are whole seconds (rule 13);
+    the open current version matches via the NULL-``valid_to`` arm on
+    both engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    intervals = (
+        ev.withColumn(
+            "prev",
+            F.coalesce(F.lag("event_type").over(w), F.lit("(first)")))
+        .filter(F.col("event_type") != F.col("prev"))
+        .select("user_id", F.col("event_type").alias("state"),
+                F.unix_timestamp("ts").alias("valid_from"),
+                "ts", "event_id")
+        .select("user_id", "state", "valid_from",
+                F.row_number().over(w).cast("bigint").alias("version"),
+                F.lead("valid_from").over(w).alias("valid_to"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("e"))
+    p, i = purchases.alias("p"), intervals.alias("i")
+    return (
+        p.join(i, (F.col("p.user_id") == F.col("i.user_id"))
+               & (F.col("p.e") >= F.col("i.valid_from"))
+               & (F.col("i.valid_to").isNull()
+                  | (F.col("p.e") < F.col("i.valid_to"))))
+        .select(F.col("p.user_id").alias("user_id"), "event_id",
+                F.col("p.e").alias("purchase_epoch"),
+                F.col("i.state").alias("state_at_purchase"), "version")
+    )
