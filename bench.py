@@ -158,6 +158,8 @@ OPTIONAL = [
     "pmi_collocations",
     "heavy_hitters_twopass",
     "pointintime_feature_join",
+    "growth_accounting_weekly",
+    "funnel_time_to_convert",
 ]
 
 

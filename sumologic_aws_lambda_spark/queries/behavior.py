@@ -1140,3 +1140,156 @@ def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("seconds_since_last_touch"),
         )
     )
+
+
+@query(
+    "growth_accounting_weekly",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(date_trunc('week', ts)) / 604800)
+                    AS BIGINT) AS wk
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, wk,
+               min(wk) OVER (PARTITION BY user_id) AS first_wk,
+               lag(wk) OVER (PARTITION BY user_id ORDER BY wk)
+                   AS prev_wk
+        FROM active
+    ),
+    states AS (
+        SELECT wk,
+               CASE WHEN wk = first_wk THEN 'new'
+                    WHEN prev_wk = wk - 1 THEN 'retained'
+                    ELSE 'resurrected' END AS state
+        FROM flagged
+        UNION ALL
+        SELECT wk + 1 AS wk, 'churned' AS state
+        FROM flagged f
+        WHERE NOT EXISTS (
+            SELECT 1 FROM active a
+            WHERE a.user_id = f.user_id AND a.wk = f.wk + 1
+        )
+        AND f.wk + 1 <= (SELECT max(wk) FROM active)
+    )
+    SELECT wk, state, CAST(count(*) AS BIGINT) AS n_users
+    FROM states GROUP BY wk, state
+    """,
+)
+def growth_accounting_weekly(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every (week, user) activity cell is
+    classified new / retained / resurrected, and a user active in week
+    w but not w+1 contributes a churned row to w+1 — the
+    DAU/WAU-style growth ledger (new + retained + resurrected −
+    churned telescopes into the active-user delta).
+
+    One DISTINCT collapse to (user, week) cells — the only pass over
+    the facts — then two user-partitioned windows classify the cells
+    and a self-anti-join (on the SAME user key, AQE reuses the
+    exchange) derives churn; the final count groupBy runs on the
+    cell frame.  Weeks are epoch-week integers (rule 13/4: never raw
+    timestamps).  The churn horizon stops at the last observed week so
+    the open week never reports churners.
+    """
+    ev = table(spark, sf_dir, "events")
+    active = (
+        ev.select(
+            "user_id",
+            F.floor(F.unix_timestamp(F.date_trunc("week", "ts"))
+                    / 604800).cast("long").alias("wk"))
+        .distinct()
+    )
+    uw = Window.partitionBy("user_id")
+    ow = Window.partitionBy("user_id").orderBy("wk")
+    flagged = active.select(
+        "user_id", "wk",
+        F.min("wk").over(uw).alias("first_wk"),
+        F.lag("wk").over(ow).alias("prev_wk"),
+    )
+    states = flagged.select(
+        "wk",
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(F.col("prev_wk") == F.col("wk") - 1, "retained")
+        .otherwise("resurrected").alias("state"),
+    )
+    max_wk = active.agg(F.max("wk").alias("mx"))
+    nxt = flagged.select(
+        "user_id", (F.col("wk") + 1).alias("wk"))
+    churned = (
+        nxt.join(active, ["user_id", "wk"], "left_anti")
+        .crossJoin(F.broadcast(max_wk))
+        .filter(F.col("wk") <= F.col("mx"))
+        .select("wk", F.lit("churned").alias("state"))
+    )
+    return (
+        states.unionByName(churned)
+        .groupBy("wk", "state")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    ),
+    lags AS (
+        SELECT CAST(floor(epoch(date_trunc('week', s.t1))) AS BIGINT)
+                   AS cohort_week,
+               CAST(floor(epoch(p.t3)) AS BIGINT)
+                   - CAST(floor(epoch(s.t1)) AS BIGINT) AS lag_s
+        FROM s JOIN p ON p.user_id = s.user_id
+    )
+    SELECT cohort_week,
+           CAST(count(*) AS BIGINT) AS n_converters,
+           round(quantile_cont(lag_s, 0.5) + 1e-9, 6) AS p50_s,
+           round(quantile_cont(lag_s, 0.9) + 1e-9, 6) AS p90_s
+    FROM lags GROUP BY cohort_week
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per signup cohort: for users who
+    complete the strict signup → click → purchase funnel, the median
+    and p90 signup→purchase lag by signup week — the latency view of
+    the funnel (`funnel_conversion_rates` is the volume view).
+
+    Reuses the funnel's user-keyed stage collapse
+    (``operators/behavior.py::funnel_stage_times`` — three
+    co-partitioned aggregations on one shuffle key); percentiles run
+    over the converter cohort frame.  Exact ``percentile`` ==
+    DuckDB ``quantile_cont`` with the +1e-9 nudge at round(6)
+    (rules 13/15); at 100 TB swap for ``approx_percentile`` — same
+    single-aggregation topology.
+    """
+    ev = table(spark, sf_dir, "events")
+    stages = funnel_stage_times(ev)
+    lags = (
+        stages.filter(F.col("t3").isNotNull())
+        .select(
+            F.unix_timestamp(F.date_trunc("week", "t1"))
+            .alias("cohort_week"),
+            (F.unix_timestamp("t3") - F.unix_timestamp("t1"))
+            .alias("lag_s"),
+        )
+    )
+    return lags.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.expr("round(percentile(lag_s, 0.5) + 1e-9, 6)").alias("p50_s"),
+        F.expr("round(percentile(lag_s, 0.9) + 1e-9, 6)").alias("p90_s"),
+    )
