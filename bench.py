@@ -160,6 +160,7 @@ OPTIONAL = [
     "pointintime_feature_join",
     "growth_accounting_weekly",
     "funnel_time_to_convert",
+    "embedding_centroid_drift",
 ]
 
 

@@ -52,12 +52,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # item: r1-stale); (c) the 3 queries round 8 REWROTE (rfm is in (a);
 # revenue_concentration and part_affinity_rules lost their fact-side
 # broadcast hints, bm25_retrieval got the TakeOrdered finisher) —
-# changed plans need fresh hard signal; (d) 25 of the 48 queries whose
+# changed plans need fresh hard signal; (d) 24 of the 48 queries whose
 # latest sample is round 3 (oldest cohort), in registry order — the
-# remaining 23 r3 + the r4 cohort lead round 9.  Everything else keeps
+# remaining 24 r3 + the r4 cohort lead round 9.  Everything else keeps
 # registration order after the head and remains covered by the repo's
 # own full-surface driver replica (tools/verify_driver_contract.py,
-# all 267 queries green this round).
+# all 268 queries green this round).
 _PRIORITY: tuple[str, ...] = (
     # -- (a) never driver-sampled: r7 stragglers --
     "rfm_segmentation", "cusum_changepoints", "link_prediction_scores",
@@ -69,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     "psi_drift_score", "benford_digit_audit", "pmi_collocations",
     "heavy_hitters_twopass", "pointintime_feature_join",
     "growth_accounting_weekly", "funnel_time_to_convert",
+    "embedding_centroid_drift",
     # -- (b) latest hard signal is round 1 --
     "count_distinct_parts", "percentile_quantity",
     "timestamp_locator_extract", "vpc_internal_filter",
@@ -85,15 +86,14 @@ _PRIORITY: tuple[str, ...] = (
     "kmeans_centroid_stats", "lsh_ann_topk", "minhash_lsh_pairs",
     "minhash_signatures", "multiline_assembly",
     "multimodal_feature_extract", "ngram_decontamination",
-    "ngram_jaccard_pairs",
 )
 
 # Round-9 rotation notes: recompute programmatically by aggregating
 # CORRECTNESS_r01-r08 latest-sample rounds — do not trust
 # hand-maintained lists.  Owed the r9 head: any round-9 additions and
-# anything CORRECTNESS_r08 failed, then the 23 r3-stale queries this
-# window could not fit (registry order after ngram_jaccard_pairs:
-# paged_results, pii_redaction, pricing_summary,
+# anything CORRECTNESS_r08 failed, then the 24 r3-stale queries this
+# window could not fit (registry order after ngram_decontamination:
+# ngram_jaccard_pairs, paged_results, pii_redaction, pricing_summary,
 # range_join_value_bands, revenue_topk, scalar_function_battery,
 # securityhub_org_findings, semi_join_priority, sequence_packing,
 # simhash_signatures,

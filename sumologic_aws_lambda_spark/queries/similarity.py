@@ -842,3 +842,90 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # argmax at a 5e-7 boundary).
     return mmr_topk(corpus, qv, k=3, lam=0.7, pool_size=10,
                     redundancy_weight=0.3)
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    halves AS (SELECT label, vec_id % 2 AS half, v FROM e),
+    dims AS (
+        SELECT label, half, d.i AS dim,
+               round(sum(v[d.i]) + 1e-9, 6) AS s
+        FROM halves,
+             LATERAL (SELECT unnest(generate_series(1, len(v)))
+                      AS i) d
+        GROUP BY 1, 2, 3
+    ),
+    cents AS (
+        SELECT label, half, list(s ORDER BY dim) AS c,
+               CAST(min(n) AS BIGINT) AS n
+        FROM (
+            SELECT dims.*, cnt.n FROM dims JOIN (
+                SELECT label, half, count(*) AS n
+                FROM halves GROUP BY 1, 2
+            ) cnt USING (label, half)
+        ) GROUP BY label, half
+    )
+    SELECT a.label, a.n AS n_a, b.n AS n_b,
+           round(list_dot_product(a.c, b.c)
+                 / (sqrt(list_dot_product(a.c, a.c))
+                    * sqrt(list_dot_product(b.c, b.c))), 4)
+               AS centroid_cosine,
+           round(sqrt(list_dot_product(b.c, b.c))
+                 / sqrt(list_dot_product(a.c, a.c)), 4) AS norm_ratio
+    FROM cents a JOIN cents b ON b.label = a.label
+    WHERE a.half = 0 AND b.half = 1
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label: cosine between the two corpus
+    halves' class centroids (and the centroid-norm ratio) — the
+    numeric companion to ``psi_drift_score``: PSI catches categorical
+    shift, this catches SEMANTIC shift (a class whose members moved in
+    embedding space even at unchanged volume).  Split = vec_id parity
+    here (deterministic for the oracle); production splits by time.
+
+    Centroids never materialize per-row state: one posexplode →
+    (label, half, dim) partial-aggregatable SUM collapse (cosine is
+    scale-invariant, so unnormalized sums stand in for means), then
+    the cosine folds over the 64-dim rounded-sum vectors — the
+    identical left-to-right dot product both engines (rules 2/12/15:
+    per-dim sums carry the +1e-9 nudge at round(6) so the ~25-term
+    float order difference cannot flip a digit).
+    """
+    from ..operators.similarity import as_double, cosine, l2_norm
+
+    emb = table(spark, sf_dir, "embeddings")
+    halves = emb.select(
+        "label", (F.col("vec_id") % 2).alias("half"),
+        as_double("embedding").alias("v"))
+    dims = (
+        halves.select(
+            "label", "half",
+            F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "half", "dim")
+        .agg(F.round(F.sum("x") + 1e-9, 6).alias("s"))
+    )
+    counts = halves.groupBy("label", "half").agg(
+        F.count(F.lit(1)).alias("n"))
+    cents = (
+        dims.groupBy("label", "half")
+        .agg(F.expr("transform(sort_array(collect_list("
+                    "struct(dim, s))), p -> p.s)").alias("c"))
+        .join(counts, ["label", "half"])
+    )
+    a = cents.filter(F.col("half") == 0).select(
+        "label", F.col("c").alias("ca"), F.col("n").alias("n_a"))
+    b = cents.filter(F.col("half") == 1).select(
+        "label", F.col("c").alias("cb"), F.col("n").alias("n_b"))
+    return a.join(b, "label").select(
+        "label", "n_a", "n_b",
+        F.round(cosine(F.col("ca"), F.col("cb")), 4)
+        .alias("centroid_cosine"),
+        F.round(l2_norm(F.col("cb")) / l2_norm(F.col("ca")), 4)
+        .alias("norm_ratio"),
+    )
