@@ -895,8 +895,9 @@ def mmr_topk(corpus: DataFrame, query_vec: DataFrame, k: int = 3,
     BEFORE the max/argmax (rule 2), ties break on the id.
 
     ``corpus`` needs (id_col, vec_col double-array); ``query_vec`` is a
-    one-row frame with column ``qe``.  Returns (rank, vec_id,
-    relevance, mmr_score) — mmr_score of the first pick is lam*rel
+    one-row frame with column ``qe``.  Returns (rank, <id_col>,
+    relevance, mmr_score), the id column keeping the caller's name AND
+    dtype — mmr_score of the first pick is lam*rel
     (empty selected set ⇒ zero redundancy), matching the unrolled SQL.
     """
     rel = (
@@ -922,7 +923,12 @@ def mmr_topk(corpus: DataFrame, query_vec: DataFrame, k: int = 3,
     # literal weight explicitly.
     mu = (1.0 - lam) if redundancy_weight is None else redundancy_weight
     spark = corpus.sparkSession
-    schema = ("rank int, vec_id long, relevance double, "
+    # Result schema derives the id type from the INPUT column (string,
+    # int, long ids all round-trip; round-9 advisor fix: the previous
+    # hardcoded `vec_id long` broke createDataFrame for non-long ids)
+    # and keeps the caller's id column name.
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    schema = (f"rank int, `{id_col}` {id_type}, relevance double, "
               "mmr_score double")
     head = first.collect()
     if not head:  # empty corpus/pool → empty frame, not an IndexError
@@ -933,7 +939,7 @@ def mmr_topk(corpus: DataFrame, query_vec: DataFrame, k: int = 3,
     for step in range(2, k + 1):
         sel_df = spark.createDataFrame(
             [(r["vec_id"], r["e"]) for r in selected],
-            "sel_id long, se array<double>")
+            f"sel_id {id_type}, se array<double>")
         chosen_ids = [r["vec_id"] for r in selected]
         scored = (
             pool.filter(~F.col("vec_id").isin(chosen_ids))

@@ -977,7 +977,11 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     edges = cooccurrence_edges(
         ev, min_weight=3, max_cell_users=60).select("u", "v")
-    return link_prediction(edges, hub_cut=30, min_common=2)
+    # Explicit hub_cut strategy (neighbor_cap=None): the DuckDB oracle
+    # is the SQL-expressible hub-exclusion form; the operator's DEFAULT
+    # is the dense-safe neighbor_cap (round-9 flip).
+    return link_prediction(edges, hub_cut=30, neighbor_cap=None,
+                           min_common=2)
 
 
 @query(

@@ -874,8 +874,9 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (sqrt(list_dot_product(a.c, a.c))
                     * sqrt(list_dot_product(b.c, b.c))), 4)
                AS centroid_cosine,
-           round(sqrt(list_dot_product(b.c, b.c))
-                 / sqrt(list_dot_product(a.c, a.c)), 4) AS norm_ratio
+           round((sqrt(list_dot_product(b.c, b.c)) / b.n)
+                 / (sqrt(list_dot_product(a.c, a.c)) / a.n), 4)
+               AS norm_ratio
     FROM cents a JOIN cents b ON b.label = a.label
     WHERE a.half = 0 AND b.half = 1
     """,
@@ -891,7 +892,11 @@ def embedding_centroid_drift(spark: SparkSession,
 
     Centroids never materialize per-row state: one posexplode →
     (label, half, dim) partial-aggregatable SUM collapse (cosine is
-    scale-invariant, so unnormalized sums stand in for means), then
+    scale-invariant, so unnormalized sums stand in for means; the
+    norm_ratio is NOT — each half's sum-vector norm divides by its
+    row count first, so the metric reads MEAN-centroid magnitude
+    drift and a pure volume imbalance between halves reads 1.0 —
+    round-9 advisor fix), then
     the cosine folds over the 64-dim rounded-sum vectors — the
     identical left-to-right dot product both engines (rules 2/12/15:
     per-dim sums carry the +1e-9 nudge at round(6) so the ~25-term
@@ -926,6 +931,7 @@ def embedding_centroid_drift(spark: SparkSession,
         "label", "n_a", "n_b",
         F.round(cosine(F.col("ca"), F.col("cb")), 4)
         .alias("centroid_cosine"),
-        F.round(l2_norm(F.col("cb")) / l2_norm(F.col("ca")), 4)
+        F.round((l2_norm(F.col("cb")) / F.col("n_b"))
+                / (l2_norm(F.col("ca")) / F.col("n_a")), 4)
         .alias("norm_ratio"),
     )

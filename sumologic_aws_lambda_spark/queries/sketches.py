@@ -26,6 +26,12 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from . import query
 
+# approx_top_k maxItemsTracked for heavy_hitters_twopass.  The EXACT
+# oracle is sound only while this dominates the distinct-key count
+# (exact regime — the sketch never purges); the precondition is
+# asserted against the fixtures in tests/test_sketch_preconditions.py.
+HH_SKETCH_WIDTH = 100_000
+
 
 @query(
     "approx_topk_routing_keys",
@@ -185,7 +191,11 @@ def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     set to 100 000 ≫ the 15 000 distinct users at sf1 — the sketch is
     in its exact regime at every test SF, which the round-8 review
     demanded be explicit: at width 1000 the containment claim was
-    vacuous on this distribution and the oracle pass was luck.  On a
+    vacuous on this distribution and the oracle pass was luck.  The
+    precondition is CHECKED, not assumed (round-9 advisor fix):
+    ``tests/test_sketch_preconditions.py`` asserts distinct users ≤
+    ``HH_SKETCH_WIDTH`` at the driver's oracle SF, so a fixture regen
+    that silently crosses the width fails CI instead of the compare.  On a
     REAL heavy-hitter distribution (what the operator is for) the
     frequency-gap bound applies and a few-thousand width suffices at
     any n; when neither bound is satisfiable, pass 2 still returns
@@ -203,7 +213,8 @@ def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("u"), F.col("user_id").cast("string"))
         .alias("item"))
     candidates = (
-        keyed.agg(F.expr("approx_top_k(item, 100, 100000)").alias("tk"))
+        keyed.agg(F.expr(f"approx_top_k(item, 100, {HH_SKETCH_WIDTH})")
+                  .alias("tk"))
         .select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("item"))
     )

@@ -44,12 +44,32 @@ class SnapshotUpsertSink:
     (event time).  Rows where ``delete_col`` (optional, boolean) is
     true act as tombstones: the key is REMOVED from the snapshot when
     the tombstone is the key's latest version.
+
+    LOCAL-FILESYSTEM-ONLY contract (round-9 advisor fix): the
+    crash-safe swap is two ``os.rename`` calls, which are atomic only
+    on a POSIX filesystem.  Object stores (s3://, gs://, abfss://)
+    have neither atomic rename nor a driver-visible POSIX path, so the
+    constructor rejects any URI scheme other than ``file`` — on an
+    object store, run the same merge algebra against a table format
+    with an atomic commit protocol (Delta/Iceberg MERGE) instead of
+    this sink.
     """
+
+    _LOCAL_SCHEMES = ("", "file")
 
     def __init__(self, path: str, key_cols: tuple[str, ...],
                  ts_col: str, delete_col: str | None = None):
         if not key_cols:
             raise ValueError("SnapshotUpsertSink needs key columns")
+        scheme = path.split("://", 1)[0].lower() if "://" in path else ""
+        if scheme not in self._LOCAL_SCHEMES:
+            raise ValueError(
+                f"SnapshotUpsertSink requires a local POSIX path; got "
+                f"scheme {scheme!r}. Its two-rename swap is not atomic "
+                f"on object stores — use a transactional table format "
+                f"(Delta/Iceberg MERGE) there.")
+        if scheme == "file":
+            path = path.split("://", 1)[1]
         self.path = path
         self.key_cols = tuple(key_cols)
         self.ts_col = ts_col

@@ -356,6 +356,20 @@ def test_link_prediction_neighbor_cap_keeps_dense_graph_alive(spark):
         assert r["cn"] >= 2 and 0.0 < r["jaccard"] <= 1.0
 
 
+def test_link_prediction_default_is_dense_safe(spark):
+    # Round-9 flip: a NAIVE caller (no strategy args) on a dense graph
+    # must get capped wedges, not silently-empty output — the old
+    # hub_cut=30 default excluded every node of K40-minus-one-edge.
+    from sumologic_aws_lambda_spark.operators.graph import link_prediction
+
+    edges = [(a, b) for a in range(40) for b in range(a + 1, 40)
+             if (a, b) != (0, 1)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    rows = link_prediction(df).collect()
+    assert rows, "default strategy silenced a dense graph"
+    assert (0, 1) in {(r["u"], r["v"]) for r in rows}
+
+
 def test_link_prediction_exact_matches_hand_computation(spark):
     # Path graph 1-2-3-4 plus edge 2-4: candidate (1, 3) shares {2};
     # (1, 4) shares {2}; (3, ...) etc.  With min_common=1, check the

@@ -162,6 +162,50 @@ def test_mmr_empty_corpus_returns_empty_frame(spark):
     assert out.columns == ["rank", "vec_id", "relevance", "mmr_score"]
 
 
+def test_mmr_keeps_caller_id_name_and_string_type(spark):
+    """Round-9 advisor fix: the result schema derives the id column's
+    name AND dtype from the input — a string-keyed corpus used to
+    crash createDataFrame against the hardcoded `vec_id long`."""
+    from sumologic_aws_lambda_spark.operators.similarity import mmr_topk
+
+    corpus = spark.createDataFrame(
+        [("doc-a", [1.0, 0.02, 0.0]),
+         ("doc-b", [1.0, 0.05, 0.0]),
+         ("doc-c", [0.5, 0.0, 0.9])],
+        "doc_key string, e array<double>")
+    qv = spark.createDataFrame([([1.0, 0.0, 0.0],)], "qe array<double>")
+    out = mmr_topk(corpus, qv, k=2, lam=0.5, pool_size=3,
+                   id_col="doc_key")
+    assert out.columns == ["rank", "doc_key", "relevance", "mmr_score"]
+    assert dict(out.dtypes)["doc_key"] == "string"
+    got = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["doc_key"] for r in got] == ["doc-a", "doc-c"]
+    # empty corpus keeps the custom name/type too
+    empty = mmr_topk(
+        spark.createDataFrame([], "doc_key string, e array<double>"),
+        qv, k=2, pool_size=3, id_col="doc_key")
+    assert empty.columns == ["rank", "doc_key", "relevance", "mmr_score"]
+    assert empty.count() == 0
+
+
+def test_centroid_drift_norm_ratio_is_volume_invariant(spark, monkeypatch):
+    """Round-9 advisor fix: norm_ratio divides each half's sum-vector
+    norm by its row count, so a half with 3x the rows of the SAME
+    distribution reads 1.0, not 3.0 (the old unnormalized-sum ratio)."""
+    from sumologic_aws_lambda_spark.queries import similarity as simq
+
+    v = [3.0, 4.0]  # norm 5
+    rows = ([(i, v, 7) for i in (0, 2)]            # half 0: 2 rows
+            + [(i, v, 7) for i in (1, 3, 5, 7, 9, 11)])  # half 1: 6 rows
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(simq, "table", lambda *a, **k: emb)
+    [r] = simq.embedding_centroid_drift(spark, "unused").collect()
+    assert (r["n_a"], r["n_b"]) == (2, 6)
+    assert r["centroid_cosine"] == pytest.approx(1.0, abs=1e-3)
+    assert r["norm_ratio"] == pytest.approx(1.0, abs=1e-3)
+
+
 def test_link_prediction_handles_noncanonical_edges(spark):
     # Triangle with one edge stored reversed plus a both-orientations
     # duplicate: adjacent pairs must never surface as predictions and

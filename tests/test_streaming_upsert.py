@@ -141,3 +141,19 @@ def test_intra_batch_same_ts_conflict_is_deterministic(spark, tmp_path):
         sink(_batch(spark, rows).repartition(4), batch_id=0)
         winners.add(_snap(sink, spark)[1][0])
     assert len(winners) == 1
+
+
+def test_rejects_object_store_paths(tmp_path):
+    """Round-9 advisor fix: the two-rename swap is atomic only on a
+    POSIX filesystem — object-store URIs must be rejected up front,
+    not corrupt a snapshot at the first crash."""
+    for uri in ("s3://bucket/snap", "s3a://bucket/snap",
+                "gs://bucket/snap", "abfss://c@a.dfs.example/snap",
+                "hdfs://nn/snap"):
+        with pytest.raises(ValueError, match="local POSIX path"):
+            SnapshotUpsertSink(uri, key_cols=("k",), ts_col="ts")
+    # plain local paths and explicit file:// URIs both work
+    SnapshotUpsertSink(str(tmp_path / "a"), key_cols=("k",), ts_col="ts")
+    sink = SnapshotUpsertSink(f"file://{tmp_path}/b",
+                              key_cols=("k",), ts_col="ts")
+    assert sink.path == f"{tmp_path}/b"
