@@ -1,0 +1,112 @@
+"""URL canonicalization — the stage-0 of web-crawl curation pipelines.
+
+C4 / RefinedWeb / FineWeb all dedup by CANONICAL URL before any content
+pass (Raffel et al. 2020 §2.2; Penedo et al. 2023 §3.1): two fetches of
+``HTTPS://WWW.Example.com:443/a/?utm_source=x`` and
+``https://example.com/a`` are the same page, and collapsing them first
+removes the cheapest duplicate class without touching document text.
+The reference's own URL handling stops at percent-decoding S3 keys
+(``s3/node.js/s3.js:83`` — implemented as P15 ``url_decode_keys``);
+this module adds the normalization layer above it.
+
+Everything here is a PURE COLUMN EXPRESSION — no UDFs, no Python in the
+hot path: at 100 TB the canonicalizer runs inside whole-stage codegen on
+the scan projection, and the subsequent URL-key dedup is one partial-agg
+shuffle on the canonical string (see ``queries/curation.py::
+url_canonical_dedup``).
+
+Canonical form (each rule deterministic and order-independent):
+
+1. scheme and host lowercase; userinfo (``user@``) stripped,
+2. leading ``www.`` stripped from the host,
+3. default ports dropped (``:80`` for http, ``:443`` for https); any
+   other explicit port is KEPT (a different port is a different origin),
+4. fragment dropped (never sent to the server),
+5. tracking parameters dropped — ``utm_*``, ``gclid``, ``fbclid``,
+   ``msclkid``, ``mc_cid``, ``mc_eid``, ``igshid``, ``ref`` — the
+   standard click-attribution set none of which select content,
+6. surviving query parameters sorted lexicographically (param order is
+   semantically irrelevant; sorting makes the key stable),
+7. empty path normalized to ``/``; a single trailing slash stripped
+   from non-root paths.
+
+Scheme is NOT merged (http:// and https:// stay distinct keys — they
+can serve different content) and percent-encoding is left untouched
+(decoding can only merge keys unsafely, e.g. ``%2F`` vs ``/``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# One alternation shared verbatim by the Spark expression and the DuckDB
+# oracles (RE2-safe: no backreferences, no lookaround).  Matches a whole
+# `key=value` token whose key is a tracking parameter; `(=|$)` also
+# drops a bare valueless `utm_source`.
+TRACKING_PARAM_RE = (
+    "^(utm_[^=&]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref)(=|$)"
+)
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTHORITY_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+_PORT_RE = ":([0-9]+)$"
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical URL as a single whole-stage-codegen column expression.
+
+    Input must be an absolute URL (``scheme://...``); anything that
+    does not parse a scheme canonicalizes to NULL so malformed rows are
+    filterable rather than silently self-keyed.
+    """
+    raw = F.col(url) if isinstance(url, str) else url
+    # fragment first: '#...' never reaches the server, and stripping it
+    # up front keeps a '?' inside a fragment from reading as a query
+    # (Spark substring_index == DuckDB split_part, both "whole string
+    # when separator absent").
+    u = F.substring_index(F.trim(raw), "#", 1)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    authority = F.regexp_extract(u, _AUTHORITY_RE, 1)
+    # strip userinfo: everything up to the LAST '@' in the authority
+    hostport = F.element_at(F.split(authority, "@"), -1)
+    port = F.regexp_extract(hostport, _PORT_RE, 1)
+    # host = hostport minus ':port' suffix (substring arithmetic, no
+    # regexp_replace: Spark's `$1` vs DuckDB's `\1` replacement syntax
+    # diverge, so the oracles mirror this same substring form).
+    host = F.lower(
+        F.when(port != "",
+               hostport.substr(
+                   F.lit(1),
+                   F.length(hostport) - F.length(port) - 1))
+        .otherwise(hostport))
+    host = F.when(host.startswith("www."),
+                  host.substr(F.lit(5), F.length(host))) \
+        .otherwise(host)
+    keep_port = (
+        (port != "")
+        & ~((scheme == F.lit("http")) & (port == F.lit("80")))
+        & ~((scheme == F.lit("https")) & (port == F.lit("443")))
+    )
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(
+        (path != "/") & path.endswith("/"),
+        path.substr(F.lit(1), F.length(path) - 1)
+    ).otherwise(path)
+    query = F.regexp_extract(u, _QUERY_RE, 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
+    )
+    qpart = F.array_join(F.sort_array(params), "&")
+    canonical = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qpart != "", F.concat(F.lit("?"), qpart))
+        .otherwise(F.lit("")),
+    )
+    return F.when(scheme != "", canonical)

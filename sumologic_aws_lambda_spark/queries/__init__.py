@@ -42,68 +42,63 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The external correctness driver checks registrations in dict order and
-# caps at the first 50.  Round-8 window (recomputed programmatically by
-# aggregating CORRECTNESS_r01-r07 latest-sample rounds): (a) the 13
-# never-driver-sampled queries — the three r7 post-window stragglers
-# (rfm_segmentation / cusum_changepoints / link_prediction_scores,
-# verdict item 1) plus the round-8 ETL/forecast/attribution/MMR/drift
-# wave;
-# (b) the 4 queries whose latest hard signal is still round 1 (verdict
-# item: r1-stale); (c) the 3 queries round 8 REWROTE (rfm is in (a);
-# revenue_concentration and part_affinity_rules lost their fact-side
-# broadcast hints, bm25_retrieval got the TakeOrdered finisher) —
-# changed plans need fresh hard signal; (d) 24 of the 48 queries whose
-# latest sample is round 3 (oldest cohort), in registry order — the
-# remaining 24 r3 + the r4 cohort lead round 9.  Everything else keeps
-# registration order after the head and remains covered by the repo's
-# own full-surface driver replica (tools/verify_driver_contract.py,
-# all 268 queries green this round).
+# caps at the first 50.  Round-9 window (staleness recomputed
+# programmatically this round by aggregating CORRECTNESS_r01-r08
+# latest-sample rounds; CORRECTNESS_r08 was 50/50 green so nothing is
+# owed a re-check): (a) the 2 round-9 additions — the curation stage-0
+# operators the round-8 verdict ranked first (URL canonicalization/
+# dedup, HTML boilerplate strip); (b) all 24 queries whose latest hard
+# signal is round 3 (the oldest cohort, exactly the list the round-8
+# note owed this window); (c) 24 of the 49-query r4 cohort, ordered by
+# most-recent git commit touching the query's module (verdict item 5:
+# files refactored in r5-r9 carry the highest divergence risk —
+# similarity.py took a round-9 fix, text/timeseries/sumoql/relational/
+# windows took r8 plan work), registry-name tiebreak.  The remaining
+# 25 r4-cohort queries (catalog_ops/ingest/advanced/extensions/
+# ingest_gap/parsing, all files untouched since r4) lead the round-10
+# window.  Everything else keeps registration order after the head and
+# remains covered by the repo's own full-surface driver replica
+# (tools/verify_driver_contract.py, all 270 queries green this round).
 _PRIORITY: tuple[str, ...] = (
-    # -- (a) never driver-sampled: r7 stragglers --
-    "rfm_segmentation", "cusum_changepoints", "link_prediction_scores",
-    # -- (a2) never driver-sampled: round-8 wave --
-    "scd2_intervals", "cdc_snapshot_merge",
-    "referential_integrity_audit", "join_key_skew_stats",
-    "k_anonymity_audit", "attribution_touchpoints",
-    "holt_linear_forecast", "mmr_diversified_topk",
-    "psi_drift_score", "benford_digit_audit", "pmi_collocations",
-    "heavy_hitters_twopass", "pointintime_feature_join",
-    "growth_accounting_weekly", "funnel_time_to_convert",
-    "embedding_centroid_drift",
-    # -- (b) latest hard signal is round 1 --
-    "count_distinct_parts", "percentile_quantity",
-    "timestamp_locator_extract", "vpc_internal_filter",
-    # -- (c) plans rewritten in round 8 --
-    "revenue_concentration", "part_affinity_rules", "bm25_retrieval",
-    # -- (d) oldest-validated cohort (latest sample round 3) --
-    "approx_count_distinct_parts", "approx_percentile_quantity",
-    "asff_validation_gate", "asof_join_last_click",
-    "carry_forward_last_value", "cosine_topk_bruteforce",
-    "cube_order_priority", "curation_pipeline", "cwl_decode_pipeline",
-    "dataset_hash_split", "dedup_clusters", "domain_mixture_sample",
-    "exact_dedup_stats", "firehose_transform", "ivf_ann_topk",
-    "json_autodetect_parse", "json_extract_props",
-    "kmeans_centroid_stats", "lsh_ann_topk", "minhash_lsh_pairs",
-    "minhash_signatures", "multiline_assembly",
-    "multimodal_feature_extract", "ngram_decontamination",
+    # -- (a) round-9 additions --
+    "url_canonical_dedup", "html_text_extraction",
+    # -- (b) oldest-validated cohort (latest hard signal round 3) --
+    "ngram_jaccard_pairs", "paged_results", "pii_redaction",
+    "pricing_summary", "range_join_value_bands", "revenue_topk",
+    "scalar_function_battery", "securityhub_org_findings",
+    "semi_join_priority", "sequence_packing", "simhash_signatures",
+    "sumoql_accum_total", "sumoql_count_by", "sumoql_dedup_latest",
+    "sumoql_outlier_series", "sumoql_parse_anchor",
+    "sumoql_parse_regex_where", "sumoql_predict_linear",
+    "sumoql_subsearch_join", "sumoql_timeslice_agg", "timeslice_5m",
+    "timeslice_daily_active", "vpc_eni_enrichment", "window_lag_delta",
+    # -- (c) r4 cohort, most-recently-touched module files first --
+    "knn_label_vote", "int8_ann_rerank", "embedding_quantize_int8",
+    "top_bigrams_per_source", "token_count_stats", "tfidf_top_terms",
+    "quality_scores", "lang_detect_matrix", "doc_fingerprints",
+    "char_entropy_scores", "sumoql_trailing_windows",
+    "logreduce_signatures", "logcompare_baseline_target",
+    "sample_by_hash", "sumoql_transaction", "sumoql_top_values",
+    "sumoql_stats_aggs", "sumoql_sort_limit", "sumoql_parse_multi",
+    "sumoql_kv_extract", "sumoql_geoip_enrich", "sumoql_count_frequent",
+    "set_ops_nations", "rollup_order_status",
 )
 
-# Round-9 rotation notes: recompute programmatically by aggregating
-# CORRECTNESS_r01-r08 latest-sample rounds — do not trust
-# hand-maintained lists.  Owed the r9 head: any round-9 additions and
-# anything CORRECTNESS_r08 failed, then the 24 r3-stale queries this
-# window could not fit (registry order after ngram_decontamination:
-# ngram_jaccard_pairs, paged_results, pii_redaction, pricing_summary,
-# range_join_value_bands, revenue_topk, scalar_function_battery,
-# securityhub_org_findings, semi_join_priority, sequence_packing,
-# simhash_signatures,
-# sumoql_accum_total, sumoql_count_by, sumoql_dedup_latest,
-# sumoql_outlier_series, sumoql_parse_anchor,
-# sumoql_parse_regex_where, sumoql_predict_linear,
-# sumoql_subsearch_join, sumoql_timeslice_agg, timeslice_5m,
-# timeslice_daily_active, vpc_eni_enrichment, window_lag_delta), then
-# the 49-query r4 cohort.  Keep the window EXACTLY 50 — re-count after
-# every edit (tests/test_doc_counts.py pins this).
+# Round-10 rotation notes: recompute programmatically by aggregating
+# CORRECTNESS_r01-r09 — do not trust hand-maintained lists.  Owed the
+# r10 head: any round-10 additions and anything CORRECTNESS_r09 failed,
+# then the 25 r4-cohort queries this window could not fit
+# (region_rollup_join, filter_project, anti_join_idle_customers,
+# window_topn_orders, window_running_total, sessionize_events,
+# two_hop_dim_join, multimodal_frame_sample, metric_rule_extract,
+# cfn_stack_telemetry, auto_enable_s3_logging, vpc_flow_parse,
+# guardduty_unwrap, salted_agg_routing_key, outlier_detection,
+# metrics_quantize, grouping_sets_lineitem, grouped_agg_udaf,
+# otlp_metric_parse, metadata_override_merge, fer_registry_apply,
+# delivery_accounting, cloudtrail_records_explode,
+# regexp_extract_docs, epoch_normalize), then the r5 cohort.  Keep the
+# window EXACTLY 50 — re-count after every edit
+# (tests/test_doc_counts.py pins this).
 
 
 def _prioritized(d: dict) -> dict:

@@ -763,3 +763,276 @@ def truncation_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(lost) / F.sum("n_tok"), 4).alias("waste_ratio"),
         )
     )
+
+
+# Deterministic messy-URL fixture: five raw variants per canonical page
+# (uppercase host+scheme, www., default port, userinfo, tracking params,
+# trailing slash, fragment), keyed by gid = doc_id div 5 so every group
+# of five docs shares one canonical target.  The documents table has no
+# URL column — the VARIANTS are synthesized; the CANONICALIZER under
+# test (functions/urls.py) is the real operator.
+_URL_VARIANT_SQL = """
+    CASE doc_id % 5
+      WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/articles/' || {gid}
+                  || '/?utm_source=feed&utm_campaign=x&id=' || {pid}
+                  || '#section-2'
+      WHEN 1 THEN 'https://example.com/articles/' || {gid}
+                  || '?id=' || {pid} || '&gclid=abc123'
+      WHEN 2 THEN 'https://crawler@example.com:443/articles/' || {gid}
+                  || '/?fbclid=zzz&id=' || {pid}
+      WHEN 3 THEN 'https://EXAMPLE.com:443/articles/' || {gid}
+                  || '?ref=tw&id=' || {pid}
+      ELSE 'https://www.example.com/articles/' || {gid}
+           || '/?id=' || {pid} || '&utm_medium=email'
+    END
+"""
+
+
+@query(
+    "url_canonical_dedup",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               {variant} AS url
+        FROM documents
+    ),
+    nofrag AS (
+        SELECT doc_id, url, split_part(trim(url), '#', 1) AS u FROM raw
+    ),
+    parsed AS (
+        SELECT doc_id, url, u,
+               lower(regexp_extract(
+                   u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_extract(
+                   regexp_extract(
+                       u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                   '([^@]*)$', 1) AS hostport,
+               regexp_extract(
+                   u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)',
+                   1) AS path0,
+               regexp_extract(u, '\\?([^#]*)', 1) AS q
+        FROM nofrag
+    ),
+    hp AS (
+        SELECT *, regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+        FROM parsed
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               scheme || '://'
+               || CASE WHEN h LIKE 'www.%' THEN substr(h, 5) ELSE h END
+               || CASE WHEN port <> ''
+                            AND NOT (scheme = 'http' AND port = '80')
+                            AND NOT (scheme = 'https' AND port = '443')
+                       THEN ':' || port ELSE '' END
+               || CASE WHEN p <> '/' AND p LIKE '%/'
+                       THEN substr(p, 1, length(p) - 1) ELSE p END
+               || CASE WHEN qq <> '' THEN '?' || qq ELSE '' END
+                   AS canonical_url
+        FROM (
+            SELECT doc_id, url, scheme, port,
+                   lower(CASE WHEN port <> ''
+                              THEN substr(hostport, 1,
+                                          length(hostport)
+                                          - length(port) - 1)
+                              ELSE hostport END) AS h,
+                   CASE WHEN path0 = '' THEN '/' ELSE path0 END AS p,
+                   array_to_string(list_sort(list_filter(
+                       string_split(q, '&'),
+                       x -> x <> '' AND NOT regexp_matches(x,
+                           '^(utm_[^=&]*|gclid|fbclid|msclkid|mc_cid|'
+                           || 'mc_eid|igshid|ref)(=|$)'))), '&') AS qq
+            FROM hp
+        )
+        WHERE scheme <> ''
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    """.replace("{variant}", _URL_VARIANT_SQL.format(
+        gid="(doc_id // 5)", pid="((doc_id // 5) % 7)")),
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — stage 0 of the web-crawl curation funnel
+    (C4 §2.2 / RefinedWeb §3.1 dedup by canonical URL BEFORE any
+    content pass; the reference's URL handling stops at
+    percent-decoding, s3/node.js/s3.js:83).  Five deterministic messy
+    variants per page (case, www, default port, userinfo, tracking
+    params, trailing slash, fragment) must collapse onto one canonical
+    key; the output is the per-key dedup ledger (count, distinct raw
+    forms, keeper = min doc_id — the same keeper rule as
+    ``exact_dedup_stats``).
+
+    Scale shape: :func:`functions.urls.canonicalize_url` is a pure
+    column expression (whole-stage codegen on the scan projection —
+    zero UDFs), and the dedup is ONE partial-agg shuffle on the
+    canonical string.  At 100 TB this is the cheapest duplicate class
+    to remove and runs before any text ever shuffles.
+    """
+    from ..functions.urls import canonicalize_url
+
+    gid = (F.col("doc_id") - F.col("doc_id") % 5) / F.lit(5)
+    gid = gid.cast("bigint").cast("string")
+    pid = ((F.col("doc_id") - F.col("doc_id") % 5) / F.lit(5))\
+        .cast("bigint") % 7
+    pid = pid.cast("string")
+    m = F.col("doc_id") % 5
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTPS://WWW.Example.COM:443/articles/"), gid,
+            F.lit("/?utm_source=feed&utm_campaign=x&id="), pid,
+            F.lit("#section-2")))
+        .when(m == 1, F.concat(
+            F.lit("https://example.com/articles/"), gid,
+            F.lit("?id="), pid, F.lit("&gclid=abc123")))
+        .when(m == 2, F.concat(
+            F.lit("https://crawler@example.com:443/articles/"), gid,
+            F.lit("/?fbclid=zzz&id="), pid))
+        .when(m == 3, F.concat(
+            F.lit("https://EXAMPLE.com:443/articles/"), gid,
+            F.lit("?ref=tw&id="), pid))
+        .otherwise(F.concat(
+            F.lit("https://www.example.com/articles/"), gid,
+            F.lit("/?id="), pid, F.lit("&utm_medium=email")))
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url"))
+    return (
+        docs.select("doc_id", "url",
+                    canonicalize_url("url").alias("canonical_url"))
+        .filter(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url").alias("n_raw_variants"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+@query(
+    "html_text_extraction",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               '<html><head><title>t</title><style>.m{color:red}</style>'
+               || '<script>var s="' || source || '";</script></head>'
+               || '<body><nav><a href="/">Home</a> '
+               || '<a href="/about">About</a> '
+               || '<a href="/contact">Contact</a></nav>'
+               || '<p>' || substr(text, 1, 120) || '</p>'
+               || '<div><a href="/x">read more</a> '
+               || '<a href="/y">subscribe now</a></div>'
+               || '<P>' || substr(text, 121, 200) || '</P>'
+               || '<footer><a href="/priv">Privacy</a> '
+               || '<a href="/terms">Terms</a> (c) corp</footer>'
+               || '</body></html>' AS html
+        FROM documents
+    ),
+    cleaned AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(html,
+                       '(?is)<script[^>]*>.*?</script>', '', 'g'),
+                   '(?is)<style[^>]*>.*?</style>', '', 'g'),
+                   '(?is)<noscript[^>]*>.*?</noscript>', '', 'g'),
+                   '(?s)<!--.*?-->', '', 'g') AS c
+        FROM h
+    ),
+    seg AS (
+        SELECT doc_id,
+               string_split(regexp_replace(c,
+                   '(?i)</(p|div|nav|footer|header|li|h[1-6]|section'
+                   || '|article|aside|ul|ol|table|tr|td|blockquote)>',
+                   chr(1), 'g'), chr(1)) AS segs
+        FROM cleaned
+    ),
+    flat AS (
+        SELECT doc_id, g.i, list_extract(segs, g.i) AS s
+        FROM seg,
+             LATERAL (SELECT unnest(generate_series(1, len(segs)))
+                      AS i) g
+    ),
+    feats AS (
+        SELECT doc_id, i,
+               trim(regexp_replace(regexp_replace(
+                   s, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS plain,
+               coalesce(length(regexp_replace(array_to_string(
+                   regexp_extract_all(s, '(?is)<a[^>]*>(.*?)</a>', 1),
+                   ''), '<[^>]*>', '', 'g')), 0) AS link_len
+        FROM flat
+    ),
+    cls AS (
+        SELECT doc_id, i, plain, length(plain) AS plain_len, link_len
+        FROM feats WHERE length(plain) > 0
+    ),
+    agg AS (
+        SELECT doc_id,
+               string_agg(plain, ' ' ORDER BY i)
+                   FILTER (WHERE plain_len >= 30
+                           AND link_len * 10 <= plain_len * 3)
+                   AS extracted_text,
+               count_if(plain_len >= 30
+                        AND link_len * 10 <= plain_len * 3) AS n_kept,
+               count(*) AS n_nonempty
+        FROM cls GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.extracted_text, '') AS extracted_text,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(a.n_nonempty, 0) - coalesce(a.n_kept, 0)
+                AS BIGINT) AS n_dropped,
+           CAST(length(coalesce(a.extracted_text, '')) AS BIGINT)
+               AS extracted_chars
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip / main-text extraction (jusText-class
+    length + link-density rule) — the step real curation funnels run
+    BEFORE the plain-text quality battery: nav bars, read-more rows,
+    and footers drop; body paragraphs survive.  The fixture wraps each
+    document's text in a deterministic tag-soup page (head with
+    script/style, link-saturated nav, two body paragraphs — one with
+    an UPPERCASE closing tag — a read-more div, and a footer); the
+    operator under test is :func:`operators.html.extract_main_text`.
+
+    Scale shape: pure column expressions (regexp strips + higher-order
+    array functions, zero UDFs) on one narrow projection — extraction
+    fuses into the scan under whole-stage codegen, and nothing
+    shuffles: the output is row-per-document.  The DuckDB oracle
+    replays the identical rule (same regexes, same integer
+    cross-product density compare) via LATERAL unnest + ordered
+    string_agg.
+    """
+    from ..operators.html import extract_main_text
+
+    docs = table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><title>t</title><style>.m{color:red}'
+              '</style><script>var s="'), F.col("source"),
+        F.lit('";</script></head><body><nav><a href="/">Home</a> '
+              '<a href="/about">About</a> '
+              '<a href="/contact">Contact</a></nav><p>'),
+        F.substring("text", 1, 120),
+        F.lit('</p><div><a href="/x">read more</a> '
+              '<a href="/y">subscribe now</a></div><P>'),
+        F.substring("text", 121, 200),
+        F.lit('</P><footer><a href="/priv">Privacy</a> '
+              '<a href="/terms">Terms</a> (c) corp</footer>'
+              '</body></html>'),
+    )
+    return (
+        docs.select("doc_id", extract_main_text(html).alias("r"))
+        .select(
+            "doc_id",
+            F.col("r.extracted_text").alias("extracted_text"),
+            F.col("r.n_kept").cast("bigint").alias("n_kept"),
+            F.col("r.n_dropped").cast("bigint").alias("n_dropped"),
+            F.col("r.extracted_chars").cast("bigint")
+            .alias("extracted_chars"),
+        )
+    )

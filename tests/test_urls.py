@@ -1,0 +1,89 @@
+"""URL canonicalization (functions/urls.py) — edge semantics the
+driver's value-hash compare can't isolate: each rule gets a hand-built
+case, plus the funnel composition (URL dedup as the pre-quality stage
+of the curation pipeline)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sumologic_aws_lambda_spark.functions.urls import canonicalize_url
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r["c"] for r in
+            df.select(canonicalize_url("url").alias("c")).collect()]
+
+
+def test_variant_class_collapses_to_one_key(spark):
+    variants = [
+        "HTTPS://WWW.Example.COM:443/articles/7/?utm_source=feed"
+        "&utm_campaign=x&id=3#section-2",
+        "https://example.com/articles/7?id=3&gclid=abc123",
+        "https://crawler@example.com:443/articles/7/?fbclid=zzz&id=3",
+        "https://EXAMPLE.com:443/articles/7?ref=tw&id=3",
+        "https://www.example.com/articles/7/?id=3&utm_medium=email",
+    ]
+    got = set(_canon(spark, variants))
+    assert got == {"https://example.com/articles/7?id=3"}
+
+
+@pytest.mark.parametrize("url,expect", [
+    # default ports strip per scheme; non-default ports are KEPT
+    ("http://example.com:80/x", "http://example.com/x"),
+    ("https://example.com:443/x", "https://example.com/x"),
+    ("http://example.com:8080/x/", "http://example.com:8080/x"),
+    ("https://example.com:80/x", "https://example.com:80/x"),
+    # empty path -> '/', root slash survives
+    ("https://Example.com", "https://example.com/"),
+    ("https://example.com/", "https://example.com/"),
+    # '?' inside a fragment is NOT a query
+    ("https://example.com/#?fake=1", "https://example.com/"),
+    # params sort; empty and valueless-tracking tokens drop
+    ("https://example.com/a?b=2&a=1&utm_x&", "https://example.com/a?a=1&b=2"),
+    ("https://example.com/a?utm_source=x", "https://example.com/a"),
+    # 'ref' is tracking; 'referrer_id' is NOT (prefix must not over-match)
+    ("https://example.com/a?ref=tw&referrer_id=9",
+     "https://example.com/a?referrer_id=9"),
+    # scheme stays distinct; case folds
+    ("HTTP://EXAMPLE.COM/A", "http://example.com/A"),
+    # percent-encoding untouched
+    ("https://example.com/a%2Fb?x=%20", "https://example.com/a%2Fb?x=%20"),
+])
+def test_canonical_rules(spark, url, expect):
+    assert _canon(spark, [url]) == [expect]
+
+
+def test_malformed_urls_canonicalize_to_null(spark):
+    got = _canon(spark, ["not a url", "", "   ", "www.example.com/x",
+                         "://missing-scheme"])
+    assert got == [None] * 5
+
+
+def test_url_dedup_is_pre_quality_funnel_stage(spark):
+    """Funnel composition: canonical-URL dedup runs BEFORE any content
+    pass — the kept set must be one doc per canonical key (keeper =
+    min doc_id), and the quality stage sees only keepers."""
+    docs = spark.createDataFrame(
+        [(i,
+          f"https://WWW.site.com:443/p/{i // 3}/?utm_source=x&v={i % 2}",
+          "word " * (10 + i))
+         for i in range(12)],
+        "doc_id long, url string, text string")
+    canon = docs.withColumn("canonical_url", canonicalize_url("url"))
+    keepers = (
+        canon.groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    kept = canon.join(keepers, ["canonical_url", "doc_id"])
+    # 4 gid groups x 2 v-values = 8 canonical keys (v is a CONTENT
+    # param and must survive canonicalization)
+    assert kept.count() == 8
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert ids == [0, 1, 3, 4, 6, 7, 9, 10]
+    # downstream quality stage consumes only keepers
+    scored = kept.select(F.length("text").alias("n"))
+    assert scored.count() == 8
