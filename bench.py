@@ -232,14 +232,43 @@ def main() -> None:
     # recorded number).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    def _time_once(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()
+        return time.time() - t0
+
+    # Canon: REPEAT whole-set passes (default 3; --repeat N /
+    # $SPARK_GRAFT_BENCH_REPEAT override).  Round 8 measured a 13.5 s
+    # vs 17.4 s same-code spread from ambient session variance; the
+    # per-query min over repeated full passes collapses it to one
+    # defensible number, and the raw per-pass totals ride along in the
+    # artifact so the spread itself stays visible (round-8 verdict
+    # item 7).
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+    canon_names = [n for n in names if n in set(CANON)]
+    canon_pass_totals: list[float] = []
+    for _ in range(max(repeat, 1)):
+        pass_total = 0.0
+        for name in canon_names:
+            try:
+                dt = min(_time_once(name), _time_once(name))
+            except Exception as e:  # noqa: BLE001 — harness boundary
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                continue
+            pass_total += dt
+            timings[name] = round(min(timings.get(name, float("inf")),
+                                      dt), 3)
+        canon_pass_totals.append(round(pass_total, 3))
+
     for name in names:
-        best = float("inf")
+        if name in timings or name in errors:
+            continue
         try:
-            for _ in range(2):
-                t0 = time.time()
-                qs[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite").save()
-                best = min(best, time.time() - t0)
+            best = min(_time_once(name), _time_once(name))
         except Exception as e:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             continue
@@ -267,6 +296,8 @@ def main() -> None:
     out["canon"] = canon
     out["canon_total"] = (round(sum(canon.values()), 3)
                           if len(canon) == len(CANON) else None)
+    out["canon_repeat"] = repeat
+    out["canon_pass_totals"] = canon_pass_totals
     print(json.dumps(out))
     spark.stop()
 

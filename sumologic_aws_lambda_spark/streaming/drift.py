@@ -101,3 +101,131 @@ class PsiDriftMonitor:
     @property
     def drifted_batches(self) -> list[int]:
         return [r.batch_id for r in self.reports if r.drifted]
+
+
+@dataclass
+class CentroidDriftReport:
+    batch_id: int
+    rows: int
+    # label -> (cosine vs reference, mean-norm ratio, cumulative n)
+    labels: dict[str, tuple[float, float, int]]
+    drifted_labels: list[str]
+
+
+def _label_sums(df: DataFrame, label_col: str,
+                vec_col: str) -> dict[str, tuple[list[float], int]]:
+    """One posexplode → (label, dim) partial-agg SUM collapse + a
+    per-label count — the identical algebra as the batch surface
+    (``queries/similarity.py::embedding_centroid_drift``); the
+    collected frame is |labels| × dim, bounded model-state size, never
+    per-row vectors.  NULL labels coalesce to the ``(null)`` sentinel
+    (repo rule 10) so they accumulate instead of crashing the union."""
+    key = F.coalesce(F.col(label_col).cast("string"), F.lit("(null)"))
+    dims = (
+        df.select(key.alias("k"),
+                  F.posexplode(F.col(vec_col).cast("array<double>"))
+                  .alias("dim", "x"))
+        .groupBy("k", "dim").agg(F.sum("x").alias("s"),
+                                 F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    out: dict[str, tuple[list[float], int]] = {}
+    by_label: dict[str, dict[int, float]] = {}
+    counts: dict[str, int] = {}
+    for r in dims:
+        by_label.setdefault(r["k"], {})[r["dim"]] = float(r["s"])
+        counts[r["k"]] = max(counts.get(r["k"], 0), int(r["n"]))
+    for k, d in by_label.items():
+        out[k] = ([d[i] for i in sorted(d)], counts[k])
+    return out
+
+
+def reference_centroids(ref: DataFrame, label_col: str,
+                        vec_col: str) -> dict[str, tuple[list[float], int]]:
+    """Collapse a reference frame to per-label (sum-vector, count) —
+    the fixed side of the streaming cosine compare.  Sums, not means,
+    so the monitor folds new batches into its running state with plain
+    addition (the same reason ``reference_shares`` returns counts)."""
+    return _label_sums(ref, label_col, vec_col)
+
+
+class CentroidDriftMonitor:
+    """``foreachBatch`` hook: maintain RUNNING per-label centroid sums
+    across micro-batches and alert when a label's running centroid
+    turns away from its reference centroid — the streaming twin of
+    ``embedding_centroid_drift`` (PSI catches categorical volume
+    shift; this catches SEMANTIC shift at unchanged volume).
+
+    Per-batch Spark work is ONE partial-aggregatable (label, dim)
+    groupBy over the micro-batch; the fold into the running sums and
+    the |labels| cosines run driver-side on bounded state (labels ×
+    dim floats — the same contract as the PSI category map).  Cosine
+    is computed on sum vectors (scale-invariant); the emitted
+    norm_ratio divides each side's norm by its count first, the
+    round-9 mean-centroid convention of the batch surface.
+
+    ``threshold``: alert when cosine < threshold (1.0 = identical
+    direction; 0.98 is a conservative production bar for normalized
+    sentence embeddings).  Labels never seen in the reference alert
+    immediately (cosine undefined → treated as full drift), mirroring
+    the PSI novel-category behavior of contributing signal rather
+    than being dropped.
+    """
+
+    def __init__(self, reference: dict[str, tuple[list[float], int]],
+                 label_col: str, vec_col: str,
+                 threshold: float = 0.98):
+        if not reference:
+            raise ValueError("CentroidDriftMonitor needs a non-empty "
+                             "reference centroid map")
+        self.reference = {k: (list(v), int(n))
+                          for k, (v, n) in reference.items()}
+        self.label_col = label_col
+        self.vec_col = vec_col
+        self.threshold = threshold
+        self.state: dict[str, tuple[list[float], int]] = {}
+        self.reports: list[CentroidDriftReport] = []
+
+    @staticmethod
+    def _cosine(a: list[float], b: list[float]) -> float | None:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na == 0.0 or nb == 0.0:
+            return None
+        return dot / (na * nb)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch = _label_sums(batch_df, self.label_col, self.vec_col)
+        rows = 0
+        for k, (sums, n) in batch.items():
+            rows += n
+            if k in self.state:
+                old_s, old_n = self.state[k]
+                self.state[k] = ([a + b for a, b in zip(old_s, sums)],
+                                 old_n + n)
+            else:
+                self.state[k] = (list(sums), n)
+        labels: dict[str, tuple[float, float, int]] = {}
+        drifted: list[str] = []
+        for k, (sums, n) in sorted(self.state.items()):
+            ref = self.reference.get(k)
+            if ref is None or n == 0:
+                labels[k] = (float("nan"), float("nan"), n)
+                drifted.append(k)
+                continue
+            ref_s, ref_n = ref
+            cos = self._cosine(ref_s, sums)
+            na = math.sqrt(sum(x * x for x in ref_s)) / max(ref_n, 1)
+            nb = math.sqrt(sum(x * x for x in sums)) / max(n, 1)
+            ratio = nb / na if na > 0 else float("nan")
+            if cos is None or cos < self.threshold:
+                drifted.append(k)
+            labels[k] = (round(cos, 6) if cos is not None
+                         else float("nan"), round(ratio, 6), n)
+        self.reports.append(
+            CentroidDriftReport(batch_id, rows, labels, drifted))
+
+    @property
+    def drifted_batches(self) -> list[int]:
+        return [r.batch_id for r in self.reports if r.drifted_labels]

@@ -72,3 +72,87 @@ def test_null_category_uses_sentinel_not_crash(spark):
     assert r.rows == 3 and "(null)" in r.terms
     ref = spark.createDataFrame([("a",), (None,)], "k string")
     assert reference_shares(ref, "k") == {"a": 1, "(null)": 1}
+
+
+# ---------------------------------------------- centroid drift monitor
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "label string, e array<double>")
+
+
+def test_centroid_monitor_accumulates_and_stays_quiet_on_same_dist(spark):
+    from sumologic_aws_lambda_spark.streaming.drift import (
+        CentroidDriftMonitor,
+        reference_centroids,
+    )
+
+    ref = _vecs(spark, [("a", [1.0, 0.0]), ("a", [0.9, 0.1]),
+                        ("b", [0.0, 1.0])])
+    mon = CentroidDriftMonitor(reference_centroids(ref, "label", "e"),
+                               "label", "e", threshold=0.98)
+    mon(_vecs(spark, [("a", [1.0, 0.05]), ("b", [0.0, 2.0])]), 0)
+    mon(_vecs(spark, [("a", [0.95, 0.05])]), 1)
+    assert mon.drifted_batches == []
+    # running state accumulated: label a has 2 rows after batch 1
+    assert mon.reports[1].labels["a"][2] == 2
+    # norm_ratio is MEAN-centroid based: 'b' at 2x magnitude reads ~2.0
+    assert mon.reports[0].labels["b"][1] == pytest.approx(2.0, abs=0.01)
+
+
+def test_centroid_monitor_alerts_on_semantic_shift_at_same_volume(spark):
+    from sumologic_aws_lambda_spark.streaming.drift import (
+        CentroidDriftMonitor,
+        reference_centroids,
+    )
+
+    ref = _vecs(spark, [("a", [1.0, 0.0])] * 3 + [("b", [0.0, 1.0])] * 3)
+    mon = CentroidDriftMonitor(reference_centroids(ref, "label", "e"),
+                               "label", "e", threshold=0.98)
+    # same volume, rotated direction for 'a' only
+    mon(_vecs(spark, [("a", [0.0, 1.0])] * 3 + [("b", [0.0, 1.0])] * 3), 0)
+    assert mon.reports[0].drifted_labels == ["a"]
+    cos_a = mon.reports[0].labels["a"][0]
+    assert cos_a == pytest.approx(0.0, abs=1e-6)
+
+
+def test_centroid_monitor_novel_label_and_null_sentinel(spark):
+    from sumologic_aws_lambda_spark.streaming.drift import (
+        CentroidDriftMonitor,
+        reference_centroids,
+    )
+
+    ref = _vecs(spark, [("a", [1.0, 0.0])])
+    mon = CentroidDriftMonitor(reference_centroids(ref, "label", "e"),
+                               "label", "e")
+    mon(_vecs(spark, [("zz", [1.0, 0.0]), (None, [0.5, 0.5]),
+                      ("a", [1.0, 0.0])]), 0)
+    assert set(mon.reports[0].drifted_labels) == {"zz", "(null)"}
+    with pytest.raises(ValueError):
+        CentroidDriftMonitor({}, "label", "e")
+
+
+def test_centroid_monitor_over_file_stream(spark, tmp_path):
+    from sumologic_aws_lambda_spark.streaming.drift import (
+        CentroidDriftMonitor,
+        reference_centroids,
+    )
+
+    src = tmp_path / "vec_in"
+    src.mkdir()
+    (src / "b.json").write_text("\n".join(
+        [json.dumps({"label": "a", "e": [0.0, 1.0]})] * 4
+        + [json.dumps({"label": "b", "e": [0.0, 1.0]})] * 4))
+    ref = _vecs(spark, [("a", [1.0, 0.0])] * 4 + [("b", [0.0, 1.0])] * 4)
+    mon = CentroidDriftMonitor(reference_centroids(ref, "label", "e"),
+                               "label", "e", threshold=0.98)
+    stream = spark.readStream.schema(
+        "label string, e array<double>").json(str(src))
+    q = stream.writeStream.foreachBatch(mon).trigger(
+        availableNow=True).start()
+    q.awaitTermination(120)
+    assert len(mon.reports) == 1
+    assert mon.reports[0].rows == 8
+    # 'a' rotated 90 degrees -> alert; 'b' unchanged -> quiet
+    assert mon.reports[0].drifted_labels == ["a"]
+    assert mon.drifted_batches == [0]
