@@ -61,7 +61,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (tools/verify_driver_contract.py, all 270 queries green this round).
 _PRIORITY: tuple[str, ...] = (
     # -- (a) round-9 additions --
-    "url_canonical_dedup", "html_text_extraction",
+    "url_canonical_dedup", "html_text_extraction", "url_domain_caps",
     # -- (b) oldest-validated cohort (latest hard signal round 3) --
     "ngram_jaccard_pairs", "paged_results", "pii_redaction",
     "pricing_summary", "range_join_value_bands", "revenue_topk",
@@ -81,14 +81,14 @@ _PRIORITY: tuple[str, ...] = (
     "sample_by_hash", "sumoql_transaction", "sumoql_top_values",
     "sumoql_stats_aggs", "sumoql_sort_limit", "sumoql_parse_multi",
     "sumoql_kv_extract", "sumoql_geoip_enrich", "sumoql_count_frequent",
-    "set_ops_nations", "rollup_order_status",
+    "set_ops_nations",
 )
 
 # Round-10 rotation notes: recompute programmatically by aggregating
 # CORRECTNESS_r01-r09 — do not trust hand-maintained lists.  Owed the
 # r10 head: any round-10 additions and anything CORRECTNESS_r09 failed,
-# then the 25 r4-cohort queries this window could not fit
-# (region_rollup_join, filter_project, anti_join_idle_customers,
+# then the 26 r4-cohort queries this window could not fit
+# (rollup_order_status, region_rollup_join, filter_project, anti_join_idle_customers,
 # window_topn_orders, window_running_total, sessionize_events,
 # two_hop_dim_join, multimodal_frame_sample, metric_rule_extract,
 # cfn_stack_telemetry, auto_enable_s3_logging, vpc_flow_parse,

@@ -6,7 +6,7 @@ SemDeDup, Abbas et al. 2023)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -1035,4 +1035,70 @@ def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.extracted_chars").cast("bigint")
             .alias("extracted_chars"),
         )
+    )
+
+
+@query(
+    "url_domain_caps",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               'https://' || source || '.example.org/d/' || doc_id
+                   AS url
+        FROM documents
+    ),
+    hosts AS (
+        SELECT doc_id,
+               regexp_extract(url, '^https?://([^/:?#]+)', 1) AS host
+        FROM raw
+    ),
+    ranked AS (
+        SELECT doc_id, host,
+               row_number() OVER (PARTITION BY host ORDER BY doc_id)
+                   AS rn
+        FROM hosts
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count_if(rn <= 10) AS BIGINT) AS n_kept,
+           CAST(count_if(rn > 10) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN rn <= 10 THEN doc_id ELSE 0 END)
+                AS BIGINT) AS kept_docid_sum
+    FROM ranked
+    GROUP BY host
+    """,
+)
+def url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps — the anti-domination rule every
+    web-curation pipeline applies after URL dedup (RefinedWeb §3.1
+    caps documents per registered domain so link farms and mirrors
+    cannot dominate the corpus; C4 does the same at the page level).
+    Keep the first ``cap`` docs per host in crawl order (doc_id),
+    report the per-host keep/drop ledger; ``kept_docid_sum`` pins
+    WHICH rows were kept, not just how many.
+
+    Scale shape: one window partitioned by host (millions of keys in
+    production — the partition key IS the skew concern, which is why
+    the cap exists: the pathological host is exactly the one with 10^8
+    rows.  The rank-then-filter form lets AQE skew-split the exchange;
+    a TopK-per-key rewrite via ``min_by`` arrays would bound it harder
+    but caps are small).  The host extraction rides the same scan
+    projection as the canonicalizer — zero UDFs.
+    """
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.org/d/"),
+                   F.col("doc_id").cast("string"))
+    hosts = docs.select(
+        "doc_id",
+        F.regexp_extract(url, "^https?://([^/:?#]+)", 1).alias("host"))
+    w = Window.partitionBy("host").orderBy("doc_id")
+    ranked = hosts.withColumn("rn", F.row_number().over(w))
+    cap = 10
+    return ranked.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("rn") <= cap).alias("n_kept"),
+        F.count_if(F.col("rn") > cap).alias("n_dropped"),
+        F.sum(F.when(F.col("rn") <= cap, F.col("doc_id"))
+              .otherwise(F.lit(0))).alias("kept_docid_sum"),
     )
