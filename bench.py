@@ -248,7 +248,14 @@ def main() -> None:
     # item 7).
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     if "--repeat" in sys.argv:
-        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+        # a malformed flag must never zero the artifact (round-3
+        # lesson) — fall back to the default instead of crashing
+        idx = sys.argv.index("--repeat") + 1
+        if idx < len(sys.argv):
+            try:
+                repeat = int(sys.argv[idx])
+            except ValueError:
+                pass
     canon_names = [n for n in names if n in set(CANON)]
     canon_pass_totals: list[float] = []
     for _ in range(max(repeat, 1)):
@@ -263,6 +270,14 @@ def main() -> None:
             timings[name] = round(min(timings.get(name, float("inf")),
                                       dt), 3)
         canon_pass_totals.append(round(pass_total, 3))
+    # invariant: a name lives in EXACTLY one of timings/errors.  A
+    # transient error in one pass followed by a success in another
+    # would otherwise mark the artifact incomplete while canon_total
+    # reads complete (round-9 review finding) — the successful timing
+    # wins, matching the per-query min-of-runs semantics.
+    for name in list(errors):
+        if name in timings:
+            del errors[name]
 
     for name in names:
         if name in timings or name in errors:

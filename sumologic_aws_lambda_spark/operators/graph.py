@@ -313,8 +313,10 @@ def link_prediction(edges: DataFrame, hub_cut: int | None = None,
       silenced wholesale.  ``cn`` / ``adamic_adar`` become lower
       bounds under the cap (documented approximation).
 
-    Pass both to compose (cap within the non-hub space); pass neither
-    for the exact, unbounded wedge space (small graphs only).  Degrees
+    Pass both to compose (cap within the non-hub space); for the
+    exact, unbounded wedge space (small graphs only) pass
+    ``neighbor_cap=None`` explicitly — with the dense-safe default,
+    passing nothing now means capped, not exact.  Degrees
     ride the wedge rows — no broadcast hint: the degree frame scales
     with the node count, so AQE decides (round-5 hint policy).
     Adamic-Adar sums 1/ln(deg) over shared neighbors (deg ≥ 2 by

@@ -30,6 +30,8 @@ Pipeline (each step mirrored verbatim by the DuckDB oracle in
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -74,12 +76,24 @@ def html_segments(html: Column | str) -> Column:
     for pat in ELEMENT_STRIP_RES:
         c = F.regexp_replace(c, pat, "")
     c = F.regexp_replace(c, BLOCK_CLOSE_RE, _SENTINEL)
-    return F.transform(
+    # Two nested transforms so the regex-heavy _plain runs ONCE per
+    # segment: higher-order lambdas get no common-subexpression
+    # elimination, and plain feeds both the text and its length —
+    # inlining it twice would double the dominant regex cost of the
+    # scan-projection hot path (round-9 review finding).
+    raw = F.transform(
         F.split(c, _SENTINEL),
         lambda s: F.struct(
             _plain(s).alias("plain"),
-            F.length(_plain(s)).alias("plain_len"),
             _link_len(s).alias("link_len"),
+        ),
+    )
+    return F.transform(
+        raw,
+        lambda p: F.struct(
+            p["plain"].alias("plain"),
+            F.length(p["plain"]).alias("plain_len"),
+            p["link_len"].alias("link_len"),
         ),
     )
 
@@ -90,10 +104,14 @@ def extract_main_text(html: Column | str, min_len: int = 30,
 
     ``n_dropped`` counts only segments that HAD text (empty splits are
     markup residue, not dropped content).  The density threshold is
-    evaluated as ``link_len * den <= plain_len * num`` with num/den
-    from the decimal — exact integer arithmetic both engines.
+    evaluated as ``link_len * den <= plain_len * num`` with num/den the
+    exact rational form of ``max_link_density`` — exact integer
+    arithmetic both engines at ANY decimal threshold (round-9 review
+    finding: the previous tenths quantization turned 0.25 into 0.2 and
+    0.05 into 0, the latter dropping every segment containing a link).
     """
-    num, den = (max_link_density * 10).__round__(), 10
+    frac = Fraction(str(max_link_density)).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
     segs = html_segments(html)
     nonempty = F.filter(segs, lambda p: p["plain_len"] > 0)
     kept = F.filter(

@@ -45,20 +45,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # caps at the first 50.  Round-9 window (staleness recomputed
 # programmatically this round by aggregating CORRECTNESS_r01-r08
 # latest-sample rounds; CORRECTNESS_r08 was 50/50 green so nothing is
-# owed a re-check): (a) the 2 round-9 additions — the curation stage-0
+# owed a re-check): (a) the 3 round-9 additions — the curation stage-0
 # operators the round-8 verdict ranked first (URL canonicalization/
 # dedup, HTML boilerplate strip); (b) all 24 queries whose latest hard
 # signal is round 3 (the oldest cohort, exactly the list the round-8
-# note owed this window); (c) 24 of the 49-query r4 cohort, ordered by
+# note owed this window); (c) 23 of the 49-query r4 cohort, ordered by
 # most-recent git commit touching the query's module (verdict item 5:
 # files refactored in r5-r9 carry the highest divergence risk —
 # similarity.py took a round-9 fix, text/timeseries/sumoql/relational/
 # windows took r8 plan work), registry-name tiebreak.  The remaining
-# 25 r4-cohort queries (catalog_ops/ingest/advanced/extensions/
+# 26 r4-cohort queries (relational/catalog_ops/ingest/advanced/extensions/
 # ingest_gap/parsing, all files untouched since r4) lead the round-10
 # window.  Everything else keeps registration order after the head and
 # remains covered by the repo's own full-surface driver replica
-# (tools/verify_driver_contract.py, all 270 queries green this round).
+# (tools/verify_driver_contract.py, all 271 queries green this round).
 _PRIORITY: tuple[str, ...] = (
     # -- (a) round-9 additions --
     "url_canonical_dedup", "html_text_extraction", "url_domain_caps",

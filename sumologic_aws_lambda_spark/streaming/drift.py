@@ -212,7 +212,13 @@ class CentroidDriftMonitor:
             ref = self.reference.get(k)
             if ref is None or n == 0:
                 labels[k] = (float("nan"), float("nan"), n)
-                drifted.append(k)
+                # A reference-unknown label alerts only on batches that
+                # actually DELIVERED rows for it — it stays visible in
+                # the per-label report, but one stray row must not flag
+                # every subsequent batch forever (round-9 review
+                # finding: the monitor could never read healthy again).
+                if k in batch:
+                    drifted.append(k)
                 continue
             ref_s, ref_n = ref
             cos = self._cosine(ref_s, sums)

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -61,15 +62,25 @@ class SnapshotUpsertSink:
                  ts_col: str, delete_col: str | None = None):
         if not key_cols:
             raise ValueError("SnapshotUpsertSink needs key columns")
-        scheme = path.split("://", 1)[0].lower() if "://" in path else ""
-        if scheme not in self._LOCAL_SCHEMES:
-            raise ValueError(
-                f"SnapshotUpsertSink requires a local POSIX path; got "
-                f"scheme {scheme!r}. Its two-rename swap is not atomic "
-                f"on object stores — use a transactional table format "
-                f"(Delta/Iceberg MERGE) there.")
-        if scheme == "file":
-            path = path.split("://", 1)[1]
+        # URI-aware guard (round-9 review finding: the naive '://'
+        # split mangled file://host/path into a relative path and let
+        # the single-slash file:/tmp/x form through as a literal dir).
+        if "://" in path or path.startswith("file:"):
+            pr = urlparse(path)
+            scheme = pr.scheme.lower()
+            if scheme not in self._LOCAL_SCHEMES:
+                raise ValueError(
+                    f"SnapshotUpsertSink requires a local POSIX path; "
+                    f"got scheme {scheme!r}. Its two-rename swap is "
+                    f"not atomic on object stores — use a "
+                    f"transactional table format (Delta/Iceberg "
+                    f"MERGE) there.")
+            if pr.netloc not in ("", "localhost"):
+                raise ValueError(
+                    f"SnapshotUpsertSink got a file:// URI with remote "
+                    f"host {pr.netloc!r}; only file:///... and "
+                    f"file://localhost/... resolve to this machine.")
+            path = pr.path or "/"
         self.path = path
         self.key_cols = tuple(key_cols)
         self.ts_col = ts_col

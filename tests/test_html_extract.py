@@ -62,16 +62,35 @@ def test_attribute_noise_and_self_closing_tags(spark):
 
 
 def test_link_density_boundary_is_exact(spark):
-    # plain_len 40, link_len 12 -> density 0.3 exactly: KEPT (<=)
-    text30 = "x" * 27  # plus "ab " joins below
-    html = (f'<p><a href="/z">{"l" * 12}</a>{"y" * 28}</p>')
+    # Tag-strip turns the anchor tags into spaces, so the plain text is
+    # "llll... yyyy..." with ONE joining space: link 12 + space + 27 y's
+    # = plain_len 40, density 12/40 = 0.3 EXACTLY -> KEPT (<=, not <)
+    html = f'<p><a href="/z">{"l" * 12}</a>{"y" * 27}</p>'
     r = _extract(spark, html, min_len=10)
-    assert r["n_kept"] == 1
-    # one more link char tips it over: dropped
-    html2 = (f'<p><a href="/z">{"l" * 13}</a>{"y" * 27}</p>')
+    assert r["n_kept"] == 1, r
+    # one more link char at the same plain_len: 13/40 > 0.3 -> dropped
+    html2 = f'<p><a href="/z">{"l" * 13}</a>{"y" * 26}</p>'
     r2 = _extract(spark, html2, min_len=10)
     assert r2["n_kept"] == 0 and r2["n_dropped"] == 1
-    assert text30  # silence lints
+
+
+def test_link_density_threshold_is_exact_rational(spark):
+    """Round-9 review fix: non-tenth thresholds must be honored
+    exactly — 0.25 used to quantize to 0.2, and 0.05 to ZERO (dropping
+    every segment containing any anchor text)."""
+    # link 1 + space + 19 y's = plain_len 21, density 1/21 ≈ 0.048
+    html = f'<p><a href="/z">l</a>{"y" * 19}</p>'
+    r = _extract(spark, html, min_len=10, max_link_density=0.05)
+    assert r["n_kept"] == 1, "density 1/21 < 0.05 must be kept"
+    # density 12/48 = 0.25 exactly: kept at threshold 0.25...
+    html2 = f'<p><a href="/z">{"l" * 12}</a>{"y" * 35}</p>'
+    r2 = _extract(spark, html2, min_len=10, max_link_density=0.25)
+    assert r2["n_kept"] == 1
+    # ...and 13/48 > 0.25 dropped (0.2-quantization would need > 0.3
+    # worth of links to drop, so this pins the exact threshold)
+    html3 = f'<p><a href="/z">{"l" * 13}</a>{"y" * 34}</p>'
+    r3 = _extract(spark, html3, min_len=10, max_link_density=0.25)
+    assert r3["n_kept"] == 0 and r3["n_dropped"] == 1
 
 
 def test_comments_and_noscript_never_surface(spark):

@@ -22,7 +22,17 @@ def test_oracle_parity(spark, duck, name):
     assert ok, f"{name}: {msg}"
 
 
-@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
+_ROWS_ONLY = sorted(set(_QUERIES) - set(_ORACLES))
+
+
+@pytest.mark.skipif(
+    not _ROWS_ONLY,
+    reason="every registry query is oracle-paired (the strong check in "
+           "test_oracle_parity covers all of them); this weaker "
+           "rows-only smoke exists only for future non-SQL-expressible "
+           "queries — an EMPTY parameter set here is the healthy state",
+)
+@pytest.mark.parametrize("name", _ROWS_ONLY or ["<none>"])
 def test_rows_only_queries_run(spark, name):
     df = _QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0

@@ -21,13 +21,20 @@ import pytest
 from sumologic_aws_lambda_spark.queries.sketches import HH_SKETCH_WIDTH
 
 # The driver runs the oracle gate at sf0.01; check every SF present so
-# a bench run at sf0.1 is covered by the same invariant.
-_SF_ROOT = "/root/testdata"
+# a bench run at sf0.1 is covered by the same invariant.  The root is
+# env-overridable and a missing root yields an (explicitly skipped)
+# empty parameter set instead of a collection-time FileNotFoundError
+# (round-9 review finding: a checkout without fixtures crashed the
+# WHOLE pytest session here).
+_SF_ROOT = os.path.dirname(
+    os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+_SFS = ([d for d in sorted(os.listdir(_SF_ROOT))
+         if os.path.exists(os.path.join(_SF_ROOT, d, "events.parquet"))]
+        if os.path.isdir(_SF_ROOT) else [])
 
 
-@pytest.mark.parametrize(
-    "sf", [d for d in sorted(os.listdir(_SF_ROOT))
-           if os.path.exists(os.path.join(_SF_ROOT, d, "events.parquet"))])
+@pytest.mark.skipif(not _SFS, reason=f"no fixture SFs under {_SF_ROOT}")
+@pytest.mark.parametrize("sf", _SFS or ["<none>"])
 def test_heavy_hitter_width_dominates_distinct_users(sf):
     path = os.path.join(_SF_ROOT, sf, "events.parquet")
     [(n_distinct,)] = duckdb.sql(

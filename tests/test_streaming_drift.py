@@ -128,6 +128,13 @@ def test_centroid_monitor_novel_label_and_null_sentinel(spark):
     mon(_vecs(spark, [("zz", [1.0, 0.0]), (None, [0.5, 0.5]),
                       ("a", [1.0, 0.0])]), 0)
     assert set(mon.reports[0].drifted_labels) == {"zz", "(null)"}
+    # round-9 review fix: the stray labels stay VISIBLE in the report
+    # but must not re-alert on later healthy batches — one unknown row
+    # in batch 0 cannot flag every batch forever
+    mon(_vecs(spark, [("a", [1.0, 0.0])]), 1)
+    assert mon.reports[1].drifted_labels == []
+    assert "zz" in mon.reports[1].labels  # still reported, not alerted
+    assert mon.drifted_batches == [0]
     with pytest.raises(ValueError):
         CentroidDriftMonitor({}, "label", "e")
 

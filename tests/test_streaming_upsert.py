@@ -152,8 +152,15 @@ def test_rejects_object_store_paths(tmp_path):
                 "hdfs://nn/snap"):
         with pytest.raises(ValueError, match="local POSIX path"):
             SnapshotUpsertSink(uri, key_cols=("k",), ts_col="ts")
-    # plain local paths and explicit file:// URIs both work
+    # plain local paths and explicit file URIs (triple-slash, localhost
+    # and single-slash forms) all resolve to the same absolute path
     SnapshotUpsertSink(str(tmp_path / "a"), key_cols=("k",), ts_col="ts")
-    sink = SnapshotUpsertSink(f"file://{tmp_path}/b",
-                              key_cols=("k",), ts_col="ts")
-    assert sink.path == f"{tmp_path}/b"
+    for uri in (f"file://{tmp_path}/b",          # file:///abs/path
+                f"file://localhost{tmp_path}/b",
+                f"file:{tmp_path}/b"):           # single-slash form
+        sink = SnapshotUpsertSink(uri, key_cols=("k",), ts_col="ts")
+        assert sink.path == f"{tmp_path}/b", uri
+    # a file:// URI naming a REMOTE host is not this machine: rejected
+    with pytest.raises(ValueError, match="remote host"):
+        SnapshotUpsertSink("file://nas01/snap", key_cols=("k",),
+                           ts_col="ts")
