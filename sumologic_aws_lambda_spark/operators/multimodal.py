@@ -44,13 +44,19 @@ except ImportError:
     pass
 
 
-def synthetic_media(spark: SparkSession, n: int = 60) -> DataFrame:
+def synthetic_media(spark: SparkSession, n: int = 60,
+                    dup_every: int | None = None) -> DataFrame:
     """Deterministic fake media corpus: binary payload = repeated md5
-    bytes, metadata carries the shape a real decoder would read."""
+    bytes, metadata carries the shape a real decoder would read.
+    ``dup_every=k`` keys the PAYLOAD on ``i % k`` so items k apart are
+    exact byte duplicates (the near-dup fixtures need duplicate pairs
+    to exist; ids/metadata stay unique)."""
     rows = []
     for i in range(n):
+        key = i % dup_every if dup_every else i
         modality = ("image", "audio", "video")[i % 3]
-        payload = hashlib.md5(f"media-{i}".encode()).digest() * (4 + i % 5)
+        payload = (hashlib.md5(f"media-{key}".encode()).digest()
+                   * (4 + key % 5))
         meta = {
             "format": {"image": "png", "audio": "wav", "video": "mp4"}[modality],
             "width": str(64 * (1 + i % 4)),
@@ -222,4 +228,59 @@ def patch_grid(df: DataFrame, patch: int = 16) -> DataFrame:
             F.least(F.col("patch_col") * patch + patch, w).alias("x1"),
             F.least(F.col("patch_row") * patch + patch, h).alias("y1"),
         )
+    )
+
+
+def perceptual_hash_pairs(media: DataFrame, bands: int = 5,
+                          band_chars: int = 3, hash_chars: int = 15,
+                          max_hamming: int = 4) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs via banded Hamming LSH —
+    the image-dedup step of a multimodal curation pipeline (pHash /
+    aHash-style: hash the DECODED pixels, then find pairs within a
+    small Hamming radius).  The decode is the repo's documented stub
+    (md5 of the payload's hex — ``_fake_decode_features``'s convention,
+    so the driver oracle can recompute the hash in DuckDB); swap the
+    hash column for a real DCT pHash under PIL and every downstream
+    line is unchanged.
+
+    Scale shape — the SimHash playbook applied to media: the 60-bit
+    hash splits into ``bands`` substrings; candidate pairs come ONLY
+    from an equi-join on (band index, band value) — never all-pairs —
+    and the exact Hamming distance (``bit_count(xor)``) filters
+    candidates to ``<= max_hamming``.  Pigeonhole guarantee: a pair
+    within Hamming distance < ``bands`` differs in fewer positions
+    than there are bands, so at least one band matches exactly —
+    with the defaults (5 bands, radius 4) recall is total, no
+    probabilistic miss.  Each band bucket is hash-uniform, so the
+    join's key distribution is flat (no skew salting needed); the
+    DISTINCT collapse after banding dedups pairs that match on
+    several bands.
+
+    Returns (media_id_a, media_id_b, hamming), a < b.
+    """
+    hh = F.md5(F.lower(F.hex("content")))
+    h64 = F.conv(hh.substr(1, hash_chars), 16, 10).cast("long")
+    banded = media.select(
+        F.col("media_id"), h64.alias("h"),
+        F.posexplode(F.array(*[
+            hh.substr(1 + band_chars * i, band_chars)
+            for i in range(bands)
+        ])).alias("band", "val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.media_id") < F.col("b.media_id")))
+        .select(F.col("a.media_id").alias("media_id_a"),
+                F.col("b.media_id").alias("media_id_b"),
+                F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
+        .distinct()
+    )
+    return (
+        pairs.select(
+            "media_id_a", "media_id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )

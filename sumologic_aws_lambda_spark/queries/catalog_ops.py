@@ -742,3 +742,65 @@ def tag_resources_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, {"team": "sre", "env": "prod"},
         account_id="111122223333",
         filter_regex="team-a-data|RunInstances|LoadBalancer")
+
+
+@query(
+    "phash_hamming_neardup",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id,
+             md5(lower(hex(
+                 repeat(unhex(md5('media-' || (i % 60))),
+                        CAST(4 + (i % 60) % 5 AS INT))))) AS hh
+      FROM range(120) t(i)
+    ),
+    hashed AS (
+      SELECT media_id,
+             CAST(('0x' || substr(hh, 1, 15)) AS BIGINT) AS h,
+             hh
+      FROM m
+    ),
+    banded AS (
+      SELECT media_id, h, g.b AS band,
+             substr(hh, 1 + 3 * g.b, 3) AS val
+      FROM hashed,
+           LATERAL (SELECT unnest(generate_series(0, 4)) AS b) g
+    ),
+    pairs AS (
+      SELECT DISTINCT a.media_id AS media_id_a,
+                      b.media_id AS media_id_b,
+                      a.h AS ha, b.h AS hb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.val = b.val
+           AND a.media_id < b.media_id
+    )
+    SELECT media_id_a, media_id_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(ha, hb)) <= 4
+    """,
+)
+def phash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs via banded Hamming LSH —
+    the multimodal arm of the dedup tier (pHash the decoded pixels,
+    candidate pairs only through a band-value equi-join, exact
+    ``bit_count(xor)`` verify; pigeonhole: 5 bands over the 60-bit
+    hash give TOTAL recall at radius ≤ 4).  The decode is the repo's
+    documented md5-of-hex stub (``operators/multimodal.py``), so the
+    DuckDB oracle recomputes the identical hash, banding, and Hamming
+    filter — the fixture (120 items, payloads keyed mod 60) must yield
+    exactly the 60 duplicate pairs at distance 0 while random 12-bit
+    band collisions get Hamming-filtered out.
+
+    Scale shape: never all-pairs — 5 narrow band rows per item, a
+    hash-uniform equi-join (no skew), DISTINCT pair collapse, integer
+    Hamming verify.  Identical to the SimHash text path
+    (``operators/dedup.py``), re-expressed over binary media.
+    """
+    from ..operators.multimodal import (
+        perceptual_hash_pairs,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 120, dup_every=60)
+    return perceptual_hash_pairs(media)

@@ -126,3 +126,27 @@ def test_patch_grid_skips_degenerate_dims(spark):
     out = patch_grid(df, patch=16).collect()
     assert {r.media_id for r in out} == {2}
     assert all(r.patch_row >= 0 and r.x0 >= 0 for r in out)
+
+
+def test_phash_neardup_finds_exact_dups_and_respects_radius(spark):
+    """Banded-Hamming near-dup: duplicate payloads (ids 60 apart) must
+    surface at distance 0; the pigeonhole contract (5 bands, radius 4)
+    and the a<b canonical pair order hold; random non-dup pairs are
+    Hamming-filtered out."""
+    from sumologic_aws_lambda_spark.operators.multimodal import (
+        perceptual_hash_pairs,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 120, dup_every=60)
+    rows = perceptual_hash_pairs(media).collect()
+    pairs = {(r["media_id_a"], r["media_id_b"]): r["hamming"]
+             for r in rows}
+    assert len(pairs) == 60
+    assert all(b == a + 60 and h == 0 for (a, b), h in pairs.items())
+    # radius 0 keeps only exact-dup pairs too (candidates unchanged)
+    strict = perceptual_hash_pairs(media, max_hamming=0).count()
+    assert strict == 60
+    # no duplicates in the corpus -> no pairs within the radius
+    unique = synthetic_media(spark, 60)
+    assert perceptual_hash_pairs(unique).count() == 0
