@@ -450,10 +450,16 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
 
 
 def incremental_dedup(new_docs: DataFrame, seen: DataFrame,
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      key_fn=None) -> DataFrame:
     """Dedup an incoming batch against a prior corpus snapshot: drop any
     new document whose content fingerprint already exists in ``seen``
     (a fingerprint store with a ``fingerprint`` column).
+
+    ``key_fn(col) -> Column`` overrides the dedup key (default: the md5
+    content fingerprint) — e.g. ``md5(canonicalize_url(col))`` turns
+    this into URL-level dedup with the same store contract (round-9:
+    the curation stage-0 composition).
 
     LEFT ANTI hash join on the md5 fingerprint — at 100 TB the store is
     far larger than any daily batch, so the batch side is the small side:
@@ -462,7 +468,8 @@ def incremental_dedup(new_docs: DataFrame, seen: DataFrame,
     Persist the store bucketed by fingerprint and the shuffle disappears
     entirely.
     """
-    return new_docs.withColumn("_fp", fingerprint(text_col)).join(
+    key = (key_fn or fingerprint)(text_col)
+    return new_docs.withColumn("_fp", key).join(
         seen.select(F.col("fingerprint").alias("_fp")),
         "_fp", "left_anti",
     ).drop("_fp")

@@ -86,30 +86,40 @@ def _overwrite_batch_partition(df: DataFrame, base_dir: str,
 
 class IncrementalDedupSink:
     """foreachBatch callable: survivors → ``out_dir``, their fingerprints
-    → ``store_dir`` (both per-batch overwrite partitions)."""
+    → ``store_dir`` (both per-batch overwrite partitions).
+
+    ``key_fn(col) -> Column`` overrides the dedup key (default: md5
+    content fingerprint).  With ``key_fn=lambda c: F.md5(
+    canonicalize_url(c))`` and ``text_col="url"`` this is the streaming
+    twin of ``url_canonical_dedup`` — curation stage-0 running
+    continuously with the same store lifecycle; callers should coalesce
+    a NULL-able key to a per-row sentinel first (a shared NULL key
+    would collapse unrelated rows in the within-batch dropDuplicates).
+    """
 
     def __init__(self, spark: SparkSession, store_dir: str, out_dir: str,
-                 text_col: str = "text"):
+                 text_col: str = "text", key_fn=None):
         self._spark = spark
         self._store = store_dir
         self._out = out_dir
         self._text = text_col
+        self._key = key_fn or fingerprint
         self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, kept)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         n_in = batch_df.count()
         # collapse within-batch duplicates (keep first by natural order of
         # the fingerprint groupBy — content-identical, so any row works)
-        batch = batch_df.withColumn("_fp", fingerprint(self._text)) \
+        batch = batch_df.withColumn("_fp", self._key(self._text)) \
             .dropDuplicates(["_fp"]).drop("_fp")
         seen = _read_store(self._spark, self._store, "fingerprint string",
                            exclude_batch=batch_id)
-        kept = incremental_dedup(batch, seen, self._text)
+        kept = incremental_dedup(batch, seen, self._text, self._key)
         kept = kept.localCheckpoint()  # store write must not re-read input
         n_kept = kept.count()
         _overwrite_batch_partition(kept, self._out, batch_id)
         _overwrite_batch_partition(
-            kept.select(fingerprint(self._text).alias("fingerprint")),
+            kept.select(self._key(self._text).alias("fingerprint")),
             self._store, batch_id)
         self.batch_stats.append((batch_id, n_in, n_kept))
 

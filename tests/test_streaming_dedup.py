@@ -149,3 +149,44 @@ def test_store_probe_remote_scheme_uses_hadoop_fs(spark, tmp_path):
     # Unreachable remote store: loud failure, never "empty".
     with pytest.raises(Exception):
         _store_has_data(spark, "hdfs://nonexistent-nn:1/store")
+
+
+def test_url_keyed_streaming_dedup_composes_canonicalizer(spark, tmp_path):
+    """Round-9 curation stage-0 composition: the incremental dedup sink
+    keyed on md5(canonicalize_url(url)) drops re-crawls of the SAME
+    page under different raw URL spellings, across batches, while
+    distinct content params survive."""
+    from pyspark.sql import functions as F
+
+    from sumologic_aws_lambda_spark.functions.urls import canonicalize_url
+    from sumologic_aws_lambda_spark.streaming.dedup import (
+        IncrementalDedupSink,
+    )
+
+    def url_key(col):
+        # malformed URLs fall back to their raw spelling so a shared
+        # NULL canonical cannot collapse unrelated rows
+        return F.md5(F.coalesce(canonicalize_url(col), F.col(col)))
+
+    sink = IncrementalDedupSink(spark, str(tmp_path / "store"),
+                                str(tmp_path / "out"),
+                                text_col="url", key_fn=url_key)
+    b0 = spark.createDataFrame(
+        [(1, "HTTPS://WWW.Example.com:443/a/?utm_source=x&id=1"),
+         (2, "https://example.com/a?id=1&gclid=z"),   # same page as 1
+         (3, "https://example.com/a?id=2"),           # distinct content
+         (4, "not a url")],
+        "doc_id long, url string")
+    sink(b0, batch_id=0)
+    b1 = spark.createDataFrame(
+        [(5, "https://user@example.com/a/?id=1"),     # re-crawl of 1
+         (6, "https://example.com/b"),                # new page
+         (7, "not a url")],                           # raw-dup of 4
+        "doc_id long, url string")
+    sink(b1, batch_id=1)
+    assert sink.batch_stats == [(0, 4, 3), (1, 3, 1)]
+    kept = {r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert 3 in kept and 6 in kept and len(kept) == 4
+    # exactly one of the batch-0 variants of page a?id=1 survived
+    assert len({1, 2} & kept) == 1 and 5 not in kept
