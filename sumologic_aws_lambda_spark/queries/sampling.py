@@ -579,3 +579,112 @@ def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+_LEAK_K = 8
+
+
+@query(
+    "split_ngram_decontamination",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id,
+               CASE
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                   THEN 'train'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('c','d') THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               string_split(trim(regexp_replace(lower(text), '\\s+',
+                                                ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, split,
+               md5(array_to_string(
+                   list_slice(t, g.i, g.i + {_LEAK_K} - 1), ' ')) AS gh
+        FROM tagged,
+             LATERAL (SELECT unnest(generate_series(
+                 1, len(t) - {_LEAK_K} + 1)) AS i) g
+        WHERE len(t) >= {_LEAK_K}
+    ),
+    train_g AS (
+        SELECT DISTINCT gh FROM grams WHERE split = 'train'
+    ),
+    per_doc AS (
+        SELECT g.split, g.doc_id,
+               count(*) AS n_grams,
+               count(tg.gh) AS n_leaked
+        FROM grams g LEFT JOIN train_g tg ON g.gh = tg.gh
+        WHERE g.split <> 'train'
+        GROUP BY g.split, g.doc_id
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count_if(n_leaked > 0) AS BIGINT) AS leaked_docs,
+           CAST(sum(n_grams) AS BIGINT) AS grams_total,
+           CAST(sum(n_leaked) AS BIGINT) AS grams_leaked,
+           CAST(sum(n_leaked) AS DOUBLE) / sum(n_grams)
+               AS leaked_gram_share
+    FROM per_doc
+    GROUP BY split
+    """,
+)
+def split_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval contamination audit AFTER splitting: for each
+    held-out split, how many documents share at least one {k}-token
+    span with the train split, and what share of their spans leak —
+    the decontamination check every eval pipeline runs between its own
+    splits (GPT-3 §4 / PaLM app. dedup both audit n-gram overlap
+    between train and eval; ``ngram_decontamination`` audits against
+    an EXTERNAL benchmark, this audits the split boundary itself).
+
+    Plan shape: one token split staged per row, spans as md5 hashes
+    through a higher-order transform (never strings), ONE left join of
+    the held-out gram stream against the distinct train-gram set on
+    the uniform 128-bit key, then a two-level partial-agg collapse
+    (doc, then split).  At 100 TB the train-gram set is huge but
+    uniform — the join shuffles both sides on the hash key with
+    map-side combine; the production variant pushes a bloom filter of
+    train grams into the scan first, same algebra.
+    ``leaked_gram_share`` is a single division of exact BIGINT sums
+    (IEEE-identical both engines, the ``dataset_hash_split`` avg_chars
+    precedent).
+    """
+    from ..operators.text import normalize_text
+
+    k = _LEAK_K
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", _split_col().alias("split"),
+                F.split(normalize_text("text"), " ").alias("_toks"))
+        .filter(F.size("_toks") >= k)
+    )
+    idx = F.sequence(F.lit(0), F.size("_toks") - k)
+    grams = d.select(
+        "doc_id", "split",
+        F.explode(F.transform(
+            idx,
+            lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, k))),
+        )).alias("gh"),
+    )
+    train_g = (grams.filter(F.col("split") == "train")
+               .select("gh").distinct()
+               .withColumn("_hit", F.lit(1)))
+    per_doc = (
+        grams.filter(F.col("split") != "train")
+        .join(train_g, "gh", "left")
+        .groupBy("split", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.count("_hit").alias("n_leaked"))
+    )
+    return per_doc.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("n_leaked") > 0).alias("leaked_docs"),
+        F.sum("n_grams").alias("grams_total"),
+        F.sum("n_leaked").alias("grams_leaked"),
+        (F.sum("n_leaked").cast("double") / F.sum("n_grams"))
+        .alias("leaked_gram_share"),
+    )
