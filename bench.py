@@ -161,6 +161,12 @@ OPTIONAL = [
     "growth_accounting_weekly",
     "funnel_time_to_convert",
     "embedding_centroid_drift",
+    # round-9 wave
+    "url_canonical_dedup",
+    "html_text_extraction",
+    "url_domain_caps",
+    "phash_hamming_neardup",
+    "split_ngram_decontamination",
 ]
 
 
