@@ -263,19 +263,24 @@ def main() -> None:
             except ValueError:
                 pass
     canon_names = [n for n in names if n in set(CANON)]
-    canon_pass_totals: list[float] = []
+    canon_pass_totals: list[float | None] = []
     for _ in range(max(repeat, 1)):
-        pass_total = 0.0
+        pass_total, pass_complete = 0.0, True
         for name in canon_names:
             try:
                 dt = min(_time_once(name), _time_once(name))
             except Exception as e:  # noqa: BLE001 — harness boundary
                 errors[name] = f"{type(e).__name__}: {e}"[:500]
+                pass_complete = False
                 continue
             pass_total += dt
             timings[name] = round(min(timings.get(name, float("inf")),
                                       dt), 3)
-        canon_pass_totals.append(round(pass_total, 3))
+        # a pass missing any query publishes None, not a partial sum —
+        # partial totals would read as fake speedups in the variance
+        # record BASELINE.md builds on (round-9 review finding)
+        canon_pass_totals.append(
+            round(pass_total, 3) if pass_complete else None)
     # invariant: a name lives in EXACTLY one of timings/errors.  A
     # transient error in one pass followed by a success in another
     # would otherwise mark the artifact incomplete while canon_total

@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint, normalize_text, with_word_ngrams
+from .text import (
+    fingerprint,
+    normalize_text,
+    with_word_ngrams,
+    word_kgram_hash,
+)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -608,7 +613,7 @@ def duplicate_span_stats(df: DataFrame, text_col: str = "text",
     idx = F.sequence(F.lit(0), F.size("_toks") - k)
     grams = F.transform(
         idx,
-        lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, k))),
+        lambda i: word_kgram_hash("_toks", i, k),
     )
     return (
         d.select(F.col(id_col), F.explode(grams).alias("span_hash"))
@@ -669,7 +674,7 @@ def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
     grams = F.transform(
         idx, lambda i: F.struct(
             i.alias("pos"),
-            F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, k))).alias("h"),
+            word_kgram_hash("_toks", i, k).alias("h"),
         ),
     )
     occ = (

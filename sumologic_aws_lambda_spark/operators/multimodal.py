@@ -258,6 +258,19 @@ def perceptual_hash_pairs(media: DataFrame, bands: int = 5,
 
     Returns (media_id_a, media_id_b, hamming), a < b.
     """
+    # Parameter consistency guards (round-9 second-pass review): bands
+    # must tile the HASHED region — bands running past hash_chars void
+    # the pigeonhole recall guarantee, and bands past the 32-char md5
+    # read substr('')==substr('') for EVERY row, degenerating the band
+    # equi-join into an all-pairs cross join.  hash_chars caps at 15
+    # hex chars (60 bits) so the int fits signed BIGINT in both engines.
+    if not 0 < hash_chars <= 15:
+        raise ValueError(f"hash_chars must be in 1..15, got {hash_chars}")
+    if bands < 1 or band_chars < 1 or bands * band_chars > hash_chars:
+        raise ValueError(
+            f"bands*band_chars ({bands}*{band_chars}) must tile within "
+            f"hash_chars ({hash_chars}) — Hamming-recall pigeonhole and "
+            f"band-join uniformity both depend on it")
     hh = F.md5(F.lower(F.hex("content")))
     h64 = F.conv(hh.substr(1, hash_chars), 16, 10).cast("long")
     banded = media.select(

@@ -221,6 +221,18 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+def word_kgram_hash(toks_col: Column | str, i: Column, k: int) -> Column:
+    """md5 of the k-token window starting at 0-based index ``i`` over a
+    STAGED token-array column — THE span-fingerprint convention, defined
+    once (round-9 review: three verbatim copies lived in
+    ``duplicate_span_stats`` / ``remove_duplicate_spans`` / the
+    split-decontamination audit; a tokenization or hashing change
+    applied to one would silently desynchronize the dedup path from the
+    audits and every DuckDB oracle built on
+    ``md5(array_to_string(list_slice(t, i, i+k-1), ' '))``)."""
+    return F.md5(F.concat_ws(" ", F.slice(toks_col, i + 1, k)))
+
+
 # PII patterns kept RE2-compatible (no backrefs/lookaround) so the same
 # pattern string runs identically under Java regex (Spark) and RE2-family
 # engines (DuckDB oracle, Go/Rust scrubbers).

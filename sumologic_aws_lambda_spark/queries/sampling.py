@@ -653,7 +653,7 @@ def split_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (IEEE-identical both engines, the ``dataset_hash_split`` avg_chars
     precedent).
     """
-    from ..operators.text import normalize_text
+    from ..operators.text import normalize_text, word_kgram_hash
 
     k = _LEAK_K
     d = (
@@ -667,7 +667,7 @@ def split_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "split",
         F.explode(F.transform(
             idx,
-            lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, k))),
+            lambda i: word_kgram_hash("_toks", i, k),
         )).alias("gh"),
     )
     train_g = (grams.filter(F.col("split") == "train")

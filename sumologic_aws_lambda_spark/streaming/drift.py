@@ -225,7 +225,18 @@ class CentroidDriftMonitor:
             na = math.sqrt(sum(x * x for x in ref_s)) / max(ref_n, 1)
             nb = math.sqrt(sum(x * x for x in sums)) / max(n, 1)
             ratio = nb / na if na > 0 else float("nan")
-            if cos is None or cos < self.threshold:
+            # Asymmetric alert persistence, deliberately: a MEASURED
+            # below-threshold cosine re-alerts every batch (the running
+            # centroid direction is still wrong — a standing
+            # condition), but an UNMEASURABLE cosine (zero-norm side)
+            # is only an event — it alerts on delivering batches,
+            # matching the novel-label rule, so one zero vector cannot
+            # flag every healthy batch forever (round-9 second-pass
+            # review finding).
+            if cos is None:
+                if k in batch:
+                    drifted.append(k)
+            elif cos < self.threshold:
                 drifted.append(k)
             labels[k] = (round(cos, 6) if cos is not None
                          else float("nan"), round(ratio, 6), n)

@@ -31,6 +31,7 @@ unchanged.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 from urllib.parse import urlparse
 
@@ -62,10 +63,13 @@ class SnapshotUpsertSink:
                  ts_col: str, delete_col: str | None = None):
         if not key_cols:
             raise ValueError("SnapshotUpsertSink needs key columns")
-        # URI-aware guard (round-9 review finding: the naive '://'
+        # URI-aware guard (round-9 review findings: the naive '://'
         # split mangled file://host/path into a relative path and let
-        # the single-slash file:/tmp/x form through as a literal dir).
-        if "://" in path or path.startswith("file:"):
+        # single-slash forms — file:/x, and worse hdfs:/x, s3a:/x —
+        # through as literal local dirs).  ANY scheme-looking prefix
+        # is parsed; a local dir whose name contains ':' must be
+        # passed as ./name or an absolute path.
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path):
             pr = urlparse(path)
             scheme = pr.scheme.lower()
             if scheme not in self._LOCAL_SCHEMES:

@@ -150,3 +150,20 @@ def test_phash_neardup_finds_exact_dups_and_respects_radius(spark):
     # no duplicates in the corpus -> no pairs within the radius
     unique = synthetic_media(spark, 60)
     assert perceptual_hash_pairs(unique).count() == 0
+
+
+def test_phash_rejects_inconsistent_band_geometry(spark):
+    import pytest
+
+    from sumologic_aws_lambda_spark.operators.multimodal import (
+        perceptual_hash_pairs,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 6)
+    with pytest.raises(ValueError, match="tile within"):
+        perceptual_hash_pairs(media, bands=12)          # past hash_chars
+    with pytest.raises(ValueError, match="tile within"):
+        perceptual_hash_pairs(media, hash_chars=6)      # bands overflow
+    with pytest.raises(ValueError, match="hash_chars"):
+        perceptual_hash_pairs(media, hash_chars=16)     # > BIGINT range

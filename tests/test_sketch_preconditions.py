@@ -26,8 +26,8 @@ from sumologic_aws_lambda_spark.queries.sketches import HH_SKETCH_WIDTH
 # empty parameter set instead of a collection-time FileNotFoundError
 # (round-9 review finding: a checkout without fixtures crashed the
 # WHOLE pytest session here).
-_SF_ROOT = os.path.dirname(
-    os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+_SF_ROOT = os.path.dirname(os.path.normpath(os.path.abspath(
+    os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))))
 _SFS = ([d for d in sorted(os.listdir(_SF_ROOT))
          if os.path.exists(os.path.join(_SF_ROOT, d, "events.parquet"))]
         if os.path.isdir(_SF_ROOT) else [])

@@ -163,3 +163,28 @@ def test_centroid_monitor_over_file_stream(spark, tmp_path):
     # 'a' rotated 90 degrees -> alert; 'b' unchanged -> quiet
     assert mon.reports[0].drifted_labels == ["a"]
     assert mon.drifted_batches == [0]
+
+
+def test_centroid_monitor_zero_vector_alert_is_event_not_state(spark):
+    """Round-9 second-pass fix: an UNMEASURABLE cosine (zero-norm
+    running sums from a zero vector) alerts only on the delivering
+    batch; a MEASURED below-threshold cosine keeps re-alerting (the
+    running direction is a standing condition)."""
+    from sumologic_aws_lambda_spark.streaming.drift import (
+        CentroidDriftMonitor,
+        reference_centroids,
+    )
+
+    ref = _vecs(spark, [("a", [1.0, 0.0]), ("b", [0.0, 1.0])])
+    mon = CentroidDriftMonitor(reference_centroids(ref, "label", "e"),
+                               "label", "e", threshold=0.98)
+    mon(_vecs(spark, [("a", [0.0, 0.0]), ("b", [0.0, 1.0])]), 0)
+    assert mon.reports[0].drifted_labels == ["a"]  # zero-norm: event
+    mon(_vecs(spark, [("b", [0.0, 1.0])]), 1)      # nothing for 'a'
+    assert mon.reports[1].drifted_labels == []      # no re-alert
+    # but a MEASURED drifted direction persists across quiet batches
+    mon(_vecs(spark, [("a", [0.0, 5.0])]), 2)       # rotate 'a'
+    assert mon.reports[2].drifted_labels == ["a"]
+    mon(_vecs(spark, [("b", [0.0, 1.0])]), 3)
+    assert mon.reports[3].drifted_labels == ["a"], \
+        "measured below-threshold cosine is a standing condition"

@@ -164,3 +164,12 @@ def test_rejects_object_store_paths(tmp_path):
     with pytest.raises(ValueError, match="remote host"):
         SnapshotUpsertSink("file://nas01/snap", key_cols=("k",),
                            ts_col="ts")
+
+
+def test_rejects_single_slash_remote_uris(tmp_path):
+    """Round-9 second-pass fix: single-slash remote forms (hdfs:/x,
+    s3a:/x) must not be treated as literal local directories."""
+    for uri in ("hdfs:/warehouse/snap", "s3a:/bucket/snap",
+                "gs:/bucket/snap"):
+        with pytest.raises(ValueError, match="local POSIX path"):
+            SnapshotUpsertSink(uri, key_cols=("k",), ts_col="ts")
