@@ -110,3 +110,53 @@ def canonicalize_url(url: Column | str) -> Column:
         .otherwise(F.lit("")),
     )
     return F.when(scheme != "", canonical)
+
+
+# Compact public-suffix approximation: two-label suffixes under which
+# the REGISTERED domain needs three labels (news.bbc.co.uk → bbc.co.uk,
+# not co.uk).  The full Public Suffix List is ~9k rules and changes
+# monthly — production swaps this tuple for a broadcast lookup of the
+# real PSL; the expression shape below (suffix test + label slice) is
+# unchanged.  This subset covers the high-volume crawl ccTLDs.
+MULTI_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br",
+    "co.in", "net.in", "org.in",
+    "co.nz", "com.cn", "net.cn", "org.cn",
+    "com.mx", "com.ar", "com.tr", "co.za", "co.kr",
+)
+
+
+def registered_domain(host: Column | str) -> Column:
+    """Registered (a.k.a. pay-level) domain of a hostname — the key
+    web-curation pipelines actually cap and dedup on (RefinedWeb §3.1
+    caps per REGISTERED domain: ``cdn1.example.co.uk`` and
+    ``www.example.co.uk`` are one publisher, ``example.co.uk``; a raw
+    host key would let one publisher dominate through subdomain
+    sharding).
+
+    Pure column expression: split the host on dots, keep the last two
+    labels — or three when the two-label tail is a known multi-label
+    public suffix.  Hosts with fewer labels than needed pass through
+    unchanged; NULL stays NULL.
+    """
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    # try_element_at, not element_at: ANSI mode throws on out-of-range
+    # negative indexes and when() evaluates every branch (repo rule 7) —
+    # a single-label host would otherwise kill the task.
+    tail2 = F.concat_ws(".", F.try_element_at(labels, F.lit(-2)),
+                        F.try_element_at(labels, F.lit(-1)))
+    tail3 = F.concat_ws(".", F.try_element_at(labels, F.lit(-3)),
+                        F.try_element_at(labels, F.lit(-2)),
+                        F.try_element_at(labels, F.lit(-1)))
+    is_multi = tail2.isin(*MULTI_LABEL_SUFFIXES)
+    return (
+        F.when(h.isNull(), F.lit(None).cast("string"))
+        .when(is_multi & (n >= 3), tail3)
+        .when(~is_multi & (n >= 2), tail2)
+        .otherwise(h)
+    )

@@ -87,3 +87,47 @@ def test_url_dedup_is_pre_quality_funnel_stage(spark):
     # downstream quality stage consumes only keepers
     scored = kept.select(F.length("text").alias("n"))
     assert scored.count() == 8
+
+
+def test_registered_domain_folds_subdomains_to_publisher(spark):
+    """cdn/www subdomain sharding folds to one publisher key; known
+    multi-label public suffixes keep three labels; bare or short hosts
+    pass through; NULL stays NULL."""
+    from sumologic_aws_lambda_spark.functions.urls import registered_domain
+
+    cases = [
+        ("cdn1.example.com", "example.com"),
+        ("www.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("bbc.co.uk", "bbc.co.uk"),
+        ("co.uk", "co.uk"),              # suffix alone: pass-through
+        ("deep.a.b.example.org", "example.org"),
+        ("localhost", "localhost"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [r["d"] for r in
+           df.select(registered_domain("host").alias("d")).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_registered_domain_composes_with_canonicalizer(spark):
+    """Domain caps keyed on registered_domain(canonical host) see one
+    key per publisher across subdomain shards."""
+    from pyspark.sql import functions as F
+
+    from sumologic_aws_lambda_spark.functions.urls import (
+        canonicalize_url,
+        registered_domain,
+    )
+
+    urls = [f"https://cdn{i}.pub.co.uk/a/{i}" for i in range(4)] + \
+           ["https://www.other.com/x"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    host = F.regexp_extract(canonicalize_url("url"),
+                            "^https?://([^/:?#]+)", 1)
+    got = (df.select(registered_domain(host).alias("dom"))
+           .groupBy("dom").count().collect())
+    assert {(r["dom"], r["count"]) for r in got} == {
+        ("pub.co.uk", 4), ("other.com", 1)}
