@@ -96,6 +96,11 @@ SHOWCASE = [
     "holt_linear_forecast",   # series fold, one corpus groupBy
     "mmr_diversified_topk",   # TakeOrdered pool + pool-sized greedy
     "psi_drift_score",        # one conditional-count groupBy + scalar
+    "url_canonical_dedup",    # codegen canonicalizer + one key shuffle
+    "html_text_extraction",   # zero-exchange regex/HOF projection
+    "url_domain_caps",        # host-partitioned rank + per-host rollup
+    "phash_hamming_neardup",  # band equi-join, bit_count(xor) verify
+    "split_ngram_decontamination",  # uniform-key gram join, 2-level agg
 ]
 
 
