@@ -51,12 +51,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # pHash near-dup and the split-boundary n-gram decontamination audit;
 # (b) all 24 queries whose latest hard
 # signal is round 3 (the oldest cohort, exactly the list the round-8
-# note owed this window); (c) 21 of the 49-query r4 cohort, ordered by
+# note owed this window); (c) 19 of the 49-query r4 cohort, ordered by
 # most-recent git commit touching the query's module (verdict item 5:
 # files refactored in r5-r9 carry the highest divergence risk —
 # similarity.py took a round-9 fix, text/timeseries/sumoql/relational/
 # windows took r8 plan work), registry-name tiebreak.  The remaining
-# 28 r4-cohort queries (relational/catalog_ops/ingest/advanced/extensions/
+# 30 r4-cohort queries (relational/catalog_ops/ingest/advanced/extensions/
 # ingest_gap/parsing, all files untouched since r4) lead the round-10
 # window.  Everything else keeps registration order after the head and
 # remains covered by the repo's own full-surface driver replica
@@ -65,6 +65,8 @@ _PRIORITY: tuple[str, ...] = (
     # -- (a) round-9 additions --
     "url_canonical_dedup", "html_text_extraction", "url_domain_caps",
     "phash_hamming_neardup", "split_ngram_decontamination",
+    # -- (a2) round-9 oracle-hardening rewrites (sf0.1 sweep findings) --
+    "product_type_profit", "embedding_dimension_stats",
     # -- (b) oldest-validated cohort (latest hard signal round 3) --
     "ngram_jaccard_pairs", "paged_results", "pii_redaction",
     "pricing_summary", "range_join_value_bands", "revenue_topk",
@@ -83,14 +85,13 @@ _PRIORITY: tuple[str, ...] = (
     "logreduce_signatures", "logcompare_baseline_target",
     "sample_by_hash", "sumoql_transaction", "sumoql_top_values",
     "sumoql_stats_aggs", "sumoql_sort_limit", "sumoql_parse_multi",
-    "sumoql_kv_extract", "sumoql_geoip_enrich",
 )
 
 # Round-10 rotation notes: recompute programmatically by aggregating
 # CORRECTNESS_r01-r09 — do not trust hand-maintained lists.  Owed the
 # r10 head: any round-10 additions and anything CORRECTNESS_r09 failed,
-# then the 28 r4-cohort queries this window could not fit
-# (sumoql_count_frequent, set_ops_nations, rollup_order_status, region_rollup_join, filter_project, anti_join_idle_customers,
+# then the 30 r4-cohort queries this window could not fit
+# (sumoql_kv_extract, sumoql_geoip_enrich, sumoql_count_frequent, set_ops_nations, rollup_order_status, region_rollup_join, filter_project, anti_join_idle_customers,
 # window_topn_orders, window_running_total, sessionize_events,
 # two_hop_dim_join, multimodal_frame_sample, metric_rule_extract,
 # cfn_stack_telemetry, auto_enable_s3_logging, vpc_flow_parse,

@@ -731,10 +731,10 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT dim,
            CAST(count(*) AS BIGINT) AS n,
-           round(avg(val), 4) AS mean,
-           round(stddev_samp(val), 4) AS std,
-           round(min(val), 6) AS vmin,
-           round(max(val), 6) AS vmax
+           round(avg(val), 4) + 0.0 AS mean,
+           round(stddev_samp(val), 4) + 0.0 AS std,
+           round(min(val), 6) + 0.0 AS vmin,
+           round(max(val), 6) + 0.0 AS vmax
     FROM vals GROUP BY dim
     """,
 )
@@ -748,6 +748,11 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle carries exactly d rows per partition regardless of
     corpus size; output is d rows.  Values are float32 on both engines
     (exact), the moment sums round at 4 dp, extrema at 6 (rule 2).
+    Every float column adds ``+ 0.0`` after its round (rule 24): a
+    statistic that rounds to exactly zero emits -0.0 in DuckDB and 0.0
+    in Spark — at sf0.1 two dimensions' means land there (the round-9
+    full-registry sf0.1 sweep caught it; sf0.01 never exercised the
+    boundary).
     """
     e = table(spark, sf_dir, "embeddings")
     return (
@@ -756,10 +761,10 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dim")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("val"), 4).alias("mean"),
-            F.round(F.stddev_samp("val"), 4).alias("std"),
-            F.round(F.min("val"), 6).alias("vmin"),
-            F.round(F.max("val"), 6).alias("vmax"),
+            (F.round(F.avg("val"), 4) + 0.0).alias("mean"),
+            (F.round(F.stddev_samp("val"), 4) + 0.0).alias("std"),
+            (F.round(F.min("val"), 6) + 0.0).alias("vmin"),
+            (F.round(F.max("val"), 6) + 0.0).alias("vmax"),
         )
     )
 

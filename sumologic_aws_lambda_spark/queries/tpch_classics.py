@@ -658,8 +658,9 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation_name,
            CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.8 * p.p_retailprice * l.l_quantity) + 0.0001, 2)
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               - 0.8 * p.p_retailprice * l.l_quantity
+                               AS DECIMAL(24, 6))), 2) AS DOUBLE)
                AS sum_profit
     FROM part p
     JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -696,11 +697,17 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation_name"),
                  F.year("o_orderdate").alias("o_year"))
-        # +1e-4 nudge on BOTH sides before the 2-dp round: the per-group
-        # float sum's engine-order noise (~1e-6 at this magnitude) can
-        # straddle a .xx5 boundary — noise << nudge << quantum (rule-15,
-        # scaled from the 4-dp precedent).
-        .agg(F.round(F.sum(profit) + 1e-4, 2).alias("sum_profit"))
+        # EXACT decimal accumulation on BOTH sides: per-row profit is a
+        # single double expression (bit-identical across engines), but
+        # the GROUP SUM's accumulation order differs and its ~1e-6
+        # noise at this magnitude can straddle a half-cent — at sf0.1
+        # one group landed exactly on x.955 and the former +1e-4 nudge
+        # merely relocated the boundary (round-9 sf0.1 sweep finding).
+        # Casting each term to DECIMAL(24,6) (4-dp-exact money values,
+        # far from the 6-dp cast boundary) makes the sums exact and
+        # identical, so both engines round the same number.
+        .agg(F.round(F.sum(profit.cast("decimal(24,6)")), 2)
+             .cast("double").alias("sum_profit"))
     )
 
 
