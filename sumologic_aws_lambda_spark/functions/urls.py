@@ -137,12 +137,21 @@ def registered_domain(host: Column | str) -> Column:
     host key would let one publisher dominate through subdomain
     sharding).
 
-    Pure column expression: split the host on dots, keep the last two
+    Pure column expression: normalize (lowercase, strip one trailing
+    FQDN dot), then split the host on dots and keep the last two
     labels — or three when the two-label tail is a known multi-label
-    public suffix.  Hosts with fewer labels than needed pass through
-    unchanged; NULL stays NULL.
+    public suffix.  IPv4-literal hosts return unchanged (octets are
+    not labels: folding 192.168.7.9 to "7.9" would merge unrelated
+    IP-hosted sites under one publisher key).  Hosts with fewer labels
+    than needed pass through unchanged; NULL stays NULL.
     """
-    h = F.col(host) if isinstance(host, str) else host
+    raw = F.col(host) if isinstance(host, str) else host
+    # normalization is NOT assumed from the caller (round-9 third-pass
+    # review: an uppercase .CO.UK host missed the suffix list and
+    # folded every such publisher into one 'CO.UK' key)
+    h = F.lower(raw)
+    h = F.when(h.endswith(".") & (F.length(h) > 1),
+               h.substr(F.lit(1), F.length(h) - 1)).otherwise(h)
     labels = F.split(h, r"\.")
     n = F.size(labels)
     # try_element_at, not element_at: ANSI mode throws on out-of-range
@@ -154,8 +163,10 @@ def registered_domain(host: Column | str) -> Column:
                         F.try_element_at(labels, F.lit(-2)),
                         F.try_element_at(labels, F.lit(-1)))
     is_multi = tail2.isin(*MULTI_LABEL_SUFFIXES)
+    is_ipv4 = h.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$")
     return (
         F.when(h.isNull(), F.lit(None).cast("string"))
+        .when(is_ipv4, h)
         .when(is_multi & (n >= 3), tail3)
         .when(~is_multi & (n >= 2), tail2)
         .otherwise(h)

@@ -271,6 +271,13 @@ def perceptual_hash_pairs(media: DataFrame, bands: int = 5,
             f"bands*band_chars ({bands}*{band_chars}) must tile within "
             f"hash_chars ({hash_chars}) — Hamming-recall pigeonhole and "
             f"band-join uniformity both depend on it")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}): the "
+            f"pigeonhole total-recall guarantee is 'fewer differing bits "
+            f"than bands ⇒ one band matches exactly' — at radius ≥ bands "
+            f"a true pair can differ in every band and silently vanish "
+            f"from the candidate join (raise bands for a larger radius)")
     hh = F.md5(F.lower(F.hex("content")))
     h64 = F.conv(hh.substr(1, hash_chars), 16, 10).cast("long")
     banded = media.select(

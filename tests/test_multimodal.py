@@ -167,3 +167,18 @@ def test_phash_rejects_inconsistent_band_geometry(spark):
         perceptual_hash_pairs(media, hash_chars=6)      # bands overflow
     with pytest.raises(ValueError, match="hash_chars"):
         perceptual_hash_pairs(media, hash_chars=16)     # > BIGINT range
+
+
+def test_phash_rejects_radius_wider_than_band_count(spark):
+    import pytest
+
+    from sumologic_aws_lambda_spark.operators.multimodal import (
+        perceptual_hash_pairs,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 6)
+    with pytest.raises(ValueError, match="must be < bands"):
+        perceptual_hash_pairs(media, bands=3, max_hamming=4)
+    # radius < bands stays valid
+    perceptual_hash_pairs(media, bands=3, max_hamming=2).count()

@@ -131,3 +131,23 @@ def test_registered_domain_composes_with_canonicalizer(spark):
            .groupBy("dom").count().collect())
     assert {(r["dom"], r["count"]) for r in got} == {
         ("pub.co.uk", 4), ("other.com", 1)}
+
+
+def test_registered_domain_normalizes_and_handles_ip_literals(spark):
+    """Round-9 third-pass fixes: uppercase hosts fold correctly (the
+    suffix test is on the normalized form), trailing FQDN dots strip,
+    and IPv4-literal hosts return unchanged instead of merging under
+    their last two octets."""
+    from sumologic_aws_lambda_spark.functions.urls import registered_domain
+
+    cases = [
+        ("News.BBC.CO.UK", "bbc.co.uk"),
+        ("CDN1.EXAMPLE.COM", "example.com"),
+        ("example.com.", "example.com"),       # trailing FQDN dot
+        ("192.168.7.9", "192.168.7.9"),        # IPv4 literal: unchanged
+        ("10.0.7.9", "10.0.7.9"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [r["d"] for r in
+           df.select(registered_domain("host").alias("d")).collect()]
+    assert got == [e for _, e in cases]
