@@ -167,6 +167,7 @@ OPTIONAL = [
     "url_domain_caps",
     "phash_hamming_neardup",
     "split_ngram_decontamination",
+    "crawl_stage0_funnel",
 ]
 
 

@@ -45,26 +45,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # caps at the first 50.  Round-9 window (staleness recomputed
 # programmatically this round by aggregating CORRECTNESS_r01-r08
 # latest-sample rounds; CORRECTNESS_r08 was 50/50 green so nothing is
-# owed a re-check): (a) the 5 round-9 additions — the curation stage-0
+# owed a re-check): (a) the 6 round-9 additions — the curation stage-0
 # operators the round-8 verdict ranked first (URL canonicalization/
 # dedup, HTML boilerplate strip, per-domain caps) plus the multimodal
 # pHash near-dup and the split-boundary n-gram decontamination audit;
 # (b) all 24 queries whose latest hard
 # signal is round 3 (the oldest cohort, exactly the list the round-8
-# note owed this window); (c) 19 of the 49-query r4 cohort, ordered by
+# note owed this window); (c) 18 of the 49-query r4 cohort, ordered by
 # most-recent git commit touching the query's module (verdict item 5:
 # files refactored in r5-r9 carry the highest divergence risk —
 # similarity.py took a round-9 fix, text/timeseries/sumoql/relational/
 # windows took r8 plan work), registry-name tiebreak.  The remaining
-# 30 r4-cohort queries (relational/catalog_ops/ingest/advanced/extensions/
+# 31 r4-cohort queries (relational/catalog_ops/ingest/advanced/extensions/
 # ingest_gap/parsing, all files untouched since r4) lead the round-10
 # window.  Everything else keeps registration order after the head and
 # remains covered by the repo's own full-surface driver replica
-# (tools/verify_driver_contract.py, all 273 queries green this round).
+# (tools/verify_driver_contract.py, all 274 queries green this round).
 _PRIORITY: tuple[str, ...] = (
     # -- (a) round-9 additions --
     "url_canonical_dedup", "html_text_extraction", "url_domain_caps",
     "phash_hamming_neardup", "split_ngram_decontamination",
+    "crawl_stage0_funnel",
     # -- (a2) round-9 oracle-hardening rewrites (sf0.1 sweep findings) --
     "product_type_profit", "embedding_dimension_stats",
     # -- (b) oldest-validated cohort (latest hard signal round 3) --
@@ -84,14 +85,14 @@ _PRIORITY: tuple[str, ...] = (
     "char_entropy_scores", "sumoql_trailing_windows",
     "logreduce_signatures", "logcompare_baseline_target",
     "sample_by_hash", "sumoql_transaction", "sumoql_top_values",
-    "sumoql_stats_aggs", "sumoql_sort_limit", "sumoql_parse_multi",
+    "sumoql_stats_aggs", "sumoql_sort_limit",
 )
 
 # Round-10 rotation notes: recompute programmatically by aggregating
 # CORRECTNESS_r01-r09 — do not trust hand-maintained lists.  Owed the
 # r10 head: any round-10 additions and anything CORRECTNESS_r09 failed,
-# then the 30 r4-cohort queries this window could not fit
-# (sumoql_kv_extract, sumoql_geoip_enrich, sumoql_count_frequent, set_ops_nations, rollup_order_status, region_rollup_join, filter_project, anti_join_idle_customers,
+# then the 31 r4-cohort queries this window could not fit
+# (sumoql_parse_multi, sumoql_kv_extract, sumoql_geoip_enrich, sumoql_count_frequent, set_ops_nations, rollup_order_status, region_rollup_join, filter_project, anti_join_idle_customers,
 # window_topn_orders, window_running_total, sessionize_events,
 # two_hop_dim_join, multimodal_frame_sample, metric_rule_extract,
 # cfn_stack_telemetry, auto_enable_s3_logging, vpc_flow_parse,

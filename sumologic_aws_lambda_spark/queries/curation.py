@@ -1102,3 +1102,270 @@ def url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn") <= cap, F.col("doc_id"))
               .otherwise(F.lit(0))).alias("kept_docid_sum"),
     )
+
+
+# Messy-URL fixture for the composed stage-0 funnel: five raw spellings
+# per canonical page, host derived from the PAGE GROUP (gid) so all
+# five variants of one page share a host and the domain-cap stage sees
+# 20 distinct hosts.
+_FUNNEL_URL_SQL = """
+    CASE doc_id % 5
+      WHEN 0 THEN 'HTTPS://WWW.D' || ((doc_id // 5) % 20)
+                  || '.Example.ORG:443/d/' || (doc_id // 5)
+                  || '/?utm_source=feed&id=' || ((doc_id // 5) % 7)
+                  || '#top'
+      WHEN 1 THEN 'https://d' || ((doc_id // 5) % 20)
+                  || '.example.org/d/' || (doc_id // 5)
+                  || '?id=' || ((doc_id // 5) % 7) || '&gclid=z'
+      WHEN 2 THEN 'https://bot@d' || ((doc_id // 5) % 20)
+                  || '.example.org:443/d/' || (doc_id // 5)
+                  || '/?fbclid=q&id=' || ((doc_id // 5) % 7)
+      WHEN 3 THEN 'https://D' || ((doc_id // 5) % 20)
+                  || '.EXAMPLE.org:443/d/' || (doc_id // 5)
+                  || '?ref=tw&id=' || ((doc_id // 5) % 7)
+      ELSE 'https://www.d' || ((doc_id // 5) % 20)
+           || '.example.org/d/' || (doc_id // 5)
+           || '/?id=' || ((doc_id // 5) % 7) || '&utm_medium=email'
+    END
+"""
+
+_FUNNEL_HTML_SQL = """
+    '<html><head><style>.m{c:red}</style><script>var t=1;</script>'
+    || '</head><body><nav><a href="/">Home</a> '
+    || '<a href="/a">About</a></nav><p>' || substr(text, 1, 120)
+    || '</p><div><a href="/x">read more</a></div><P>'
+    || substr(text, 121, 200)
+    || '</P><footer><a href="/p">Privacy</a> (c) corp</footer>'
+    || '</body></html>'
+"""
+
+
+@query(
+    "crawl_stage0_funnel",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id, text, {url} AS url FROM documents
+    ),
+    nofrag AS (
+        SELECT doc_id, text, url, split_part(trim(url), '#', 1) AS u
+        FROM raw
+    ),
+    parsed AS (
+        SELECT doc_id, text, url, u,
+               lower(regexp_extract(
+                   u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_extract(
+                   regexp_extract(
+                       u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                   '([^@]*)$', 1) AS hostport,
+               regexp_extract(
+                   u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)',
+                   1) AS path0,
+               regexp_extract(u, '\\?([^#]*)', 1) AS q
+        FROM nofrag
+    ),
+    hp AS (
+        SELECT *, regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+        FROM parsed
+    ),
+    canon AS (
+        SELECT doc_id, text,
+               scheme || '://'
+               || CASE WHEN h LIKE 'www.%' THEN substr(h, 5) ELSE h END
+               || CASE WHEN port <> ''
+                            AND NOT (scheme = 'http' AND port = '80')
+                            AND NOT (scheme = 'https' AND port = '443')
+                       THEN ':' || port ELSE '' END
+               || CASE WHEN p <> '/' AND p LIKE '%/'
+                       THEN substr(p, 1, length(p) - 1) ELSE p END
+               || CASE WHEN qq <> '' THEN '?' || qq ELSE '' END
+                   AS canonical_url
+        FROM (
+            SELECT doc_id, text, scheme, port,
+                   lower(CASE WHEN port <> ''
+                              THEN substr(hostport, 1,
+                                          length(hostport)
+                                          - length(port) - 1)
+                              ELSE hostport END) AS h,
+                   CASE WHEN path0 = '' THEN '/' ELSE path0 END AS p,
+                   array_to_string(list_sort(list_filter(
+                       string_split(q, '&'),
+                       x -> x <> '' AND NOT regexp_matches(x,
+                           '^(utm_[^=&]*|gclid|fbclid|msclkid|mc_cid|'
+                           || 'mc_eid|igshid|ref)(=|$)'))), '&') AS qq
+            FROM hp
+        )
+        WHERE scheme <> ''
+    ),
+    keepers AS (
+        SELECT canonical_url,
+               CAST(count(*) AS BIGINT) AS group_n,
+               min(doc_id) AS doc_id
+        FROM canon GROUP BY canonical_url
+    ),
+    krows AS (
+        SELECT k.canonical_url, k.group_n, k.doc_id, c.text,
+               regexp_extract(k.canonical_url,
+                              '^https?://([^/:?#]+)', 1) AS host
+        FROM keepers k
+        JOIN canon c ON c.canonical_url = k.canonical_url
+                    AND c.doc_id = k.doc_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY host ORDER BY doc_id)
+                      AS rn
+        FROM krows
+    ),
+    html AS (
+        SELECT doc_id, group_n, rn, {html} AS hx FROM ranked
+    ),
+    seg AS (
+        SELECT doc_id, group_n, rn,
+               string_split(regexp_replace(
+                   regexp_replace(regexp_replace(hx,
+                       '(?is)<script[^>]*>.*?</script>', '', 'g'),
+                       '(?is)<style[^>]*>.*?</style>', '', 'g'),
+                   '(?i)</(p|div|nav|footer|header|li|h[1-6]|section'
+                   || '|article|aside|ul|ol|table|tr|td|blockquote)>',
+                   chr(1), 'g'), chr(1)) AS segs
+        FROM html
+    ),
+    feats AS (
+        SELECT doc_id, group_n, rn, g.i,
+               trim(regexp_replace(regexp_replace(
+                   list_extract(segs, g.i), '<[^>]*>', ' ', 'g'),
+                   '\\s+', ' ', 'g')) AS plain,
+               coalesce(length(regexp_replace(array_to_string(
+                   regexp_extract_all(list_extract(segs, g.i),
+                                      '(?is)<a[^>]*>(.*?)</a>', 1),
+                   ''), '<[^>]*>', '', 'g')), 0) AS link_len
+        FROM seg,
+             LATERAL (SELECT unnest(generate_series(1, len(segs)))
+                      AS i) g
+    ),
+    ex AS (
+        SELECT doc_id, any_value(group_n) AS group_n,
+               any_value(rn) AS rn,
+               coalesce(string_agg(plain, ' ' ORDER BY i)
+                   FILTER (WHERE length(plain) >= 30
+                           AND link_len * 10 <= length(plain) * 3),
+                   '') AS xt
+        FROM feats GROUP BY doc_id
+    ),
+    flags AS (
+        SELECT group_n, rn, xt,
+               length(xt) AS xchars,
+               len(string_split_regex(trim(xt), '\\s+')) AS xtok
+        FROM ex
+    )
+    SELECT stage, n_docs FROM (
+        SELECT 'a_raw' AS stage,
+               CAST(sum(group_n) AS BIGINT) AS n_docs FROM flags
+        UNION ALL
+        SELECT 'b_url_dedup', CAST(count(*) AS BIGINT) FROM flags
+        UNION ALL
+        SELECT 'c_domain_cap', CAST(count_if(rn <= 10) AS BIGINT)
+        FROM flags
+        UNION ALL
+        SELECT 'd_min_content',
+               CAST(count_if(rn <= 10 AND xchars >= 120) AS BIGINT)
+        FROM flags
+        UNION ALL
+        SELECT 'e_token_band',
+               CAST(count_if(rn <= 10 AND xchars >= 120
+                             AND xtok BETWEEN 15 AND 1000) AS BIGINT)
+        FROM flags
+    )
+    """.replace("{url}", _FUNNEL_URL_SQL).replace("{html}",
+                                                  _FUNNEL_HTML_SQL),
+)
+def crawl_stage0_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl stage-0 funnel — every round-9 operator
+    chained the way a production web-curation pipeline chains them,
+    reported as per-stage surviving-document counts:
+
+    raw → canonical-URL dedup (keeper = min doc_id) → per-host domain
+    cap (first 10 per host in crawl order) → HTML main-text extraction
+    with a minimum-content gate (≥ 120 extracted chars) → token-count
+    band on the EXTRACTED text (15–1000).
+
+    Single-pass shape: the five counts are conditional aggregates over
+    ONE lineage — the canonical-key groupBy (which carries each group's
+    size for the raw count and min_by's keeper row), one host-window
+    exchange for the cap rank, and the zero-shuffle HTML extraction
+    riding the same frame; the final five-row funnel is one stack over
+    a single-row aggregate.  No stage re-scans the corpus.  The oracle
+    replays the ENTIRE composition (canonicalization CTE chain, keeper
+    join, host rank, segment extraction, conditional counts).
+    """
+    from ..functions.urls import canonicalize_url
+    from ..operators.html import extract_main_text
+
+    gid = F.expr("doc_id div 5").cast("string")
+    hostn = F.expr("(doc_id div 5) % 20").cast("string")
+    pid = F.expr("((doc_id div 5) % 7)").cast("string")
+    m = F.col("doc_id") % 5
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTPS://WWW.D"), hostn, F.lit(".Example.ORG:443/d/"),
+            gid, F.lit("/?utm_source=feed&id="), pid, F.lit("#top")))
+        .when(m == 1, F.concat(
+            F.lit("https://d"), hostn, F.lit(".example.org/d/"), gid,
+            F.lit("?id="), pid, F.lit("&gclid=z")))
+        .when(m == 2, F.concat(
+            F.lit("https://bot@d"), hostn, F.lit(".example.org:443/d/"),
+            gid, F.lit("/?fbclid=q&id="), pid))
+        .when(m == 3, F.concat(
+            F.lit("https://D"), hostn, F.lit(".EXAMPLE.org:443/d/"),
+            gid, F.lit("?ref=tw&id="), pid))
+        .otherwise(F.concat(
+            F.lit("https://www.d"), hostn, F.lit(".example.org/d/"),
+            gid, F.lit("/?id="), pid, F.lit("&utm_medium=email")))
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", canonicalize_url(url).alias("canonical_url"))
+    keepers = (
+        docs.groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("group_n"),
+             F.min_by(F.struct("doc_id", "text"), F.col("doc_id"))
+             .alias("_k"))
+        .select("canonical_url", "group_n",
+                F.col("_k.doc_id").alias("doc_id"),
+                F.col("_k.text").alias("text"))
+        .withColumn("host", F.regexp_extract(
+            "canonical_url", "^https?://([^/:?#]+)", 1))
+    )
+    w = Window.partitionBy("host").orderBy("doc_id")
+    ranked = keepers.withColumn("rn", F.row_number().over(w))
+    html = F.concat(
+        F.lit('<html><head><style>.m{c:red}</style><script>var t=1;'
+              '</script></head><body><nav><a href="/">Home</a> '
+              '<a href="/a">About</a></nav><p>'),
+        F.substring("text", 1, 120),
+        F.lit('</p><div><a href="/x">read more</a></div><P>'),
+        F.substring("text", 121, 200),
+        F.lit('</P><footer><a href="/p">Privacy</a> (c) corp</footer>'
+              '</body></html>'),
+    )
+    flags = ranked.select(
+        "group_n", "rn",
+        extract_main_text(html)["extracted_text"].alias("xt"),
+    ).select(
+        "group_n", "rn",
+        F.length("xt").alias("xchars"),
+        F.size(F.split(F.trim("xt"), r"\s+")).alias("xtok"),
+    )
+    capped = F.col("rn") <= 10
+    content = capped & (F.col("xchars") >= 120)
+    band = content & F.col("xtok").between(15, 1000)
+    agg = flags.agg(
+        F.sum("group_n").cast("bigint").alias("a_raw"),
+        F.count(F.lit(1)).alias("b_url_dedup"),
+        F.count_if(capped).alias("c_domain_cap"),
+        F.count_if(content).alias("d_min_content"),
+        F.count_if(band).alias("e_token_band"),
+    )
+    return agg.select(F.expr(
+        "stack(5, 'a_raw', a_raw, 'b_url_dedup', b_url_dedup, "
+        "'c_domain_cap', c_domain_cap, 'd_min_content', d_min_content, "
+        "'e_token_band', e_token_band) AS (stage, n_docs)"))
