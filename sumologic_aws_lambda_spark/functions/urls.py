@@ -150,8 +150,12 @@ def registered_domain(host: Column | str) -> Column:
     # review: an uppercase .CO.UK host missed the suffix list and
     # folded every such publisher into one 'CO.UK' key)
     h = F.lower(raw)
-    h = F.when(h.endswith(".") & (F.length(h) > 1),
-               h.substr(F.lit(1), F.length(h) - 1)).otherwise(h)
+    # strip ALL trailing dots (round-9 fourth-pass review: a doubled
+    # 'example.com..' kept one dot after a single strip, split to a
+    # trailing empty label, and folded every such malformed host into
+    # one per-TLD key).  Replacement is a plain '' — no backreference
+    # portability concern, and this function has no SQL twin.
+    h = F.regexp_replace(h, r"\.+$", "")
     labels = F.split(h, r"\.")
     n = F.size(labels)
     # try_element_at, not element_at: ANSI mode throws on out-of-range

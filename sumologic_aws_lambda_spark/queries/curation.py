@@ -10,6 +10,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import urls as _urlsmod
+from ..operators import html as _htmlmod
 from ..operators.text import normalize_text
 from . import query
 
@@ -840,8 +842,7 @@ _URL_VARIANT_SQL = """
                    array_to_string(list_sort(list_filter(
                        string_split(q, '&'),
                        x -> x <> '' AND NOT regexp_matches(x,
-                           '^(utm_[^=&]*|gclid|fbclid|msclkid|mc_cid|'
-                           || 'mc_eid|igshid|ref)(=|$)'))), '&') AS qq
+                           '{track_re}'))), '&') AS qq
             FROM hp
         )
         WHERE scheme <> ''
@@ -853,7 +854,8 @@ _URL_VARIANT_SQL = """
     FROM canon
     GROUP BY canonical_url
     """.replace("{variant}", _URL_VARIANT_SQL.format(
-        gid="(doc_id // 5)", pid="((doc_id // 5) % 7)")),
+        gid="(doc_id // 5)", pid="((doc_id // 5) % 7)"))
+    .replace("{track_re}", _urlsmod.TRACKING_PARAM_RE),
 )
 def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup — stage 0 of the web-crawl curation funnel
@@ -936,17 +938,16 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                regexp_replace(regexp_replace(regexp_replace(
                    regexp_replace(html,
-                       '(?is)<script[^>]*>.*?</script>', '', 'g'),
-                   '(?is)<style[^>]*>.*?</style>', '', 'g'),
-                   '(?is)<noscript[^>]*>.*?</noscript>', '', 'g'),
-                   '(?s)<!--.*?-->', '', 'g') AS c
+                       '{strip_script}', '', 'g'),
+                   '{strip_style}', '', 'g'),
+                   '{strip_noscript}', '', 'g'),
+                   '{strip_comment}', '', 'g') AS c
         FROM h
     ),
     seg AS (
         SELECT doc_id,
                string_split(regexp_replace(c,
-                   '(?i)</(p|div|nav|footer|header|li|h[1-6]|section'
-                   || '|article|aside|ul|ol|table|tr|td|blockquote)>',
+                   '{block_close}',
                    chr(1), 'g'), chr(1)) AS segs
         FROM cleaned
     ),
@@ -988,7 +989,12 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(coalesce(a.extracted_text, '')) AS BIGINT)
                AS extracted_chars
     FROM documents d LEFT JOIN agg a USING (doc_id)
-    """,
+    """
+    .replace("{strip_script}", _htmlmod.ELEMENT_STRIP_RES[0])
+    .replace("{strip_style}", _htmlmod.ELEMENT_STRIP_RES[1])
+    .replace("{strip_noscript}", _htmlmod.ELEMENT_STRIP_RES[2])
+    .replace("{strip_comment}", _htmlmod.ELEMENT_STRIP_RES[3])
+    .replace("{block_close}", _htmlmod.BLOCK_CLOSE_RE),
 )
 def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate strip / main-text extraction (jusText-class
@@ -1191,8 +1197,7 @@ _FUNNEL_HTML_SQL = """
                    array_to_string(list_sort(list_filter(
                        string_split(q, '&'),
                        x -> x <> '' AND NOT regexp_matches(x,
-                           '^(utm_[^=&]*|gclid|fbclid|msclkid|mc_cid|'
-                           || 'mc_eid|igshid|ref)(=|$)'))), '&') AS qq
+                           '{track_re}'))), '&') AS qq
             FROM hp
         )
         WHERE scheme <> ''
@@ -1217,21 +1222,23 @@ _FUNNEL_HTML_SQL = """
         FROM krows
     ),
     html AS (
-        SELECT doc_id, group_n, rn, {html} AS hx FROM ranked
+        SELECT doc_id, rn, {html} AS hx FROM ranked WHERE rn <= 10
     ),
     seg AS (
-        SELECT doc_id, group_n, rn,
+        SELECT doc_id, rn,
                string_split(regexp_replace(
-                   regexp_replace(regexp_replace(hx,
-                       '(?is)<script[^>]*>.*?</script>', '', 'g'),
-                       '(?is)<style[^>]*>.*?</style>', '', 'g'),
-                   '(?i)</(p|div|nav|footer|header|li|h[1-6]|section'
-                   || '|article|aside|ul|ol|table|tr|td|blockquote)>',
+                   regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(hx,
+                           '{strip_script}', '', 'g'),
+                           '{strip_style}', '', 'g'),
+                           '{strip_noscript}', '', 'g'),
+                           '{strip_comment}', '', 'g'),
+                   '{block_close}',
                    chr(1), 'g'), chr(1)) AS segs
         FROM html
     ),
     feats AS (
-        SELECT doc_id, group_n, rn, g.i,
+        SELECT doc_id, rn, g.i,
                trim(regexp_replace(regexp_replace(
                    list_extract(segs, g.i), '<[^>]*>', ' ', 'g'),
                    '\\s+', ' ', 'g')) AS plain,
@@ -1244,8 +1251,7 @@ _FUNNEL_HTML_SQL = """
                       AS i) g
     ),
     ex AS (
-        SELECT doc_id, any_value(group_n) AS group_n,
-               any_value(rn) AS rn,
+        SELECT doc_id,
                coalesce(string_agg(plain, ' ' ORDER BY i)
                    FILTER (WHERE length(plain) >= 30
                            AND link_len * 10 <= length(plain) * 3),
@@ -1253,10 +1259,11 @@ _FUNNEL_HTML_SQL = """
         FROM feats GROUP BY doc_id
     ),
     flags AS (
-        SELECT group_n, rn, xt,
-               length(xt) AS xchars,
-               len(string_split_regex(trim(xt), '\\s+')) AS xtok
-        FROM ex
+        SELECT r.group_n, r.rn,
+               length(coalesce(e.xt, '')) AS xchars,
+               len(string_split_regex(trim(coalesce(e.xt, '')),
+                                      '\\s+')) AS xtok
+        FROM ranked r LEFT JOIN ex e USING (doc_id)
     )
     SELECT stage, n_docs FROM (
         SELECT 'a_raw' AS stage,
@@ -1276,8 +1283,14 @@ _FUNNEL_HTML_SQL = """
                              AND xtok BETWEEN 15 AND 1000) AS BIGINT)
         FROM flags
     )
-    """.replace("{url}", _FUNNEL_URL_SQL).replace("{html}",
-                                                  _FUNNEL_HTML_SQL),
+    """.replace("{url}", _FUNNEL_URL_SQL)
+    .replace("{html}", _FUNNEL_HTML_SQL)
+    .replace("{track_re}", _urlsmod.TRACKING_PARAM_RE)
+    .replace("{strip_script}", _htmlmod.ELEMENT_STRIP_RES[0])
+    .replace("{strip_style}", _htmlmod.ELEMENT_STRIP_RES[1])
+    .replace("{strip_noscript}", _htmlmod.ELEMENT_STRIP_RES[2])
+    .replace("{strip_comment}", _htmlmod.ELEMENT_STRIP_RES[3])
+    .replace("{block_close}", _htmlmod.BLOCK_CLOSE_RE),
 )
 def crawl_stage0_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed crawl stage-0 funnel — every round-9 operator
@@ -1324,6 +1337,11 @@ def crawl_stage0_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "text", canonicalize_url(url).alias("canonical_url"))
+    # malformed (NULL-canonical) rows leave the funnel up front, exactly
+    # as the oracle's WHERE scheme <> '' does — without this a single
+    # unparseable URL becomes a counted NULL group only on the Spark
+    # side (round-9 fourth-pass review finding)
+    docs = docs.filter(F.col("canonical_url").isNotNull())
     keepers = (
         docs.groupBy("canonical_url")
         .agg(F.count(F.lit(1)).alias("group_n"),
@@ -1347,9 +1365,17 @@ def crawl_stage0_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('</P><footer><a href="/p">Privacy</a> (c) corp</footer>'
               '</body></html>'),
     )
+    # extraction runs ONLY on capped survivors (codegen CASE WHEN
+    # short-circuits per row): at sf0.1 the cap drops 80% of keepers,
+    # and the dozen regexp passes are the funnel's dominant per-row
+    # cost — paying them on rows the cap already killed inverts the
+    # funnel's own ordering (round-9 fourth-pass review finding).  The
+    # oracle mirrors this with WHERE rn <= 10 + a LEFT JOIN back.
+    xt = F.when(F.col("rn") <= 10,
+                extract_main_text(html)["extracted_text"]) \
+        .otherwise(F.lit(""))
     flags = ranked.select(
-        "group_n", "rn",
-        extract_main_text(html)["extracted_text"].alias("xt"),
+        "group_n", "rn", xt.alias("xt"),
     ).select(
         "group_n", "rn",
         F.length("xt").alias("xchars"),

@@ -144,6 +144,7 @@ def test_registered_domain_normalizes_and_handles_ip_literals(spark):
         ("News.BBC.CO.UK", "bbc.co.uk"),
         ("CDN1.EXAMPLE.COM", "example.com"),
         ("example.com.", "example.com"),       # trailing FQDN dot
+        ("example.com..", "example.com"),      # doubled trailing dots
         ("192.168.7.9", "192.168.7.9"),        # IPv4 literal: unchanged
         ("10.0.7.9", "10.0.7.9"),
     ]
