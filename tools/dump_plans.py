@@ -101,6 +101,7 @@ SHOWCASE = [
     "url_domain_caps",        # host-partitioned rank + per-host rollup
     "phash_hamming_neardup",  # band equi-join, bit_count(xor) verify
     "split_ngram_decontamination",  # uniform-key gram join, 2-level agg
+    "crawl_stage0_funnel",    # single-lineage 5-stage conditional agg
 ]
 
 
