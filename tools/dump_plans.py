@@ -79,7 +79,6 @@ SHOWCASE = [
     "hard_negative_mining",   # LSH bucket join, broadcast anchors
     "embedding_decontamination",  # broadcast bench array, narrow corpus
     "epoch_shard_manifest",   # md5 keys + one partial-agg groupBy
-    "curation_pipeline_funnel",  # two scans + persisted winner exchange
     "local_supplier_volume",  # Q5: 6-way snowflake, co-location key
     "market_share",           # Q8: deepest join tree, conditional ratio
     "customer_order_distribution",  # Q13: outer-join count-of-counts
