@@ -137,8 +137,8 @@ def registered_domain(host: Column | str) -> Column:
     host key would let one publisher dominate through subdomain
     sharding).
 
-    Pure column expression: normalize (lowercase, strip one trailing
-    FQDN dot), then split the host on dots and keep the last two
+    Pure column expression: normalize (lowercase, strip ALL trailing
+    FQDN dots), then split the host on dots and keep the last two
     labels — or three when the two-label tail is a known multi-label
     public suffix.  IPv4-literal hosts return unchanged (octets are
     not labels: folding 192.168.7.9 to "7.9" would merge unrelated

@@ -15,6 +15,27 @@ from ..operators import html as _htmlmod
 from ..operators.text import normalize_text
 from . import query
 
+def _render_html_regexes(sql: str) -> str:
+    """Substitute the SHARED element-strip / block-close regex constants
+    from operators/html.py into an oracle template by NAME — one
+    mapping, so reordering ELEMENT_STRIP_RES can never silently bind a
+    placeholder to the wrong pattern (round-9 fifth-pass review)."""
+    mapping = {
+        "{strip_script}": _htmlmod.ELEMENT_STRIP_RES[0],
+        "{strip_style}": _htmlmod.ELEMENT_STRIP_RES[1],
+        "{strip_noscript}": _htmlmod.ELEMENT_STRIP_RES[2],
+        "{strip_comment}": _htmlmod.ELEMENT_STRIP_RES[3],
+        "{block_close}": _htmlmod.BLOCK_CLOSE_RE,
+    }
+    assert "script" in mapping["{strip_script}"]
+    assert "style" in mapping["{strip_style}"]
+    assert "noscript" in mapping["{strip_noscript}"]
+    assert "<!--" in mapping["{strip_comment}"]
+    for k, v in mapping.items():
+        sql = sql.replace(k, v)
+    return sql
+
+
 # DuckDB twin of operators.text.normalize_text.
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
@@ -917,7 +938,7 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "html_text_extraction",
-    oracle="""
+    oracle=_render_html_regexes("""
     WITH h AS (
         SELECT doc_id,
                '<html><head><title>t</title><style>.m{color:red}</style>'
@@ -989,12 +1010,7 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(coalesce(a.extracted_text, '')) AS BIGINT)
                AS extracted_chars
     FROM documents d LEFT JOIN agg a USING (doc_id)
-    """
-    .replace("{strip_script}", _htmlmod.ELEMENT_STRIP_RES[0])
-    .replace("{strip_style}", _htmlmod.ELEMENT_STRIP_RES[1])
-    .replace("{strip_noscript}", _htmlmod.ELEMENT_STRIP_RES[2])
-    .replace("{strip_comment}", _htmlmod.ELEMENT_STRIP_RES[3])
-    .replace("{block_close}", _htmlmod.BLOCK_CLOSE_RE),
+    """),
 )
 def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate strip / main-text extraction (jusText-class
@@ -1148,7 +1164,7 @@ _FUNNEL_HTML_SQL = """
 
 @query(
     "crawl_stage0_funnel",
-    oracle="""
+    oracle=_render_html_regexes("""
     WITH raw AS (
         SELECT doc_id, text, {url} AS url FROM documents
     ),
@@ -1285,12 +1301,7 @@ _FUNNEL_HTML_SQL = """
     )
     """.replace("{url}", _FUNNEL_URL_SQL)
     .replace("{html}", _FUNNEL_HTML_SQL)
-    .replace("{track_re}", _urlsmod.TRACKING_PARAM_RE)
-    .replace("{strip_script}", _htmlmod.ELEMENT_STRIP_RES[0])
-    .replace("{strip_style}", _htmlmod.ELEMENT_STRIP_RES[1])
-    .replace("{strip_noscript}", _htmlmod.ELEMENT_STRIP_RES[2])
-    .replace("{strip_comment}", _htmlmod.ELEMENT_STRIP_RES[3])
-    .replace("{block_close}", _htmlmod.BLOCK_CLOSE_RE),
+    .replace("{track_re}", _urlsmod.TRACKING_PARAM_RE)),
 )
 def crawl_stage0_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed crawl stage-0 funnel — every round-9 operator
