@@ -262,7 +262,12 @@ def main() -> None:
             try:
                 repeat = int(sys.argv[idx])
             except ValueError:
-                pass
+                print(f"bench: ignoring malformed --repeat value "
+                      f"{sys.argv[idx]!r}; using {repeat}",
+                      file=sys.stderr)
+        else:
+            print(f"bench: --repeat given without a value; using "
+                  f"{repeat}", file=sys.stderr)
     canon_names = [n for n in names if n in set(CANON)]
     canon_pass_totals: list[float | None] = []
     for _ in range(max(repeat, 1)):
@@ -324,8 +329,28 @@ def main() -> None:
     out["canon_total"] = (round(sum(canon.values()), 3)
                           if len(canon) == len(CANON) else None)
     out["canon_repeat"] = repeat
+    # each canon pass times every query twice and keeps the min —
+    # record it so wall-clock comparisons against single-run rounds
+    # don't misread 2×repeat executions as one (round-9 advisor note)
+    out["canon_runs_per_pass"] = 2
     out["canon_pass_totals"] = canon_pass_totals
     print(json.dumps(out))
+    # The full artifact line is tens of KB (133 query timings) and the
+    # driver's tail capture keeps only the LAST ~2000 chars — emit a
+    # compact summary line AFTER the artifact so the structured numbers
+    # always survive truncation (round-9 verdict item 5).
+    print(json.dumps({
+        "metric": "bench_summary",
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "canon_total": out["canon_total"],
+        "canon_repeat": repeat,
+        "canon_runs_per_pass": 2,
+        "canon_pass_totals": canon_pass_totals,
+    }))
     spark.stop()
 
 

@@ -51,9 +51,14 @@ def synthetic_media(spark: SparkSession, n: int = 60,
     ``dup_every=k`` keys the PAYLOAD on ``i % k`` so items k apart are
     exact byte duplicates (the near-dup fixtures need duplicate pairs
     to exist; ids/metadata stay unique)."""
+    # dup_every=0 is meaningless (i % 0 divides by zero) — reject it
+    # rather than let truthiness silently fall back to a fully-unique
+    # corpus a caller never asked for.
+    if dup_every is not None and dup_every < 1:
+        raise ValueError(f"dup_every must be >= 1, got {dup_every}")
     rows = []
     for i in range(n):
-        key = i % dup_every if dup_every else i
+        key = i % dup_every if dup_every is not None else i
         modality = ("image", "audio", "video")[i % 3]
         payload = (hashlib.md5(f"media-{key}".encode()).digest()
                    * (4 + key % 5))

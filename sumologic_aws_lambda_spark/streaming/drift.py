@@ -131,12 +131,27 @@ def _label_sums(df: DataFrame, label_col: str,
     )
     out: dict[str, tuple[list[float], int]] = {}
     by_label: dict[str, dict[int, float]] = {}
-    counts: dict[str, int] = {}
+    counts: dict[str, dict[int, int]] = {}
     for r in dims:
-        by_label.setdefault(r["k"], {})[r["dim"]] = float(r["s"])
-        counts[r["k"]] = max(counts.get(r["k"], 0), int(r["n"]))
+        # SUM over a cell whose every element is NULL returns NULL —
+        # coalesce to 0.0 (a NULL element contributes nothing to the
+        # centroid sum) instead of letting float(None) kill the batch.
+        by_label.setdefault(r["k"], {})[r["dim"]] = (
+            0.0 if r["s"] is None else float(r["s"]))
+        counts.setdefault(r["k"], {})[r["dim"]] = int(r["n"])
     for k, d in by_label.items():
-        out[k] = ([d[i] for i in sorted(d)], counts[k])
+        # CONTRACT: vectors are fixed-dimension per label.  The label
+        # count below is only well-defined then — with ragged vectors
+        # the per-dim row counts diverge and "rows for this label" is
+        # ambiguous (the short dims silently undercount).  Refuse
+        # loudly rather than corrupt the running state.
+        per_dim = set(counts[k].values())
+        if len(per_dim) != 1:
+            raise ValueError(
+                f"ragged vectors for label {k!r}: per-dim row counts "
+                f"{sorted(per_dim)} differ — fixed-dimension input is "
+                "required")
+        out[k] = ([d[i] for i in sorted(d)], per_dim.pop())
     return out
 
 
@@ -202,6 +217,16 @@ class CentroidDriftMonitor:
             rows += n
             if k in self.state:
                 old_s, old_n = self.state[k]
+                if len(old_s) != len(sums):
+                    # zip() would silently truncate to the shorter
+                    # vector and corrupt the running centroid with no
+                    # alert — a dimension change mid-stream is a
+                    # pipeline bug, not drift; refuse loudly.
+                    raise ValueError(
+                        f"label {k!r}: micro-batch delivered "
+                        f"{len(sums)}-dim vectors but running state is "
+                        f"{len(old_s)}-dim — fixed-dimension input is "
+                        "required")
                 self.state[k] = ([a + b for a, b in zip(old_s, sums)],
                                  old_n + n)
             else:
@@ -221,6 +246,15 @@ class CentroidDriftMonitor:
                     drifted.append(k)
                 continue
             ref_s, ref_n = ref
+            if len(ref_s) != len(sums):
+                # reference built against a different embedding
+                # dimension than the stream delivers — _cosine's zip
+                # would silently truncate; surface it as a standing
+                # per-label alert instead (the reference is fixed, so
+                # this can never heal and must stay visible).
+                labels[k] = (float("nan"), float("nan"), n)
+                drifted.append(k)
+                continue
             cos = self._cosine(ref_s, sums)
             na = math.sqrt(sum(x * x for x in ref_s)) / max(ref_n, 1)
             nb = math.sqrt(sum(x * x for x in sums)) / max(n, 1)

@@ -182,3 +182,20 @@ def test_phash_rejects_radius_wider_than_band_count(spark):
         perceptual_hash_pairs(media, bands=3, max_hamming=4)
     # radius < bands stays valid
     perceptual_hash_pairs(media, bands=3, max_hamming=2).count()
+
+
+def test_synthetic_media_rejects_dup_every_zero(spark):
+    """Round-10 advisor fix: dup_every=0 is meaningless (i % 0) — it
+    must raise, not silently fall back to a fully-unique corpus."""
+    import pytest as _pytest
+    from sumologic_aws_lambda_spark.operators.multimodal import (
+        synthetic_media,
+    )
+
+    with _pytest.raises(ValueError, match="dup_every"):
+        synthetic_media(spark, 6, dup_every=0)
+    with _pytest.raises(ValueError, match="dup_every"):
+        synthetic_media(spark, 6, dup_every=-2)
+    # dup_every=1 is the degenerate-but-valid 'all duplicates' corpus
+    one = synthetic_media(spark, 6, dup_every=1)
+    assert one.select("content").distinct().count() < 6

@@ -230,3 +230,73 @@ def test_centroid_monitor_accumulates_across_engine_batches(spark, tmp_path):
     assert final.drifted_labels == []
     if len(mon.reports) == 2:  # engine delivered two micro-batches
         assert mon.reports[0].drifted_labels == ["a"]
+
+
+def test_centroid_monitor_rejects_ragged_vectors(spark):
+    """Round-10 advisor fix: _label_sums' per-label count is only
+    well-defined for fixed-dimension vectors — ragged input raises
+    loudly instead of silently undercounting the short dims."""
+    from sumologic_aws_lambda_spark.streaming.drift import (
+        CentroidDriftMonitor,
+        reference_centroids,
+    )
+
+    ref = _vecs(spark, [("a", [1.0, 0.0])])
+    mon = CentroidDriftMonitor(reference_centroids(ref, "label", "e"),
+                               "label", "e")
+    with pytest.raises(ValueError, match="ragged"):
+        mon(_vecs(spark, [("a", [1.0, 0.0]), ("a", [1.0])]), 0)
+
+
+def test_centroid_monitor_dim_change_mid_stream_raises(spark):
+    """Round-10 advisor fix: a micro-batch delivering a different
+    embedding dimension than the stored running state must raise, not
+    zip-truncate the running centroid silently."""
+    from sumologic_aws_lambda_spark.streaming.drift import (
+        CentroidDriftMonitor,
+        reference_centroids,
+    )
+
+    ref = _vecs(spark, [("a", [1.0, 0.0])])
+    mon = CentroidDriftMonitor(reference_centroids(ref, "label", "e"),
+                               "label", "e")
+    mon(_vecs(spark, [("a", [1.0, 0.0])]), 0)
+    bad = spark.createDataFrame(
+        [("a", [1.0, 0.0, 0.0])], "label string, e array<double>")
+    with pytest.raises(ValueError, match="dim"):
+        mon(bad, 1)
+
+
+def test_centroid_monitor_reference_dim_mismatch_alerts(spark):
+    """A reference built at a different dimension than the stream can
+    never heal — the label alerts on every batch instead of _cosine
+    zip-truncating to the shorter vector."""
+    from sumologic_aws_lambda_spark.streaming.drift import (
+        CentroidDriftMonitor,
+    )
+
+    mon = CentroidDriftMonitor({"a": ([1.0, 0.0, 0.0], 1)},
+                               "label", "e")
+    mon(_vecs(spark, [("a", [1.0, 0.0])]), 0)
+    assert mon.reports[0].drifted_labels == ["a"]
+    assert math.isnan(mon.reports[0].labels["a"][0])
+    # standing condition: still alerted on the next batch
+    mon(_vecs(spark, [("a", [1.0, 0.0])]), 1)
+    assert mon.reports[1].drifted_labels == ["a"]
+
+
+def test_centroid_monitor_all_null_dim_coalesces_to_zero(spark):
+    """Round-10 advisor fix: SUM over a (label, dim) cell whose every
+    value is NULL returns NULL — the fold coalesces it to 0.0 instead
+    of dying on float(None)."""
+    from sumologic_aws_lambda_spark.streaming.drift import (
+        CentroidDriftMonitor,
+        reference_centroids,
+    )
+
+    ref = _vecs(spark, [("a", [1.0, 0.0])])
+    mon = CentroidDriftMonitor(reference_centroids(ref, "label", "e"),
+                               "label", "e")
+    mon(_vecs(spark, [("a", [1.0, None])]), 0)
+    assert mon.state["a"][0] == [1.0, 0.0]
+    assert mon.reports[0].drifted_labels == []
