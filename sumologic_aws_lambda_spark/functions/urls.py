@@ -175,3 +175,77 @@ def registered_domain(host: Column | str) -> Column:
         .when(~is_multi & (n >= 2), tail2)
         .otherwise(h)
     )
+
+
+def registered_domain_sql(host: str) -> str:
+    """DuckDB scalar expression computing the SAME registered domain as
+    :func:`registered_domain`, for oracle twins.  Inline (repeats the
+    normalized-host subexpression) so it composes anywhere a scalar
+    does; the suffix tuple interpolates from ``MULTI_LABEL_SUFFIXES``
+    exactly like ``TRACKING_PARAM_RE`` does for the canonicalizer
+    oracles.  ``host`` is a SQL expression string, evaluated once per
+    occurrence — pass a column name, not a subquery.
+    """
+    h = f"regexp_replace(lower({host}), '\\.+$', '', 'g')"
+    labels = f"string_split({h}, '.')"
+    n = f"len({labels})"
+    tail2 = (f"array_to_string(list_slice({labels}, "
+             f"greatest({n} - 1, 1), {n}), '.')")
+    tail3 = (f"array_to_string(list_slice({labels}, "
+             f"greatest({n} - 2, 1), {n}), '.')")
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+    ipv4 = (f"regexp_matches({h}, "
+            f"'^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$')")
+    return (
+        f"CASE WHEN {host} IS NULL THEN NULL "
+        f"WHEN {ipv4} THEN {h} "
+        f"WHEN {tail2} IN ({suffixes}) AND {n} >= 3 THEN {tail3} "
+        f"WHEN NOT ({tail2} IN ({suffixes})) AND {n} >= 2 THEN {tail2} "
+        f"ELSE {h} END"
+    )
+
+
+def with_registered_domain_psl(df, host_col: str,
+                               out_col: str = "registered_domain",
+                               suffix_rows=None):
+    """Production-path registered domain: the multi-label public-suffix
+    set as a BROADCAST-joined lookup table instead of the literal
+    ``isin`` tuple — the real Public Suffix List is ~9k rules and
+    changes monthly, which belongs in data, not code.  The expression
+    shape (normalize → label slice → suffix test) is identical to
+    :func:`registered_domain`; only the membership test moves from a
+    codegen'd IN-list to a broadcast hash join, which at 9k rows costs
+    one build-side broadcast and zero shuffles of the fact side.
+
+    ``suffix_rows`` defaults to ``MULTI_LABEL_SUFFIXES`` so the two
+    forms are provably interchangeable (tests/test_urls.py pins the
+    agreement); production passes the full PSL instead.
+    """
+    spark = df.sparkSession
+    suffix_df = spark.createDataFrame(
+        [(s,) for s in (suffix_rows or MULTI_LABEL_SUFFIXES)],
+        "_psl_suffix string")
+    raw = F.col(host_col)
+    h = F.regexp_replace(F.lower(raw), r"\.+$", "")
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    tail2 = F.concat_ws(".", F.try_element_at(labels, F.lit(-2)),
+                        F.try_element_at(labels, F.lit(-1)))
+    tail3 = F.concat_ws(".", F.try_element_at(labels, F.lit(-3)),
+                        F.try_element_at(labels, F.lit(-2)),
+                        F.try_element_at(labels, F.lit(-1)))
+    is_ipv4 = h.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$")
+    probe = df.withColumn("_psl_tail2", tail2)
+    joined = probe.join(F.broadcast(suffix_df),
+                        probe["_psl_tail2"] == suffix_df["_psl_suffix"],
+                        "left")
+    matched = F.col("_psl_suffix").isNotNull()
+    reg = (
+        F.when(h.isNull(), F.lit(None).cast("string"))
+        .when(is_ipv4, h)
+        .when(matched & (n >= 3), tail3)
+        .when(~matched & (n >= 2), tail2)
+        .otherwise(h)
+    )
+    return joined.withColumn(out_col, reg).drop("_psl_tail2",
+                                                "_psl_suffix")

@@ -1060,13 +1060,29 @@ def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Subdomain-sharded publisher fixture: 8 publishers (doc_id % 8), each
+# serving its pages from 3 rotating subdomains ((doc_id // 8) % 3) —
+# the exact sharding pattern (cdn0/cdn1/cdn2.pub.org) that defeats a
+# host-keyed cap.  Publisher 5 sits under a multi-label public suffix
+# (.co.uk), 6 is an IPv4 literal, 7 mixes case and a trailing FQDN dot
+# so every registered_domain normalization path is oracle-exercised.
+_CAP_HOST_SQL = """
+    CASE doc_id % 8
+      WHEN 5 THEN 'news' || ((doc_id // 8) % 3) || '.pub5.co.uk'
+      WHEN 6 THEN '192.168.0.6'
+      WHEN 7 THEN 'CDN' || ((doc_id // 8) % 3) || '.Pub7.ORG.'
+      ELSE 'cdn' || ((doc_id // 8) % 3) || '.pub' || (doc_id % 8)
+           || '.org'
+    END
+"""
+
+
 @query(
     "url_domain_caps",
     oracle="""
     WITH raw AS (
         SELECT doc_id,
-               'https://' || source || '.example.org/d/' || doc_id
-                   AS url
+               'https://' || {host} || '/d/' || doc_id AS url
         FROM documents
     ),
     hosts AS (
@@ -1074,50 +1090,72 @@ def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                regexp_extract(url, '^https?://([^/:?#]+)', 1) AS host
         FROM raw
     ),
+    reg AS (
+        SELECT doc_id, host, {reg_dom} AS reg_dom FROM hosts
+    ),
     ranked AS (
-        SELECT doc_id, host,
-               row_number() OVER (PARTITION BY host ORDER BY doc_id)
+        SELECT doc_id, host, reg_dom,
+               row_number() OVER (PARTITION BY reg_dom ORDER BY doc_id)
                    AS rn
-        FROM hosts
+        FROM reg
     )
-    SELECT host,
+    SELECT reg_dom,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count_if(rn <= 10) AS BIGINT) AS n_kept,
            CAST(count_if(rn > 10) AS BIGINT) AS n_dropped,
            CAST(sum(CASE WHEN rn <= 10 THEN doc_id ELSE 0 END)
                 AS BIGINT) AS kept_docid_sum
     FROM ranked
-    GROUP BY host
-    """,
+    GROUP BY reg_dom
+    """.replace("{host}", _CAP_HOST_SQL)
+    .replace("{reg_dom}", _urlsmod.registered_domain_sql("host")),
 )
 def url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-domain document caps — the anti-domination rule every
-    web-curation pipeline applies after URL dedup (RefinedWeb §3.1
-    caps documents per registered domain so link farms and mirrors
-    cannot dominate the corpus; C4 does the same at the page level).
-    Keep the first ``cap`` docs per host in crawl order (doc_id),
-    report the per-host keep/drop ledger; ``kept_docid_sum`` pins
-    WHICH rows were kept, not just how many.
+    """Per-REGISTERED-domain document caps — the anti-domination rule
+    every web-curation pipeline applies after URL dedup (RefinedWeb
+    §3.1 caps documents per registered domain so link farms and
+    mirrors cannot dominate the corpus; C4 does the same at the page
+    level).  The cap keys on ``registered_domain(host)`` — NOT the raw
+    host — so a publisher sharding pages across cdn0/cdn1/cdn2
+    subdomains (the fixture does exactly this, 3 shards per publisher)
+    still gets ONE budget; ``n_hosts`` reports how many raw hosts each
+    publisher key absorbed.  Keep the first ``cap`` docs per publisher
+    in crawl order (doc_id); ``kept_docid_sum`` pins WHICH rows were
+    kept, not just how many.
 
-    Scale shape: one window partitioned by host (millions of keys in
-    production — the partition key IS the skew concern, which is why
-    the cap exists: the pathological host is exactly the one with 10^8
-    rows.  The rank-then-filter form lets AQE skew-split the exchange;
-    a TopK-per-key rewrite via ``min_by`` arrays would bound it harder
-    but caps are small).  The host extraction rides the same scan
-    projection as the canonicalizer — zero UDFs.
+    Scale shape: one window partitioned by registered domain (millions
+    of keys in production — the partition key IS the skew concern,
+    which is why the cap exists: the pathological publisher is exactly
+    the one with 10^8 rows.  The rank-then-filter form lets AQE
+    skew-split the exchange; a TopK-per-key rewrite via ``min_by``
+    arrays would bound it harder but caps are small).  Host extraction
+    and the registered-domain fold both ride the scan projection —
+    zero UDFs, zero extra shuffles vs the host-keyed form.
     """
+    from ..functions.urls import registered_domain
+
     docs = table(spark, sf_dir, "documents")
-    url = F.concat(F.lit("https://"), F.col("source"),
-                   F.lit(".example.org/d/"),
+    p = F.col("doc_id") % 8
+    s = F.expr("(doc_id div 8) % 3").cast("string")
+    host_fx = (
+        F.when(p == 5, F.concat(F.lit("news"), s, F.lit(".pub5.co.uk")))
+        .when(p == 6, F.lit("192.168.0.6"))
+        .when(p == 7, F.concat(F.lit("CDN"), s, F.lit(".Pub7.ORG.")))
+        .otherwise(F.concat(F.lit("cdn"), s, F.lit(".pub"),
+                            p.cast("string"), F.lit(".org")))
+    )
+    url = F.concat(F.lit("https://"), host_fx, F.lit("/d/"),
                    F.col("doc_id").cast("string"))
     hosts = docs.select(
         "doc_id",
         F.regexp_extract(url, "^https?://([^/:?#]+)", 1).alias("host"))
-    w = Window.partitionBy("host").orderBy("doc_id")
-    ranked = hosts.withColumn("rn", F.row_number().over(w))
+    reg = hosts.withColumn("reg_dom", registered_domain("host"))
+    w = Window.partitionBy("reg_dom").orderBy("doc_id")
+    ranked = reg.withColumn("rn", F.row_number().over(w))
     cap = 10
-    return ranked.groupBy("host").agg(
+    return ranked.groupBy("reg_dom").agg(
+        F.count_distinct(F.col("host")).alias("n_hosts"),
         F.count(F.lit(1)).alias("n_docs"),
         F.count_if(F.col("rn") <= cap).alias("n_kept"),
         F.count_if(F.col("rn") > cap).alias("n_dropped"),
@@ -1127,29 +1165,43 @@ def url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Messy-URL fixture for the composed stage-0 funnel: five raw spellings
-# per canonical page, host derived from the PAGE GROUP (gid) so all
-# five variants of one page share a host and the domain-cap stage sees
-# 20 distinct hosts.
+# per canonical page.  The host carries the PAGE GROUP's publisher
+# (pub{gid % 20}.org — 20 publishers) behind a rotating subdomain shard
+# (s{(gid // 20) % 3}) so each publisher serves its pages from up to 3
+# raw hosts — the sharding pattern a host-keyed cap cannot see through
+# and a registered-domain cap must.
 _FUNNEL_URL_SQL = """
     CASE doc_id % 5
-      WHEN 0 THEN 'HTTPS://WWW.D' || ((doc_id // 5) % 20)
-                  || '.Example.ORG:443/d/' || (doc_id // 5)
+      WHEN 0 THEN 'HTTPS://WWW.S' || (((doc_id // 5) // 20) % 3)
+                  || '.PUB' || ((doc_id // 5) % 20)
+                  || '.ORG:443/d/' || (doc_id // 5)
                   || '/?utm_source=feed&id=' || ((doc_id // 5) % 7)
                   || '#top'
-      WHEN 1 THEN 'https://d' || ((doc_id // 5) % 20)
-                  || '.example.org/d/' || (doc_id // 5)
+      WHEN 1 THEN 'https://s' || (((doc_id // 5) // 20) % 3)
+                  || '.pub' || ((doc_id // 5) % 20)
+                  || '.org/d/' || (doc_id // 5)
                   || '?id=' || ((doc_id // 5) % 7) || '&gclid=z'
-      WHEN 2 THEN 'https://bot@d' || ((doc_id // 5) % 20)
-                  || '.example.org:443/d/' || (doc_id // 5)
+      WHEN 2 THEN 'https://bot@s' || (((doc_id // 5) // 20) % 3)
+                  || '.pub' || ((doc_id // 5) % 20)
+                  || '.org:443/d/' || (doc_id // 5)
                   || '/?fbclid=q&id=' || ((doc_id // 5) % 7)
-      WHEN 3 THEN 'https://D' || ((doc_id // 5) % 20)
-                  || '.EXAMPLE.org:443/d/' || (doc_id // 5)
+      WHEN 3 THEN 'https://S' || (((doc_id // 5) // 20) % 3)
+                  || '.Pub' || ((doc_id // 5) % 20)
+                  || '.ORG:443/d/' || (doc_id // 5)
                   || '?ref=tw&id=' || ((doc_id // 5) % 7)
-      ELSE 'https://www.d' || ((doc_id // 5) % 20)
-           || '.example.org/d/' || (doc_id // 5)
+      ELSE 'https://www.s' || (((doc_id // 5) // 20) % 3)
+           || '.pub' || ((doc_id // 5) % 20)
+           || '.org/d/' || (doc_id // 5)
            || '/?id=' || ((doc_id // 5) % 7) || '&utm_medium=email'
     END
 """
+
+# Cap per REGISTERED DOMAIN.  3, not 10: at sf0.01 each publisher has
+# exactly 5 keeper pages across its shards, so a cap of 3 BINDS (drops
+# 2 per publisher) and a host-keyed cap would keep all 5 — the driver's
+# own gate distinguishes publisher-keyed from host-keyed capping even
+# at the smallest scale.
+_FUNNEL_CAP = 3
 
 _FUNNEL_HTML_SQL = """
     '<html><head><style>.m{c:red}</style><script>var t=1;</script>'
@@ -1232,13 +1284,16 @@ _FUNNEL_HTML_SQL = """
         JOIN canon c ON c.canonical_url = k.canonical_url
                     AND c.doc_id = k.doc_id
     ),
+    kreg AS (
+        SELECT *, {reg_dom} AS reg_dom FROM krows
+    ),
     ranked AS (
-        SELECT *, row_number() OVER (PARTITION BY host ORDER BY doc_id)
-                      AS rn
-        FROM krows
+        SELECT *, row_number() OVER (PARTITION BY reg_dom
+                                     ORDER BY doc_id) AS rn
+        FROM kreg
     ),
     html AS (
-        SELECT doc_id, rn, {html} AS hx FROM ranked WHERE rn <= 10
+        SELECT doc_id, rn, {html} AS hx FROM ranked WHERE rn <= {cap}
     ),
     seg AS (
         SELECT doc_id, rn,
@@ -1287,64 +1342,76 @@ _FUNNEL_HTML_SQL = """
         UNION ALL
         SELECT 'b_url_dedup', CAST(count(*) AS BIGINT) FROM flags
         UNION ALL
-        SELECT 'c_domain_cap', CAST(count_if(rn <= 10) AS BIGINT)
+        SELECT 'c_domain_cap', CAST(count_if(rn <= {cap}) AS BIGINT)
         FROM flags
         UNION ALL
         SELECT 'd_min_content',
-               CAST(count_if(rn <= 10 AND xchars >= 120) AS BIGINT)
+               CAST(count_if(rn <= {cap} AND xchars >= 120) AS BIGINT)
         FROM flags
         UNION ALL
         SELECT 'e_token_band',
-               CAST(count_if(rn <= 10 AND xchars >= 120
+               CAST(count_if(rn <= {cap} AND xchars >= 120
                              AND xtok BETWEEN 15 AND 1000) AS BIGINT)
         FROM flags
     )
     """.replace("{url}", _FUNNEL_URL_SQL)
     .replace("{html}", _FUNNEL_HTML_SQL)
-    .replace("{track_re}", _urlsmod.TRACKING_PARAM_RE)),
+    .replace("{track_re}", _urlsmod.TRACKING_PARAM_RE)
+    .replace("{reg_dom}", _urlsmod.registered_domain_sql("host"))
+    .replace("{cap}", str(_FUNNEL_CAP))),
 )
 def crawl_stage0_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed crawl stage-0 funnel — every round-9 operator
     chained the way a production web-curation pipeline chains them,
     reported as per-stage surviving-document counts:
 
-    raw → canonical-URL dedup (keeper = min doc_id) → per-host domain
-    cap (first 10 per host in crawl order) → HTML main-text extraction
-    with a minimum-content gate (≥ 120 extracted chars) → token-count
-    band on the EXTRACTED text (15–1000).
+    raw → canonical-URL dedup (keeper = min doc_id) → per-REGISTERED-
+    domain cap (first ``_FUNNEL_CAP`` per publisher in crawl order —
+    RefinedWeb §3.1's publisher-level rule, so the fixture's
+    subdomain-sharded hosts s0/s1/s2.pubN.org share ONE budget) → HTML
+    main-text extraction with a minimum-content gate (≥ 120 extracted
+    chars) → token-count band on the EXTRACTED text (15–1000).
 
     Single-pass shape: the five counts are conditional aggregates over
     ONE lineage — the canonical-key groupBy (which carries each group's
-    size for the raw count and min_by's keeper row), one host-window
-    exchange for the cap rank, and the zero-shuffle HTML extraction
-    riding the same frame; the final five-row funnel is one stack over
-    a single-row aggregate.  No stage re-scans the corpus.  The oracle
-    replays the ENTIRE composition (canonicalization CTE chain, keeper
-    join, host rank, segment extraction, conditional counts).
+    size for the raw count and min_by's keeper row), one
+    publisher-window exchange for the cap rank (the registered-domain
+    fold is a scan-side projection, no extra shuffle), and the
+    zero-shuffle HTML extraction riding the same frame; the final
+    five-row funnel is one stack over a single-row aggregate.  No
+    stage re-scans the corpus.  The oracle replays the ENTIRE
+    composition (canonicalization CTE chain, keeper join,
+    registered-domain rank, segment extraction, conditional counts).
     """
     from ..functions.urls import canonicalize_url
     from ..operators.html import extract_main_text
 
     gid = F.expr("doc_id div 5").cast("string")
-    hostn = F.expr("(doc_id div 5) % 20").cast("string")
+    pubn = F.expr("(doc_id div 5) % 20").cast("string")
+    shard = F.expr("((doc_id div 5) div 20) % 3").cast("string")
     pid = F.expr("((doc_id div 5) % 7)").cast("string")
     m = F.col("doc_id") % 5
     url = (
         F.when(m == 0, F.concat(
-            F.lit("HTTPS://WWW.D"), hostn, F.lit(".Example.ORG:443/d/"),
-            gid, F.lit("/?utm_source=feed&id="), pid, F.lit("#top")))
+            F.lit("HTTPS://WWW.S"), shard, F.lit(".PUB"), pubn,
+            F.lit(".ORG:443/d/"), gid,
+            F.lit("/?utm_source=feed&id="), pid, F.lit("#top")))
         .when(m == 1, F.concat(
-            F.lit("https://d"), hostn, F.lit(".example.org/d/"), gid,
+            F.lit("https://s"), shard, F.lit(".pub"), pubn,
+            F.lit(".org/d/"), gid,
             F.lit("?id="), pid, F.lit("&gclid=z")))
         .when(m == 2, F.concat(
-            F.lit("https://bot@d"), hostn, F.lit(".example.org:443/d/"),
-            gid, F.lit("/?fbclid=q&id="), pid))
+            F.lit("https://bot@s"), shard, F.lit(".pub"), pubn,
+            F.lit(".org:443/d/"), gid,
+            F.lit("/?fbclid=q&id="), pid))
         .when(m == 3, F.concat(
-            F.lit("https://D"), hostn, F.lit(".EXAMPLE.org:443/d/"),
-            gid, F.lit("?ref=tw&id="), pid))
+            F.lit("https://S"), shard, F.lit(".Pub"), pubn,
+            F.lit(".ORG:443/d/"), gid,
+            F.lit("?ref=tw&id="), pid))
         .otherwise(F.concat(
-            F.lit("https://www.d"), hostn, F.lit(".example.org/d/"),
-            gid, F.lit("/?id="), pid, F.lit("&utm_medium=email")))
+            F.lit("https://www.s"), shard, F.lit(".pub"), pubn,
+            F.lit(".org/d/"), gid,
+            F.lit("/?id="), pid, F.lit("&utm_medium=email")))
     )
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "text", canonicalize_url(url).alias("canonical_url"))
@@ -1363,8 +1430,9 @@ def crawl_stage0_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("_k.text").alias("text"))
         .withColumn("host", F.regexp_extract(
             "canonical_url", "^https?://([^/:?#]+)", 1))
+        .withColumn("reg_dom", _urlsmod.registered_domain("host"))
     )
-    w = Window.partitionBy("host").orderBy("doc_id")
+    w = Window.partitionBy("reg_dom").orderBy("doc_id")
     ranked = keepers.withColumn("rn", F.row_number().over(w))
     html = F.concat(
         F.lit('<html><head><style>.m{c:red}</style><script>var t=1;'
@@ -1382,7 +1450,7 @@ def crawl_stage0_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost — paying them on rows the cap already killed inverts the
     # funnel's own ordering (round-9 fourth-pass review finding).  The
     # oracle mirrors this with WHERE rn <= 10 + a LEFT JOIN back.
-    xt = F.when(F.col("rn") <= 10,
+    xt = F.when(F.col("rn") <= _FUNNEL_CAP,
                 extract_main_text(html)["extracted_text"]) \
         .otherwise(F.lit(""))
     flags = ranked.select(
@@ -1392,7 +1460,7 @@ def crawl_stage0_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("xt").alias("xchars"),
         F.size(F.split(F.trim("xt"), r"\s+")).alias("xtok"),
     )
-    capped = F.col("rn") <= 10
+    capped = F.col("rn") <= _FUNNEL_CAP
     content = capped & (F.col("xchars") >= 120)
     band = content & F.col("xtok").between(15, 1000)
     agg = flags.agg(
