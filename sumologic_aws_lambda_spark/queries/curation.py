@@ -1203,6 +1203,64 @@ _FUNNEL_URL_SQL = """
 # at the smallest scale.
 _FUNNEL_CAP = 3
 
+
+def _funnel_ranked_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared front end of the crawl funnels: messy-URL fixture →
+    canonicalize → canonical-key dedup (keeper = min doc_id, group size
+    carried) → registered-domain rank.  Returns (canonical_url,
+    group_n, doc_id, text, host, reg_dom, rn) — stage-0 gates and the
+    stage-1 near-dup both consume this one lineage."""
+    from ..functions.urls import canonicalize_url
+
+    gid = F.expr("doc_id div 5").cast("string")
+    pubn = F.expr("(doc_id div 5) % 20").cast("string")
+    shard = F.expr("((doc_id div 5) div 20) % 3").cast("string")
+    pid = F.expr("((doc_id div 5) % 7)").cast("string")
+    m = F.col("doc_id") % 5
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTPS://WWW.S"), shard, F.lit(".PUB"), pubn,
+            F.lit(".ORG:443/d/"), gid,
+            F.lit("/?utm_source=feed&id="), pid, F.lit("#top")))
+        .when(m == 1, F.concat(
+            F.lit("https://s"), shard, F.lit(".pub"), pubn,
+            F.lit(".org/d/"), gid,
+            F.lit("?id="), pid, F.lit("&gclid=z")))
+        .when(m == 2, F.concat(
+            F.lit("https://bot@s"), shard, F.lit(".pub"), pubn,
+            F.lit(".org:443/d/"), gid,
+            F.lit("/?fbclid=q&id="), pid))
+        .when(m == 3, F.concat(
+            F.lit("https://S"), shard, F.lit(".Pub"), pubn,
+            F.lit(".ORG:443/d/"), gid,
+            F.lit("?ref=tw&id="), pid))
+        .otherwise(F.concat(
+            F.lit("https://www.s"), shard, F.lit(".pub"), pubn,
+            F.lit(".org/d/"), gid,
+            F.lit("/?id="), pid, F.lit("&utm_medium=email")))
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", canonicalize_url(url).alias("canonical_url"))
+    # malformed (NULL-canonical) rows leave the funnel up front, exactly
+    # as the oracle's WHERE scheme <> '' does — without this a single
+    # unparseable URL becomes a counted NULL group only on the Spark
+    # side (round-9 fourth-pass review finding)
+    docs = docs.filter(F.col("canonical_url").isNotNull())
+    keepers = (
+        docs.groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("group_n"),
+             F.min_by(F.struct("doc_id", "text"), F.col("doc_id"))
+             .alias("_k"))
+        .select("canonical_url", "group_n",
+                F.col("_k.doc_id").alias("doc_id"),
+                F.col("_k.text").alias("text"))
+        .withColumn("host", F.regexp_extract(
+            "canonical_url", "^https?://([^/:?#]+)", 1))
+        .withColumn("reg_dom", _urlsmod.registered_domain("host"))
+    )
+    w = Window.partitionBy("reg_dom").orderBy("doc_id")
+    return keepers.withColumn("rn", F.row_number().over(w))
+
 _FUNNEL_HTML_SQL = """
     '<html><head><style>.m{c:red}</style><script>var t=1;</script>'
     || '</head><body><nav><a href="/">Home</a> '
@@ -1214,10 +1272,11 @@ _FUNNEL_HTML_SQL = """
 """
 
 
-@query(
-    "crawl_stage0_funnel",
-    oracle=_render_html_regexes("""
-    WITH raw AS (
+# Shared oracle front end of the crawl funnels — mirrors
+# _funnel_ranked_keepers: messy-URL fixture → canonicalize → canonical
+# dedup (keeper = min doc_id) → registered-domain rank.
+_FUNNEL_FRONT_CTES = """
+    raw AS (
         SELECT doc_id, text, {url} AS url FROM documents
     ),
     nofrag AS (
@@ -1291,10 +1350,12 @@ _FUNNEL_HTML_SQL = """
         SELECT *, row_number() OVER (PARTITION BY reg_dom
                                      ORDER BY doc_id) AS rn
         FROM kreg
-    ),
-    html AS (
-        SELECT doc_id, rn, {html} AS hx FROM ranked WHERE rn <= {cap}
-    ),
+    )"""
+
+# Shared oracle extraction chain — consumes a CTE named html(doc_id,
+# rn, hx), yields ex(doc_id, xt); the DuckDB twin of
+# operators/html.py::extract_main_text.
+_FUNNEL_EXTRACT_CTES = """
     seg AS (
         SELECT doc_id, rn,
                string_split(regexp_replace(
@@ -1328,7 +1389,17 @@ _FUNNEL_HTML_SQL = """
                            AND link_len * 10 <= length(plain) * 3),
                    '') AS xt
         FROM feats GROUP BY doc_id
+    )"""
+
+
+@query(
+    "crawl_stage0_funnel",
+    oracle=_render_html_regexes("""
+    WITH {front},
+    html AS (
+        SELECT doc_id, rn, {html} AS hx FROM ranked WHERE rn <= {cap}
     ),
+    {extract},
     flags AS (
         SELECT r.group_n, r.rn,
                length(coalesce(e.xt, '')) AS xchars,
@@ -1354,7 +1425,9 @@ _FUNNEL_HTML_SQL = """
                              AND xtok BETWEEN 15 AND 1000) AS BIGINT)
         FROM flags
     )
-    """.replace("{url}", _FUNNEL_URL_SQL)
+    """.replace("{front}", _FUNNEL_FRONT_CTES)
+    .replace("{extract}", _FUNNEL_EXTRACT_CTES)
+    .replace("{url}", _FUNNEL_URL_SQL)
     .replace("{html}", _FUNNEL_HTML_SQL)
     .replace("{track_re}", _urlsmod.TRACKING_PARAM_RE)
     .replace("{reg_dom}", _urlsmod.registered_domain_sql("host"))
@@ -1383,57 +1456,9 @@ def crawl_stage0_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition (canonicalization CTE chain, keeper join,
     registered-domain rank, segment extraction, conditional counts).
     """
-    from ..functions.urls import canonicalize_url
     from ..operators.html import extract_main_text
 
-    gid = F.expr("doc_id div 5").cast("string")
-    pubn = F.expr("(doc_id div 5) % 20").cast("string")
-    shard = F.expr("((doc_id div 5) div 20) % 3").cast("string")
-    pid = F.expr("((doc_id div 5) % 7)").cast("string")
-    m = F.col("doc_id") % 5
-    url = (
-        F.when(m == 0, F.concat(
-            F.lit("HTTPS://WWW.S"), shard, F.lit(".PUB"), pubn,
-            F.lit(".ORG:443/d/"), gid,
-            F.lit("/?utm_source=feed&id="), pid, F.lit("#top")))
-        .when(m == 1, F.concat(
-            F.lit("https://s"), shard, F.lit(".pub"), pubn,
-            F.lit(".org/d/"), gid,
-            F.lit("?id="), pid, F.lit("&gclid=z")))
-        .when(m == 2, F.concat(
-            F.lit("https://bot@s"), shard, F.lit(".pub"), pubn,
-            F.lit(".org:443/d/"), gid,
-            F.lit("/?fbclid=q&id="), pid))
-        .when(m == 3, F.concat(
-            F.lit("https://S"), shard, F.lit(".Pub"), pubn,
-            F.lit(".ORG:443/d/"), gid,
-            F.lit("?ref=tw&id="), pid))
-        .otherwise(F.concat(
-            F.lit("https://www.s"), shard, F.lit(".pub"), pubn,
-            F.lit(".org/d/"), gid,
-            F.lit("/?id="), pid, F.lit("&utm_medium=email")))
-    )
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "text", canonicalize_url(url).alias("canonical_url"))
-    # malformed (NULL-canonical) rows leave the funnel up front, exactly
-    # as the oracle's WHERE scheme <> '' does — without this a single
-    # unparseable URL becomes a counted NULL group only on the Spark
-    # side (round-9 fourth-pass review finding)
-    docs = docs.filter(F.col("canonical_url").isNotNull())
-    keepers = (
-        docs.groupBy("canonical_url")
-        .agg(F.count(F.lit(1)).alias("group_n"),
-             F.min_by(F.struct("doc_id", "text"), F.col("doc_id"))
-             .alias("_k"))
-        .select("canonical_url", "group_n",
-                F.col("_k.doc_id").alias("doc_id"),
-                F.col("_k.text").alias("text"))
-        .withColumn("host", F.regexp_extract(
-            "canonical_url", "^https?://([^/:?#]+)", 1))
-        .withColumn("reg_dom", _urlsmod.registered_domain("host"))
-    )
-    w = Window.partitionBy("reg_dom").orderBy("doc_id")
-    ranked = keepers.withColumn("rn", F.row_number().over(w))
+    ranked = _funnel_ranked_keepers(spark, sf_dir)
     html = F.concat(
         F.lit('<html><head><style>.m{c:red}</style><script>var t=1;'
               '</script></head><body><nav><a href="/">Home</a> '
@@ -1474,3 +1499,209 @@ def crawl_stage0_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(5, 'a_raw', a_raw, 'b_url_dedup', b_url_dedup, "
         "'c_domain_cap', c_domain_cap, 'd_min_content', d_min_content, "
         "'e_token_band', e_token_band) AS (stage, n_docs)"))
+
+
+# Stage-1 page fixture: each page's main content is a 40-word TEMPLATE
+# paragraph shared by every page with the same template id (gid % 25 —
+# the mirror-site / boilerplate-article duplicate class) plus a 5-word
+# page-specific tail, so same-template pages are NEAR duplicates
+# (Jaccard ≈ 0.8), never exact.  Pages where gid % 11 = 7 omit the
+# template paragraph entirely — they fail the min-content gate, so the
+# quality gates bind inside this funnel too.  All words are md5-derived
+# (repo hashing rule) so the oracle regenerates them byte-for-byte.
+_S1_HTML_SQL = """
+    '<html><head><script>var t=1;</script></head><body>'
+    || '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+    || CASE WHEN (doc_id // 5) % 11 = 7 THEN ''
+            ELSE '<p>' || array_to_string(list_transform(
+                     generate_series(1, 40),
+                     j -> 'w' || substr(md5(((doc_id // 5) % 25)
+                                            || ':' || j), 1, 6)), ' ')
+                 || '</p>' END
+    || '<P>' || array_to_string(list_transform(
+           generate_series(1, 5),
+           j -> 'p' || substr(md5('pg:' || (doc_id // 5) || ':' || j),
+                              1, 6)), ' ')
+    || '</P><footer><a href="/p">Privacy</a> (c) corp</footer>'
+    || '</body></html>'
+"""
+
+
+@query(
+    "crawl_stage1_funnel",
+    oracle=_render_html_regexes("""
+    WITH {front},
+    capped AS (
+        SELECT doc_id, rn FROM ranked WHERE rn <= {cap}
+    ),
+    html AS (
+        SELECT doc_id, rn, {s1html} AS hx FROM capped
+    ),
+    {extract},
+    flags AS (
+        SELECT c.doc_id,
+               coalesce(e.xt, '') AS xt,
+               length(coalesce(e.xt, '')) AS xchars,
+               len(string_split_regex(trim(coalesce(e.xt, '')),
+                                      '\\s+')) AS xtok
+        FROM capped c LEFT JOIN ex e USING (doc_id)
+    ),
+    gate AS (
+        SELECT doc_id, xt FROM flags
+        WHERE xchars >= 120 AND xtok BETWEEN 15 AND 1000
+    ),
+    docs2 AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(xt), '\\s+', ' ',
+                                                'g')), ' ') AS t
+        FROM gate
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+        FROM docs2,
+             LATERAL (SELECT unnest(generate_series(
+                          1, greatest(len(t) - 2, 1))) AS i) g
+    ),
+    sig AS (
+        SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7))
+                            AS seed) s
+        GROUP BY doc_id, seed
+    ),
+    banded AS (
+        SELECT doc_id, seed // 2 AS band,
+               string_agg(minhash, '|' ORDER BY minhash) AS band_key
+        FROM sig GROUP BY doc_id, seed // 2
+    ),
+    bf AS (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY band, band_key)
+                   AS bucket_first
+        FROM banded
+    ),
+    nd AS (
+        SELECT doc_id, min(bucket_first) AS first_seen
+        FROM bf GROUP BY doc_id
+    ),
+    merged AS (
+        SELECT f.doc_id, f.xchars, f.xtok, n.first_seen
+        FROM flags f LEFT JOIN nd n USING (doc_id)
+    )
+    SELECT stage, n_docs FROM (
+        SELECT 'a_domain_cap' AS stage,
+               CAST(count(*) AS BIGINT) AS n_docs FROM merged
+        UNION ALL
+        SELECT 'b_min_content', CAST(count_if(xchars >= 120) AS BIGINT)
+        FROM merged
+        UNION ALL
+        SELECT 'c_token_band',
+               CAST(count_if(first_seen IS NOT NULL) AS BIGINT)
+        FROM merged
+        UNION ALL
+        SELECT 'd_near_dup',
+               CAST(count_if(first_seen = doc_id) AS BIGINT)
+        FROM merged
+        UNION ALL
+        SELECT 'e_kept_docid_sum',
+               CAST(sum(CASE WHEN first_seen = doc_id THEN doc_id
+                             ELSE 0 END) AS BIGINT)
+        FROM merged
+    )
+    """.replace("{front}", _FUNNEL_FRONT_CTES)
+    .replace("{extract}", _FUNNEL_EXTRACT_CTES)
+    .replace("{url}", _FUNNEL_URL_SQL)
+    .replace("{s1html}", _S1_HTML_SQL)
+    .replace("{track_re}", _urlsmod.TRACKING_PARAM_RE)
+    .replace("{reg_dom}", _urlsmod.registered_domain_sql("host"))
+    .replace("{cap}", str(_FUNNEL_CAP))),
+)
+def crawl_stage1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 1 of the crawl funnel — content near-dedup on the
+    EXTRACTED text, composed downstream of the full stage-0 chain in
+    production order (RefinedWeb §3: URL dedup → extraction → quality
+    gates → FUZZY dedup):
+
+    registered-domain cap survivors → HTML main-text extraction →
+    min-content + token-band gates → MinHash-LSH near-dup with
+    first-occurrence keep (a document is dropped iff ANY of its 4 LSH
+    band buckets contains an earlier-crawled survivor — the greedy
+    keep-first rule production dedup applies within a bucket, no
+    iterative clustering).  ``e_kept_docid_sum`` pins WHICH documents
+    survived, not just how many.
+
+    Scale shape: the near-dup stage adds exactly two exchanges beyond
+    stage 0 — the signature collapse (explode shingles → ONE
+    map-side-combined groupBy(doc) computing all 8 mins, same algebra
+    as ``operators/dedup.py::minhash_signatures``) and the band-bucket
+    shuffle (window min per (band, band_key), then a groupBy(doc)
+    collapse).  Buckets are md5-uniform except true duplicate
+    clusters, whose size the stage-0 domain cap already bounds — the
+    hot-bucket skew a raw crawl would have dies at the cap, which is
+    exactly why production runs the cap first.  Extraction and MinHash
+    run ONLY on cap/gate survivors.
+    """
+    from ..operators.dedup import minhash_signatures
+    from ..operators.html import extract_main_text
+
+    gid_s = F.expr("doc_id div 5").cast("string")
+    tid = F.expr("(doc_id div 5) % 25").cast("string")
+    shared = F.array_join(F.transform(
+        F.sequence(F.lit(1), F.lit(40)),
+        lambda j: F.concat(F.lit("w"), F.substring(
+            F.md5(F.concat(tid, F.lit(":"), j.cast("string"))),
+            1, 6))), " ")
+    tail = F.array_join(F.transform(
+        F.sequence(F.lit(1), F.lit(5)),
+        lambda j: F.concat(F.lit("p"), F.substring(
+            F.md5(F.concat(F.lit("pg:"), gid_s, F.lit(":"),
+                           j.cast("string"))), 1, 6))), " ")
+    html = F.concat(
+        F.lit('<html><head><script>var t=1;</script></head><body>'
+              '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'),
+        F.when(F.expr("(doc_id div 5) % 11") == 7, F.lit(""))
+        .otherwise(F.concat(F.lit("<p>"), shared, F.lit("</p>"))),
+        F.lit("<P>"), tail,
+        F.lit('</P><footer><a href="/p">Privacy</a> (c) corp</footer>'
+              '</body></html>'),
+    )
+    capped = _funnel_ranked_keepers(spark, sf_dir) \
+        .filter(F.col("rn") <= _FUNNEL_CAP).select("doc_id")
+    xt = extract_main_text(html)["extracted_text"]
+    flags = capped.select(
+        "doc_id", F.coalesce(xt, F.lit("")).alias("xt"),
+    ).select(
+        "doc_id", "xt",
+        F.length("xt").alias("xchars"),
+        F.size(F.split(F.trim("xt"), r"\s+")).alias("xtok"),
+    )
+    gate = flags.filter((F.col("xchars") >= 120)
+                        & F.col("xtok").between(15, 1000))
+    sigs = minhash_signatures(
+        gate.select("doc_id", F.col("xt").alias("text")), num_hashes=8)
+    banded = sigs.withColumn(
+        "band", (F.col("seed") / 2).cast("int")
+    ).groupBy("doc_id", "band").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list("minhash")))
+        .alias("band_key"))
+    bf = banded.withColumn(
+        "bucket_first",
+        F.min("doc_id").over(Window.partitionBy("band", "band_key")))
+    nd = bf.groupBy("doc_id").agg(
+        F.min("bucket_first").alias("first_seen"))
+    merged = flags.join(nd, "doc_id", "left")
+    kept = F.col("first_seen") == F.col("doc_id")
+    agg = merged.agg(
+        F.count(F.lit(1)).alias("a_domain_cap"),
+        F.count_if(F.col("xchars") >= 120).alias("b_min_content"),
+        F.count_if(F.col("first_seen").isNotNull()).alias(
+            "c_token_band"),
+        F.count_if(kept).alias("d_near_dup"),
+        F.sum(F.when(kept, F.col("doc_id")).otherwise(F.lit(0)))
+        .cast("bigint").alias("e_kept_docid_sum"),
+    )
+    return agg.select(F.expr(
+        "stack(5, 'a_domain_cap', a_domain_cap, "
+        "'b_min_content', b_min_content, 'c_token_band', c_token_band, "
+        "'d_near_dup', d_near_dup, "
+        "'e_kept_docid_sum', e_kept_docid_sum) AS (stage, n_docs)"))
