@@ -1,0 +1,103 @@
+"""Streaming per-registered-domain document caps: the ``foreachBatch``
+twin of ``queries/curation.py::url_domain_caps`` — RefinedWeb §3.1's
+publisher-level anti-domination cap running continuously over a crawl
+stream instead of as a batch pass.
+
+Per micro-batch Spark work: one window rank per cap key over the BATCH
+(micro-batches are small by construction), one groupBy over the
+persistent count store, one broadcast-ish join, two per-batch partition
+writes.  The store holds (key, admitted) COUNTS only — bytes per
+publisher per batch, never row data — the same bounded-state contract as
+``CentroidDriftMonitor``'s |labels|×dim sums; nothing is collected to
+the driver.
+
+Exactly-once under redelivery (the ``IncrementalDedupSink`` design):
+every write is an overwrite of the ``batch_id=N`` partition this batch
+owns, and the prior-count read EXCLUDES rows the same batch id wrote —
+so re-delivery of a failed batch recomputes the identical admit set and
+overwrites it in place, never consuming cap budget twice.  Ranking
+within a batch is by ``order_col`` (crawl order), which must be
+deterministic for replay to reproduce the same ranks.  As with the
+dedup sinks, batch ids are scoped to one streaming checkpoint: reuse a
+fresh store per checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.urls import canonicalize_url, registered_domain
+from .dedup import _overwrite_batch_partition, _read_store
+
+
+def default_cap_key(url_col: Column) -> Column:
+    """Canonical-URL host → registered domain: the publisher key the
+    batch cap uses (``queries/curation.py::url_domain_caps``)."""
+    host = F.regexp_extract(canonicalize_url(url_col),
+                            "^https?://([^/:?#]+)", 1)
+    return registered_domain(host)
+
+
+class DomainCapSink:
+    """foreachBatch callable: admit each publisher's documents until its
+    RUNNING cross-batch count reaches ``cap``; admitted rows →
+    ``out_dir``, per-key admitted counts → ``store_dir`` (both
+    per-batch overwrite partitions).
+
+    ``key_fn(col) -> Column`` overrides the cap key (default:
+    ``registered_domain`` of the canonical-URL host, so subdomain
+    shards cdn0/cdn1/cdn2.pub.org share ONE budget).  NULL keys
+    (malformed URLs) coalesce to the ``(null)`` sentinel and share one
+    budget — they stay observable in the store instead of bypassing
+    the cap.  ``order_col`` fixes within-batch admit order (crawl
+    order); it must be deterministic so a redelivered batch reproduces
+    the same ranks.
+    """
+
+    def __init__(self, spark: SparkSession, store_dir: str, out_dir: str,
+                 url_col: str = "url", order_col: str = "doc_id",
+                 cap: int = 10, key_fn=None):
+        if cap < 1:
+            raise ValueError(f"cap must be >= 1, got {cap}")
+        self._spark = spark
+        self._store = store_dir
+        self._out = out_dir
+        self._url = url_col
+        self._order = order_col
+        self._cap = cap
+        self._key = key_fn or default_cap_key
+        self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, admitted)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        n_in = batch_df.count()
+        keyed = batch_df.withColumn(
+            "_cap_key",
+            F.coalesce(self._key(F.col(self._url)), F.lit("(null)")))
+        prior = _read_store(self._spark, self._store,
+                            "key string, admitted bigint",
+                            exclude_batch=batch_id)
+        prior_counts = prior.groupBy("key").agg(
+            F.sum("admitted").alias("_prior"))
+        w = Window.partitionBy("_cap_key").orderBy(self._order)
+        ranked = keyed.withColumn("_rn", F.row_number().over(w))
+        joined = ranked.join(
+            prior_counts, ranked["_cap_key"] == prior_counts["key"],
+            "left",
+        ).drop("key").withColumn(
+            "_prior", F.coalesce(F.col("_prior"), F.lit(0)))
+        admitted = joined.filter(
+            F.col("_prior") + F.col("_rn") <= self._cap)
+        # both writes must see ONE materialization — without this the
+        # store write would re-read the input and could diverge from
+        # the out write (the IncrementalDedupSink precedent)
+        admitted = admitted.localCheckpoint()
+        n_adm = admitted.count()
+        _overwrite_batch_partition(
+            admitted.drop("_cap_key", "_rn", "_prior"),
+            self._out, batch_id)
+        _overwrite_batch_partition(
+            admitted.groupBy(F.col("_cap_key").alias("key")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("admitted")),
+            self._store, batch_id)
+        self.batch_stats.append((batch_id, n_in, n_adm))

@@ -1,0 +1,102 @@
+"""Streaming per-registered-domain cap sink (streaming/domain_cap.py)
+— the foreachBatch twin of queries/curation.py::url_domain_caps."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from sumologic_aws_lambda_spark.streaming.domain_cap import DomainCapSink
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, url string")
+
+
+def _urls(pub, shard, ids):
+    return [(i, f"https://cdn{shard}.{pub}.org/d/{i}") for i in ids]
+
+
+def test_cap_holds_across_batches_and_subdomain_shards(spark, tmp_path):
+    sink = DomainCapSink(spark, str(tmp_path / "store"),
+                         str(tmp_path / "out"), cap=3)
+    # batch 0: two docs for pub-a (shard 0), one for pub-b
+    sink(_batch(spark, _urls("pub-a", 0, [1, 2])
+                + _urls("pub-b", 0, [3])), 0)
+    # batch 1: three more pub-a docs from a DIFFERENT subdomain shard —
+    # only one fits the shared publisher budget
+    sink(_batch(spark, _urls("pub-a", 1, [4, 5, 6])), 1)
+    assert sink.batch_stats == [(0, 3, 3), (1, 3, 1)]
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [1, 2, 3, 4]  # crawl order, cap=3 for pub-a
+    store = spark.read.parquet(str(tmp_path / "store"))
+    totals = {r["key"]: r["n"] for r in
+              store.groupBy("key").sum("admitted")
+              .withColumnRenamed("sum(admitted)", "n").collect()}
+    assert totals == {"pub-a.org": 3, "pub-b.org": 1}
+
+
+def test_redelivered_batch_does_not_consume_budget_twice(spark, tmp_path):
+    sink = DomainCapSink(spark, str(tmp_path / "store"),
+                         str(tmp_path / "out"), cap=3)
+    sink(_batch(spark, _urls("pub-a", 0, [1, 2])), 0)
+    b1 = _batch(spark, _urls("pub-a", 1, [4, 5, 6]))
+    sink(b1, 1)
+    # redeliver batch 1 (checkpoint recovery): identical admit set,
+    # partition overwritten in place, budget NOT consumed twice
+    sink(b1, 1)
+    assert sink.batch_stats[-2:] == [(1, 3, 1), (1, 3, 1)]
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 4]
+    store = spark.read.parquet(str(tmp_path / "store"))
+    total = store.groupBy().sum("admitted").collect()[0][0]
+    assert total == 3  # 2 from batch 0 + 1 from batch 1, replay folded
+
+
+def test_null_keys_share_sentinel_budget_and_cap_validates(spark, tmp_path):
+    with pytest.raises(ValueError, match="cap"):
+        DomainCapSink(spark, "s", "o", cap=0)
+    sink = DomainCapSink(spark, str(tmp_path / "store"),
+                         str(tmp_path / "out"), cap=1)
+    sink(_batch(spark, [(1, "not a url"), (2, "also-bad"),
+                        (3, "https://ok.example.org/x")]), 0)
+    assert sink.batch_stats == [(0, 3, 2)]  # 1 malformed + the good row
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
+def test_cap_over_engine_driven_micro_batches(spark, tmp_path):
+    """Cross-batch cap through REAL engine micro-batches: two files →
+    two foreachBatch calls (availableNow, maxFilesPerTrigger=1); the
+    publisher budget spans them."""
+    import os
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a_first.json").write_text("\n".join(
+        json.dumps({"doc_id": i,
+                    "url": f"https://cdn0.pub-a.org/d/{i}"})
+        for i in range(1, 3)))
+    (src / "b_second.json").write_text("\n".join(
+        json.dumps({"doc_id": i,
+                    "url": f"https://cdn1.pub-a.org/d/{i}"})
+        for i in range(3, 7)))
+    # the file source orders micro-batches by MODIFICATION TIME — pin
+    # it explicitly so "first crawl wave" is deterministic
+    os.utime(src / "a_first.json", (1_000_000, 1_000_000))
+    os.utime(src / "b_second.json", (2_000_000, 2_000_000))
+    sink = DomainCapSink(spark, str(tmp_path / "store"),
+                         str(tmp_path / "out"), cap=3)
+    stream = spark.readStream.schema("doc_id bigint, url string") \
+        .option("maxFilesPerTrigger", 1).json(str(src))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert len(got) == 3  # the publisher budget, across both shards
+    assert got[:2] == [1, 2]  # batch 0 admitted fully, batch 1 topped up
