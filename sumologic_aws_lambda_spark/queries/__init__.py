@@ -42,67 +42,62 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The external correctness driver checks registrations in dict order and
-# caps at the first 50.  Round-9 window (staleness recomputed
-# programmatically this round by aggregating CORRECTNESS_r01-r08
-# latest-sample rounds; CORRECTNESS_r08 was 50/50 green so nothing is
-# owed a re-check): (a) the 6 round-9 additions — the curation stage-0
-# operators the round-8 verdict ranked first (URL canonicalization/
-# dedup, HTML boilerplate strip, per-domain caps) plus the multimodal
-# pHash near-dup and the split-boundary n-gram decontamination audit;
-# (b) all 24 queries whose latest hard
-# signal is round 3 (the oldest cohort, exactly the list the round-8
-# note owed this window); (c) 18 of the 49-query r4 cohort, ordered by
-# most-recent git commit touching the query's module (verdict item 5:
-# files refactored in r5-r9 carry the highest divergence risk —
-# similarity.py took a round-9 fix, text/timeseries/sumoql/relational/
-# windows took r8 plan work), registry-name tiebreak.  The remaining
-# 31 r4-cohort queries (relational/catalog_ops/ingest/advanced/extensions/
-# ingest_gap/parsing, all files untouched since r4) lead the round-10
-# window.  Everything else keeps registration order after the head and
-# remains covered by the repo's own full-surface driver replica
-# (tools/verify_driver_contract.py, all 274 queries green this round).
+# caps at the first 50.  Round-10 window (staleness recomputed
+# programmatically this round by aggregating CORRECTNESS_r01-r09
+# latest-sample rounds; CORRECTNESS_r09 was 50/50 green so no failures
+# are owed a re-check): (a) the round-10 additions and rewrites — the
+# new stage-1 funnel (MinHash near-dedup on extracted text) plus the
+# two queries re-keyed onto registered_domain (publisher-level caps,
+# subdomain-sharded fixtures, new oracles); (b) ALL 31 queries whose
+# latest hard signal is round 4 (the oldest cohort — exactly the list
+# the round-9 note owed this window); (c) 16 of the 48-query r5
+# cohort, registry-name order, filling the window to exactly 50.
 _PRIORITY: tuple[str, ...] = (
-    # -- (a) round-9 additions --
-    "url_canonical_dedup", "html_text_extraction", "url_domain_caps",
-    "phash_hamming_neardup", "split_ngram_decontamination",
-    "crawl_stage0_funnel",
-    # -- (a2) round-9 oracle-hardening rewrites (sf0.1 sweep findings) --
-    "product_type_profit", "embedding_dimension_stats",
-    # -- (b) oldest-validated cohort (latest hard signal round 3) --
-    "ngram_jaccard_pairs", "paged_results", "pii_redaction",
-    "pricing_summary", "range_join_value_bands", "revenue_topk",
-    "scalar_function_battery", "securityhub_org_findings",
-    "semi_join_priority", "sequence_packing", "simhash_signatures",
-    "sumoql_accum_total", "sumoql_count_by", "sumoql_dedup_latest",
-    "sumoql_outlier_series", "sumoql_parse_anchor",
-    "sumoql_parse_regex_where", "sumoql_predict_linear",
-    "sumoql_subsearch_join", "sumoql_timeslice_agg", "timeslice_5m",
-    "timeslice_daily_active", "vpc_eni_enrichment", "window_lag_delta",
-    # -- (c) r4 cohort, most-recently-touched module files first --
-    "knn_label_vote", "int8_ann_rerank", "embedding_quantize_int8",
-    "top_bigrams_per_source", "token_count_stats", "tfidf_top_terms",
-    "quality_scores", "lang_detect_matrix", "doc_fingerprints",
-    "char_entropy_scores", "sumoql_trailing_windows",
-    "logreduce_signatures", "logcompare_baseline_target",
-    "sample_by_hash", "sumoql_transaction", "sumoql_top_values",
-    "sumoql_stats_aggs", "sumoql_sort_limit",
+    # -- (a) round-10 additions / registered-domain rewrites --
+    "crawl_stage1_funnel", "url_domain_caps", "crawl_stage0_funnel",
+    # -- (b) oldest-validated cohort (latest hard signal round 4) --
+    "anti_join_idle_customers", "auto_enable_s3_logging",
+    "cfn_stack_telemetry", "cloudtrail_records_explode",
+    "delivery_accounting", "epoch_normalize", "fer_registry_apply",
+    "filter_project", "grouped_agg_udaf", "grouping_sets_lineitem",
+    "guardduty_unwrap", "metadata_override_merge",
+    "metric_rule_extract", "metrics_quantize",
+    "multimodal_frame_sample", "otlp_metric_parse",
+    "outlier_detection", "regexp_extract_docs", "region_rollup_join",
+    "rollup_order_status", "salted_agg_routing_key",
+    "sessionize_events", "set_ops_nations", "sumoql_count_frequent",
+    "sumoql_geoip_enrich", "sumoql_kv_extract", "sumoql_parse_multi",
+    "two_hop_dim_join", "vpc_flow_parse", "window_running_total",
+    "window_topn_orders",
+    # -- (c) r5 cohort, registry-name order, first 16 --
+    "ann_recall_eval", "apigw_body_rows_parse",
+    "approx_topk_routing_keys", "chunked_batches",
+    "cidr_prefix_aggregation", "content_pack_saved_search",
+    "control_message_skip", "corrupt_payload_discard",
+    "datetime_iso_serialize", "embedding_neardup_pairs",
+    "fields_schema_apply", "gopher_quality_filters",
+    "hll_daily_rollup", "incremental_dedup_batch",
+    "ingest_include_exclude_rules", "kv_flatten_props",
 )
 
-# Round-10 rotation notes: recompute programmatically by aggregating
-# CORRECTNESS_r01-r09 — do not trust hand-maintained lists.  Owed the
-# r10 head: any round-10 additions and anything CORRECTNESS_r09 failed,
-# then the 31 r4-cohort queries this window could not fit
-# (sumoql_parse_multi, sumoql_kv_extract, sumoql_geoip_enrich, sumoql_count_frequent, set_ops_nations, rollup_order_status, region_rollup_join, filter_project, anti_join_idle_customers,
-# window_topn_orders, window_running_total, sessionize_events,
-# two_hop_dim_join, multimodal_frame_sample, metric_rule_extract,
-# cfn_stack_telemetry, auto_enable_s3_logging, vpc_flow_parse,
-# guardduty_unwrap, salted_agg_routing_key, outlier_detection,
-# metrics_quantize, grouping_sets_lineitem, grouped_agg_udaf,
-# otlp_metric_parse, metadata_override_merge, fer_registry_apply,
-# delivery_accounting, cloudtrail_records_explode,
-# regexp_extract_docs, epoch_normalize), then the r5 cohort.  Keep the
-# window EXACTLY 50 — re-count after every edit
-# (tests/test_doc_counts.py pins this).
+# Round-11 rotation notes: recompute programmatically by aggregating
+# CORRECTNESS_r01-r10 — do not trust hand-maintained lists.  Owed the
+# r11 head: any round-11 additions and anything CORRECTNESS_r10 failed,
+# then the 32 r5-cohort queries this window could not fit
+# (loggroup_match, loggroup_subscription_plan, logstream_prefix_filter,
+# monitor_threshold_alerts, multimodal_resize_plan, nested_projection,
+# paragraph_dedup_stats, pq_codebook_stats, quality_binned_sample,
+# repetition_ratios, rollup_hierarchy_daily, securityhub_group_findings,
+# semantic_dedup_clusters, shard_plan, sns_message_parse,
+# stratified_hash_sample, sumoql_compare_timeshift, sumoql_csv_split,
+# sumoql_eval_functions, sumoql_fillmissing_zero,
+# sumoql_ip_date_functions, sumoql_logexplain, sumoql_lookup_expr,
+# sumoql_parse_field_chain, sumoql_percentile_first_last,
+# sumoql_split_values, sumoql_subquery_compose,
+# sumoql_timeslice_buckets, sumoql_trace_chain,
+# sumoql_transpose_matrix, transpose_event_matrix, url_decode_keys),
+# then the r6 cohort.  Keep the window EXACTLY 50 — re-count after
+# every edit (tests/test_doc_counts.py pins this).
 
 
 def _prioritized(d: dict) -> dict:
