@@ -1630,19 +1630,26 @@ def crawl_stage1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative clustering).  ``e_kept_docid_sum`` pins WHICH documents
     survived, not just how many.
 
-    Scale shape: the near-dup stage adds exactly two exchanges beyond
-    stage 0 — the signature collapse (explode shingles → ONE
-    map-side-combined groupBy(doc) computing all 8 mins, same algebra
-    as ``operators/dedup.py::minhash_signatures``) and the band-bucket
-    shuffle (window min per (band, band_key), then a groupBy(doc)
-    collapse).  Buckets are md5-uniform except true duplicate
-    clusters, whose size the stage-0 domain cap already bounds — the
-    hot-bucket skew a raw crawl would have dies at the cap, which is
-    exactly why production runs the cap first.  Extraction and MinHash
-    run ONLY on cap/gate survivors.
+    Scale shape: ONE scan, one lineage — gate-failed rows ride the
+    dedup chain in singleton sentinel buckets instead of a
+    join-back-to-flags branch, because a self-join of two frames
+    derived from the same front end re-computes the scan + canonical
+    groupBy + cap window twice (the first cut of this query did
+    exactly that; ``.explain`` showed two parquet scans).  The
+    near-dup stage adds three exchanges beyond stage 0: the signature
+    collapse (explode shingles → ONE map-side-combined groupBy(doc)
+    computing all 8 mins, the ``operators/dedup.py::
+    minhash_signatures`` algebra inlined to carry the gate flags; the
+    band groupBy reuses its partitioning, no extra shuffle), the
+    band-bucket window, and the per-doc collapse.  Buckets are
+    md5-uniform except true duplicate clusters, whose size the
+    stage-0 domain cap already bounds — the hot-bucket skew a raw
+    crawl would have dies at the cap, which is exactly why production
+    runs the cap first.  Extraction runs only on cap survivors and
+    real MinHash work only on gate survivors.
     """
-    from ..operators.dedup import minhash_signatures
     from ..operators.html import extract_main_text
+    from ..operators.text import with_word_ngrams
 
     gid_s = F.expr("doc_id div 5").cast("string")
     tid = F.expr("(doc_id div 5) % 25").cast("string")
@@ -1674,28 +1681,56 @@ def crawl_stage1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "xt",
         F.length("xt").alias("xchars"),
         F.size(F.split(F.trim("xt"), r"\s+")).alias("xtok"),
-    )
-    gate = flags.filter((F.col("xchars") >= 120)
-                        & F.col("xtok").between(15, 1000))
-    sigs = minhash_signatures(
-        gate.select("doc_id", F.col("xt").alias("text")), num_hashes=8)
+    ).withColumn(
+        "gated", (F.col("xchars") >= 120)
+        & F.col("xtok").between(15, 1000))
+    # ONE lineage, one scan: gate-FAILED rows ride through the dedup
+    # chain instead of being joined back from a second branch (a
+    # flags/nd self-join re-computes the whole front end — scan,
+    # canonical groupBy, cap window — twice; at 100 TB that doubles
+    # the dominant cost).  Failed rows carry a single sentinel shingle
+    # and get a 'doc:'-prefixed band key below, which can never equal
+    # a real band key (md5-hex|md5-hex), so they occupy singleton
+    # buckets and neither join the near-dup space nor count as kept.
+    shingled = with_word_ngrams(
+        flags.withColumn(
+            "_sig_text", F.when(F.col("gated"), F.col("xt"))
+            .otherwise(F.concat(F.lit("doc "),
+                                F.col("doc_id").cast("string")))),
+        "_sig_text", 3, keep=("doc_id", "gated", "xchars"),
+        distinct=True,
+    ).select("doc_id", "gated", "xchars",
+             F.explode("grams").alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle"))))
+        .alias(f"h{s}")
+        for s in range(8)
+    ]
+    wide = shingled.groupBy("doc_id", "gated", "xchars").agg(*aggs)
+    sigs = wide.select(
+        "doc_id", "gated", "xchars",
+        F.expr("stack(8, " + ", ".join(f"{s}, h{s}" for s in range(8))
+               + ") AS (seed, minhash)"))
     banded = sigs.withColumn(
         "band", (F.col("seed") / 2).cast("int")
-    ).groupBy("doc_id", "band").agg(
+    ).groupBy("doc_id", "gated", "xchars", "band").agg(
         F.concat_ws("|", F.sort_array(F.collect_list("minhash")))
-        .alias("band_key"))
+        .alias("_bk")
+    ).withColumn(
+        "band_key",
+        F.when(F.col("gated"), F.col("_bk"))
+        .otherwise(F.concat(F.lit("doc:"),
+                            F.col("doc_id").cast("string"))))
     bf = banded.withColumn(
         "bucket_first",
         F.min("doc_id").over(Window.partitionBy("band", "band_key")))
-    nd = bf.groupBy("doc_id").agg(
+    nd = bf.groupBy("doc_id", "gated", "xchars").agg(
         F.min("bucket_first").alias("first_seen"))
-    merged = flags.join(nd, "doc_id", "left")
-    kept = F.col("first_seen") == F.col("doc_id")
-    agg = merged.agg(
+    kept = F.col("gated") & (F.col("first_seen") == F.col("doc_id"))
+    agg = nd.agg(
         F.count(F.lit(1)).alias("a_domain_cap"),
         F.count_if(F.col("xchars") >= 120).alias("b_min_content"),
-        F.count_if(F.col("first_seen").isNotNull()).alias(
-            "c_token_band"),
+        F.count_if(F.col("gated")).alias("c_token_band"),
         F.count_if(kept).alias("d_near_dup"),
         F.sum(F.when(kept, F.col("doc_id")).otherwise(F.lit(0)))
         .cast("bigint").alias("e_kept_docid_sum"),
