@@ -168,6 +168,8 @@ OPTIONAL = [
     "phash_hamming_neardup",
     "split_ngram_decontamination",
     "crawl_stage0_funnel",
+    # round-10 wave
+    "crawl_stage1_funnel",
 ]
 
 

@@ -1261,6 +1261,7 @@ def _funnel_ranked_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("reg_dom").orderBy("doc_id")
     return keepers.withColumn("rn", F.row_number().over(w))
 
+
 _FUNNEL_HTML_SQL = """
     '<html><head><style>.m{c:red}</style><script>var t=1;</script>'
     || '</head><body><nav><a href="/">Home</a> '
