@@ -1741,3 +1741,89 @@ def crawl_stage1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'b_min_content', b_min_content, 'c_token_band', c_token_band, "
         "'d_near_dup', d_near_dup, "
         "'e_kept_docid_sum', e_kept_docid_sum) AS (stage, n_docs)"))
+
+
+@query(
+    "registered_domain_psl_caps",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               'https://' || {host} || '/d/' || doc_id AS url
+        FROM documents
+    ),
+    hosts AS (
+        SELECT doc_id,
+               regexp_extract(url, '^https?://([^/:?#]+)', 1) AS host
+        FROM raw
+    ),
+    reg AS (
+        SELECT doc_id, host, {reg_dom} AS reg_dom FROM hosts
+    ),
+    ranked AS (
+        SELECT doc_id, host, reg_dom,
+               row_number() OVER (PARTITION BY reg_dom ORDER BY doc_id)
+                   AS rn
+        FROM reg
+    )
+    SELECT reg_dom,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(length(reg_dom)
+                - length(replace(reg_dom, '.', '')) AS BIGINT)
+               AS n_dots,
+           CAST(count_if(rn <= 5) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn <= 5 THEN doc_id ELSE 0 END)
+                AS BIGINT) AS kept_docid_sum
+    FROM ranked
+    GROUP BY reg_dom
+    """.replace("{host}", _CAP_HOST_SQL)
+    .replace("{reg_dom}", _urlsmod.registered_domain_sql("host")),
+)
+def registered_domain_psl_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain caps through the PRODUCTION registered-domain path: the
+    public-suffix set as a broadcast-joined lookup table
+    (``functions/urls.py::with_registered_domain_psl``) instead of the
+    codegen'd literal tuple — the form that scales to the real ~9k-rule
+    Public Suffix List, which belongs in data, not code.  Same
+    subdomain-sharded fixture as ``url_domain_caps`` but a tighter cap
+    (5) and an ``n_dots`` column that pins the label-count of every
+    publisher key, so a suffix-table miss (folding pub5.co.uk to
+    co.uk-level or keeping 4 labels) is a value failure, not just a
+    grouping change.
+
+    Scale shape: identical to ``url_domain_caps`` plus ONE broadcast
+    hash join against the suffix table (build side = the PSL, ~9k rows
+    — broadcast, zero shuffle of the fact side).  The oracle computes
+    the registered domain with the same suffix logic inlined — the two
+    paths provably agree under the hash gate, not just in pytest.
+    """
+    from ..functions.urls import with_registered_domain_psl
+
+    docs = table(spark, sf_dir, "documents")
+    p = F.col("doc_id") % 8
+    s = F.expr("(doc_id div 8) % 3").cast("string")
+    host_fx = (
+        F.when(p == 5, F.concat(F.lit("news"), s, F.lit(".pub5.co.uk")))
+        .when(p == 6, F.lit("192.168.0.6"))
+        .when(p == 7, F.concat(F.lit("CDN"), s, F.lit(".Pub7.ORG.")))
+        .otherwise(F.concat(F.lit("cdn"), s, F.lit(".pub"),
+                            p.cast("string"), F.lit(".org")))
+    )
+    url = F.concat(F.lit("https://"), host_fx, F.lit("/d/"),
+                   F.col("doc_id").cast("string"))
+    hosts = docs.select(
+        "doc_id",
+        F.regexp_extract(url, "^https?://([^/:?#]+)", 1).alias("host"))
+    reg = with_registered_domain_psl(hosts, "host", out_col="reg_dom")
+    w = Window.partitionBy("reg_dom").orderBy("doc_id")
+    ranked = reg.withColumn("rn", F.row_number().over(w))
+    cap = 5
+    return ranked.groupBy("reg_dom").agg(
+        F.count_distinct(F.col("host")).alias("n_hosts"),
+        (F.length(F.first("reg_dom"))
+         - F.length(F.replace(F.first("reg_dom"), F.lit("."),
+                              F.lit("")))).cast("bigint")
+        .alias("n_dots"),
+        F.count_if(F.col("rn") <= cap).alias("n_kept"),
+        F.sum(F.when(F.col("rn") <= cap, F.col("doc_id"))
+              .otherwise(F.lit(0))).alias("kept_docid_sum"),
+    )
