@@ -97,10 +97,12 @@ SHOWCASE = [
     "psi_drift_score",        # one conditional-count groupBy + scalar
     "url_canonical_dedup",    # codegen canonicalizer + one key shuffle
     "html_text_extraction",   # zero-exchange regex/HOF projection
-    "url_domain_caps",        # host-partitioned rank + per-host rollup
+    "url_domain_caps",        # publisher-partitioned rank + rollup
     "phash_hamming_neardup",  # band equi-join, bit_count(xor) verify
     "split_ngram_decontamination",  # uniform-key gram join, 2-level agg
     "crawl_stage0_funnel",    # single-lineage 5-stage conditional agg
+    "crawl_stage1_funnel",    # one-scan stage-0+near-dup composition
+    "registered_domain_psl_caps",  # broadcast PSL join, one window
 ]
 
 
