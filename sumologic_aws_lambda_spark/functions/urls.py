@@ -146,35 +146,47 @@ def registered_domain(host: Column | str) -> Column:
     than needed pass through unchanged; NULL stays NULL.
     """
     raw = F.col(host) if isinstance(host, str) else host
-    # normalization is NOT assumed from the caller (round-9 third-pass
-    # review: an uppercase .CO.UK host missed the suffix list and
-    # folded every such publisher into one 'CO.UK' key)
-    h = F.lower(raw)
-    # strip ALL trailing dots (round-9 fourth-pass review: a doubled
-    # 'example.com..' kept one dot after a single strip, split to a
-    # trailing empty label, and folded every such malformed host into
-    # one per-TLD key).  Replacement is a plain '' — no backreference
-    # portability concern, and this function has no SQL twin.
-    h = F.regexp_replace(h, r"\.+$", "")
-    labels = F.split(h, r"\.")
-    n = F.size(labels)
-    # try_element_at, not element_at: ANSI mode throws on out-of-range
-    # negative indexes and when() evaluates every branch (repo rule 7) —
-    # a single-label host would otherwise kill the task.
-    tail2 = F.concat_ws(".", F.try_element_at(labels, F.lit(-2)),
-                        F.try_element_at(labels, F.lit(-1)))
-    tail3 = F.concat_ws(".", F.try_element_at(labels, F.lit(-3)),
-                        F.try_element_at(labels, F.lit(-2)),
-                        F.try_element_at(labels, F.lit(-1)))
-    is_multi = tail2.isin(*MULTI_LABEL_SUFFIXES)
-    is_ipv4 = h.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$")
+    h, labels, n, tails, is_ipv4 = _host_label_parts(raw)
+    is_multi = tails[2].isin(*MULTI_LABEL_SUFFIXES)
     return (
         F.when(h.isNull(), F.lit(None).cast("string"))
         .when(is_ipv4, h)
-        .when(is_multi & (n >= 3), tail3)
-        .when(~is_multi & (n >= 2), tail2)
+        .when(is_multi & (n >= 3), tails[3])
+        .when(~is_multi & (n >= 2), tails[2])
         .otherwise(h)
     )
+
+
+def _host_label_parts(raw: Column):
+    """Shared normalize/label-slice block of the registered-domain
+    paths (literal tuple AND broadcast PSL) — ONE place, so a
+    normalization fix can never land in one path and not the other
+    (the round-9 trailing-dot and lowercase fixes both lived here).
+
+    Returns ``(h, labels, n, tails, is_ipv4)`` where ``tails[k]`` is
+    the last-``k``-labels string for k = 1..5.  Normalization: lower
+    (an uppercase .CO.UK host would miss the suffix set — round-9
+    third-pass review) and strip ALL trailing FQDN dots (a doubled
+    'example.com..' kept one dot after a single strip and folded every
+    such malformed host into one per-TLD key — round-9 fourth-pass
+    review; the replacement is a plain '', no backreference
+    portability concern).  ``try_element_at``, not ``element_at``:
+    ANSI mode throws on out-of-range negative indexes and when()
+    evaluates every branch (repo rule 7) — a single-label host would
+    otherwise kill the task; ``concat_ws`` skips the NULLs, so a
+    ``tails[k]`` with fewer than k labels collapses to the full host
+    (and can never equal a k-label rule, which carries k-1 dots).
+    """
+    h = F.regexp_replace(F.lower(raw), r"\.+$", "")
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    tails = {
+        k: F.concat_ws(".", *[F.try_element_at(labels, F.lit(-i))
+                              for i in range(k, 0, -1)])
+        for k in range(1, 6)
+    }
+    is_ipv4 = h.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$")
+    return h, labels, n, tails, is_ipv4
 
 
 def registered_domain_sql(host: str) -> str:
@@ -208,44 +220,79 @@ def registered_domain_sql(host: str) -> str:
 def with_registered_domain_psl(df, host_col: str,
                                out_col: str = "registered_domain",
                                suffix_rows=None):
-    """Production-path registered domain: the multi-label public-suffix
-    set as a BROADCAST-joined lookup table instead of the literal
-    ``isin`` tuple — the real Public Suffix List is ~9k rules and
-    changes monthly, which belongs in data, not code.  The expression
-    shape (normalize → label slice → suffix test) is identical to
-    :func:`registered_domain`; only the membership test moves from a
-    codegen'd IN-list to a broadcast hash join, which at 9k rows costs
-    one build-side broadcast and zero shuffles of the fact side.
+    """Production-path registered domain: the public-suffix set as
+    BROADCAST-joined lookup tables instead of the literal ``isin``
+    tuple — the real Public Suffix List is ~9k rules and changes
+    monthly, which belongs in data, not code.  The normalize /
+    label-slice block is SHARED with :func:`registered_domain`
+    (``_host_label_parts``); the membership test moves from a
+    codegen'd IN-list to per-tier broadcast hash joins (build side =
+    the rules of that label depth), zero shuffles of the fact side.
+
+    Rule support — exact rules of 1–4 labels, longest match wins
+    (PSL §Algorithm): a k-label matching rule makes the registered
+    domain the last k+1 labels; a host that IS a listed suffix passes
+    through unchanged; unlisted TLDs get the PSL's implicit 1-label
+    default (registered = last 2 labels).  1-label rules are accepted
+    and dropped (identical to the default).  Wildcard (``*.ck``) and
+    exception (``!www.ck``) rules are NOT supported and raise — a
+    silent skip would mis-key every host under such a TLD; strip or
+    expand them upstream.  Deeper-than-4-label exact rules raise for
+    the same reason.  Duplicate rules are collapsed (a doubled rule
+    must not fan out fact rows through the join).
 
     ``suffix_rows`` defaults to ``MULTI_LABEL_SUFFIXES`` so the two
     forms are provably interchangeable (tests/test_urls.py pins the
-    agreement); production passes the full PSL instead.
+    agreement); an explicitly passed EMPTY rule set raises rather than
+    silently falling back to the fixture tuple (an empty-parse PSL
+    file must not fake production keys).
     """
+    if suffix_rows is None:
+        suffix_rows = MULTI_LABEL_SUFFIXES
+    rules = sorted(set(suffix_rows))
+    if not rules:
+        raise ValueError(
+            "empty public-suffix rule set — refusing to fall back to "
+            "the fixture tuple; pass suffix_rows=None for the default")
+    bad = [r for r in rules if r.startswith("*") or r.startswith("!")]
+    if bad:
+        raise ValueError(
+            f"wildcard/exception PSL rules are not supported (got "
+            f"{bad[:3]}...): expand or strip them upstream — skipping "
+            f"them silently would mis-key every host under those TLDs")
+    deep = [r for r in rules if r.count(".") > 3]
+    if deep:
+        raise ValueError(
+            f"PSL rules deeper than 4 labels are not supported (got "
+            f"{deep[:3]}...)")
+    tiers = {k: [r for r in rules if r.count(".") == k - 1]
+             for k in (2, 3, 4)}
     spark = df.sparkSession
-    suffix_df = spark.createDataFrame(
-        [(s,) for s in (suffix_rows or MULTI_LABEL_SUFFIXES)],
-        "_psl_suffix string")
     raw = F.col(host_col)
-    h = F.regexp_replace(F.lower(raw), r"\.+$", "")
-    labels = F.split(h, r"\.")
-    n = F.size(labels)
-    tail2 = F.concat_ws(".", F.try_element_at(labels, F.lit(-2)),
-                        F.try_element_at(labels, F.lit(-1)))
-    tail3 = F.concat_ws(".", F.try_element_at(labels, F.lit(-3)),
-                        F.try_element_at(labels, F.lit(-2)),
-                        F.try_element_at(labels, F.lit(-1)))
-    is_ipv4 = h.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$")
-    probe = df.withColumn("_psl_tail2", tail2)
-    joined = probe.join(F.broadcast(suffix_df),
-                        probe["_psl_tail2"] == suffix_df["_psl_suffix"],
-                        "left")
-    matched = F.col("_psl_suffix").isNotNull()
+    h, labels, n, tails, is_ipv4 = _host_label_parts(raw)
+    joined = df
+    matched = {}
+    for k, tier_rules in tiers.items():
+        if not tier_rules:
+            matched[k] = F.lit(False)
+            continue
+        tier_df = spark.createDataFrame(
+            [(r,) for r in tier_rules], f"_psl_s{k} string")
+        joined = joined.join(
+            F.broadcast(tier_df),
+            tails[k] == F.col(f"_psl_s{k}"), "left")
+        matched[k] = F.col(f"_psl_s{k}").isNotNull()
     reg = (
         F.when(h.isNull(), F.lit(None).cast("string"))
         .when(is_ipv4, h)
-        .when(matched & (n >= 3), tail3)
-        .when(~matched & (n >= 2), tail2)
+        .when(matched[4] & (n >= 5), tails[5])
+        .when(matched[4], h)
+        .when(matched[3] & (n >= 4), tails[4])
+        .when(matched[3], h)
+        .when(matched[2] & (n >= 3), tails[3])
+        .when(matched[2], h)
+        .when(n >= 2, tails[2])
         .otherwise(h)
     )
-    return joined.withColumn(out_col, reg).drop("_psl_tail2",
-                                                "_psl_suffix")
+    return joined.withColumn(out_col, reg).drop(
+        *[f"_psl_s{k}" for k in (2, 3, 4)])

@@ -1077,6 +1077,28 @@ _CAP_HOST_SQL = """
 """
 
 
+def _cap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_CAP_HOST_SQL`` — (doc_id, host) for the
+    subdomain-sharded cap fixture, shared by ``url_domain_caps`` and
+    ``registered_domain_psl_caps`` so the two queries' claim of 'the
+    same fixture' is one definition, not a copy."""
+    docs = table(spark, sf_dir, "documents")
+    p = F.col("doc_id") % 8
+    s = F.expr("(doc_id div 8) % 3").cast("string")
+    host_fx = (
+        F.when(p == 5, F.concat(F.lit("news"), s, F.lit(".pub5.co.uk")))
+        .when(p == 6, F.lit("192.168.0.6"))
+        .when(p == 7, F.concat(F.lit("CDN"), s, F.lit(".Pub7.ORG.")))
+        .otherwise(F.concat(F.lit("cdn"), s, F.lit(".pub"),
+                            p.cast("string"), F.lit(".org")))
+    )
+    url = F.concat(F.lit("https://"), host_fx, F.lit("/d/"),
+                   F.col("doc_id").cast("string"))
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(url, "^https?://([^/:?#]+)", 1).alias("host"))
+
+
 @query(
     "url_domain_caps",
     oracle="""
@@ -1135,21 +1157,7 @@ def url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.urls import registered_domain
 
-    docs = table(spark, sf_dir, "documents")
-    p = F.col("doc_id") % 8
-    s = F.expr("(doc_id div 8) % 3").cast("string")
-    host_fx = (
-        F.when(p == 5, F.concat(F.lit("news"), s, F.lit(".pub5.co.uk")))
-        .when(p == 6, F.lit("192.168.0.6"))
-        .when(p == 7, F.concat(F.lit("CDN"), s, F.lit(".Pub7.ORG.")))
-        .otherwise(F.concat(F.lit("cdn"), s, F.lit(".pub"),
-                            p.cast("string"), F.lit(".org")))
-    )
-    url = F.concat(F.lit("https://"), host_fx, F.lit("/d/"),
-                   F.col("doc_id").cast("string"))
-    hosts = docs.select(
-        "doc_id",
-        F.regexp_extract(url, "^https?://([^/:?#]+)", 1).alias("host"))
+    hosts = _cap_hosts(spark, sf_dir)
     reg = hosts.withColumn("reg_dom", registered_domain("host"))
     w = Window.partitionBy("reg_dom").orderBy("doc_id")
     ranked = reg.withColumn("rn", F.row_number().over(w))
@@ -1798,21 +1806,7 @@ def registered_domain_psl_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.urls import with_registered_domain_psl
 
-    docs = table(spark, sf_dir, "documents")
-    p = F.col("doc_id") % 8
-    s = F.expr("(doc_id div 8) % 3").cast("string")
-    host_fx = (
-        F.when(p == 5, F.concat(F.lit("news"), s, F.lit(".pub5.co.uk")))
-        .when(p == 6, F.lit("192.168.0.6"))
-        .when(p == 7, F.concat(F.lit("CDN"), s, F.lit(".Pub7.ORG.")))
-        .otherwise(F.concat(F.lit("cdn"), s, F.lit(".pub"),
-                            p.cast("string"), F.lit(".org")))
-    )
-    url = F.concat(F.lit("https://"), host_fx, F.lit("/d/"),
-                   F.col("doc_id").cast("string"))
-    hosts = docs.select(
-        "doc_id",
-        F.regexp_extract(url, "^https?://([^/:?#]+)", 1).alias("host"))
+    hosts = _cap_hosts(spark, sf_dir)
     reg = with_registered_domain_psl(hosts, "host", out_col="reg_dom")
     w = Window.partitionBy("reg_dom").orderBy("doc_id")
     ranked = reg.withColumn("rn", F.row_number().over(w))

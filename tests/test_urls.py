@@ -205,3 +205,56 @@ def test_registered_domain_psl_lookup_agrees_with_literal(spark):
     assert lit == psl
     # the lookup path must not drop or duplicate rows on the left join
     assert len(psl_rows) == len(_TRICKY_HOSTS)
+
+
+def test_psl_lookup_multi_tier_rules_longest_match_wins(spark):
+    """Round-10 review fix: the PSL path supports exact rules of 1-4
+    labels with longest-match-wins, so real PSL rules like
+    'schools.nsw.edu.au' key correctly instead of silently folding to
+    the 2-label tier."""
+    from sumologic_aws_lambda_spark.functions.urls import (
+        with_registered_domain_psl,
+    )
+
+    rules = ["com", "co.uk", "nsw.edu.au", "schools.nsw.edu.au"]
+    cases = [
+        ("x.schools.nsw.edu.au", "x.schools.nsw.edu.au"),
+        ("a.b.schools.nsw.edu.au", "b.schools.nsw.edu.au"),
+        ("y.nsw.edu.au", "y.nsw.edu.au"),
+        ("nsw.edu.au", "nsw.edu.au"),       # host IS a suffix
+        ("schools.nsw.edu.au", "schools.nsw.edu.au"),
+        ("cdn.example.co.uk", "example.co.uk"),
+        ("www.example.com", "example.com"),  # 1-label rule == default
+        ("plain.org", "plain.org"),          # unlisted TLD default
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)],
+        "i int, host string")
+    got = {r["i"]: r["d"] for r in with_registered_domain_psl(
+        df, "host", out_col="d", suffix_rows=rules)
+        .select("i", "d").collect()}
+    assert got == {i: e for i, (_, e) in enumerate(cases)}
+
+
+def test_psl_lookup_validates_rule_set(spark):
+    """Empty, wildcard, exception, and too-deep rule sets raise
+    instead of silently mis-keying (round-10 review findings); a
+    duplicated rule must not fan out fact rows through the join."""
+    from sumologic_aws_lambda_spark.functions.urls import (
+        with_registered_domain_psl,
+    )
+
+    df = spark.createDataFrame([(1, "a.b.co.uk")], "i int, host string")
+    with pytest.raises(ValueError, match="empty"):
+        with_registered_domain_psl(df, "host", suffix_rows=[])
+    with pytest.raises(ValueError, match="wildcard"):
+        with_registered_domain_psl(df, "host", suffix_rows=["*.ck"])
+    with pytest.raises(ValueError, match="wildcard"):
+        with_registered_domain_psl(df, "host", suffix_rows=["!www.ck"])
+    with pytest.raises(ValueError, match="deeper"):
+        with_registered_domain_psl(
+            df, "host", suffix_rows=["a.b.c.d.e"])
+    dup = with_registered_domain_psl(
+        df, "host", out_col="d", suffix_rows=["co.uk", "co.uk"])
+    rows = dup.collect()
+    assert len(rows) == 1 and rows[0]["d"] == "b.co.uk"
