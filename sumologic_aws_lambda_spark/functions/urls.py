@@ -249,7 +249,13 @@ def with_registered_domain_psl(df, host_col: str,
     """
     if suffix_rows is None:
         suffix_rows = MULTI_LABEL_SUFFIXES
-    rules = sorted(set(suffix_rows))
+    # normalize rules the way hosts are normalized (lowercase; strip
+    # whitespace a naive PSL file read leaves on every line) — an
+    # un-normalized 'CO.UK' or 'co.uk\n' would silently never match
+    # the lowercased hosts and mis-key every publisher under it
+    # (round-10 second-pass review)
+    rules = sorted({str(r).strip().lower() for r in suffix_rows}
+                   - {""})
     if not rules:
         raise ValueError(
             "empty public-suffix rule set — refusing to fall back to "

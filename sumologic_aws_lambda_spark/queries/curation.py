@@ -1811,13 +1811,18 @@ def registered_domain_psl_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("reg_dom").orderBy("doc_id")
     ranked = reg.withColumn("rn", F.row_number().over(w))
     cap = 5
-    return ranked.groupBy("reg_dom").agg(
+    grouped = ranked.groupBy("reg_dom").agg(
         F.count_distinct(F.col("host")).alias("n_hosts"),
-        (F.length(F.first("reg_dom"))
-         - F.length(F.replace(F.first("reg_dom"), F.lit("."),
-                              F.lit("")))).cast("bigint")
-        .alias("n_dots"),
         F.count_if(F.col("rn") <= cap).alias("n_kept"),
         F.sum(F.when(F.col("rn") <= cap, F.col("doc_id"))
               .otherwise(F.lit(0))).alias("kept_docid_sum"),
     )
+    # n_dots is a function of the GROUP KEY — derive it after the
+    # aggregate (round-10 second-pass review: two first() aggregates
+    # duplicated the expression for no reason)
+    n_dots = (F.length("reg_dom")
+              - F.length(F.replace(F.col("reg_dom"), F.lit("."),
+                                   F.lit("")))).cast("bigint")
+    return grouped.select(
+        "reg_dom", "n_hosts", n_dots.alias("n_dots"), "n_kept",
+        "kept_docid_sum")

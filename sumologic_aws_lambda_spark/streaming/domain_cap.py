@@ -33,10 +33,14 @@ from .dedup import _overwrite_batch_partition, _read_store
 
 def default_cap_key(url_col: Column) -> Column:
     """Canonical-URL host → registered domain: the publisher key the
-    batch cap uses (``queries/curation.py::url_domain_caps``)."""
+    batch cap uses (``queries/curation.py::url_domain_caps``).
+    ``regexp_extract`` yields '' (not NULL) when the canonical URL is
+    not http(s) — nullify it so those rows reach the caller-visible
+    ``(null)`` sentinel budget instead of silently pooling in a
+    near-invisible empty-string key (round-10 second-pass review)."""
     host = F.regexp_extract(canonicalize_url(url_col),
                             "^https?://([^/:?#]+)", 1)
-    return registered_domain(host)
+    return registered_domain(F.when(host != "", host))
 
 
 class DomainCapSink:
@@ -77,14 +81,19 @@ class DomainCapSink:
         prior = _read_store(self._spark, self._store,
                             "key string, admitted bigint",
                             exclude_batch=batch_id)
-        prior_counts = prior.groupBy("key").agg(
+        # store-side key aliased to a collision-proof name: a bare
+        # .drop("key") would also drop a USER data column named 'key'
+        # from the admitted output (round-10 second-pass review)
+        prior_counts = prior.groupBy(
+            F.col("key").alias("_cap_prior_key")).agg(
             F.sum("admitted").alias("_prior"))
         w = Window.partitionBy("_cap_key").orderBy(self._order)
         ranked = keyed.withColumn("_rn", F.row_number().over(w))
         joined = ranked.join(
-            prior_counts, ranked["_cap_key"] == prior_counts["key"],
+            prior_counts,
+            ranked["_cap_key"] == prior_counts["_cap_prior_key"],
             "left",
-        ).drop("key").withColumn(
+        ).drop("_cap_prior_key").withColumn(
             "_prior", F.coalesce(F.col("_prior"), F.lit(0)))
         admitted = joined.filter(
             F.col("_prior") + F.col("_rn") <= self._cap)

@@ -213,20 +213,25 @@ class CentroidDriftMonitor:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         batch = _label_sums(batch_df, self.label_col, self.vec_col)
         rows = 0
+        # validate EVERY label's dimension against stored state BEFORE
+        # mutating any — raising mid-fold would leave earlier labels
+        # already added, and the engine's retry of the same batch would
+        # then double-count them silently (round-10 second-pass review)
+        for k, (sums, _n) in batch.items():
+            if k in self.state and len(self.state[k][0]) != len(sums):
+                # zip() would silently truncate to the shorter vector
+                # and corrupt the running centroid with no alert — a
+                # dimension change mid-stream is a pipeline bug, not
+                # drift; refuse loudly.
+                raise ValueError(
+                    f"label {k!r}: micro-batch delivered "
+                    f"{len(sums)}-dim vectors but running state is "
+                    f"{len(self.state[k][0])}-dim — fixed-dimension "
+                    "input is required")
         for k, (sums, n) in batch.items():
             rows += n
             if k in self.state:
                 old_s, old_n = self.state[k]
-                if len(old_s) != len(sums):
-                    # zip() would silently truncate to the shorter
-                    # vector and corrupt the running centroid with no
-                    # alert — a dimension change mid-stream is a
-                    # pipeline bug, not drift; refuse loudly.
-                    raise ValueError(
-                        f"label {k!r}: micro-batch delivered "
-                        f"{len(sums)}-dim vectors but running state is "
-                        f"{len(old_s)}-dim — fixed-dimension input is "
-                        "required")
                 self.state[k] = ([a + b for a, b in zip(old_s, sums)],
                                  old_n + n)
             else:

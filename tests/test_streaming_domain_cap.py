@@ -100,3 +100,26 @@ def test_cap_over_engine_driven_micro_batches(spark, tmp_path):
     got = sorted(r["doc_id"] for r in out.collect())
     assert len(got) == 3  # the publisher budget, across both shards
     assert got[:2] == [1, 2]  # batch 0 admitted fully, batch 1 topped up
+
+
+def test_non_http_urls_use_null_sentinel_and_key_column_survives(
+        spark, tmp_path):
+    """Round-10 second-pass fixes: a non-http(s) URL keys to the
+    visible '(null)' sentinel (regexp_extract's '' is nullified, not
+    coalesce-bypassed), and a user data column named 'key' survives
+    the prior-counts join untouched."""
+    sink = DomainCapSink(spark, str(tmp_path / "store"),
+                         str(tmp_path / "out"), cap=1)
+    batch = spark.createDataFrame(
+        [(1, "ftp://files.example.org/a", "k1"),
+         (2, "wss://live.example.org/b", "k2"),
+         (3, "https://ok.example.org/x", "k3")],
+        "doc_id bigint, url string, key string")
+    sink(batch, 0)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert "key" in out.columns  # user column not dropped by the join
+    got = {r["doc_id"]: r["key"] for r in out.collect()}
+    assert got == {1: "k1", 3: "k3"}  # cap=1 per key: ftp row 1 admitted
+    store = spark.read.parquet(str(tmp_path / "store"))
+    keys = {r["key"] for r in store.select("key").collect()}
+    assert "(null)" in keys  # non-http budget is visible, not ''

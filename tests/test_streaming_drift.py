@@ -300,3 +300,29 @@ def test_centroid_monitor_all_null_dim_coalesces_to_zero(spark):
     mon(_vecs(spark, [("a", [1.0, None])]), 0)
     assert mon.state["a"][0] == [1.0, 0.0]
     assert mon.reports[0].drifted_labels == []
+
+
+def test_centroid_monitor_dim_check_precedes_any_fold(spark):
+    """Round-10 second-pass fix: a batch mixing a valid label with a
+    dimension-changed one must not fold ANY label before raising —
+    otherwise the engine's retry of the same batch double-counts the
+    valid labels silently."""
+    from sumologic_aws_lambda_spark.streaming.drift import (
+        CentroidDriftMonitor,
+        reference_centroids,
+    )
+
+    ref = _vecs(spark, [("a", [1.0, 0.0]), ("z", [0.0, 1.0])])
+    mon = CentroidDriftMonitor(reference_centroids(ref, "label", "e"),
+                               "label", "e")
+    mon(_vecs(spark, [("a", [1.0, 0.0]), ("z", [0.0, 1.0])]), 0)
+    bad = spark.createDataFrame(
+        [("a", [2.0, 0.0]), ("z", [0.0, 1.0, 1.0])],
+        "label string, e array<double>")
+    with pytest.raises(ValueError, match="dim"):
+        mon(bad, 1)
+    # 'a' must NOT have been folded by the failed batch
+    assert mon.state["a"] == ([1.0, 0.0], 1)
+    # the retry (fixed upstream) folds exactly once
+    mon(_vecs(spark, [("a", [2.0, 0.0]), ("z", [0.0, 1.0])]), 1)
+    assert mon.state["a"] == ([3.0, 0.0], 2)
