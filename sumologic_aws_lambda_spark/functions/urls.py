@@ -274,31 +274,53 @@ def with_registered_domain_psl(df, host_col: str,
     tiers = {k: [r for r in rules if r.count(".") == k - 1]
              for k in (2, 3, 4)}
     spark = df.sparkSession
+    # collision-proof internal names: a user column literally named
+    # _psl_h / _psl_s2 / ... must survive untouched (round-10
+    # third-pass review — same reserved-name class as the sink's
+    # 'key' fix), so extend the prefix until it shadows nothing
+    u = "_psl"
+    while any(c.startswith(u) for c in df.columns):
+        u += "_x"
     raw = F.col(host_col)
     h, labels, n, tails, is_ipv4 = _host_label_parts(raw)
-    joined = df
+    # STAGE the normalized host pieces as materialized columns before
+    # the tier joins: join-condition expressions are re-evaluated per
+    # operator (Catalyst CSE does not cross operator boundaries), so
+    # joining on the raw expressions would recompute the regex-heavy
+    # normalization once per tier per fact row — the with_word_ngrams
+    # staging lesson applied here (round-10 third-pass review)
+    staged_cols = {
+        f"{u}_h": h, f"{u}_n": n, f"{u}_ip": is_ipv4,
+        f"{u}_t2": tails[2], f"{u}_t3": tails[3],
+        f"{u}_t4": tails[4], f"{u}_t5": tails[5],
+    }
+    joined = df.select(
+        "*", *[c.alias(name) for name, c in staged_cols.items()])
+    sh = F.col(f"{u}_h")
+    sn = F.col(f"{u}_n")
+    st = {k: F.col(f"{u}_t{k}") for k in (2, 3, 4, 5)}
     matched = {}
     for k, tier_rules in tiers.items():
         if not tier_rules:
             matched[k] = F.lit(False)
             continue
         tier_df = spark.createDataFrame(
-            [(r,) for r in tier_rules], f"_psl_s{k} string")
+            [(r,) for r in tier_rules], f"{u}_s{k} string")
         joined = joined.join(
             F.broadcast(tier_df),
-            tails[k] == F.col(f"_psl_s{k}"), "left")
-        matched[k] = F.col(f"_psl_s{k}").isNotNull()
+            st[k] == F.col(f"{u}_s{k}"), "left")
+        matched[k] = F.col(f"{u}_s{k}").isNotNull()
     reg = (
-        F.when(h.isNull(), F.lit(None).cast("string"))
-        .when(is_ipv4, h)
-        .when(matched[4] & (n >= 5), tails[5])
-        .when(matched[4], h)
-        .when(matched[3] & (n >= 4), tails[4])
-        .when(matched[3], h)
-        .when(matched[2] & (n >= 3), tails[3])
-        .when(matched[2], h)
-        .when(n >= 2, tails[2])
-        .otherwise(h)
+        F.when(sh.isNull(), F.lit(None).cast("string"))
+        .when(F.col(f"{u}_ip"), sh)
+        .when(matched[4] & (sn >= 5), st[5])
+        .when(matched[4], sh)
+        .when(matched[3] & (sn >= 4), st[4])
+        .when(matched[3], sh)
+        .when(matched[2] & (sn >= 3), st[3])
+        .when(matched[2], sh)
+        .when(sn >= 2, st[2])
+        .otherwise(sh)
     )
     return joined.withColumn(out_col, reg).drop(
-        *[f"_psl_s{k}" for k in (2, 3, 4)])
+        *staged_cols, *[f"{u}_s{k}" for k in (2, 3, 4)])

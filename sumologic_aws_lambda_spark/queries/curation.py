@@ -1483,7 +1483,8 @@ def crawl_stage0_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the dozen regexp passes are the funnel's dominant per-row
     # cost — paying them on rows the cap already killed inverts the
     # funnel's own ordering (round-9 fourth-pass review finding).  The
-    # oracle mirrors this with WHERE rn <= 10 + a LEFT JOIN back.
+    # oracle mirrors this with WHERE rn <= _FUNNEL_CAP + a LEFT JOIN
+    # back.
     xt = F.when(F.col("rn") <= _FUNNEL_CAP,
                 extract_main_text(html)["extracted_text"]) \
         .otherwise(F.lit(""))
@@ -1633,10 +1634,15 @@ def crawl_stage1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     registered-domain cap survivors → HTML main-text extraction →
     min-content + token-band gates → MinHash-LSH near-dup with
-    first-occurrence keep (a document is dropped iff ANY of its 4 LSH
-    band buckets contains an earlier-crawled survivor — the greedy
-    keep-first rule production dedup applies within a bucket, no
-    iterative clustering).  ``e_kept_docid_sum`` pins WHICH documents
+    first-occurrence keep: a document survives iff it is the
+    LOWEST-doc_id member of EVERY band bucket it occupies — i.e. it
+    is dropped when any bucket holds an earlier-crawled document,
+    surviving or already-dropped (A kills B, and B's later
+    bucket-mate C dies too even if C never shares a bucket with A).
+    Deliberately conservative and one-pass: stricter than
+    drop-on-earlier-SURVIVOR, cheaper than full connected-component
+    clustering (no iteration), and the oracle implements the
+    identical rule.  ``e_kept_docid_sum`` pins WHICH documents
     survived, not just how many.
 
     Scale shape: ONE scan, one lineage — gate-failed rows ride the

@@ -75,38 +75,48 @@ class DomainCapSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         n_in = batch_df.count()
+        # collision-proof internal names: a user batch column literally
+        # named _cap_key / _cap_rn / _cap_prior must survive untouched
+        # in the admitted output (round-10 third-pass review — the
+        # same reserved-name class as the store-side 'key' fix), so
+        # extend the prefix until it shadows nothing
+        u = "_cap"
+        while any(c.startswith(u) for c in batch_df.columns):
+            u += "_x"
+        c_key, c_rn, c_prior = f"{u}_key", f"{u}_rn", f"{u}_prior"
+        c_pkey = f"{u}_prior_key"
         keyed = batch_df.withColumn(
-            "_cap_key",
+            c_key,
             F.coalesce(self._key(F.col(self._url)), F.lit("(null)")))
         prior = _read_store(self._spark, self._store,
                             "key string, admitted bigint",
                             exclude_batch=batch_id)
-        # store-side key aliased to a collision-proof name: a bare
-        # .drop("key") would also drop a USER data column named 'key'
-        # from the admitted output (round-10 second-pass review)
+        # store-side key aliased too: a bare .drop("key") would also
+        # drop a USER data column named 'key' from the admitted output
+        # (round-10 second-pass review)
         prior_counts = prior.groupBy(
-            F.col("key").alias("_cap_prior_key")).agg(
-            F.sum("admitted").alias("_prior"))
-        w = Window.partitionBy("_cap_key").orderBy(self._order)
-        ranked = keyed.withColumn("_rn", F.row_number().over(w))
+            F.col("key").alias(c_pkey)).agg(
+            F.sum("admitted").alias(c_prior))
+        w = Window.partitionBy(c_key).orderBy(self._order)
+        ranked = keyed.withColumn(c_rn, F.row_number().over(w))
         joined = ranked.join(
             prior_counts,
-            ranked["_cap_key"] == prior_counts["_cap_prior_key"],
+            ranked[c_key] == prior_counts[c_pkey],
             "left",
-        ).drop("_cap_prior_key").withColumn(
-            "_prior", F.coalesce(F.col("_prior"), F.lit(0)))
+        ).drop(c_pkey).withColumn(
+            c_prior, F.coalesce(F.col(c_prior), F.lit(0)))
         admitted = joined.filter(
-            F.col("_prior") + F.col("_rn") <= self._cap)
+            F.col(c_prior) + F.col(c_rn) <= self._cap)
         # both writes must see ONE materialization — without this the
         # store write would re-read the input and could diverge from
         # the out write (the IncrementalDedupSink precedent)
         admitted = admitted.localCheckpoint()
         n_adm = admitted.count()
         _overwrite_batch_partition(
-            admitted.drop("_cap_key", "_rn", "_prior"),
+            admitted.drop(c_key, c_rn, c_prior),
             self._out, batch_id)
         _overwrite_batch_partition(
-            admitted.groupBy(F.col("_cap_key").alias("key")).agg(
+            admitted.groupBy(F.col(c_key).alias("key")).agg(
                 F.count(F.lit(1)).cast("bigint").alias("admitted")),
             self._store, batch_id)
         self.batch_stats.append((batch_id, n_in, n_adm))

@@ -123,3 +123,21 @@ def test_non_http_urls_use_null_sentinel_and_key_column_survives(
     store = spark.read.parquet(str(tmp_path / "store"))
     keys = {r["key"] for r in store.select("key").collect()}
     assert "(null)" in keys  # non-http budget is visible, not ''
+
+
+def test_reserved_internal_names_do_not_shadow_user_columns(
+        spark, tmp_path):
+    """Round-10 third-pass fix: user batch columns named _cap_key /
+    _cap_rn / _cap_prior survive the sink untouched (internal working
+    names are extended until they shadow nothing)."""
+    sink = DomainCapSink(spark, str(tmp_path / "store"),
+                         str(tmp_path / "out"), cap=2)
+    batch = spark.createDataFrame(
+        [(1, "https://a.pub.org/x", "u1", 7, 9)],
+        "doc_id bigint, url string, _cap_key string, "
+        "_cap_rn int, _cap_prior int")
+    sink(batch, 0)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    row = out.collect()[0]
+    assert row["_cap_key"] == "u1"
+    assert row["_cap_rn"] == 7 and row["_cap_prior"] == 9

@@ -258,3 +258,19 @@ def test_psl_lookup_validates_rule_set(spark):
         df, "host", out_col="d", suffix_rows=["co.uk", "co.uk"])
     rows = dup.collect()
     assert len(rows) == 1 and rows[0]["d"] == "b.co.uk"
+
+
+def test_psl_lookup_internal_names_do_not_shadow_user_columns(spark):
+    """Round-10 third-pass fix: a user column named _psl_h / _psl_s2
+    survives with_registered_domain_psl untouched."""
+    from sumologic_aws_lambda_spark.functions.urls import (
+        with_registered_domain_psl,
+    )
+
+    df = spark.createDataFrame(
+        [("cdn.example.co.uk", "keepme", "metoo")],
+        "host string, _psl_h string, _psl_s2 string")
+    got = with_registered_domain_psl(df, "host", out_col="d")
+    row = got.collect()[0]
+    assert row["d"] == "example.co.uk"
+    assert row["_psl_h"] == "keepme" and row["_psl_s2"] == "metoo"
