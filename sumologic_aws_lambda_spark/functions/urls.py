@@ -279,7 +279,11 @@ def with_registered_domain_psl(df, host_col: str,
     # third-pass review — same reserved-name class as the sink's
     # 'key' fix), so extend the prefix until it shadows nothing
     u = "_psl"
-    while any(c.startswith(u) for c in df.columns):
+    # out_col participates in the scan too: an out_col equal to an
+    # internal staged name would be dropped by the final drop(),
+    # silently returning a frame with no result column (round-10
+    # fourth-pass review)
+    while any(c.startswith(u) for c in (*df.columns, out_col)):
         u += "_x"
     raw = F.col(host_col)
     h, labels, n, tails, is_ipv4 = _host_label_parts(raw)

@@ -74,6 +74,16 @@ class DomainCapSink:
         self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, admitted)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if "batch_id" in batch_df.columns:
+            # the output/store layout partitions by batch_id, and a
+            # partition column SHADOWS a same-named data column on
+            # read-back — the user's values would silently read as the
+            # partition number (round-10 fourth-pass review).  Rename
+            # upstream; admitting the row and corrupting it later is
+            # worse than refusing.
+            raise ValueError(
+                "batch column 'batch_id' collides with the sink's "
+                "partition column — rename it before the sink")
         n_in = batch_df.count()
         # collision-proof internal names: a user batch column literally
         # named _cap_key / _cap_rn / _cap_prior must survive untouched

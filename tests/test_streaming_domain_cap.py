@@ -141,3 +141,15 @@ def test_reserved_internal_names_do_not_shadow_user_columns(
     row = out.collect()[0]
     assert row["_cap_key"] == "u1"
     assert row["_cap_rn"] == 7 and row["_cap_prior"] == 9
+
+
+def test_batch_id_data_column_is_rejected(spark, tmp_path):
+    """Round-10 fourth-pass fix: the partition column would shadow a
+    user data column named batch_id on read-back — refuse it."""
+    sink = DomainCapSink(spark, str(tmp_path / "store"),
+                         str(tmp_path / "out"), cap=2)
+    batch = spark.createDataFrame(
+        [(1, "https://a.pub.org/x", 99)],
+        "doc_id bigint, url string, batch_id bigint")
+    with pytest.raises(ValueError, match="batch_id"):
+        sink(batch, 0)

@@ -274,3 +274,16 @@ def test_psl_lookup_internal_names_do_not_shadow_user_columns(spark):
     row = got.collect()[0]
     assert row["d"] == "example.co.uk"
     assert row["_psl_h"] == "keepme" and row["_psl_s2"] == "metoo"
+
+
+def test_psl_lookup_out_col_may_use_internal_prefix(spark):
+    """Round-10 fourth-pass fix: out_col equal to an internal staged
+    name must not be dropped by the cleanup."""
+    from sumologic_aws_lambda_spark.functions.urls import (
+        with_registered_domain_psl,
+    )
+
+    df = spark.createDataFrame([("cdn.example.co.uk",)], "host string")
+    got = with_registered_domain_psl(df, "host", out_col="_psl_h")
+    assert got.columns == ["host", "_psl_h"]
+    assert got.collect()[0]["_psl_h"] == "example.co.uk"
