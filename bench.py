@@ -170,6 +170,7 @@ OPTIONAL = [
     "crawl_stage0_funnel",
     # round-10 wave
     "crawl_stage1_funnel",
+    "crawl_stage2_funnel",
     "registered_domain_psl_caps",
 ]
 

@@ -46,17 +46,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # programmatically this round by aggregating CORRECTNESS_r01-r09
 # latest-sample rounds; CORRECTNESS_r09 was 50/50 green so no failures
 # are owed a re-check): (a) the round-10 additions and rewrites — the
-# new stage-1 funnel (MinHash near-dedup on extracted text), the two
+# new stage-1/stage-2 funnels (MinHash near-dedup on extracted text;
+# quality gate + hash sample + per-publisher token budget), the two
 # queries re-keyed onto registered_domain (publisher-level caps,
 # subdomain-sharded fixtures, new oracles), and the PSL broadcast-join
 # production path under the hash gate; (b) ALL 31 queries whose
 # latest hard signal is round 4 (the oldest cohort — exactly the list
-# the round-9 note owed this window); (c) 15 of the 48-query r5
+# the round-9 note owed this window); (c) 14 of the 48-query r5
 # cohort, registry-name order, filling the window to exactly 50.
 _PRIORITY: tuple[str, ...] = (
     # -- (a) round-10 additions / registered-domain rewrites --
-    "crawl_stage1_funnel", "url_domain_caps", "crawl_stage0_funnel",
-    "registered_domain_psl_caps",
+    "crawl_stage1_funnel", "crawl_stage2_funnel", "url_domain_caps",
+    "crawl_stage0_funnel", "registered_domain_psl_caps",
     # -- (b) oldest-validated cohort (latest hard signal round 4) --
     "anti_join_idle_customers", "auto_enable_s3_logging",
     "cfn_stack_telemetry", "cloudtrail_records_explode",
@@ -71,7 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "sumoql_geoip_enrich", "sumoql_kv_extract", "sumoql_parse_multi",
     "two_hop_dim_join", "vpc_flow_parse", "window_running_total",
     "window_topn_orders",
-    # -- (c) r5 cohort, registry-name order, first 15 --
+    # -- (c) r5 cohort, registry-name order, first 14 --
     "ann_recall_eval", "apigw_body_rows_parse",
     "approx_topk_routing_keys", "chunked_batches",
     "cidr_prefix_aggregation", "content_pack_saved_search",
@@ -79,14 +80,13 @@ _PRIORITY: tuple[str, ...] = (
     "datetime_iso_serialize", "embedding_neardup_pairs",
     "fields_schema_apply", "gopher_quality_filters",
     "hll_daily_rollup", "incremental_dedup_batch",
-    "ingest_include_exclude_rules",
 )
 
 # Round-11 rotation notes: recompute programmatically by aggregating
 # CORRECTNESS_r01-r10 — do not trust hand-maintained lists.  Owed the
 # r11 head: any round-11 additions and anything CORRECTNESS_r10 failed,
-# then the 33 r5-cohort queries this window could not fit
-# (kv_flatten_props, loggroup_match, loggroup_subscription_plan, logstream_prefix_filter,
+# then the 34 r5-cohort queries this window could not fit
+# (ingest_include_exclude_rules, kv_flatten_props, loggroup_match, loggroup_subscription_plan, logstream_prefix_filter,
 # monitor_threshold_alerts, multimodal_resize_plan, nested_projection,
 # paragraph_dedup_stats, pq_codebook_stats, quality_binned_sample,
 # repetition_ratios, rollup_hierarchy_daily, securityhub_group_findings,

@@ -1832,3 +1832,289 @@ def registered_domain_psl_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.select(
         "reg_dom", "n_hosts", n_dots.alias("n_dots"), "n_kept",
         "kept_docid_sum")
+
+
+# Stage-2 page fixture: the stage-1 template/tail construction PLUS a
+# spam class — pages where gid % 13 = 11 replace the 5-word tail with
+# ONE word repeated 60 times (keyword-stuffing boilerplate), so the
+# repetition-ratio quality gate has something real to kill.  Kept as
+# its own literal so crawl_stage1_funnel's validated fixture is not
+# churned.
+_S2_HTML_SQL = """
+    '<html><head><script>var t=1;</script></head><body>'
+    || '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+    || CASE WHEN (doc_id // 5) % 11 = 7 THEN ''
+            ELSE '<p>' || array_to_string(list_transform(
+                     generate_series(1, 40),
+                     j -> 'w' || substr(md5(((doc_id // 5) % 25)
+                                            || ':' || j), 1, 6)), ' ')
+                 || '</p>' END
+    || '<P>' || CASE WHEN (doc_id // 5) % 13 = 11
+            THEN array_to_string(list_transform(
+                     generate_series(1, 60),
+                     j -> 'p' || substr(md5('pg:' || (doc_id // 5)
+                                            || ':1'), 1, 6)), ' ')
+            ELSE array_to_string(list_transform(
+                     generate_series(1, 5),
+                     j -> 'p' || substr(md5('pg:' || (doc_id // 5)
+                                            || ':' || j), 1, 6)), ' ')
+            END
+    || '</P><footer><a href="/p">Privacy</a> (c) corp</footer>'
+    || '</body></html>'
+"""
+
+
+@query(
+    "crawl_stage2_funnel",
+    oracle=_render_html_regexes("""
+    WITH {front},
+    capped AS (
+        SELECT doc_id, reg_dom, rn FROM ranked WHERE rn <= {cap}
+    ),
+    html AS (
+        SELECT doc_id, rn, {s2html} AS hx FROM capped
+    ),
+    {extract},
+    flags AS (
+        SELECT c.doc_id, c.reg_dom,
+               coalesce(e.xt, '') AS xt,
+               length(coalesce(e.xt, '')) AS xchars,
+               len(string_split_regex(trim(coalesce(e.xt, '')),
+                                      '\\s+')) AS xtok
+        FROM capped c LEFT JOIN ex e USING (doc_id)
+    ),
+    gated AS (
+        SELECT *, (xchars >= 120 AND xtok BETWEEN 15 AND 1000)
+                      AS is_gated
+        FROM flags
+    ),
+    docs2 AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(xt), '\\s+', ' ',
+                                                'g')), ' ') AS t
+        FROM gated WHERE is_gated
+    ),
+    grams AS (
+        SELECT doc_id,
+               array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+        FROM docs2,
+             LATERAL (SELECT unnest(generate_series(
+                          1, greatest(len(t) - 2, 1))) AS i) g
+    ),
+    gstats AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS total_g,
+               CAST(count(DISTINCT shingle) AS BIGINT) AS distinct_g
+        FROM grams GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+        FROM grams CROSS JOIN (SELECT unnest(generate_series(0, 7))
+                               AS seed) s
+        GROUP BY doc_id, seed
+    ),
+    banded AS (
+        SELECT doc_id, seed // 2 AS band,
+               string_agg(minhash, '|' ORDER BY minhash) AS band_key
+        FROM sig GROUP BY doc_id, seed // 2
+    ),
+    bf AS (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY band, band_key)
+                   AS bucket_first
+        FROM banded
+    ),
+    nd AS (
+        SELECT doc_id, min(bucket_first) AS first_seen
+        FROM bf GROUP BY doc_id
+    ),
+    merged AS (
+        SELECT g.doc_id, g.reg_dom, g.xtok, g.is_gated,
+               n.first_seen, s.total_g, s.distinct_g,
+               (g.is_gated AND n.first_seen = g.doc_id) AS nd_kept
+        FROM gated g
+        LEFT JOIN nd n USING (doc_id)
+        LEFT JOIN gstats s USING (doc_id)
+    ),
+    scored AS (
+        SELECT *,
+               (nd_kept AND NOT
+                ((total_g - distinct_g) * 2 > total_g)) AS quality,
+               (nd_kept AND NOT
+                ((total_g - distinct_g) * 2 > total_g)
+                AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'b2')
+                   AS sampled
+        FROM merged
+    ),
+    budget AS (
+        SELECT *,
+               sum(CASE WHEN sampled THEN xtok ELSE 0 END)
+                   OVER (PARTITION BY reg_dom ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum_tok
+        FROM scored
+    )
+    SELECT stage, n_docs FROM (
+        SELECT 'a_near_dup' AS stage,
+               CAST(count_if(nd_kept) AS BIGINT) AS n_docs FROM budget
+        UNION ALL
+        SELECT 'b_quality', CAST(count_if(quality) AS BIGINT)
+        FROM budget
+        UNION ALL
+        SELECT 'c_sampled', CAST(count_if(sampled) AS BIGINT)
+        FROM budget
+        UNION ALL
+        SELECT 'd_token_budget',
+               CAST(count_if(sampled AND cum_tok <= 100) AS BIGINT)
+        FROM budget
+        UNION ALL
+        SELECT 'e_kept_docid_sum',
+               CAST(sum(CASE WHEN sampled AND cum_tok <= 100
+                             THEN doc_id ELSE 0 END) AS BIGINT)
+        FROM budget
+    )
+    """.replace("{front}", _FUNNEL_FRONT_CTES)
+    .replace("{extract}", _FUNNEL_EXTRACT_CTES)
+    .replace("{url}", _FUNNEL_URL_SQL)
+    .replace("{s2html}", _S2_HTML_SQL)
+    .replace("{track_re}", _urlsmod.TRACKING_PARAM_RE)
+    .replace("{reg_dom}", _urlsmod.registered_domain_sql("host"))
+    .replace("{cap}", str(_FUNNEL_CAP))),
+)
+def crawl_stage2_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 2 of the crawl funnel — the selection wave a production
+    pipeline runs AFTER fuzzy dedup (RefinedWeb/FineWeb order: dedup →
+    quality filter → sampling/mixing → budget cut):
+
+    stage-1 near-dup survivors → repetition-ratio quality gate (a
+    keyword-stuffed page where over half the word 3-grams are repeats
+    is boilerplate; the fixture's spam class — one word repeated 60
+    times — exists to be killed by it) → deterministic ~70% hash
+    sample (first md5 byte ≤ 0xb2: membership is a pure row property,
+    reproducible on any engine/partitioning — the ``sample_by_hash``
+    idiom) → per-publisher token budget (cumulative extracted-token
+    count in crawl order capped at 100 — the balanced-mixing cut that
+    stops one publisher's long pages from dominating the sampled
+    corpus).
+
+    Single lineage, ONE scan: the gram explosion feeds BOTH the
+    MinHash signatures and the repetition counts (min() over a
+    multiset equals min() over its set, so the non-distinct gram
+    stream serves both; total/distinct ride the same groupBy), the
+    repetition test is an exact integer cross-product
+    ((total-distinct)*2 > total ⇔ ratio > 0.5 — no float boundary),
+    and the budget cumsum is a conditional window sum over ALL rows
+    (sampled rows contribute their tokens, others contribute 0) so no
+    stage needs a second pass over the frame.  Exchanges beyond
+    stage 1: ONE (the per-publisher budget window).
+    """
+    from ..operators.html import extract_main_text
+    from ..operators.text import with_word_ngrams
+
+    gid_s = F.expr("doc_id div 5").cast("string")
+    tid = F.expr("(doc_id div 5) % 25").cast("string")
+    shared = F.array_join(F.transform(
+        F.sequence(F.lit(1), F.lit(40)),
+        lambda j: F.concat(F.lit("w"), F.substring(
+            F.md5(F.concat(tid, F.lit(":"), j.cast("string"))),
+            1, 6))), " ")
+    spam_word = F.concat(F.lit("p"), F.substring(
+        F.md5(F.concat(F.lit("pg:"), gid_s, F.lit(":1"))), 1, 6))
+    tail = F.when(
+        F.expr("(doc_id div 5) % 13") == 11,
+        F.array_join(F.array_repeat(spam_word, 60), " "),
+    ).otherwise(F.array_join(F.transform(
+        F.sequence(F.lit(1), F.lit(5)),
+        lambda j: F.concat(F.lit("p"), F.substring(
+            F.md5(F.concat(F.lit("pg:"), gid_s, F.lit(":"),
+                           j.cast("string"))), 1, 6))), " "))
+    html = F.concat(
+        F.lit('<html><head><script>var t=1;</script></head><body>'
+              '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'),
+        F.when(F.expr("(doc_id div 5) % 11") == 7, F.lit(""))
+        .otherwise(F.concat(F.lit("<p>"), shared, F.lit("</p>"))),
+        F.lit("<P>"), tail,
+        F.lit('</P><footer><a href="/p">Privacy</a> (c) corp</footer>'
+              '</body></html>'),
+    )
+    capped = _funnel_ranked_keepers(spark, sf_dir) \
+        .filter(F.col("rn") <= _FUNNEL_CAP).select("doc_id", "reg_dom")
+    xt = extract_main_text(html)["extracted_text"]
+    flags = capped.select(
+        "doc_id", "reg_dom", F.coalesce(xt, F.lit("")).alias("xt"),
+    ).select(
+        "doc_id", "reg_dom", "xt",
+        F.length("xt").alias("xchars"),
+        F.size(F.split(F.trim("xt"), r"\s+")).alias("xtok"),
+    ).withColumn(
+        "gated", (F.col("xchars") >= 120)
+        & F.col("xtok").between(15, 1000))
+    # one gram stream serves MinHash AND the repetition counts (the
+    # stage-1 sentinel trick keeps gate-failed rows in the lineage)
+    shingled = with_word_ngrams(
+        flags.withColumn(
+            "_sig_text", F.when(F.col("gated"), F.col("xt"))
+            .otherwise(F.concat(F.lit("doc "),
+                                F.col("doc_id").cast("string")))),
+        "_sig_text", 3,
+        keep=("doc_id", "reg_dom", "gated", "xtok"),
+    ).select("doc_id", "reg_dom", "gated", "xtok",
+             F.explode("grams").alias("shingle"))
+    keys = ["doc_id", "reg_dom", "gated", "xtok"]
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle"))))
+        .alias(f"h{s}")
+        for s in range(8)
+    ] + [
+        F.count(F.lit(1)).alias("total_g"),
+        F.count_distinct(F.col("shingle")).alias("distinct_g"),
+    ]
+    wide = shingled.groupBy(*keys).agg(*aggs)
+    sigs = wide.select(
+        *keys, "total_g", "distinct_g",
+        F.expr("stack(8, " + ", ".join(f"{s}, h{s}" for s in range(8))
+               + ") AS (seed, minhash)"))
+    banded = sigs.withColumn(
+        "band", (F.col("seed") / 2).cast("int")
+    ).groupBy(*keys, "total_g", "distinct_g", "band").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list("minhash")))
+        .alias("_bk")
+    ).withColumn(
+        "band_key",
+        F.when(F.col("gated"), F.col("_bk"))
+        .otherwise(F.concat(F.lit("doc:"),
+                            F.col("doc_id").cast("string"))))
+    bf = banded.withColumn(
+        "bucket_first",
+        F.min("doc_id").over(Window.partitionBy("band", "band_key")))
+    nd = bf.groupBy(*keys, "total_g", "distinct_g").agg(
+        F.min("bucket_first").alias("first_seen"))
+    nd_kept = F.col("gated") & (F.col("first_seen") == F.col("doc_id"))
+    spammy = (F.col("total_g") - F.col("distinct_g")) * 2 \
+        > F.col("total_g")
+    quality = nd_kept & ~spammy
+    sampled = quality & (F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 2) <= "b2")
+    scored = nd.select(
+        *keys, "total_g", "distinct_g",
+        nd_kept.alias("nd_kept"), quality.alias("quality"),
+        sampled.alias("sampled"))
+    wb = Window.partitionBy("reg_dom").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    budget = scored.withColumn(
+        "cum_tok",
+        F.sum(F.when(F.col("sampled"), F.col("xtok"))
+              .otherwise(F.lit(0))).over(wb))
+    in_budget = F.col("sampled") & (F.col("cum_tok") <= 100)
+    agg = budget.agg(
+        F.count_if(F.col("nd_kept")).alias("a_near_dup"),
+        F.count_if(F.col("quality")).alias("b_quality"),
+        F.count_if(F.col("sampled")).alias("c_sampled"),
+        F.count_if(in_budget).alias("d_token_budget"),
+        F.sum(F.when(in_budget, F.col("doc_id")).otherwise(F.lit(0)))
+        .cast("bigint").alias("e_kept_docid_sum"),
+    )
+    return agg.select(F.expr(
+        "stack(5, 'a_near_dup', a_near_dup, 'b_quality', b_quality, "
+        "'c_sampled', c_sampled, 'd_token_budget', d_token_budget, "
+        "'e_kept_docid_sum', e_kept_docid_sum) AS (stage, n_docs)"))

@@ -102,6 +102,7 @@ SHOWCASE = [
     "split_ngram_decontamination",  # uniform-key gram join, 2-level agg
     "crawl_stage0_funnel",    # single-lineage 5-stage conditional agg
     "crawl_stage1_funnel",    # one-scan stage-0+near-dup composition
+    "crawl_stage2_funnel",    # quality+sample+budget, one more window
     "registered_domain_psl_caps",  # broadcast PSL join, one window
 ]
 
