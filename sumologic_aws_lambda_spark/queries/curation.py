@@ -1400,6 +1400,49 @@ _FUNNEL_EXTRACT_CTES = """
         FROM feats GROUP BY doc_id
     )"""
 
+# Shared oracle near-dedup chain (stage-1 AND stage-2 — one template,
+# so a band-key / seed-hash fix can never fork the two funnels'
+# semantics): consumes a CTE ``{nd_src}(doc_id, xt)`` of gate
+# survivors, yields ``nd(doc_id, first_seen)``.  ``{distinct}``
+# renders to DISTINCT when the caller needs only signatures (min over
+# a multiset equals min over its set) and to '' when the caller also
+# derives per-doc gram counts from the same ``grams`` CTE.
+_FUNNEL_NEARDUP_CTES = """
+    docs2 AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(xt), '\\s+', ' ',
+                                                'g')), ' ') AS t
+        FROM {nd_src}
+    ),
+    grams AS (
+        SELECT {distinct} doc_id,
+               array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+        FROM docs2,
+             LATERAL (SELECT unnest(generate_series(
+                          1, greatest(len(t) - 2, 1))) AS i) g
+    ),
+    sig AS (
+        SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+        FROM grams CROSS JOIN (SELECT unnest(generate_series(0, 7))
+                               AS seed) s
+        GROUP BY doc_id, seed
+    ),
+    banded AS (
+        SELECT doc_id, seed // 2 AS band,
+               string_agg(minhash, '|' ORDER BY minhash) AS band_key
+        FROM sig GROUP BY doc_id, seed // 2
+    ),
+    bf AS (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY band, band_key)
+                   AS bucket_first
+        FROM banded
+    ),
+    nd AS (
+        SELECT doc_id, min(bucket_first) AS first_seen
+        FROM bf GROUP BY doc_id
+    )"""
+
 
 @query(
     "crawl_stage0_funnel",
@@ -1511,6 +1554,68 @@ def crawl_stage0_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'e_token_band', e_token_band) AS (stage, n_docs)"))
 
 
+def _funnel_neardup(flags: DataFrame, keys: tuple[str, ...],
+                    with_counts: bool = False) -> DataFrame:
+    """Shared near-dedup chain of the crawl funnels (stage 1 AND
+    stage 2 — one definition, so a band-key or seed-hash fix can never
+    fork the two funnels' semantics; the oracle twin is
+    ``_FUNNEL_NEARDUP_CTES``).
+
+    ``flags`` must carry ``doc_id``, ``gated``, ``xt`` and every name
+    in ``keys`` (which must include ``doc_id`` and ``gated``).  Gate-
+    failed rows ride the chain in singleton sentinel buckets
+    ('doc:'-prefixed band keys that can never equal an
+    md5-hex|md5-hex key) so the caller keeps ONE lineage — see the
+    stage-1 docstring for why the join-back alternative re-scans the
+    corpus.  Returns one row per doc: ``keys`` (+ ``total_g`` /
+    ``distinct_g`` when ``with_counts`` — the gram stream then stays
+    non-distinct, which changes no signature: min over a multiset
+    equals min over its set) + ``first_seen``.
+    """
+    from ..operators.text import with_word_ngrams
+
+    staged = flags.withColumn(
+        "_sig_text", F.when(F.col("gated"), F.col("xt"))
+        .otherwise(F.concat(F.lit("doc "),
+                            F.col("doc_id").cast("string"))))
+    shingled = with_word_ngrams(
+        staged, "_sig_text", 3, keep=keys,
+        distinct=not with_counts,
+    ).select(*keys, F.explode("grams").alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle"))))
+        .alias(f"h{s}")
+        for s in range(8)
+    ]
+    extras: list[str] = []
+    if with_counts:
+        aggs += [
+            F.count(F.lit(1)).alias("total_g"),
+            F.count_distinct(F.col("shingle")).alias("distinct_g"),
+        ]
+        extras = ["total_g", "distinct_g"]
+    wide = shingled.groupBy(*keys).agg(*aggs)
+    sigs = wide.select(
+        *keys, *extras,
+        F.expr("stack(8, " + ", ".join(f"{s}, h{s}" for s in range(8))
+               + ") AS (seed, minhash)"))
+    banded = sigs.withColumn(
+        "band", (F.col("seed") / 2).cast("int")
+    ).groupBy(*keys, *extras, "band").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list("minhash")))
+        .alias("_bk")
+    ).withColumn(
+        "band_key",
+        F.when(F.col("gated"), F.col("_bk"))
+        .otherwise(F.concat(F.lit("doc:"),
+                            F.col("doc_id").cast("string"))))
+    bf = banded.withColumn(
+        "bucket_first",
+        F.min("doc_id").over(Window.partitionBy("band", "band_key")))
+    return bf.groupBy(*keys, *extras).agg(
+        F.min("bucket_first").alias("first_seen"))
+
+
 # Stage-1 page fixture: each page's main content is a 40-word TEMPLATE
 # paragraph shared by every page with the same template id (gid % 25 —
 # the mirror-site / boilerplate-article duplicate class) plus a 5-word
@@ -1560,40 +1665,7 @@ _S1_HTML_SQL = """
         SELECT doc_id, xt FROM flags
         WHERE xchars >= 120 AND xtok BETWEEN 15 AND 1000
     ),
-    docs2 AS (
-        SELECT doc_id,
-               string_split(trim(regexp_replace(lower(xt), '\\s+', ' ',
-                                                'g')), ' ') AS t
-        FROM gate
-    ),
-    sh AS (
-        SELECT DISTINCT doc_id,
-               array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
-        FROM docs2,
-             LATERAL (SELECT unnest(generate_series(
-                          1, greatest(len(t) - 2, 1))) AS i) g
-    ),
-    sig AS (
-        SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
-        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7))
-                            AS seed) s
-        GROUP BY doc_id, seed
-    ),
-    banded AS (
-        SELECT doc_id, seed // 2 AS band,
-               string_agg(minhash, '|' ORDER BY minhash) AS band_key
-        FROM sig GROUP BY doc_id, seed // 2
-    ),
-    bf AS (
-        SELECT doc_id,
-               min(doc_id) OVER (PARTITION BY band, band_key)
-                   AS bucket_first
-        FROM banded
-    ),
-    nd AS (
-        SELECT doc_id, min(bucket_first) AS first_seen
-        FROM bf GROUP BY doc_id
-    ),
+    {neardup},
     merged AS (
         SELECT f.doc_id, f.xchars, f.xtok, n.first_seen
         FROM flags f LEFT JOIN nd n USING (doc_id)
@@ -1620,6 +1692,9 @@ _S1_HTML_SQL = """
     )
     """.replace("{front}", _FUNNEL_FRONT_CTES)
     .replace("{extract}", _FUNNEL_EXTRACT_CTES)
+    .replace("{neardup}", _FUNNEL_NEARDUP_CTES)
+    .replace("{nd_src}", "gate")
+    .replace("{distinct}", "DISTINCT")
     .replace("{url}", _FUNNEL_URL_SQL)
     .replace("{s1html}", _S1_HTML_SQL)
     .replace("{track_re}", _urlsmod.TRACKING_PARAM_RE)
@@ -1664,7 +1739,6 @@ def crawl_stage1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     real MinHash work only on gate survivors.
     """
     from ..operators.html import extract_main_text
-    from ..operators.text import with_word_ngrams
 
     gid_s = F.expr("doc_id div 5").cast("string")
     tid = F.expr("(doc_id div 5) % 25").cast("string")
@@ -1703,44 +1777,9 @@ def crawl_stage1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain instead of being joined back from a second branch (a
     # flags/nd self-join re-computes the whole front end — scan,
     # canonical groupBy, cap window — twice; at 100 TB that doubles
-    # the dominant cost).  Failed rows carry a single sentinel shingle
-    # and get a 'doc:'-prefixed band key below, which can never equal
-    # a real band key (md5-hex|md5-hex), so they occupy singleton
-    # buckets and neither join the near-dup space nor count as kept.
-    shingled = with_word_ngrams(
-        flags.withColumn(
-            "_sig_text", F.when(F.col("gated"), F.col("xt"))
-            .otherwise(F.concat(F.lit("doc "),
-                                F.col("doc_id").cast("string")))),
-        "_sig_text", 3, keep=("doc_id", "gated", "xchars"),
-        distinct=True,
-    ).select("doc_id", "gated", "xchars",
-             F.explode("grams").alias("shingle"))
-    aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle"))))
-        .alias(f"h{s}")
-        for s in range(8)
-    ]
-    wide = shingled.groupBy("doc_id", "gated", "xchars").agg(*aggs)
-    sigs = wide.select(
-        "doc_id", "gated", "xchars",
-        F.expr("stack(8, " + ", ".join(f"{s}, h{s}" for s in range(8))
-               + ") AS (seed, minhash)"))
-    banded = sigs.withColumn(
-        "band", (F.col("seed") / 2).cast("int")
-    ).groupBy("doc_id", "gated", "xchars", "band").agg(
-        F.concat_ws("|", F.sort_array(F.collect_list("minhash")))
-        .alias("_bk")
-    ).withColumn(
-        "band_key",
-        F.when(F.col("gated"), F.col("_bk"))
-        .otherwise(F.concat(F.lit("doc:"),
-                            F.col("doc_id").cast("string"))))
-    bf = banded.withColumn(
-        "bucket_first",
-        F.min("doc_id").over(Window.partitionBy("band", "band_key")))
-    nd = bf.groupBy("doc_id", "gated", "xchars").agg(
-        F.min("bucket_first").alias("first_seen"))
+    # the dominant cost).  The chain itself is the shared
+    # _funnel_neardup helper (one definition for both funnels).
+    nd = _funnel_neardup(flags, ("doc_id", "gated", "xchars"))
     kept = F.col("gated") & (F.col("first_seen") == F.col("doc_id"))
     agg = nd.agg(
         F.count(F.lit(1)).alias("a_domain_cap"),
@@ -1888,45 +1927,15 @@ _S2_HTML_SQL = """
                       AS is_gated
         FROM flags
     ),
-    docs2 AS (
-        SELECT doc_id,
-               string_split(trim(regexp_replace(lower(xt), '\\s+', ' ',
-                                                'g')), ' ') AS t
-        FROM gated WHERE is_gated
+    gate AS (
+        SELECT doc_id, xt FROM gated WHERE is_gated
     ),
-    grams AS (
-        SELECT doc_id,
-               array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
-        FROM docs2,
-             LATERAL (SELECT unnest(generate_series(
-                          1, greatest(len(t) - 2, 1))) AS i) g
-    ),
+    {neardup},
     gstats AS (
         SELECT doc_id,
                CAST(count(*) AS BIGINT) AS total_g,
                CAST(count(DISTINCT shingle) AS BIGINT) AS distinct_g
         FROM grams GROUP BY doc_id
-    ),
-    sig AS (
-        SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
-        FROM grams CROSS JOIN (SELECT unnest(generate_series(0, 7))
-                               AS seed) s
-        GROUP BY doc_id, seed
-    ),
-    banded AS (
-        SELECT doc_id, seed // 2 AS band,
-               string_agg(minhash, '|' ORDER BY minhash) AS band_key
-        FROM sig GROUP BY doc_id, seed // 2
-    ),
-    bf AS (
-        SELECT doc_id,
-               min(doc_id) OVER (PARTITION BY band, band_key)
-                   AS bucket_first
-        FROM banded
-    ),
-    nd AS (
-        SELECT doc_id, min(bucket_first) AS first_seen
-        FROM bf GROUP BY doc_id
     ),
     merged AS (
         SELECT g.doc_id, g.reg_dom, g.xtok, g.is_gated,
@@ -1975,6 +1984,9 @@ _S2_HTML_SQL = """
     )
     """.replace("{front}", _FUNNEL_FRONT_CTES)
     .replace("{extract}", _FUNNEL_EXTRACT_CTES)
+    .replace("{neardup}", _FUNNEL_NEARDUP_CTES)
+    .replace("{nd_src}", "gate")
+    .replace("{distinct}", "")
     .replace("{url}", _FUNNEL_URL_SQL)
     .replace("{s2html}", _S2_HTML_SQL)
     .replace("{track_re}", _urlsmod.TRACKING_PARAM_RE)
@@ -2005,11 +2017,15 @@ def crawl_stage2_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((total-distinct)*2 > total ⇔ ratio > 0.5 — no float boundary),
     and the budget cumsum is a conditional window sum over ALL rows
     (sampled rows contribute their tokens, others contribute 0) so no
-    stage needs a second pass over the frame.  Exchanges beyond
-    stage 1: ONE (the per-publisher budget window).
+    stage needs a second pass over the frame.  Measured plan: SAME
+    exchange count as stage 1 (six) — the per-publisher budget
+    window's new exchange is offset because ``reg_dom`` rides the
+    signature groupBy keys, whose hash partitioning the band groupBy
+    then reuses; dropping ``reg_dom`` from the keys would silently
+    add a shuffle, which is why it is a key and not a rejoined
+    column.
     """
     from ..operators.html import extract_main_text
-    from ..operators.text import with_word_ngrams
 
     gid_s = F.expr("doc_id div 5").cast("string")
     tid = F.expr("(doc_id div 5) % 25").cast("string")
@@ -2050,45 +2066,12 @@ def crawl_stage2_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gated", (F.col("xchars") >= 120)
         & F.col("xtok").between(15, 1000))
     # one gram stream serves MinHash AND the repetition counts (the
-    # stage-1 sentinel trick keeps gate-failed rows in the lineage)
-    shingled = with_word_ngrams(
-        flags.withColumn(
-            "_sig_text", F.when(F.col("gated"), F.col("xt"))
-            .otherwise(F.concat(F.lit("doc "),
-                                F.col("doc_id").cast("string")))),
-        "_sig_text", 3,
-        keep=("doc_id", "reg_dom", "gated", "xtok"),
-    ).select("doc_id", "reg_dom", "gated", "xtok",
-             F.explode("grams").alias("shingle"))
-    keys = ["doc_id", "reg_dom", "gated", "xtok"]
-    aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle"))))
-        .alias(f"h{s}")
-        for s in range(8)
-    ] + [
-        F.count(F.lit(1)).alias("total_g"),
-        F.count_distinct(F.col("shingle")).alias("distinct_g"),
-    ]
-    wide = shingled.groupBy(*keys).agg(*aggs)
-    sigs = wide.select(
-        *keys, "total_g", "distinct_g",
-        F.expr("stack(8, " + ", ".join(f"{s}, h{s}" for s in range(8))
-               + ") AS (seed, minhash)"))
-    banded = sigs.withColumn(
-        "band", (F.col("seed") / 2).cast("int")
-    ).groupBy(*keys, "total_g", "distinct_g", "band").agg(
-        F.concat_ws("|", F.sort_array(F.collect_list("minhash")))
-        .alias("_bk")
-    ).withColumn(
-        "band_key",
-        F.when(F.col("gated"), F.col("_bk"))
-        .otherwise(F.concat(F.lit("doc:"),
-                            F.col("doc_id").cast("string"))))
-    bf = banded.withColumn(
-        "bucket_first",
-        F.min("doc_id").over(Window.partitionBy("band", "band_key")))
-    nd = bf.groupBy(*keys, "total_g", "distinct_g").agg(
-        F.min("bucket_first").alias("first_seen"))
+    # shared _funnel_neardup chain with with_counts=True keeps the
+    # gram stream non-distinct and adds total_g/distinct_g to the
+    # same groupBy; the stage-1 sentinel trick keeps gate-failed rows
+    # in the lineage)
+    keys = ("doc_id", "reg_dom", "gated", "xtok")
+    nd = _funnel_neardup(flags, keys, with_counts=True)
     nd_kept = F.col("gated") & (F.col("first_seen") == F.col("doc_id"))
     spammy = (F.col("total_g") - F.col("distinct_g")) * 2 \
         > F.col("total_g")
