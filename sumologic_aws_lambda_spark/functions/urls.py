@@ -229,17 +229,24 @@ def with_registered_domain_psl(df, host_col: str,
     codegen'd IN-list to per-tier broadcast hash joins (build side =
     the rules of that label depth), zero shuffles of the fact side.
 
-    Rule support — exact rules of 1–4 labels, longest match wins
-    (PSL §Algorithm): a k-label matching rule makes the registered
-    domain the last k+1 labels; a host that IS a listed suffix passes
-    through unchanged; unlisted TLDs get the PSL's implicit 1-label
-    default (registered = last 2 labels).  1-label rules are accepted
-    and dropped (identical to the default).  Wildcard (``*.ck``) and
-    exception (``!www.ck``) rules are NOT supported and raise — a
-    silent skip would mis-key every host under such a TLD; strip or
-    expand them upstream.  Deeper-than-4-label exact rules raise for
-    the same reason.  Duplicate rules are collapsed (a doubled rule
-    must not fan out fact rows through the join).
+    Rule support — the FULL PSL rule grammar (PSL §Algorithm):
+    - exact rules of 1–4 labels: a matching k-label rule makes the
+      registered domain the last k+1 labels (1-label rules are
+      accepted and dropped — identical to the implicit default);
+    - wildcard rules ``*.X`` (X of 1–3 labels): any label in the
+      starred position is part of the public suffix, so the
+      registered domain is the last len(X)+2 labels;
+    - exception rules ``!Y`` (Y of 2–4 labels): Y is NOT a public
+      suffix despite a covering wildcard — the registered domain of
+      any host under Y is Y itself.  An exception rule PREVAILS over
+      every other matching rule; otherwise the longest effective
+      suffix wins.  Unlisted TLDs get the implicit 1-label default
+      (registered = last 2 labels); a host that IS a public suffix
+      passes through unchanged.
+    Rules outside that grammar (deeper labels, inner ``*``, bare
+    ``*``, 1-label exceptions) raise — a silent skip would mis-key
+    every host under them.  Duplicate rules are collapsed (a doubled
+    rule must not fan out fact rows through the joins).
 
     ``suffix_rows`` defaults to ``MULTI_LABEL_SUFFIXES`` so the two
     forms are provably interchangeable (tests/test_urls.py pins the
@@ -260,19 +267,40 @@ def with_registered_domain_psl(df, host_col: str,
         raise ValueError(
             "empty public-suffix rule set — refusing to fall back to "
             "the fixture tuple; pass suffix_rows=None for the default")
-    bad = [r for r in rules if r.startswith("*") or r.startswith("!")]
+    exceptions = [r[1:] for r in rules if r.startswith("!")]
+    wildcards = [r[2:] for r in rules
+                 if r.startswith("*.") and not r.startswith("!")]
+    exact = [r for r in rules
+             if not r.startswith("!") and not r.startswith("*")]
+    bad = (
+        [r for r in rules if r == "*" or
+         (r.startswith("*") and not r.startswith("*."))]
+        + ["*." + x for x in wildcards if "*" in x or not x]
+        + ["!" + y for y in exceptions if "*" in y or not y]
+        + [r for r in exact if "*" in r]
+    )
     if bad:
         raise ValueError(
-            f"wildcard/exception PSL rules are not supported (got "
-            f"{bad[:3]}...): expand or strip them upstream — skipping "
-            f"them silently would mis-key every host under those TLDs")
-    deep = [r for r in rules if r.count(".") > 3]
+            f"PSL rules outside the supported grammar (got "
+            f"{bad[:3]}...): wildcards only as a leading '*.' label, "
+            f"exceptions only as '!' + an exact name")
+    deep = (
+        [r for r in exact if r.count(".") > 3]
+        + ["*." + x for x in wildcards if x.count(".") > 2]
+        + ["!" + y for y in exceptions
+           if y.count(".") > 3 or y.count(".") < 1]
+    )
     if deep:
         raise ValueError(
-            f"PSL rules deeper than 4 labels are not supported (got "
-            f"{deep[:3]}...)")
-    tiers = {k: [r for r in rules if r.count(".") == k - 1]
+            f"PSL rules outside the supported label depths (got "
+            f"{deep[:3]}...): exact 1-4 labels, wildcard bodies 1-3, "
+            f"exceptions 2-4")
+    tiers = {k: [r for r in exact if r.count(".") == k - 1]
              for k in (2, 3, 4)}
+    wtiers = {j: [x for x in wildcards if x.count(".") == j - 1]
+              for j in (1, 2, 3)}
+    etiers = {k: [y for y in exceptions if y.count(".") == k - 1]
+              for k in (2, 3, 4)}
     spark = df.sparkSession
     # collision-proof internal names: a user column literally named
     # _psl_h / _psl_s2 / ... must survive untouched (round-10
@@ -295,36 +323,58 @@ def with_registered_domain_psl(df, host_col: str,
     # staging lesson applied here (round-10 third-pass review)
     staged_cols = {
         f"{u}_h": h, f"{u}_n": n, f"{u}_ip": is_ipv4,
-        f"{u}_t2": tails[2], f"{u}_t3": tails[3],
+        f"{u}_t1": tails[1], f"{u}_t2": tails[2], f"{u}_t3": tails[3],
         f"{u}_t4": tails[4], f"{u}_t5": tails[5],
     }
     joined = df.select(
         "*", *[c.alias(name) for name, c in staged_cols.items()])
     sh = F.col(f"{u}_h")
     sn = F.col(f"{u}_n")
-    st = {k: F.col(f"{u}_t{k}") for k in (2, 3, 4, 5)}
-    matched = {}
-    for k, tier_rules in tiers.items():
-        if not tier_rules:
-            matched[k] = F.lit(False)
-            continue
-        tier_df = spark.createDataFrame(
-            [(r,) for r in tier_rules], f"{u}_s{k} string")
-        joined = joined.join(
-            F.broadcast(tier_df),
-            st[k] == F.col(f"{u}_s{k}"), "left")
-        matched[k] = F.col(f"{u}_s{k}").isNotNull()
+    st = {k: F.col(f"{u}_t{k}") for k in (1, 2, 3, 4, 5)}
+
+    def _tier_join(frame, tier_map, probe_of, name):
+        out = {}
+        for k, tier_rules in tier_map.items():
+            if not tier_rules:
+                out[k] = F.lit(False)
+                continue
+            col = f"{u}_{name}{k}"
+            tier_df = spark.createDataFrame(
+                [(r,) for r in tier_rules], f"{col} string")
+            frame = frame.join(F.broadcast(tier_df),
+                               st[probe_of(k)] == F.col(col), "left")
+            out[k] = F.col(col).isNotNull()
+        return frame, out
+
+    # exact k-label rules probe tails[k]; wildcard bodies of j labels
+    # probe tails[j] (the starred label is the j+1-th); exception
+    # names of k labels probe tails[k]
+    joined, matched = _tier_join(joined, tiers, lambda k: k, "s")
+    joined, wmatched = _tier_join(joined, wtiers, lambda j: j, "w")
+    joined, ematched = _tier_join(joined, etiers, lambda k: k, "e")
     reg = (
         F.when(sh.isNull(), F.lit(None).cast("string"))
         .when(F.col(f"{u}_ip"), sh)
-        .when(matched[4] & (sn >= 5), st[5])
-        .when(matched[4], sh)
-        .when(matched[3] & (sn >= 4), st[4])
-        .when(matched[3], sh)
-        .when(matched[2] & (sn >= 3), st[3])
-        .when(matched[2], sh)
+        # an exception rule PREVAILS over every other match: Y is
+        # registrable despite the covering wildcard, so the registered
+        # domain of anything at-or-under Y is Y itself
+        .when(ematched[4], st[4])
+        .when(ematched[3], st[3])
+        .when(ematched[2], st[2])
+        # otherwise the LONGEST effective suffix wins: exact k-label
+        # rules and wildcards with (k-1)-label bodies both make the
+        # public suffix k labels deep → registered = last k+1
+        .when((matched[4] | wmatched[3]) & (sn >= 5), st[5])
+        .when(matched[4] | wmatched[3], sh)
+        .when((matched[3] | wmatched[2]) & (sn >= 4), st[4])
+        .when(matched[3] | wmatched[2], sh)
+        .when((matched[2] | wmatched[1]) & (sn >= 3), st[3])
+        .when(matched[2] | wmatched[1], sh)
         .when(sn >= 2, st[2])
         .otherwise(sh)
     )
     return joined.withColumn(out_col, reg).drop(
-        *staged_cols, *[f"{u}_s{k}" for k in (2, 3, 4)])
+        *staged_cols,
+        *[f"{u}_s{k}" for k in (2, 3, 4)],
+        *[f"{u}_w{j}" for j in (1, 2, 3)],
+        *[f"{u}_e{k}" for k in (2, 3, 4)])

@@ -237,9 +237,9 @@ def test_psl_lookup_multi_tier_rules_longest_match_wins(spark):
 
 
 def test_psl_lookup_validates_rule_set(spark):
-    """Empty, wildcard, exception, and too-deep rule sets raise
-    instead of silently mis-keying (round-10 review findings); a
-    duplicated rule must not fan out fact rows through the join."""
+    """Empty or out-of-grammar rule sets raise instead of silently
+    mis-keying (round-10 review findings); a duplicated rule must not
+    fan out fact rows through the join."""
     from sumologic_aws_lambda_spark.functions.urls import (
         with_registered_domain_psl,
     )
@@ -247,17 +247,58 @@ def test_psl_lookup_validates_rule_set(spark):
     df = spark.createDataFrame([(1, "a.b.co.uk")], "i int, host string")
     with pytest.raises(ValueError, match="empty"):
         with_registered_domain_psl(df, "host", suffix_rows=[])
-    with pytest.raises(ValueError, match="wildcard"):
-        with_registered_domain_psl(df, "host", suffix_rows=["*.ck"])
-    with pytest.raises(ValueError, match="wildcard"):
-        with_registered_domain_psl(df, "host", suffix_rows=["!www.ck"])
-    with pytest.raises(ValueError, match="deeper"):
+    with pytest.raises(ValueError, match="grammar"):
+        with_registered_domain_psl(df, "host", suffix_rows=["*"])
+    with pytest.raises(ValueError, match="grammar"):
+        with_registered_domain_psl(df, "host", suffix_rows=["a.*.b"])
+    with pytest.raises(ValueError, match="grammar"):
+        with_registered_domain_psl(df, "host", suffix_rows=["*ck"])
+    with pytest.raises(ValueError, match="depth"):
         with_registered_domain_psl(
             df, "host", suffix_rows=["a.b.c.d.e"])
+    with pytest.raises(ValueError, match="depth"):
+        with_registered_domain_psl(df, "host", suffix_rows=["!ck"])
     dup = with_registered_domain_psl(
         df, "host", out_col="d", suffix_rows=["co.uk", "co.uk"])
     rows = dup.collect()
     assert len(rows) == 1 and rows[0]["d"] == "b.co.uk"
+
+
+def test_psl_lookup_wildcard_and_exception_rules(spark):
+    """Full PSL §Algorithm semantics: wildcard rules widen the public
+    suffix by one starred label; an exception rule prevails over the
+    covering wildcard and makes its name registrable — the real PSL's
+    canonical ck example."""
+    from sumologic_aws_lambda_spark.functions.urls import (
+        with_registered_domain_psl,
+    )
+
+    rules = ["com", "co.uk", "*.ck", "!www.ck", "*.compute.example"]
+    cases = [
+        # wildcard: b.ck is a public suffix, a.b.ck registrable
+        ("a.b.ck", "a.b.ck"),
+        ("x.a.b.ck", "a.b.ck"),
+        ("b.ck", "b.ck"),              # IS a public suffix: pass-through
+        ("ck", "ck"),                   # above the wildcard zone
+        # exception prevails: www.ck registrable despite *.ck
+        ("www.ck", "www.ck"),
+        ("foo.www.ck", "www.ck"),
+        ("a.foo.www.ck", "www.ck"),
+        # 2-label wildcard body: z.compute.example is a public suffix
+        ("bucket.z.compute.example", "bucket.z.compute.example"),
+        ("x.bucket.z.compute.example", "bucket.z.compute.example"),
+        ("z.compute.example", "z.compute.example"),  # pass-through
+        # exact rules unaffected by the wildcard machinery
+        ("cdn.example.co.uk", "example.co.uk"),
+        ("www.example.com", "example.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, hst) for i, (hst, _) in enumerate(cases)],
+        "i int, host string")
+    got = {r["i"]: r["d"] for r in with_registered_domain_psl(
+        df, "host", out_col="d", suffix_rows=rules)
+        .select("i", "d").collect()}
+    assert got == {i: e for i, (_, e) in enumerate(cases)}
 
 
 def test_psl_lookup_internal_names_do_not_shadow_user_columns(spark):
