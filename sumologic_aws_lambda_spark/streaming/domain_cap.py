@@ -130,3 +130,72 @@ class DomainCapSink:
                 F.count(F.lit(1)).cast("bigint").alias("admitted")),
             self._store, batch_id)
         self.batch_stats.append((batch_id, n_in, n_adm))
+
+
+class CurationStage0Sink:
+    """The composed streaming stage-0: canonical-URL dedup THEN the
+    per-registered-domain cap, in one ``foreachBatch`` callable — the
+    streaming twin of ``queries/curation.py::crawl_stage0_funnel``'s
+    first two stages, in the same production order (dedup first, so
+    re-crawled spellings of one page never consume cap budget).
+
+    Stage 1 keys on ``md5(canonicalize_url(url))`` (malformed URLs get
+    a per-row ``raw:`` fallback so they pass through instead of
+    collapsing together), dedups within the batch and against the
+    persistent fingerprint store, and records survivors' fingerprints;
+    stage 2 is a :class:`DomainCapSink` fed the survivors frame
+    DIRECTLY — no intermediate materialization to disk between stages.
+    Both stores follow the per-batch-overwrite-partition /
+    exclude-own-batch design, so redelivery of a batch is idempotent
+    END TO END: the dedup recomputes the same survivors and the cap
+    recomputes the same admit set.
+
+    ``batch_stats`` rows are (batch_id, n_in, n_after_dedup,
+    n_admitted).
+    """
+
+    def __init__(self, spark: SparkSession, dedup_store: str,
+                 cap_store: str, out_dir: str, url_col: str = "url",
+                 order_col: str = "doc_id", cap: int = 10):
+        from ..operators.text import fingerprint  # noqa: F401  (doc parity)
+
+        self._spark = spark
+        self._dedup_store = dedup_store
+        self._url = url_col
+        self._cap_sink = DomainCapSink(spark, cap_store, out_dir,
+                                       url_col=url_col,
+                                       order_col=order_col, cap=cap)
+        self.batch_stats: list[tuple[int, int, int, int]] = []
+
+    def _url_key(self, col) -> Column:
+        return F.coalesce(F.md5(canonicalize_url(col)),
+                          F.concat(F.lit("raw:"), col))
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import incremental_dedup
+
+        n_in = batch_df.count()
+        u = "_cur"
+        while any(c.startswith(u) for c in batch_df.columns):
+            u += "_x"
+        fp = f"{u}_fp"
+        batch = batch_df.withColumn(
+            fp, self._url_key(F.col(self._url))) \
+            .dropDuplicates([fp]).drop(fp)
+        seen = _read_store(self._spark, self._dedup_store,
+                           "fingerprint string",
+                           exclude_batch=batch_id)
+        survivors = incremental_dedup(batch, seen, self._url,
+                                      key_fn=self._url_key)
+        # one materialization feeds the fingerprint write AND the cap
+        # stage (the dedup-sink precedent)
+        survivors = survivors.localCheckpoint()
+        n_dedup = survivors.count()
+        _overwrite_batch_partition(
+            survivors.select(self._url_key(F.col(self._url))
+                             .alias("fingerprint")),
+            self._dedup_store, batch_id)
+        self._cap_sink(survivors, batch_id)
+        self.batch_stats.append(
+            (batch_id, n_in, n_dedup,
+             self._cap_sink.batch_stats[-1][2]))

@@ -153,3 +153,43 @@ def test_batch_id_data_column_is_rejected(spark, tmp_path):
         "doc_id bigint, url string, batch_id bigint")
     with pytest.raises(ValueError, match="batch_id"):
         sink(batch, 0)
+
+
+def test_curation_stage0_sink_dedup_then_cap(spark, tmp_path):
+    """Composed streaming stage-0: URL-variant spellings of one page
+    collapse BEFORE the cap (dedup-first production order), the cap
+    spans batches and subdomain shards, and redelivery is idempotent
+    end to end."""
+    from sumologic_aws_lambda_spark.streaming.domain_cap import (
+        CurationStage0Sink,
+    )
+
+    sink = CurationStage0Sink(
+        spark, str(tmp_path / "fp"), str(tmp_path / "cap"),
+        str(tmp_path / "out"), cap=2)
+    b0 = spark.createDataFrame([
+        # three spellings of ONE page -> one survivor, one cap slot
+        (1, "HTTPS://WWW.CDN0.Pub-A.org:443/p/1?utm_source=x"),
+        (2, "https://cdn0.pub-a.org/p/1"),
+        (3, "https://bot@cdn0.pub-a.org/p/1#frag"),
+        # a second distinct page for the same publisher
+        (4, "https://cdn1.pub-a.org/p/2"),
+    ], "doc_id bigint, url string")
+    sink(b0, 0)
+    # batch 1: a re-crawl of page 1 (cross-batch dedup) plus two new
+    # pages; the publisher budget (2) is already full
+    b1 = spark.createDataFrame([
+        (5, "https://www.cdn0.pub-a.org/p/1?gclid=z"),
+        (6, "https://cdn2.pub-a.org/p/3"),
+        (7, "https://cdn0.pub-b.org/p/9"),
+    ], "doc_id bigint, url string")
+    sink(b1, 1)
+    assert sink.batch_stats == [(0, 4, 2, 2), (1, 3, 2, 1)]
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [1, 4, 7]  # pub-a capped at 2, pub-b's page admitted
+    # end-to-end replay idempotence
+    sink(b1, 1)
+    assert sink.batch_stats[-1] == (1, 3, 2, 1)
+    out2 = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 4, 7]
