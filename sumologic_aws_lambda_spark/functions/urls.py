@@ -257,12 +257,12 @@ def with_registered_domain_psl(df, host_col: str,
     if suffix_rows is None:
         suffix_rows = MULTI_LABEL_SUFFIXES
     # normalize rules the way hosts are normalized (lowercase; strip
-    # whitespace a naive PSL file read leaves on every line) — an
-    # un-normalized 'CO.UK' or 'co.uk\n' would silently never match
-    # the lowercased hosts and mis-key every publisher under it
-    # (round-10 second-pass review)
-    rules = sorted({str(r).strip().lower() for r in suffix_rows}
-                   - {""})
+    # whitespace a naive PSL file read leaves on every line; strip
+    # leading/trailing dots — an FQDN-style 'co.uk.' would classify as
+    # a 3-label rule and silently never match the dot-stripped hosts)
+    # (round-10 second- and fifth-pass reviews)
+    rules = sorted({str(r).strip().lower().strip(".")
+                    for r in suffix_rows} - {""})
     if not rules:
         raise ValueError(
             "empty public-suffix rule set — refusing to fall back to "
@@ -352,6 +352,13 @@ def with_registered_domain_psl(df, host_col: str,
     joined, matched = _tier_join(joined, tiers, lambda k: k, "s")
     joined, wmatched = _tier_join(joined, wtiers, lambda j: j, "w")
     joined, ematched = _tier_join(joined, etiers, lambda k: k, "e")
+    # PSL §Algorithm: a wildcard rule only matches when a label
+    # OCCUPIES the starred position — a host EQUAL to the wildcard
+    # body must fall through to the other rules / the implicit
+    # default, not read as being inside the wildcard zone (round-10
+    # fifth-pass review: '*.compute.example' must not make the bare
+    # host 'compute.example' its own registered domain)
+    wmatched = {j: m & (sn >= j + 1) for j, m in wmatched.items()}
     reg = (
         F.when(sh.isNull(), F.lit(None).cast("string"))
         .when(F.col(f"{u}_ip"), sh)

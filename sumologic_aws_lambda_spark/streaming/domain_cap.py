@@ -31,16 +31,22 @@ from ..functions.urls import canonicalize_url, registered_domain
 from .dedup import _overwrite_batch_partition, _read_store
 
 
-def default_cap_key(url_col: Column) -> Column:
-    """Canonical-URL host → registered domain: the publisher key the
-    batch cap uses (``queries/curation.py::url_domain_caps``).
+def cap_key_from_canonical(canon_col: Column) -> Column:
+    """Publisher key from an ALREADY-canonicalized URL column — split
+    out so a caller that staged the canonical URL once (the composed
+    stage-0 sink) does not pay the full canonicalizer again.
     ``regexp_extract`` yields '' (not NULL) when the canonical URL is
     not http(s) — nullify it so those rows reach the caller-visible
     ``(null)`` sentinel budget instead of silently pooling in a
     near-invisible empty-string key (round-10 second-pass review)."""
-    host = F.regexp_extract(canonicalize_url(url_col),
-                            "^https?://([^/:?#]+)", 1)
+    host = F.regexp_extract(canon_col, "^https?://([^/:?#]+)", 1)
     return registered_domain(F.when(host != "", host))
+
+
+def default_cap_key(url_col: Column) -> Column:
+    """Canonical-URL host → registered domain: the publisher key the
+    batch cap uses (``queries/curation.py::url_domain_caps``)."""
+    return cap_key_from_canonical(canonicalize_url(url_col))
 
 
 class DomainCapSink:
@@ -61,7 +67,8 @@ class DomainCapSink:
 
     def __init__(self, spark: SparkSession, store_dir: str, out_dir: str,
                  url_col: str = "url", order_col: str = "doc_id",
-                 cap: int = 10, key_fn=None):
+                 cap: int = 10, key_fn=None,
+                 out_drop_cols: tuple[str, ...] = ()):
         if cap < 1:
             raise ValueError(f"cap must be >= 1, got {cap}")
         self._spark = spark
@@ -71,6 +78,10 @@ class DomainCapSink:
         self._order = order_col
         self._cap = cap
         self._key = key_fn or default_cap_key
+        # caller-staged working columns to exclude from the admitted
+        # output (the composed stage-0 sink stages the canonical URL
+        # once and must not leak it into out_dir)
+        self._out_drop = tuple(out_drop_cols)
         self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, admitted)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -123,7 +134,7 @@ class DomainCapSink:
         admitted = admitted.localCheckpoint()
         n_adm = admitted.count()
         _overwrite_batch_partition(
-            admitted.drop(c_key, c_rn, c_prior),
+            admitted.drop(c_key, c_rn, c_prior, *self._out_drop),
             self._out, batch_id)
         _overwrite_batch_partition(
             admitted.groupBy(F.col(c_key).alias("key")).agg(
@@ -139,13 +150,19 @@ class CurationStage0Sink:
     first two stages, in the same production order (dedup first, so
     re-crawled spellings of one page never consume cap budget).
 
-    Stage 1 keys on ``md5(canonicalize_url(url))`` (malformed URLs get
-    a per-row ``raw:`` fallback so they pass through instead of
-    collapsing together), dedups within the batch and against the
+    Stage 1 stages the canonical URL ONCE (the regex-heavy
+    canonicalizer must not re-evaluate per consumer — the urls.py
+    staging lesson), keys on ``md5(canonical)`` with per-row fallbacks
+    for malformed/NULL URLs (``raw:`` + the url, then ``rawid:`` + the
+    order column, so NULL-url rows pass through instead of collapsing
+    together), keeps the LOWEST-``order_col`` spelling per canonical
+    key (a deterministic keeper — ``dropDuplicates`` would let a
+    replayed batch emit a different survivor), dedups against the
     persistent fingerprint store, and records survivors' fingerprints;
     stage 2 is a :class:`DomainCapSink` fed the survivors frame
-    DIRECTLY — no intermediate materialization to disk between stages.
-    Both stores follow the per-batch-overwrite-partition /
+    DIRECTLY (its cap key reads the staged canonical column; the
+    staging columns are excluded from the admitted output).  Both
+    stores follow the per-batch-overwrite-partition /
     exclude-own-batch design, so redelivery of a batch is idempotent
     END TO END: the dedup recomputes the same survivors and the cap
     recomputes the same admit set.
@@ -157,45 +174,65 @@ class CurationStage0Sink:
     def __init__(self, spark: SparkSession, dedup_store: str,
                  cap_store: str, out_dir: str, url_col: str = "url",
                  order_col: str = "doc_id", cap: int = 10):
-        from ..operators.text import fingerprint  # noqa: F401  (doc parity)
-
         self._spark = spark
         self._dedup_store = dedup_store
+        self._cap_store = cap_store
+        self._out = out_dir
         self._url = url_col
-        self._cap_sink = DomainCapSink(spark, cap_store, out_dir,
-                                       url_col=url_col,
-                                       order_col=order_col, cap=cap)
+        self._order = order_col
+        self._cap = cap
         self.batch_stats: list[tuple[int, int, int, int]] = []
 
-    def _url_key(self, col) -> Column:
-        return F.coalesce(F.md5(canonicalize_url(col)),
-                          F.concat(F.lit("raw:"), col))
-
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.dedup import incremental_dedup
-
+        # validate BEFORE any persistent side effect: a rejected batch
+        # must not leave its fingerprint partition behind (round-10
+        # fifth-pass review)
+        if "batch_id" in batch_df.columns:
+            raise ValueError(
+                "batch column 'batch_id' collides with the sink's "
+                "partition column — rename it before the sink")
         n_in = batch_df.count()
         u = "_cur"
         while any(c.startswith(u) for c in batch_df.columns):
             u += "_x"
-        fp = f"{u}_fp"
-        batch = batch_df.withColumn(
-            fp, self._url_key(F.col(self._url))) \
-            .dropDuplicates([fp]).drop(fp)
+        canon, fp, rn = f"{u}_canon", f"{u}_fp", f"{u}_rn"
+        staged = batch_df.withColumn(
+            canon, canonicalize_url(F.col(self._url))
+        ).withColumn(
+            fp, F.coalesce(
+                F.md5(F.col(canon)),
+                F.concat(F.lit("raw:"), F.col(self._url)),
+                # concat() is NULL when url is NULL — a second per-row
+                # fallback keyed on the (unique) order column keeps
+                # NULL-url rows from collapsing into one
+                F.concat(F.lit("rawid:"),
+                         F.col(self._order).cast("string"))))
+        # deterministic keeper: lowest order_col per canonical key
+        # (parity with crawl_stage0_funnel's min-doc_id rule)
+        wkeep = Window.partitionBy(fp).orderBy(self._order)
+        batch = staged.withColumn(rn, F.row_number().over(wkeep)) \
+            .filter(F.col(rn) == 1).drop(rn)
         seen = _read_store(self._spark, self._dedup_store,
                            "fingerprint string",
                            exclude_batch=batch_id)
-        survivors = incremental_dedup(batch, seen, self._url,
-                                      key_fn=self._url_key)
+        # inline anti-join on the staged key: incremental_dedup's
+        # hardcoded '_fp' working column would clobber a same-named
+        # user column (round-10 fifth-pass review)
+        survivors = batch.join(
+            seen.select(F.col("fingerprint").alias(fp)),
+            fp, "left_anti")
         # one materialization feeds the fingerprint write AND the cap
         # stage (the dedup-sink precedent)
         survivors = survivors.localCheckpoint()
         n_dedup = survivors.count()
         _overwrite_batch_partition(
-            survivors.select(self._url_key(F.col(self._url))
-                             .alias("fingerprint")),
+            survivors.select(F.col(fp).alias("fingerprint")),
             self._dedup_store, batch_id)
-        self._cap_sink(survivors, batch_id)
+        cap_sink = DomainCapSink(
+            self._spark, self._cap_store, self._out,
+            url_col=canon, order_col=self._order, cap=self._cap,
+            key_fn=cap_key_from_canonical,
+            out_drop_cols=(canon, fp))
+        cap_sink(survivors, batch_id)
         self.batch_stats.append(
-            (batch_id, n_in, n_dedup,
-             self._cap_sink.batch_stats[-1][2]))
+            (batch_id, n_in, n_dedup, cap_sink.batch_stats[-1][2]))

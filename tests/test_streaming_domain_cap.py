@@ -193,3 +193,50 @@ def test_curation_stage0_sink_dedup_then_cap(spark, tmp_path):
     assert sink.batch_stats[-1] == (1, 3, 2, 1)
     out2 = spark.read.parquet(str(tmp_path / "out"))
     assert sorted(r["doc_id"] for r in out2.collect()) == [1, 4, 7]
+
+
+def test_curation_stage0_null_urls_and_user_fp_column(spark, tmp_path):
+    """Round-10 fifth-pass fixes: NULL-url rows get per-row fallback
+    keys (they must NOT collapse into one under dropDuplicates-style
+    NULL equality), and a user data column named _fp survives (the
+    anti-join no longer routes through incremental_dedup's hardcoded
+    working column)."""
+    from sumologic_aws_lambda_spark.streaming.domain_cap import (
+        CurationStage0Sink,
+    )
+
+    sink = CurationStage0Sink(
+        spark, str(tmp_path / "fp"), str(tmp_path / "cap"),
+        str(tmp_path / "out"), cap=5)
+    batch = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "b"),
+         (3, "https://x.pub.org/p", "c")],
+        "doc_id bigint, url string, _fp string")
+    sink(batch, 0)
+    assert sink.batch_stats == [(0, 3, 3, 3)]  # both NULL rows survive
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = {r["doc_id"]: r["_fp"] for r in out.collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # user _fp intact
+    # staging columns must not leak into the admitted output
+    assert not [c for c in out.columns if c.startswith("_cur")]
+
+
+def test_curation_stage0_keeper_is_lowest_order(spark, tmp_path):
+    """The within-batch keeper is the LOWEST order_col spelling per
+    canonical key — deterministic under replay, matching the batch
+    funnel's min-doc_id rule."""
+    from sumologic_aws_lambda_spark.streaming.domain_cap import (
+        CurationStage0Sink,
+    )
+
+    sink = CurationStage0Sink(
+        spark, str(tmp_path / "fp"), str(tmp_path / "cap"),
+        str(tmp_path / "out"), cap=5)
+    batch = spark.createDataFrame(
+        [(9, "https://www.pub.org/p?utm_source=x"),
+         (2, "https://pub.org/p"),
+         (5, "HTTPS://PUB.ORG:443/p#z")],
+        "doc_id bigint, url string")
+    sink(batch, 0)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert [r["doc_id"] for r in out.collect()] == [2]

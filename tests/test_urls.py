@@ -328,3 +328,31 @@ def test_psl_lookup_out_col_may_use_internal_prefix(spark):
     got = with_registered_domain_psl(df, "host", out_col="_psl_h")
     assert got.columns == ["host", "_psl_h"]
     assert got.collect()[0]["_psl_h"] == "example.co.uk"
+
+
+def test_psl_wildcard_requires_occupied_star_and_dot_rules_normalize(
+        spark):
+    """Round-10 fifth-pass fixes: a wildcard rule only matches when a
+    label occupies the starred position (a host EQUAL to the body gets
+    the implicit default), and FQDN-style dotted rules normalize
+    instead of silently never matching."""
+    from sumologic_aws_lambda_spark.functions.urls import (
+        with_registered_domain_psl,
+    )
+
+    rules = ["*.edge.cdn.net", "co.uk."]  # trailing-dot rule
+    cases = [
+        ("edge.cdn.net", "cdn.net"),       # star NOT occupied: default
+        ("x.edge.cdn.net", "x.edge.cdn.net"),  # IS a public suffix
+        # registered = one label past the (occupied) wildcard suffix
+        ("y.x.edge.cdn.net", "y.x.edge.cdn.net"),
+        ("z.y.x.edge.cdn.net", "y.x.edge.cdn.net"),
+        ("a.b.co.uk", "b.co.uk"),          # dotted rule still matches
+    ]
+    df = spark.createDataFrame(
+        [(i, hst) for i, (hst, _) in enumerate(cases)],
+        "i int, host string")
+    got = {r["i"]: r["d"] for r in with_registered_domain_psl(
+        df, "host", out_col="d", suffix_rows=rules)
+        .select("i", "d").collect()}
+    assert got == {i: e for i, (_, e) in enumerate(cases)}
