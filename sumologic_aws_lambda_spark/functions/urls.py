@@ -256,17 +256,37 @@ def with_registered_domain_psl(df, host_col: str,
     """
     if suffix_rows is None:
         suffix_rows = MULTI_LABEL_SUFFIXES
-    # normalize rules the way hosts are normalized (lowercase; strip
-    # whitespace a naive PSL file read leaves on every line; strip
-    # leading/trailing dots — an FQDN-style 'co.uk.' would classify as
-    # a 3-label rule and silently never match the dot-stripped hosts)
-    # (round-10 second- and fifth-pass reviews)
-    rules = sorted({str(r).strip().lower().strip(".")
-                    for r in suffix_rows} - {""})
+    # Normalize per the PSL FILE FORMAT (publicsuffix.org/list): skip
+    # comment ('//') and blank lines, read each line up to the first
+    # whitespace, lowercase; additionally strip leading/trailing dots
+    # (an FQDN-style 'co.uk.' would classify as a 3-label rule and
+    # silently never match the dot-stripped hosts) — so the raw list
+    # file's lines load as-is (round-10 second/fifth/seventh-pass
+    # reviews).
+    norm = set()
+    for r in suffix_rows:
+        s = str(r).strip()
+        if not s or s.startswith("//"):
+            continue
+        s = s.split()[0].lower().strip(".")
+        if s:
+            norm.add(s)
+    rules = sorted(norm)
     if not rules:
         raise ValueError(
             "empty public-suffix rule set — refusing to fall back to "
             "the fixture tuple; pass suffix_rows=None for the default")
+    # a rule with an EMPTY LABEL ('co..uk') or URL-ish characters can
+    # never equal any dot-split host tail — silently loading it would
+    # mis-key every host under the intended suffix, the exact failure
+    # the grammar checks exist to raise on
+    broken = [r for r in rules
+              if ".." in r or any(ch in r for ch in ":/@?#")]
+    if broken:
+        raise ValueError(
+            f"PSL rules with empty labels or invalid characters (got "
+            f"{broken[:3]}...) can never match a host — fix the rule "
+            f"source")
     exceptions = [r[1:] for r in rules if r.startswith("!")]
     wildcards = [r[2:] for r in rules
                  if r.startswith("*.") and not r.startswith("!")]

@@ -474,10 +474,16 @@ def incremental_dedup(new_docs: DataFrame, seen: DataFrame,
     entirely.
     """
     key = (key_fn or fingerprint)(text_col)
-    return new_docs.withColumn("_fp", key).join(
-        seen.select(F.col("fingerprint").alias("_fp")),
-        "_fp", "left_anti",
-    ).drop("_fp")
+    # collision-proof working column: a user column literally named
+    # '_fp' must survive untouched (round-10 seventh-pass review — the
+    # reserved-name class fixed across the streaming sinks)
+    fp = "_fp"
+    while fp in new_docs.columns:
+        fp += "_x"
+    return new_docs.withColumn(fp, key).join(
+        seen.select(F.col("fingerprint").alias(fp)),
+        fp, "left_anti",
+    ).drop(fp)
 
 
 def connected_components_star(nodes: DataFrame, pairs: DataFrame,

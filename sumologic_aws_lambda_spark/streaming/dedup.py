@@ -110,8 +110,13 @@ class IncrementalDedupSink:
         n_in = batch_df.count()
         # collapse within-batch duplicates (keep first by natural order of
         # the fingerprint groupBy — content-identical, so any row works)
-        batch = batch_df.withColumn("_fp", self._key(self._text)) \
-            .dropDuplicates(["_fp"]).drop("_fp")
+        # collision-proof working column (round-10 seventh-pass review:
+        # a user data column named '_fp' must survive untouched)
+        fp = "_fp"
+        while fp in batch_df.columns:
+            fp += "_x"
+        batch = batch_df.withColumn(fp, self._key(self._text)) \
+            .dropDuplicates([fp]).drop(fp)
         seen = _read_store(self._spark, self._store, "fingerprint string",
                            exclude_batch=batch_id)
         kept = incremental_dedup(batch, seen, self._text, self._key)

@@ -224,9 +224,15 @@ class CurationStage0Sink:
         # one materialization feeds the fingerprint write AND the cap
         # stage (the dedup-sink precedent)
         survivors = survivors.localCheckpoint()
-        n_dedup = survivors.count()
+        # the per-row 'rawid:' sentinels exist only to keep NULL-url
+        # rows distinct WITHIN a batch — persisted, they would acquire
+        # cross-batch dedup meaning they don't have (an order value
+        # repeating across batches would silently anti-join an
+        # unrelated NULL-url document away; round-10 seventh-pass
+        # review).  Content-derived keys (md5 / raw:) do persist.
         _overwrite_batch_partition(
-            survivors.select(F.col(fp).alias("fingerprint")),
+            survivors.filter(~F.col(fp).startswith("rawid:"))
+            .select(F.col(fp).alias("fingerprint")),
             self._dedup_store, batch_id)
         cap_sink = DomainCapSink(
             self._spark, self._cap_store, self._out,
@@ -234,5 +240,7 @@ class CurationStage0Sink:
             key_fn=cap_key_from_canonical,
             out_drop_cols=(canon, fp))
         cap_sink(survivors, batch_id)
-        self.batch_stats.append(
-            (batch_id, n_in, n_dedup, cap_sink.batch_stats[-1][2]))
+        # the inner sink already counted the survivors frame as its
+        # n_in — reuse it instead of paying a second count job
+        _, n_dedup, n_adm = cap_sink.batch_stats[-1]
+        self.batch_stats.append((batch_id, n_in, n_dedup, n_adm))

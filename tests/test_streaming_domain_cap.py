@@ -240,3 +240,29 @@ def test_curation_stage0_keeper_is_lowest_order(spark, tmp_path):
     sink(batch, 0)
     out = spark.read.parquet(str(tmp_path / "out"))
     assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_null_url_sentinels_do_not_persist_to_dedup_store(
+        spark, tmp_path):
+    """Round-10 seventh-pass fix: the per-row 'rawid:' fallback keys of
+    NULL-url rows keep them distinct WITHIN a batch but must not gain
+    cross-batch dedup meaning — a later batch reusing the same order
+    value must not be anti-joined away."""
+    from sumologic_aws_lambda_spark.streaming.domain_cap import (
+        CurationStage0Sink,
+    )
+
+    sink = CurationStage0Sink(
+        spark, str(tmp_path / "fp"), str(tmp_path / "cap"),
+        str(tmp_path / "out"), cap=9)
+    b0 = spark.createDataFrame([(1, None), (2, "https://p.org/a")],
+                               "doc_id bigint, url string")
+    sink(b0, 0)
+    # batch 1 reuses doc_id=1 for a DIFFERENT (still NULL-url) doc
+    b1 = spark.createDataFrame([(1, None)],
+                               "doc_id bigint, url string")
+    sink(b1, 1)
+    assert sink.batch_stats == [(0, 2, 2, 2), (1, 1, 1, 1)]
+    store = spark.read.parquet(str(tmp_path / "fp"))
+    fps = [r["fingerprint"] for r in store.collect()]
+    assert not [f for f in fps if f.startswith("rawid:")]

@@ -356,3 +356,32 @@ def test_psl_wildcard_requires_occupied_star_and_dot_rules_normalize(
         df, "host", out_col="d", suffix_rows=rules)
         .select("i", "d").collect()}
     assert got == {i: e for i, (_, e) in enumerate(cases)}
+
+
+def test_psl_file_format_lines_load_as_is(spark):
+    """Round-10 seventh-pass fixes: raw publicsuffix.org file lines
+    (comments, blanks, trailing annotations) load directly; rules with
+    empty labels raise instead of silently never matching."""
+    from sumologic_aws_lambda_spark.functions.urls import (
+        with_registered_domain_psl,
+    )
+
+    raw_lines = [
+        "// ===BEGIN ICANN DOMAINS===",
+        "",
+        "   ",
+        "// see https://en.wikipedia.org/wiki/.uk for details",
+        "co.uk",
+        "*.ck   // annotated line reads to first whitespace",
+        "!www.ck",
+    ]
+    df = spark.createDataFrame(
+        [(0, "a.b.co.uk"), (1, "foo.www.ck")], "i int, host string")
+    got = {r["i"]: r["d"] for r in with_registered_domain_psl(
+        df, "host", out_col="d", suffix_rows=raw_lines)
+        .select("i", "d").collect()}
+    assert got == {0: "b.co.uk", 1: "www.ck"}
+    with pytest.raises(ValueError, match="empty labels"):
+        with_registered_domain_psl(df, "host", suffix_rows=["co..uk"])
+    with pytest.raises(ValueError, match="empty labels"):
+        with_registered_domain_psl(df, "host", suffix_rows=["*..ck"])
