@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..colnames import fresh_prefix
+
 # One alternation shared verbatim by the Spark expression and the DuckDB
 # oracles (RE2-safe: no backreferences, no lookaround).  Matches a whole
 # `key=value` token whose key is a tracking parameter; `(=|$)` also
@@ -129,6 +131,12 @@ MULTI_LABEL_SUFFIXES = (
 )
 
 
+# Deepest EXACT/exception rule the PSL path supports (labels).  The
+# published list's deepest current rules are 5-label private-section
+# entries; 6 leaves headroom, and deeper rules still raise loudly.
+_MAX_EXACT = 6
+
+
 def registered_domain(host: Column | str) -> Column:
     """Registered (a.k.a. pay-level) domain of a hostname — the key
     web-curation pipelines actually cap and dedup on (RefinedWeb §3.1
@@ -183,7 +191,7 @@ def _host_label_parts(raw: Column):
     tails = {
         k: F.concat_ws(".", *[F.try_element_at(labels, F.lit(-i))
                               for i in range(k, 0, -1)])
-        for k in range(1, 6)
+        for k in range(1, 8)
     }
     is_ipv4 = h.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$")
     return h, labels, n, tails, is_ipv4
@@ -230,13 +238,13 @@ def with_registered_domain_psl(df, host_col: str,
     the rules of that label depth), zero shuffles of the fact side.
 
     Rule support — the FULL PSL rule grammar (PSL §Algorithm):
-    - exact rules of 1–4 labels: a matching k-label rule makes the
+    - exact rules of 1–6 labels: a matching k-label rule makes the
       registered domain the last k+1 labels (1-label rules are
       accepted and dropped — identical to the implicit default);
-    - wildcard rules ``*.X`` (X of 1–3 labels): any label in the
+    - wildcard rules ``*.X`` (X of 1–5 labels): any label in the
       starred position is part of the public suffix, so the
       registered domain is the last len(X)+2 labels;
-    - exception rules ``!Y`` (Y of 2–4 labels): Y is NOT a public
+    - exception rules ``!Y`` (Y of 2–6 labels): Y is NOT a public
       suffix despite a covering wildcard — the registered domain of
       any host under Y is Y itself.  An exception rule PREVAILS over
       every other matching rule; otherwise the longest effective
@@ -276,17 +284,6 @@ def with_registered_domain_psl(df, host_col: str,
         raise ValueError(
             "empty public-suffix rule set — refusing to fall back to "
             "the fixture tuple; pass suffix_rows=None for the default")
-    # a rule with an EMPTY LABEL ('co..uk') or URL-ish characters can
-    # never equal any dot-split host tail — silently loading it would
-    # mis-key every host under the intended suffix, the exact failure
-    # the grammar checks exist to raise on
-    broken = [r for r in rules
-              if ".." in r or any(ch in r for ch in ":/@?#")]
-    if broken:
-        raise ValueError(
-            f"PSL rules with empty labels or invalid characters (got "
-            f"{broken[:3]}...) can never match a host — fix the rule "
-            f"source")
     exceptions = [r[1:] for r in rules if r.startswith("!")]
     wildcards = [r[2:] for r in rules
                  if r.startswith("*.") and not r.startswith("!")]
@@ -295,8 +292,8 @@ def with_registered_domain_psl(df, host_col: str,
     bad = (
         [r for r in rules if r == "*" or
          (r.startswith("*") and not r.startswith("*."))]
-        + ["*." + x for x in wildcards if "*" in x or not x]
-        + ["!" + y for y in exceptions if "*" in y or not y]
+        + ["*." + x for x in wildcards if "*" in x]
+        + ["!" + y for y in exceptions if "*" in y]
         + [r for r in exact if "*" in r]
     )
     if bad:
@@ -304,35 +301,54 @@ def with_registered_domain_psl(df, host_col: str,
             f"PSL rules outside the supported grammar (got "
             f"{bad[:3]}...): wildcards only as a leading '*.' label, "
             f"exceptions only as '!' + an exact name")
+
+    # a rule BODY with an empty label ('co..uk', and '!.ck'/'*..ck',
+    # whose '!'/'*.' prefix shields a leading dot from the outer
+    # strip) or URL-ish characters can never equal any dot-split host
+    # tail — silently loading it would mis-key every host under the
+    # intended suffix, the exact failure these checks exist to raise on
+    def _bad_labels(s: str) -> bool:
+        return (not s or s.startswith(".") or s.endswith(".")
+                or ".." in s or any(ch in s for ch in ":/@?#"))
+
+    broken = (
+        [r for r in exact if _bad_labels(r)]
+        + ["*." + x for x in wildcards if _bad_labels(x)]
+        + ["!" + y for y in exceptions if _bad_labels(y)]
+    )
+    if broken:
+        raise ValueError(
+            f"PSL rules with empty labels or invalid characters (got "
+            f"{broken[:3]}...) can never match a host — fix the rule "
+            f"source")
     deep = (
-        [r for r in exact if r.count(".") > 3]
-        + ["*." + x for x in wildcards if x.count(".") > 2]
+        [r for r in exact if r.count(".") > _MAX_EXACT - 1]
+        + ["*." + x for x in wildcards
+           if x.count(".") > _MAX_EXACT - 2]
         + ["!" + y for y in exceptions
-           if y.count(".") > 3 or y.count(".") < 1]
+           if y.count(".") > _MAX_EXACT - 1 or y.count(".") < 1]
     )
     if deep:
         raise ValueError(
             f"PSL rules outside the supported label depths (got "
-            f"{deep[:3]}...): exact 1-4 labels, wildcard bodies 1-3, "
-            f"exceptions 2-4")
+            f"{deep[:3]}...): exact 1-{_MAX_EXACT} labels, wildcard "
+            f"bodies 1-{_MAX_EXACT - 1}, exceptions 2-{_MAX_EXACT}")
     tiers = {k: [r for r in exact if r.count(".") == k - 1]
-             for k in (2, 3, 4)}
+             for k in range(2, _MAX_EXACT + 1)}
     wtiers = {j: [x for x in wildcards if x.count(".") == j - 1]
-              for j in (1, 2, 3)}
+              for j in range(1, _MAX_EXACT)}
     etiers = {k: [y for y in exceptions if y.count(".") == k - 1]
-              for k in (2, 3, 4)}
+              for k in range(2, _MAX_EXACT + 1)}
     spark = df.sparkSession
     # collision-proof internal names: a user column literally named
     # _psl_h / _psl_s2 / ... must survive untouched (round-10
     # third-pass review — same reserved-name class as the sink's
     # 'key' fix), so extend the prefix until it shadows nothing
-    u = "_psl"
     # out_col participates in the scan too: an out_col equal to an
     # internal staged name would be dropped by the final drop(),
     # silently returning a frame with no result column (round-10
     # fourth-pass review)
-    while any(c.startswith(u) for c in (*df.columns, out_col)):
-        u += "_x"
+    u = fresh_prefix(df.columns, "_psl", out_col)
     raw = F.col(host_col)
     h, labels, n, tails, is_ipv4 = _host_label_parts(raw)
     # STAGE the normalized host pieces as materialized columns before
@@ -341,18 +357,16 @@ def with_registered_domain_psl(df, host_col: str,
     # joining on the raw expressions would recompute the regex-heavy
     # normalization once per tier per fact row — the with_word_ngrams
     # staging lesson applied here (round-10 third-pass review)
-    staged_cols = {
-        f"{u}_h": h, f"{u}_n": n, f"{u}_ip": is_ipv4,
-        f"{u}_t1": tails[1], f"{u}_t2": tails[2], f"{u}_t3": tails[3],
-        f"{u}_t4": tails[4], f"{u}_t5": tails[5],
-    }
+    staged_cols = {f"{u}_h": h, f"{u}_n": n, f"{u}_ip": is_ipv4}
+    for k in range(1, _MAX_EXACT + 2):
+        staged_cols[f"{u}_t{k}"] = tails[k]
     joined = df.select(
         "*", *[c.alias(name) for name, c in staged_cols.items()])
     sh = F.col(f"{u}_h")
     sn = F.col(f"{u}_n")
-    st = {k: F.col(f"{u}_t{k}") for k in (1, 2, 3, 4, 5)}
+    st = {k: F.col(f"{u}_t{k}") for k in range(1, _MAX_EXACT + 2)}
 
-    def _tier_join(frame, tier_map, probe_of, name):
+    def _tier_join(frame, tier_map, name):
         out = {}
         for k, tier_rules in tier_map.items():
             if not tier_rules:
@@ -362,16 +376,16 @@ def with_registered_domain_psl(df, host_col: str,
             tier_df = spark.createDataFrame(
                 [(r,) for r in tier_rules], f"{col} string")
             frame = frame.join(F.broadcast(tier_df),
-                               st[probe_of(k)] == F.col(col), "left")
+                               st[k] == F.col(col), "left")
             out[k] = F.col(col).isNotNull()
         return frame, out
 
     # exact k-label rules probe tails[k]; wildcard bodies of j labels
     # probe tails[j] (the starred label is the j+1-th); exception
     # names of k labels probe tails[k]
-    joined, matched = _tier_join(joined, tiers, lambda k: k, "s")
-    joined, wmatched = _tier_join(joined, wtiers, lambda j: j, "w")
-    joined, ematched = _tier_join(joined, etiers, lambda k: k, "e")
+    joined, matched = _tier_join(joined, tiers, "s")
+    joined, wmatched = _tier_join(joined, wtiers, "w")
+    joined, ematched = _tier_join(joined, etiers, "e")
     # PSL §Algorithm: a wildcard rule only matches when a label
     # OCCUPIES the starred position — a host EQUAL to the wildcard
     # body must fall through to the other rules / the implicit
@@ -382,26 +396,22 @@ def with_registered_domain_psl(df, host_col: str,
     reg = (
         F.when(sh.isNull(), F.lit(None).cast("string"))
         .when(F.col(f"{u}_ip"), sh)
-        # an exception rule PREVAILS over every other match: Y is
-        # registrable despite the covering wildcard, so the registered
-        # domain of anything at-or-under Y is Y itself
-        .when(ematched[4], st[4])
-        .when(ematched[3], st[3])
-        .when(ematched[2], st[2])
-        # otherwise the LONGEST effective suffix wins: exact k-label
-        # rules and wildcards with (k-1)-label bodies both make the
-        # public suffix k labels deep → registered = last k+1
-        .when((matched[4] | wmatched[3]) & (sn >= 5), st[5])
-        .when(matched[4] | wmatched[3], sh)
-        .when((matched[3] | wmatched[2]) & (sn >= 4), st[4])
-        .when(matched[3] | wmatched[2], sh)
-        .when((matched[2] | wmatched[1]) & (sn >= 3), st[3])
-        .when(matched[2] | wmatched[1], sh)
-        .when(sn >= 2, st[2])
-        .otherwise(sh)
     )
+    # an exception rule PREVAILS over every other match: Y is
+    # registrable despite the covering wildcard, so the registered
+    # domain of anything at-or-under Y is Y itself
+    for k in range(_MAX_EXACT, 1, -1):
+        reg = reg.when(ematched[k], st[k])
+    # otherwise the LONGEST effective suffix wins: exact k-label rules
+    # and wildcards with (k-1)-label bodies both make the public
+    # suffix k labels deep → registered = last k+1 (a host no deeper
+    # than the suffix passes through unchanged)
+    for k in range(_MAX_EXACT, 1, -1):
+        m = matched[k] | wmatched[k - 1]
+        reg = reg.when(m & (sn >= k + 1), st[k + 1]).when(m, sh)
+    reg = reg.when(sn >= 2, st[2]).otherwise(sh)
     return joined.withColumn(out_col, reg).drop(
         *staged_cols,
-        *[f"{u}_s{k}" for k in (2, 3, 4)],
-        *[f"{u}_w{j}" for j in (1, 2, 3)],
-        *[f"{u}_e{k}" for k in (2, 3, 4)])
+        *[f"{u}_s{k}" for k in tiers],
+        *[f"{u}_w{j}" for j in wtiers],
+        *[f"{u}_e{k}" for k in etiers])

@@ -477,9 +477,9 @@ def incremental_dedup(new_docs: DataFrame, seen: DataFrame,
     # collision-proof working column: a user column literally named
     # '_fp' must survive untouched (round-10 seventh-pass review — the
     # reserved-name class fixed across the streaming sinks)
-    fp = "_fp"
-    while fp in new_docs.columns:
-        fp += "_x"
+    from ..colnames import fresh_name
+
+    fp = fresh_name(new_docs.columns, "_fp")
     return new_docs.withColumn(fp, key).join(
         seen.select(F.col("fingerprint").alias(fp)),
         fp, "left_anti",

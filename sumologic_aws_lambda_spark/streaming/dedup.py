@@ -112,9 +112,9 @@ class IncrementalDedupSink:
         # the fingerprint groupBy — content-identical, so any row works)
         # collision-proof working column (round-10 seventh-pass review:
         # a user data column named '_fp' must survive untouched)
-        fp = "_fp"
-        while fp in batch_df.columns:
-            fp += "_x"
+        from ..colnames import fresh_name
+
+        fp = fresh_name(batch_df.columns, "_fp")
         batch = batch_df.withColumn(fp, self._key(self._text)) \
             .dropDuplicates([fp]).drop(fp)
         seen = _read_store(self._spark, self._store, "fingerprint string",

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..colnames import fresh_prefix
 from ..functions.urls import canonicalize_url, registered_domain
 from .dedup import _overwrite_batch_partition, _read_store
 
@@ -101,9 +102,7 @@ class DomainCapSink:
         # in the admitted output (round-10 third-pass review — the
         # same reserved-name class as the store-side 'key' fix), so
         # extend the prefix until it shadows nothing
-        u = "_cap"
-        while any(c.startswith(u) for c in batch_df.columns):
-            u += "_x"
+        u = fresh_prefix(batch_df.columns, "_cap")
         c_key, c_rn, c_prior = f"{u}_key", f"{u}_rn", f"{u}_prior"
         c_pkey = f"{u}_prior_key"
         keyed = batch_df.withColumn(
@@ -174,6 +173,11 @@ class CurationStage0Sink:
     def __init__(self, spark: SparkSession, dedup_store: str,
                  cap_store: str, out_dir: str, url_col: str = "url",
                  order_col: str = "doc_id", cap: int = 10):
+        if cap < 1:
+            # fail at CONSTRUCTION, not inside __call__ after the
+            # dedup-store write has already happened (round-10
+            # eighth-pass review: validate before any side effect)
+            raise ValueError(f"cap must be >= 1, got {cap}")
         self._spark = spark
         self._dedup_store = dedup_store
         self._cap_store = cap_store
@@ -192,9 +196,7 @@ class CurationStage0Sink:
                 "batch column 'batch_id' collides with the sink's "
                 "partition column — rename it before the sink")
         n_in = batch_df.count()
-        u = "_cur"
-        while any(c.startswith(u) for c in batch_df.columns):
-            u += "_x"
+        u = fresh_prefix(batch_df.columns, "_cur")
         canon, fp, rn = f"{u}_canon", f"{u}_fp", f"{u}_rn"
         staged = batch_df.withColumn(
             canon, canonicalize_url(F.col(self._url))

@@ -266,3 +266,14 @@ def test_null_url_sentinels_do_not_persist_to_dedup_store(
     store = spark.read.parquet(str(tmp_path / "fp"))
     fps = [r["fingerprint"] for r in store.collect()]
     assert not [f for f in fps if f.startswith("rawid:")]
+
+
+def test_curation_stage0_cap_validates_at_construction(spark):
+    """Round-10 eighth-pass fix: a bad cap fails at construction, not
+    inside the first batch after the dedup store was written."""
+    from sumologic_aws_lambda_spark.streaming.domain_cap import (
+        CurationStage0Sink,
+    )
+
+    with pytest.raises(ValueError, match="cap"):
+        CurationStage0Sink(spark, "a", "b", "c", cap=0)

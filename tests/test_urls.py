@@ -255,7 +255,7 @@ def test_psl_lookup_validates_rule_set(spark):
         with_registered_domain_psl(df, "host", suffix_rows=["*ck"])
     with pytest.raises(ValueError, match="depth"):
         with_registered_domain_psl(
-            df, "host", suffix_rows=["a.b.c.d.e"])
+            df, "host", suffix_rows=["a.b.c.d.e.f.g"])
     with pytest.raises(ValueError, match="depth"):
         with_registered_domain_psl(df, "host", suffix_rows=["!ck"])
     dup = with_registered_domain_psl(
@@ -385,3 +385,34 @@ def test_psl_file_format_lines_load_as_is(spark):
         with_registered_domain_psl(df, "host", suffix_rows=["co..uk"])
     with pytest.raises(ValueError, match="empty labels"):
         with_registered_domain_psl(df, "host", suffix_rows=["*..ck"])
+
+
+def test_psl_deep_exact_rules_and_dot_exception_validation(spark):
+    """Round-10 eighth-pass fixes: real-PSL-depth exact rules (5-label
+    private-section entries) load and key correctly, and an exception
+    rule whose body has a leading dot raises instead of silently
+    loading a never-matching rule."""
+    from sumologic_aws_lambda_spark.functions.urls import (
+        with_registered_domain_psl,
+    )
+
+    rules = ["com", "s3.dualstack.ap-northeast-1.amazonaws.com"]
+    cases = [
+        ("bucket.s3.dualstack.ap-northeast-1.amazonaws.com",
+         "bucket.s3.dualstack.ap-northeast-1.amazonaws.com"),
+        ("x.bucket.s3.dualstack.ap-northeast-1.amazonaws.com",
+         "bucket.s3.dualstack.ap-northeast-1.amazonaws.com"),
+        ("s3.dualstack.ap-northeast-1.amazonaws.com",
+         "s3.dualstack.ap-northeast-1.amazonaws.com"),  # IS a suffix
+        ("www.amazonaws.com", "amazonaws.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, hst) for i, (hst, _) in enumerate(cases)],
+        "i int, host string")
+    got = {r["i"]: r["d"] for r in with_registered_domain_psl(
+        df, "host", out_col="d", suffix_rows=rules)
+        .select("i", "d").collect()}
+    assert got == {i: e for i, (_, e) in enumerate(cases)}
+    with pytest.raises(ValueError, match="empty labels"):
+        with_registered_domain_psl(df, "host",
+                                   suffix_rows=["!.ck", "*.ck"])
