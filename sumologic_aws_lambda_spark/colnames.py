@@ -14,10 +14,13 @@ from collections.abc import Iterable
 
 def fresh_name(columns: Iterable[str], base: str) -> str:
     """``base``, extended with ``_x`` until it matches no existing
-    column EXACTLY — for a single staged working column."""
-    cols = set(columns)
+    column — for a single staged working column.  Comparison is
+    CASE-INSENSITIVE: Spark resolves column names case-insensitively
+    by default, so a user column '_FP' would otherwise be replaced and
+    dropped by a staged '_fp' (round-10 ninth-pass review)."""
+    cols = {c.lower() for c in columns}
     name = base
-    while name in cols:
+    while name.lower() in cols:
         name += "_x"
     return name
 
@@ -30,8 +33,8 @@ def fresh_prefix(columns: Iterable[str], base: str,
     ``{prefix}_t2``, ...).  Prefix-scan, not exact-match: the family's
     members are formed by suffixing, so any column sharing the prefix
     could collide with a member."""
-    cols = [*columns, *extra]
+    cols = [c.lower() for c in (*columns, *extra)]
     prefix = base
-    while any(c.startswith(prefix) for c in cols):
+    while any(c.startswith(prefix.lower()) for c in cols):
         prefix += "_x"
     return prefix

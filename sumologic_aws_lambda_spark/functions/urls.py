@@ -308,8 +308,10 @@ def with_registered_domain_psl(df, host_col: str,
     # tail — silently loading it would mis-key every host under the
     # intended suffix, the exact failure these checks exist to raise on
     def _bad_labels(s: str) -> bool:
+        # '!' and '*' in a BODY are typo'd metacharacters ('!!www.ck')
+        # that would otherwise load as never-matching rules
         return (not s or s.startswith(".") or s.endswith(".")
-                or ".." in s or any(ch in s for ch in ":/@?#"))
+                or ".." in s or any(ch in s for ch in ":/@?#!*"))
 
     broken = (
         [r for r in exact if _bad_labels(r)]

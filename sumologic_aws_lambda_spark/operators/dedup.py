@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..colnames import fresh_name
+
 from .text import (
     fingerprint,
     normalize_text,
@@ -477,8 +479,6 @@ def incremental_dedup(new_docs: DataFrame, seen: DataFrame,
     # collision-proof working column: a user column literally named
     # '_fp' must survive untouched (round-10 seventh-pass review — the
     # reserved-name class fixed across the streaming sinks)
-    from ..colnames import fresh_name
-
     fp = fresh_name(new_docs.columns, "_fp")
     return new_docs.withColumn(fp, key).join(
         seen.select(F.col("fingerprint").alias(fp)),

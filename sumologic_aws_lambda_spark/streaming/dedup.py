@@ -36,6 +36,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..colnames import fresh_name
 from ..operators.dedup import incremental_dedup
 from ..operators.text import fingerprint
 
@@ -112,8 +113,6 @@ class IncrementalDedupSink:
         # the fingerprint groupBy — content-identical, so any row works)
         # collision-proof working column (round-10 seventh-pass review:
         # a user data column named '_fp' must survive untouched)
-        from ..colnames import fresh_name
-
         fp = fresh_name(batch_df.columns, "_fp")
         batch = batch_df.withColumn(fp, self._key(self._text)) \
             .dropDuplicates([fp]).drop(fp)

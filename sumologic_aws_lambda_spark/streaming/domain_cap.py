@@ -86,13 +86,14 @@ class DomainCapSink:
         self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, admitted)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if "batch_id" in batch_df.columns:
+        if any(c.lower() == "batch_id" for c in batch_df.columns):
             # the output/store layout partitions by batch_id, and a
             # partition column SHADOWS a same-named data column on
-            # read-back — the user's values would silently read as the
-            # partition number (round-10 fourth-pass review).  Rename
-            # upstream; admitting the row and corrupting it later is
-            # worse than refusing.
+            # read-back (case-INSENSITIVELY, like all Spark column
+            # resolution) — the user's values would silently read as
+            # the partition number (round-10 fourth/ninth-pass
+            # reviews).  Rename upstream; admitting the row and
+            # corrupting it later is worse than refusing.
             raise ValueError(
                 "batch column 'batch_id' collides with the sink's "
                 "partition column — rename it before the sink")
@@ -190,8 +191,8 @@ class CurationStage0Sink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # validate BEFORE any persistent side effect: a rejected batch
         # must not leave its fingerprint partition behind (round-10
-        # fifth-pass review)
-        if "batch_id" in batch_df.columns:
+        # fifth-pass review); case-insensitive like Spark's resolution
+        if any(c.lower() == "batch_id" for c in batch_df.columns):
             raise ValueError(
                 "batch column 'batch_id' collides with the sink's "
                 "partition column — rename it before the sink")

@@ -277,3 +277,23 @@ def test_curation_stage0_cap_validates_at_construction(spark):
 
     with pytest.raises(ValueError, match="cap"):
         CurationStage0Sink(spark, "a", "b", "c", cap=0)
+
+
+def test_case_variant_collisions_are_caught(spark, tmp_path):
+    """Round-10 ninth-pass fixes: Spark resolves columns
+    case-insensitively, so the collision guards must too — a user
+    '_CAP_KEY' column survives (prefix extends) and a 'Batch_ID'
+    column is rejected."""
+    sink = DomainCapSink(spark, str(tmp_path / "store"),
+                         str(tmp_path / "out"), cap=2)
+    batch = spark.createDataFrame(
+        [(1, "https://a.pub.org/x", "u1")],
+        "doc_id bigint, url string, _CAP_key string")
+    sink(batch, 0)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.collect()[0]["_CAP_key"] == "u1"
+    bad = spark.createDataFrame(
+        [(1, "https://a.pub.org/x", 9)],
+        "doc_id bigint, url string, Batch_ID bigint")
+    with pytest.raises(ValueError, match="batch_id"):
+        sink(bad, 1)

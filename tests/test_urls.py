@@ -416,3 +416,17 @@ def test_psl_deep_exact_rules_and_dot_exception_validation(spark):
     with pytest.raises(ValueError, match="empty labels"):
         with_registered_domain_psl(df, "host",
                                    suffix_rows=["!.ck", "*.ck"])
+
+
+def test_psl_metacharacter_typo_in_body_raises(spark):
+    """Round-10 ninth-pass fix: a typo'd double-bang exception
+    ('!!www.ck') must raise instead of loading as a never-matching
+    rule that silently loses the exception."""
+    from sumologic_aws_lambda_spark.functions.urls import (
+        with_registered_domain_psl,
+    )
+
+    df = spark.createDataFrame([(1, "foo.www.ck")], "i int, host string")
+    with pytest.raises(ValueError, match="invalid characters"):
+        with_registered_domain_psl(
+            df, "host", suffix_rows=["*.ck", "!!www.ck"])
