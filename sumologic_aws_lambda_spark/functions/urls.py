@@ -172,7 +172,7 @@ def _host_label_parts(raw: Column):
     (the round-9 trailing-dot and lowercase fixes both lived here).
 
     Returns ``(h, labels, n, tails, is_ipv4)`` where ``tails[k]`` is
-    the last-``k``-labels string for k = 1..5.  Normalization: lower
+    the last-``k``-labels string for k = 1..7.  Normalization: lower
     (an uppercase .CO.UK host would miss the suffix set — round-9
     third-pass review) and strip ALL trailing FQDN dots (a doubled
     'example.com..' kept one dot after a single strip and folded every
@@ -271,6 +271,28 @@ def with_registered_domain_psl(df, host_col: str,
     # silently never match the dot-stripped hosts) — so the raw list
     # file's lines load as-is (round-10 second/fifth/seventh-pass
     # reviews).
+    def _to_ascii(s: str) -> str:
+        # the published list writes IDN rules in UNICODE (U-label)
+        # form while crawl hosts carry punycode — an un-encoded rule
+        # would silently never match (round-10 tenth-pass review).
+        # The stdlib codec is IDNA2003; the handful of rules where
+        # IDNA2008 differs must be pre-encoded by the caller.
+        if s.isascii():
+            return s
+        prefix, body = "", s
+        if s.startswith("!"):
+            prefix, body = "!", s[1:]
+        elif s.startswith("*."):
+            prefix, body = "*.", s[2:]
+        try:
+            return prefix + ".".join(
+                lab if lab.isascii()
+                else lab.encode("idna").decode("ascii")
+                for lab in body.split("."))
+        except UnicodeError as e:
+            raise ValueError(
+                f"cannot IDNA-encode PSL rule {s!r}: {e}") from e
+
     norm = set()
     for r in suffix_rows:
         s = str(r).strip()
@@ -278,7 +300,7 @@ def with_registered_domain_psl(df, host_col: str,
             continue
         s = s.split()[0].lower().strip(".")
         if s:
-            norm.add(s)
+            norm.add(_to_ascii(s))
     rules = sorted(norm)
     if not rules:
         raise ValueError(
@@ -359,14 +381,30 @@ def with_registered_domain_psl(df, host_col: str,
     # joining on the raw expressions would recompute the regex-heavy
     # normalization once per tier per fact row — the with_word_ngrams
     # staging lesson applied here (round-10 third-pass review)
+    # ... and stage ONLY the tails the loaded rule set can reference
+    # (the default 2-label tuple needs t2/t3 — computing all seven
+    # per fact row would waste per-row work on the hot path; round-10
+    # tenth-pass review): each populated tier probes tails[k] and can
+    # emit tails[k+1] (exact/exception k; wildcard body j acts at
+    # k = j+1), and the implicit default always needs tails[2].
+    need = {2}
+    for k, rs in tiers.items():
+        if rs:
+            need |= {k, k + 1}
+    for j, rs in wtiers.items():
+        if rs:
+            need |= {j, j + 2}
+    for k, rs in etiers.items():
+        if rs:
+            need.add(k)
     staged_cols = {f"{u}_h": h, f"{u}_n": n, f"{u}_ip": is_ipv4}
-    for k in range(1, _MAX_EXACT + 2):
+    for k in sorted(need):
         staged_cols[f"{u}_t{k}"] = tails[k]
     joined = df.select(
         "*", *[c.alias(name) for name, c in staged_cols.items()])
     sh = F.col(f"{u}_h")
     sn = F.col(f"{u}_n")
-    st = {k: F.col(f"{u}_t{k}") for k in range(1, _MAX_EXACT + 2)}
+    st = {k: F.col(f"{u}_t{k}") for k in need}
 
     def _tier_join(frame, tier_map, name):
         out = {}
@@ -401,14 +439,21 @@ def with_registered_domain_psl(df, host_col: str,
     )
     # an exception rule PREVAILS over every other match: Y is
     # registrable despite the covering wildcard, so the registered
-    # domain of anything at-or-under Y is Y itself
+    # domain of anything at-or-under Y is Y itself.  Empty tiers are
+    # skipped entirely — their match flags are literal False and their
+    # tails were never staged.
     for k in range(_MAX_EXACT, 1, -1):
-        reg = reg.when(ematched[k], st[k])
+        if etiers[k]:
+            reg = reg.when(ematched[k], st[k])
     # otherwise the LONGEST effective suffix wins: exact k-label rules
     # and wildcards with (k-1)-label bodies both make the public
     # suffix k labels deep → registered = last k+1 (a host no deeper
     # than the suffix passes through unchanged)
     for k in range(_MAX_EXACT, 1, -1):
+        has_exact = bool(tiers[k])
+        has_wild = bool(wtiers[k - 1])
+        if not has_exact and not has_wild:
+            continue
         m = matched[k] | wmatched[k - 1]
         reg = reg.when(m & (sn >= k + 1), st[k + 1]).when(m, sh)
     reg = reg.when(sn >= 2, st[2]).otherwise(sh)

@@ -99,23 +99,41 @@ class IncrementalDedupSink:
     """
 
     def __init__(self, spark: SparkSession, store_dir: str, out_dir: str,
-                 text_col: str = "text", key_fn=None):
+                 text_col: str = "text", key_fn=None,
+                 order_col: str | None = None):
         self._spark = spark
         self._store = store_dir
         self._out = out_dir
         self._text = text_col
         self._key = key_fn or fingerprint
+        # deterministic within-batch keeper: with an order column the
+        # survivor per fingerprint is the LOWEST-order row, so a
+        # redelivered batch reproduces byte-identical output rows.
+        # Without one, dropDuplicates keeps an arbitrary KEY-identical
+        # row — fine for the text itself (the rows are
+        # content-identical by construction) but carried columns like
+        # doc_id may differ across replays; pass order_col when
+        # downstream consumers key on them (round-10 tenth-pass
+        # review).
+        self._order = order_col
         self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, kept)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         n_in = batch_df.count()
-        # collapse within-batch duplicates (keep first by natural order of
-        # the fingerprint groupBy — content-identical, so any row works)
-        # collision-proof working column (round-10 seventh-pass review:
-        # a user data column named '_fp' must survive untouched)
+        # collapse within-batch duplicates; collision-proof working
+        # column (round-10 seventh-pass review: a user data column
+        # named '_fp' must survive untouched)
         fp = fresh_name(batch_df.columns, "_fp")
-        batch = batch_df.withColumn(fp, self._key(self._text)) \
-            .dropDuplicates([fp]).drop(fp)
+        keyed = batch_df.withColumn(fp, self._key(self._text))
+        if self._order is not None:
+            from pyspark.sql import Window
+
+            rn = fresh_name([*batch_df.columns, fp], "_rn")
+            w = Window.partitionBy(fp).orderBy(self._order)
+            batch = keyed.withColumn(rn, F.row_number().over(w)) \
+                .filter(F.col(rn) == 1).drop(rn, fp)
+        else:
+            batch = keyed.dropDuplicates([fp]).drop(fp)
         seen = _read_store(self._spark, self._store, "fingerprint string",
                            exclude_batch=batch_id)
         kept = incremental_dedup(batch, seen, self._text, self._key)

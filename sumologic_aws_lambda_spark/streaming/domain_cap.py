@@ -32,6 +32,18 @@ from ..functions.urls import canonicalize_url, registered_domain
 from .dedup import _overwrite_batch_partition, _read_store
 
 
+def _reject_batch_id_collision(batch_df: DataFrame) -> None:
+    """The sinks' output/store layouts partition by ``batch_id``, and a
+    partition column SHADOWS a same-named data column on read-back —
+    case-INSENSITIVELY, like all Spark column resolution.  Refuse up
+    front (and before any persistent side effect): admitting the row
+    and corrupting it later is worse."""
+    if any(c.lower() == "batch_id" for c in batch_df.columns):
+        raise ValueError(
+            "batch column 'batch_id' collides with the sink's "
+            "partition column — rename it before the sink")
+
+
 def cap_key_from_canonical(canon_col: Column) -> Column:
     """Publisher key from an ALREADY-canonicalized URL column — split
     out so a caller that staged the canonical URL once (the composed
@@ -86,17 +98,7 @@ class DomainCapSink:
         self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, admitted)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if any(c.lower() == "batch_id" for c in batch_df.columns):
-            # the output/store layout partitions by batch_id, and a
-            # partition column SHADOWS a same-named data column on
-            # read-back (case-INSENSITIVELY, like all Spark column
-            # resolution) — the user's values would silently read as
-            # the partition number (round-10 fourth/ninth-pass
-            # reviews).  Rename upstream; admitting the row and
-            # corrupting it later is worse than refusing.
-            raise ValueError(
-                "batch column 'batch_id' collides with the sink's "
-                "partition column — rename it before the sink")
+        _reject_batch_id_collision(batch_df)
         n_in = batch_df.count()
         # collision-proof internal names: a user batch column literally
         # named _cap_key / _cap_rn / _cap_prior must survive untouched
@@ -191,11 +193,8 @@ class CurationStage0Sink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # validate BEFORE any persistent side effect: a rejected batch
         # must not leave its fingerprint partition behind (round-10
-        # fifth-pass review); case-insensitive like Spark's resolution
-        if any(c.lower() == "batch_id" for c in batch_df.columns):
-            raise ValueError(
-                "batch column 'batch_id' collides with the sink's "
-                "partition column — rename it before the sink")
+        # fifth-pass review)
+        _reject_batch_id_collision(batch_df)
         n_in = batch_df.count()
         u = fresh_prefix(batch_df.columns, "_cur")
         canon, fp, rn = f"{u}_canon", f"{u}_fp", f"{u}_rn"
@@ -204,7 +203,12 @@ class CurationStage0Sink:
         ).withColumn(
             fp, F.coalesce(
                 F.md5(F.col(canon)),
-                F.concat(F.lit("raw:"), F.col(self._url)),
+                # md5 of the raw string, not the string itself: a
+                # malformed URL starting with 'id:' would otherwise
+                # FORGE the 'rawid:' sentinel namespace ('raw:'+'id:7'
+                # == 'rawid:7'; round-10 tenth-pass review) — with the
+                # fixed-width hex digest the prefixes can never merge
+                F.concat(F.lit("raw:"), F.md5(F.col(self._url))),
                 # concat() is NULL when url is NULL — a second per-row
                 # fallback keyed on the (unique) order column keeps
                 # NULL-url rows from collapsing into one

@@ -190,3 +190,24 @@ def test_url_keyed_streaming_dedup_composes_canonicalizer(spark, tmp_path):
     assert 3 in kept and 6 in kept and len(kept) == 4
     # exactly one of the batch-0 variants of page a?id=1 survived
     assert len({1, 2} & kept) == 1 and 5 not in kept
+
+
+def test_incremental_sink_order_col_keeper_is_deterministic(
+        spark, tmp_path):
+    """Round-10 tenth-pass fix: with order_col, the within-batch
+    survivor per fingerprint is the LOWEST-order row — replay-stable
+    even for carried columns like doc_id."""
+    from sumologic_aws_lambda_spark.streaming.dedup import (
+        IncrementalDedupSink,
+    )
+
+    sink = IncrementalDedupSink(
+        spark, str(tmp_path / "store"), str(tmp_path / "out"),
+        order_col="doc_id")
+    batch = spark.createDataFrame(
+        [(9, "same text"), (2, "same text"), (5, "same text"),
+         (7, "other text")],
+        "doc_id bigint, text string")
+    sink(batch, 0)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 7]

@@ -297,3 +297,33 @@ def test_case_variant_collisions_are_caught(spark, tmp_path):
         "doc_id bigint, url string, Batch_ID bigint")
     with pytest.raises(ValueError, match="batch_id"):
         sink(bad, 1)
+
+
+def test_raw_url_fallback_cannot_forge_the_rawid_namespace(
+        spark, tmp_path):
+    """Round-10 tenth-pass fix: a malformed URL starting with 'id:'
+    must not produce a fingerprint in the 'rawid:' sentinel namespace
+    (it would collide with a NULL-url row's sentinel and be excluded
+    from the store)."""
+    from sumologic_aws_lambda_spark.streaming.domain_cap import (
+        CurationStage0Sink,
+    )
+
+    sink = CurationStage0Sink(
+        spark, str(tmp_path / "fp"), str(tmp_path / "cap"),
+        str(tmp_path / "out"), cap=9)
+    batch = spark.createDataFrame(
+        [(7, None), (8, "id:7"), (9, "https://p.org/a")],
+        "doc_id bigint, url string")
+    sink(batch, 0)
+    # doc 8 must NOT be dropped as a 'duplicate' of NULL-url doc 7
+    assert sink.batch_stats == [(0, 3, 3, 3)]
+    store = spark.read.parquet(str(tmp_path / "fp"))
+    fps = [r["fingerprint"] for r in store.collect()]
+    # the malformed-URL key persists (raw:md5...), the sentinel doesn't
+    assert len([f for f in fps if f.startswith("raw:")]) == 1
+    assert not [f for f in fps if f.startswith("rawid:")]
+    # and a RE-CRAWL of the same malformed URL is deduped cross-batch
+    sink(spark.createDataFrame([(10, "id:7")],
+                               "doc_id bigint, url string"), 1)
+    assert sink.batch_stats[-1] == (1, 1, 0, 0)

@@ -430,3 +430,21 @@ def test_psl_metacharacter_typo_in_body_raises(spark):
     with pytest.raises(ValueError, match="invalid characters"):
         with_registered_domain_psl(
             df, "host", suffix_rows=["*.ck", "!!www.ck"])
+
+
+def test_psl_unicode_rules_idna_encode_on_load(spark):
+    """Round-10 tenth-pass fix: the published list writes IDN rules in
+    unicode; they must IDNA-encode on load so punycode crawl hosts
+    match."""
+    from sumologic_aws_lambda_spark.functions.urls import (
+        with_registered_domain_psl,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a.pub1.xn--55qx5d.cn"), (1, "b.pub2.xn--55qx5d.cn")],
+        "i int, host string")
+    got = {r["i"]: r["d"] for r in with_registered_domain_psl(
+        df, "host", out_col="d", suffix_rows=["公司.cn"])
+        .select("i", "d").collect()}
+    # distinct publishers under the IDN suffix stay distinct
+    assert got == {0: "pub1.xn--55qx5d.cn", 1: "pub2.xn--55qx5d.cn"}
