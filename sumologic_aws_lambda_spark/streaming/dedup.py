@@ -37,7 +37,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..colnames import fresh_name
-from ..operators.dedup import incremental_dedup
 from ..operators.text import fingerprint
 
 
@@ -131,17 +130,23 @@ class IncrementalDedupSink:
             rn = fresh_name([*batch_df.columns, fp], "_rn")
             w = Window.partitionBy(fp).orderBy(self._order)
             batch = keyed.withColumn(rn, F.row_number().over(w)) \
-                .filter(F.col(rn) == 1).drop(rn, fp)
+                .filter(F.col(rn) == 1).drop(rn)
         else:
-            batch = keyed.dropDuplicates([fp]).drop(fp)
+            batch = keyed.dropDuplicates([fp])
         seen = _read_store(self._spark, self._store, "fingerprint string",
                            exclude_batch=batch_id)
-        kept = incremental_dedup(batch, seen, self._text, self._key)
+        # the staged fp column rides through the anti-join AND the
+        # store write — with the docstring's md5(canonicalize_url)
+        # key_fn, recomputing the key per consumer tripled the
+        # regex-heavy per-row work (round-10 eleventh-pass review)
+        kept = batch.join(
+            seen.select(F.col("fingerprint").alias(fp)),
+            fp, "left_anti")
         kept = kept.localCheckpoint()  # store write must not re-read input
         n_kept = kept.count()
-        _overwrite_batch_partition(kept, self._out, batch_id)
+        _overwrite_batch_partition(kept.drop(fp), self._out, batch_id)
         _overwrite_batch_partition(
-            kept.select(self._key(self._text).alias("fingerprint")),
+            kept.select(F.col(fp).alias("fingerprint")),
             self._store, batch_id)
         self.batch_stats.append((batch_id, n_in, n_kept))
 

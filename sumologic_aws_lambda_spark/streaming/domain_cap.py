@@ -222,9 +222,11 @@ class CurationStage0Sink:
         seen = _read_store(self._spark, self._dedup_store,
                            "fingerprint string",
                            exclude_batch=batch_id)
-        # inline anti-join on the staged key: incremental_dedup's
-        # hardcoded '_fp' working column would clobber a same-named
-        # user column (round-10 fifth-pass review)
+        # inline anti-join on the staged key: the multi-fallback fp
+        # (md5-of-canonical / raw: / rawid:) is a function of THREE
+        # inputs, not one column, so incremental_dedup's
+        # key_fn-over-one-column contract cannot express it — and the
+        # staged column must ride through to the store write anyway
         survivors = batch.join(
             seen.select(F.col("fingerprint").alias(fp)),
             fp, "left_anti")
