@@ -28,6 +28,13 @@ def deliver_in_chunks(df: DataFrame,
 
     ``send`` must be serializable (it runs on executors).  Failures are
     counted, not raised — the A4 accounting fold.
+
+    Delivery is EAGER and exactly-once-per-call: the per-partition
+    summaries (one tiny row per partition) are collected before the
+    accounting DataFrame is built.  The earlier lazy form ran ``send``
+    as a side effect of an uncached RDD — zero deliveries if the
+    accounting frame was never acted on, one duplicate delivery per
+    extra action on it (round-10 streaming review, reproduced live).
     """
     spark = df.sparkSession
 
@@ -55,7 +62,7 @@ def deliver_in_chunks(df: DataFrame,
         flush()
         yield (pid, chunks, sent, failed)
 
-    summary = df.rdd.mapPartitionsWithIndex(run_partition)
+    summary = df.rdd.mapPartitionsWithIndex(run_partition).collect()
     return spark.createDataFrame(
         summary, "partition_id int, chunks int, sent int, failed int"
     )

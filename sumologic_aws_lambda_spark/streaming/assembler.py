@@ -82,7 +82,14 @@ def assemble_multiline_stream(lines: DataFrame,
             cur: list[str] = joined.split("\n")
         else:
             first_seq, cur = -1, []
-        batch = pd.concat(list(pdfs)).sort_values("seq")
+        batch = pd.concat(list(pdfs))
+        # a null seq (missing field) arrives as NaN in the Arrow float
+        # column and int(NaN) would kill the query — the same
+        # poison-pill class as the null-line guard below.  Pin such
+        # rows to -1 so they sort first, deterministically (round-10
+        # streaming review).
+        batch["seq"] = batch["seq"].fillna(-1)
+        batch = batch.sort_values("seq")
         for seq, line in zip(batch["seq"], batch["line"]):
             # a null line (e.g. a json row missing the field) must not
             # poison the query: pat.match(None) raises TypeError and the
@@ -146,7 +153,9 @@ try:  # the class itself imports WITHOUT protobuf — only the TWS
                 cur: list[str] = joined.split("\n")
             else:
                 first_seq, cur = -1, []
-            batch = pd.concat(list(rows)).sort_values("seq")
+            batch = pd.concat(list(rows))
+            batch["seq"] = batch["seq"].fillna(-1)  # null-seq guard
+            batch = batch.sort_values("seq")
             for seq, line in zip(batch["seq"], batch["line"]):
                 line = line if isinstance(line, str) else ""  # null guard
                 if pat.match(line) and cur:

@@ -134,7 +134,13 @@ def drain_quarantine(spark: SparkSession, quarantine_dir: str,
             continue
         try:
             df = spark.read.parquet(path)
-        except Py4JJavaError:
+        except Exception:  # noqa: BLE001 — isolation boundary
+            # not just Py4JJavaError: an empty dir left by a crash
+            # mid-quarantine-write raises AnalysisException, and ANY
+            # unreadable entry must be skipped, or one poison dir
+            # starves every other quarantined batch on every
+            # subsequent drain — the documented DLQProcessor isolation
+            # contract (round-10 streaming review)
             continue
         n_before = len(sink.reports)
         try:
@@ -146,8 +152,15 @@ def drain_quarantine(spark: SparkSession, quarantine_dir: str,
         # DeliveryReport.success
         if new and not getattr(new[-1], "ok",
                                getattr(new[-1], "success", True)):
-            # The sink swallowed the failure (its own quarantine_dir was
-            # set) — the batch did NOT go out, so keep it quarantined.
+            # The sink swallowed the failure.  If the sink has its OWN
+            # quarantine dir, it re-quarantined the batch there and now
+            # owns it — keeping OUR copy too would deliver the batch
+            # twice once it recovers (round-10 streaming review); a
+            # sink without one did not persist anything, so we keep
+            # ours.
+            if getattr(sink, "quarantine_dir", None) is not None \
+                    and sink.quarantine_dir != quarantine_dir:
+                shutil.rmtree(path, ignore_errors=True)
             continue
         shutil.rmtree(path, ignore_errors=True)
     return sink.reports
@@ -219,7 +232,8 @@ def streaming_sliding_counts(records: DataFrame,
 def streaming_interval_join(clicks: DataFrame, purchases: DataFrame,
                             key: str = "user_id",
                             within_minutes: int = 30,
-                            watermark_minutes: int = 60) -> DataFrame:
+                            watermark_minutes: int = 60,
+                            purchase_id_col: str | None = None) -> DataFrame:
     """Stream-stream inner join: each purchase attributed to the same
     user's click at most ``within_minutes`` earlier (last-touch
     attribution as a CONTINUOUS query — the streaming twin of
@@ -233,17 +247,27 @@ def streaming_interval_join(clicks: DataFrame, purchases: DataFrame,
     would buffer both streams forever).  The join itself co-partitions
     both streams on the user key — one shuffle per side, the same
     partitioning a 1000-executor cluster would use.
+
+    ``purchase_id_col``: a per-purchase identity column carried
+    through the join and the last-touch collapse.  Without one, the
+    collapse groups on (user, ts, value) — two DISTINCT purchases by
+    one user with equal timestamp and value then merge into one
+    attributed row, undercounting revenue (round-10 streaming review).
+    Pass the purchase id whenever the stream has one.
     """
     c = (
         clicks.withWatermark("ts", f"{watermark_minutes} minutes")
         .select(F.col(key).alias("c_user"),
                 F.col("ts").alias("click_ts"))
     )
+    p_cols = [F.col(key).alias("p_user"),
+              F.col("ts").alias("purchase_ts"),
+              F.col("value").alias("purchase_value")]
+    if purchase_id_col is not None:
+        p_cols.append(F.col(purchase_id_col).alias("purchase_id"))
     p = (
         purchases.withWatermark("ts", f"{watermark_minutes} minutes")
-        .select(F.col(key).alias("p_user"),
-                F.col("ts").alias("purchase_ts"),
-                F.col("value").alias("purchase_value"))
+        .select(*p_cols)
     )
     pairs = p.join(
         c,
@@ -260,11 +284,13 @@ def streaming_interval_join(clicks: DataFrame, purchases: DataFrame,
     # append mode because the join output carries the purchase-side
     # event time (watermarked), and the aggregate emits once the
     # watermark passes the purchase timestamp.
+    group = ["p_user", "purchase_ts", "purchase_value"]
+    out = ["click_ts", "purchase_ts", "purchase_value"]
+    if purchase_id_col is not None:
+        group.append("purchase_id")
+        out.append("purchase_id")
     return (
-        pairs.groupBy("p_user", "purchase_ts", "purchase_value")
+        pairs.groupBy(*group)
         .agg(F.max("click_ts").alias("click_ts"))
-        .select(
-            F.col("p_user").alias("user_id"),
-            "click_ts", "purchase_ts", "purchase_value",
-        )
+        .select(F.col("p_user").alias("user_id"), *out)
     )

@@ -68,6 +68,13 @@ class NdjsonDeliverySink:
                 w = w.partitionBy(*cols)
         if self.compress:
             w = w.option("compression", "gzip")
+        # keep null-valued fields EXPLICIT: Spark's JSON writer defaults
+        # to ignoreNullFields=true, which silently omits the key —
+        # downstream schemaless NDJSON consumers then can't distinguish
+        # "null" from "absent", and record shape varies per record; the
+        # reference's JSON.stringify preserves null fields (round-10
+        # streaming review)
+        w = w.option("ignoreNullFields", "false")
         w.json(path)  # Spark JSON writer == NDJSON (one object per line)
 
     def __call__(self, batch_df, batch_id: int) -> None:
@@ -75,29 +82,54 @@ class NdjsonDeliverySink:
         reference's linear backoff (``exponentialBackoff(seed)=count*seed``,
         utils.js:28-34); after exhaustion the batch lands in quarantine
         for the DLQ loop instead of being lost."""
-        rows = batch_df.count()
-        path = f"{self.out_dir}/batch_id={batch_id}"
-        last_err: Exception | None = None
-        for attempt in range(1, self.max_retries + 1):
-            try:
-                self._write(batch_df, path)
-                self.reports.append(
-                    DeliveryReport(batch_id, attempt, True, rows)
-                )
-                return
-            except Exception as exc:  # delivery failure → retry
-                last_err = exc
-                if attempt < self.max_retries:
-                    self._sleep(self.backoff_seconds * attempt)
-        self.reports.append(
-            DeliveryReport(batch_id, self.max_retries, False, rows,
-                           str(last_err))
-        )
-        if self.quarantine_dir is not None:
-            batch_df.write.mode("overwrite").parquet(
-                f"{self.quarantine_dir}/batch_id={batch_id}"
+        # persist: count + write are two actions over the same upstream
+        # micro-batch transform (decode/parse/explode) — without this
+        # the hot path recomputes it per action, and once more per
+        # retry/quarantine (the QualityGateSink precedent)
+        batch_df.persist()
+        try:
+            rows = batch_df.count()
+            path = f"{self.out_dir}/batch_id={batch_id}"
+            last_err: Exception | None = None
+            for attempt in range(1, self.max_retries + 1):
+                try:
+                    self._write(batch_df, path)
+                    self.reports.append(
+                        DeliveryReport(batch_id, attempt, True, rows)
+                    )
+                    # clear any STALE quarantine copy of this batch: a
+                    # crash mid-quarantine-write on a previous delivery
+                    # attempt leaves a truncated batch_id=N that a later
+                    # drain would redeliver OVER this complete delivery
+                    # (round-10 streaming review).  Hadoop FS API, not
+                    # shutil — the quarantine dir may be a remote URI
+                    # (the round-7 _store_has_data lesson).
+                    if self.quarantine_dir is not None:
+                        spark = batch_df.sparkSession
+                        jvm = spark._jvm
+                        hpath = jvm.org.apache.hadoop.fs.Path(
+                            f"{self.quarantine_dir}/batch_id={batch_id}")
+                        fs = hpath.getFileSystem(
+                            spark._jsc.hadoopConfiguration())
+                        if fs.exists(hpath):
+                            fs.delete(hpath, True)
+                    return
+                except Exception as exc:  # delivery failure → retry
+                    last_err = exc
+                    if attempt < self.max_retries:
+                        self._sleep(self.backoff_seconds * attempt)
+            self.reports.append(
+                DeliveryReport(batch_id, self.max_retries, False, rows,
+                               str(last_err))
             )
-        else:
-            raise RuntimeError(
-                f"batch {batch_id} failed after {self.max_retries} attempts"
-            ) from last_err
+            if self.quarantine_dir is not None:
+                batch_df.write.mode("overwrite").parquet(
+                    f"{self.quarantine_dir}/batch_id={batch_id}"
+                )
+            else:
+                raise RuntimeError(
+                    f"batch {batch_id} failed after "
+                    f"{self.max_retries} attempts"
+                ) from last_err
+        finally:
+            batch_df.unpersist()

@@ -159,6 +159,19 @@ class SnapshotUpsertSink:
                               ignore_errors=True)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # '_seq' is part of the PERSISTED snapshot schema (it must
+        # union with prior batches), so a user column of that name
+        # cannot be renamed away — and it would silently be replaced
+        # by the batch id, corrupting the user's own ordering signal;
+        # '_rn' would be overwritten and dropped by the latest-per-key
+        # window.  Case-insensitive, like Spark's resolution
+        # (round-10 streaming review).
+        reserved = {"_seq", "_rn"}
+        clash = [c for c in batch_df.columns if c.lower() in reserved]
+        if clash:
+            raise ValueError(
+                f"batch columns {clash} collide with the upsert sink's "
+                f"reserved snapshot columns — rename them upstream")
         spark = batch_df.sparkSession
         self._recover()
         self._sweep_staging()

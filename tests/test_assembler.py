@@ -200,3 +200,35 @@ def test_multiline_assembler_tws_logic_without_state_server():
     assert not h.state.exists()
     assert list(p.handleExpiredTimer(("s1",), _FakeTimerValues(80_000),
                                      None)) == []
+
+
+def test_null_seq_does_not_poison_the_stream(spark, tmp_path):
+    """Round-10 streaming review: a row missing seq arrives as NaN in
+    the Arrow float column — int(NaN) must not kill the query; the
+    row pins to seq=-1 and sorts first, deterministically."""
+    import json as _json
+
+    from sumologic_aws_lambda_spark.streaming.assembler import (
+        assemble_multiline_stream,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b.json").write_text("\n".join([
+        _json.dumps({"stream_id": "s1",
+                     "line": "2024-01-01 10:00:01 next"}),  # no seq
+        _json.dumps({"stream_id": "s1", "seq": 2,
+                     "line": "2024-01-01 10:00:02 after"}),
+    ]))
+    stream = spark.readStream.schema(
+        "stream_id string, seq bigint, line string").json(str(src))
+    out = assemble_multiline_stream(stream)
+    q = (out.writeStream.format("memory").queryName("asm_nullseq")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM asm_nullseq").collect()
+    # the query survived; the null-seq entry was emitted (flushed by
+    # the following boundary line), not dropped
+    assert any("next" in r["entry"] for r in rows)

@@ -387,3 +387,26 @@ def test_decayed_counts_half_life_and_state_carry(spark, tmp_path):
     assert math.isclose(got2["api"].decayed_count, 2.0 * 0.5 + 1.0,
                         rel_tol=1e-9)
     assert got2["api"].last_epoch_s == 100
+
+
+def test_drain_quarantine_skips_poison_dirs(spark, tmp_path):
+    """Round-10 streaming review: an unreadable quarantine entry (an
+    empty dir left by a crash mid-write raises AnalysisException, not
+    Py4JJavaError) must be skipped so the other batches still drain."""
+    import pathlib
+
+    from sumologic_aws_lambda_spark.streaming.pipeline import (
+        drain_quarantine,
+    )
+
+    q = tmp_path / "dlq"
+    (q / "batch_id=9").mkdir(parents=True)  # empty: schema inference fails
+    good = spark.createDataFrame([(1, "hello")], "doc_id bigint, m string")
+    good.write.parquet(str(q / "batch_id=20"))
+    out = tmp_path / "out"
+    reports = drain_quarantine(spark, str(q), out_dir=str(out))
+    # the good batch went out despite the poison dir sorting first
+    assert any(r.success for r in reports)
+    assert (out / "batch_id=20").exists()
+    assert not pathlib.Path(q / "batch_id=20").exists()  # drained
+    assert pathlib.Path(q / "batch_id=9").exists()  # poison stays

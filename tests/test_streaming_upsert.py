@@ -173,3 +173,22 @@ def test_rejects_single_slash_remote_uris(tmp_path):
                 "gs:/bucket/snap"):
         with pytest.raises(ValueError, match="local POSIX path"):
             SnapshotUpsertSink(uri, key_cols=("k",), ts_col="ts")
+
+
+def test_reserved_snapshot_columns_are_rejected(spark, tmp_path):
+    """Round-10 streaming review: a batch column named _seq would be
+    silently replaced by the batch id (destroying the user's ordering
+    signal) and _rn overwritten and dropped — refuse both, case-
+    insensitively."""
+    import pytest as _pytest
+
+    from sumologic_aws_lambda_spark.streaming.upsert import (
+        SnapshotUpsertSink,
+    )
+
+    sink = SnapshotUpsertSink(str(tmp_path / "snap"), key_cols=("k",),
+                              ts_col="ts")
+    bad = spark.createDataFrame(
+        [("k1", 1, 999)], "k string, ts bigint, _SEQ bigint")
+    with _pytest.raises(ValueError, match="_SEQ"):
+        sink(bad, 0)
