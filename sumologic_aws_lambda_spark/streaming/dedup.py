@@ -40,6 +40,20 @@ from ..colnames import fresh_name
 from ..operators.text import fingerprint
 
 
+def _reject_batch_id_collision(batch_df: DataFrame) -> None:
+    """The sinks' output/store layouts partition by ``batch_id``, and a
+    partition column SHADOWS a same-named data column on read-back —
+    case-INSENSITIVELY, like all Spark column resolution.  Refuse up
+    front (and before any persistent side effect): admitting the row
+    and corrupting it later is worse.  Shared by every sink that writes
+    user rows into ``batch_id=N`` partitions (round-10 ADVICE: the
+    guard landed in domain_cap.py's sinks but not the older ones)."""
+    if any(c.lower() == "batch_id" for c in batch_df.columns):
+        raise ValueError(
+            "batch column 'batch_id' collides with the sink's "
+            "partition column — rename it before the sink")
+
+
 def _store_has_data(spark: SparkSession, store_dir: str) -> bool:
     """Whether the fingerprint store exists with at least one batch
     partition / parquet file.  EVERY path goes through the Hadoop
@@ -118,6 +132,7 @@ class IncrementalDedupSink:
         self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, kept)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        _reject_batch_id_collision(batch_df)
         n_in = batch_df.count()
         # collapse within-batch duplicates; collision-proof working
         # column (round-10 seventh-pass review: a user data column
@@ -183,6 +198,8 @@ class ParagraphDedupSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.dedup import paragraph_dedup, paragraph_units
+
+        _reject_batch_id_collision(batch_df)
 
         within = paragraph_dedup(batch_df, self._text,
                                  tokens_per_para=self._k)

@@ -29,19 +29,11 @@ from pyspark.sql import functions as F
 
 from ..colnames import fresh_prefix
 from ..functions.urls import canonicalize_url, registered_domain
-from .dedup import _overwrite_batch_partition, _read_store
-
-
-def _reject_batch_id_collision(batch_df: DataFrame) -> None:
-    """The sinks' output/store layouts partition by ``batch_id``, and a
-    partition column SHADOWS a same-named data column on read-back —
-    case-INSENSITIVELY, like all Spark column resolution.  Refuse up
-    front (and before any persistent side effect): admitting the row
-    and corrupting it later is worse."""
-    if any(c.lower() == "batch_id" for c in batch_df.columns):
-        raise ValueError(
-            "batch column 'batch_id' collides with the sink's "
-            "partition column — rename it before the sink")
+from .dedup import (
+    _overwrite_batch_partition,
+    _read_store,
+    _reject_batch_id_collision,
+)
 
 
 def cap_key_from_canonical(canon_col: Column) -> Column:

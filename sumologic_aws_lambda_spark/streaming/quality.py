@@ -100,6 +100,12 @@ class QualityGateSink:
         return rows, {n: int(v or 0) for n, v in row.items()}
 
     def __call__(self, batch_df, batch_id: int) -> None:
+        from .dedup import _reject_batch_id_collision
+
+        # out_dir and quarantine_dir are both batch_id-partitioned; a
+        # user data column named batch_id would be shadowed on whole-
+        # prefix read-back (round-10 ADVICE)
+        _reject_batch_id_collision(batch_df)
         # persist: the batch feeds two actions (the validation aggregate
         # and the delivery/quarantine write) — without it the micro-batch
         # input is read and re-transformed twice.

@@ -82,6 +82,12 @@ class NdjsonDeliverySink:
         reference's linear backoff (``exponentialBackoff(seed)=count*seed``,
         utils.js:28-34); after exhaustion the batch lands in quarantine
         for the DLQ loop instead of being lost."""
+        from .dedup import _reject_batch_id_collision
+
+        # out_dir and quarantine_dir are both batch_id-partitioned; a
+        # user data column named batch_id would be shadowed on whole-
+        # prefix read-back (round-10 ADVICE)
+        _reject_batch_id_collision(batch_df)
         # persist: count + write are two actions over the same upstream
         # micro-batch transform (decode/parse/explode) — without this
         # the hot path recomputes it per action, and once more per
@@ -94,17 +100,28 @@ class NdjsonDeliverySink:
             for attempt in range(1, self.max_retries + 1):
                 try:
                     self._write(batch_df, path)
-                    self.reports.append(
-                        DeliveryReport(batch_id, attempt, True, rows)
-                    )
-                    # clear any STALE quarantine copy of this batch: a
-                    # crash mid-quarantine-write on a previous delivery
-                    # attempt leaves a truncated batch_id=N that a later
-                    # drain would redeliver OVER this complete delivery
-                    # (round-10 streaming review).  Hadoop FS API, not
-                    # shutil — the quarantine dir may be a remote URI
-                    # (the round-7 _store_has_data lesson).
-                    if self.quarantine_dir is not None:
+                except Exception as exc:  # delivery failure → retry
+                    last_err = exc
+                    if attempt < self.max_retries:
+                        self._sleep(self.backoff_seconds * attempt)
+                    continue
+                # Delivered.  Clear any STALE quarantine copy of this
+                # batch: a crash mid-quarantine-write on a previous
+                # delivery attempt leaves a truncated batch_id=N that a
+                # later drain would redeliver OVER this complete
+                # delivery (round-10 streaming review).  Hadoop FS API,
+                # not shutil — the quarantine dir may be a remote URI
+                # (the round-7 _store_has_data lesson).  The cleanup
+                # lives OUTSIDE the retry try-block: a delete failure
+                # must never be misclassified as a delivery failure —
+                # that would re-write a delivered batch per retry,
+                # stack phantom reports, and re-quarantine data that is
+                # already out (round-10 ADVICE).  Worst case on a
+                # swallowed delete error: the stale copy survives and a
+                # later drain overwrites the same batch_id path —
+                # idempotent by design.
+                if self.quarantine_dir is not None:
+                    try:
                         spark = batch_df.sparkSession
                         jvm = spark._jvm
                         hpath = jvm.org.apache.hadoop.fs.Path(
@@ -113,11 +130,12 @@ class NdjsonDeliverySink:
                             spark._jsc.hadoopConfiguration())
                         if fs.exists(hpath):
                             fs.delete(hpath, True)
-                    return
-                except Exception as exc:  # delivery failure → retry
-                    last_err = exc
-                    if attempt < self.max_retries:
-                        self._sleep(self.backoff_seconds * attempt)
+                    except Exception:  # noqa: BLE001 — cleanup only
+                        pass
+                self.reports.append(
+                    DeliveryReport(batch_id, attempt, True, rows)
+                )
+                return
             self.reports.append(
                 DeliveryReport(batch_id, self.max_retries, False, rows,
                                str(last_err))

@@ -389,6 +389,79 @@ def test_decayed_counts_half_life_and_state_carry(spark, tmp_path):
     assert got2["api"].last_epoch_s == 100
 
 
+def test_sink_clears_stale_quarantine_copy_on_success(spark, tmp_path):
+    """Round-10 hardening: a successful delivery removes any stale
+    quarantine copy of the same batch (a crash mid-quarantine-write on
+    an earlier attempt must not get redelivered over a complete
+    delivery)."""
+    stale = spark.createDataFrame([(99,)], "v int")
+    stale.write.parquet(str(tmp_path / "dlq" / "batch_id=5"))
+    sink = NdjsonDeliverySink(
+        str(tmp_path / "out"), partition_cols=(), backoff_seconds=0.0,
+        quarantine_dir=str(tmp_path / "dlq"))
+    sink(spark.range(2).withColumnRenamed("id", "v"), 5)
+    assert sink.reports[-1].success
+    assert not (tmp_path / "dlq" / "batch_id=5").exists()
+
+
+def test_sink_cleanup_failure_is_not_a_delivery_failure(spark, tmp_path):
+    """Round-10 ADVICE: the stale-quarantine cleanup must never be
+    misclassified as a delivery failure.  With a quarantine dir whose
+    filesystem cannot be resolved, a successful write must still report
+    exactly ONE success on attempt 1 — not retry, not re-quarantine."""
+    sink = NdjsonDeliverySink(
+        str(tmp_path / "out"), partition_cols=(), backoff_seconds=0.0,
+        quarantine_dir="nosuchscheme://bucket/dlq")
+    writes = {"n": 0}
+    real_write = sink._write
+
+    def counting(batch, path):
+        writes["n"] += 1
+        real_write(batch, path)
+
+    sink._write = counting
+    sink(spark.range(2).withColumnRenamed("id", "v"), 4)
+    assert writes["n"] == 1                    # delivered once, no retry
+    assert len(sink.reports) == 1              # one report, not per-retry
+    assert sink.reports[0].success and sink.reports[0].attempts == 1
+    rows = _read_ndjson(str(tmp_path / "out"))
+    assert {r["v"] for r in rows} == {0, 1}
+
+
+def test_batch_id_collision_rejected_by_older_sinks(spark, tmp_path):
+    """Round-10 ADVICE: the batch_id partition-column collision guard
+    (DomainCapSink precedent) must also cover the older per-batch-
+    partition sinks — a user data column named batch_id would be
+    silently shadowed on read-back of their out/store prefixes."""
+    from sumologic_aws_lambda_spark.streaming.dedup import (
+        IncrementalDedupSink,
+        ParagraphDedupSink,
+    )
+    from sumologic_aws_lambda_spark.streaming.quality import (
+        QualityGateSink,
+        not_null,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, "t", 0)], "doc_id bigint, text string, BATCH_ID int")
+    sinks = [
+        NdjsonDeliverySink(str(tmp_path / "o1"),
+                           quarantine_dir=str(tmp_path / "q1")),
+        IncrementalDedupSink(spark, str(tmp_path / "s2"),
+                             str(tmp_path / "o2")),
+        ParagraphDedupSink(spark, str(tmp_path / "s3"),
+                           str(tmp_path / "o3")),
+        QualityGateSink({"c": not_null("text")}, str(tmp_path / "o4"),
+                        str(tmp_path / "q4")),
+    ]
+    for sink in sinks:
+        with pytest.raises(ValueError, match="batch_id"):
+            sink(bad, 0)
+        # guard fired BEFORE any persistent side effect
+    for d in tmp_path.iterdir():
+        assert not any(d.glob("batch_id=*")), d
+
+
 def test_drain_quarantine_skips_poison_dirs(spark, tmp_path):
     """Round-10 streaming review: an unreadable quarantine entry (an
     empty dir left by a crash mid-write raises AnalysisException, not

@@ -171,9 +171,13 @@ def test_webhook_quarantine_drained_by_webhook_sink(spark, tmp_path):
     assert not (q / "batch_id=3").exists()     # delivered → dequarantined
 
 
-def test_webhook_drain_keeps_still_failing_batch(spark, tmp_path):
-    """A drain sink that itself quarantines (returns normally with a
-    not-ok report) must leave the source batch quarantined."""
+def test_webhook_drain_transfers_ownership_to_drain_quarantine(
+        spark, tmp_path):
+    """A drain sink with its OWN quarantine dir re-quarantines a
+    still-failing batch there and takes ownership: the source copy is
+    RELEASED (keeping both would deliver the batch twice once the sink
+    recovers — the round-10 ownership-transfer contract,
+    ``streaming/pipeline.py::drain_quarantine``)."""
     from sumologic_aws_lambda_spark.streaming.pipeline import (
         drain_quarantine,
     )
@@ -189,5 +193,32 @@ def test_webhook_drain_keeps_still_failing_batch(spark, tmp_path):
     failing(df, batch_id=0)
 
     drain = _sink(bad_post, max_retries=1, quarantine_dir=str(q2))
+    drain_quarantine(spark, str(q), sink=drain)
+    # ownership transferred: gone from the source, held by the drain sink
+    assert not (q / "batch_id=0").exists()
+    assert (q2 / "batch_id=0").is_dir()
+    # the batch itself survives the transfer intact
+    moved = spark.read.parquet(str(q2 / "batch_id=0"))
+    assert [(r.id, r.name) for r in moved.collect()] == [(1, "a")]
+
+
+def test_webhook_drain_keeps_still_failing_batch(spark, tmp_path):
+    """A drain sink WITHOUT a quarantine dir persists nothing on
+    failure (it raises), so the source copy must be KEPT for the next
+    drain — releasing it would lose the batch entirely."""
+    from sumologic_aws_lambda_spark.streaming.pipeline import (
+        drain_quarantine,
+    )
+
+    q = tmp_path / "webhook_dlq"
+
+    def bad_post(url, body, headers):
+        raise RuntimeError("503")
+
+    failing = _sink(bad_post, max_retries=1, quarantine_dir=str(q))
+    df = spark.createDataFrame([(1, "a")], "id int, name string")
+    failing(df, batch_id=0)
+
+    drain = _sink(bad_post, max_retries=1)     # no quarantine dir
     drain_quarantine(spark, str(q), sink=drain)
     assert (q / "batch_id=0").is_dir()         # kept for the next drain
