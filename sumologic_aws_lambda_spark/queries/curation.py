@@ -6,7 +6,7 @@ SemDeDup, Abbas et al. 2023)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -1212,14 +1212,12 @@ _FUNNEL_URL_SQL = """
 _FUNNEL_CAP = 3
 
 
-def _funnel_ranked_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared front end of the crawl funnels: messy-URL fixture →
-    canonicalize → canonical-key dedup (keeper = min doc_id, group size
-    carried) → registered-domain rank.  Returns (canonical_url,
-    group_n, doc_id, text, host, reg_dom, rn) — stage-0 gates and the
-    stage-1 near-dup both consume this one lineage."""
-    from ..functions.urls import canonicalize_url
-
+def _funnel_fixture_url() -> Column:
+    """The crawl funnels' messy-URL fixture, as a Column over ``doc_id``
+    — five raw spellings per page (case/port/userinfo/tracking-param
+    variants), subdomain-sharded across three hosts per publisher.
+    Split out so the streaming stage-1 parity test feeds the sink the
+    EXACT urls the batch funnel synthesizes (one definition)."""
     gid = F.expr("doc_id div 5").cast("string")
     pubn = F.expr("(doc_id div 5) % 20").cast("string")
     shard = F.expr("((doc_id div 5) div 20) % 3").cast("string")
@@ -1247,8 +1245,20 @@ def _funnel_ranked_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".org/d/"), gid,
             F.lit("/?id="), pid, F.lit("&utm_medium=email")))
     )
+    return url
+
+
+def _funnel_ranked_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared front end of the crawl funnels: messy-URL fixture →
+    canonicalize → canonical-key dedup (keeper = min doc_id, group size
+    carried) → registered-domain rank.  Returns (canonical_url,
+    group_n, doc_id, text, host, reg_dom, rn) — stage-0 gates and the
+    stage-1 near-dup both consume this one lineage."""
+    from ..functions.urls import canonicalize_url
+
     docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "text", canonicalize_url(url).alias("canonical_url"))
+        "doc_id", "text",
+        canonicalize_url(_funnel_fixture_url()).alias("canonical_url"))
     # malformed (NULL-canonical) rows leave the funnel up front, exactly
     # as the oracle's WHERE scheme <> '' does — without this a single
     # unparseable URL becomes a counted NULL group only on the Spark
@@ -1624,6 +1634,34 @@ def _funnel_neardup(flags: DataFrame, keys: tuple[str, ...],
 # template paragraph entirely — they fail the min-content gate, so the
 # quality gates bind inside this funnel too.  All words are md5-derived
 # (repo hashing rule) so the oracle regenerates them byte-for-byte.
+def _s1_fixture_html() -> Column:
+    """The stage-1 page-HTML fixture as a Column over ``doc_id`` (the
+    Spark twin of ``_S1_HTML_SQL``).  Split out so the streaming
+    stage-1 parity test renders the EXACT pages the batch funnel
+    renders (one definition)."""
+    gid_s = F.expr("doc_id div 5").cast("string")
+    tid = F.expr("(doc_id div 5) % 25").cast("string")
+    shared = F.array_join(F.transform(
+        F.sequence(F.lit(1), F.lit(40)),
+        lambda j: F.concat(F.lit("w"), F.substring(
+            F.md5(F.concat(tid, F.lit(":"), j.cast("string"))),
+            1, 6))), " ")
+    tail = F.array_join(F.transform(
+        F.sequence(F.lit(1), F.lit(5)),
+        lambda j: F.concat(F.lit("p"), F.substring(
+            F.md5(F.concat(F.lit("pg:"), gid_s, F.lit(":"),
+                           j.cast("string"))), 1, 6))), " ")
+    return F.concat(
+        F.lit('<html><head><script>var t=1;</script></head><body>'
+              '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'),
+        F.when(F.expr("(doc_id div 5) % 11") == 7, F.lit(""))
+        .otherwise(F.concat(F.lit("<p>"), shared, F.lit("</p>"))),
+        F.lit("<P>"), tail,
+        F.lit('</P><footer><a href="/p">Privacy</a> (c) corp</footer>'
+              '</body></html>'),
+    )
+
+
 _S1_HTML_SQL = """
     '<html><head><script>var t=1;</script></head><body>'
     || '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
@@ -1740,27 +1778,7 @@ def crawl_stage1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.html import extract_main_text
 
-    gid_s = F.expr("doc_id div 5").cast("string")
-    tid = F.expr("(doc_id div 5) % 25").cast("string")
-    shared = F.array_join(F.transform(
-        F.sequence(F.lit(1), F.lit(40)),
-        lambda j: F.concat(F.lit("w"), F.substring(
-            F.md5(F.concat(tid, F.lit(":"), j.cast("string"))),
-            1, 6))), " ")
-    tail = F.array_join(F.transform(
-        F.sequence(F.lit(1), F.lit(5)),
-        lambda j: F.concat(F.lit("p"), F.substring(
-            F.md5(F.concat(F.lit("pg:"), gid_s, F.lit(":"),
-                           j.cast("string"))), 1, 6))), " ")
-    html = F.concat(
-        F.lit('<html><head><script>var t=1;</script></head><body>'
-              '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'),
-        F.when(F.expr("(doc_id div 5) % 11") == 7, F.lit(""))
-        .otherwise(F.concat(F.lit("<p>"), shared, F.lit("</p>"))),
-        F.lit("<P>"), tail,
-        F.lit('</P><footer><a href="/p">Privacy</a> (c) corp</footer>'
-              '</body></html>'),
-    )
+    html = _s1_fixture_html()
     capped = _funnel_ranked_keepers(spark, sf_dir) \
         .filter(F.col("rn") <= _FUNNEL_CAP).select("doc_id")
     xt = extract_main_text(html)["extracted_text"]

@@ -90,6 +90,17 @@ class DomainCapSink:
         self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, admitted)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        admitted = self._admit(batch_df, batch_id)
+        _overwrite_batch_partition(admitted, self._out, batch_id)
+
+    def _admit(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        """The cap stage without the output write: compute the admitted
+        frame (working/out_drop columns removed), persist the count
+        store, record stats, and RETURN the frame — so a composed sink
+        (``CurationStage1Sink``) can chain further stages on the
+        admitted rows in-memory instead of writing and re-reading an
+        intermediate per batch.  ``__call__`` is ``_admit`` + the
+        output-partition write."""
         _reject_batch_id_collision(batch_df)
         n_in = batch_df.count()
         # collision-proof internal names: a user batch column literally
@@ -128,13 +139,11 @@ class DomainCapSink:
         admitted = admitted.localCheckpoint()
         n_adm = admitted.count()
         _overwrite_batch_partition(
-            admitted.drop(c_key, c_rn, c_prior, *self._out_drop),
-            self._out, batch_id)
-        _overwrite_batch_partition(
             admitted.groupBy(F.col(c_key).alias("key")).agg(
                 F.count(F.lit(1)).cast("bigint").alias("admitted")),
             self._store, batch_id)
         self.batch_stats.append((batch_id, n_in, n_adm))
+        return admitted.drop(c_key, c_rn, c_prior, *self._out_drop)
 
 
 class CurationStage0Sink:
@@ -183,6 +192,14 @@ class CurationStage0Sink:
         self.batch_stats: list[tuple[int, int, int, int]] = []
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        admitted = self._admit(batch_df, batch_id)
+        _overwrite_batch_partition(admitted, self._out, batch_id)
+
+    def _admit(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        """Dedup + cap without the output write (the ``DomainCapSink.
+        _admit`` contract): returns the cap-admitted frame with working
+        columns removed, so ``CurationStage1Sink`` can chain extraction
+        / gates / near-dedup on it in-memory."""
         # validate BEFORE any persistent side effect: a rejected batch
         # must not leave its fingerprint partition behind (round-10
         # fifth-pass review)
@@ -240,8 +257,9 @@ class CurationStage0Sink:
             url_col=canon, order_col=self._order, cap=self._cap,
             key_fn=cap_key_from_canonical,
             out_drop_cols=(canon, fp))
-        cap_sink(survivors, batch_id)
+        admitted = cap_sink._admit(survivors, batch_id)
         # the inner sink already counted the survivors frame as its
         # n_in — reuse it instead of paying a second count job
         _, n_dedup, n_adm = cap_sink.batch_stats[-1]
         self.batch_stats.append((batch_id, n_in, n_dedup, n_adm))
+        return admitted

@@ -1,0 +1,276 @@
+"""Streaming MinHash-LSH near-dedup: the ``foreachBatch`` twin of the
+batch ``crawl_stage1_funnel`` back end (``queries/curation.py::
+_funnel_neardup``) — RefinedWeb §3's FUZZY dedup running continuously
+over a crawl stream, plus the composed stage-1 sink (URL dedup →
+domain cap → extraction → quality gates → near-dedup) that extends
+``CurationStage0Sink`` the way the batch stage-1 funnel extends the
+stage-0 funnel.
+
+Semantics (identical to the batch chain, so a band-key or seed-hash
+change can never fork the two): a document's 8 minhashes over its
+DISTINCT word 3-grams fold into 4 two-row band keys; the doc is
+admitted iff, for EVERY band bucket it occupies, no EARLIER document
+ever occupied that bucket — earlier batch first, then lower
+``order_col`` within the batch.  ALL documents' buckets are recorded
+(admitted or not): the batch rule is transitive through dropped docs
+(A kills B; B's later bucket-mate C dies too even if C never shares a
+bucket with A), so the store must remember B.  With ``order_col``
+monotone across batches (crawl order — the ``DomainCapSink``
+contract), a streaming run over N batches admits exactly the docs a
+batch run over their union keeps.
+
+Scale shape per micro-batch: explode distinct shingles (narrow) → ONE
+map-side-combined groupBy(doc) computing all 8 mins (the
+``operators/dedup.py::minhash_signatures`` algebra) → band groupBy
+reusing that partitioning → a bucket window over the MICRO-BATCH only
+(bounded by trigger size, never corpus-sized) → one equi-join against
+the store's distinct bucket keys (batch side tiny → AQE broadcasts
+it) → one join-back on the unique order key.  The store holds (band,
+band_key, first_doc) — ~70 bytes per bucket, never text — and grows
+with distinct content, the same envelope as the fingerprint store.
+Nothing is collected to the driver.
+
+Exactly-once under redelivery (the ``IncrementalDedupSink`` design):
+every write overwrites the ``batch_id=N`` partition this batch owns,
+store reads EXCLUDE rows the same batch id wrote, and within-batch
+ordering is by ``order_col`` — a redelivered batch recomputes the
+identical admit set and overwrites it in place.  Store and checkpoint
+lifecycles travel together (see ``streaming/dedup.py`` module doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..colnames import fresh_prefix
+from .dedup import (
+    _overwrite_batch_partition,
+    _read_store,
+    _reject_batch_id_collision,
+)
+from .domain_cap import CurationStage0Sink
+
+
+class MinHashDedupSink:
+    """foreachBatch callable: near-duplicate-free survivors →
+    ``out_dir``, every batch document's (band, band_key, first_doc)
+    buckets → ``store_dir`` (both per-batch overwrite partitions).
+
+    ``order_col`` must be unique per document (it keys the join-back)
+    and deterministic across replays; for batch-run parity it must be
+    monotone across batches.  NULL texts coalesce to ``''`` — all
+    empty documents share one shingle bucket and dedup together (they
+    ARE mutual duplicates), and no row can silently vanish from the
+    output the way an exploded NULL would.
+    """
+
+    def __init__(self, spark: SparkSession, store_dir: str, out_dir: str,
+                 text_col: str = "text", order_col: str = "doc_id",
+                 num_hashes: int = 8, rows_per_band: int = 2,
+                 shingle_n: int = 3):
+        if num_hashes < 1 or rows_per_band < 1 \
+                or num_hashes % rows_per_band != 0:
+            # a ragged final band would silently use a different
+            # (weaker) key than the others — refuse at construction
+            raise ValueError(
+                f"num_hashes ({num_hashes}) must be a positive multiple "
+                f"of rows_per_band ({rows_per_band})")
+        self._spark = spark
+        self._store = store_dir
+        self._out = out_dir
+        self._text = text_col
+        self._order = order_col
+        self._n = num_hashes
+        self._rpb = rows_per_band
+        self._shingle = shingle_n
+        self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, kept)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        survivors = self._admit(batch_df, batch_id)
+        _overwrite_batch_partition(survivors, self._out, batch_id)
+
+    def _band_keys(self, batch_df: DataFrame, u: str) -> DataFrame:
+        """(``{u}_ord``, ``{u}_band``, ``{u}_key``): one row per
+        document per band — the ``minhash_signatures`` +
+        ``lsh_candidate_pairs`` banding algebra, inlined so the band
+        key construction is byte-identical to ``_funnel_neardup``'s
+        (min of md5('seed:shingle') over the distinct-shingle set;
+        band = seed div rows_per_band; key = sorted '|'-join).  Every
+        working name carries the caller's collision-proof prefix so a
+        user column named 'band'/'seed'/... can never shadow."""
+        from ..operators.text import with_word_ngrams
+
+        txt = F.coalesce(F.col(self._text).cast("string"), F.lit(""))
+        staged = batch_df.withColumn(f"{u}_txt", txt).withColumn(
+            f"{u}_ord", F.col(self._order))
+        shingled = with_word_ngrams(
+            staged, f"{u}_txt", self._shingle,
+            out_col=f"{u}_grams", keep=(f"{u}_ord",), distinct=True,
+        ).select(f"{u}_ord",
+                 F.explode(f"{u}_grams").alias(f"{u}_sh"))
+        aggs = [
+            F.min(F.md5(F.concat_ws(
+                ":", F.lit(str(s)), F.col(f"{u}_sh")))).alias(f"{u}{s}")
+            for s in range(self._n)
+        ]
+        wide = shingled.groupBy(f"{u}_ord").agg(*aggs)
+        stack_args = ", ".join(f"{s}, `{u}{s}`" for s in range(self._n))
+        sigs = wide.select(
+            f"{u}_ord",
+            F.expr(f"stack({self._n}, {stack_args}) "
+                   f"AS (`{u}_seed`, `{u}_mh`)"))
+        return sigs.withColumn(
+            f"{u}_band", (F.col(f"{u}_seed") / self._rpb).cast("int")
+        ).groupBy(f"{u}_ord", f"{u}_band").agg(
+            F.concat_ws("|", F.sort_array(F.collect_list(f"{u}_mh")))
+            .alias(f"{u}_key"))
+
+    def _admit(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        """Near-dedup without the output write: compute the admitted
+        frame, persist the band-bucket store, record stats, RETURN the
+        frame (the ``DomainCapSink._admit`` composition contract)."""
+        _reject_batch_id_collision(batch_df)
+        order = self._order
+        u = fresh_prefix(batch_df.columns, "_nd")
+        # persist: the batch feeds the count, the shingle fold, and the
+        # survivor join-back — without it the (possibly extraction-
+        # heavy) upstream transform recomputes per action
+        batch_df.persist()
+        try:
+            n_in = batch_df.count()
+            # one materialization feeds the store write AND the
+            # admission check (the dedup-sink precedent: the store
+            # write must not re-read/re-shingle the input)
+            bands = self._band_keys(batch_df, u).localCheckpoint()
+            _overwrite_batch_partition(
+                bands.groupBy(f"{u}_band", f"{u}_key").agg(
+                    F.min(f"{u}_ord").cast("string").alias("first_doc"))
+                .select(F.col(f"{u}_band").alias("band"),
+                        F.col(f"{u}_key").alias("band_key"),
+                        "first_doc"),
+                self._store, batch_id)
+            prior = _read_store(
+                self._spark, self._store,
+                "band int, band_key string, first_doc string",
+                exclude_batch=batch_id,
+            ).select(F.col("band").alias(f"{u}_band"),
+                     F.col("band_key").alias(f"{u}_key")) \
+                .distinct().withColumn(f"{u}_prior", F.lit(True))
+            # blocked iff an earlier batch ever touched the bucket, or
+            # an earlier-order doc in THIS batch occupies it.  The
+            # bucket window runs over the micro-batch only — bounded by
+            # trigger size; the corpus-scale state lives in the store
+            # join (batch side tiny → AQE broadcasts it).
+            w = Window.partitionBy(f"{u}_band", f"{u}_key")
+            flagged = bands.withColumn(
+                f"{u}_first", F.min(f"{u}_ord").over(w)
+            ).join(prior, [f"{u}_band", f"{u}_key"], "left").withColumn(
+                f"{u}_blocked",
+                F.coalesce(F.col(f"{u}_prior"), F.lit(False))
+                | (F.col(f"{u}_first") != F.col(f"{u}_ord")))
+            admitted = flagged.groupBy(f"{u}_ord").agg(
+                F.max(F.col(f"{u}_blocked").cast("int")).alias(f"{u}_b")
+            ).filter(F.col(f"{u}_b") == 0) \
+                .select(F.col(f"{u}_ord").alias(order))
+            survivors = batch_df.join(admitted, order).localCheckpoint()
+            n_kept = survivors.count()
+        finally:
+            batch_df.unpersist()
+        self.batch_stats.append((batch_id, n_in, n_kept))
+        return survivors
+
+
+def run_minhash_dedup(spark: SparkSession, in_path: str, out_dir: str,
+                      store_dir: str, checkpoint_dir: str,
+                      available_now: bool = True):
+    """Wire a json-lines document stream (``{"doc_id": ..., "text":
+    ...}``) through the near-dedup sink.  Returns (StreamingQuery,
+    sink) — the ``run_incremental_dedup`` wiring with the MinHash sink
+    swapped in."""
+    from .dedup import _run_dedup_stream
+
+    return _run_dedup_stream(
+        spark, in_path, MinHashDedupSink(spark, store_dir, out_dir),
+        checkpoint_dir, available_now)
+
+
+class CurationStage1Sink:
+    """The composed streaming stage-1: canonical-URL dedup → per-
+    registered-domain cap (the full :class:`CurationStage0Sink` chain)
+    → main-text extraction → min-content + token-band quality gates →
+    MinHash-LSH near-dedup, in one ``foreachBatch`` callable — the
+    streaming twin of ``queries/curation.py::crawl_stage1_funnel`` in
+    the same production order (RefinedWeb §3: URL dedup → extraction →
+    quality gates → FUZZY dedup; extraction is paid only on cap
+    survivors, real MinHash work only on gate survivors).
+
+    ``extract(col) -> Column`` maps the ``content_col`` to the text
+    the gates and near-dedup see (e.g. ``lambda c: extract_main_text(
+    c)["extracted_text"]``); ``None`` uses the column as-is.  Gate-
+    FAILED documents are dropped (their cap budget stays consumed —
+    production order), and only gate survivors enter the band store,
+    matching the batch funnel where gate-failed rows ride in singleton
+    sentinel buckets that can never block anything.
+
+    Four persistent surfaces, all per-batch overwrite partitions with
+    own-batch-excluded reads, so redelivery is idempotent END TO END:
+    the URL fingerprint store, the cap count store, the band-bucket
+    store, and the admitted output.  ``batch_stats`` rows are
+    (batch_id, n_in, n_url_dedup, n_capped, n_gated, n_admitted).
+    """
+
+    def __init__(self, spark: SparkSession, dedup_store: str,
+                 cap_store: str, band_store: str, out_dir: str,
+                 url_col: str = "url", order_col: str = "doc_id",
+                 cap: int = 10, content_col: str = "text",
+                 extract=None, min_chars: int = 120,
+                 token_band: tuple[int, int] = (15, 1000),
+                 num_hashes: int = 8, rows_per_band: int = 2,
+                 shingle_n: int = 3):
+        # construction-time validation, before any batch side effect:
+        # the inner sinks validate cap / band arithmetic themselves
+        self._s0 = CurationStage0Sink(
+            spark, dedup_store, cap_store, out_dir,
+            url_col=url_col, order_col=order_col, cap=cap)
+        self._nd_proto = MinHashDedupSink(
+            spark, band_store, out_dir, text_col="_unused",
+            order_col=order_col, num_hashes=num_hashes,
+            rows_per_band=rows_per_band, shingle_n=shingle_n)
+        self._spark = spark
+        self._band_store = band_store
+        self._out = out_dir
+        self._order = order_col
+        self._content = content_col
+        self._extract = extract
+        self._min_chars = min_chars
+        self._band_lo, self._band_hi = token_band
+        self.batch_stats: list[tuple[int, int, int, int, int, int]] = []
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # stage 0 (validates batch_id collision before any side effect)
+        capped = self._s0._admit(batch_df, batch_id)
+        _, n_in, n_dedup, n_capped = self._s0.batch_stats[-1]
+        # extraction + gates: stage the extracted text ONCE (the
+        # regex-heavy extractor must not re-evaluate per consumer —
+        # the urls.py staging lesson); collision-proof staged name
+        u = fresh_prefix(capped.columns, "_s1")
+        xt_col: Column = F.col(self._content)
+        if self._extract is not None:
+            xt_col = self._extract(xt_col)
+        staged = capped.withColumn(
+            f"{u}_xt", F.coalesce(xt_col.cast("string"), F.lit("")))
+        gated = staged.filter(
+            (F.length(f"{u}_xt") >= self._min_chars)
+            & F.size(F.split(F.trim(F.col(f"{u}_xt")), r"\s+"))
+            .between(self._band_lo, self._band_hi))
+        # near-dedup on the staged extracted text; the inner sink
+        # counts the gated frame as its n_in — reuse it
+        nd = self._nd_proto
+        nd._text = f"{u}_xt"
+        survivors = nd._admit(gated, batch_id)
+        _, n_gated, n_adm = nd.batch_stats[-1]
+        _overwrite_batch_partition(
+            survivors.drop(f"{u}_xt"), self._out, batch_id)
+        self.batch_stats.append(
+            (batch_id, n_in, n_dedup, n_capped, n_gated, n_adm))
