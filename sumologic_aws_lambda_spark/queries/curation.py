@@ -1891,6 +1891,129 @@ def registered_domain_psl_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kept_docid_sum")
 
 
+# Full-snapshot PSL fixture: 12 host classes (doc_id % 12), each chosen
+# to force a DIFFERENT branch of the PSL §Algorithm against the real
+# vendored 9,506-rule list — 1-label wildcard (*.ck), exception under it
+# (!www.ck), 3-label exception under a 2-label wildcard
+# (!city.kawasaki.jp / *.kawasaki.jp), the wildcard itself, an IDN rule
+# in punycode host form (公司.cn → xn--55qx5d.cn), a 5-label
+# private-section rule (s3.dualstack.us-east-1.amazonaws.com), a plain
+# ICANN 2-label rule (co.uk), host-IS-suffix passthrough for both an
+# exact (co.uk) and a wildcard (blog.kawasaki.jp) suffix, an IPv4
+# literal, case + trailing-FQDN-dot normalization over a private rule
+# (GitHub.IO.), and an unlisted TLD hitting the implicit default.
+# Sharded subdomains ((doc_id // 12) % 3) keep the cap meaningful.
+_PSL_SNAPSHOT_HOST_SQL = """
+    CASE doc_id % 12
+      WHEN 0 THEN 'cdn' || ((doc_id // 12) % 3) || '.news.foo.ck'
+      WHEN 1 THEN 'cdn' || ((doc_id // 12) % 3) || '.www.ck'
+      WHEN 2 THEN 'a' || ((doc_id // 12) % 3) || '.sub.city.kawasaki.jp'
+      WHEN 3 THEN 'c' || ((doc_id // 12) % 3) || '.pub.blog.kawasaki.jp'
+      WHEN 4 THEN 'shop' || ((doc_id // 12) % 3) || '.brand.xn--55qx5d.cn'
+      WHEN 5 THEN 'b' || ((doc_id // 12) % 3)
+                  || '.myapp.s3.dualstack.us-east-1.amazonaws.com'
+      WHEN 6 THEN 'news' || ((doc_id // 12) % 3) || '.pub.co.uk'
+      WHEN 7 THEN 'co.uk'
+      WHEN 8 THEN '192.168.11.9'
+      WHEN 9 THEN 'CDN' || ((doc_id // 12) % 3) || '.Pub.GitHub.IO.'
+      WHEN 10 THEN 'cdn' || ((doc_id // 12) % 3) || '.site.zz-internal'
+      ELSE 'blog.kawasaki.jp'
+    END
+"""
+
+
+@query(
+    "psl_snapshot_domains",
+    oracle="""
+    WITH hosts AS (
+        SELECT doc_id, {host} AS host FROM documents
+    ),
+    reg AS (
+        SELECT doc_id, host, {reg_dom} AS reg_dom FROM hosts
+    ),
+    ranked AS (
+        SELECT doc_id, host, reg_dom,
+               row_number() OVER (PARTITION BY reg_dom ORDER BY doc_id)
+                   AS rn
+        FROM reg
+    )
+    SELECT reg_dom,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(length(reg_dom)
+                - length(replace(reg_dom, '.', '')) AS BIGINT)
+               AS n_dots,
+           CAST(count_if(rn <= 7) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn <= 7 THEN doc_id ELSE 0 END)
+                AS BIGINT) AS kept_docid_sum
+    FROM ranked
+    GROUP BY reg_dom
+    """.replace("{host}", _PSL_SNAPSHOT_HOST_SQL)
+    .replace("{reg_dom}", _urlsmod.registered_domain_psl_sql(
+        "host", _urlsmod.load_psl_file())),
+)
+def psl_snapshot_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain caps under the FULL vendored Public Suffix
+    List snapshot — 9,506 rules (5,473/2,302/70/66 exact rules of
+    2/3/4/5 labels, 107 wildcards, 8 exceptions, 466 IDN rules), the
+    real-scale validation `registered_domain_psl_caps`'s fixture rule
+    counts could not give.  The host fixture forces every branch of the
+    PSL §Algorithm (see ``_PSL_SNAPSHOT_HOST_SQL``); the oracle twin
+    interpolates the SAME rule set as ~270 KB of per-tier IN-lists
+    (``registered_domain_psl_sql``), so wildcard occupancy, exception
+    precedence, IDNA encoding and the implicit default are all
+    value-checked under the driver's hash gate at real rule counts.
+
+    Scale shape: ten per-tier BROADCAST hash joins (build sides 1–5,473
+    rows — the full PSL broadcasts at ~99 KB of strings), zero
+    shuffles of the fact side before the one cap-window exchange; the
+    plan is the production plan, only the rule tables grow.  Broadcast
+    tier sizes are pinned in tests/test_psl_snapshot.py and recorded in
+    BASELINE.md.
+    """
+    from ..functions.urls import load_psl_file, with_registered_domain_psl
+
+    docs = table(spark, sf_dir, "documents")
+    p = F.col("doc_id") % 12
+    s = F.expr("(doc_id div 12) % 3").cast("string")
+
+    def _sub(prefix: str, suffix: str) -> Column:
+        return F.concat(F.lit(prefix), s, F.lit(suffix))
+
+    host_fx = (
+        F.when(p == 0, _sub("cdn", ".news.foo.ck"))
+        .when(p == 1, _sub("cdn", ".www.ck"))
+        .when(p == 2, _sub("a", ".sub.city.kawasaki.jp"))
+        .when(p == 3, _sub("c", ".pub.blog.kawasaki.jp"))
+        .when(p == 4, _sub("shop", ".brand.xn--55qx5d.cn"))
+        .when(p == 5, _sub(
+            "b", ".myapp.s3.dualstack.us-east-1.amazonaws.com"))
+        .when(p == 6, _sub("news", ".pub.co.uk"))
+        .when(p == 7, F.lit("co.uk"))
+        .when(p == 8, F.lit("192.168.11.9"))
+        .when(p == 9, _sub("CDN", ".Pub.GitHub.IO."))
+        .when(p == 10, _sub("cdn", ".site.zz-internal"))
+        .otherwise(F.lit("blog.kawasaki.jp"))
+    )
+    hosts = docs.select("doc_id", host_fx.alias("host"))
+    reg = with_registered_domain_psl(
+        hosts, "host", out_col="reg_dom", suffix_rows=load_psl_file())
+    w = Window.partitionBy("reg_dom").orderBy("doc_id")
+    ranked = reg.withColumn("rn", F.row_number().over(w))
+    cap = 7
+    grouped = ranked.groupBy("reg_dom").agg(
+        F.count_distinct(F.col("host")).alias("n_hosts"),
+        F.count_if(F.col("rn") <= cap).alias("n_kept"),
+        F.sum(F.when(F.col("rn") <= cap, F.col("doc_id"))
+              .otherwise(F.lit(0))).alias("kept_docid_sum"),
+    )
+    n_dots = (F.length("reg_dom")
+              - F.length(F.replace(F.col("reg_dom"), F.lit("."),
+                                   F.lit("")))).cast("bigint")
+    return grouped.select(
+        "reg_dom", "n_hosts", n_dots.alias("n_dots"), "n_kept",
+        "kept_docid_sum")
+
+
 # Stage-2 page fixture: the stage-1 template/tail construction PLUS a
 # spam class — pages where gid % 13 = 11 replace the 5-word tail with
 # ONE word repeated 60 times (keyword-stuffing boilerplate), so the

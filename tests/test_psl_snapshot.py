@@ -1,0 +1,196 @@
+"""Real-scale Public Suffix List validation: load the FULL vendored
+publicsuffix.org snapshot (9,506 rules) through the broadcast tier-join
+path and through the DuckDB oracle generator, pin the tier populations
+and broadcast sizes, and cross-check both paths against an independent
+pure-Python PSL resolver over every rule class.
+
+The snapshot is the Debian ``publicsuffix`` 20230209 packaging of the
+upstream list (public data, MPL 2.0 — license header kept in the file),
+vendored at ``sumologic_aws_lambda_spark/data/public_suffix_list.dat``.
+Round-10 verdict item: the broadcast tier-join path had only been
+exercised at fixture rule counts.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from sumologic_aws_lambda_spark.functions.urls import (
+    load_psl_file,
+    psl_rule_tiers,
+    registered_domain_psl_sql,
+    with_registered_domain_psl,
+)
+
+RAW = load_psl_file()
+TIERS, WTIERS, ETIERS = psl_rule_tiers(RAW)
+
+
+def test_snapshot_tier_populations_pinned():
+    # the 20230209 snapshot's rule census — a silently-truncated or
+    # re-vendored file changes these counts before it changes behavior
+    assert {k: len(v) for k, v in TIERS.items()} == {
+        2: 5473, 3: 2302, 4: 70, 5: 66, 6: 0}
+    assert {j: len(v) for j, v in WTIERS.items()} == {
+        1: 9, 2: 66, 3: 30, 4: 2, 5: 0}
+    assert {k: len(v) for k, v in ETIERS.items()} == {
+        2: 1, 3: 7, 4: 0, 5: 0, 6: 0}
+    # every rule IDNA-encoded to ASCII (hosts carry punycode)
+    for tier in (TIERS, WTIERS, ETIERS):
+        for rules in tier.values():
+            assert all(r.isascii() for r in rules)
+    # the famous singletons stayed where the PSL algorithm needs them
+    assert "ck" in WTIERS[1]
+    assert "www.ck" in ETIERS[2]
+    assert "kawasaki.jp" in WTIERS[2]
+    assert "city.kawasaki.jp" in ETIERS[3]
+    assert "xn--55qx5d.cn" in TIERS[2]  # 公司.cn, IDNA-encoded
+    assert "s3.dualstack.us-east-1.amazonaws.com" in TIERS[5]
+
+
+def test_snapshot_broadcast_sizes_bounded():
+    """The per-tier build sides the production plan broadcasts: the
+    whole snapshot is ~99 KB of rule strings — three orders of
+    magnitude under any broadcast threshold, so 'broadcast the real
+    PSL' is a measured claim, not an assumption (sizes recorded in
+    BASELINE.md)."""
+    total = 0
+    for tier in (TIERS, WTIERS, ETIERS):
+        for rules in tier.values():
+            total += sum(len(r.encode()) for r in rules)
+    assert 80_000 < total < 200_000, total
+    # largest single build side (2-label exacts) stays tiny too
+    t2 = sum(len(r.encode()) for r in TIERS[2])
+    assert t2 < 100_000, t2
+
+
+# One canonical lookup per PSL §Algorithm branch, resolved against the
+# FULL snapshot: (host, expected registered domain).
+CANONICAL = [
+    ("cdn0.news.foo.ck", "news.foo.ck"),          # 1-label wildcard
+    ("www.ck", "www.ck"),                          # exception, host = Y
+    ("cdn1.www.ck", "www.ck"),                     # exception, under Y
+    ("a.sub.city.kawasaki.jp", "city.kawasaki.jp"),  # 3-label exception
+    ("c0.pub.blog.kawasaki.jp", "pub.blog.kawasaki.jp"),  # 2-label wild
+    ("blog.kawasaki.jp", "blog.kawasaki.jp"),      # host IS wild suffix
+    ("kawasaki.jp", "kawasaki.jp"),                # wildcard body alone
+    ("shop0.brand.xn--55qx5d.cn", "brand.xn--55qx5d.cn"),  # IDN rule
+    ("b0.myapp.s3.dualstack.us-east-1.amazonaws.com",
+     "myapp.s3.dualstack.us-east-1.amazonaws.com"),  # 5-label private
+    ("s3.dualstack.us-east-1.amazonaws.com",
+     "s3.dualstack.us-east-1.amazonaws.com"),      # host IS 5-label sfx
+    ("news2.pub.co.uk", "pub.co.uk"),              # ICANN 2-label
+    ("co.uk", "co.uk"),                            # host IS suffix
+    ("uk", "uk"),                                  # bare TLD
+    ("cdn0.site.zz-internal", "site.zz-internal"),  # unlisted TLD
+    ("192.168.11.9", "192.168.11.9"),              # IPv4 literal
+    ("CDN1.Pub.GitHub.IO.", "pub.github.io"),      # case + FQDN dot
+    ("localhost", "localhost"),                    # single label
+    (None, None),
+]
+
+
+def _py_registered_domain(host):
+    """Independent pure-Python PSL resolver (PSL §Algorithm) — third
+    implementation, shares no code with the Spark chain or the SQL
+    generator, so a shared logic bug can't self-confirm."""
+    import re
+
+    if host is None:
+        return None
+    h = re.sub(r"\.+$", "", host.lower())
+    if re.fullmatch(r"[0-9]{1,3}(\.[0-9]{1,3}){3}", h):
+        return h
+    labels = h.split(".")
+    n = len(labels)
+
+    def tail(k):
+        return ".".join(labels[max(n - k, 0):])
+
+    for k in sorted(ETIERS, reverse=True):
+        if tail(k) in ETIERS[k]:
+            return tail(k)
+    # longest effective suffix wins
+    for k in range(6, 1, -1):
+        exact = tail(k) in TIERS.get(k, ())
+        wild = tail(k - 1) in WTIERS.get(k - 1, ()) and n >= k
+        if exact or wild:
+            return tail(k + 1) if n >= k + 1 else h
+    return tail(2) if n >= 2 else h
+
+
+def test_python_reference_agrees_on_canonical_cases():
+    for host, want in CANONICAL:
+        assert _py_registered_domain(host) == want, host
+
+
+def test_spark_full_snapshot_canonical_lookups(spark):
+    df = spark.createDataFrame(
+        [(h,) for h, _ in CANONICAL], "host string")
+    out = with_registered_domain_psl(df, "host", suffix_rows=RAW)
+    got = {r["host"]: r["registered_domain"] for r in out.collect()}
+    for host, want in CANONICAL:
+        assert got[host] == want, f"{host}: {got[host]} != {want}"
+
+
+def test_duckdb_generator_full_snapshot_canonical_lookups():
+    sql = registered_domain_psl_sql("host", RAW)
+    assert len(sql) > 200_000  # the IN-lists really carry the snapshot
+    con = duckdb.connect()
+    rel = con.execute(
+        "SELECT host, " + sql + " AS rd FROM (SELECT unnest(?) AS host)",
+        [[h for h, _ in CANONICAL if h is not None]])
+    got = dict(rel.fetchall())
+    for host, want in CANONICAL:
+        if host is not None:
+            assert got[host] == want, f"{host}: {got[host]} != {want}"
+
+
+def test_three_paths_agree_on_rule_derived_hosts(spark):
+    """Adversarial sweep: for a deterministic ~180-rule sample spanning
+    every tier (all wildcards' bodies, all exceptions, hash-sampled
+    exacts incl. every 4/5-label rule), build hosts AT the suffix, one
+    label under and two labels under, then require Spark == DuckDB ==
+    the independent Python resolver on all of them."""
+    import hashlib
+
+    sample = []
+    for k, rules in TIERS.items():
+        for r in rules:
+            if k >= 4 or int(hashlib.md5(
+                    r.encode()).hexdigest(), 16) % 97 == 0:
+                sample.append(r)
+    for rules in WTIERS.values():
+        sample += [f"x7.{b}" for b in rules]   # occupy the star
+    for rules in ETIERS.values():
+        sample += rules
+    hosts = []
+    for sfx in sample:
+        hosts += [sfx, f"pub.{sfx}", f"cdn0.pub.{sfx}"]
+    want = {h: _py_registered_domain(h) for h in hosts}
+
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    out = with_registered_domain_psl(df, "host", suffix_rows=RAW)
+    got = {r["host"]: r["registered_domain"] for r in out.collect()}
+    bad = {h: (got[h], want[h]) for h in hosts if got[h] != want[h]}
+    assert not bad, f"spark disagrees on {len(bad)}: {list(bad.items())[:5]}"
+
+    sql = registered_domain_psl_sql("host", RAW)
+    con = duckdb.connect()
+    rel = con.execute(
+        "SELECT host, " + sql + " AS rd FROM (SELECT unnest(?) AS host)",
+        [hosts])
+    dgot = dict(rel.fetchall())
+    dbad = {h: (dgot[h], want[h]) for h in hosts if dgot[h] != want[h]}
+    assert not dbad, f"duckdb disagrees on {len(dbad)}: {list(dbad.items())[:5]}"
+
+
+def test_malformed_snapshot_rejected(tmp_path):
+    p = tmp_path / "psl.dat"
+    p.write_text("// comment\nco.uk\n*.bad*.x\n", encoding="utf-8")
+    with pytest.raises(ValueError, match="grammar"):
+        psl_rule_tiers(load_psl_file(str(p)))
+    p.write_text("// only comments\n\n", encoding="utf-8")
+    with pytest.raises(ValueError, match="empty"):
+        psl_rule_tiers(load_psl_file(str(p)))
