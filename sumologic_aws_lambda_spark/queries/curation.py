@@ -2020,6 +2020,40 @@ def psl_snapshot_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 # repetition-ratio quality gate has something real to kill.  Kept as
 # its own literal so crawl_stage1_funnel's validated fixture is not
 # churned.
+def _s2_fixture_html() -> Column:
+    """The stage-2 page-HTML fixture as a Column over ``doc_id`` (the
+    Spark twin of ``_S2_HTML_SQL``) — split out of the funnel so the
+    streaming stage-2 parity test renders the EXACT pages the batch
+    funnel renders (one definition; the ``_s1_fixture_html``
+    precedent)."""
+    gid_s = F.expr("doc_id div 5").cast("string")
+    tid = F.expr("(doc_id div 5) % 25").cast("string")
+    shared = F.array_join(F.transform(
+        F.sequence(F.lit(1), F.lit(40)),
+        lambda j: F.concat(F.lit("w"), F.substring(
+            F.md5(F.concat(tid, F.lit(":"), j.cast("string"))),
+            1, 6))), " ")
+    spam_word = F.concat(F.lit("p"), F.substring(
+        F.md5(F.concat(F.lit("pg:"), gid_s, F.lit(":1"))), 1, 6))
+    tail = F.when(
+        F.expr("(doc_id div 5) % 13") == 11,
+        F.array_join(F.array_repeat(spam_word, 60), " "),
+    ).otherwise(F.array_join(F.transform(
+        F.sequence(F.lit(1), F.lit(5)),
+        lambda j: F.concat(F.lit("p"), F.substring(
+            F.md5(F.concat(F.lit("pg:"), gid_s, F.lit(":"),
+                           j.cast("string"))), 1, 6))), " "))
+    return F.concat(
+        F.lit('<html><head><script>var t=1;</script></head><body>'
+              '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'),
+        F.when(F.expr("(doc_id div 5) % 11") == 7, F.lit(""))
+        .otherwise(F.concat(F.lit("<p>"), shared, F.lit("</p>"))),
+        F.lit("<P>"), tail,
+        F.lit('</P><footer><a href="/p">Privacy</a> (c) corp</footer>'
+              '</body></html>'),
+    )
+
+
 _S2_HTML_SQL = """
     '<html><head><script>var t=1;</script></head><body>'
     || '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
@@ -2168,32 +2202,7 @@ def crawl_stage2_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.html import extract_main_text
 
-    gid_s = F.expr("doc_id div 5").cast("string")
-    tid = F.expr("(doc_id div 5) % 25").cast("string")
-    shared = F.array_join(F.transform(
-        F.sequence(F.lit(1), F.lit(40)),
-        lambda j: F.concat(F.lit("w"), F.substring(
-            F.md5(F.concat(tid, F.lit(":"), j.cast("string"))),
-            1, 6))), " ")
-    spam_word = F.concat(F.lit("p"), F.substring(
-        F.md5(F.concat(F.lit("pg:"), gid_s, F.lit(":1"))), 1, 6))
-    tail = F.when(
-        F.expr("(doc_id div 5) % 13") == 11,
-        F.array_join(F.array_repeat(spam_word, 60), " "),
-    ).otherwise(F.array_join(F.transform(
-        F.sequence(F.lit(1), F.lit(5)),
-        lambda j: F.concat(F.lit("p"), F.substring(
-            F.md5(F.concat(F.lit("pg:"), gid_s, F.lit(":"),
-                           j.cast("string"))), 1, 6))), " "))
-    html = F.concat(
-        F.lit('<html><head><script>var t=1;</script></head><body>'
-              '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'),
-        F.when(F.expr("(doc_id div 5) % 11") == 7, F.lit(""))
-        .otherwise(F.concat(F.lit("<p>"), shared, F.lit("</p>"))),
-        F.lit("<P>"), tail,
-        F.lit('</P><footer><a href="/p">Privacy</a> (c) corp</footer>'
-              '</body></html>'),
-    )
+    html = _s2_fixture_html()
     capped = _funnel_ranked_keepers(spark, sf_dir) \
         .filter(F.col("rn") <= _FUNNEL_CAP).select("doc_id", "reg_dom")
     xt = extract_main_text(html)["extracted_text"]

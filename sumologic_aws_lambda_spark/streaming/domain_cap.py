@@ -146,6 +146,103 @@ class DomainCapSink:
         return admitted.drop(c_key, c_rn, c_prior, *self._out_drop)
 
 
+class TokenBudgetSink:
+    """foreachBatch callable: admit each key's documents while the
+    key's RUNNING cross-batch WEIGHT sum (e.g. extracted-token count)
+    stays within ``budget`` — the balanced-mixing cut of
+    ``queries/curation.py::crawl_stage2_funnel`` (cap TOKENS per
+    publisher, not documents: one publisher's long pages must not
+    dominate the sampled corpus) as a persistent streaming stage.
+
+    Semantics match the batch funnel's conditional cumsum exactly: a
+    row is admitted iff ``prior + cum_weight(rows of this key up to and
+    including this row, in order_col order) <= budget``, and EVERY
+    input row's weight consumes budget whether or not the row itself
+    fit — the batch cumsum keeps accumulating past the cut, so with a
+    monotone ``order_col`` a streaming run over N batches admits
+    exactly the rows one batch run over their union admits.  The store
+    therefore records each batch's TOTAL weight per key, not just
+    admitted weight.
+
+    Same bounded-state / exactly-once envelope as ``DomainCapSink``:
+    the store holds (key, toks) sums only, every write overwrites the
+    ``batch_id=N`` partition this batch owns, prior reads exclude the
+    writing batch, NULL keys coalesce to the ``(null)`` sentinel, NULL
+    weights count 0 (the row still passes through if budget allows).
+    ``key_fn(col) -> Column`` maps ``url_col`` to the budget key
+    (default: registered domain of the canonical-URL host).
+    """
+
+    def __init__(self, spark: SparkSession, store_dir: str, out_dir: str,
+                 weight_col: str, url_col: str = "url",
+                 order_col: str = "doc_id", budget: int = 100,
+                 key_fn=None, out_drop_cols: tuple[str, ...] = ()):
+        if budget < 0:
+            raise ValueError(f"budget must be >= 0, got {budget}")
+        self._spark = spark
+        self._store = store_dir
+        self._out = out_dir
+        self._weight = weight_col
+        self._url = url_col
+        self._order = order_col
+        self._budget = budget
+        self._key = key_fn or default_cap_key
+        self._out_drop = tuple(out_drop_cols)
+        self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, admitted)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        admitted = self._admit(batch_df, batch_id)
+        _overwrite_batch_partition(admitted, self._out, batch_id)
+
+    def _admit(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        """Budget stage without the output write (the ``DomainCapSink.
+        _admit`` composition contract)."""
+        _reject_batch_id_collision(batch_df)
+        u = fresh_prefix(batch_df.columns, "_tb")
+        c_key, c_cum, c_prior = f"{u}_key", f"{u}_cum", f"{u}_prior"
+        c_pkey, c_w = f"{u}_prior_key", f"{u}_w"
+        # ONE materialization feeds the store write (full keyed frame —
+        # every row consumes budget) AND the admit path (the
+        # IncrementalDedupSink precedent: the two persistent writes
+        # must never see different recomputations of the input)
+        keyed = batch_df.withColumn(
+            c_key,
+            F.coalesce(self._key(F.col(self._url)), F.lit("(null)")),
+        ).withColumn(
+            c_w,
+            F.coalesce(F.col(self._weight).cast("bigint"), F.lit(0)),
+        ).localCheckpoint()
+        n_in = keyed.count()
+        prior = _read_store(self._spark, self._store,
+                            "key string, toks bigint",
+                            exclude_batch=batch_id)
+        prior_sums = prior.groupBy(F.col("key").alias(c_pkey)).agg(
+            F.sum("toks").alias(c_prior))
+        # cumulative weight INCLUDING the current row, in crawl order —
+        # the batch funnel's rowsBetween(unboundedPreceding, currentRow)
+        w = Window.partitionBy(c_key).orderBy(self._order) \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cumd = keyed.withColumn(c_cum, F.sum(c_w).over(w))
+        joined = cumd.join(
+            prior_sums, cumd[c_key] == prior_sums[c_pkey], "left",
+        ).drop(c_pkey).withColumn(
+            c_prior, F.coalesce(F.col(c_prior), F.lit(0)))
+        admitted = joined.filter(
+            F.col(c_prior) + F.col(c_cum) <= self._budget)
+        admitted = admitted.localCheckpoint()
+        n_adm = admitted.count()
+        # the store records the batch's TOTAL weight per key (all input
+        # rows consume budget — see class doc), so it must be computed
+        # from the full keyed frame, not the admitted one
+        _overwrite_batch_partition(
+            keyed.groupBy(F.col(c_key).alias("key")).agg(
+                F.sum(c_w).cast("bigint").alias("toks")),
+            self._store, batch_id)
+        self.batch_stats.append((batch_id, n_in, n_adm))
+        return admitted.drop(c_key, c_cum, c_prior, c_w,
+                             *self._out_drop)
+
+
 class CurationStage0Sink:
     """The composed streaming stage-0: canonical-URL dedup THEN the
     per-registered-domain cap, in one ``foreachBatch`` callable — the

@@ -49,7 +49,7 @@ from .dedup import (
     _read_store,
     _reject_batch_id_collision,
 )
-from .domain_cap import CurationStage0Sink
+from .domain_cap import CurationStage0Sink, TokenBudgetSink
 
 
 class MinHashDedupSink:
@@ -68,7 +68,7 @@ class MinHashDedupSink:
     def __init__(self, spark: SparkSession, store_dir: str, out_dir: str,
                  text_col: str = "text", order_col: str = "doc_id",
                  num_hashes: int = 8, rows_per_band: int = 2,
-                 shingle_n: int = 3):
+                 shingle_n: int = 3, with_counts: bool = False):
         if num_hashes < 1 or rows_per_band < 1 \
                 or num_hashes % rows_per_band != 0:
             # a ragged final band would silently use a different
@@ -84,10 +84,23 @@ class MinHashDedupSink:
         self._n = num_hashes
         self._rpb = rows_per_band
         self._shingle = shingle_n
+        # with_counts: ONE gram stream serves the MinHash mins AND
+        # per-doc total/distinct 3-gram counts (the batch funnels'
+        # _funnel_neardup(with_counts=True) algebra: the stream stays
+        # non-distinct, which changes no signature — min over a
+        # multiset equals min over its set).  _admit then attaches the
+        # two count columns to the survivors frame and publishes their
+        # per-call collision-proof names as ``self.counts_cols``; the
+        # standalone __call__ drops them so they never leak into
+        # out_dir.
+        self._with_counts = with_counts
+        self.counts_cols: tuple[str, str] | None = None
         self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, kept)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         survivors = self._admit(batch_df, batch_id)
+        if self.counts_cols:
+            survivors = survivors.drop(*self.counts_cols)
         _overwrite_batch_partition(survivors, self._out, batch_id)
 
     def _band_keys(self, batch_df: DataFrame, u: str) -> DataFrame:
@@ -106,7 +119,8 @@ class MinHashDedupSink:
             f"{u}_ord", F.col(self._order))
         shingled = with_word_ngrams(
             staged, f"{u}_txt", self._shingle,
-            out_col=f"{u}_grams", keep=(f"{u}_ord",), distinct=True,
+            out_col=f"{u}_grams", keep=(f"{u}_ord",),
+            distinct=not self._with_counts,
         ).select(f"{u}_ord",
                  F.explode(f"{u}_grams").alias(f"{u}_sh"))
         aggs = [
@@ -114,15 +128,22 @@ class MinHashDedupSink:
                 ":", F.lit(str(s)), F.col(f"{u}_sh")))).alias(f"{u}{s}")
             for s in range(self._n)
         ]
+        extras: list[str] = []
+        if self._with_counts:
+            aggs += [
+                F.count(F.lit(1)).alias(f"{u}_total"),
+                F.count_distinct(F.col(f"{u}_sh")).alias(f"{u}_distinct"),
+            ]
+            extras = [f"{u}_total", f"{u}_distinct"]
         wide = shingled.groupBy(f"{u}_ord").agg(*aggs)
         stack_args = ", ".join(f"{s}, `{u}{s}`" for s in range(self._n))
         sigs = wide.select(
-            f"{u}_ord",
+            f"{u}_ord", *extras,
             F.expr(f"stack({self._n}, {stack_args}) "
                    f"AS (`{u}_seed`, `{u}_mh`)"))
         return sigs.withColumn(
             f"{u}_band", (F.col(f"{u}_seed") / self._rpb).cast("int")
-        ).groupBy(f"{u}_ord", f"{u}_band").agg(
+        ).groupBy(f"{u}_ord", *extras, f"{u}_band").agg(
             F.concat_ws("|", F.sort_array(F.collect_list(f"{u}_mh")))
             .alias(f"{u}_key"))
 
@@ -169,10 +190,19 @@ class MinHashDedupSink:
                 f"{u}_blocked",
                 F.coalesce(F.col(f"{u}_prior"), F.lit(False))
                 | (F.col(f"{u}_first") != F.col(f"{u}_ord")))
-            admitted = flagged.groupBy(f"{u}_ord").agg(
-                F.max(F.col(f"{u}_blocked").cast("int")).alias(f"{u}_b")
-            ).filter(F.col(f"{u}_b") == 0) \
-                .select(F.col(f"{u}_ord").alias(order))
+            agg_cols = [
+                F.max(F.col(f"{u}_blocked").cast("int")).alias(f"{u}_b")]
+            sel: list = [F.col(f"{u}_ord").alias(order)]
+            if self._with_counts:
+                # every band row of one doc carries the same counts —
+                # min() is determinism-by-construction, not a choice
+                agg_cols += [F.min(f"{u}_total").alias(f"{u}_total"),
+                             F.min(f"{u}_distinct")
+                             .alias(f"{u}_distinct")]
+                sel += [f"{u}_total", f"{u}_distinct"]
+                self.counts_cols = (f"{u}_total", f"{u}_distinct")
+            admitted = flagged.groupBy(f"{u}_ord").agg(*agg_cols) \
+                .filter(F.col(f"{u}_b") == 0).select(*sel)
             survivors = batch_df.join(admitted, order).localCheckpoint()
             n_kept = survivors.count()
         finally:
@@ -274,3 +304,131 @@ class CurationStage1Sink:
             survivors.drop(f"{u}_xt"), self._out, batch_id)
         self.batch_stats.append(
             (batch_id, n_in, n_dedup, n_capped, n_gated, n_adm))
+
+
+class CurationStage2Sink:
+    """The composed streaming stage-2: the full stage-1 chain (URL
+    dedup → registered-domain cap → extraction → min-content +
+    token-band gates → MinHash near-dedup) THEN the selection wave —
+    repetition-ratio quality gate → deterministic hash sample →
+    cross-batch per-publisher TOKEN budget — in one ``foreachBatch``
+    callable: the streaming twin of ``queries/curation.py::
+    crawl_stage2_funnel`` in the same production order (RefinedWeb/
+    FineWeb: dedup → quality filter → sampling → budget cut).
+
+    Stage discipline mirrors the batch funnel exactly:
+
+    - the near-dedup sink runs ``with_counts=True`` so ONE gram stream
+      feeds the MinHash mins AND the total/distinct 3-gram counts (min
+      over a multiset equals min over its set — the batch funnel's
+      shared-groupBy argument, applied per micro-batch);
+    - SPAMMY documents participate in near-dedup (their buckets enter
+      the band store and can block later duplicates — in the batch run
+      they ride the chain too) and are dropped only afterwards by the
+      exact integer test ``(total - distinct) * 2 > total``;
+    - the hash sample is a pure row property (first md5 byte of the
+      order key ≤ ``sample_hex``), reproducible on any partitioning;
+    - the token budget is :class:`TokenBudgetSink` semantics: EVERY
+      sampled row's tokens consume the publisher's budget whether or
+      not the row itself fit, so with a monotone ``order_col`` a
+      streaming run over N batches admits exactly the rows the batch
+      funnel admits over their union.
+
+    Five persistent surfaces — URL fingerprint store, cap count store,
+    band-bucket store, token-budget store, admitted output — all
+    per-batch overwrite partitions with own-batch-excluded reads:
+    redelivery of any batch recomputes the identical admit set and
+    never consumes cap or token budget twice.  ``batch_stats`` rows
+    are (batch_id, n_in, n_url_dedup, n_capped, n_gated, n_neardup,
+    n_quality, n_sampled, n_admitted).
+    """
+
+    def __init__(self, spark: SparkSession, dedup_store: str,
+                 cap_store: str, band_store: str, budget_store: str,
+                 out_dir: str, url_col: str = "url",
+                 order_col: str = "doc_id", cap: int = 10,
+                 content_col: str = "text", extract=None,
+                 min_chars: int = 120,
+                 token_band: tuple[int, int] = (15, 1000),
+                 num_hashes: int = 8, rows_per_band: int = 2,
+                 shingle_n: int = 3, sample_hex: str = "b2",
+                 token_budget: int = 100):
+        # construction-time validation throughout: every inner sink
+        # validates its own arithmetic before any batch side effect
+        self._s0 = CurationStage0Sink(
+            spark, dedup_store, cap_store, out_dir,
+            url_col=url_col, order_col=order_col, cap=cap)
+        self._nd = MinHashDedupSink(
+            spark, band_store, out_dir, text_col="_set_per_batch",
+            order_col=order_col, num_hashes=num_hashes,
+            rows_per_band=rows_per_band, shingle_n=shingle_n,
+            with_counts=True)
+        self._tb = TokenBudgetSink(
+            spark, budget_store, out_dir, weight_col="_set_per_batch",
+            url_col=url_col, order_col=order_col, budget=token_budget)
+        if not (isinstance(sample_hex, str) and len(sample_hex) == 2
+                and all(c in "0123456789abcdef" for c in sample_hex)):
+            # a malformed threshold ('B2', 'b', '0xb2') silently turns
+            # the string compare into all-pass or all-fail
+            raise ValueError(
+                f"sample_hex must be two lowercase hex chars, got "
+                f"{sample_hex!r}")
+        self._spark = spark
+        self._out = out_dir
+        self._order = order_col
+        self._content = content_col
+        self._extract = extract
+        self._min_chars = min_chars
+        self._band_lo, self._band_hi = token_band
+        self._sample_hex = sample_hex
+        self.batch_stats: list[
+            tuple[int, int, int, int, int, int, int, int, int]] = []
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # stages 0–1 (stage 0 validates batch_id collision before any
+        # persistent side effect)
+        capped = self._s0._admit(batch_df, batch_id)
+        _, n_in, n_dedup, n_capped = self._s0.batch_stats[-1]
+        u = fresh_prefix(capped.columns, "_s2")
+        xt_col: Column = F.col(self._content)
+        if self._extract is not None:
+            xt_col = self._extract(xt_col)
+        # stage extracted text AND its token count once (the budget
+        # stage needs the same xtok the gate tested)
+        staged = capped.withColumn(
+            f"{u}_xt", F.coalesce(xt_col.cast("string"), F.lit(""))
+        ).withColumn(
+            f"{u}_xtok",
+            F.size(F.split(F.trim(F.col(f"{u}_xt")), r"\s+")))
+        gated = staged.filter(
+            (F.length(f"{u}_xt") >= self._min_chars)
+            & F.col(f"{u}_xtok").between(self._band_lo, self._band_hi))
+        nd = self._nd
+        nd._text = f"{u}_xt"
+        survivors = nd._admit(gated, batch_id)
+        _, n_gated, n_nd = nd.batch_stats[-1]
+        c_total, c_distinct = nd.counts_cols
+        # repetition-ratio gate — exact integer cross-product, no float
+        # boundary (the batch funnel's test verbatim)
+        quality = survivors.filter(
+            ~((F.col(c_total) - F.col(c_distinct)) * 2
+              > F.col(c_total))).drop(c_total, c_distinct)
+        # deterministic ~70% hash sample: membership is a pure row
+        # property of the order key
+        sampled = quality.filter(
+            F.substring(F.md5(F.col(self._order).cast("string")), 1, 2)
+            <= self._sample_hex)
+        # one materialization feeds the quality/sample counts and the
+        # budget stage (whose own store write re-reads its input)
+        sampled = sampled.localCheckpoint()
+        n_quality = quality.count()
+        n_sampled = sampled.count()
+        tb = self._tb
+        tb._weight = f"{u}_xtok"
+        admitted = tb._admit(sampled, batch_id)
+        _, _, n_adm = tb.batch_stats[-1]
+        _overwrite_batch_partition(
+            admitted.drop(f"{u}_xt", f"{u}_xtok"), self._out, batch_id)
+        self.batch_stats.append(
+            (batch_id, n_in, n_dedup, n_capped, n_gated, n_nd,
+             n_quality, n_sampled, n_adm))
