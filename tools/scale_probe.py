@@ -377,6 +377,37 @@ def main() -> int:
                 f"({n} rows), time ratio {t / t_hot1 if t_hot1 else 0:.1f}x"
             )
 
+    # Hot-BUCKET probe for the shared crawl-funnel near-dedup chain
+    # (queries/curation.py::_funnel_neardup): ONE 40-word template with
+    # a 2-word unique tail duplicated 10⁴/10⁵× — a viral boilerplate
+    # page class whose MinHash band keys all collide, so every copy of
+    # a band lands in a single Window.partitionBy(band, band_key) task.
+    # The round-10 verdict watch item: bucket size is bounded by the
+    # stage-0 domain cap in the REAL funnels, but the chain itself
+    # should degrade linearly, not concentrate, if a cap-less caller
+    # ever feeds it raw skew.
+    from sumologic_aws_lambda_spark.queries.curation import (
+        _funnel_neardup,
+    )
+
+    template = " ".join(f"tok{i:02d}x" for i in range(40))
+    for n_hot, tag in ((10_000, "1x"), (100_000, "10x")):
+        hot = spark.range(n_hot).select(
+            F.col("id").alias("doc_id"),
+            F.lit(True).alias("gated"),
+            F.concat(F.lit(template + " tail "),
+                     F.col("id").cast("string")).alias("xt"),
+        )
+        t, n = _time(_funnel_neardup(hot, ("doc_id", "gated")))
+        if tag == "1x":
+            t_nd1 = t
+        else:
+            print(
+                f"funnel_neardup_hotbucket: 1x {t_nd1:.2f}s -> 10x "
+                f"{t:.2f}s ({n} rows), time ratio "
+                f"{t / t_nd1 if t_nd1 else 0:.1f}x"
+            )
+
     # ANN probes scale in CORPUS size with a fixed query set: the corpus
     # side must stay narrow (bucketing / scoring), so healthy ratios track
     # rows, never rows².
