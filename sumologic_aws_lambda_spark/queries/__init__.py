@@ -42,63 +42,66 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The external correctness driver checks registrations in dict order and
-# caps at the first 50.  Round-10 window (staleness recomputed
-# programmatically this round by aggregating CORRECTNESS_r01-r09
-# latest-sample rounds; CORRECTNESS_r09 was 50/50 green so no failures
-# are owed a re-check): (a) the round-10 additions and rewrites — the
-# new stage-1/stage-2 funnels (MinHash near-dedup on extracted text;
-# quality gate + hash sample + per-publisher token budget), the two
-# queries re-keyed onto registered_domain (publisher-level caps,
-# subdomain-sharded fixtures, new oracles), and the PSL broadcast-join
-# production path under the hash gate; (b) ALL 31 queries whose
-# latest hard signal is round 4 (the oldest cohort — exactly the list
-# the round-9 note owed this window); (c) 14 of the 48-query r5
-# cohort, registry-name order, filling the window to exactly 50.
+# caps at the first 50.  Round-11 window (staleness recomputed
+# programmatically this round by aggregating CORRECTNESS_r01-r10
+# latest-sample rounds — freshness was {r5: 34, r6: 50, r7: 45, r8: 50,
+# r9: 48, r10: 50}, CORRECTNESS_r10 was 50/50 green so no failures are
+# owed a re-check): (a) the round-11 addition — registered-domain caps
+# under the FULL vendored 9,506-rule PSL snapshot with the full-grammar
+# generated oracle; (b) ALL 34 queries whose latest hard signal is
+# round 5 (the oldest cohort — exactly the list the round-10 note owed
+# this window); (c) the first 15 of the 50-query r6 cohort,
+# registry-name order, filling the window to exactly 50.
 _PRIORITY: tuple[str, ...] = (
-    # -- (a) round-10 additions / registered-domain rewrites --
-    "crawl_stage1_funnel", "crawl_stage2_funnel", "url_domain_caps",
-    "crawl_stage0_funnel", "registered_domain_psl_caps",
-    # -- (b) oldest-validated cohort (latest hard signal round 4) --
-    "anti_join_idle_customers", "auto_enable_s3_logging",
-    "cfn_stack_telemetry", "cloudtrail_records_explode",
-    "delivery_accounting", "epoch_normalize", "fer_registry_apply",
-    "filter_project", "grouped_agg_udaf", "grouping_sets_lineitem",
-    "guardduty_unwrap", "metadata_override_merge",
-    "metric_rule_extract", "metrics_quantize",
-    "multimodal_frame_sample", "otlp_metric_parse",
-    "outlier_detection", "regexp_extract_docs", "region_rollup_join",
-    "rollup_order_status", "salted_agg_routing_key",
-    "sessionize_events", "set_ops_nations", "sumoql_count_frequent",
-    "sumoql_geoip_enrich", "sumoql_kv_extract", "sumoql_parse_multi",
-    "two_hop_dim_join", "vpc_flow_parse", "window_running_total",
-    "window_topn_orders",
-    # -- (c) r5 cohort, registry-name order, first 14 --
-    "ann_recall_eval", "apigw_body_rows_parse",
-    "approx_topk_routing_keys", "chunked_batches",
-    "cidr_prefix_aggregation", "content_pack_saved_search",
-    "control_message_skip", "corrupt_payload_discard",
-    "datetime_iso_serialize", "embedding_neardup_pairs",
-    "fields_schema_apply", "gopher_quality_filters",
-    "hll_daily_rollup", "incremental_dedup_batch",
+    # -- (a) round-11 addition --
+    "psl_snapshot_domains",
+    # -- (b) oldest-validated cohort (latest hard signal round 5) --
+    "ingest_include_exclude_rules", "kv_flatten_props",
+    "loggroup_match", "loggroup_subscription_plan",
+    "logstream_prefix_filter", "monitor_threshold_alerts",
+    "multimodal_resize_plan", "nested_projection",
+    "paragraph_dedup_stats", "pq_codebook_stats",
+    "quality_binned_sample", "repetition_ratios",
+    "rollup_hierarchy_daily", "securityhub_group_findings",
+    "semantic_dedup_clusters", "shard_plan", "sns_message_parse",
+    "stratified_hash_sample", "sumoql_compare_timeshift",
+    "sumoql_csv_split", "sumoql_eval_functions",
+    "sumoql_fillmissing_zero", "sumoql_ip_date_functions",
+    "sumoql_logexplain", "sumoql_lookup_expr",
+    "sumoql_parse_field_chain", "sumoql_percentile_first_last",
+    "sumoql_split_values", "sumoql_subquery_compose",
+    "sumoql_timeslice_buckets", "sumoql_trace_chain",
+    "sumoql_transpose_matrix", "transpose_event_matrix",
+    "url_decode_keys",
+    # -- (c) r6 cohort, registry-name order, first 15 --
+    "audio_chunk_plan", "blocked_name_matching",
+    "bpe_merge_candidates", "chi2_event_weekday",
+    "curation_pipeline_funnel", "dashboard_panel_data",
+    "dataset_manifest_diff", "document_chunking",
+    "domain_interleave_order", "domain_quality_caps",
+    "dsir_importance_weights", "dsir_resample_stats",
+    "event_funnel_conversion", "event_markov_transitions",
+    "event_pagerank",
 )
 
-# Round-11 rotation notes: recompute programmatically by aggregating
-# CORRECTNESS_r01-r10 — do not trust hand-maintained lists.  Owed the
-# r11 head: any round-11 additions and anything CORRECTNESS_r10 failed,
-# then the 34 r5-cohort queries this window could not fit
-# (ingest_include_exclude_rules, kv_flatten_props, loggroup_match, loggroup_subscription_plan, logstream_prefix_filter,
-# monitor_threshold_alerts, multimodal_resize_plan, nested_projection,
-# paragraph_dedup_stats, pq_codebook_stats, quality_binned_sample,
-# repetition_ratios, rollup_hierarchy_daily, securityhub_group_findings,
-# semantic_dedup_clusters, shard_plan, sns_message_parse,
-# stratified_hash_sample, sumoql_compare_timeshift, sumoql_csv_split,
-# sumoql_eval_functions, sumoql_fillmissing_zero,
-# sumoql_ip_date_functions, sumoql_logexplain, sumoql_lookup_expr,
-# sumoql_parse_field_chain, sumoql_percentile_first_last,
-# sumoql_split_values, sumoql_subquery_compose,
-# sumoql_timeslice_buckets, sumoql_trace_chain,
-# sumoql_transpose_matrix, transpose_event_matrix, url_decode_keys),
-# then the r6 cohort.  Keep the window EXACTLY 50 — re-count after
+# Round-12 rotation notes: recompute programmatically by aggregating
+# CORRECTNESS_r01-r11 — do not trust hand-maintained lists.  Owed the
+# r12 head: any round-12 additions and anything CORRECTNESS_r11 failed,
+# then the 35 r6-cohort queries this window could not fit
+# (event_path_trigrams, exactsubstr_removal_stats, image_patch_grid,
+# index_routing_stats, ingest_budget_enforcement,
+# interval_overlap_pairs, ivfpq_ann_topk, mad_outlier_counts,
+# minhash_calibration, monitor_alert_throttle, nb_quality_scores,
+# pq_adc_topk, range_partition_plan, retention_cohorts,
+# scheduled_view_rollup, seasonal_residual_outliers,
+# semantic_dedup_clusters_star, semdedup_prune, slo_error_budget,
+# split_leakage_audit, substring_dup_spans, sumoql_cidr_functions,
+# sumoql_logcompare, sumoql_logreduce, sumoql_logreduce_keys,
+# sumoql_save_lookup_roundtrip, temperature_mixture_weights,
+# theta_user_overlap, trend_slopes_by_type, unigram_lm_scores,
+# vocab_oov_rates, weighted_reservoir_sample,
+# winnowing_fingerprint_stats, zipf_spectrum, zorder_cell_stats),
+# then the r7 cohort.  Keep the window EXACTLY 50 — re-count after
 # every edit (tests/test_doc_counts.py pins this).
 
 

@@ -432,3 +432,32 @@ class CurationStage2Sink:
         self.batch_stats.append(
             (batch_id, n_in, n_dedup, n_capped, n_gated, n_nd,
              n_quality, n_sampled, n_adm))
+
+
+def run_curation_stage2(spark: SparkSession, in_path: str,
+                        dedup_store: str, cap_store: str,
+                        band_store: str, budget_store: str,
+                        out_dir: str, checkpoint_dir: str,
+                        available_now: bool = True, **sink_kwargs):
+    """Wire a json-lines crawl stream (``{"doc_id": ..., "url": ...,
+    "text": ...}``) through the composed stage-2 sink.  Returns
+    (StreamingQuery, sink) — the ``run_minhash_dedup`` wiring with the
+    full curation composition swapped in; ``sink_kwargs`` pass through
+    to :class:`CurationStage2Sink` (cap, token_budget, extract, ...).
+    """
+    sink = CurationStage2Sink(
+        spark, dedup_store, cap_store, band_store, budget_store,
+        out_dir, **sink_kwargs)
+    stream = (
+        spark.readStream.format("json")
+        .schema("doc_id long, url string, text string")
+        .load(in_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink

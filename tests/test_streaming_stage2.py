@@ -165,3 +165,54 @@ def test_stage2_sample_hex_validated():
     with pytest.raises(ValueError, match="sample_hex"):
         CurationStage2Sink(None, "a", "b", "c", "d", "e",
                            sample_hex="B2")
+
+
+def test_stage2_engine_driven_micro_batches(spark, tmp_path):
+    """Two engine-driven availableNow runs over one checkpoint: the
+    second run's batch pays URL-dedup, cap, band and TOKEN budget
+    against the first run's stores."""
+    import json as _json
+
+    from sumologic_aws_lambda_spark.streaming.neardup import (
+        run_curation_stage2,
+    )
+
+    (tmp_path / "in").mkdir()
+    tpl = " ".join(f"s{i}x{i}" for i in range(30))   # 30 words, >120 chars
+
+    def run():
+        q, sink = run_curation_stage2(
+            spark, str(tmp_path / "in"), str(tmp_path / "fp"),
+            str(tmp_path / "cap"), str(tmp_path / "band"),
+            str(tmp_path / "budget"), str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            cap=10, min_chars=120, token_band=(15, 1000),
+            sample_hex="ff",      # sample-all: isolate the budget stage
+            token_budget=70)
+        q.awaitTermination(120)
+        return sink
+
+    (tmp_path / "in" / "b1.json").write_text("\n".join(
+        _json.dumps({"doc_id": i, "url": u, "text": t}) for i, u, t in [
+            (1, "https://a.pub.org/1", tpl + " one two"),       # 32 tok
+            (2, "https://a.pub.org/1", tpl + " dup spelling"),  # url dup
+            (3, "https://b.pub.org/3", tpl + " three four"),    # 32 tok
+        ]) + "\n")
+    sink = run()
+    # (id, in, url_dedup, capped, gated, nd, quality, sampled, admitted)
+    assert sink.batch_stats[-1] == (0, 3, 2, 2, 2, 1, 1, 1, 1)
+
+    (tmp_path / "in" / "b2.json").write_text("\n".join(
+        _json.dumps({"doc_id": i, "url": u, "text": t}) for i, u, t in [
+            # near-dup of doc 1 (earlier run's band store must block it)
+            (4, "https://c.pub.org/4", tpl + " nine ten"),
+            # distinct content, same publisher: 32 prior + 39 > 70
+            (5, "https://d.pub.org/5",
+             " ".join(f"q{i}z{i}" for i in range(37)) + " a b"),
+        ]) + "\n")
+    sink = run()
+    assert sink.batch_stats[-1][5] == 1       # near-dedup killed doc 4
+    assert sink.batch_stats[-1][8] == 0       # budget killed doc 5
+    from pyspark.sql import functions as F
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r.doc_id for r in out.collect()) == [1]
