@@ -216,3 +216,44 @@ def test_stage2_engine_driven_micro_batches(spark, tmp_path):
     from pyspark.sql import functions as F
     out = spark.read.parquet(str(tmp_path / "out"))
     assert sorted(r.doc_id for r in out.collect()) == [1]
+
+
+def test_stage2_empty_and_fully_gated_batches(spark, tmp_path):
+    """Empty micro-batches and batches where every doc fails the
+    gates must write their (empty) partitions and leave the stores
+    readable for later batches."""
+    sink = CurationStage2Sink(
+        spark, str(tmp_path / "fp"), str(tmp_path / "cap"),
+        str(tmp_path / "band"), str(tmp_path / "budget"),
+        str(tmp_path / "out"), sample_hex="ff")
+    schema = "doc_id bigint, url string, text string"
+    sink(spark.createDataFrame([], schema), 0)
+    assert sink.batch_stats[-1] == (0, 0, 0, 0, 0, 0, 0, 0, 0)
+    sink(spark.createDataFrame(
+        [(1, "https://x.org/1", "too short")], schema), 1)
+    assert sink.batch_stats[-1] == (1, 1, 1, 1, 0, 0, 0, 0, 0)
+    tpl = " ".join(f"g{i}h{i}" for i in range(30))
+    sink(spark.createDataFrame(
+        [(2, "https://x.org/2", tpl + " a b")], schema), 2)
+    assert sink.batch_stats[-1][8] == 1
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r.doc_id for r in out.collect()) == [2]
+
+
+def test_token_budget_reserved_store_names_do_not_shadow(
+        spark, tmp_path):
+    """User data columns named 'key'/'toks' (the STORE schema names)
+    must ride through the budget sink untouched — the round-10
+    reserved-name defect class."""
+    tb = TokenBudgetSink(
+        spark, str(tmp_path / "store"), str(tmp_path / "out"),
+        weight_col="toks", url_col="pub", order_col="doc_id",
+        budget=100, key_fn=lambda c: c)
+    df = spark.createDataFrame(
+        [(1, "a", 10, "userkey")],
+        "doc_id bigint, pub string, toks bigint, key string")
+    tb(df, 0)
+    row = spark.read.parquet(str(tmp_path / "out")).collect()[0]
+    assert (row.key, row.toks) == ("userkey", 10)
+    with pytest.raises(ValueError, match="batch_id"):
+        tb(df.withColumnRenamed("key", "batch_id"), 1)

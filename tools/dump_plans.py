@@ -104,6 +104,7 @@ SHOWCASE = [
     "crawl_stage1_funnel",    # one-scan stage-0+near-dup composition
     "crawl_stage2_funnel",    # quality+sample+budget, one more window
     "registered_domain_psl_caps",  # broadcast PSL join, one window
+    "psl_snapshot_domains",   # FULL 9.5k-rule PSL: 10 bcast tiers, 1 exch
 ]
 
 
