@@ -172,6 +172,8 @@ OPTIONAL = [
     "crawl_stage1_funnel",
     "crawl_stage2_funnel",
     "registered_domain_psl_caps",
+    # round-11 wave
+    "psl_snapshot_domains",
 ]
 
 

@@ -422,3 +422,15 @@ def test_guard_flags_window_over_fact_join_with_limited_dim(spark):
         .withColumn("rn", F.row_number().over(Window.orderBy("id")))
     )
     assert unbounded_global_windows(ok) == 0
+
+
+def test_psl_snapshot_single_scan_all_broadcast(spark, qs):
+    """The full-9.5k-rule PSL path must stay ONE parquet scan with all
+    ten tier joins BROADCAST and exactly one hash exchange (the cap
+    window on reg_dom, whose partitioning the final groupBy reuses) —
+    the production plan where only the rule tables grow with the list."""
+    plan = _plan(qs["psl_snapshot_domains"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 10
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -194,3 +194,35 @@ def test_malformed_snapshot_rejected(tmp_path):
     p.write_text("// only comments\n\n", encoding="utf-8")
     with pytest.raises(ValueError, match="empty"):
         psl_rule_tiers(load_psl_file(str(p)))
+
+
+def test_no_idna2003_2008_divergent_rules_in_snapshot():
+    """The loader uses the stdlib IDNA2003 codec; rules containing the
+    characters where IDNA2008 diverges (ß, ς, ZWJ/ZWNJ) would encode
+    differently.  This snapshot contains NONE, so the codec is exact
+    for the vendored data — re-check when re-vendoring."""
+    risky = ("ß", "ς", "‌", "‍")
+    bad = [r for r in RAW
+           if not r.startswith("//") and any(c in r for c in risky)]
+    assert bad == []
+
+
+def test_fixture_tuple_agrees_with_full_snapshot(spark):
+    """Every suffix in the compact MULTI_LABEL_SUFFIXES fixture tuple
+    is a real PSL rule, and on hosts under those suffixes the literal
+    ``registered_domain`` and the full-snapshot broadcast path compute
+    the same key — the tuple is a faithful subset, not a fork."""
+    from sumologic_aws_lambda_spark.functions.urls import (
+        MULTI_LABEL_SUFFIXES,
+        registered_domain,
+    )
+
+    assert set(MULTI_LABEL_SUFFIXES) <= set(TIERS[2])
+    hosts = [f"cdn{i % 3}.pub.{s}"
+             for i, s in enumerate(MULTI_LABEL_SUFFIXES)]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    both = with_registered_domain_psl(
+        df.withColumn("lit_rd", registered_domain("host")),
+        "host", out_col="psl_rd", suffix_rows=RAW)
+    diff = both.filter("lit_rd != psl_rd").collect()
+    assert diff == [], diff
