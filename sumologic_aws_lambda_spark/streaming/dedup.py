@@ -98,6 +98,141 @@ def _overwrite_batch_partition(df: DataFrame, base_dir: str,
         os.path.join(base_dir, f"batch_id={batch_id}"))
 
 
+# The consolidated partition compaction merges old batches into.  -1 can
+# never equal a foreachBatch id (they start at 0), so the exclude-own-
+# batch read (`batch_id != N`) always keeps compacted rows.
+COMPACTED_BATCH_ID = -1
+_COMPACT_TMP = "_compact_tmp"
+_COMPACT_READY = "_compact_ready.upto="
+
+
+def compact_batch_store(spark: SparkSession, store_dir: str,
+                        upto_batch_id: int, agg=None):
+    """Maintenance compaction of a per-batch-overwrite store: merge
+    every ``batch_id=N`` partition with ``N < upto_batch_id`` (plus any
+    previous consolidation) into ONE ``batch_id=-1`` partition.  A
+    year-long stream at a 60 s trigger writes ~500k batch partitions
+    per store; reads then pay file-listing and per-partition footer
+    costs that dwarf the data — the classic small-files problem.
+    Compaction bounds the partition count without touching the
+    admission semantics: ``-1`` never equals a live batch id, so the
+    exclude-own-batch read keeps compacted rows under every replay.
+
+    SAFETY CONTRACT: ``upto_batch_id`` must be at most the stream's
+    last COMMITTED batch id, and the call must not race a running
+    trigger (run it between triggers, from the maintenance schedule).
+    Only the last uncommitted batch can ever be redelivered; compacting
+    a batch the engine could still replay would merge its rows into
+    ``-1`` where the replay's own-batch exclusion cannot see them —
+    the replayed batch would dedup against ITSELF and drop every row.
+
+    ``agg`` optionally shrinks rows while merging — it receives the
+    consolidated DataFrame (store columns, no ``batch_id``) and must be
+    idempotent over already-compacted rows: ``sum`` per key for the
+    count/budget stores, ``min(first_doc)`` per bucket for the band
+    store, ``distinct`` for fingerprint stores.  Default keeps rows
+    as-is, which is semantics-preserving for every store.
+
+    Crash-safe, resumable protocol (all names underscore-prefixed, so
+    Spark's partition discovery never sees in-flight state):
+    1. write consolidated rows to ``_compact_tmp``;
+    2. commit by renaming it to ``_compact_ready.upto=<N>``;
+    3. delete the source partitions (ids in [0, N) and the old ``-1``);
+    4. rename the ready dir to ``batch_id=-1``.
+    A crash before (2) leaves sources untouched — the next call deletes
+    the stale tmp and restarts; a crash after (2) is finished by the
+    next call (steps 3–4 are idempotent).  Returns
+    ``(n_partitions_removed, n_rows_compacted)``.
+    """
+    if upto_batch_id < 0:
+        raise ValueError(
+            f"upto_batch_id must be >= 0, got {upto_batch_id}")
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _hpath(name: str):
+        return jvm.org.apache.hadoop.fs.Path(store_dir, name)
+
+    def _finish(ready_name: str) -> int:
+        upto = int(ready_name[len(_COMPACT_READY):])
+        removed = 0
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("batch_id="):
+                continue
+            try:
+                bid = int(name[len("batch_id="):])
+            except ValueError:
+                continue
+            if bid == COMPACTED_BATCH_ID or 0 <= bid < upto:
+                fs.delete(st.getPath(), True)
+                removed += 1
+        # Hadoop rename returns False instead of raising — a silent
+        # failure here would leave the store missing its compacted rows
+        if not fs.rename(_hpath(ready_name),
+                         _hpath(f"batch_id={COMPACTED_BATCH_ID}")):
+            raise IOError(
+                f"compaction commit rename failed in {store_dir} "
+                f"({ready_name} -> batch_id={COMPACTED_BATCH_ID})")
+        return removed
+
+    if not fs.exists(root):
+        return 0, 0
+    # resume an interrupted run first: a committed ready dir is
+    # finished (its sources are duplicates now); an uncommitted tmp is
+    # discarded (its sources are all still in place)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(_COMPACT_READY):
+            return _finish(name), 0
+        if name == _COMPACT_TMP:
+            fs.delete(st.getPath(), True)
+
+    olds = []
+    has_compacted = False
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            bid = int(name[len("batch_id="):])
+        except ValueError:
+            continue
+        if bid == COMPACTED_BATCH_ID:
+            has_compacted = True
+        elif 0 <= bid < upto_batch_id:
+            olds.append(bid)
+    if not olds:
+        return 0, 0
+
+    # one partition-discovery read covers the old batches AND the
+    # previous consolidation (-1 < upto); rows with id >= upto stay on
+    # disk untouched.  The tmp write MATERIALIZES the rows before any
+    # source is deleted.
+    merged = spark.read.parquet(store_dir).filter(
+        F.col("batch_id") < upto_batch_id).drop("batch_id")
+    if agg is not None:
+        merged = agg(merged)
+    n_rows = merged.count()
+    if n_rows == 0:
+        # nothing to keep: an empty parquet dir cannot be re-read
+        # (schema inference fails), so just drop the empty sources
+        removed = 0
+        for bid in olds + ([COMPACTED_BATCH_ID] if has_compacted else []):
+            fs.delete(_hpath(f"batch_id={bid}"), True)
+            removed += 1
+        return removed, 0
+    merged.write.mode("overwrite").parquet(
+        os.path.join(store_dir, _COMPACT_TMP))
+    ready = f"{_COMPACT_READY}{upto_batch_id}"
+    if not fs.rename(_hpath(_COMPACT_TMP), _hpath(ready)):
+        raise IOError(
+            f"compaction staging rename failed in {store_dir} "
+            f"({_COMPACT_TMP} -> {ready}); sources untouched")
+    return _finish(ready), n_rows
+
+
 class IncrementalDedupSink:
     """foreachBatch callable: survivors → ``out_dir``, their fingerprints
     → ``store_dir`` (both per-batch overwrite partitions).

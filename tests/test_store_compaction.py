@@ -1,0 +1,153 @@
+"""Store compaction (streaming/dedup.py::compact_batch_store): the
+small-files maintenance pass for the per-batch-overwrite stores —
+semantics preserved across every store family, replay safety of the
+newest batch intact, crash protocol resumable."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sumologic_aws_lambda_spark.streaming.dedup import (
+    COMPACTED_BATCH_ID,
+    IncrementalDedupSink,
+    compact_batch_store,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _partitions(tmp_path, store="store"):
+    return sorted(p.name for p in (tmp_path / store).iterdir()
+                  if p.name.startswith("batch_id="))
+
+
+def test_fingerprint_store_compaction_preserves_dedup(spark, tmp_path):
+    sink = IncrementalDedupSink(spark, str(tmp_path / "store"),
+                                str(tmp_path / "out"))
+    sink(_docs(spark, [(1, "alpha"), (2, "beta")]), 0)
+    sink(_docs(spark, [(3, "gamma")]), 1)
+    sink(_docs(spark, [(4, "delta")]), 2)
+    # compact the two committed batches; batch 2 (replayable) untouched
+    removed, rows = compact_batch_store(
+        spark, str(tmp_path / "store"), upto_batch_id=2)
+    assert removed == 2 and rows == 3
+    assert _partitions(tmp_path) == [
+        f"batch_id={COMPACTED_BATCH_ID}", "batch_id=2"]
+    # store content identical: same fingerprints, batch 2's still under
+    # its own id so its replay exclusion keeps working
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert store.count() == 4
+    # a replay of the newest batch is still idempotent post-compaction
+    sink(_docs(spark, [(4, "delta")]), 2)
+    assert sink.batch_stats[-1] == (2, 1, 1)
+    # and new batches dedup against the COMPACTED rows
+    sink(_docs(spark, [(5, "alpha"), (6, "epsilon")]), 3)
+    assert sink.batch_stats[-1] == (3, 2, 1)
+
+
+def test_recompaction_folds_previous_consolidation(spark, tmp_path):
+    sink = IncrementalDedupSink(spark, str(tmp_path / "store"),
+                                str(tmp_path / "out"))
+    for i, word in enumerate(["a", "b", "c", "d"]):
+        sink(_docs(spark, [(i, word)]), i)
+    assert compact_batch_store(
+        spark, str(tmp_path / "store"), 2) == (2, 2)
+    # second compaction folds -1 AND batches 2..3 into a fresh -1
+    assert compact_batch_store(
+        spark, str(tmp_path / "store"), 4) == (3, 4)
+    assert _partitions(tmp_path) == [f"batch_id={COMPACTED_BATCH_ID}"]
+    sink(_docs(spark, [(9, "a"), (10, "e")]), 4)
+    assert sink.batch_stats[-1] == (4, 2, 1)
+
+
+def test_count_store_compaction_with_sum_agg(spark, tmp_path):
+    from sumologic_aws_lambda_spark.streaming.domain_cap import (
+        DomainCapSink,
+    )
+
+    sink = DomainCapSink(
+        spark, str(tmp_path / "store"), str(tmp_path / "out"),
+        url_col="pub", order_col="doc_id", cap=3, key_fn=lambda c: c)
+    rows = lambda r: spark.createDataFrame(  # noqa: E731
+        r, "doc_id bigint, pub string")
+    sink(rows([(1, "a")]), 0)
+    sink(rows([(2, "a")]), 1)
+    sink(rows([(3, "a")]), 2)
+    removed, n = compact_batch_store(
+        spark, str(tmp_path / "store"), 3,
+        agg=lambda d: d.groupBy("key").agg(
+            F.sum("admitted").cast("bigint").alias("admitted")))
+    assert removed == 3 and n == 1          # three rows folded to one
+    # running count preserved: publisher 'a' has consumed its cap of 3
+    sink(rows([(4, "a"), (5, "b")]), 3)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2, 3, 5]
+
+
+def test_band_store_compaction_with_min_agg(spark, tmp_path):
+    from sumologic_aws_lambda_spark.streaming.neardup import (
+        MinHashDedupSink,
+    )
+
+    tpl = " ".join(f"m{i}n{i}" for i in range(30))
+    sink = MinHashDedupSink(spark, str(tmp_path / "store"),
+                            str(tmp_path / "out"))
+    sink(_docs(spark, [(1, tpl + " x1")]), 0)
+    sink(_docs(spark, [(2, tpl + " x2")]), 1)       # blocked by batch 0
+    compact_batch_store(
+        spark, str(tmp_path / "store"), 2,
+        agg=lambda d: d.groupBy("band", "band_key").agg(
+            F.min("first_doc").alias("first_doc")))
+    # compacted buckets still block a later near-duplicate
+    sink(_docs(spark, [(3, tpl + " x3")]), 2)
+    assert sink.batch_stats[-1] == (2, 1, 0)
+
+
+def test_uncommitted_tmp_is_discarded_and_rerun(spark, tmp_path):
+    sink = IncrementalDedupSink(spark, str(tmp_path / "store"),
+                                str(tmp_path / "out"))
+    sink(_docs(spark, [(1, "a")]), 0)
+    sink(_docs(spark, [(2, "b")]), 1)
+    # a crash before the commit rename leaves _compact_tmp; sources are
+    # all intact, so the next run discards it and compacts fresh
+    (tmp_path / "store" / "_compact_tmp").mkdir()
+    (tmp_path / "store" / "_compact_tmp" / "junk").write_text("x")
+    removed, n = compact_batch_store(spark, str(tmp_path / "store"), 2)
+    assert (removed, n) == (2, 2)
+    assert not (tmp_path / "store" / "_compact_tmp").exists()
+    assert _partitions(tmp_path) == [f"batch_id={COMPACTED_BATCH_ID}"]
+
+
+def test_committed_ready_dir_is_finished(spark, tmp_path):
+    sink = IncrementalDedupSink(spark, str(tmp_path / "store"),
+                                str(tmp_path / "out"))
+    sink(_docs(spark, [(1, "a")]), 0)
+    sink(_docs(spark, [(2, "b")]), 1)
+    # simulate a crash AFTER the commit rename: the consolidated rows
+    # sit in the ready dir, source batch 0 not yet deleted
+    consolidated = spark.read.parquet(
+        str(tmp_path / "store" / "batch_id=0")).select("fingerprint")
+    consolidated.write.parquet(
+        str(tmp_path / "store" / "_compact_ready.upto=1"))
+    removed, n = compact_batch_store(spark, str(tmp_path / "store"), 1)
+    assert removed == 1 and n == 0          # finished, not re-run
+    assert _partitions(tmp_path) == [
+        f"batch_id={COMPACTED_BATCH_ID}", "batch_id=1"]
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert store.count() == 2               # no loss, no duplication
+
+
+def test_compaction_noop_and_validation(spark, tmp_path):
+    assert compact_batch_store(
+        spark, str(tmp_path / "nostore"), 5) == (0, 0)
+    sink = IncrementalDedupSink(spark, str(tmp_path / "store"),
+                                str(tmp_path / "out"))
+    sink(_docs(spark, [(1, "a")]), 0)
+    # nothing strictly below upto=0 → no-op
+    assert compact_batch_store(spark, str(tmp_path / "store"), 0) == (0, 0)
+    with pytest.raises(ValueError, match="upto_batch_id"):
+        compact_batch_store(spark, str(tmp_path / "store"), -3)
