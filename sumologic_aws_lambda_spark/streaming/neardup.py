@@ -461,3 +461,30 @@ def run_curation_stage2(spark: SparkSession, in_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start(), sink
+
+
+def run_curation_stage1(spark: SparkSession, in_path: str,
+                        dedup_store: str, cap_store: str,
+                        band_store: str, out_dir: str,
+                        checkpoint_dir: str,
+                        available_now: bool = True, **sink_kwargs):
+    """Wire a json-lines crawl stream (``{"doc_id": ..., "url": ...,
+    "text": ...}``) through the composed stage-1 sink — the
+    :func:`run_curation_stage2` wiring without the selection wave.
+    Returns (StreamingQuery, sink)."""
+    sink = CurationStage1Sink(
+        spark, dedup_store, cap_store, band_store, out_dir,
+        **sink_kwargs)
+    stream = (
+        spark.readStream.format("json")
+        .schema("doc_id long, url string, text string")
+        .load(in_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink

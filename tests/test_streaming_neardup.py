@@ -199,3 +199,34 @@ def test_stage1_sink_matches_batch_funnel(spark, tmp_path):
     stats = sink.batch_stats
     assert sum(s[3] for s in stats) == funnel["a_domain_cap"]
     assert sum(s[5] for s in stats) == funnel["d_near_dup"]
+
+
+def test_stage1_engine_driven_wiring(spark, tmp_path):
+    """run_curation_stage1 drives the composed stage-1 sink from a
+    json-lines stream: URL dedup, cap, gates and near-dedup all fire in
+    one engine-driven availableNow run."""
+    import json as _json
+
+    from sumologic_aws_lambda_spark.streaming.neardup import (
+        run_curation_stage1,
+    )
+
+    (tmp_path / "in").mkdir()
+    tpl = " ".join(f"e{i}f{i}" for i in range(30))
+    (tmp_path / "in" / "b1.json").write_text("\n".join(
+        _json.dumps({"doc_id": i, "url": u, "text": t}) for i, u, t in [
+            (1, "https://a.pub.org/1", tpl + " one two"),
+            (2, "https://a.pub.org/1", tpl + " respelled"),  # url dup
+            (3, "https://b.pub.org/3", tpl + " near dup"),   # nd of 1
+            (4, "https://b.pub.org/4", "too short"),         # gate-fail
+        ]) + "\n")
+    q, sink = run_curation_stage1(
+        spark, str(tmp_path / "in"), str(tmp_path / "fp"),
+        str(tmp_path / "cap"), str(tmp_path / "band"),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        cap=10, min_chars=120, token_band=(15, 1000))
+    q.awaitTermination(120)
+    # (id, in, url_dedup, capped, gated, admitted)
+    assert sink.batch_stats[-1] == (0, 4, 3, 3, 2, 1)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r.doc_id for r in out.collect()) == [1]
