@@ -226,3 +226,39 @@ def test_fixture_tuple_agrees_with_full_snapshot(spark):
         "host", out_col="psl_rd", suffix_rows=RAW)
     diff = both.filter("lit_rd != psl_rd").collect()
     assert diff == [], diff
+
+
+def test_random_host_sweep_matches_python_reference(spark):
+    """Seeded random-host sweep: ~600 hosts assembled from random
+    suffixes (every tier + unlisted), random subdomain depths, FQDN
+    dots and case — the Spark broadcast path must match the independent
+    Python resolver on all of them (the property-test complement of the
+    per-branch canonical cases)."""
+    import random
+
+    random.seed(11)
+    suffixes = (
+        [r for rs in TIERS.values() for r in rs]
+        + [b for bs in WTIERS.values() for b in bs]
+        + [e for es in ETIERS.values() for e in es]
+        + ["zz-unlisted", "com", "uk"])
+    labels = ["www", "cdn1", "a", "x-y", "sub2", "WWW", "Pub"]
+    hosts = []
+    for _ in range(600):
+        sfx = random.choice(suffixes)
+        depth = random.randint(0, 3)
+        host = ".".join(random.choice(labels) for _ in range(depth))
+        host = (host + "." if host else "") + sfx
+        if random.random() < 0.15:
+            host += "."
+        if random.random() < 0.1:
+            host = host.upper()
+        hosts.append(host)
+    hosts += ["1.2.3.4", "255.255.255.255.", "singleton"]
+    uniq = sorted(set(hosts))
+    want = {h: _py_registered_domain(h) for h in uniq}
+    df = spark.createDataFrame([(h,) for h in uniq], "host string")
+    out = with_registered_domain_psl(df, "host", suffix_rows=RAW)
+    got = {r["host"]: r["registered_domain"] for r in out.collect()}
+    bad = {h: (got[h], want[h]) for h in uniq if got[h] != want[h]}
+    assert not bad, f"{len(bad)} mismatches: {list(bad.items())[:5]}"

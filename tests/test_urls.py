@@ -448,3 +448,33 @@ def test_psl_unicode_rules_idna_encode_on_load(spark):
         .select("i", "d").collect()}
     # distinct publishers under the IDN suffix stay distinct
     assert got == {0: "pub1.xn--55qx5d.cn", 1: "pub2.xn--55qx5d.cn"}
+
+
+def test_canonicalize_url_is_idempotent(spark):
+    """canon(canon(u)) == canon(u) over a seeded 400-URL sweep of
+    scheme/case/userinfo/port/path/tracking-param/fragment combinations
+    — a canonical form that moves under its own rules would make the
+    URL-dedup key unstable between a raw crawl and a re-crawl of
+    already-canonical URLs."""
+    import random
+
+    random.seed(7)
+    schemes = ["http", "https", "HTTPS", "ftp"]
+    hostparts = ["WWW.Example.COM", "example.com", "a.b.co.uk",
+                 "192.168.0.1", "x.org."]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a/b", "/a/b/", "/a%2Fb"]
+    queries = ["", "?id=3", "?utm_source=x&id=3", "?b=2&a=1&ref=tw",
+               "?utm_only"]
+    frags = ["", "#sec", "#a=b"]
+    urls = sorted({
+        random.choice(schemes) + "://" + random.choice(["user@", ""])
+        + random.choice(hostparts) + random.choice(ports)
+        + random.choice(paths) + random.choice(queries)
+        + random.choice(frags)
+        for _ in range(400)})
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select("url", canonicalize_url("url").alias("c1"))
+    twice = once.withColumn("c2", canonicalize_url(F.col("c1")))
+    bad = twice.filter("c1 IS DISTINCT FROM c2").collect()
+    assert bad == [], [(r.url, r.c1, r.c2) for r in bad[:5]]
