@@ -411,3 +411,32 @@ def run_paragraph_dedup(spark: SparkSession, in_path: str, out_dir: str,
         ParagraphDedupSink(spark, store_dir, out_dir,
                            tokens_per_para=tokens_per_para),
         checkpoint_dir, available_now)
+
+
+def last_committed_batch_id(spark: SparkSession,
+                            checkpoint_dir: str) -> int | None:
+    """Highest batch id the streaming engine has COMMITTED for this
+    checkpoint (``<checkpoint>/commits/<id>`` markers), or ``None``
+    before the first commit — the actionable form of
+    :func:`compact_batch_store`'s safety contract: pass this value as
+    ``upto_batch_id`` and compaction touches only batches strictly
+    below the last committed one, so the sole batch the engine can
+    ever redeliver (the last uncommitted or last committed on a
+    crash-restart boundary) keeps its own ``batch_id=N`` partition and
+    its exclude-own-batch replay read.  Hadoop FS API, not os.path —
+    checkpoints can live on remote URIs (the ``_store_has_data``
+    lesson); non-numeric entries (``.tmp`` spills, ``metadata``) are
+    ignored."""
+    jvm = spark._jvm
+    commits = jvm.org.apache.hadoop.fs.Path(checkpoint_dir, "commits")
+    fs = commits.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(commits):
+        return None
+    best = None
+    for st in fs.listStatus(commits):
+        try:
+            bid = int(st.getPath().getName())
+        except ValueError:
+            continue
+        best = bid if best is None else max(best, bid)
+    return best

@@ -151,3 +151,47 @@ def test_compaction_noop_and_validation(spark, tmp_path):
     assert compact_batch_store(spark, str(tmp_path / "store"), 0) == (0, 0)
     with pytest.raises(ValueError, match="upto_batch_id"):
         compact_batch_store(spark, str(tmp_path / "store"), -3)
+
+
+def test_last_committed_batch_id_bounds_compaction(spark, tmp_path):
+    """The checkpoint commit log yields the safe compaction bound:
+    after two engine-driven runs the helper reports the last committed
+    id, compacting strictly below it preserves every behavior, and the
+    next engine run still dedups against the compacted rows."""
+    import json as _json
+
+    from sumologic_aws_lambda_spark.streaming.dedup import (
+        compact_batch_store,
+        last_committed_batch_id,
+    )
+    from sumologic_aws_lambda_spark.streaming.neardup import (
+        run_minhash_dedup,
+    )
+
+    (tmp_path / "in").mkdir()
+    tpl = " ".join(f"c{i}d{i}" for i in range(30))
+
+    def run():
+        q, sink = run_minhash_dedup(
+            spark, str(tmp_path / "in"), str(tmp_path / "out"),
+            str(tmp_path / "store"), str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        return sink
+
+    assert last_committed_batch_id(
+        spark, str(tmp_path / "ckpt")) is None
+    (tmp_path / "in" / "b1.json").write_text(
+        _json.dumps({"doc_id": 1, "text": tpl + " x1"}) + "\n")
+    run()
+    (tmp_path / "in" / "b2.json").write_text(
+        _json.dumps({"doc_id": 2, "text": tpl + " x2"}) + "\n")
+    run()
+    upto = last_committed_batch_id(spark, str(tmp_path / "ckpt"))
+    assert upto == 1
+    removed, n = compact_batch_store(
+        spark, str(tmp_path / "store"), upto)
+    assert removed == 1 and n > 0           # batch 0 folded, batch 1 kept
+    (tmp_path / "in" / "b3.json").write_text(
+        _json.dumps({"doc_id": 3, "text": tpl + " x9"}) + "\n")
+    sink = run()
+    assert sink.batch_stats[-1] == (2, 1, 0)   # blocked by compacted rows
