@@ -312,11 +312,34 @@ def main() -> None:
             continue
         timings[name] = round(best, 3)
 
+    # Full-registry sweep (round-11 verdict item 3): every registry
+    # query OUTSIDE the curated headline set gets ONE timed run, so a
+    # perf regression in the uncurated tiers (graph, lifecycle, ...)
+    # is visible round-over-round.  Single run, not min-of-2 — the goal
+    # is regression visibility at bounded wall-clock; the curated set
+    # keeps the tighter protocol, and cross-round totals stay
+    # comparable because "value" still sums the curated set only.
+    for name in qs:
+        if name in timings or name in errors:
+            continue
+        try:
+            timings[name] = round(_time_once(name), 3)
+        except Exception as e:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+
     # A failed query must not read as a speedup: when any headline query
     # errored, the total is meaningless to consumers comparing across
     # rounds, so emit value=null plus an explicit incomplete flag instead
-    # of silently summing the survivors.
-    total = None if errors else round(sum(timings.values()), 3)
+    # of silently summing the survivors.  "value" keeps its historical
+    # definition — the curated HEADLINE+OPTIONAL+canon sum — so
+    # BENCH_r12+ stays comparable to earlier rounds; the full-registry
+    # sum rides in "registry_total".
+    curated = set(names)
+    total = (None if any(n in errors for n in curated)
+             else round(sum(t for n, t in timings.items()
+                            if n in curated), 3))
+    registry_total = (None if errors
+                      else round(sum(timings.values()), 3))
     canon = {n: timings[n] for n in CANON if n in timings}
     out = {
         "metric": "headline_queries_total",
@@ -340,6 +363,8 @@ def main() -> None:
     # don't misread 2×repeat executions as one (round-9 advisor note)
     out["canon_runs_per_pass"] = 2
     out["canon_pass_totals"] = canon_pass_totals
+    out["registry_total"] = registry_total
+    out["n_registry"] = len(timings)
     print(json.dumps(out))
     # The full artifact line is tens of KB (133 query timings) and the
     # driver's tail capture keeps only the LAST ~2000 chars — emit a
@@ -356,6 +381,8 @@ def main() -> None:
         "canon_repeat": repeat,
         "canon_runs_per_pass": 2,
         "canon_pass_totals": canon_pass_totals,
+        "registry_total": registry_total,
+        "n_registry": len(timings),
     }))
     spark.stop()
 

@@ -38,6 +38,7 @@ can serve different content) and percent-encoding is left untouched
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -255,16 +256,33 @@ def psl_rule_tiers(suffix_rows=None):
     the hash gate provably load the same rules.
 
     Returns ``(tiers, wtiers, etiers)``: exact rules keyed by label
-    count (2..%d — 1-label exacts are accepted and dropped, identical
+    count (2..6 — 1-label exacts are accepted and dropped, identical
     to the implicit default), wildcard BODIES keyed by body label count
-    (1..%d), exception NAMES keyed by label count (2..%d); every key
-    present, possibly empty, values sorted.  Grammar, file-format
+    (1..5), exception NAMES keyed by label count (2..6); every key
+    present, possibly empty, values sorted.  The bounds are
+    ``_MAX_EXACT`` = 6 (a plain literal docstring, so ``__doc__``
+    survives — round-11 ADVICE: the old ``'...' % (...)`` form was an
+    expression statement, not a docstring).  Grammar, file-format
     normalization (comments, whitespace, case, FQDN dots, IDNA) and the
     raise-on-malformed rules are documented on
     :func:`with_registered_domain_psl`.
-    """ % (_MAX_EXACT, _MAX_EXACT - 1, _MAX_EXACT)
+
+    Results are cached per distinct rule tuple (the full vendored
+    snapshot normalizes ~9.5k rules — per-micro-batch callers like the
+    streaming cap sinks must not re-parse it every trigger).  Treat the
+    returned dicts as immutable: they are shared across callers.
+    """
     if suffix_rows is None:
-        suffix_rows = MULTI_LABEL_SUFFIXES
+        rows = MULTI_LABEL_SUFFIXES
+    elif isinstance(suffix_rows, tuple):
+        rows = suffix_rows  # already hashable; the body str()s each rule
+    else:
+        rows = tuple(str(r) for r in suffix_rows)
+    return _psl_rule_tiers_cached(rows)
+
+
+@lru_cache(maxsize=8)
+def _psl_rule_tiers_cached(suffix_rows: tuple):
 
     def _to_ascii(s: str) -> str:
         # the published list writes IDN rules in UNICODE (U-label)
@@ -523,10 +541,23 @@ def with_registered_domain_psl(df, host_col: str,
                 out[k] = F.lit(False)
                 continue
             col = f"{u}_{name}{k}"
-            tier_df = spark.createDataFrame(
-                [(r,) for r in tier_rules], f"{col} string")
-            frame = frame.join(F.broadcast(tier_df),
-                               st[k] == F.col(col), "left")
+            # per-session tier-DataFrame cache: converting the 5.5k
+            # 2-label rules from Python per CALL dominates per-micro-
+            # batch cost once the streaming sinks key on the full
+            # snapshot (round-12).  The cached frame has a fixed
+            # column name; the per-call collision-proof name is a
+            # zero-cost alias on top.
+            cache = spark.__dict__.setdefault("_psl_tier_df_cache", {})
+            key = tuple(tier_rules)
+            tier_df = cache.get(key)
+            if tier_df is None:
+                tier_df = spark.createDataFrame(
+                    [(r,) for r in tier_rules], "_psl_rule string")
+            cache[key] = tier_df
+            frame = frame.join(
+                F.broadcast(tier_df.select(
+                    F.col("_psl_rule").alias(col))),
+                st[k] == F.col(col), "left")
             out[k] = F.col(col).isNotNull()
         return frame, out
 

@@ -18,7 +18,9 @@ cited examples):
                                                    -- outer (semi-join)
     stage     := 'json' '"'path'"' (',' '"'path'"')* ['as' name (',' name)*]
                | 'parse' '"' prefix '*' suffix '"' 'as' name   -- anchor parse
+                 ['multi'] ['nodrop']               -- multi: 1 row per match
                | 'parse' 'regex' '"' re-with-named-groups '"'
+                 ['multi'] ['nodrop']
                | ('kv'|'keyvalue') '"'key'"' (',' '"'key'"')*  -- k=v extract
                | 'csv' name (',' name)*              -- positional split
                | 'where' sql-expr
@@ -1506,6 +1508,19 @@ def _stage_parse(df: DataFrame, rest: str, schema: SumoSchema,
         parts[i] + (groups[i] if i < len(groups) else "")
         for i in range(len(parts))
     )
+    if multi:
+        # Anchor-form `multi`: the template is applied repeatedly and
+        # each match emits one ROW (the regex branch's UDTF shape —
+        # regexp_extract_all + explode; previously the flag was
+        # silently ignored here, which is worse than raising).  One
+        # '*' only, like the regex branch's one-named-group rule: a
+        # multi-star template has no per-match row shape.
+        if stars != 1:
+            raise SumoQLError(
+                "parse … multi needs exactly one '*' in the template")
+        matches = F.regexp_extract_all(src, F.lit(pattern), 1)
+        exploder = F.explode_outer if keep else F.explode
+        return df.withColumn(names[0], exploder(matches))
     out = df
     for i, n in enumerate(names, start=1):
         out = out.withColumn(

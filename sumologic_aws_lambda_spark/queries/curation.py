@@ -1253,8 +1253,20 @@ def _funnel_ranked_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalize → canonical-key dedup (keeper = min doc_id, group size
     carried) → registered-domain rank.  Returns (canonical_url,
     group_n, doc_id, text, host, reg_dom, rn) — stage-0 gates and the
-    stage-1 near-dup both consume this one lineage."""
-    from ..functions.urls import canonicalize_url
+    stage-1 near-dup both consume this one lineage.
+
+    The publisher key is the FULL vendored 9,506-rule PSL snapshot via
+    broadcast tier joins (round-12: production curation defaults to the
+    keying the round-11 hash gate validated — on real crawl data the
+    fixture tuple and the full list give DIFFERENT publishers; the
+    oracles twin it with ``registered_domain_psl_sql``).  The tier
+    joins ride AFTER the canonical groupBy, so they probe keeper rows
+    only — ~99 KB build sides, zero shuffles of the fact side."""
+    from ..functions.urls import (
+        canonicalize_url,
+        load_psl_file,
+        with_registered_domain_psl,
+    )
 
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "text",
@@ -1274,8 +1286,9 @@ def _funnel_ranked_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("_k.text").alias("text"))
         .withColumn("host", F.regexp_extract(
             "canonical_url", "^https?://([^/:?#]+)", 1))
-        .withColumn("reg_dom", _urlsmod.registered_domain("host"))
     )
+    keepers = with_registered_domain_psl(
+        keepers, "host", out_col="reg_dom", suffix_rows=load_psl_file())
     w = Window.partitionBy("reg_dom").orderBy("doc_id")
     return keepers.withColumn("rn", F.row_number().over(w))
 
@@ -1492,7 +1505,8 @@ _FUNNEL_NEARDUP_CTES = """
     .replace("{url}", _FUNNEL_URL_SQL)
     .replace("{html}", _FUNNEL_HTML_SQL)
     .replace("{track_re}", _urlsmod.TRACKING_PARAM_RE)
-    .replace("{reg_dom}", _urlsmod.registered_domain_sql("host"))
+    .replace("{reg_dom}", _urlsmod.registered_domain_psl_sql(
+        "host", _urlsmod.load_psl_file()))
     .replace("{cap}", str(_FUNNEL_CAP))),
 )
 def crawl_stage0_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1736,7 +1750,8 @@ _S1_HTML_SQL = """
     .replace("{url}", _FUNNEL_URL_SQL)
     .replace("{s1html}", _S1_HTML_SQL)
     .replace("{track_re}", _urlsmod.TRACKING_PARAM_RE)
-    .replace("{reg_dom}", _urlsmod.registered_domain_sql("host"))
+    .replace("{reg_dom}", _urlsmod.registered_domain_psl_sql(
+        "host", _urlsmod.load_psl_file()))
     .replace("{cap}", str(_FUNNEL_CAP))),
 )
 def crawl_stage1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1847,30 +1862,35 @@ def crawl_stage1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked
     GROUP BY reg_dom
     """.replace("{host}", _CAP_HOST_SQL)
-    .replace("{reg_dom}", _urlsmod.registered_domain_sql("host")),
+    .replace("{reg_dom}", _urlsmod.registered_domain_psl_sql(
+        "host", _urlsmod.load_psl_file())),
 )
 def registered_domain_psl_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain caps through the PRODUCTION registered-domain path: the
-    public-suffix set as a broadcast-joined lookup table
-    (``functions/urls.py::with_registered_domain_psl``) instead of the
-    codegen'd literal tuple — the form that scales to the real ~9k-rule
-    Public Suffix List, which belongs in data, not code.  Same
+    FULL vendored 9,506-rule Public Suffix List snapshot as
+    broadcast-joined lookup tables (``functions/urls.py::
+    with_registered_domain_psl`` + ``load_psl_file`` — round-12: the
+    snapshot the round-11 hash gate validated is now what this
+    production form actually loads, not the fixture tuple).  Same
     subdomain-sharded fixture as ``url_domain_caps`` but a tighter cap
     (5) and an ``n_dots`` column that pins the label-count of every
     publisher key, so a suffix-table miss (folding pub5.co.uk to
     co.uk-level or keeping 4 labels) is a value failure, not just a
     grouping change.
 
-    Scale shape: identical to ``url_domain_caps`` plus ONE broadcast
-    hash join against the suffix table (build side = the PSL, ~9k rows
-    — broadcast, zero shuffle of the fact side).  The oracle computes
-    the registered domain with the same suffix logic inlined — the two
-    paths provably agree under the hash gate, not just in pytest.
+    Scale shape: identical to ``url_domain_caps`` plus per-tier
+    broadcast hash joins against the suffix tables (build side = the
+    PSL tiers, ~99 KB total — broadcast, zero shuffle of the fact
+    side).  The oracle computes the registered domain with the same
+    full-grammar rule set inlined (``registered_domain_psl_sql``) —
+    the two paths provably agree under the hash gate, not just in
+    pytest.
     """
-    from ..functions.urls import with_registered_domain_psl
+    from ..functions.urls import load_psl_file, with_registered_domain_psl
 
     hosts = _cap_hosts(spark, sf_dir)
-    reg = with_registered_domain_psl(hosts, "host", out_col="reg_dom")
+    reg = with_registered_domain_psl(hosts, "host", out_col="reg_dom",
+                                     suffix_rows=load_psl_file())
     w = Window.partitionBy("reg_dom").orderBy("doc_id")
     ranked = reg.withColumn("rn", F.row_number().over(w))
     cap = 5
@@ -2165,7 +2185,8 @@ _S2_HTML_SQL = """
     .replace("{url}", _FUNNEL_URL_SQL)
     .replace("{s2html}", _S2_HTML_SQL)
     .replace("{track_re}", _urlsmod.TRACKING_PARAM_RE)
-    .replace("{reg_dom}", _urlsmod.registered_domain_sql("host"))
+    .replace("{reg_dom}", _urlsmod.registered_domain_psl_sql(
+        "host", _urlsmod.load_psl_file()))
     .replace("{cap}", str(_FUNNEL_CAP))),
 )
 def crawl_stage2_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:

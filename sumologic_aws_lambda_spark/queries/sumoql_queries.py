@@ -456,6 +456,47 @@ def sumoql_parse_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sumoql_parse_anchor_multi",
+    oracle="""
+    WITH lines AS (
+        SELECT 'k=' || event_type || ';k='
+                   || substr(CAST(user_id AS VARCHAR), 1, 2)
+                   || ';' AS line
+        FROM events
+    ), m AS (
+        SELECT unnest(regexp_extract_all(line, 'k=(.*?);', 1)) AS tok
+        FROM lines
+    )
+    SELECT tok, count(*) AS _count
+    FROM m
+    GROUP BY 1
+    """,
+)
+def sumoql_parse_anchor_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-form ``parse "k=*;" as tok multi`` — the template applied
+    repeatedly, one output ROW per match (round-12: previously the
+    anchor branch silently ignored the ``multi`` flag; now it compiles
+    to the same regexp_extract_all + explode shape as the regex branch,
+    and raises on multi-star templates).  Scale shape: generator
+    expression inside whole-stage codegen, no shuffle before the final
+    count-by."""
+    ev = table(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("k="), F.col("event_type"),
+            F.lit(";k="), F.substring(F.col("user_id").cast("string"),
+                                      1, 2),
+            F.lit(";"),
+        ).alias("line")
+    )
+    schema = SumoSchema(raw_col="line")
+    return compile_query(
+        ev,
+        '* | parse "k=*;" as tok multi | count by tok',
+        schema,
+    )
+
+
+@query(
     "sumoql_timeslice_buckets",
     oracle="""
     WITH src AS (

@@ -106,6 +106,75 @@ _COMPACT_TMP = "_compact_tmp"
 _COMPACT_READY = "_compact_ready.upto="
 
 
+def _compact_fs(spark: SparkSession, store_dir: str):
+    """(jvm, root Path, FileSystem) for a store dir — Hadoop FS API
+    throughout (the ``_store_has_data`` lesson: remote URIs must
+    resolve the way Spark's own writers resolve them)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(store_dir)
+    return jvm, root, root.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _finish_ready(jvm, fs, store_dir: str, ready_name: str) -> int:
+    """Steps 3–4 of the compaction protocol (idempotent): delete the
+    source partitions the committed ready dir covers, then rename it to
+    ``batch_id=-1``.  Shared by :func:`compact_batch_store` and the
+    startup recovery :func:`recover_batch_store`."""
+    root = jvm.org.apache.hadoop.fs.Path(store_dir)
+    upto = int(ready_name[len(_COMPACT_READY):])
+    removed = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            bid = int(name[len("batch_id="):])
+        except ValueError:
+            continue
+        if bid == COMPACTED_BATCH_ID or 0 <= bid < upto:
+            fs.delete(st.getPath(), True)
+            removed += 1
+    # Hadoop rename returns False instead of raising — a silent
+    # failure here would leave the store missing its compacted rows
+    target = jvm.org.apache.hadoop.fs.Path(
+        store_dir, f"batch_id={COMPACTED_BATCH_ID}")
+    if not fs.rename(
+            jvm.org.apache.hadoop.fs.Path(store_dir, ready_name), target):
+        raise IOError(
+            f"compaction commit rename failed in {store_dir} "
+            f"({ready_name} -> batch_id={COMPACTED_BATCH_ID})")
+    return removed
+
+
+def recover_batch_store(spark: SparkSession, store_dir: str) -> int:
+    """Finish any compaction a crash left in flight, WITHOUT starting a
+    new one: a committed ``_compact_ready.upto=N`` dir is carried
+    through steps 3–4 of the protocol (its underscore prefix hides the
+    consolidated rows from Spark's partition discovery, so until this
+    runs every ``_read_store`` silently misses them and re-admits
+    previously-seen content — round-11 ADVICE); a stale uncommitted
+    ``_compact_tmp`` is deleted (its sources are all still in place).
+
+    Safe whenever no trigger is mid-flight on this store (sink
+    construction, runner start, between availableNow runs).  Cost when
+    there is nothing to recover: one ``listStatus``.  Every sink that
+    reads a per-batch-partition store calls this from ``__init__`` so
+    recovery is guaranteed before the first trigger.  Returns the
+    number of source partitions the recovery removed (0 when clean).
+    """
+    jvm, root, fs = _compact_fs(spark, store_dir)
+    if not fs.exists(root):
+        return 0
+    removed = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(_COMPACT_READY):
+            removed += _finish_ready(jvm, fs, store_dir, name)
+        elif name == _COMPACT_TMP:
+            fs.delete(st.getPath(), True)
+    return removed
+
+
 def compact_batch_store(spark: SparkSession, store_dir: str,
                         upto_batch_id: int, agg=None):
     """Maintenance compaction of a per-batch-overwrite store: merge
@@ -141,53 +210,28 @@ def compact_batch_store(spark: SparkSession, store_dir: str,
     4. rename the ready dir to ``batch_id=-1``.
     A crash before (2) leaves sources untouched — the next call deletes
     the stale tmp and restarts; a crash after (2) is finished by the
-    next call (steps 3–4 are idempotent).  Returns
-    ``(n_partitions_removed, n_rows_compacted)``.
+    next call (steps 3–4 are idempotent).  Resuming an interrupted run
+    does NOT satisfy the current request: after recovery the call falls
+    through and performs the compaction it was asked for too (round-11
+    ADVICE — a maintenance call after a crash must not silently do only
+    the stale half of the work).  Returns ``(n_partitions_removed,
+    n_rows_compacted)``; removed counts include recovery removals.
     """
     if upto_batch_id < 0:
         raise ValueError(
             f"upto_batch_id must be >= 0, got {upto_batch_id}")
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(store_dir)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    jvm, root, fs = _compact_fs(spark, store_dir)
 
     def _hpath(name: str):
         return jvm.org.apache.hadoop.fs.Path(store_dir, name)
 
-    def _finish(ready_name: str) -> int:
-        upto = int(ready_name[len(_COMPACT_READY):])
-        removed = 0
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if not name.startswith("batch_id="):
-                continue
-            try:
-                bid = int(name[len("batch_id="):])
-            except ValueError:
-                continue
-            if bid == COMPACTED_BATCH_ID or 0 <= bid < upto:
-                fs.delete(st.getPath(), True)
-                removed += 1
-        # Hadoop rename returns False instead of raising — a silent
-        # failure here would leave the store missing its compacted rows
-        if not fs.rename(_hpath(ready_name),
-                         _hpath(f"batch_id={COMPACTED_BATCH_ID}")):
-            raise IOError(
-                f"compaction commit rename failed in {store_dir} "
-                f"({ready_name} -> batch_id={COMPACTED_BATCH_ID})")
-        return removed
-
     if not fs.exists(root):
         return 0, 0
-    # resume an interrupted run first: a committed ready dir is
-    # finished (its sources are duplicates now); an uncommitted tmp is
-    # discarded (its sources are all still in place)
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if name.startswith(_COMPACT_READY):
-            return _finish(name), 0
-        if name == _COMPACT_TMP:
-            fs.delete(st.getPath(), True)
+    # resume an interrupted run first (committed ready dir → finish it;
+    # stale tmp → discard), then fall through to the requested
+    # compaction — the source scan below re-lists partitions, so it
+    # sees the post-recovery state
+    recovered = recover_batch_store(spark, store_dir)
 
     olds = []
     has_compacted = False
@@ -204,7 +248,7 @@ def compact_batch_store(spark: SparkSession, store_dir: str,
         elif 0 <= bid < upto_batch_id:
             olds.append(bid)
     if not olds:
-        return 0, 0
+        return recovered, 0
 
     # one partition-discovery read covers the old batches AND the
     # previous consolidation (-1 < upto); rows with id >= upto stay on
@@ -222,7 +266,7 @@ def compact_batch_store(spark: SparkSession, store_dir: str,
         for bid in olds + ([COMPACTED_BATCH_ID] if has_compacted else []):
             fs.delete(_hpath(f"batch_id={bid}"), True)
             removed += 1
-        return removed, 0
+        return recovered + removed, 0
     merged.write.mode("overwrite").parquet(
         os.path.join(store_dir, _COMPACT_TMP))
     ready = f"{_COMPACT_READY}{upto_batch_id}"
@@ -230,7 +274,39 @@ def compact_batch_store(spark: SparkSession, store_dir: str,
         raise IOError(
             f"compaction staging rename failed in {store_dir} "
             f"({_COMPACT_TMP} -> {ready}); sources untouched")
-    return _finish(ready), n_rows
+    return recovered + _finish_ready(jvm, fs, store_dir, ready), n_rows
+
+
+def fingerprint_store_agg(df: DataFrame) -> DataFrame:
+    """Documented compaction ``agg`` for the fingerprint / paragraph-md5
+    store families (:class:`IncrementalDedupSink`,
+    :class:`ParagraphDedupSink`, ``CurationStage0Sink``'s URL store):
+    the stores are membership sets, so merging collapses duplicates a
+    key admitted across batches into one row.  Idempotent over
+    already-compacted rows (distinct of a set is the set)."""
+    return df.distinct()
+
+
+def _compact_on_start(spark: SparkSession, checkpoint_dir: str,
+                      stores, every_n: int | None) -> None:
+    """Runner-start auto-compaction: when the checkpoint has accumulated
+    at least ``every_n`` committed batches, compact every listed store
+    up to the last committed id (the :func:`last_committed_batch_id`
+    safety bound — the one batch the engine can still redeliver keeps
+    its own partition).  ``stores`` is ``[(store_dir, agg), ...]`` with
+    each store family's documented agg.  Runs BEFORE ``writer.start()``,
+    so it can never race a trigger; with ``every_n`` unset this is a
+    no-op (sink construction already ran crash recovery)."""
+    if not every_n:
+        return
+    if every_n < 1:
+        raise ValueError(
+            f"compact_every_n_batches must be >= 1, got {every_n}")
+    last = last_committed_batch_id(spark, checkpoint_dir)
+    if last is None or last + 1 < every_n:
+        return
+    for store_dir, agg in stores:
+        compact_batch_store(spark, store_dir, last, agg=agg)
 
 
 class IncrementalDedupSink:
@@ -252,6 +328,12 @@ class IncrementalDedupSink:
         self._spark = spark
         self._store = store_dir
         self._out = out_dir
+        # finish any compaction a crash left in flight BEFORE the first
+        # trigger reads the store (round-11 ADVICE: a pending ready dir
+        # hides compacted fingerprints from partition discovery and
+        # re-admits previously-seen documents)
+        recover_batch_store(spark, store_dir)
+        recover_batch_store(spark, out_dir)
         self._text = text_col
         self._key = key_fn or fingerprint
         # deterministic within-batch keeper: with an order column the
@@ -327,6 +409,9 @@ class ParagraphDedupSink:
         self._spark = spark
         self._store = store_dir
         self._out = out_dir
+        # startup compaction recovery — see IncrementalDedupSink
+        recover_batch_store(spark, store_dir)
+        recover_batch_store(spark, out_dir)
         self._text = text_col
         self._k = tokens_per_para
         self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, kept)
@@ -392,25 +477,38 @@ def _run_dedup_stream(spark: SparkSession, in_path: str, sink,
 
 def run_incremental_dedup(spark: SparkSession, in_path: str, out_dir: str,
                           store_dir: str, checkpoint_dir: str,
-                          available_now: bool = True):
+                          available_now: bool = True,
+                          compact_every_n_batches: int | None = None):
     """Wire a json-lines document stream (``{"doc_id": ..., "text": ...}``)
-    through the dedup sink.  Returns (StreamingQuery, sink)."""
-    return _run_dedup_stream(
-        spark, in_path, IncrementalDedupSink(spark, store_dir, out_dir),
-        checkpoint_dir, available_now)
+    through the dedup sink.  Returns (StreamingQuery, sink).
+    ``compact_every_n_batches`` enables runner-start store compaction
+    once that many batches have committed (see ``_compact_on_start``);
+    admissions are unaffected — the store merge is a distinct-set fold.
+    """
+    sink = IncrementalDedupSink(spark, store_dir, out_dir)
+    _compact_on_start(spark, checkpoint_dir,
+                      [(store_dir, fingerprint_store_agg)],
+                      compact_every_n_batches)
+    return _run_dedup_stream(spark, in_path, sink,
+                             checkpoint_dir, available_now)
 
 
 def run_paragraph_dedup(spark: SparkSession, in_path: str, out_dir: str,
                         store_dir: str, checkpoint_dir: str,
                         tokens_per_para: int = 12,
-                        available_now: bool = True):
+                        available_now: bool = True,
+                        compact_every_n_batches: int | None = None):
     """Wire a json-lines document stream through the paragraph-dedup
-    sink.  Returns (StreamingQuery, sink)."""
-    return _run_dedup_stream(
-        spark, in_path,
-        ParagraphDedupSink(spark, store_dir, out_dir,
-                           tokens_per_para=tokens_per_para),
-        checkpoint_dir, available_now)
+    sink.  Returns (StreamingQuery, sink).  ``compact_every_n_batches``
+    as on :func:`run_incremental_dedup` (the paragraph-md5 store is a
+    membership set too)."""
+    sink = ParagraphDedupSink(spark, store_dir, out_dir,
+                              tokens_per_para=tokens_per_para)
+    _compact_on_start(spark, checkpoint_dir,
+                      [(store_dir, fingerprint_store_agg)],
+                      compact_every_n_batches)
+    return _run_dedup_stream(spark, in_path, sink,
+                             checkpoint_dir, available_now)
 
 
 def last_committed_batch_id(spark: SparkSession,

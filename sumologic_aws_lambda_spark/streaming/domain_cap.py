@@ -24,34 +24,107 @@ fresh store per checkpoint.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..colnames import fresh_prefix
-from ..functions.urls import canonicalize_url, registered_domain
+from ..functions.urls import (
+    canonicalize_url,
+    load_psl_file,
+    registered_domain,
+    with_registered_domain_psl,
+)
 from .dedup import (
     _overwrite_batch_partition,
     _read_store,
     _reject_batch_id_collision,
+    _store_has_data,
+    recover_batch_store,
 )
 
 
 def cap_key_from_canonical(canon_col: Column) -> Column:
-    """Publisher key from an ALREADY-canonicalized URL column — split
-    out so a caller that staged the canonical URL once (the composed
-    stage-0 sink) does not pay the full canonicalizer again.
-    ``regexp_extract`` yields '' (not NULL) when the canonical URL is
-    not http(s) — nullify it so those rows reach the caller-visible
-    ``(null)`` sentinel budget instead of silently pooling in a
-    near-invisible empty-string key (round-10 second-pass review)."""
+    """FIXTURE-TUPLE publisher key from an ALREADY-canonicalized URL
+    column — the literal ``MULTI_LABEL_SUFFIXES`` Column form, retained
+    for explicit ``key_fn=`` opt-in and tests.  The sinks' DEFAULT is
+    now the full-PSL staging (:func:`stage_cap_key_psl`) — round-11
+    verdict: the production paths must key on the snapshot they
+    validated.  ``regexp_extract`` yields '' (not NULL) when the
+    canonical URL is not http(s) — nullify it so those rows reach the
+    caller-visible ``(null)`` sentinel budget instead of silently
+    pooling in a near-invisible empty-string key (round-10 second-pass
+    review)."""
     host = F.regexp_extract(canon_col, "^https?://([^/:?#]+)", 1)
     return registered_domain(F.when(host != "", host))
 
 
 def default_cap_key(url_col: Column) -> Column:
-    """Canonical-URL host → registered domain: the publisher key the
-    batch cap uses (``queries/curation.py::url_domain_caps``)."""
+    """FIXTURE-TUPLE publisher key from a raw URL column (canonical-URL
+    host → literal-tuple registered domain).  No longer the sink
+    default — see :func:`stage_cap_key_psl`; kept as the documented
+    Column-expression form for explicit ``key_fn=`` use and the
+    fixture/production agreement tests."""
     return cap_key_from_canonical(canonicalize_url(url_col))
+
+
+def stage_cap_key_psl(df: DataFrame, url_col: str, out_col: str,
+                      from_canonical: bool = False) -> DataFrame:
+    """THE production publisher-key staging (the sinks' default):
+    canonical-URL host → registered domain under the FULL vendored
+    9,506-rule Public Suffix List snapshot, as broadcast tier joins
+    (``functions/urls.py::with_registered_domain_psl`` — ~99 KB of
+    build sides, zero fact-side shuffles; the round-11-validated path,
+    now the default keying, per the round-11 verdict).  The rule tiers
+    are parsed once and cached (``psl_rule_tiers``'s lru_cache), so
+    per-micro-batch calls pay only the join construction.
+
+    ``from_canonical=True`` skips the canonicalizer when ``url_col``
+    already holds a canonical URL (the composed stage-0 sink stages it
+    once — the urls.py staging lesson).  Non-http(s) rows get a NULL
+    key (the caller coalesces to the ``(null)`` sentinel).  Returns
+    ``df`` + ``out_col``; working columns are collision-proofed and
+    dropped."""
+    u = fresh_prefix(df.columns, "_ck", out_col)
+    hc = f"{u}_host"
+    src = F.col(url_col) if from_canonical \
+        else canonicalize_url(F.col(url_col))
+    host = F.regexp_extract(src, "^https?://([^/:?#]+)", 1)
+    staged = df.withColumn(hc, F.when(host != "", host))
+    return with_registered_domain_psl(
+        staged, hc, out_col, suffix_rows=load_psl_file()).drop(hc)
+
+
+def cap_store_agg(df: DataFrame) -> DataFrame:
+    """Documented compaction ``agg`` for :class:`DomainCapSink`'s
+    (key, admitted) count store: admitted counts are additive across
+    batches, so merging sums per key — idempotent over
+    already-compacted rows (sum of a sum is the sum)."""
+    return df.groupBy("key").agg(
+        F.sum("admitted").cast("bigint").alias("admitted"))
+
+
+def budget_store_agg(df: DataFrame) -> DataFrame:
+    """Documented compaction ``agg`` for :class:`TokenBudgetSink`'s
+    (key, toks) weight store — additive per key, like
+    :func:`cap_store_agg`."""
+    return df.groupBy("key").agg(
+        F.sum("toks").cast("bigint").alias("toks"))
+
+
+# TokenBudgetSink's monotone-order sidecar dir name, inside the budget
+# store.  The leading underscore hides it from the store's own
+# partition-discovery read; inside it the per-batch-overwrite layout
+# applies as usual.
+_ORDER_WM = "_order_watermark"
+
+
+def order_watermark_agg(df: DataFrame) -> DataFrame:
+    """Documented compaction ``agg`` for the ``_order_watermark``
+    sidecar (see :class:`TokenBudgetSink`): only the global maximum
+    matters, so merging keeps one row."""
+    return df.agg(F.max("hi").alias("hi"))
 
 
 class DomainCapSink:
@@ -60,19 +133,25 @@ class DomainCapSink:
     ``out_dir``, per-key admitted counts → ``store_dir`` (both
     per-batch overwrite partitions).
 
-    ``key_fn(col) -> Column`` overrides the cap key (default:
-    ``registered_domain`` of the canonical-URL host, so subdomain
-    shards cdn0/cdn1/cdn2.pub.org share ONE budget).  NULL keys
-    (malformed URLs) coalesce to the ``(null)`` sentinel and share one
-    budget — they stay observable in the store instead of bypassing
-    the cap.  ``order_col`` fixes within-batch admit order (crawl
-    order); it must be deterministic so a redelivered batch reproduces
-    the same ranks.
+    The DEFAULT cap key is the FULL-PSL registered domain of the
+    canonical-URL host (:func:`stage_cap_key_psl` — the vendored
+    9,506-rule snapshot via broadcast tier joins), so subdomain shards
+    cdn0/cdn1/cdn2.pub.org share ONE budget under real-world suffix
+    rules.  ``key_fn(col) -> Column`` overrides it with a Column
+    expression (e.g. :func:`default_cap_key` for the fixture-tuple
+    form); ``key_from_canonical=True`` tells the default staging that
+    ``url_col`` is already canonical.  NULL keys (malformed URLs)
+    coalesce to the ``(null)`` sentinel and share one budget — they
+    stay observable in the store instead of bypassing the cap.
+    ``order_col`` fixes within-batch admit order (crawl order); it
+    must be deterministic so a redelivered batch reproduces the same
+    ranks.
     """
 
     def __init__(self, spark: SparkSession, store_dir: str, out_dir: str,
                  url_col: str = "url", order_col: str = "doc_id",
                  cap: int = 10, key_fn=None,
+                 key_from_canonical: bool = False,
                  out_drop_cols: tuple[str, ...] = ()):
         if cap < 1:
             raise ValueError(f"cap must be >= 1, got {cap}")
@@ -82,7 +161,11 @@ class DomainCapSink:
         self._url = url_col
         self._order = order_col
         self._cap = cap
-        self._key = key_fn or default_cap_key
+        self._key = key_fn
+        self._key_from_canonical = key_from_canonical
+        # finish any compaction a crash left in flight before the first
+        # store read (round-11 ADVICE; see dedup.recover_batch_store)
+        recover_batch_store(spark, store_dir)
         # caller-staged working columns to exclude from the admitted
         # output (the composed stage-0 sink stages the canonical URL
         # once and must not leak it into out_dir)
@@ -111,9 +194,16 @@ class DomainCapSink:
         u = fresh_prefix(batch_df.columns, "_cap")
         c_key, c_rn, c_prior = f"{u}_key", f"{u}_rn", f"{u}_prior"
         c_pkey = f"{u}_prior_key"
-        keyed = batch_df.withColumn(
-            c_key,
-            F.coalesce(self._key(F.col(self._url)), F.lit("(null)")))
+        if self._key is not None:
+            keyed = batch_df.withColumn(
+                c_key,
+                F.coalesce(self._key(F.col(self._url)), F.lit("(null)")))
+        else:
+            keyed = stage_cap_key_psl(
+                batch_df, self._url, c_key,
+                from_canonical=self._key_from_canonical,
+            ).withColumn(
+                c_key, F.coalesce(F.col(c_key), F.lit("(null)")))
         prior = _read_store(self._spark, self._store,
                             "key string, admitted bigint",
                             exclude_batch=batch_id)
@@ -164,6 +254,17 @@ class TokenBudgetSink:
     therefore records each batch's TOTAL weight per key, not just
     admitted weight.
 
+    The monotone-order contract is SELF-ENFORCING (round-11 verdict
+    watch item): each batch persists its max ``order_col`` into an
+    underscore-prefixed ``_order_watermark`` sidecar inside the store
+    (invisible to the store's own partition discovery), and a batch
+    whose min order does not EXCEED every prior batch's max raises
+    before any persistent side effect — a caller wiring a non-monotone
+    id fails loudly instead of silently getting order-dependent
+    admissions.  The sidecar follows the per-batch-overwrite /
+    exclude-own-batch design, so redelivery re-validates against only
+    EARLIER batches and rewrites its own watermark idempotently.
+
     Same bounded-state / exactly-once envelope as ``DomainCapSink``:
     the store holds (key, toks) sums only, every write overwrites the
     ``batch_id=N`` partition this batch owns, prior reads exclude the
@@ -176,7 +277,8 @@ class TokenBudgetSink:
     def __init__(self, spark: SparkSession, store_dir: str, out_dir: str,
                  weight_col: str, url_col: str = "url",
                  order_col: str = "doc_id", budget: int = 100,
-                 key_fn=None, out_drop_cols: tuple[str, ...] = ()):
+                 key_fn=None, key_from_canonical: bool = False,
+                 out_drop_cols: tuple[str, ...] = ()):
         if budget < 0:
             raise ValueError(f"budget must be >= 0, got {budget}")
         self._spark = spark
@@ -186,7 +288,12 @@ class TokenBudgetSink:
         self._url = url_col
         self._order = order_col
         self._budget = budget
-        self._key = key_fn or default_cap_key
+        self._key = key_fn
+        self._key_from_canonical = key_from_canonical
+        # startup compaction recovery — the store AND its watermark
+        # sidecar (round-11 ADVICE; see dedup.recover_batch_store)
+        recover_batch_store(spark, store_dir)
+        recover_batch_store(spark, os.path.join(store_dir, _ORDER_WM))
         self._out_drop = tuple(out_drop_cols)
         self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, admitted)
 
@@ -205,14 +312,22 @@ class TokenBudgetSink:
         # every row consumes budget) AND the admit path (the
         # IncrementalDedupSink precedent: the two persistent writes
         # must never see different recomputations of the input)
-        keyed = batch_df.withColumn(
-            c_key,
-            F.coalesce(self._key(F.col(self._url)), F.lit("(null)")),
-        ).withColumn(
+        if self._key is not None:
+            keyed = batch_df.withColumn(
+                c_key,
+                F.coalesce(self._key(F.col(self._url)), F.lit("(null)")))
+        else:
+            keyed = stage_cap_key_psl(
+                batch_df, self._url, c_key,
+                from_canonical=self._key_from_canonical,
+            ).withColumn(
+                c_key, F.coalesce(F.col(c_key), F.lit("(null)")))
+        keyed = keyed.withColumn(
             c_w,
             F.coalesce(F.col(self._weight).cast("bigint"), F.lit(0)),
         ).localCheckpoint()
         n_in = keyed.count()
+        self._enforce_monotone_order(keyed, batch_id)
         prior = _read_store(self._spark, self._store,
                             "key string, toks bigint",
                             exclude_batch=batch_id)
@@ -241,6 +356,37 @@ class TokenBudgetSink:
         self.batch_stats.append((batch_id, n_in, n_adm))
         return admitted.drop(c_key, c_cum, c_prior, c_w,
                              *self._out_drop)
+
+    def _enforce_monotone_order(self, keyed: DataFrame,
+                                batch_id: int) -> None:
+        """Raise if this batch's min ``order_col`` does not EXCEED
+        every prior batch's persisted max — the batch-parity contract
+        made self-enforcing (class doc).  Runs BEFORE any persistent
+        side effect of the batch; on pass, persists this batch's max
+        into the ``_order_watermark`` sidecar (per-batch overwrite, so
+        a redelivered batch re-validates against earlier batches only
+        and rewrites its own row idempotently).  An empty batch moves
+        no watermark and checks nothing."""
+        wm_dir = os.path.join(self._store, _ORDER_WM)
+        mm = keyed.agg(F.min(self._order).alias("lo"),
+                       F.max(self._order).alias("hi")).first()
+        if mm["lo"] is None:
+            return
+        if _store_has_data(self._spark, wm_dir):
+            prior_hi = (
+                self._spark.read.parquet(wm_dir)
+                .filter(F.col("batch_id") != batch_id)
+                .agg(F.max("hi")).first()[0])
+            if prior_hi is not None and mm["lo"] <= prior_hi:
+                raise ValueError(
+                    f"TokenBudgetSink order_col {self._order!r} is not "
+                    f"monotone across batches: batch {batch_id} starts "
+                    f"at {mm['lo']!r} but a prior batch ended at "
+                    f"{prior_hi!r} — cross-batch admissions would be "
+                    f"order-dependent (see class docstring)")
+        _overwrite_batch_partition(
+            keyed.agg(F.max(F.col(self._order)).alias("hi")),
+            wm_dir, batch_id)
 
 
 class CurationStage0Sink:
@@ -286,6 +432,9 @@ class CurationStage0Sink:
         self._url = url_col
         self._order = order_col
         self._cap = cap
+        # startup compaction recovery for the URL fingerprint store
+        # (the inner DomainCapSink recovers the cap store itself)
+        recover_batch_store(spark, dedup_store)
         self.batch_stats: list[tuple[int, int, int, int]] = []
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -352,7 +501,7 @@ class CurationStage0Sink:
         cap_sink = DomainCapSink(
             self._spark, self._cap_store, self._out,
             url_col=canon, order_col=self._order, cap=self._cap,
-            key_fn=cap_key_from_canonical,
+            key_from_canonical=True,  # full-PSL default, canon staged
             out_drop_cols=(canon, fp))
         admitted = cap_sink._admit(survivors, batch_id)
         # the inner sink already counted the survivors frame as its

@@ -27,7 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.sumoql import logreduce_signature
-from .dedup import _overwrite_batch_partition, _read_store
+from .dedup import (
+    _overwrite_batch_partition,
+    _read_store,
+    recover_batch_store,
+)
 
 
 class TemplateNoveltySink:
@@ -40,6 +44,10 @@ class TemplateNoveltySink:
         self._store = store_dir
         self._alerts = alerts_dir
         self._field = field
+        # startup compaction recovery (round-11 ADVICE; see
+        # dedup.recover_batch_store) — the signature store is a
+        # membership set, compactable with fingerprint_store_agg
+        recover_batch_store(spark, store_dir)
         self.batch_stats: list[tuple[int, int, int]] = []  # (id, sigs, new)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:

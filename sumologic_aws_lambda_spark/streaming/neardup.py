@@ -40,16 +40,40 @@ lifecycles travel together (see ``streaming/dedup.py`` module doc).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..colnames import fresh_prefix
 from .dedup import (
+    _compact_on_start,
     _overwrite_batch_partition,
     _read_store,
     _reject_batch_id_collision,
+    fingerprint_store_agg,
+    recover_batch_store,
 )
-from .domain_cap import CurationStage0Sink, TokenBudgetSink
+from .domain_cap import (
+    _ORDER_WM,
+    CurationStage0Sink,
+    TokenBudgetSink,
+    budget_store_agg,
+    cap_store_agg,
+    order_watermark_agg,
+)
+
+
+def band_store_agg(df: DataFrame) -> DataFrame:
+    """Documented compaction ``agg`` for :class:`MinHashDedupSink`'s
+    (band, band_key, first_doc) bucket store: admission reads bucket
+    EXISTENCE only, so merging keeps one row per bucket;
+    ``min(first_doc)`` keeps the informational first-occupant column
+    deterministic (it is a string cast of the order key — min-by-string
+    is fine for a label that nothing joins on).  Idempotent over
+    already-compacted rows."""
+    return df.groupBy("band", "band_key").agg(
+        F.min("first_doc").alias("first_doc"))
 
 
 class MinHashDedupSink:
@@ -82,6 +106,9 @@ class MinHashDedupSink:
         self._text = text_col
         self._order = order_col
         self._n = num_hashes
+        # startup compaction recovery (round-11 ADVICE; see
+        # dedup.recover_batch_store)
+        recover_batch_store(spark, store_dir)
         self._rpb = rows_per_band
         self._shingle = shingle_n
         # with_counts: ONE gram stream serves the MinHash mins AND
@@ -213,16 +240,22 @@ class MinHashDedupSink:
 
 def run_minhash_dedup(spark: SparkSession, in_path: str, out_dir: str,
                       store_dir: str, checkpoint_dir: str,
-                      available_now: bool = True):
+                      available_now: bool = True,
+                      compact_every_n_batches: int | None = None):
     """Wire a json-lines document stream (``{"doc_id": ..., "text":
     ...}``) through the near-dedup sink.  Returns (StreamingQuery,
     sink) — the ``run_incremental_dedup`` wiring with the MinHash sink
-    swapped in."""
+    swapped in.  ``compact_every_n_batches`` enables runner-start
+    compaction of the band store once that many batches have committed
+    (admissions unaffected — buckets merge one-row-per-bucket)."""
     from .dedup import _run_dedup_stream
 
-    return _run_dedup_stream(
-        spark, in_path, MinHashDedupSink(spark, store_dir, out_dir),
-        checkpoint_dir, available_now)
+    sink = MinHashDedupSink(spark, store_dir, out_dir)
+    _compact_on_start(spark, checkpoint_dir,
+                      [(store_dir, band_store_agg)],
+                      compact_every_n_batches)
+    return _run_dedup_stream(spark, in_path, sink,
+                             checkpoint_dir, available_now)
 
 
 class CurationStage1Sink:
@@ -354,7 +387,17 @@ class CurationStage2Sink:
                  shingle_n: int = 3, sample_hex: str = "b2",
                  token_budget: int = 100):
         # construction-time validation throughout: every inner sink
-        # validates its own arithmetic before any batch side effect
+        # validates its own arithmetic before any batch side effect —
+        # and OUR validation runs before the inner constructors, whose
+        # startup compaction recovery is itself a filesystem side
+        # effect (round-12: recovery moved into sink __init__)
+        if not (isinstance(sample_hex, str) and len(sample_hex) == 2
+                and all(c in "0123456789abcdef" for c in sample_hex)):
+            # a malformed threshold ('B2', 'b', '0xb2') silently turns
+            # the string compare into all-pass or all-fail
+            raise ValueError(
+                f"sample_hex must be two lowercase hex chars, got "
+                f"{sample_hex!r}")
         self._s0 = CurationStage0Sink(
             spark, dedup_store, cap_store, out_dir,
             url_col=url_col, order_col=order_col, cap=cap)
@@ -366,13 +409,6 @@ class CurationStage2Sink:
         self._tb = TokenBudgetSink(
             spark, budget_store, out_dir, weight_col="_set_per_batch",
             url_col=url_col, order_col=order_col, budget=token_budget)
-        if not (isinstance(sample_hex, str) and len(sample_hex) == 2
-                and all(c in "0123456789abcdef" for c in sample_hex)):
-            # a malformed threshold ('B2', 'b', '0xb2') silently turns
-            # the string compare into all-pass or all-fail
-            raise ValueError(
-                f"sample_hex must be two lowercase hex chars, got "
-                f"{sample_hex!r}")
         self._spark = spark
         self._out = out_dir
         self._order = order_col
@@ -438,16 +474,30 @@ def run_curation_stage2(spark: SparkSession, in_path: str,
                         dedup_store: str, cap_store: str,
                         band_store: str, budget_store: str,
                         out_dir: str, checkpoint_dir: str,
-                        available_now: bool = True, **sink_kwargs):
+                        available_now: bool = True,
+                        compact_every_n_batches: int | None = None,
+                        **sink_kwargs):
     """Wire a json-lines crawl stream (``{"doc_id": ..., "url": ...,
     "text": ...}``) through the composed stage-2 sink.  Returns
     (StreamingQuery, sink) — the ``run_minhash_dedup`` wiring with the
     full curation composition swapped in; ``sink_kwargs`` pass through
     to :class:`CurationStage2Sink` (cap, token_budget, extract, ...).
-    """
+    ``compact_every_n_batches`` enables runner-start compaction of all
+    FIVE persistent store surfaces (URL fingerprints, cap counts, band
+    buckets, token budgets, order watermark), each with its family's
+    documented agg — admissions are provably unaffected (the soak test
+    pins admissions identical to an uncompacted twin)."""
     sink = CurationStage2Sink(
         spark, dedup_store, cap_store, band_store, budget_store,
         out_dir, **sink_kwargs)
+    _compact_on_start(
+        spark, checkpoint_dir,
+        [(dedup_store, fingerprint_store_agg),
+         (cap_store, cap_store_agg),
+         (band_store, band_store_agg),
+         (budget_store, budget_store_agg),
+         (os.path.join(budget_store, _ORDER_WM), order_watermark_agg)],
+        compact_every_n_batches)
     stream = (
         spark.readStream.format("json")
         .schema("doc_id long, url string, text string")
@@ -467,14 +517,23 @@ def run_curation_stage1(spark: SparkSession, in_path: str,
                         dedup_store: str, cap_store: str,
                         band_store: str, out_dir: str,
                         checkpoint_dir: str,
-                        available_now: bool = True, **sink_kwargs):
+                        available_now: bool = True,
+                        compact_every_n_batches: int | None = None,
+                        **sink_kwargs):
     """Wire a json-lines crawl stream (``{"doc_id": ..., "url": ...,
     "text": ...}``) through the composed stage-1 sink — the
     :func:`run_curation_stage2` wiring without the selection wave.
-    Returns (StreamingQuery, sink)."""
+    Returns (StreamingQuery, sink); ``compact_every_n_batches`` as on
+    :func:`run_curation_stage2`, over the three stage-1 stores."""
     sink = CurationStage1Sink(
         spark, dedup_store, cap_store, band_store, out_dir,
         **sink_kwargs)
+    _compact_on_start(
+        spark, checkpoint_dir,
+        [(dedup_store, fingerprint_store_agg),
+         (cap_store, cap_store_agg),
+         (band_store, band_store_agg)],
+        compact_every_n_batches)
     stream = (
         spark.readStream.format("json")
         .schema("doc_id long, url string, text string")

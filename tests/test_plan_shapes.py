@@ -424,6 +424,20 @@ def test_guard_flags_window_over_fact_join_with_limited_dim(spark):
     assert unbounded_global_windows(ok) == 0
 
 
+def test_crawl_funnel_psl_keying_stays_broadcast(spark, qs):
+    """Round-12: the crawl funnels key on the FULL 9,506-rule PSL
+    snapshot — the ten tier joins must all be BROADCAST (build side =
+    the rules of that depth, ~99 KB total), ride AFTER the canonical
+    groupBy (keeper rows only), and add zero shuffles: still ONE
+    parquet scan, no SortMergeJoin, and exactly the two pre-existing
+    hash exchanges (canonical groupBy + publisher-window rank)."""
+    plan = _plan(qs["crawl_stage0_funnel"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 10
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_psl_snapshot_single_scan_all_broadcast(spark, qs):
     """The full-9.5k-rule PSL path must stay ONE parquet scan with all
     ten tier joins BROADCAST and exactly one hash exchange (the cap

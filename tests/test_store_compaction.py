@@ -195,3 +195,144 @@ def test_last_committed_batch_id_bounds_compaction(spark, tmp_path):
         _json.dumps({"doc_id": 3, "text": tpl + " x9"}) + "\n")
     sink = run()
     assert sink.batch_stats[-1] == (2, 1, 0)   # blocked by compacted rows
+
+
+def test_sink_startup_recovers_pending_ready_dir(spark, tmp_path):
+    """Round-11 ADVICE (medium): a crash between the commit rename and
+    the final rename leaves every compacted row in an underscore dir
+    partition discovery skips — restarting the stream WITHOUT another
+    compaction call then re-admits previously-seen documents.  Sink
+    construction must finish the pending protocol."""
+    sink = IncrementalDedupSink(spark, str(tmp_path / "store"),
+                                str(tmp_path / "out"))
+    sink(_docs(spark, [(1, "a")]), 0)
+    sink(_docs(spark, [(2, "b")]), 1)
+    # simulate the post-commit crash: consolidated rows in the ready
+    # dir, source batch 0 already deleted (the worst window — the
+    # store's visible partitions no longer hold batch 0 at all)
+    consolidated = spark.read.parquet(
+        str(tmp_path / "store" / "batch_id=0")).select("fingerprint")
+    consolidated.write.parquet(
+        str(tmp_path / "store" / "_compact_ready.upto=1"))
+    import shutil
+
+    shutil.rmtree(tmp_path / "store" / "batch_id=0")
+    # a FRESH sink over the same store (the restart) must recover
+    # before its first trigger: doc 'a' stays deduped
+    sink2 = IncrementalDedupSink(spark, str(tmp_path / "store"),
+                                 str(tmp_path / "out"))
+    assert _partitions(tmp_path) == [
+        f"batch_id={COMPACTED_BATCH_ID}", "batch_id=1"]
+    sink2(_docs(spark, [(3, "a"), (4, "c")]), 2)
+    assert sink2.batch_stats[-1] == (2, 2, 1)
+
+
+def test_compaction_resumes_then_performs_requested_run(spark, tmp_path):
+    """Round-11 ADVICE (low): a compaction call that finds a leftover
+    ready dir must finish it AND still perform the compaction it was
+    asked for — not silently do only the stale half."""
+    sink = IncrementalDedupSink(spark, str(tmp_path / "store"),
+                                str(tmp_path / "out"))
+    for i, word in enumerate(["a", "b", "c", "d"]):
+        sink(_docs(spark, [(i, word)]), i)
+    consolidated = spark.read.parquet(
+        str(tmp_path / "store" / "batch_id=0")).select("fingerprint")
+    consolidated.write.parquet(
+        str(tmp_path / "store" / "_compact_ready.upto=1"))
+    removed, n = compact_batch_store(spark, str(tmp_path / "store"), 3)
+    # recovery removed batch 0, the requested run folded -1 + 1 + 2
+    assert n == 3
+    assert _partitions(tmp_path) == [
+        f"batch_id={COMPACTED_BATCH_ID}", "batch_id=3"]
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert store.count() == 4               # no loss, no duplication
+    sink(_docs(spark, [(9, "b"), (10, "e")]), 4)
+    assert sink.batch_stats[-1] == (4, 2, 1)
+
+
+def test_runner_auto_compaction_bounds_partitions(spark, tmp_path):
+    """compact_every_n_batches on the engine runners: three
+    engine-driven availableNow runs with mid-soak compaction keep the
+    store partition count bounded, and admissions equal an
+    uncompacted twin's over the same feed."""
+    import json as _json
+
+    from sumologic_aws_lambda_spark.streaming.dedup import (
+        run_incremental_dedup,
+    )
+
+    for d in ("in", "in2"):
+        (tmp_path / d).mkdir()
+
+    def feed(i, text_rows):
+        body = "".join(_json.dumps({"doc_id": d, "text": t}) + "\n"
+                       for d, t in text_rows)
+        (tmp_path / "in" / f"b{i}.json").write_text(body)
+        (tmp_path / "in2" / f"b{i}.json").write_text(body)
+
+    def run(root, **kw):
+        q, sink = run_incremental_dedup(
+            spark, str(tmp_path / "in"), str(tmp_path / root / "out"),
+            str(tmp_path / root / "store"),
+            str(tmp_path / root / "ckpt"), **kw)
+        q.awaitTermination(120)
+        return sink
+
+    def run_twin():
+        q, sink = run_incremental_dedup(
+            spark, str(tmp_path / "in2"), str(tmp_path / "t" / "out"),
+            str(tmp_path / "t" / "store"), str(tmp_path / "t" / "ckpt"))
+        q.awaitTermination(120)
+        return sink
+
+    feeds = [
+        [(1, "a"), (2, "b")],
+        [(3, "a"), (4, "c")],
+        [(5, "c"), (6, "b"), (7, "d")],
+    ]
+    for i, rows in enumerate(feeds):
+        feed(i, rows)
+        s = run("c", compact_every_n_batches=2)
+        t = run_twin()
+        assert s.batch_stats == t.batch_stats
+    # by the third start two batches had committed → compaction ran:
+    # partitions are bounded (consolidated + the protected newest +
+    # the batch the third run just wrote), not one-per-batch
+    parts = _partitions(tmp_path / "c")
+    assert f"batch_id={COMPACTED_BATCH_ID}" in parts
+    assert len(parts) <= 3
+    out_c = spark.read.parquet(str(tmp_path / "c" / "out"))
+    out_t = spark.read.parquet(str(tmp_path / "t" / "out"))
+    assert (sorted(r.doc_id for r in out_c.collect())
+            == sorted(r.doc_id for r in out_t.collect()))
+
+
+def test_token_budget_order_watermark_raises_on_regression(spark, tmp_path):
+    """The TokenBudgetSink monotone-order contract is self-enforcing
+    (round-11 verdict watch item): a batch whose min order does not
+    exceed every prior batch's max raises before any persistent side
+    effect; replays of the SAME batch stay legal."""
+    from sumologic_aws_lambda_spark.streaming.domain_cap import (
+        TokenBudgetSink,
+    )
+
+    rows = lambda r: spark.createDataFrame(  # noqa: E731
+        r, "doc_id bigint, pub string, toks bigint")
+    sink = TokenBudgetSink(
+        spark, str(tmp_path / "store"), str(tmp_path / "out"),
+        weight_col="toks", url_col="pub", budget=100,
+        key_fn=lambda c: c)
+    sink(rows([(1, "a", 10), (2, "a", 20)]), 0)
+    # replay of batch 0 re-validates against EARLIER batches only
+    sink(rows([(1, "a", 10), (2, "a", 20)]), 0)
+    sink(rows([(5, "a", 10)]), 1)
+    store_before = spark.read.parquet(
+        str(tmp_path / "store")).collect()
+    with pytest.raises(ValueError, match="not monotone"):
+        sink(rows([(3, "a", 10)]), 2)       # 3 <= batch 1's max 5
+    # the rejected batch left no store rows behind
+    assert (sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "store")).collect()))
+        == sorted(map(tuple, store_before)))
+    sink(rows([(6, "a", 10)]), 2)           # monotone again → fine
+    assert sink.batch_stats[-1][2] == 1

@@ -206,6 +206,26 @@ def test_parse_multi_explodes_matches(spark):
     assert len(kept) == 4 and None in {r["n"] for r in kept}
 
 
+def test_parse_anchor_multi_explodes_matches(spark):
+    # round-12: the anchor form previously IGNORED the multi flag —
+    # this pins one row per template match, drop/nodrop, and the
+    # multi-star refusal
+    df = spark.createDataFrame(
+        [("k=a;k=b;",), ("none here",), ("k=c;",)], "msg string"
+    )
+    out = compile_query(
+        df, '* | parse "k=*;" as tok multi', SCHEMA
+    ).collect()
+    assert sorted(r["tok"] for r in out) == ["a", "b", "c"]
+    kept = compile_query(
+        df, '* | parse "k=*;" as tok multi nodrop', SCHEMA
+    ).collect()
+    assert len(kept) == 4 and None in {r["tok"] for r in kept}
+    with pytest.raises(SumoQLError, match="exactly one '\\*'"):
+        compile_query(
+            df, '* | parse "k=*;v=*;" as a, b multi', SCHEMA)
+
+
 def test_outlier_direction_filters_sign(spark):
     # flat baseline 5, then one spike up (day 6) and one drop (day 7
     # baseline window still mostly 5s)

@@ -120,14 +120,159 @@ def _bigram_lm(d):
         .groupBy("doc_id").agg(F.sum(F.log2("cb")).alias("s"))
 
 
+def _soak_stage2(spark, n_batches: int) -> int:
+    """Long-stream soak of the composed stage-2 curation sink
+    (round-11 verdict item 5): ``n_batches`` micro-batches through
+    :class:`CurationStage2Sink` (one file per trigger), then measure
+    per-store partition growth, file counts and store read time BEFORE
+    vs AFTER compaction, and finally check batch-run parity — the
+    soaked admissions must equal a one-batch twin's over the same rows.
+    Prints one JSON line for BASELINE.md."""
+    import json
+    import shutil
+    import tempfile
+
+    from sumologic_aws_lambda_spark.streaming.dedup import (
+        compact_batch_store,
+        fingerprint_store_agg,
+        last_committed_batch_id,
+    )
+    from sumologic_aws_lambda_spark.streaming.domain_cap import (
+        _ORDER_WM,
+        budget_store_agg,
+        cap_store_agg,
+        order_watermark_agg,
+    )
+    from sumologic_aws_lambda_spark.streaming.neardup import (
+        CurationStage2Sink,
+        band_store_agg,
+    )
+
+    root = tempfile.mkdtemp(prefix="soak_stage2_")
+    j = lambda *p: os.path.join(root, *p)  # noqa: E731
+
+    # synthetic crawl: 20 urls/batch over a 25-publisher pool, ~30% raw
+    # spellings repeat an earlier batch's page (URL-dedup pressure),
+    # text shares a boilerplate template per pub (near-dup pressure)
+    def rows(b):
+        out = []
+        for i in range(20):
+            doc = b * 20 + i
+            page = doc if doc % 3 else max(doc - 21, 0)
+            pub = page % 25
+            txt = (" ".join(f"w{pub}t{k}" for k in range(30))
+                   + f" tail{page}")
+            out.append({"doc_id": doc,
+                        "url": f"https://s{page % 3}.pub{pub}.org/p/"
+                               f"{page}?utm_source=x",
+                        "text": txt})
+        return out
+
+    os.makedirs(j("in"))
+    now = time.time()
+    for b in range(n_batches):
+        p = j("in", f"b{b:04d}.json")
+        with open(p, "w") as fh:
+            for r in rows(b):
+                fh.write(json.dumps(r) + "\n")
+        # FileStreamSource orders same-mtime files arbitrarily — force
+        # distinct increasing mtimes so batch order == crawl order.
+        # (First soak run proved the point: TokenBudgetSink's
+        # order-watermark guard REFUSED the out-of-order delivery.)
+        os.utime(p, (now + b, now + b))
+
+    stores = {
+        "dedup": (j("dedup"), fingerprint_store_agg),
+        "cap": (j("cap"), cap_store_agg),
+        "band": (j("band"), band_store_agg),
+        "budget": (j("budget"), budget_store_agg),
+        "order_wm": (os.path.join(j("budget"), _ORDER_WM),
+                     order_watermark_agg),
+    }
+    sink = CurationStage2Sink(
+        spark, j("dedup"), j("cap"), j("band"), j("budget"), j("out"),
+        cap=40, token_budget=900, min_chars=10, token_band=(5, 2000))
+    stream = (spark.readStream.format("json")
+              .schema("doc_id long, url string, text string")
+              .option("maxFilesPerTrigger", 1)
+              .load(j("in")))
+    t0 = time.time()
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", j("ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    soak_s = time.time() - t0
+
+    def _stats():
+        out = {}
+        for name, (d, _) in stores.items():
+            parts = files = 0
+            for dirpath, dirs, fnames in os.walk(d):
+                if os.path.basename(dirpath) == _ORDER_WM and name != \
+                        "order_wm":
+                    dirs[:] = []  # sidecar counted under its own entry
+                    continue
+                if os.path.basename(dirpath).startswith("batch_id="):
+                    parts += 1
+                files += sum(f.endswith(".parquet") for f in fnames)
+            t = time.time()
+            n = spark.read.parquet(d).count() if parts else 0
+            out[name] = {"partitions": parts, "files": files,
+                         "rows": n, "read_s": round(time.time() - t, 3)}
+        return out
+
+    before = _stats()
+    upto = last_committed_batch_id(spark, j("ckpt"))
+    t0 = time.time()
+    for name, (d, agg) in stores.items():
+        compact_batch_store(spark, d, upto, agg=agg)
+    compact_s = time.time() - t0
+    after = _stats()
+
+    # batch-run parity: one batch holding the union through fresh stores
+    twin = CurationStage2Sink(
+        spark, j("t_dedup"), j("t_cap"), j("t_band"), j("t_budget"),
+        j("t_out"), cap=40, token_budget=900, min_chars=10,
+        token_band=(5, 2000))
+    union = [r for b in range(n_batches) for r in rows(b)]
+    twin(spark.createDataFrame(
+        [(r["doc_id"], r["url"], r["text"]) for r in union],
+        "doc_id long, url string, text string"), 0)
+    soaked = sorted(r.doc_id for r in
+                    spark.read.parquet(j("out")).select("doc_id").collect())
+    twinned = sorted(r.doc_id for r in
+                     spark.read.parquet(j("t_out")).select("doc_id")
+                     .collect())
+    print(json.dumps({
+        "probe": "soak_stage2", "n_batches": n_batches,
+        "n_rows": 20 * n_batches, "soak_s": round(soak_s, 1),
+        "last_committed": upto, "compact_s": round(compact_s, 1),
+        "before": before, "after": after,
+        "n_admitted": len(soaked),
+        "parity": soaked == twinned,
+    }))
+    shutil.rmtree(root, ignore_errors=True)
+    return 0 if soaked == twinned else 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--registry", nargs="*", default=None,
                     help="probe named REGISTRY queries at sf0.01 (1x) vs "
                          "sf0.1 (10x) instead of the operator probes")
+    ap.add_argument("--soak-stage2", type=int, default=None,
+                    metavar="N_BATCHES",
+                    help="long-stream soak of CurationStage2Sink: N "
+                         "micro-batches, store growth + compaction + "
+                         "batch-run parity (round-11 verdict item 5)")
     args = ap.parse_args()
     spark = get_spark("scale-probe")
+
+    if args.soak_stage2 is not None:
+        rc = _soak_stage2(spark, args.soak_stage2)
+        spark.stop()
+        return rc
 
     if args.registry is not None:
         # Generic registry probe: real 10x-row inputs via the sf dirs,
