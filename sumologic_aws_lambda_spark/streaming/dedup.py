@@ -287,6 +287,47 @@ def fingerprint_store_agg(df: DataFrame) -> DataFrame:
     return df.distinct()
 
 
+class PeriodicCompactor:
+    """foreachBatch wrapper adding a mid-stream compaction cadence to
+    any per-batch-partition sink: every ``every_n`` batches, compact
+    the listed stores up to the CURRENT batch id, then delegate to the
+    wrapped sink.  This is what bounds store partitions on a
+    CONTINUOUS stream (a 60 s trigger never returns to the runner, so
+    runner-start compaction alone only helps across restarts).
+
+    Safety: this runs INSIDE the trigger, sequentially before the
+    sink's own reads — it cannot race another trigger, and
+    ``upto_batch_id = batch_id`` touches only batches strictly below
+    the current one, all of which the engine has committed (batch N
+    only starts after N-1's commit is logged).  The one redeliverable
+    batch — the current one — keeps its own partition and its
+    exclude-own-batch replay read, and on redelivery the compaction
+    re-runs idempotently (ids below N are already folded → no-op).
+
+    ``stores`` is ``[(store_dir, agg), ...]`` with each family's
+    documented agg.  Attribute access (``batch_stats``, sink-specific
+    fields) proxies to the wrapped sink so callers keep their
+    contract."""
+
+    def __init__(self, sink, stores, every_n: int):
+        if every_n < 1:
+            raise ValueError(
+                f"compact_every_n_batches must be >= 1, got {every_n}")
+        self._sink = sink
+        self._stores = list(stores)
+        self._every = every_n
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id > 0 and batch_id % self._every == 0:
+            spark = batch_df.sparkSession
+            for store_dir, agg in self._stores:
+                compact_batch_store(spark, store_dir, batch_id, agg=agg)
+        self._sink(batch_df, batch_id)
+
+    def __getattr__(self, name):
+        return getattr(self._sink, name)
+
+
 def _compact_on_start(spark: SparkSession, checkpoint_dir: str,
                       stores, every_n: int | None) -> None:
     """Runner-start auto-compaction: when the checkpoint has accumulated
@@ -307,6 +348,20 @@ def _compact_on_start(spark: SparkSession, checkpoint_dir: str,
         return
     for store_dir, agg in stores:
         compact_batch_store(spark, store_dir, last, agg=agg)
+
+
+def _with_compaction(spark: SparkSession, checkpoint_dir: str, sink,
+                     stores, every_n: int | None):
+    """Shared runner wiring for ``compact_every_n_batches``: compact on
+    start (restart hygiene — bounded partitions across availableNow
+    runs) AND wrap the sink in a :class:`PeriodicCompactor` (mid-stream
+    cadence — bounded partitions on a continuous stream that never
+    returns to the runner).  With ``every_n`` unset, returns the sink
+    unchanged."""
+    _compact_on_start(spark, checkpoint_dir, stores, every_n)
+    if every_n:
+        return PeriodicCompactor(sink, stores, every_n)
+    return sink
 
 
 class IncrementalDedupSink:
@@ -481,14 +536,14 @@ def run_incremental_dedup(spark: SparkSession, in_path: str, out_dir: str,
                           compact_every_n_batches: int | None = None):
     """Wire a json-lines document stream (``{"doc_id": ..., "text": ...}``)
     through the dedup sink.  Returns (StreamingQuery, sink).
-    ``compact_every_n_batches`` enables runner-start store compaction
-    once that many batches have committed (see ``_compact_on_start``);
+    ``compact_every_n_batches`` enables store compaction at runner
+    start AND every N batches mid-stream (``_with_compaction``);
     admissions are unaffected — the store merge is a distinct-set fold.
     """
-    sink = IncrementalDedupSink(spark, store_dir, out_dir)
-    _compact_on_start(spark, checkpoint_dir,
-                      [(store_dir, fingerprint_store_agg)],
-                      compact_every_n_batches)
+    sink = _with_compaction(
+        spark, checkpoint_dir, IncrementalDedupSink(spark, store_dir,
+                                                    out_dir),
+        [(store_dir, fingerprint_store_agg)], compact_every_n_batches)
     return _run_dedup_stream(spark, in_path, sink,
                              checkpoint_dir, available_now)
 
@@ -502,11 +557,11 @@ def run_paragraph_dedup(spark: SparkSession, in_path: str, out_dir: str,
     sink.  Returns (StreamingQuery, sink).  ``compact_every_n_batches``
     as on :func:`run_incremental_dedup` (the paragraph-md5 store is a
     membership set too)."""
-    sink = ParagraphDedupSink(spark, store_dir, out_dir,
-                              tokens_per_para=tokens_per_para)
-    _compact_on_start(spark, checkpoint_dir,
-                      [(store_dir, fingerprint_store_agg)],
-                      compact_every_n_batches)
+    sink = _with_compaction(
+        spark, checkpoint_dir,
+        ParagraphDedupSink(spark, store_dir, out_dir,
+                           tokens_per_para=tokens_per_para),
+        [(store_dir, fingerprint_store_agg)], compact_every_n_batches)
     return _run_dedup_stream(spark, in_path, sink,
                              checkpoint_dir, available_now)
 

@@ -24,8 +24,6 @@ fresh store per checkpoint.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -113,11 +111,22 @@ def budget_store_agg(df: DataFrame) -> DataFrame:
         F.sum("toks").cast("bigint").alias("toks"))
 
 
-# TokenBudgetSink's monotone-order sidecar dir name, inside the budget
-# store.  The leading underscore hides it from the store's own
-# partition-discovery read; inside it the per-batch-overwrite layout
-# applies as usual.
+# TokenBudgetSink's monotone-order sidecar suffix.  The sidecar is a
+# SIBLING prefix of the budget store (<store>_order_watermark), not a
+# child: an underscore-prefixed child would be hidden from the store's
+# partition discovery as intended, but Spark's DataSource also WARNS it
+# ignores such a path when passed as an explicit read root (it still
+# reads it today — a fail-open hazard if a future version honors the
+# ignore), and a non-underscore child would corrupt the store's own
+# partition discovery.  A sibling has neither problem.
 _ORDER_WM = "_order_watermark"
+
+
+def order_watermark_dir(store_dir: str) -> str:
+    """Sidecar location for :class:`TokenBudgetSink`'s monotone-order
+    watermark (see ``_ORDER_WM``).  Inside it the per-batch-overwrite
+    layout applies as usual, so it compacts/recovers like any store."""
+    return store_dir.rstrip("/") + _ORDER_WM
 
 
 def order_watermark_agg(df: DataFrame) -> DataFrame:
@@ -256,8 +265,10 @@ class TokenBudgetSink:
 
     The monotone-order contract is SELF-ENFORCING (round-11 verdict
     watch item): each batch persists its max ``order_col`` into an
-    underscore-prefixed ``_order_watermark`` sidecar inside the store
-    (invisible to the store's own partition discovery), and a batch
+    ``_order_watermark``-suffixed SIBLING store
+    (:func:`order_watermark_dir` — a sibling, so neither the store's
+    partition discovery nor Spark's underscore-path ignore rules can
+    ever touch it), and a batch
     whose min order does not EXCEED every prior batch's max raises
     before any persistent side effect — a caller wiring a non-monotone
     id fails loudly instead of silently getting order-dependent
@@ -293,7 +304,7 @@ class TokenBudgetSink:
         # startup compaction recovery — the store AND its watermark
         # sidecar (round-11 ADVICE; see dedup.recover_batch_store)
         recover_batch_store(spark, store_dir)
-        recover_batch_store(spark, os.path.join(store_dir, _ORDER_WM))
+        recover_batch_store(spark, order_watermark_dir(store_dir))
         self._out_drop = tuple(out_drop_cols)
         self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, admitted)
 
@@ -367,7 +378,7 @@ class TokenBudgetSink:
         a redelivered batch re-validates against earlier batches only
         and rewrites its own row idempotently).  An empty batch moves
         no watermark and checks nothing."""
-        wm_dir = os.path.join(self._store, _ORDER_WM)
+        wm_dir = order_watermark_dir(self._store)
         mm = keyed.agg(F.min(self._order).alias("lo"),
                        F.max(self._order).alias("hi")).first()
         if mm["lo"] is None:

@@ -40,14 +40,11 @@ lifecycles travel together (see ``streaming/dedup.py`` module doc).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..colnames import fresh_prefix
 from .dedup import (
-    _compact_on_start,
     _overwrite_batch_partition,
     _read_store,
     _reject_batch_id_collision,
@@ -55,12 +52,12 @@ from .dedup import (
     recover_batch_store,
 )
 from .domain_cap import (
-    _ORDER_WM,
     CurationStage0Sink,
     TokenBudgetSink,
     budget_store_agg,
     cap_store_agg,
     order_watermark_agg,
+    order_watermark_dir,
 )
 
 
@@ -245,15 +242,15 @@ def run_minhash_dedup(spark: SparkSession, in_path: str, out_dir: str,
     """Wire a json-lines document stream (``{"doc_id": ..., "text":
     ...}``) through the near-dedup sink.  Returns (StreamingQuery,
     sink) — the ``run_incremental_dedup`` wiring with the MinHash sink
-    swapped in.  ``compact_every_n_batches`` enables runner-start
-    compaction of the band store once that many batches have committed
+    swapped in.  ``compact_every_n_batches`` enables band-store
+    compaction at runner start and every N batches mid-stream
     (admissions unaffected — buckets merge one-row-per-bucket)."""
-    from .dedup import _run_dedup_stream
+    from .dedup import _run_dedup_stream, _with_compaction
 
-    sink = MinHashDedupSink(spark, store_dir, out_dir)
-    _compact_on_start(spark, checkpoint_dir,
-                      [(store_dir, band_store_agg)],
-                      compact_every_n_batches)
+    sink = _with_compaction(
+        spark, checkpoint_dir, MinHashDedupSink(spark, store_dir,
+                                                out_dir),
+        [(store_dir, band_store_agg)], compact_every_n_batches)
     return _run_dedup_stream(spark, in_path, sink,
                              checkpoint_dir, available_now)
 
@@ -482,21 +479,24 @@ def run_curation_stage2(spark: SparkSession, in_path: str,
     (StreamingQuery, sink) — the ``run_minhash_dedup`` wiring with the
     full curation composition swapped in; ``sink_kwargs`` pass through
     to :class:`CurationStage2Sink` (cap, token_budget, extract, ...).
-    ``compact_every_n_batches`` enables runner-start compaction of all
-    FIVE persistent store surfaces (URL fingerprints, cap counts, band
-    buckets, token budgets, order watermark), each with its family's
-    documented agg — admissions are provably unaffected (the soak test
-    pins admissions identical to an uncompacted twin)."""
-    sink = CurationStage2Sink(
-        spark, dedup_store, cap_store, band_store, budget_store,
-        out_dir, **sink_kwargs)
-    _compact_on_start(
+    ``compact_every_n_batches`` enables compaction of all FIVE
+    persistent store surfaces (URL fingerprints, cap counts, band
+    buckets, token budgets, order watermark) at runner start AND every
+    N batches mid-stream, each with its family's documented agg —
+    admissions are provably unaffected (the soak test pins admissions
+    identical to an uncompacted twin)."""
+    from .dedup import _with_compaction
+
+    sink = _with_compaction(
         spark, checkpoint_dir,
+        CurationStage2Sink(
+            spark, dedup_store, cap_store, band_store, budget_store,
+            out_dir, **sink_kwargs),
         [(dedup_store, fingerprint_store_agg),
          (cap_store, cap_store_agg),
          (band_store, band_store_agg),
          (budget_store, budget_store_agg),
-         (os.path.join(budget_store, _ORDER_WM), order_watermark_agg)],
+         (order_watermark_dir(budget_store), order_watermark_agg)],
         compact_every_n_batches)
     stream = (
         spark.readStream.format("json")
@@ -525,11 +525,13 @@ def run_curation_stage1(spark: SparkSession, in_path: str,
     :func:`run_curation_stage2` wiring without the selection wave.
     Returns (StreamingQuery, sink); ``compact_every_n_batches`` as on
     :func:`run_curation_stage2`, over the three stage-1 stores."""
-    sink = CurationStage1Sink(
-        spark, dedup_store, cap_store, band_store, out_dir,
-        **sink_kwargs)
-    _compact_on_start(
+    from .dedup import _with_compaction
+
+    sink = _with_compaction(
         spark, checkpoint_dir,
+        CurationStage1Sink(
+            spark, dedup_store, cap_store, band_store, out_dir,
+            **sink_kwargs),
         [(dedup_store, fingerprint_store_agg),
          (cap_store, cap_store_agg),
          (band_store, band_store_agg)],

@@ -336,3 +336,68 @@ def test_token_budget_order_watermark_raises_on_regression(spark, tmp_path):
         == sorted(map(tuple, store_before)))
     sink(rows([(6, "a", 10)]), 2)           # monotone again → fine
     assert sink.batch_stats[-1][2] == 1
+
+
+def test_periodic_compactor_bounds_partitions_mid_stream(spark, tmp_path):
+    """PeriodicCompactor: one CONTINUOUS stream (availableNow,
+    maxFilesPerTrigger=1 → six sequential batches with no runner
+    restart) compacts every 2 batches mid-stream; partitions stay
+    bounded and admissions equal an uncompacted twin's."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from sumologic_aws_lambda_spark.streaming.dedup import (
+        PeriodicCompactor,
+        fingerprint_store_agg,
+    )
+
+    for d in ("in",):
+        (tmp_path / d).mkdir()
+    words = [["a", "b"], ["a", "c"], ["d"], ["c", "e"], ["f"], ["b", "g"]]
+    now = _time.time()
+    doc = 0
+    for i, ws in enumerate(words):
+        rows = []
+        for w in ws:
+            rows.append(_json.dumps({"doc_id": doc, "text": w}))
+            doc += 1
+        p = tmp_path / "in" / f"b{i}.json"
+        p.write_text("\n".join(rows) + "\n")
+        _os.utime(p, (now + i, now + i))
+
+    def run(root, wrap):
+        from sumologic_aws_lambda_spark.streaming.dedup import (
+            IncrementalDedupSink,
+        )
+
+        sink = IncrementalDedupSink(
+            spark, str(tmp_path / root / "store"),
+            str(tmp_path / root / "out"))
+        fb = wrap(sink)
+        q = (spark.readStream.format("json")
+             .schema("doc_id long, text string")
+             .option("maxFilesPerTrigger", 1)
+             .load(str(tmp_path / "in"))
+             .writeStream.foreachBatch(fb)
+             .option("checkpointLocation", str(tmp_path / root / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return sink
+
+    c = run("c", lambda s: PeriodicCompactor(
+        s, [(str(tmp_path / "c" / "store"), fingerprint_store_agg)], 2))
+    t = run("t", lambda s: s)
+    assert c.batch_stats == t.batch_stats
+    parts = _partitions(tmp_path / "c")
+    # last cadence point was batch 4: ids 0-3 folded into -1; 4 and 5
+    # still own their partitions
+    assert f"batch_id={COMPACTED_BATCH_ID}" in parts
+    assert len(parts) <= 3 < len(_partitions(tmp_path / "t"))
+    out_c = sorted(r.doc_id for r in spark.read.parquet(
+        str(tmp_path / "c" / "out")).collect())
+    out_t = sorted(r.doc_id for r in spark.read.parquet(
+        str(tmp_path / "t" / "out")).collect())
+    assert out_c == out_t
+    with pytest.raises(ValueError, match="compact_every_n_batches"):
+        PeriodicCompactor(c, [], 0)

@@ -327,3 +327,25 @@ def test_raw_url_fallback_cannot_forge_the_rawid_namespace(
     sink(spark.createDataFrame([(10, "id:7")],
                                "doc_id bigint, url string"), 1)
     assert sink.batch_stats[-1] == (1, 1, 0, 0)
+
+
+def test_default_cap_key_uses_full_psl_snapshot(spark):
+    """Round-12: the sinks' DEFAULT keying is the full vendored
+    9,506-rule PSL snapshot, not the fixture tuple — pinned on a host
+    where the two provably diverge (*.ck wildcard: the fixture tuple
+    would fold foo.bar.ck to bar.ck; the full list makes bar.ck a
+    public suffix, so the publisher is foo.bar.ck)."""
+    from sumologic_aws_lambda_spark.streaming.domain_cap import (
+        stage_cap_key_psl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "https://a.b.pub.co.uk/x?utm_source=f"),
+         (2, "https://foo.bar.ck/x"),
+         (3, "not a url"), (4, None)],
+        "doc_id bigint, url string")
+    out = {r.doc_id: r.k
+           for r in stage_cap_key_psl(df, "url", "k").collect()}
+    assert out[1] == "pub.co.uk"
+    assert out[2] == "foo.bar.ck"
+    assert out[3] is None and out[4] is None

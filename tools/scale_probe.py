@@ -138,10 +138,10 @@ def _soak_stage2(spark, n_batches: int) -> int:
         last_committed_batch_id,
     )
     from sumologic_aws_lambda_spark.streaming.domain_cap import (
-        _ORDER_WM,
         budget_store_agg,
         cap_store_agg,
         order_watermark_agg,
+        order_watermark_dir,
     )
     from sumologic_aws_lambda_spark.streaming.neardup import (
         CurationStage2Sink,
@@ -186,7 +186,7 @@ def _soak_stage2(spark, n_batches: int) -> int:
         "cap": (j("cap"), cap_store_agg),
         "band": (j("band"), band_store_agg),
         "budget": (j("budget"), budget_store_agg),
-        "order_wm": (os.path.join(j("budget"), _ORDER_WM),
+        "order_wm": (order_watermark_dir(j("budget")),
                      order_watermark_agg),
     }
     sink = CurationStage2Sink(
@@ -207,11 +207,7 @@ def _soak_stage2(spark, n_batches: int) -> int:
         out = {}
         for name, (d, _) in stores.items():
             parts = files = 0
-            for dirpath, dirs, fnames in os.walk(d):
-                if os.path.basename(dirpath) == _ORDER_WM and name != \
-                        "order_wm":
-                    dirs[:] = []  # sidecar counted under its own entry
-                    continue
+            for dirpath, _dirs, fnames in os.walk(d):
                 if os.path.basename(dirpath).startswith("batch_id="):
                     parts += 1
                 files += sum(f.endswith(".parquet") for f in fnames)
