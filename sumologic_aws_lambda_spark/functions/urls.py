@@ -283,6 +283,7 @@ def psl_rule_tiers(suffix_rows=None):
 
 @lru_cache(maxsize=8)
 def _psl_rule_tiers_cached(suffix_rows: tuple):
+    """Cache body of :func:`psl_rule_tiers` (see its docstring)."""
 
     def _to_ascii(s: str) -> str:
         # the published list writes IDN rules in UNICODE (U-label)

@@ -175,6 +175,7 @@ class DomainCapSink:
         # finish any compaction a crash left in flight before the first
         # store read (round-11 ADVICE; see dedup.recover_batch_store)
         recover_batch_store(spark, store_dir)
+        recover_batch_store(spark, out_dir)
         # caller-staged working columns to exclude from the admitted
         # output (the composed stage-0 sink stages the canonical URL
         # once and must not leak it into out_dir)
@@ -301,10 +302,11 @@ class TokenBudgetSink:
         self._budget = budget
         self._key = key_fn
         self._key_from_canonical = key_from_canonical
-        # startup compaction recovery — the store AND its watermark
-        # sidecar (round-11 ADVICE; see dedup.recover_batch_store)
+        # startup compaction recovery — store, watermark sidecar and
+        # output surfaces (round-11 ADVICE; see recover_batch_store)
         recover_batch_store(spark, store_dir)
         recover_batch_store(spark, order_watermark_dir(store_dir))
+        recover_batch_store(spark, out_dir)
         self._out_drop = tuple(out_drop_cols)
         self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, admitted)
 

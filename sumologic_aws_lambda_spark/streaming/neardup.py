@@ -104,8 +104,9 @@ class MinHashDedupSink:
         self._order = order_col
         self._n = num_hashes
         # startup compaction recovery (round-11 ADVICE; see
-        # dedup.recover_batch_store)
+        # dedup.recover_batch_store) — store and output surfaces both
         recover_batch_store(spark, store_dir)
+        recover_batch_store(spark, out_dir)
         self._rpb = rows_per_band
         self._shingle = shingle_n
         # with_counts: ONE gram stream serves the MinHash mins AND
