@@ -446,15 +446,21 @@ def registered_domain_psl_sql(host: str, suffix_rows=None) -> str:
 
 def with_registered_domain_psl(df, host_col: str,
                                out_col: str = "registered_domain",
-                               suffix_rows=None):
+                               suffix_rows=None,
+                               max_inline_rules: int = 128):
     """Production-path registered domain: the public-suffix set as
     BROADCAST-joined lookup tables instead of the literal ``isin``
     tuple — the real Public Suffix List is ~9k rules and changes
     monthly, which belongs in data, not code.  The normalize /
     label-slice block is SHARED with :func:`registered_domain`
-    (``_host_label_parts``); the membership test moves from a
-    codegen'd IN-list to per-tier broadcast hash joins (build side =
-    the rules of that label depth), zero shuffles of the fact side.
+    (``_host_label_parts``); the membership test is per-tier: tiers
+    bigger than ``max_inline_rules`` (the full snapshot's 5,473
+    2-label and 2,302 3-label exact tiers) probe broadcast hash joins
+    (build side = the rules of that depth, zero shuffles of the fact
+    side), while small tiers stay codegen'd set membership — a
+    broadcast exchange has ~0.2 s fixed build latency per tier, which
+    dominates when the tier holds a handful of rules (round-12
+    funnel-bench measurement).
 
     Rule support — the FULL PSL rule grammar (PSL §Algorithm):
     - exact rules of 1–6 labels: a matching k-label rule makes the
@@ -540,6 +546,20 @@ def with_registered_domain_psl(df, host_col: str,
         for k, tier_rules in tier_map.items():
             if not tier_rules:
                 out[k] = F.lit(False)
+                continue
+            if len(tier_rules) <= max_inline_rules:
+                # small tier → codegen'd set membership, no join: a
+                # broadcast exchange costs ~0.2-0.3 s of fixed build
+                # latency PER TIER regardless of size, and 8 of the
+                # full snapshot's 10 tiers hold ≤ 70 rules — paying
+                # ten exchange latencies to probe a handful of
+                # literals tripled the crawl funnels' bench time
+                # (round-12 measurement).  The two data-scale tiers
+                # (5,473 and 2,302 exact rules) stay broadcast joins —
+                # rule data belongs in tables, not plans.  Tails are
+                # never NULL (concat_ws is total), so isin can't
+                # NULL-poison the when() chain.
+                out[k] = st[k].isin(*tier_rules)
                 continue
             col = f"{u}_{name}{k}"
             # per-session tier-DataFrame cache: converting the 5.5k

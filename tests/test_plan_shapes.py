@@ -426,25 +426,30 @@ def test_guard_flags_window_over_fact_join_with_limited_dim(spark):
 
 def test_crawl_funnel_psl_keying_stays_broadcast(spark, qs):
     """Round-12: the crawl funnels key on the FULL 9,506-rule PSL
-    snapshot — the ten tier joins must all be BROADCAST (build side =
-    the rules of that depth, ~99 KB total), ride AFTER the canonical
-    groupBy (keeper rows only), and add zero shuffles: still ONE
-    parquet scan, no SortMergeJoin, and exactly the two pre-existing
-    hash exchanges (canonical groupBy + publisher-window rank)."""
+    snapshot — the two DATA-SCALE tiers (5,473 + 2,302 exact rules)
+    must be BROADCAST joins, the eight small tiers codegen'd set
+    membership (a broadcast exchange costs ~0.2 s fixed latency per
+    tier — ten of them tripled the funnels' bench time), riding AFTER
+    the canonical groupBy (keeper rows only) with zero added
+    shuffles: still ONE parquet scan, no SortMergeJoin, and exactly
+    the two pre-existing hash exchanges (canonical groupBy +
+    publisher-window rank)."""
     plan = _plan(qs["crawl_stage0_funnel"](spark, SF_DIR))
     assert plan.count("Scan parquet") == 1
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") == 10
+    assert plan.count("BroadcastHashJoin") == 2
     assert plan.count("Exchange hashpartitioning") == 2
 
 
 def test_psl_snapshot_single_scan_all_broadcast(spark, qs):
-    """The full-9.5k-rule PSL path must stay ONE parquet scan with all
-    ten tier joins BROADCAST and exactly one hash exchange (the cap
-    window on reg_dom, whose partitioning the final groupBy reuses) —
-    the production plan where only the rule tables grow with the list."""
+    """The full-9.5k-rule PSL path must stay ONE parquet scan with the
+    two data-scale tiers BROADCAST-joined (small tiers inline as set
+    membership — see the funnel test above) and exactly one hash
+    exchange (the cap window on reg_dom, whose partitioning the final
+    groupBy reuses) — the production plan where only the rule tables
+    grow with the list."""
     plan = _plan(qs["psl_snapshot_domains"](spark, SF_DIR))
     assert plan.count("Scan parquet") == 1
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") == 10
+    assert plan.count("BroadcastHashJoin") == 2
     assert plan.count("Exchange hashpartitioning") == 1
