@@ -1255,13 +1255,15 @@ def _funnel_ranked_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     group_n, doc_id, text, host, reg_dom, rn) — stage-0 gates and the
     stage-1 near-dup both consume this one lineage.
 
-    The publisher key is the FULL vendored 9,506-rule PSL snapshot via
-    broadcast tier joins (round-12: production curation defaults to the
-    keying the round-11 hash gate validated — on real crawl data the
-    fixture tuple and the full list give DIFFERENT publishers; the
-    oracles twin it with ``registered_domain_psl_sql``).  The tier
-    joins ride AFTER the canonical groupBy, so they probe keeper rows
-    only — ~99 KB build sides, zero shuffles of the fact side."""
+    The publisher key is the FULL vendored 9,506-rule PSL snapshot
+    (round-12: production curation defaults to the keying the round-11
+    hash gate validated — on real crawl data the fixture tuple and the
+    full list give DIFFERENT publishers; the oracles twin it with
+    ``registered_domain_psl_sql``).  Membership is hybrid — broadcast
+    joins for the two data-scale tiers, codegen'd set tests for the
+    eight small ones (see ``with_registered_domain_psl``) — and rides
+    AFTER the canonical groupBy, so it probes keeper rows only: zero
+    shuffles of the fact side."""
     from ..functions.urls import (
         canonicalize_url,
         load_psl_file,

@@ -71,12 +71,15 @@ def stage_cap_key_psl(df: DataFrame, url_col: str, out_col: str,
                       from_canonical: bool = False) -> DataFrame:
     """THE production publisher-key staging (the sinks' default):
     canonical-URL host → registered domain under the FULL vendored
-    9,506-rule Public Suffix List snapshot, as broadcast tier joins
-    (``functions/urls.py::with_registered_domain_psl`` — ~99 KB of
-    build sides, zero fact-side shuffles; the round-11-validated path,
-    now the default keying, per the round-11 verdict).  The rule tiers
-    are parsed once and cached (``psl_rule_tiers``'s lru_cache), so
-    per-micro-batch calls pay only the join construction.
+    9,506-rule Public Suffix List snapshot
+    (``functions/urls.py::with_registered_domain_psl`` — hybrid
+    membership: broadcast joins for the two data-scale tiers, codegen
+    set tests for the small ones; zero fact-side shuffles; the
+    round-11-validated path, now the default keying, per the round-11
+    verdict).  The rule tiers are parsed once and cached
+    (``psl_rule_tiers``'s lru_cache) and the tier DataFrames are
+    cached per session, so per-micro-batch calls pay only plan
+    construction.
 
     ``from_canonical=True`` skips the canonicalizer when ``url_col``
     already holds a canonical URL (the composed stage-0 sink stages it
