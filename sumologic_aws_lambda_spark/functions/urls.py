@@ -228,6 +228,7 @@ def registered_domain_sql(host: str) -> str:
     )
 
 
+@lru_cache(maxsize=8)
 def load_psl_file(path: str | None = None) -> tuple[str, ...]:
     """Raw lines of a Public Suffix List snapshot in the published file
     format (publicsuffix.org/list) — comments, blanks, section markers
@@ -239,6 +240,9 @@ def load_psl_file(path: str | None = None) -> tuple[str, ...]:
     2/3/4/5 labels, 107 wildcards, 8 exceptions, 466 IDN rules — so
     the broadcast tier-join path is exercised at REAL rule counts, not
     fixture ones (tests/test_psl_snapshot.py pins these populations).
+    Cached per path: the streaming cap sinks resolve the default key
+    per micro-batch, and re-reading + re-hashing the 9.5k-line file
+    every trigger was measurable fixed cost (round-12 ADVICE).
     """
     if path is None:
         path = os.path.join(

@@ -32,6 +32,7 @@ prefix per run.
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -96,6 +97,78 @@ def _overwrite_batch_partition(df: DataFrame, base_dir: str,
     Readers of ``base_dir`` see ``batch_id`` as a partition column."""
     df.write.mode("overwrite").parquet(
         os.path.join(base_dir, f"batch_id={batch_id}"))
+
+
+class DeferredWrites:
+    """Per-trigger buffer of idempotent batch-partition writes, flushed
+    CONCURRENTLY at the end of the trigger — the round-12 verdict's
+    per-trigger fixed-cost consolidation.  On local[32] every Spark job
+    pays ~0.2-0.3 s of fixed scheduling latency; a composed curation
+    sink issues up to six independent partition writes per micro-batch,
+    so running them sequentially costs ~2 s of pure overhead per
+    trigger.  Buffering them and submitting through a shared thread
+    pool overlaps those latencies (Spark's scheduler runs jobs from
+    separate threads concurrently) without changing a single byte
+    written: each write is still an overwrite of the partition this
+    batch owns.
+
+    Correctness preconditions (held by every sink that uses this):
+
+    - every buffered frame derives ONLY from frames already
+      materialized (localCheckpoint/persist) within the trigger, so a
+      concurrent flush can never recompute upstream lineage
+      divergently — two jobs racing an unmaterialized cached partition
+      serialize on Spark's cache lock and compute it exactly once;
+    - writes are mutually independent (distinct target directories);
+    - a flush failure propagates and fails the trigger; the partial
+      writes it may leave behind are exactly the partial writes a
+      mid-trigger crash leaves today, and redelivery overwrites them.
+
+    Deferring also STRENGTHENS the validate-before-side-effect
+    discipline: a batch rejected anywhere in the composed chain (e.g.
+    the token-budget monotone-order guard) now leaves NO store
+    partition behind, where the eager form had already persisted the
+    upstream stages' writes.
+
+    The pool is process-wide and bounded so the paired JVM threads
+    py4j creates under pinned-thread mode stay bounded for the life of
+    a long-running stream (a per-trigger pool would leak one JVM
+    thread pair per trigger)."""
+
+    _pool: ThreadPoolExecutor | None = None
+
+    def __init__(self):
+        self._pending: list[tuple[DataFrame, str, int]] = []
+
+    def clear(self) -> None:
+        """Drop writes a FAILED previous trigger left unflushed — the
+        redelivery recomputes them; flushing stale frames alongside the
+        new batch's would double the write jobs for no benefit."""
+        self._pending.clear()
+
+    def add(self, df: DataFrame, base_dir: str, batch_id: int) -> None:
+        self._pending.append((df, base_dir, batch_id))
+
+    def flush(self) -> None:
+        pending, self._pending = self._pending, []
+        if not pending:
+            return
+        if len(pending) == 1:
+            df, base, bid = pending[0]
+            _overwrite_batch_partition(df, base, bid)
+            return
+        if DeferredWrites._pool is None:
+            DeferredWrites._pool = ThreadPoolExecutor(
+                max_workers=6, thread_name_prefix="deferred-writes")
+        futs = [DeferredWrites._pool.submit(
+            _overwrite_batch_partition, df, base, bid)
+            for df, base, bid in pending]
+        # await ALL before raising: a half-awaited flush would let the
+        # next trigger's reads race this trigger's stragglers
+        errs = [f.exception() for f in futs]
+        for e in errs:
+            if e is not None:
+                raise e
 
 
 # The consolidated partition compaction merges old batches into.  -1 can
@@ -290,19 +363,22 @@ def fingerprint_store_agg(df: DataFrame) -> DataFrame:
 class PeriodicCompactor:
     """foreachBatch wrapper adding a mid-stream compaction cadence to
     any per-batch-partition sink: every ``every_n`` batches, compact
-    the listed stores up to the CURRENT batch id, then delegate to the
+    the listed stores up to the PREVIOUS batch id, then delegate to the
     wrapped sink.  This is what bounds store partitions on a
     CONTINUOUS stream (a 60 s trigger never returns to the runner, so
     runner-start compaction alone only helps across restarts).
 
     Safety: this runs INSIDE the trigger, sequentially before the
-    sink's own reads — it cannot race another trigger, and
-    ``upto_batch_id = batch_id`` touches only batches strictly below
-    the current one, all of which the engine has committed (batch N
-    only starts after N-1's commit is logged).  The one redeliverable
-    batch — the current one — keeps its own partition and its
-    exclude-own-batch replay read, and on redelivery the compaction
-    re-runs idempotently (ids below N are already folded → no-op).
+    sink's own reads — it cannot race another trigger.  It passes
+    ``upto_batch_id = batch_id - 1``, staying inside
+    :func:`compact_batch_store`'s documented bound (at most the last
+    COMMITTED batch id) without leaning on the strict sequential-commit
+    argument: even if progress tracking ever became asynchronous
+    enough that batch N-1 were still redeliverable when N starts,
+    N-1 keeps its own partition and its exclude-own-batch replay read
+    (round-12 ADVICE).  The cost is one extra live partition per
+    store.  On redelivery the compaction re-runs idempotently (ids
+    below N-1 are already folded → no-op).
 
     ``stores`` is ``[(store_dir, agg), ...]`` with each family's
     documented agg.  Attribute access (``batch_stats``, sink-specific
@@ -318,10 +394,11 @@ class PeriodicCompactor:
         self._every = every_n
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id > 0 and batch_id % self._every == 0:
+        if batch_id > 1 and batch_id % self._every == 0:
             spark = batch_df.sparkSession
             for store_dir, agg in self._stores:
-                compact_batch_store(spark, store_dir, batch_id, agg=agg)
+                compact_batch_store(spark, store_dir, batch_id - 1,
+                                    agg=agg)
         self._sink(batch_df, batch_id)
 
     def __getattr__(self, name):
@@ -338,9 +415,12 @@ def _compact_on_start(spark: SparkSession, checkpoint_dir: str,
     each store family's documented agg.  Runs BEFORE ``writer.start()``,
     so it can never race a trigger; with ``every_n`` unset this is a
     no-op (sink construction already ran crash recovery)."""
-    if not every_n:
+    if every_n is None:
         return
     if every_n < 1:
+        # 0/negative raise instead of silently disabling — a user typo
+        # would otherwise get no compaction with no error (round-12
+        # ADVICE; PeriodicCompactor already raised for the same value)
         raise ValueError(
             f"compact_every_n_batches must be >= 1, got {every_n}")
     last = last_committed_batch_id(spark, checkpoint_dir)
@@ -356,12 +436,78 @@ def _with_compaction(spark: SparkSession, checkpoint_dir: str, sink,
     start (restart hygiene — bounded partitions across availableNow
     runs) AND wrap the sink in a :class:`PeriodicCompactor` (mid-stream
     cadence — bounded partitions on a continuous stream that never
-    returns to the runner).  With ``every_n`` unset, returns the sink
-    unchanged."""
+    returns to the runner).  With ``every_n`` None, returns the sink
+    unchanged; 0/negative raise (round-12 ADVICE — a typo must not
+    silently disable compaction)."""
+    if every_n is None:
+        return sink
     _compact_on_start(spark, checkpoint_dir, stores, every_n)
-    if every_n:
-        return PeriodicCompactor(sink, stores, every_n)
-    return sink
+    return PeriodicCompactor(sink, stores, every_n)
+
+
+class DeferredStats:
+    """Per-trigger buffer of 1-row statistics aggregates, collected
+    CONCURRENTLY at the end of the trigger (the DeferredWrites design
+    applied to reads — round-12 verdict item 1).  A composed curation
+    sink's per-stage counts are pure bookkeeping: nothing in the plan
+    construction consumes them, so instead of paying one sequential
+    Spark action per stage, every stage registers its aggregate here
+    and the trigger runs them all at once — the longest lineage does
+    the real work while the shorter aggregates resolve through the
+    shared localCheckpoint cache (Spark's cache lock computes each
+    partition exactly once even under concurrent jobs).
+
+    Callbacks run AFTER all aggregates complete, in registration
+    order, on the trigger thread — they mutate sink state
+    (batch_stats, watermark mirrors) and enforce validation guards
+    (the token-budget monotone-order check raises here, which aborts
+    the trigger BEFORE the deferred writes flush: the
+    validate-before-side-effect discipline holds because nothing
+    persists until the flush).  ``add_cleanup`` registers finalizers
+    (e.g. unpersist) that run even when an aggregate or callback
+    raises."""
+
+    def __init__(self):
+        self._pending: list[tuple[DataFrame, object]] = []
+        self._cleanups: list = []
+
+    def clear(self) -> None:
+        self._pending.clear()
+        self._cleanups.clear()
+
+    def add(self, df: DataFrame | None, callback) -> None:
+        """Register a 1-row aggregate and a ``callback(row)``; with
+        ``df`` None the callback runs with None (ordering-only hooks
+        that read state earlier callbacks produced)."""
+        self._pending.append((df, callback))
+
+    def add_cleanup(self, fn) -> None:
+        self._cleanups.append(fn)
+
+    def collect(self) -> None:
+        pending, self._pending = self._pending, []
+        cleanups, self._cleanups = self._cleanups, []
+        try:
+            dfs = [df for df, _ in pending if df is not None]
+            if len(dfs) <= 1:
+                rows = {id(df): df.first() for df in dfs}
+            else:
+                if DeferredWrites._pool is None:
+                    DeferredWrites._pool = ThreadPoolExecutor(
+                        max_workers=6,
+                        thread_name_prefix="deferred-writes")
+                futs = {id(df): DeferredWrites._pool.submit(df.first)
+                        for df in dfs}
+                errs = [f.exception() for f in futs.values()]
+                for e in errs:
+                    if e is not None:
+                        raise e
+                rows = {k: f.result() for k, f in futs.items()}
+            for df, cb in pending:
+                cb(rows[id(df)] if df is not None else None)
+        finally:
+            for fn in cleanups:
+                fn()
 
 
 class IncrementalDedupSink:
@@ -401,9 +547,11 @@ class IncrementalDedupSink:
         # downstream consumers key on them (round-10 tenth-pass
         # review).
         self._order = order_col
+        self._writes = DeferredWrites()
         self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, kept)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._writes.clear()
         _reject_batch_id_collision(batch_df)
         n_in = batch_df.count()
         # collapse within-batch duplicates; collision-proof working
@@ -420,21 +568,35 @@ class IncrementalDedupSink:
                 .filter(F.col(rn) == 1).drop(rn)
         else:
             batch = keyed.dropDuplicates([fp])
+        # lazy checkpoint before the probe derivation: the store
+        # probe's broadcast build would otherwise re-run the (possibly
+        # regex-heavy) key_fn per trigger
+        batch = batch.localCheckpoint(eager=False)
         seen = _read_store(self._spark, self._store, "fingerprint string",
                            exclude_batch=batch_id)
         # the staged fp column rides through the anti-join AND the
         # store write — with the docstring's md5(canonicalize_url)
         # key_fn, recomputing the key per consumer tripled the
-        # regex-heavy per-row work (round-10 eleventh-pass review)
-        kept = batch.join(
-            seen.select(F.col("fingerprint").alias(fp)),
-            fp, "left_anti")
-        kept = kept.localCheckpoint()  # store write must not re-read input
+        # regex-heavy per-row work (round-10 eleventh-pass review).
+        # The store is NEVER shuffled (round-13): an anti join against
+        # the corpus-scale store would shuffle it every trigger; the
+        # semi-join prefilter scans it with a broadcast probe of this
+        # batch's fingerprints, and the tiny hit set broadcasts into
+        # the anti join.
+        bfps = batch.select(F.col(fp)).distinct()
+        seen_hits = seen.select(F.col("fingerprint").alias(fp)) \
+            .join(F.broadcast(bfps), fp, "left_semi")
+        kept = batch.join(F.broadcast(seen_hits), fp, "left_anti")
+        # lazy checkpoint: the count below is the materializing job, so
+        # ONE materialization feeds both writes (the eager form paid an
+        # extra job for the same guarantee — round-12 verdict item 1)
+        kept = kept.localCheckpoint(eager=False)
         n_kept = kept.count()
-        _overwrite_batch_partition(kept.drop(fp), self._out, batch_id)
-        _overwrite_batch_partition(
+        self._writes.add(kept.drop(fp), self._out, batch_id)
+        self._writes.add(
             kept.select(F.col(fp).alias("fingerprint")),
             self._store, batch_id)
+        self._writes.flush()
         self.batch_stats.append((batch_id, n_in, n_kept))
 
 
@@ -469,11 +631,13 @@ class ParagraphDedupSink:
         recover_batch_store(spark, out_dir)
         self._text = text_col
         self._k = tokens_per_para
+        self._writes = DeferredWrites()
         self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, kept)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.dedup import paragraph_dedup, paragraph_units
 
+        self._writes.clear()
         _reject_batch_id_collision(batch_df)
 
         within = paragraph_dedup(batch_df, self._text,
@@ -485,8 +649,19 @@ class ParagraphDedupSink:
         ).filter(F.col("para") != "")
         seen = _read_store(self._spark, self._store, "para_md5 string",
                            exclude_batch=batch_id)
-        kept = paras.withColumn("para_md5", F.md5("para")).join(
-            seen, "para_md5", "left_anti").localCheckpoint()
+        # lazy: materialized by the survivor count below (one job).
+        # Store never shuffled — semi-join prefilter with a broadcast
+        # probe of this batch's paragraph hashes (see
+        # IncrementalDedupSink); the hashed frame is checkpointed
+        # first so the probe's broadcast build doesn't re-run the
+        # within-batch dedup + explode lineage
+        hashed = paras.withColumn("para_md5", F.md5("para")) \
+            .localCheckpoint(eager=False)
+        seen_hits = seen.join(
+            F.broadcast(hashed.select("para_md5").distinct()),
+            "para_md5", "left_semi")
+        kept = hashed.join(F.broadcast(seen_hits), "para_md5",
+                           "left_anti").localCheckpoint(eager=False)
         survivors = (
             kept.groupBy("doc_id")
             .agg(F.array_join(
@@ -506,9 +681,10 @@ class ParagraphDedupSink:
         )
         n_in = batch_df.count()
         n_kept = survivors.count()
-        _overwrite_batch_partition(docs, self._out, batch_id)
-        _overwrite_batch_partition(
+        self._writes.add(docs, self._out, batch_id)
+        self._writes.add(
             kept.select("para_md5").distinct(), self._store, batch_id)
+        self._writes.flush()
         self.batch_stats.append((batch_id, n_in, n_kept))
 
 

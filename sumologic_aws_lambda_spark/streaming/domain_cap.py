@@ -35,7 +35,8 @@ from ..functions.urls import (
     with_registered_domain_psl,
 )
 from .dedup import (
-    _overwrite_batch_partition,
+    DeferredStats,
+    DeferredWrites,
     _read_store,
     _reject_batch_id_collision,
     _store_has_data,
@@ -183,22 +184,59 @@ class DomainCapSink:
         # output (the composed stage-0 sink stages the canonical URL
         # once and must not leak it into out_dir)
         self._out_drop = tuple(out_drop_cols)
+        self._writes = DeferredWrites()
+        self._stats = DeferredStats()
+        # composition hooks (set by CurationStage0Sink / stage-2):
+        # keep_key retains the computed publisher key in the returned
+        # frame (published as self.key_col) so a downstream stage —
+        # the token-budget cut — can reuse it instead of paying the
+        # PSL staging's broadcast builds a second time per trigger;
+        # last_joined / last_total expose the trigger's materialized
+        # frame and raw row count for composed stats/writes.
+        self._keep_key = False
+        self.key_col: str | None = None
+        self.last_joined: DataFrame | None = None
+        self.last_total: int = 0
         self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, admitted)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._writes.clear()
+        self._stats.clear()
         admitted = self._admit(batch_df, batch_id)
-        _overwrite_batch_partition(admitted, self._out, batch_id)
+        self._writes.add(admitted, self._out, batch_id)
+        self._stats.collect()
+        self._writes.flush()
 
-    def _admit(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+    def _admit(self, batch_df: DataFrame, batch_id: int,
+               keep_col: str | None = None) -> DataFrame:
         """The cap stage without the output write: compute the admitted
-        frame (working/out_drop columns removed), persist the count
-        store, record stats, and RETURN the frame — so a composed sink
-        (``CurationStage1Sink``) can chain further stages on the
-        admitted rows in-memory instead of writing and re-reading an
-        intermediate per batch.  ``__call__`` is ``_admit`` + the
-        output-partition write."""
+        frame (working/out_drop columns removed), stage the count-store
+        write into ``self._writes``, record stats, and RETURN the frame
+        — so a composed sink (``CurationStage1Sink``) can chain further
+        stages on the admitted rows in-memory instead of writing and
+        re-reading an intermediate per batch.  ``__call__`` is
+        ``_admit`` + the output write + the deferred flush; a composer
+        shares ``self._writes`` and flushes once per trigger.
+
+        ``keep_col`` (boolean column name) lets an upstream stage ride
+        its row filter INTO this stage's single action instead of
+        paying its own: rows where it is false are pass-through losers
+        — they take no rank, consume no cap budget and are never
+        admitted, exactly as if the caller had filtered them out first,
+        but the one aggregate job can count them (``last_total`` = all
+        rows, ``n_in`` = keepers).  Rank-among-keepers is the running
+        sum of the keep flag in ``order_col`` order, which equals
+        row_number over the pre-filtered frame for the (documented)
+        unique, deterministic order key.
+
+        Per-trigger Spark-job shape (round-12 verdict item 1 — fixed
+        job latency dominates micro-batch cost): the ranked/prior-
+        joined frame is lazily checkpointed and ONE aggregate job
+        computes every stat over it (the window + left join preserve
+        all input rows); the admitted frame and the store write are
+        cheap filters/rollups over that same materialization, and the
+        write itself is deferred to the trigger-end concurrent flush."""
         _reject_batch_id_collision(batch_df)
-        n_in = batch_df.count()
         # collision-proof internal names: a user batch column literally
         # named _cap_key / _cap_rn / _cap_prior must survive untouched
         # in the admitted output (round-10 third-pass review — the
@@ -217,36 +255,67 @@ class DomainCapSink:
                 from_canonical=self._key_from_canonical,
             ).withColumn(
                 c_key, F.coalesce(F.col(c_key), F.lit("(null)")))
+        # lazy checkpoint BEFORE deriving the store probe: the probe's
+        # broadcast build executes first within the action and
+        # materializes this once — without it the (PSL-staged) key
+        # computation would run twice per trigger, once for the probe
+        # and once for the main plan
+        keyed = keyed.localCheckpoint(eager=False)
         prior = _read_store(self._spark, self._store,
                             "key string, admitted bigint",
                             exclude_batch=batch_id)
-        # store-side key aliased too: a bare .drop("key") would also
+        # the prior rollup is a PARTIAL-AGG groupBy: map-side combine
+        # collapses each scan partition to its distinct publishers
+        # before the exchange, so the shuffled volume is
+        # distinct-key-scale (the true state size), not store-row
+        # scale — unlike the fingerprint/band stores, no semi-join
+        # prefilter is needed, and skipping it saves two broadcast
+        # builds of fixed latency per trigger (round-13 measurement).
+        # Store-side key aliased too: a bare .drop("key") would also
         # drop a USER data column named 'key' from the admitted output
-        # (round-10 second-pass review)
+        # (round-10 second-pass review).
         prior_counts = prior.groupBy(
             F.col("key").alias(c_pkey)).agg(
             F.sum("admitted").alias(c_prior))
-        w = Window.partitionBy(c_key).orderBy(self._order)
-        ranked = keyed.withColumn(c_rn, F.row_number().over(w))
+        keep = F.col(keep_col) if keep_col is not None else F.lit(True)
+        w = Window.partitionBy(c_key).orderBy(self._order) \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ranked = keyed.withColumn(
+            c_rn, F.sum(F.when(keep, F.lit(1)).otherwise(0)).over(w))
         joined = ranked.join(
             prior_counts,
             ranked[c_key] == prior_counts[c_pkey],
             "left",
         ).drop(c_pkey).withColumn(
             c_prior, F.coalesce(F.col(c_prior), F.lit(0)))
-        admitted = joined.filter(
-            F.col(c_prior) + F.col(c_rn) <= self._cap)
-        # both writes must see ONE materialization — without this the
-        # store write would re-read the input and could diverge from
-        # the out write (the IncrementalDedupSink precedent)
-        admitted = admitted.localCheckpoint()
-        n_adm = admitted.count()
-        _overwrite_batch_partition(
+        # ONE materialization feeds the stats, the store write and the
+        # admitted output (the IncrementalDedupSink precedent), and the
+        # lazy form makes the stats aggregate the materializing job
+        joined = joined.localCheckpoint(eager=False)
+        adm_pred = keep & (F.col(c_prior) + F.col(c_rn) <= self._cap)
+        stats_df = joined.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.coalesce(F.sum(keep.cast("long")), F.lit(0)).alias("n_in"),
+            F.coalesce(F.sum(adm_pred.cast("long")),
+                       F.lit(0)).alias("n_adm"))
+
+        def _record(row):
+            self.last_total = row["n_total"]
+            self.batch_stats.append(
+                (batch_id, int(row["n_in"]), int(row["n_adm"])))
+
+        self._stats.add(stats_df, _record)
+        admitted = joined.filter(adm_pred)
+        self._writes.add(
             admitted.groupBy(F.col(c_key).alias("key")).agg(
                 F.count(F.lit(1)).cast("bigint").alias("admitted")),
             self._store, batch_id)
-        self.batch_stats.append((batch_id, n_in, n_adm))
-        return admitted.drop(c_key, c_rn, c_prior, *self._out_drop)
+        self.last_joined = joined
+        out = admitted.drop(c_rn, c_prior, *self._out_drop)
+        if self._keep_key:
+            self.key_col = c_key
+            return out
+        return out.drop(c_key)
 
 
 class TokenBudgetSink:
@@ -311,23 +380,63 @@ class TokenBudgetSink:
         recover_batch_store(spark, order_watermark_dir(store_dir))
         recover_batch_store(spark, out_dir)
         self._out_drop = tuple(out_drop_cols)
+        self._writes = DeferredWrites()
+        self._stats = DeferredStats()
+        # in-memory mirror of the order-watermark sidecar (batch_id →
+        # max order), seeded from the store once — the per-trigger
+        # watermark READ job was pure fixed cost after the first batch
+        # (round-12 verdict item 1).  The sidecar stays the durable
+        # source of truth across restarts; this run's guard reads the
+        # mirror.  Memory is one scalar per batch this checkpoint ever
+        # committed — bounded by the same count as the checkpoint's own
+        # commit log.
+        self._wm_hi: dict[int, object] = {}
+        self._wm_seeded = False
+        # composition hook (see DomainCapSink): raw row count of the
+        # last _admit input, for callers that tag with keep_col
+        self.last_total: int = 0
         self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, admitted)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._writes.clear()
+        self._stats.clear()
         admitted = self._admit(batch_df, batch_id)
-        _overwrite_batch_partition(admitted, self._out, batch_id)
+        self._writes.add(admitted, self._out, batch_id)
+        self._stats.collect()
+        self._writes.flush()
 
-    def _admit(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+    def _admit(self, batch_df: DataFrame, batch_id: int,
+               keep_col: str | None = None) -> DataFrame:
         """Budget stage without the output write (the ``DomainCapSink.
-        _admit`` composition contract)."""
+        _admit`` composition contract).
+
+        ``keep_col`` (boolean column name) marks pass-through losers
+        exactly as on ``DomainCapSink._admit``: rows tagged false
+        consume NO budget (their weight contributes zero to the cumsum
+        and the store) and are never admitted — identical semantics to
+        the caller filtering them out first, but the one aggregate job
+        counts them too (``last_total`` = all rows, ``n_in`` =
+        keepers), so a composed sink rides its selection filter into
+        this stage's action.  The monotone-order watermark spans ALL
+        rows of the tagged frame (a superset of the keepers — strictly
+        stricter, and the legit contract is crawl-order monotonicity of
+        the whole stream anyway).
+
+        Per-trigger Spark-job shape (round-12 verdict item 1): the
+        cumsum/prior-joined frame is lazily checkpointed and ONE
+        aggregate job computes n_in, the monotone-order min/max AND
+        n_admitted (the left join preserves every keyed row, so every
+        per-input statistic is computable over it); the store write —
+        which must see the batch's TOTAL keeper weight per key,
+        admitted or not — rolls up that same materialization, and both
+        writes are deferred to the trigger-end concurrent flush.  The
+        monotone-order guard still raises BEFORE any persistent side
+        effect: nothing is flushed until the whole chain has passed."""
         _reject_batch_id_collision(batch_df)
         u = fresh_prefix(batch_df.columns, "_tb")
         c_key, c_cum, c_prior = f"{u}_key", f"{u}_cum", f"{u}_prior"
         c_pkey, c_w = f"{u}_prior_key", f"{u}_w"
-        # ONE materialization feeds the store write (full keyed frame —
-        # every row consumes budget) AND the admit path (the
-        # IncrementalDedupSink precedent: the two persistent writes
-        # must never see different recomputations of the input)
+        keep = F.col(keep_col) if keep_col is not None else F.lit(True)
         if self._key is not None:
             keyed = batch_df.withColumn(
                 c_key,
@@ -338,15 +447,20 @@ class TokenBudgetSink:
                 from_canonical=self._key_from_canonical,
             ).withColumn(
                 c_key, F.coalesce(F.col(c_key), F.lit("(null)")))
+        # losers' weight is zeroed, so the cumsum AND the store rollup
+        # both see keeper weight only
         keyed = keyed.withColumn(
             c_w,
-            F.coalesce(F.col(self._weight).cast("bigint"), F.lit(0)),
-        ).localCheckpoint()
-        n_in = keyed.count()
-        self._enforce_monotone_order(keyed, batch_id)
+            F.when(keep, F.coalesce(F.col(self._weight).cast("bigint"),
+                                    F.lit(0))).otherwise(F.lit(0)))
+        # lazy checkpoint before the probe derivation — one key-staging
+        # materialization per trigger (see DomainCapSink._admit)
+        keyed = keyed.localCheckpoint(eager=False)
         prior = _read_store(self._spark, self._store,
                             "key string, toks bigint",
                             exclude_batch=batch_id)
+        # partial-agg groupBy: shuffled volume is distinct-key-scale,
+        # no prefilter needed — see DomainCapSink._admit
         prior_sums = prior.groupBy(F.col("key").alias(c_pkey)).agg(
             F.sum("toks").alias(c_prior))
         # cumulative weight INCLUDING the current row, in crawl order —
@@ -358,50 +472,83 @@ class TokenBudgetSink:
             prior_sums, cumd[c_key] == prior_sums[c_pkey], "left",
         ).drop(c_pkey).withColumn(
             c_prior, F.coalesce(F.col(c_prior), F.lit(0)))
-        admitted = joined.filter(
-            F.col(c_prior) + F.col(c_cum) <= self._budget)
-        admitted = admitted.localCheckpoint()
-        n_adm = admitted.count()
-        # the store records the batch's TOTAL weight per key (all input
-        # rows consume budget — see class doc), so it must be computed
-        # from the full keyed frame, not the admitted one
-        _overwrite_batch_partition(
-            keyed.groupBy(F.col(c_key).alias("key")).agg(
+        # ONE materialization feeds stats, store write and admit path
+        # (the IncrementalDedupSink precedent), lazily so the stats
+        # aggregate is the materializing job
+        joined = joined.localCheckpoint(eager=False)
+        adm_pred = keep & (F.col(c_prior) + F.col(c_cum) <= self._budget)
+        stats_df = joined.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.coalesce(F.sum(keep.cast("long")), F.lit(0)).alias("n_in"),
+            F.min(self._order).alias("lo"),
+            F.max(self._order).alias("hi"),
+            F.coalesce(F.sum(adm_pred.cast("long")),
+                       F.lit(0)).alias("n_adm"))
+        order_type = joined.schema[self._order].dataType
+
+        def _record(row):
+            # the monotone-order guard raises HERE, at stats-collect
+            # time — still strictly before any persistent side effect,
+            # because the deferred writes only flush after collect()
+            # returns cleanly (see DeferredStats)
+            self._validate_order(row["lo"], row["hi"], batch_id,
+                                 order_type)
+            self.last_total = int(row["n_total"])
+            self.batch_stats.append(
+                (batch_id, int(row["n_in"]), int(row["n_adm"])))
+
+        self._stats.add(stats_df, _record)
+        # the store records the batch's TOTAL keeper weight per key
+        # (all keeper rows consume budget — see class doc): the left
+        # join kept every keyed row, so the rollup sees them all.
+        # Staged before validation runs, but nothing flushes unless
+        # the whole collect() passes.
+        self._writes.add(
+            joined.groupBy(F.col(c_key).alias("key")).agg(
                 F.sum(c_w).cast("bigint").alias("toks")),
             self._store, batch_id)
-        self.batch_stats.append((batch_id, n_in, n_adm))
-        return admitted.drop(c_key, c_cum, c_prior, c_w,
-                             *self._out_drop)
+        return joined.filter(adm_pred).drop(
+            c_key, c_cum, c_prior, c_w, *self._out_drop)
 
-    def _enforce_monotone_order(self, keyed: DataFrame,
-                                batch_id: int) -> None:
+    def _validate_order(self, lo, hi, batch_id: int, order_type) -> None:
         """Raise if this batch's min ``order_col`` does not EXCEED
         every prior batch's persisted max — the batch-parity contract
         made self-enforcing (class doc).  Runs BEFORE any persistent
-        side effect of the batch; on pass, persists this batch's max
-        into the ``_order_watermark`` sidecar (per-batch overwrite, so
-        a redelivered batch re-validates against earlier batches only
+        side effect of the batch; on pass, stages this batch's max for
+        the ``_order_watermark`` sidecar (per-batch overwrite, so a
+        redelivered batch re-validates against earlier batches only
         and rewrites its own row idempotently).  An empty batch moves
-        no watermark and checks nothing."""
-        wm_dir = order_watermark_dir(self._store)
-        mm = keyed.agg(F.min(self._order).alias("lo"),
-                       F.max(self._order).alias("hi")).first()
-        if mm["lo"] is None:
+        no watermark and checks nothing.  Prior maxima come from the
+        in-memory mirror (seeded from the sidecar on first use — see
+        ``__init__``); the sidecar write is a driver-built 1-row frame
+        in the order column's exact type."""
+        if lo is None:
             return
-        if _store_has_data(self._spark, wm_dir):
-            prior_hi = (
-                self._spark.read.parquet(wm_dir)
-                .filter(F.col("batch_id") != batch_id)
-                .agg(F.max("hi")).first()[0])
-            if prior_hi is not None and mm["lo"] <= prior_hi:
-                raise ValueError(
-                    f"TokenBudgetSink order_col {self._order!r} is not "
-                    f"monotone across batches: batch {batch_id} starts "
-                    f"at {mm['lo']!r} but a prior batch ended at "
-                    f"{prior_hi!r} — cross-batch admissions would be "
-                    f"order-dependent (see class docstring)")
-        _overwrite_batch_partition(
-            keyed.agg(F.max(F.col(self._order)).alias("hi")),
+        wm_dir = order_watermark_dir(self._store)
+        if not self._wm_seeded:
+            if _store_has_data(self._spark, wm_dir):
+                for r in (self._spark.read.parquet(wm_dir)
+                          .groupBy("batch_id")
+                          .agg(F.max("hi").alias("hi")).collect()):
+                    self._wm_hi[r["batch_id"]] = r["hi"]
+            self._wm_seeded = True
+        prior = [v for b, v in self._wm_hi.items()
+                 if b != batch_id and v is not None]
+        prior_hi = max(prior) if prior else None
+        if prior_hi is not None and lo <= prior_hi:
+            raise ValueError(
+                f"TokenBudgetSink order_col {self._order!r} is not "
+                f"monotone across batches: batch {batch_id} starts "
+                f"at {lo!r} but a prior batch ended at "
+                f"{prior_hi!r} — cross-batch admissions would be "
+                f"order-dependent (see class docstring)")
+        from pyspark.sql import types as T
+
+        self._wm_hi[batch_id] = hi
+        self._writes.add(
+            self._spark.createDataFrame(
+                [(hi,)],
+                T.StructType([T.StructField("hi", order_type)])),
             wm_dir, batch_id)
 
 
@@ -435,7 +582,8 @@ class CurationStage0Sink:
 
     def __init__(self, spark: SparkSession, dedup_store: str,
                  cap_store: str, out_dir: str, url_col: str = "url",
-                 order_col: str = "doc_id", cap: int = 10):
+                 order_col: str = "doc_id", cap: int = 10,
+                 keep_key: bool = False):
         if cap < 1:
             # fail at CONSTRUCTION, not inside __call__ after the
             # dedup-store write has already happened (round-10
@@ -451,24 +599,53 @@ class CurationStage0Sink:
         # startup compaction recovery for the URL fingerprint store
         # (the inner DomainCapSink recovers the cap store itself)
         recover_batch_store(spark, dedup_store)
+        # the inner cap sink is constructed ONCE — a per-batch
+        # constructor re-ran recover_batch_store's two listStatus scans
+        # every trigger (round-12 ADVICE); its per-batch url/drop
+        # columns are set in _admit (the nd._text mutation precedent)
+        self._cap_sink = DomainCapSink(
+            spark, cap_store, out_dir, url_col="_set_per_batch",
+            order_col=order_col, cap=cap, key_from_canonical=True)
+        self._cap_sink._keep_key = keep_key
+        self._writes = self._cap_sink._writes
+        self._stats = self._cap_sink._stats
+        # when keep_key: the publisher-key column name retained in the
+        # admitted frame, refreshed per _admit (the stage-2 composer
+        # reuses it for the token-budget cut — PSL staged ONCE/trigger)
+        self.key_col: str | None = None
         self.batch_stats: list[tuple[int, int, int, int]] = []
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._writes.clear()
+        self._stats.clear()
         admitted = self._admit(batch_df, batch_id)
-        _overwrite_batch_partition(admitted, self._out, batch_id)
+        self._writes.add(admitted, self._out, batch_id)
+        self._stats.collect()
+        self._writes.flush()
 
     def _admit(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
         """Dedup + cap without the output write (the ``DomainCapSink.
         _admit`` contract): returns the cap-admitted frame with working
         columns removed, so ``CurationStage1Sink`` can chain extraction
-        / gates / near-dedup on it in-memory."""
+        / gates / near-dedup on it in-memory.
+
+        The dedup stage rides INTO the cap stage's single action as a
+        boolean keep tag (``DomainCapSink._admit``'s ``keep_col``):
+        within-batch losers (not the lowest-order spelling of their
+        canonical key) and store-seen fingerprints are tagged false
+        instead of filtered, so ONE aggregate job yields the raw,
+        deduped and admitted counts, and the fingerprint-store write is
+        a filter over the cap's one materialization — the whole stage-0
+        trigger is one multi-stage Spark action plus the deferred
+        concurrent flush (round-12 verdict item 1)."""
         # validate BEFORE any persistent side effect: a rejected batch
         # must not leave its fingerprint partition behind (round-10
-        # fifth-pass review)
+        # fifth-pass review; with deferred writes nothing persists
+        # until the whole chain has passed anyway)
         _reject_batch_id_collision(batch_df)
-        n_in = batch_df.count()
         u = fresh_prefix(batch_df.columns, "_cur")
-        canon, fp, rn = f"{u}_canon", f"{u}_fp", f"{u}_rn"
+        canon, fp = f"{u}_canon", f"{u}_fp"
+        rn, c_seen, c_keep = f"{u}_rn", f"{u}_seen", f"{u}_keep"
         staged = batch_df.withColumn(
             canon, canonicalize_url(F.col(self._url))
         ).withColumn(
@@ -484,44 +661,68 @@ class CurationStage0Sink:
                 # fallback keyed on the (unique) order column keeps
                 # NULL-url rows from collapsing into one
                 F.concat(F.lit("rawid:"),
-                         F.col(self._order).cast("string"))))
+                         F.col(self._order).cast("string")))
+        ).localCheckpoint(eager=False)
+        # ^ lazy checkpoint before the probe derivation: the store
+        # probe's broadcast build runs the canonicalizer otherwise —
+        # one staging materialization per trigger (DomainCapSink note)
         # deterministic keeper: lowest order_col per canonical key
-        # (parity with crawl_stage0_funnel's min-doc_id rule)
+        # (parity with crawl_stage0_funnel's min-doc_id rule); the
+        # store-seen check is a left join FLAG on the staged key — the
+        # multi-fallback fp (md5-of-canonical / raw: / rawid:) is a
+        # function of three inputs, so incremental_dedup's key_fn-over-
+        # one-column contract cannot express it, and the staged column
+        # must ride through to the store write anyway
         wkeep = Window.partitionBy(fp).orderBy(self._order)
-        batch = staged.withColumn(rn, F.row_number().over(wkeep)) \
-            .filter(F.col(rn) == 1).drop(rn)
         seen = _read_store(self._spark, self._dedup_store,
                            "fingerprint string",
                            exclude_batch=batch_id)
-        # inline anti-join on the staged key: the multi-fallback fp
-        # (md5-of-canonical / raw: / rawid:) is a function of THREE
-        # inputs, not one column, so incremental_dedup's
-        # key_fn-over-one-column contract cannot express it — and the
-        # staged column must ride through to the store write anyway
-        survivors = batch.join(
-            seen.select(F.col("fingerprint").alias(fp)),
-            fp, "left_anti")
-        # one materialization feeds the fingerprint write AND the cap
-        # stage (the dedup-sink precedent)
-        survivors = survivors.localCheckpoint()
+        # left-join FLAG, not left_anti: the losers must survive into
+        # the cap stage (tagged false) for the single-action stats.
+        # The store is NEVER shuffled (round-13): the fingerprint store
+        # is corpus-scale, so it is semi-joined down to the batch's own
+        # fingerprints first (broadcast probe — the store is only
+        # scanned), and the tiny hit set is broadcast into the flag
+        # join.  No distinct on either side: a fingerprint is written
+        # at most once ever (only never-seen keys are kept, and the
+        # compaction agg is a set fold), so the flag join cannot fan
+        # out.
+        bfps = staged.select(F.col(fp)).distinct()
+        seen_hits = (
+            seen.select(F.col("fingerprint").alias(fp))
+            .join(F.broadcast(bfps), fp, "left_semi")
+            .withColumn(c_seen, F.lit(True)))
+        tagged = (
+            staged.withColumn(rn, F.row_number().over(wkeep))
+            .join(F.broadcast(seen_hits), fp, "left")
+            .withColumn(c_keep,
+                        (F.col(rn) == 1) & F.col(c_seen).isNull())
+            .drop(rn, c_seen))
+        cap_sink = self._cap_sink
+        cap_sink._url = canon  # full-PSL default, canon staged once
+        cap_sink._out_drop = (canon, fp, c_keep)
+        admitted = cap_sink._admit(tagged, batch_id, keep_col=c_keep)
         # the per-row 'rawid:' sentinels exist only to keep NULL-url
         # rows distinct WITHIN a batch — persisted, they would acquire
         # cross-batch dedup meaning they don't have (an order value
         # repeating across batches would silently anti-join an
         # unrelated NULL-url document away; round-10 seventh-pass
         # review).  Content-derived keys (md5 / raw:) do persist.
-        _overwrite_batch_partition(
-            survivors.filter(~F.col(fp).startswith("rawid:"))
+        self._writes.add(
+            cap_sink.last_joined
+            .filter(F.col(c_keep) & ~F.col(fp).startswith("rawid:"))
             .select(F.col(fp).alias("fingerprint")),
             self._dedup_store, batch_id)
-        cap_sink = DomainCapSink(
-            self._spark, self._cap_store, self._out,
-            url_col=canon, order_col=self._order, cap=self._cap,
-            key_from_canonical=True,  # full-PSL default, canon staged
-            out_drop_cols=(canon, fp))
-        admitted = cap_sink._admit(survivors, batch_id)
-        # the inner sink already counted the survivors frame as its
-        # n_in — reuse it instead of paying a second count job
-        _, n_dedup, n_adm = cap_sink.batch_stats[-1]
-        self.batch_stats.append((batch_id, n_in, n_dedup, n_adm))
+        # every count from the cap stage's one aggregate: raw rows,
+        # dedup keepers (its n_in), cap-admitted.  Registered AFTER the
+        # cap's own stats callback, so it reads the freshly-appended
+        # entry (DeferredStats runs callbacks in registration order).
+        self.key_col = cap_sink.key_col
+
+        def _record(_row):
+            _, n_dedup, n_adm = cap_sink.batch_stats[-1]
+            self.batch_stats.append(
+                (batch_id, cap_sink.last_total, n_dedup, n_adm))
+
+        self._stats.add(None, _record)
         return admitted

@@ -45,7 +45,8 @@ from pyspark.sql import functions as F
 
 from ..colnames import fresh_prefix
 from .dedup import (
-    _overwrite_batch_partition,
+    DeferredStats,
+    DeferredWrites,
     _read_store,
     _reject_batch_id_collision,
     fingerprint_store_agg,
@@ -120,13 +121,19 @@ class MinHashDedupSink:
         # out_dir.
         self._with_counts = with_counts
         self.counts_cols: tuple[str, str] | None = None
+        self._writes = DeferredWrites()
+        self._stats = DeferredStats()
         self.batch_stats: list[tuple[int, int, int]] = []  # (id, in, kept)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._writes.clear()
+        self._stats.clear()
         survivors = self._admit(batch_df, batch_id)
         if self.counts_cols:
             survivors = survivors.drop(*self.counts_cols)
-        _overwrite_batch_partition(survivors, self._out, batch_id)
+        self._writes.add(survivors, self._out, batch_id)
+        self._stats.collect()
+        self._writes.flush()
 
     def _band_keys(self, batch_df: DataFrame, u: str) -> DataFrame:
         """(``{u}_ord``, ``{u}_band``, ``{u}_key``): one row per
@@ -174,66 +181,104 @@ class MinHashDedupSink:
 
     def _admit(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
         """Near-dedup without the output write: compute the admitted
-        frame, persist the band-bucket store, record stats, RETURN the
-        frame (the ``DomainCapSink._admit`` composition contract)."""
+        frame, stage the band-bucket store write, record stats, RETURN
+        the frame (the ``DomainCapSink._admit`` composition contract).
+
+        Per-trigger Spark-job shape (round-12 verdict item 1): ONE
+        aggregate over the flagged band rows yields both stats — n_in
+        is the distinct doc count (every document emits at least one
+        band row: the gram index floors at one entry even for empty
+        text), n_kept subtracts the docs with any blocked bucket — and
+        is the materializing job for the bands AND flagged lazy
+        checkpoints; the store write and the survivor join-back are
+        cheap derivations over those checkpoints, deferred/evaluated
+        by the caller's next action or the trigger-end flush."""
         _reject_batch_id_collision(batch_df)
         order = self._order
         u = fresh_prefix(batch_df.columns, "_nd")
-        # persist: the batch feeds the count, the shingle fold, and the
-        # survivor join-back — without it the (possibly extraction-
-        # heavy) upstream transform recomputes per action
+        # persist: the batch feeds the shingle fold and the survivor
+        # join-back — without it the (possibly extraction-heavy)
+        # upstream transform recomputes per action.  Unpersisted by a
+        # DeferredStats cleanup AFTER the trigger's concurrent stats
+        # collection; materializations after that (the flush, a
+        # composed downstream stage) recompute the upstream lineage,
+        # which in the composed sinks is a cheap filter over the cap
+        # stage's checkpoint and standalone is the deterministic
+        # source re-read.
         batch_df.persist()
-        try:
-            n_in = batch_df.count()
-            # one materialization feeds the store write AND the
-            # admission check (the dedup-sink precedent: the store
-            # write must not re-read/re-shingle the input)
-            bands = self._band_keys(batch_df, u).localCheckpoint()
-            _overwrite_batch_partition(
-                bands.groupBy(f"{u}_band", f"{u}_key").agg(
-                    F.min(f"{u}_ord").cast("string").alias("first_doc"))
-                .select(F.col(f"{u}_band").alias("band"),
-                        F.col(f"{u}_key").alias("band_key"),
-                        "first_doc"),
-                self._store, batch_id)
-            prior = _read_store(
+        self._stats.add_cleanup(batch_df.unpersist)
+        # one materialization feeds the store write AND the admission
+        # check (the dedup-sink precedent: the store write must not
+        # re-read/re-shingle the input); lazy, so the trigger's stats
+        # collection materializes it
+        bands = self._band_keys(batch_df, u) \
+            .localCheckpoint(eager=False)
+        self._writes.add(
+            bands.groupBy(f"{u}_band", f"{u}_key").agg(
+                F.min(f"{u}_ord").cast("string").alias("first_doc"))
+            .select(F.col(f"{u}_band").alias("band"),
+                    F.col(f"{u}_key").alias("band_key"),
+                    "first_doc"),
+            self._store, batch_id)
+        # the store is NEVER shuffled (round-13): a distinct over the
+        # whole band store re-shuffled corpus-scale state every
+        # trigger.  Semi-join it down to the batch's own buckets first
+        # (broadcast probe — the store is only scanned); the distinct
+        # then collapses only the HIT set, which is bounded by this
+        # batch's buckets × their occupying batches, not by the
+        # corpus.
+        bkeys = bands.select(f"{u}_band", f"{u}_key").distinct()
+        prior = (
+            _read_store(
                 self._spark, self._store,
                 "band int, band_key string, first_doc string",
-                exclude_batch=batch_id,
-            ).select(F.col("band").alias(f"{u}_band"),
-                     F.col("band_key").alias(f"{u}_key")) \
-                .distinct().withColumn(f"{u}_prior", F.lit(True))
-            # blocked iff an earlier batch ever touched the bucket, or
-            # an earlier-order doc in THIS batch occupies it.  The
-            # bucket window runs over the micro-batch only — bounded by
-            # trigger size; the corpus-scale state lives in the store
-            # join (batch side tiny → AQE broadcasts it).
-            w = Window.partitionBy(f"{u}_band", f"{u}_key")
-            flagged = bands.withColumn(
-                f"{u}_first", F.min(f"{u}_ord").over(w)
-            ).join(prior, [f"{u}_band", f"{u}_key"], "left").withColumn(
-                f"{u}_blocked",
-                F.coalesce(F.col(f"{u}_prior"), F.lit(False))
-                | (F.col(f"{u}_first") != F.col(f"{u}_ord")))
-            agg_cols = [
-                F.max(F.col(f"{u}_blocked").cast("int")).alias(f"{u}_b")]
-            sel: list = [F.col(f"{u}_ord").alias(order)]
-            if self._with_counts:
-                # every band row of one doc carries the same counts —
-                # min() is determinism-by-construction, not a choice
-                agg_cols += [F.min(f"{u}_total").alias(f"{u}_total"),
-                             F.min(f"{u}_distinct")
-                             .alias(f"{u}_distinct")]
-                sel += [f"{u}_total", f"{u}_distinct"]
-                self.counts_cols = (f"{u}_total", f"{u}_distinct")
-            admitted = flagged.groupBy(f"{u}_ord").agg(*agg_cols) \
-                .filter(F.col(f"{u}_b") == 0).select(*sel)
-            survivors = batch_df.join(admitted, order).localCheckpoint()
-            n_kept = survivors.count()
-        finally:
-            batch_df.unpersist()
-        self.batch_stats.append((batch_id, n_in, n_kept))
-        return survivors
+                exclude_batch=batch_id)
+            .select(F.col("band").alias(f"{u}_band"),
+                    F.col("band_key").alias(f"{u}_key"))
+            .join(F.broadcast(bkeys),
+                  [f"{u}_band", f"{u}_key"], "left_semi")
+            .distinct().withColumn(f"{u}_prior", F.lit(True)))
+        # blocked iff an earlier batch ever touched the bucket, or an
+        # earlier-order doc in THIS batch occupies it.  The bucket
+        # window runs over the micro-batch only — bounded by trigger
+        # size; the corpus-scale state lives in the store semi-join
+        # above.
+        w = Window.partitionBy(f"{u}_band", f"{u}_key")
+        flagged = bands.withColumn(
+            f"{u}_first", F.min(f"{u}_ord").over(w)
+        ).join(F.broadcast(prior),
+               [f"{u}_band", f"{u}_key"], "left").withColumn(
+            f"{u}_blocked",
+            F.coalesce(F.col(f"{u}_prior"), F.lit(False))
+            | (F.col(f"{u}_first") != F.col(f"{u}_ord"))
+        ).localCheckpoint(eager=False)
+        stats_df = flagged.agg(
+            F.count_distinct(F.col(f"{u}_ord")).alias("n_in"),
+            F.count_distinct(
+                F.when(F.col(f"{u}_blocked"), F.col(f"{u}_ord")))
+            .alias("n_blocked"))
+
+        def _record(row):
+            n_in = int(row["n_in"])
+            self.batch_stats.append(
+                (batch_id, n_in, n_in - int(row["n_blocked"])))
+
+        self._stats.add(stats_df, _record)
+        agg_cols = [
+            F.max(F.col(f"{u}_blocked").cast("int")).alias(f"{u}_b")]
+        sel: list = [F.col(f"{u}_ord").alias(order)]
+        if self._with_counts:
+            # every band row of one doc carries the same counts —
+            # min() is determinism-by-construction, not a choice
+            agg_cols += [F.min(f"{u}_total").alias(f"{u}_total"),
+                         F.min(f"{u}_distinct")
+                         .alias(f"{u}_distinct")]
+            sel += [f"{u}_total", f"{u}_distinct"]
+            self.counts_cols = (f"{u}_total", f"{u}_distinct")
+        admitted = flagged.groupBy(f"{u}_ord").agg(*agg_cols) \
+            .filter(F.col(f"{u}_b") == 0).select(*sel)
+        return batch_df.join(admitted, order) \
+            .localCheckpoint(eager=False)
 
 
 def run_minhash_dedup(spark: SparkSession, in_path: str, out_dir: str,
@@ -306,12 +351,23 @@ class CurationStage1Sink:
         self._extract = extract
         self._min_chars = min_chars
         self._band_lo, self._band_hi = token_band
+        # ONE deferred-write + ONE deferred-stats buffer across the
+        # whole composition: every inner stage stages its store write
+        # and its 1-row stats aggregate here; the trigger collects the
+        # stats concurrently, then flushes the writes concurrently
+        # (round-12 verdict item 1 — the per-store sequential jobs
+        # were the dominant fixed cost per trigger)
+        self._writes = self._s0._writes
+        self._nd_proto._writes = self._writes
+        self._stats = self._s0._stats
+        self._nd_proto._stats = self._stats
         self.batch_stats: list[tuple[int, int, int, int, int, int]] = []
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._writes.clear()
+        self._stats.clear()
         # stage 0 (validates batch_id collision before any side effect)
         capped = self._s0._admit(batch_df, batch_id)
-        _, n_in, n_dedup, n_capped = self._s0.batch_stats[-1]
         # extraction + gates: stage the extracted text ONCE (the
         # regex-heavy extractor must not re-evaluate per consumer —
         # the urls.py staging lesson); collision-proof staged name
@@ -330,11 +386,18 @@ class CurationStage1Sink:
         nd = self._nd_proto
         nd._text = f"{u}_xt"
         survivors = nd._admit(gated, batch_id)
-        _, n_gated, n_adm = nd.batch_stats[-1]
-        _overwrite_batch_partition(
+        self._writes.add(
             survivors.drop(f"{u}_xt"), self._out, batch_id)
-        self.batch_stats.append(
-            (batch_id, n_in, n_dedup, n_capped, n_gated, n_adm))
+
+        def _record(_row):
+            _, n_in, n_dedup, n_capped = self._s0.batch_stats[-1]
+            _, n_gated, n_adm = nd.batch_stats[-1]
+            self.batch_stats.append(
+                (batch_id, n_in, n_dedup, n_capped, n_gated, n_adm))
+
+        self._stats.add(None, _record)
+        self._stats.collect()
+        self._writes.flush()
 
 
 class CurationStage2Sink:
@@ -396,9 +459,14 @@ class CurationStage2Sink:
             raise ValueError(
                 f"sample_hex must be two lowercase hex chars, got "
                 f"{sample_hex!r}")
+        # keep_key: stage 0's PSL-staged publisher key rides the chain
+        # so the token-budget stage reuses it instead of paying the
+        # tier-broadcast builds a second time per trigger (round-12
+        # verdict item 1)
         self._s0 = CurationStage0Sink(
             spark, dedup_store, cap_store, out_dir,
-            url_col=url_col, order_col=order_col, cap=cap)
+            url_col=url_col, order_col=order_col, cap=cap,
+            keep_key=True)
         self._nd = MinHashDedupSink(
             spark, band_store, out_dir, text_col="_set_per_batch",
             order_col=order_col, num_hashes=num_hashes,
@@ -415,14 +483,24 @@ class CurationStage2Sink:
         self._min_chars = min_chars
         self._band_lo, self._band_hi = token_band
         self._sample_hex = sample_hex
+        # ONE deferred-write + ONE deferred-stats buffer across all
+        # five persistent surfaces (see CurationStage1Sink) — stats
+        # collected, then writes flushed, each concurrently per trigger
+        self._writes = self._s0._writes
+        self._nd._writes = self._writes
+        self._tb._writes = self._writes
+        self._stats = self._s0._stats
+        self._nd._stats = self._stats
+        self._tb._stats = self._stats
         self.batch_stats: list[
             tuple[int, int, int, int, int, int, int, int, int]] = []
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._writes.clear()
+        self._stats.clear()
         # stages 0–1 (stage 0 validates batch_id collision before any
         # persistent side effect)
         capped = self._s0._admit(batch_df, batch_id)
-        _, n_in, n_dedup, n_capped = self._s0.batch_stats[-1]
         u = fresh_prefix(capped.columns, "_s2")
         xt_col: Column = F.col(self._content)
         if self._extract is not None:
@@ -440,32 +518,45 @@ class CurationStage2Sink:
         nd = self._nd
         nd._text = f"{u}_xt"
         survivors = nd._admit(gated, batch_id)
-        _, n_gated, n_nd = nd.batch_stats[-1]
         c_total, c_distinct = nd.counts_cols
         # repetition-ratio gate — exact integer cross-product, no float
         # boundary (the batch funnel's test verbatim)
-        quality = survivors.filter(
-            ~((F.col(c_total) - F.col(c_distinct)) * 2
-              > F.col(c_total))).drop(c_total, c_distinct)
+        qual_pred = ~((F.col(c_total) - F.col(c_distinct)) * 2
+                      > F.col(c_total))
         # deterministic ~70% hash sample: membership is a pure row
-        # property of the order key
-        sampled = quality.filter(
+        # property of the order key, so it rides into the budget
+        # stage's single action as its keep tag — quality rows that
+        # miss the sample flow through as counted losers (round-12
+        # verdict item 1: no separate selection-count job at all)
+        c_samp = f"{u}_samp"
+        quality = survivors.filter(qual_pred).drop(
+            c_total, c_distinct).withColumn(
+            c_samp,
             F.substring(F.md5(F.col(self._order).cast("string")), 1, 2)
             <= self._sample_hex)
-        # one materialization feeds the quality/sample counts and the
-        # budget stage (whose own store write re-reads its input)
-        sampled = sampled.localCheckpoint()
-        n_quality = quality.count()
-        n_sampled = sampled.count()
         tb = self._tb
         tb._weight = f"{u}_xtok"
-        admitted = tb._admit(sampled, batch_id)
-        _, _, n_adm = tb.batch_stats[-1]
-        _overwrite_batch_partition(
-            admitted.drop(f"{u}_xt", f"{u}_xtok"), self._out, batch_id)
-        self.batch_stats.append(
-            (batch_id, n_in, n_dedup, n_capped, n_gated, n_nd,
-             n_quality, n_sampled, n_adm))
+        # reuse stage 0's publisher key (rode the chain as a plain
+        # column) — identical value to what tb's own PSL staging would
+        # compute on the same url_col, minus the staging cost
+        key_col = self._s0.key_col
+        tb._key = lambda _c: F.col(key_col)
+        admitted = tb._admit(quality, batch_id, keep_col=c_samp)
+        self._writes.add(
+            admitted.drop(f"{u}_xt", f"{u}_xtok", key_col, c_samp),
+            self._out, batch_id)
+
+        def _record(_row):
+            _, n_in, n_dedup, n_capped = self._s0.batch_stats[-1]
+            _, n_gated, n_nd = nd.batch_stats[-1]
+            _, n_sampled, n_adm = tb.batch_stats[-1]
+            self.batch_stats.append(
+                (batch_id, n_in, n_dedup, n_capped, n_gated, n_nd,
+                 tb.last_total, n_sampled, n_adm))
+
+        self._stats.add(None, _record)
+        self._stats.collect()
+        self._writes.flush()
 
 
 def run_curation_stage2(spark: SparkSession, in_path: str,

@@ -390,10 +390,12 @@ def test_periodic_compactor_bounds_partitions_mid_stream(spark, tmp_path):
     t = run("t", lambda s: s)
     assert c.batch_stats == t.batch_stats
     parts = _partitions(tmp_path / "c")
-    # last cadence point was batch 4: ids 0-3 folded into -1; 4 and 5
-    # still own their partitions
+    # last cadence point was batch 4 with upto=batch_id-1 (round-12
+    # ADVICE: stay inside compact_batch_store's committed-only bound
+    # without the sequential-commit assumption): ids 0-2 folded into
+    # -1; 3, 4 and 5 still own their partitions
     assert f"batch_id={COMPACTED_BATCH_ID}" in parts
-    assert len(parts) <= 3 < len(_partitions(tmp_path / "t"))
+    assert len(parts) <= 4 < len(_partitions(tmp_path / "t"))
     out_c = sorted(r.doc_id for r in spark.read.parquet(
         str(tmp_path / "c" / "out")).collect())
     out_t = sorted(r.doc_id for r in spark.read.parquet(
