@@ -1,0 +1,285 @@
+"""Pure-stdlib media codecs: PPM (P6) + BMP (24-bit) rasters and WAV
+(PCM) audio, with deterministic pixel/sample statistics — the REAL
+decode step of the multimodal pipeline (round-12 verdict item 3: the
+feature extractor must decode at least one real format without an
+optional dependency; PIL stays the gated path for JPEG/PNG).
+
+Everything here is byte-level `struct`/`wave` parsing of public file
+formats (netpbm spec, BITMAPINFOHEADER, RIFF/WAVE) — no third-party
+libraries.  The decoders are strict (malformed input raises), so the
+Spark-side dispatch in ``operators/multimodal.py`` can sniff magic
+bytes, attempt the decode, and fall back to the documented hash stub
+deterministically.
+
+Feature convention: every statistic is quantized to the u16 grid
+``k / 65536`` with integer ``k`` (``quantize16``) BEFORE it is stored.
+Values on that grid are exactly representable in float32, so a Spark
+``array<float>`` column round-trips ``round(f * 65536)`` losslessly and
+the driver's DuckDB oracle can hash-match exact integers instead of
+chasing cross-engine float rounding — the same trick as the original
+``multimodal_feature_extract`` entry.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+# ---------------------------------------------------------------------------
+# quantization
+
+
+def quantize16(value: float) -> float:
+    """Snap ``value`` (expected in [0, 1]) onto the ``k / 65536`` grid —
+    exact in float32 and exactly recoverable as ``round(f * 65536)``.
+    Out-of-range inputs clamp rather than wrap: a statistic a hair past
+    1.0 from float error must not alias to 0."""
+    k = int(value * 65536.0)
+    k = 0 if k < 0 else (65536 if k > 65536 else k)
+    return k / 65536.0
+
+
+# ---------------------------------------------------------------------------
+# PPM (netpbm P6, binary, maxval <= 255)
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal P6 writer: ``P6\\n<w> <h>\\n255\\n`` + raw RGB rows."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"rgb payload is {len(rgb)} bytes, need {width * height * 3}")
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def decode_ppm(content: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM (P6): returns (width, height, raw RGB bytes).
+    Handles the spec's whitespace/comment grammar in the header;
+    maxval must be <= 255 (1 byte/sample).  Raises ValueError on
+    anything malformed — the dispatch catches and falls back."""
+    if not content.startswith(b"P6"):
+        raise ValueError("not a P6 ppm")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        # skip whitespace and '#' comments between header tokens
+        while pos < len(content) and content[pos:pos + 1].isspace():
+            pos += 1
+        if pos < len(content) and content[pos:pos + 1] == b"#":
+            nl = content.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("unterminated ppm comment")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(content) and content[pos:pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed ppm header")
+        fields.append(int(content[start:pos]))
+    width, height, maxval = fields
+    if width <= 0 or height <= 0 or not 0 < maxval <= 255:
+        raise ValueError(f"unsupported ppm dims/maxval {fields}")
+    # exactly ONE whitespace byte separates the header from raster data
+    pos += 1
+    need = width * height * 3
+    raster = content[pos:pos + need]
+    if len(raster) != need:
+        raise ValueError("truncated ppm raster")
+    return width, height, raster
+
+
+# ---------------------------------------------------------------------------
+# BMP (BITMAPINFOHEADER, 24-bit, BI_RGB)
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal 24-bit uncompressed BMP writer (bottom-up rows, BGR
+    byte order, rows padded to 4 bytes — the format's invariants)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"rgb payload is {len(rgb)} bytes, need {width * height * 3}")
+    pad = (4 - (width * 3) % 4) % 4
+    body = bytearray()
+    for row in range(height - 1, -1, -1):          # bottom-up
+        base = row * width * 3
+        for col in range(width):
+            r, g, b = rgb[base + 3 * col: base + 3 * col + 3]
+            body += bytes((b, g, r))               # BGR on disk
+        body += b"\x00" * pad
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+        2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def decode_bmp(content: bytes) -> tuple[int, int, bytes]:
+    """Parse a 24-bit uncompressed BMP: returns (width, height, RGB
+    bytes in top-down row order).  Supports BITMAPINFOHEADER(-or-
+    larger) with positive (bottom-up) or negative (top-down) height;
+    anything else — other bit depths, RLE, core headers — raises."""
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", content, 10)[0]
+    hdr_size = struct.unpack_from("<I", content, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP (planes={planes} bpp={bpp} "
+            f"compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad BMP dims {width}x{height}")
+    stride = (width * 3 + 3) & ~3
+    if len(content) < data_off + stride * height:
+        raise ValueError("truncated BMP raster")
+    out = bytearray(width * height * 3)
+    for r_out in range(height):
+        r_src = r_out if top_down else height - 1 - r_out
+        base = data_off + r_src * stride
+        for col in range(width):
+            b, g, r = content[base + 3 * col: base + 3 * col + 3]
+            o = (r_out * width + col) * 3
+            out[o], out[o + 1], out[o + 2] = r, g, b
+    return width, height, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/WAVE PCM via the stdlib `wave` module)
+
+
+def encode_wav(samples: list[int], sample_rate: int = 8000,
+               channels: int = 1) -> bytes:
+    """16-bit PCM writer: ``samples`` are interleaved signed 16-bit
+    values."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(content: bytes) -> tuple[int, int, list[int]]:
+    """Parse a PCM WAV: returns (sample_rate, channels, interleaved
+    samples as signed ints).  8-bit (unsigned, recentred to signed)
+    and 16-bit widths supported; others raise."""
+    with wave.open(io.BytesIO(content), "rb") as w:
+        rate, channels = w.getframerate(), w.getnchannels()
+        width, n = w.getsampwidth(), w.getnframes()
+        frames = w.readframes(n)
+    if width == 2:
+        samples = list(struct.unpack(f"<{len(frames) // 2}h", frames))
+    elif width == 1:
+        samples = [b - 128 for b in frames]        # 8-bit WAV is unsigned
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    return rate, channels, samples
+
+
+# ---------------------------------------------------------------------------
+# deterministic statistics (all outputs on the u16 grid)
+
+
+def image_features(width: int, height: int, rgb: bytes,
+                   dim: int) -> list[float]:
+    """Pixel statistics of a decoded raster, quantized (see module
+    doc): per-channel means, luma mean/std, aspect and size terms.
+    Plain integer accumulation — exact and platform-independent."""
+    n = width * height
+    sr = sg = sb = 0
+    sl = sl2 = 0
+    for p in range(n):
+        r, g, b = rgb[3 * p], rgb[3 * p + 1], rgb[3 * p + 2]
+        sr += r
+        sg += g
+        sb += b
+        luma = (r + 2 * g + b) // 4                # integer luma in 0..255
+        sl += luma
+        sl2 += luma * luma
+    mean_l = sl / n
+    var_l = max(sl2 / n - mean_l * mean_l, 0.0)
+    stats = [
+        sr / n / 255.0,
+        sg / n / 255.0,
+        sb / n / 255.0,
+        mean_l / 255.0,
+        (var_l ** 0.5) / 255.0,
+        width / (width + height),
+        min(1.0, n / 65536.0),
+        min(1.0, width / 4096.0),
+    ]
+    return _fit(stats, dim)
+
+
+def audio_features(rate: int, channels: int, samples: list[int],
+                   dim: int) -> list[float]:
+    """Sample statistics of decoded PCM audio, quantized: amplitude
+    mean/RMS/peak, zero-crossing rate, DC offset, format terms."""
+    n = len(samples)
+    if n == 0:
+        return _fit([0.0] * 8, dim)
+    sabs = sum(abs(s) for s in samples)
+    s2 = sum(s * s for s in samples)
+    zc = sum(
+        1 for i in range(1, n)
+        if (samples[i - 1] < 0) != (samples[i] < 0))
+    dc = sum(samples) / n
+    peak = max(abs(s) for s in samples)
+    stats = [
+        sabs / n / 32768.0,
+        (s2 / n) ** 0.5 / 32768.0,
+        min(1.0, peak / 32768.0),
+        zc / (n - 1) if n > 1 else 0.0,
+        (dc + 32768.0) / 65536.0,
+        channels / 8.0,
+        min(1.0, rate / 96000.0),
+        min(1.0, n / 1048576.0),
+    ]
+    return _fit(stats, dim)
+
+
+def _fit(stats: list[float], dim: int) -> list[float]:
+    """Quantize and pad/truncate to ``dim`` entries."""
+    out = [quantize16(s) for s in stats[:dim]]
+    out += [0.0] * (dim - len(out))
+    return out
+
+
+def sniff_format(content: bytes) -> str | None:
+    """Magic-byte format sniff for the decode dispatch: 'ppm', 'bmp'
+    or 'wav' when this module can decode the payload, else None (the
+    caller falls back to the hash stub or the PIL-gated path)."""
+    if content.startswith(b"P6"):
+        return "ppm"
+    if content.startswith(b"BM"):
+        return "bmp"
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def decode_features(content: bytes, dim: int) -> tuple[str, list[float]] | None:
+    """Decode + featurize a payload this module understands, or None
+    when the format is unknown OR the decode fails (a sniffed-but-
+    malformed payload falls back deterministically — same bytes, same
+    path).  Returns (format, features-on-the-u16-grid)."""
+    fmt = sniff_format(content)
+    if fmt is None:
+        return None
+    try:
+        if fmt == "wav":
+            rate, channels, samples = decode_wav(content)
+            return fmt, audio_features(rate, channels, samples, dim)
+        w, h, rgb = (decode_ppm if fmt == "ppm" else decode_bmp)(content)
+        return fmt, image_features(w, h, rgb, dim)
+    except Exception:
+        return None

@@ -199,3 +199,118 @@ def test_synthetic_media_rejects_dup_every_zero(spark):
     # dup_every=1 is the degenerate-but-valid 'all duplicates' corpus
     one = synthetic_media(spark, 6, dup_every=1)
     assert one.select("content").distinct().count() < 6
+
+
+# ---------------------------------------------------------------------------
+# real stdlib decode (round-12 verdict item 3)
+
+
+def test_codec_round_trips():
+    """encode → decode is identity for all three stdlib codecs,
+    including BMP row padding (width not a multiple of 4)."""
+    from sumologic_aws_lambda_spark.operators.media_codecs import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    for w, h in ((6, 4), (5, 3), (1, 1), (7, 2)):
+        rgb = bytes((p * 13 + w) % 256 for p in range(w * h * 3))
+        assert decode_ppm(encode_ppm(w, h, rgb)) == (w, h, rgb)
+        assert decode_bmp(encode_bmp(w, h, rgb)) == (w, h, rgb)
+    samples = [((t * 257 + 31) % 65536) - 32768 for t in range(100)]
+    assert decode_wav(encode_wav(samples, 16000, 1)) == (16000, 1, samples)
+    stereo = samples[:40]
+    assert decode_wav(encode_wav(stereo, 8000, 2)) == (8000, 2, stereo)
+
+
+def test_ppm_header_grammar():
+    """Comments and arbitrary whitespace in the P6 header parse per the
+    netpbm spec; truncated rasters and bad magic raise."""
+    from sumologic_aws_lambda_spark.operators.media_codecs import decode_ppm
+
+    assert decode_ppm(b"P6\n# c\n2 2\n255\n" + bytes(12)) == (2, 2, bytes(12))
+    assert decode_ppm(b"P6  2\t2\n# x\n255\n" + bytes(12))[0] == 2
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n2 2\n255\n" + bytes(5))
+    with pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P5\n2 2\n255\n" + bytes(4))
+
+
+def test_bmp_rejects_unsupported_variants():
+    from sumologic_aws_lambda_spark.operators.media_codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    good = bytearray(encode_bmp(2, 2, bytes(12)))
+    bad_bpp = bytearray(good)
+    bad_bpp[28] = 8                       # bpp 24 → 8
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        decode_bmp(bytes(bad_bpp))
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX" + bytes(60))
+
+
+def test_features_quantized_and_pixel_derived():
+    """Image features reflect actual pixel values (a light raster means
+    brighter than a dark one) and land exactly on the u16 grid."""
+    from sumologic_aws_lambda_spark.operators.media_codecs import (
+        audio_features,
+        image_features,
+    )
+
+    dark = image_features(4, 4, bytes(48), 8)
+    light = image_features(4, 4, bytes([200] * 48), 8)
+    assert light[0] > dark[0] and light[3] > dark[3]
+    assert dark[4] == 0.0                  # constant raster → zero std
+    loud = audio_features(8000, 1, [30000, -30000] * 50, 8)
+    quiet = audio_features(8000, 1, [100, -100] * 50, 8)
+    assert loud[1] > quiet[1]              # RMS
+    assert loud[3] > 0.9                   # alternating signs → zcr ≈ 1
+    for f in (*dark, *light, *loud, *quiet):
+        assert f * 65536 == round(f * 65536)
+
+
+def test_extract_features_real_decode_end_to_end(spark):
+    """The mapInPandas stage decodes real PPM/BMP/WAV payloads (no PIL)
+    and the Arrow-transported float32 features round-trip the u16 grid
+    exactly; unknown formats keep the documented stub path."""
+    from sumologic_aws_lambda_spark.operators.media_codecs import (
+        decode_features,
+    )
+    from sumologic_aws_lambda_spark.operators.multimodal import (
+        synthetic_real_media,
+        synthetic_real_payloads,
+    )
+
+    media = synthetic_real_media(spark, 12)
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    assert {r.decoded_format for r in rows.values()} == {
+        "ppm", "bmp", "wav"}
+    for i, fmt, payload in synthetic_real_payloads(12):
+        expect_fmt, expect_feats = decode_features(payload, FEATURE_DIM)
+        assert rows[i].decoded_format == fmt == expect_fmt
+        assert rows[i].features == pytest.approx(expect_feats, abs=0)
+    # unknown format → deterministic stub, flagged as such
+    stub_rows = extract_features(synthetic_media(spark, 3)).collect()
+    assert all(r.decoded_format == "stub" for r in stub_rows)
+
+
+def test_extract_features_null_content_and_sniffed_but_malformed(spark):
+    """NULL content yields NULL features; a payload that sniffs as BMP
+    but fails to parse falls back to the stub instead of killing the
+    task (the dispatch's determinism contract)."""
+    from sumologic_aws_lambda_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(
+        [(1, "image", None, {}),
+         (2, "image", bytearray(b"BM truncated"), {})],
+        MEDIA_SCHEMA)
+    rows = {r.media_id: r for r in extract_features(df).collect()}
+    assert rows[1].features is None and rows[1].decoded_format is None
+    assert rows[2].decoded_format == "stub"
+    assert len(rows[2].features) == FEATURE_DIM
