@@ -204,6 +204,31 @@ CANON = HEADLINE + [
 assert len(CANON) == 28
 
 
+def _cpu_sample() -> tuple[int, int] | None:
+    """(idle+iowait, total) jiffies from /proc/stat — None off-Linux."""
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(v) for v in fh.readline().split()[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return idle, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _busy_frac(a, b) -> float | None:
+    """Machine-wide CPU busy fraction between two _cpu_sample points."""
+    if a is None or b is None or b[1] <= a[1]:
+        return None
+    return round(1.0 - (b[0] - a[0]) / (b[1] - a[1]), 3)
+
+
+def _loadavg_1m() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -276,8 +301,17 @@ def main() -> None:
                   f"{repeat}", file=sys.stderr)
     canon_names = [n for n in names if n in set(CANON)]
     canon_pass_totals: list[float | None] = []
+    # ambient-load telemetry (round-12 verdict item 4): the r12 canon
+    # artifact read ×1.34 on code-untouched queries purely from
+    # machine load, and nothing in the JSON let a judge adjudicate
+    # that without re-deriving per-query uniformity by hand.  Record
+    # the 1-minute loadavg at each pass start and the machine-wide
+    # CPU-busy fraction over the pass (/proc/stat deltas) — a canon
+    # delta with flat load is code; one tracking load is ambient.
+    canon_pass_load: list[dict] = []
     for _ in range(max(repeat, 1)):
         pass_total, pass_complete = 0.0, True
+        load0, cpu0 = _loadavg_1m(), _cpu_sample()
         for name in canon_names:
             try:
                 dt = min(_time_once(name), _time_once(name))
@@ -293,6 +327,10 @@ def main() -> None:
         # record BASELINE.md builds on (round-9 review finding)
         canon_pass_totals.append(
             round(pass_total, 3) if pass_complete else None)
+        canon_pass_load.append({
+            "loadavg_1m_start": load0,
+            "cpu_busy": _busy_frac(cpu0, _cpu_sample()),
+        })
     # invariant: a name lives in EXACTLY one of timings/errors.  A
     # transient error in one pass followed by a success in another
     # would otherwise mark the artifact incomplete while canon_total
@@ -327,15 +365,23 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(e).__name__}: {e}"[:500]
 
-    # A failed query must not read as a speedup: when any headline query
+    # A failed query must not read as a speedup: when any CURATED query
     # errored, the total is meaningless to consumers comparing across
-    # rounds, so emit value=null plus an explicit incomplete flag instead
-    # of silently summing the survivors.  "value" keeps its historical
-    # definition — the curated HEADLINE+OPTIONAL+canon sum — so
-    # BENCH_r12+ stays comparable to earlier rounds; the full-registry
-    # sum rides in "registry_total".
+    # rounds, so emit value=null plus an explicit incomplete flag
+    # instead of silently summing the survivors.  "value" keeps its
+    # historical definition — the curated HEADLINE+OPTIONAL+canon sum —
+    # so BENCH_r12+ stays comparable to earlier rounds; the
+    # full-registry sum rides in "registry_total".  "incomplete" keys
+    # ONLY on curated errors: an uncurated sweep failure invalidates
+    # registry_total, not the headline value, and consumers keying on
+    # "incomplete" to discard cross-round comparisons must not lose
+    # valid headline totals over it (round-12 ADVICE) — sweep failures
+    # ride separately in "registry_errors"/"registry_incomplete".
     curated = set(names)
-    total = (None if any(n in errors for n in curated)
+    curated_errors = {n: e for n, e in errors.items() if n in curated}
+    registry_errors = {n: e for n, e in errors.items()
+                       if n not in curated}
+    total = (None if curated_errors
              else round(sum(t for n, t in timings.items()
                             if n in curated), 3))
     registry_total = (None if errors
@@ -348,9 +394,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    if errors:
-        out["errors"] = errors
+    if curated_errors:
+        out["errors"] = curated_errors
         out["incomplete"] = True
+    if registry_errors:
+        out["registry_errors"] = registry_errors
+        out["registry_incomplete"] = True
     # trailing keys survive front-truncation of the recorded artifact
     out["canon_order"] = ("last" if os.environ.get(
         "SPARK_GRAFT_BENCH_CANON_LAST") else "first")
@@ -363,6 +412,8 @@ def main() -> None:
     # don't misread 2×repeat executions as one (round-9 advisor note)
     out["canon_runs_per_pass"] = 2
     out["canon_pass_totals"] = canon_pass_totals
+    out["canon_pass_load"] = canon_pass_load
+    out["loadavg_1m_end"] = _loadavg_1m()
     out["registry_total"] = registry_total
     out["n_registry"] = len(timings)
     print(json.dumps(out))
@@ -381,8 +432,11 @@ def main() -> None:
         "canon_repeat": repeat,
         "canon_runs_per_pass": 2,
         "canon_pass_totals": canon_pass_totals,
+        "canon_pass_load": canon_pass_load,
         "registry_total": registry_total,
         "n_registry": len(timings),
+        "incomplete": bool(curated_errors),
+        "registry_incomplete": bool(registry_errors),
     }))
     spark.stop()
 

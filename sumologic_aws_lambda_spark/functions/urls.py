@@ -228,7 +228,46 @@ def registered_domain_sql(host: str) -> str:
     )
 
 
-@lru_cache(maxsize=8)
+# Publication date of the VENDORED snapshot (the Debian `publicsuffix`
+# 20230209 packaging of the upstream list) — update alongside the .dat
+# file on refresh.  The upstream list changes roughly monthly; the
+# loader warns when this date is older than _PSL_STALE_AFTER_DAYS so a
+# deployment pinned to an aging snapshot finds out at load time, not
+# from mis-keyed registered domains.  REFRESH PROCEDURE: download
+# https://publicsuffix.org/list/public_suffix_list.dat verbatim (the
+# loader accepts the published file format as-is — comments, section
+# markers, IDN rules), replace data/public_suffix_list.dat, update this
+# constant, and re-run tests/test_psl_snapshot.py (its rule-population
+# pins will need the new counts).
+PSL_SNAPSHOT_DATE = "2023-02-09"
+_PSL_STALE_AFTER_DAYS = 365
+_psl_stale_warned = False
+
+
+def _warn_if_snapshot_stale() -> None:
+    """One warning per process when the vendored snapshot is older
+    than ``_PSL_STALE_AFTER_DAYS`` — only for the DEFAULT path (a
+    caller supplying its own file owns its own freshness)."""
+    global _psl_stale_warned
+    if _psl_stale_warned:
+        return
+    _psl_stale_warned = True
+    import datetime
+    import warnings
+
+    age = (datetime.date.today()
+           - datetime.date.fromisoformat(PSL_SNAPSHOT_DATE)).days
+    if age > _PSL_STALE_AFTER_DAYS:
+        warnings.warn(
+            f"vendored Public Suffix List snapshot is {age} days old "
+            f"(published {PSL_SNAPSHOT_DATE}); the upstream list "
+            f"changes monthly — refresh data/public_suffix_list.dat "
+            f"(see functions/urls.py::PSL_SNAPSHOT_DATE for the "
+            f"procedure) or registered-domain keying may drift from "
+            f"current suffix rules",
+            stacklevel=3)
+
+
 def load_psl_file(path: str | None = None) -> tuple[str, ...]:
     """Raw lines of a Public Suffix List snapshot in the published file
     format (publicsuffix.org/list) — comments, blanks, section markers
@@ -240,14 +279,28 @@ def load_psl_file(path: str | None = None) -> tuple[str, ...]:
     2/3/4/5 labels, 107 wildcards, 8 exceptions, 466 IDN rules — so
     the broadcast tier-join path is exercised at REAL rule counts, not
     fixture ones (tests/test_psl_snapshot.py pins these populations).
-    Cached per path: the streaming cap sinks resolve the default key
-    per micro-batch, and re-reading + re-hashing the 9.5k-line file
-    every trigger was measurable fixed cost (round-12 ADVICE).
+    Cached per (path, mtime, size): the streaming cap sinks resolve
+    the default key per micro-batch, and re-reading + re-hashing the
+    9.5k-line file every trigger was measurable fixed cost (round-12
+    ADVICE); keying the cache on the stat signature (not the path
+    alone) keeps a rewritten file from serving stale rules.  The
+    default-path load warns once per process when the vendored
+    snapshot is stale (see ``PSL_SNAPSHOT_DATE`` for the refresh
+    procedure).
     """
     if path is None:
+        _warn_if_snapshot_stale()
         path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "data", "public_suffix_list.dat")
+    st = os.stat(path)
+    return _load_psl_cached(path, st.st_mtime_ns, st.st_size)
+
+
+@lru_cache(maxsize=8)
+def _load_psl_cached(path: str, _mtime_ns: int,
+                     _size: int) -> tuple[str, ...]:
+    """Cache body of :func:`load_psl_file` (see its docstring)."""
     with open(path, encoding="utf-8") as fh:
         return tuple(fh.read().splitlines())
 

@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..planmarks import bounded_global_window
 from .sumoql import SumoQLError, SumoSchema, _rewrite_expr
 
 
@@ -77,8 +78,11 @@ def evaluate_slo(df: DataFrame, spec: SloSpec,
         )
         .filter(F.col("total") > 0)
     )
-    w = Window.orderBy("_timeslice").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
+    w = bounded_global_window(
+        "_timeslice",
+        bound="post-aggregation timeslice series — one row per slice "
+              "of the SLO evaluation range",
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bad_frac = 1.0 - spec.target
     cum_good = F.sum("good").over(w)
     cum_total = F.sum("total").over(w)
@@ -120,10 +124,11 @@ def burn_rate_windows(df: DataFrame, spec: SloSpec, schema: SumoSchema,
         "_timeslice", "good", "total")
     epoch = F.unix_timestamp("_timeslice")
     series = per.withColumn("slice_epoch", epoch)
-    w = (
-        Window.orderBy("slice_epoch")
-        .rangeBetween(-(long_hours * 3600 - 1), 0)
-    )
+    w = bounded_global_window(
+        "slice_epoch",
+        bound="post-aggregation hourly-slice series — one row per "
+              "hour of the SLO evaluation range",
+    ).rangeBetween(-(long_hours * 3600 - 1), 0)
     bad_frac = F.lit(1.0 - spec.target)
     bad = F.col("total") - F.col("good")
     burn_1h = bad / (F.col("total") * bad_frac)

@@ -61,6 +61,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..colnames import fresh_name
+
 
 @dataclass(frozen=True)
 class SumoSchema:
@@ -1512,15 +1514,25 @@ def _stage_parse(df: DataFrame, rest: str, schema: SumoSchema,
         # Anchor-form `multi`: the template is applied repeatedly and
         # each match emits one ROW (the regex branch's UDTF shape —
         # regexp_extract_all + explode; previously the flag was
-        # silently ignored here, which is worse than raising).  One
-        # '*' only, like the regex branch's one-named-group rule: a
-        # multi-star template has no per-match row shape.
-        if stars != 1:
-            raise SumoQLError(
-                "parse … multi needs exactly one '*' in the template")
-        matches = F.regexp_extract_all(src, F.lit(pattern), 1)
+        # silently ignored here, which is worse than raising).
         exploder = F.explode_outer if keep else F.explode
-        return df.withColumn(names[0], exploder(matches))
+        if stars == 1:
+            matches = F.regexp_extract_all(src, F.lit(pattern), 1)
+            return df.withColumn(names[0], exploder(matches))
+        # Multi-star (round-13, full Sumo semantics): every match binds
+        # ALL stars in one output row.  One regexp_extract_all per
+        # group over the same pattern — the engines agree on the match
+        # set, so the per-group arrays are index-aligned by
+        # construction — zipped into structs and exploded.  Still a
+        # generator inside whole-stage codegen, zero shuffle.
+        zipped = F.arrays_zip(*[
+            F.regexp_extract_all(src, F.lit(pattern), i + 1)
+            .alias(f"m{i}") for i in range(stars)])
+        mc = fresh_name(df.columns, "_pmulti")
+        out = df.withColumn(mc, exploder(zipped))
+        for i, n in enumerate(names):
+            out = out.withColumn(n, F.col(mc)[f"m{i}"])
+        return out.drop(mc)
     out = df
     for i, n in enumerate(names, start=1):
         out = out.withColumn(

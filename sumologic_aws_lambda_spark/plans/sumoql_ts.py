@@ -44,6 +44,7 @@ import re
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..planmarks import bounded_global_window
 from .sumoql import SumoQLError, SumoSchema, _UNIT_SECONDS
 
 # `<field>[, <n>] [as <alias>] [by g1, g2]`
@@ -75,10 +76,13 @@ def _order_col(df: DataFrame, schema: SumoSchema) -> str:
 
 
 def _seq_window(df: DataFrame, schema: SumoSchema, groups: list[str]):
-    w = Window.orderBy(_order_col(df, schema))
     if groups:
-        w = Window.partitionBy(*groups).orderBy(_order_col(df, schema))
-    return w
+        return Window.partitionBy(*groups).orderBy(_order_col(df, schema))
+    return bounded_global_window(
+        _order_col(df, schema),
+        bound="post-aggregation timeslice series — one row per slice "
+              "of the query time range (sumoql accum/outlier stages "
+              "run after `timeslice | count by`)")
 
 
 _DEC = "decimal(28,6)"

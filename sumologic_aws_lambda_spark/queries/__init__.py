@@ -56,40 +56,45 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (c) the first 10 of the 45-query r7 cohort, registry-name order,
 # filling the window to exactly 50.
 _PRIORITY: tuple[str, ...] = (
-    # -- (a) round-12 addition + changed-keying re-verification --
-    "sumoql_parse_anchor_multi",
-    "crawl_stage0_funnel", "crawl_stage1_funnel", "crawl_stage2_funnel",
-    "registered_domain_psl_caps",
-    # -- (b) oldest-validated cohort (latest hard signal round 6) --
-    "event_path_trigrams", "exactsubstr_removal_stats",
-    "image_patch_grid", "index_routing_stats",
-    "ingest_budget_enforcement", "interval_overlap_pairs",
-    "ivfpq_ann_topk", "mad_outlier_counts", "minhash_calibration",
-    "monitor_alert_throttle", "nb_quality_scores", "pq_adc_topk",
-    "range_partition_plan", "retention_cohorts",
-    "scheduled_view_rollup", "seasonal_residual_outliers",
-    "semantic_dedup_clusters_star", "semdedup_prune",
-    "slo_error_budget", "split_leakage_audit", "substring_dup_spans",
-    "sumoql_cidr_functions", "sumoql_logcompare", "sumoql_logreduce",
-    "sumoql_logreduce_keys", "sumoql_save_lookup_roundtrip",
-    "temperature_mixture_weights", "theta_user_overlap",
-    "trend_slopes_by_type", "unigram_lm_scores", "vocab_oov_rates",
-    "weighted_reservoir_sample", "winnowing_fingerprint_stats",
-    "zipf_spectrum", "zorder_cell_stats",
-    # -- (c) r7 cohort, registry-name order, first 10 --
-    "bigram_lm_perplexity", "blocklist_filter_stats",
-    "clustering_coefficients", "cohort_ltv", "compaction_bin_plan",
-    "customer_order_distribution", "daily_autocorrelation",
-    "data_quality_checks", "degree_assortativity",
-    "disjunctive_predicate_revenue",
+    # -- (a) round-13 additions + operator-changed re-verification
+    # (real-decode dispatch now under extract_features; the anchor
+    # parse-multi stage gained the multi-star branch) --
+    "multimodal_real_decode", "sumoql_parse_anchor_multi_nstar",
+    "multimodal_feature_extract", "sumoql_parse_anchor_multi",
+    # -- (b) ALL 35 queries whose latest hard signal is round 7 (the
+    # oldest cohort; recomputed by aggregating CORRECTNESS_r01-r12:
+    # freshness was {r7: 35, r8: 50, r9: 48, r10: 46, r11: 50,
+    # r12: 50}, zero red at latest sample so no failures owed) --
+    "pivot_status_matrix", "window_rank_battery", "pii_masking_rules",
+    "epoch_shard_manifest", "hard_negative_mining",
+    "embedding_decontamination", "sumoql_benchmark",
+    "sumoql_lookup_contains", "entity_hierarchy_rollup",
+    "tag_resources_plan", "resample_interpolate", "value_percentile_bands",
+    "slo_burn_rate_windows", "ewma_drift_alerts", "truncation_waste",
+    "quality_score_calibration", "funnel_conversion_rates",
+    "triangle_communities", "k_core_membership", "local_supplier_volume",
+    "volume_shipping", "large_volume_customers",
+    "global_sales_opportunity", "market_share", "promo_revenue",
+    "top_supplier", "small_quantity_revenue", "min_cost_supplier",
+    "returned_item_report", "important_part_value",
+    "late_shipment_priority", "supplier_part_variety",
+    "excess_supply_candidates", "waiting_orders_suppliers",
+    "table_profile",
+    # -- (c) oldest 11 of the 50-query r8 cohort, registry order,
+    # filling the window to exactly 50 --
+    "count_distinct_parts", "approx_count_distinct_parts",
+    "percentile_quantity", "approx_percentile_quantity",
+    "carry_forward_last_value", "json_extract_props",
+    "json_autodetect_parse", "timestamp_locator_extract",
+    "vpc_internal_filter", "firehose_transform", "asff_validation_gate",
 )
 
-# Round-13 rotation notes: recompute programmatically by aggregating
-# CORRECTNESS_r01-r12 — do not trust hand-maintained lists.  Owed the
-# r13 head: any round-13 additions and anything CORRECTNESS_r12 failed,
-# then the remaining 35 r7-cohort queries this window could not fit
-# (r7 cohort minus the 10 in (c) above — recompute the exact list),
-# then the r8 cohort.  Keep the window EXACTLY 50 — re-count after
+# Round-14 rotation notes: recompute programmatically by aggregating
+# CORRECTNESS_r01-r13 — do not trust hand-maintained lists.  Owed the
+# r14 head: any round-14 additions and anything CORRECTNESS_r13 failed,
+# then the remaining 39 r8-cohort queries this window could not fit
+# (r8 cohort minus the 11 in (c) above — recompute the exact list),
+# then the r9 cohort.  Keep the window EXACTLY 50 — re-count after
 # every edit (tests/test_doc_counts.py pins this).
 
 

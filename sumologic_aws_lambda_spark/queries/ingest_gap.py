@@ -493,8 +493,13 @@ def chunked_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     The global window is fine for dimension-sized inputs; at 100 TB the
     same effect comes from ``foreachPartition`` local batching (see
     ``streaming/api_sink.py``) — no global sort ever needed."""
+    from ..planmarks import bounded_global_window
+
     sup = table(spark, sf_dir, "supplier")
-    rn = F.row_number().over(Window.orderBy("s_suppkey")) - 1
+    rn = F.row_number().over(bounded_global_window(
+        "s_suppkey",
+        bound="dimension-sized input — one row per supplier; the "
+              "100 TB path is foreachPartition local batching")) - 1
     return (
         sup.select("s_suppkey", rn.alias("rn"))
         .groupBy((F.col("rn") / 20).cast("long").alias("chunk_id"))

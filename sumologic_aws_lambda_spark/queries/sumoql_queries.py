@@ -497,6 +497,56 @@ def sumoql_parse_anchor_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sumoql_parse_anchor_multi_nstar",
+    oracle="""
+    WITH lines AS (
+        SELECT 'a=' || event_type || ':'
+                   || CAST(user_id % 10 AS VARCHAR) || ';a=s'
+                   || CAST(event_id % 3 AS VARCHAR) || ':'
+                   || CAST(user_id % 7 AS VARCHAR) || ';' AS line
+        FROM events
+    ), arrs AS (
+        SELECT regexp_extract_all(line, 'a=(.*?):(.*?);', 1) AS l1,
+               regexp_extract_all(line, 'a=(.*?):(.*?);', 2) AS l2
+        FROM lines
+    ), m AS (
+        SELECT l1[i] AS k, l2[i] AS v
+        FROM arrs, LATERAL (
+            SELECT unnest(generate_series(1, len(l1))) AS i
+        ) t
+    )
+    SELECT k, v, count(*) AS _count
+    FROM m
+    GROUP BY 1, 2
+    """,
+)
+def sumoql_parse_anchor_multi_nstar(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Multi-star anchor-form ``parse "a=*:*;" as k, v multi`` — every
+    repeated template match emits one row binding ALL stars (round-13:
+    the round-12 single-star form refused multi-star with an error;
+    full Sumo semantics compile to one regexp_extract_all per group
+    over the same pattern, arrays_zip, explode).  Scale shape: generator
+    expression inside whole-stage codegen, no shuffle before the final
+    count-by."""
+    ev = table(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("a="), F.col("event_type"),
+            F.lit(":"), (F.col("user_id") % 10).cast("string"),
+            F.lit(";a=s"), (F.col("event_id") % 3).cast("string"),
+            F.lit(":"), (F.col("user_id") % 7).cast("string"),
+            F.lit(";"),
+        ).alias("line")
+    )
+    schema = SumoSchema(raw_col="line")
+    return compile_query(
+        ev,
+        '* | parse "a=*:*;" as k, v multi | count by k, v',
+        schema,
+    )
+
+
+@query(
     "sumoql_timeslice_buckets",
     oracle="""
     WITH src AS (

@@ -731,7 +731,12 @@ def zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         F.explode(F.split(normalize_text("text"), " ")).alias("tok"))
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy(F.col("c").desc(), "tok")
+    from ..planmarks import bounded_global_window
+
+    w = bounded_global_window(
+        F.col("c").desc(), "tok",
+        bound="vocabulary frame — one row per distinct token, capped "
+              "by the corpus vocabulary, not its row count")
     pts = cnt.select("c", F.row_number().over(w).alias("r")).select(
         F.log("r").alias("x"), F.log("c").alias("y"))
     s = pts.agg(

