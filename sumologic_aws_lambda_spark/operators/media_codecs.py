@@ -254,6 +254,50 @@ def _fit(stats: list[float], dim: int) -> list[float]:
     return out
 
 
+def average_hash(content: bytes, grid: int = 8) -> int | None:
+    """REAL perceptual hash (aHash) of a decodable raster: decode the
+    pixels, area-average the integer luma into a ``grid``×``grid``
+    cell matrix, threshold each cell at the global cell mean, and pack
+    the bits MSB-first into a 64-bit int (grid 8).  Near-identical
+    images land within a small Hamming radius; unrelated ones diverge
+    — the property the banded-LSH image dedup needs, now from actual
+    pixels instead of the payload-hex md5 stub.  Returns None for
+    payloads the stdlib codecs can't decode (the caller falls back or
+    drops)."""
+    fmt = sniff_format(content)
+    if fmt not in ("ppm", "bmp"):
+        return None
+    try:
+        w, h, rgb = (decode_ppm if fmt == "ppm" else decode_bmp)(content)
+    except ValueError:
+        return None
+    cells_sum = [0] * (grid * grid)
+    cells_cnt = [0] * (grid * grid)
+    for y in range(h):
+        cy = y * grid // h
+        for x in range(w):
+            p = (y * w + x) * 3
+            luma = (rgb[p] + 2 * rgb[p + 1] + rgb[p + 2]) // 4
+            c = cy * grid + (x * grid // w)
+            cells_sum[c] += luma
+            cells_cnt[c] += 1
+    means = [s / c if c else 0.0
+             for s, c in zip(cells_sum, cells_cnt)]
+    mean = sum(means) / len(means)
+    bits = 0
+    for m in means:
+        bits = (bits << 1) | (1 if m > mean else 0)
+    return bits
+
+
+def to_signed64(v: int) -> int:
+    """Two's-complement view of an unsigned 64-bit int — what a Spark
+    ``bigint`` column stores.  XOR/bit_count Hamming math is identical
+    on either view; only the Python↔JVM transport needs the signed
+    form (an unsigned value ≥ 2^63 overflows LongType)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def sniff_format(content: bytes) -> str | None:
     """Magic-byte format sniff for the decode dispatch: 'ppm', 'bmp'
     or 'wav' when this module can decode the payload, else None (the

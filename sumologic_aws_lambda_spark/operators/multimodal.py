@@ -181,6 +181,120 @@ def synthetic_real_media(spark: SparkSession, n: int = 24) -> DataFrame:
         MEDIA_SCHEMA)
 
 
+def ahash_hamming_neardup(media: DataFrame, bands: int = 8,
+                          max_hamming: int = 6) -> DataFrame:
+    """Image near-duplicate pairs from REAL decoded pixels: the aHash
+    of each decodable raster (``media_codecs.average_hash`` — 8×8
+    area-averaged luma thresholded at the mean) banded into
+    ``bands`` equal bit-slices for Hamming LSH.  The pixel decode +
+    hash is the one Python stage (Arrow-batched ``mapInPandas``, the
+    §2.10 shape); banding, the candidate equi-join and the exact
+    ``bit_count(xor)`` distance are all JVM-side codegen.
+
+    Pigeonhole recall guarantee (the ``perceptual_hash_pairs``
+    argument, on real hashes): ``max_hamming < bands`` means a true
+    pair differs in fewer positions than there are bands, so at least
+    one 8-bit band matches exactly and the equi-join surfaces it —
+    recall is total, not probabilistic.  Candidates come ONLY from
+    band-bucket matches, never all-pairs; hash-uniform buckets keep
+    the join flat.
+
+    Returns (media_id_a, media_id_b, hamming), a < b; undecodable
+    payloads are dropped (no stub fallback here — a hash of
+    non-pixels has no perceptual meaning).
+    """
+    if not 64 % bands == 0:
+        raise ValueError(f"bands ({bands}) must divide 64")
+    if not 0 <= max_hamming < bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}) "
+            f"for the pigeonhole total-recall guarantee")
+    from .media_codecs import average_hash, to_signed64
+
+    def hashes(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                if c is None:
+                    continue
+                hv = average_hash(bytes(c))
+                if hv is not None:
+                    rows.append((mid, to_signed64(hv)))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    hashed = media.mapInPandas(hashes, "media_id bigint, ahash bigint")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = hashed.select(
+        "media_id", F.col("ahash").alias("h"),
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("ahash", i * width)
+            .bitwiseAND(F.lit(mask))
+            for i in range(bands)
+        ])).alias("band", "val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.media_id") < F.col("b.media_id")))
+        .select(F.col("a.media_id").alias("media_id_a"),
+                F.col("b.media_id").alias("media_id_b"),
+                F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
+        .distinct())
+    return (
+        pairs.select(
+            "media_id_a", "media_id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming))
+
+
+def synthetic_image_variants(spark: SparkSession, n_base: int = 12,
+                             variants: int = 2) -> DataFrame:
+    """Raster corpus with PLANTED near-duplicates for the real-pixel
+    aHash path: ``n_base`` structurally distinct base images (each a
+    deterministic gradient+stripe pattern), each followed by
+    ``variants`` copies with ±1 pixel-value noise on a sparse subset —
+    perceptually identical, byte-distinct.  Alternates PPM/BMP
+    encodings so both decoders sit on the hash path."""
+    rows = []
+    for mid, fmt, payload in synthetic_image_variant_payloads(
+            n_base, variants):
+        rows.append((mid, "image", bytearray(payload), {"format": fmt}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_image_variant_payloads(
+        n_base: int, variants: int) -> list[tuple[int, str, bytes]]:
+    """(media_id, format, bytes) for :func:`synthetic_image_variants` —
+    pure Python, shared with the golden-oracle generator."""
+    from .media_codecs import encode_bmp, encode_ppm
+
+    out: list[tuple[int, str, bytes]] = []
+    mid = 0
+    for base in range(n_base):
+        w, h = 16 + base % 3, 12 + base % 5
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                # per-base structure: gradient + base-keyed stripes
+                v = (x * 255 // max(w - 1, 1)
+                     + (200 if (y + base) % 4 < 2 else 0)
+                     + base * 37) % 256
+                px += bytes((v, (v + base * 11) % 256, 255 - v))
+        for var in range(variants + 1):
+            body = bytearray(px)
+            if var:
+                # sparse ±1 noise — perceptually the same image
+                for k in range(0, len(body), 97 + var):
+                    body[k] = min(255, body[k] + 1)
+            fmt = "ppm" if mid % 2 == 0 else "bmp"
+            enc = encode_ppm if fmt == "ppm" else encode_bmp
+            out.append((mid, fmt, enc(w, h, bytes(body))))
+            mid += 1
+    return out
+
+
 def synthetic_real_payloads(n: int) -> list[tuple[int, str, bytes]]:
     """(media_id, format, encoded bytes) triples for
     :func:`synthetic_real_media` — pure Python, shared with the

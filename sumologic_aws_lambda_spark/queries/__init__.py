@@ -59,7 +59,8 @@ _PRIORITY: tuple[str, ...] = (
     # -- (a) round-13 additions + operator-changed re-verification
     # (real-decode dispatch now under extract_features; the anchor
     # parse-multi stage gained the multi-star branch) --
-    "multimodal_real_decode", "sumoql_parse_anchor_multi_nstar",
+    "multimodal_real_decode", "ahash_real_neardup",
+    "sumoql_parse_anchor_multi_nstar",
     "multimodal_feature_extract", "sumoql_parse_anchor_multi",
     # -- (b) ALL 35 queries whose latest hard signal is round 7 (the
     # oldest cohort; recomputed by aggregating CORRECTNESS_r01-r12:
@@ -86,7 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "percentile_quantity", "approx_percentile_quantity",
     "carry_forward_last_value", "json_extract_props",
     "json_autodetect_parse", "timestamp_locator_extract",
-    "vpc_internal_filter", "firehose_transform", "asff_validation_gate",
+    "vpc_internal_filter", "firehose_transform",
 )
 
 # Round-14 rotation notes: recompute programmatically by aggregating

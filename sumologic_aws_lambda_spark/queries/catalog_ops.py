@@ -495,6 +495,62 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "decoded_format", "content_bytes", *sel)
 
 
+def _ahash_golden_values() -> str:
+    """Golden pairs for ``ahash_real_neardup``: regenerate the variant
+    corpus in pure Python, aHash each raster with the same decoder,
+    and emit every pair within Hamming 6 — which IS the operator's
+    exact output set (max_hamming < bands makes the LSH candidate
+    stage lossless by pigeonhole, so the band join changes recall by
+    nothing).  What the hash-match proves Spark-side: binary transport,
+    the mapInPandas hash stage, signed-64 banding via
+    shiftrightunsigned, and the bit_count(xor) distance."""
+    from ..operators.media_codecs import average_hash
+    from ..operators.multimodal import synthetic_image_variant_payloads
+
+    hashes = {}
+    for mid, _fmt, payload in synthetic_image_variant_payloads(12, 2):
+        hv = average_hash(payload)
+        assert hv is not None
+        hashes[mid] = hv
+    rows = []
+    for a in sorted(hashes):
+        for b in sorted(hashes):
+            if a < b:
+                d = bin(hashes[a] ^ hashes[b]).count("1")
+                if d <= 6:
+                    rows.append(f"({a}, {b}, {d})")
+    return ",\n           ".join(rows)
+
+
+@query(
+    "ahash_real_neardup",
+    oracle=f"""
+    SELECT CAST(media_id_a AS BIGINT) AS media_id_a,
+           CAST(media_id_b AS BIGINT) AS media_id_b,
+           CAST(hamming AS BIGINT) AS hamming
+    FROM (VALUES {_ahash_golden_values()})
+         AS t(media_id_a, media_id_b, hamming)
+    """,
+)
+def ahash_real_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dedup from REAL decoded pixels (round-13, upgrading
+    the md5-of-hex stub convention of ``phash_hamming_neardup``): 36
+    planted near-duplicate rasters (12 bases × 3 perceptually-equal
+    variants with sparse ±1 pixel noise, alternating PPM/BMP) are
+    aHashed from their actual 8×8 area-averaged luma inside the
+    Arrow-batched mapInPandas stage, then banded 8×8-bit for Hamming
+    LSH — candidates only from band-bucket equi-joins, exact
+    ``bit_count(xor)`` filter, total recall by pigeonhole
+    (``operators/multimodal.py::ahash_hamming_neardup``)."""
+    from ..operators.multimodal import (
+        ahash_hamming_neardup,
+        synthetic_image_variants,
+    )
+
+    media = synthetic_image_variants(spark, 12, 2)
+    return ahash_hamming_neardup(media)
+
+
 @query(
     "multimodal_frame_sample",
     oracle="""

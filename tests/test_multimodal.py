@@ -314,3 +314,60 @@ def test_extract_features_null_content_and_sniffed_but_malformed(spark):
     assert rows[1].features is None and rows[1].decoded_format is None
     assert rows[2].decoded_format == "stub"
     assert len(rows[2].features) == FEATURE_DIM
+
+
+def test_average_hash_real_pixels_and_variants():
+    """aHash comes from decoded pixels: planted variants hash within a
+    small Hamming radius, distinct bases far apart; undecodable
+    payloads return None."""
+    from sumologic_aws_lambda_spark.operators.media_codecs import (
+        average_hash,
+    )
+    from sumologic_aws_lambda_spark.operators.multimodal import (
+        synthetic_image_variant_payloads,
+    )
+
+    hs = {mid: average_hash(p)
+          for mid, _f, p in synthetic_image_variant_payloads(6, 2)}
+    assert all(v is not None and 0 <= v < (1 << 64) for v in hs.values())
+    ham = lambda a, b: bin(hs[a] ^ hs[b]).count("1")  # noqa: E731
+    assert ham(0, 1) <= 6 and ham(0, 2) <= 6          # variants of base 0
+    assert ham(0, 3) > 6                               # different base
+    assert average_hash(b"not an image") is None
+    assert average_hash(b"BM truncated") is None
+
+
+def test_ahash_hamming_neardup_end_to_end(spark):
+    """The LSH pipeline finds exactly the planted variant groups (12
+    bases x C(3,2) = 36 pairs), every pair within one group, and the
+    parameter guards hold."""
+    from sumologic_aws_lambda_spark.operators.multimodal import (
+        ahash_hamming_neardup,
+        synthetic_image_variants,
+    )
+
+    media = synthetic_image_variants(spark, 12, 2)
+    pairs = ahash_hamming_neardup(media).collect()
+    assert len(pairs) == 36
+    assert all(r.media_id_a // 3 == r.media_id_b // 3 for r in pairs)
+    assert all(r.hamming == 0 for r in pairs)  # +-1 noise -> same hash
+    with pytest.raises(ValueError, match="divide 64"):
+        ahash_hamming_neardup(media, bands=7)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        ahash_hamming_neardup(media, bands=8, max_hamming=8)
+
+
+def test_ahash_drops_undecodable_and_null_content(spark):
+    from sumologic_aws_lambda_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        ahash_hamming_neardup,
+        synthetic_image_variant_payloads,
+    )
+
+    good = synthetic_image_variant_payloads(1, 1)  # ids 0,1 — one pair
+    rows = [(m, "image", bytearray(p), {}) for m, _f, p in good]
+    rows += [(90, "image", None, {}),
+             (91, "image", bytearray(b"junk bytes"), {})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = ahash_hamming_neardup(media).collect()
+    assert [(r.media_id_a, r.media_id_b) for r in pairs] == [(0, 1)]
