@@ -204,22 +204,36 @@ CANON = HEADLINE + [
 assert len(CANON) == 28
 
 
-def _cpu_sample() -> tuple[int, int] | None:
-    """(idle+iowait, total) jiffies from /proc/stat — None off-Linux."""
+def _cpu_sample() -> tuple[int, int, int, int] | None:
+    """(idle, iowait, steal, total) jiffies from /proc/stat — None
+    off-Linux.  iowait and steal ride separately from busy: loadavg
+    counts D-state disk waiters that never show as CPU-busy, and on a
+    VM host-side contention appears ONLY as steal — exactly the
+    ambient signals that moved the r12 canon ×1.34 on untouched
+    code."""
     try:
         with open("/proc/stat") as fh:
             vals = [int(v) for v in fh.readline().split()[1:]]
-        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
-        return idle, sum(vals)
+        iow = vals[4] if len(vals) > 4 else 0
+        steal = vals[7] if len(vals) > 7 else 0
+        return vals[3], iow, steal, sum(vals)
     except (OSError, ValueError, IndexError):
         return None
 
 
-def _busy_frac(a, b) -> float | None:
-    """Machine-wide CPU busy fraction between two _cpu_sample points."""
-    if a is None or b is None or b[1] <= a[1]:
+def _busy_frac(a, b) -> dict | None:
+    """Machine-wide CPU busy / iowait / steal fractions between
+    samples (busy = everything except idle+iowait; steal is already
+    inside busy but broken out — nonzero steal means the HOST took
+    the cycles, not this workload)."""
+    if a is None or b is None or b[3] <= a[3]:
         return None
-    return round(1.0 - (b[0] - a[0]) / (b[1] - a[1]), 3)
+    dtot = b[3] - a[3]
+    return {
+        "busy": round(1.0 - (b[0] - a[0] + b[1] - a[1]) / dtot, 3),
+        "iowait": round((b[1] - a[1]) / dtot, 3),
+        "steal": round((b[2] - a[2]) / dtot, 3),
+    }
 
 
 def _loadavg_1m() -> float | None:
@@ -329,7 +343,7 @@ def main() -> None:
             round(pass_total, 3) if pass_complete else None)
         canon_pass_load.append({
             "loadavg_1m_start": load0,
-            "cpu_busy": _busy_frac(cpu0, _cpu_sample()),
+            "cpu": _busy_frac(cpu0, _cpu_sample()),
         })
     # invariant: a name lives in EXACTLY one of timings/errors.  A
     # transient error in one pass followed by a success in another
