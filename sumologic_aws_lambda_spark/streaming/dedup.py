@@ -32,6 +32,7 @@ prefix per run.
 from __future__ import annotations
 
 import os
+import threading
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
@@ -136,6 +137,18 @@ class DeferredWrites:
     thread pair per trigger)."""
 
     _pool: ThreadPoolExecutor | None = None
+    _pool_lock = threading.Lock()
+
+    @classmethod
+    def _shared_pool(cls) -> ThreadPoolExecutor:
+        # locked creation: two independent streams' first flushes can
+        # race here; an unguarded check would leak a second pool (and
+        # its pinned JVM thread pairs) for the process lifetime
+        with cls._pool_lock:
+            if cls._pool is None:
+                cls._pool = ThreadPoolExecutor(
+                    max_workers=6, thread_name_prefix="deferred-writes")
+            return cls._pool
 
     def __init__(self):
         self._pending: list[tuple[DataFrame, str, int]] = []
@@ -157,10 +170,7 @@ class DeferredWrites:
             df, base, bid = pending[0]
             _overwrite_batch_partition(df, base, bid)
             return
-        if DeferredWrites._pool is None:
-            DeferredWrites._pool = ThreadPoolExecutor(
-                max_workers=6, thread_name_prefix="deferred-writes")
-        futs = [DeferredWrites._pool.submit(
+        futs = [self._shared_pool().submit(
             _overwrite_batch_partition, df, base, bid)
             for df, base, bid in pending]
         # await ALL before raising: a half-awaited flush would let the
@@ -472,8 +482,18 @@ class DeferredStats:
         self._cleanups: list = []
 
     def clear(self) -> None:
+        """Reset at trigger start.  Cleanups a FAILED previous trigger
+        never reached (its exception fired before ``collect``) are RUN
+        here, not dropped — they hold resource releases like the
+        near-dedup batch unpersist, and dropping them would leak one
+        cached frame per failed trigger across an engine retry loop."""
         self._pending.clear()
-        self._cleanups.clear()
+        cleanups, self._cleanups = self._cleanups, []
+        for fn in cleanups:
+            try:
+                fn()
+            except Exception:  # noqa: BLE001 — best-effort release
+                pass
 
     def add(self, df: DataFrame | None, callback) -> None:
         """Register a 1-row aggregate and a ``callback(row)``; with
@@ -492,12 +512,8 @@ class DeferredStats:
             if len(dfs) <= 1:
                 rows = {id(df): df.first() for df in dfs}
             else:
-                if DeferredWrites._pool is None:
-                    DeferredWrites._pool = ThreadPoolExecutor(
-                        max_workers=6,
-                        thread_name_prefix="deferred-writes")
-                futs = {id(df): DeferredWrites._pool.submit(df.first)
-                        for df in dfs}
+                futs = {id(df): DeferredWrites._shared_pool()
+                        .submit(df.first) for df in dfs}
                 errs = [f.exception() for f in futs.values()]
                 for e in errs:
                     if e is not None:
