@@ -216,7 +216,10 @@ def _cpu_sample() -> tuple[int, int, int, int] | None:
             vals = [int(v) for v in fh.readline().split()[1:]]
         iow = vals[4] if len(vals) > 4 else 0
         steal = vals[7] if len(vals) > 7 else 0
-        return vals[3], iow, steal, sum(vals)
+        # fields 8-9 (guest/guest_nice) are already counted inside
+        # user/nice — summing them would double-count guest time and
+        # deflate every fraction on a VM-hosting machine
+        return vals[3], iow, steal, sum(vals[:8])
     except (OSError, ValueError, IndexError):
         return None
 

@@ -81,7 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "late_shipment_priority", "supplier_part_variety",
     "excess_supply_candidates", "waiting_orders_suppliers",
     "table_profile",
-    # -- (c) oldest 11 of the 50-query r8 cohort, registry order,
+    # -- (c) oldest 10 of the 50-query r8 cohort, registry order,
     # filling the window to exactly 50 --
     "count_distinct_parts", "approx_count_distinct_parts",
     "percentile_quantity", "approx_percentile_quantity",
@@ -93,8 +93,8 @@ _PRIORITY: tuple[str, ...] = (
 # Round-14 rotation notes: recompute programmatically by aggregating
 # CORRECTNESS_r01-r13 — do not trust hand-maintained lists.  Owed the
 # r14 head: any round-14 additions and anything CORRECTNESS_r13 failed,
-# then the remaining 39 r8-cohort queries this window could not fit
-# (r8 cohort minus the 11 in (c) above — recompute the exact list),
+# then the remaining 40 r8-cohort queries this window could not fit
+# (r8 cohort minus the 10 in (c) above — recompute the exact list),
 # then the r9 cohort.  Keep the window EXACTLY 50 — re-count after
 # every edit (tests/test_doc_counts.py pins this).
 

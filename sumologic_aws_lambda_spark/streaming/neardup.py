@@ -375,8 +375,17 @@ class CurationStage1Sink:
         xt_col: Column = F.col(self._content)
         if self._extract is not None:
             xt_col = self._extract(xt_col)
+        # lazy checkpoint of the STAGED extraction: the nd stage's
+        # batch persist is released by a stats-collect cleanup, but
+        # the out-write flushes the survivors checkpoint AFTER that —
+        # without this, the flush would re-run the regex-heavy
+        # extractor over every cap survivor a second time per trigger
+        # (round-13 review finding; stage 2 is safe because its
+        # budget-stage aggregate materializes the survivors
+        # checkpoint while the batch is still cached)
         staged = capped.withColumn(
-            f"{u}_xt", F.coalesce(xt_col.cast("string"), F.lit("")))
+            f"{u}_xt", F.coalesce(xt_col.cast("string"), F.lit(""))
+        ).localCheckpoint(eager=False)
         gated = staged.filter(
             (F.length(f"{u}_xt") >= self._min_chars)
             & F.size(F.split(F.trim(F.col(f"{u}_xt")), r"\s+"))
