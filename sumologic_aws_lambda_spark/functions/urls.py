@@ -331,9 +331,14 @@ def psl_rule_tiers(suffix_rows=None):
     """
     if suffix_rows is None:
         rows = MULTI_LABEL_SUFFIXES
-    elif isinstance(suffix_rows, tuple):
-        rows = suffix_rows  # already hashable; the body str()s each rule
+    elif isinstance(suffix_rows, tuple) and all(
+            isinstance(r, str) for r in suffix_rows):
+        rows = suffix_rows  # already the canonical hashable form
     else:
+        # Normalize ANY other iterable — including a tuple holding
+        # non-str (possibly unhashable) elements — so malformed rules
+        # hit this function's own validation, not functools' opaque
+        # "unhashable type" TypeError (round-13 ADVICE residue).
         rows = tuple(str(r) for r in suffix_rows)
     return _psl_rule_tiers_cached(rows)
 

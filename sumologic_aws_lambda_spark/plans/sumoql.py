@@ -1466,16 +1466,35 @@ def _stage_parse(df: DataFrame, rest: str, schema: SumoSchema,
             # regexp_extract_all + explode, both built-ins.  Default drop
             # = plain explode (zero-match rows vanish); nodrop keeps them
             # with a null via explode_outer.
-            if len(gnames) != 1:
+            if not gnames:
                 raise SumoQLError(
-                    "parse regex … multi needs exactly one named group"
+                    "parse regex … multi needs at least one named group"
                 )
-            gname = gnames[0]
-            matches = F.regexp_extract_all(
-                src, F.lit(pattern), _group_index(pattern, gname)
-            )
             exploder = F.explode_outer if keep else F.explode
-            return df.withColumn(gname, exploder(matches))
+            if len(gnames) == 1:
+                gname = gnames[0]
+                matches = F.regexp_extract_all(
+                    src, F.lit(pattern), _group_index(pattern, gname)
+                )
+                return df.withColumn(gname, exploder(matches))
+            # Multi-group (round-14; reference FER family P19,
+            # sumoresource.py:1147-1177 allows it): every match binds
+            # ALL named groups in one output row — the anchor branch's
+            # multi-star technique transplanted to named groups.  One
+            # regexp_extract_all per group over the same pattern (the
+            # match sets are identical, so the per-group arrays are
+            # index-aligned by construction), arrays_zip'd into structs
+            # and exploded.  Still a generator inside whole-stage
+            # codegen, zero shuffle.
+            zipped = F.arrays_zip(*[
+                F.regexp_extract_all(
+                    src, F.lit(pattern), _group_index(pattern, g)
+                ).alias(f"m{i}") for i, g in enumerate(gnames)])
+            mc = fresh_name(df.columns, "_pmulti")
+            out = df.withColumn(mc, exploder(zipped))
+            for i, g in enumerate(gnames):
+                out = out.withColumn(g, F.col(mc)[f"m{i}"])
+            return out.drop(mc)
         for gname in gnames:
             out = out.withColumn(
                 gname,

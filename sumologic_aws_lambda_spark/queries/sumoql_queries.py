@@ -547,6 +547,56 @@ def sumoql_parse_anchor_multi_nstar(spark: SparkSession,
 
 
 @query(
+    "sumoql_parse_regex_multi_ngroup",
+    oracle="""
+    WITH lines AS (
+        SELECT 'a' || CAST(event_id % 3 AS VARCHAR) || '='
+                   || CAST(user_id % 10 AS VARCHAR) || ';b='
+                   || CAST(user_id % 7 AS VARCHAR) || ';' AS line
+        FROM events
+    ), arrs AS (
+        SELECT regexp_extract_all(line, '(\\w+)=(\\d+);', 1) AS l1,
+               regexp_extract_all(line, '(\\w+)=(\\d+);', 2) AS l2
+        FROM lines
+    ), m AS (
+        SELECT l1[i] AS k, l2[i] AS v
+        FROM arrs, LATERAL (
+            SELECT unnest(generate_series(1, len(l1))) AS i
+        ) t
+    )
+    SELECT k, v, count(*) AS _count
+    FROM m
+    GROUP BY 1, 2
+    """,
+)
+def sumoql_parse_regex_multi_ngroup(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Multi-group regex-form ``parse regex "(?<k>\\w+)=(?<v>\\d+);"
+    multi`` — every repeated pattern match emits one row binding ALL
+    named groups (round-14: the regex branch previously refused >1
+    named group under ``multi``; the anchor branch's multi-star
+    technique — one regexp_extract_all per group, arrays_zip, explode —
+    transplanted to named groups, per reference FER semantics
+    sumoresource.py:1147-1177).  Scale shape: generator expression
+    inside whole-stage codegen, no shuffle before the final
+    count-by."""
+    ev = table(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("a"), (F.col("event_id") % 3).cast("string"),
+            F.lit("="), (F.col("user_id") % 10).cast("string"),
+            F.lit(";b="), (F.col("user_id") % 7).cast("string"),
+            F.lit(";"),
+        ).alias("line")
+    )
+    schema = SumoSchema(raw_col="line")
+    return compile_query(
+        ev,
+        '* | parse regex "(?<k>\\w+)=(?<v>\\d+);" multi | count by k, v',
+        schema,
+    )
+
+
+@query(
     "sumoql_timeslice_buckets",
     oracle="""
     WITH src AS (

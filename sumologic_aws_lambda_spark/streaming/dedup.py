@@ -134,7 +134,15 @@ class DeferredWrites:
     The pool is process-wide and bounded so the paired JVM threads
     py4j creates under pinned-thread mode stay bounded for the life of
     a long-running stream (a per-trigger pool would leak one JVM
-    thread pair per trigger)."""
+    thread pair per trigger).  It is SHARED by stats collection and
+    write flushes across ALL streams in the process — a stage-2
+    trigger alone queues up to 6 writes, so a second concurrent
+    composed stream would serialize its flushes behind the first's at
+    the default size (round-13 ADVICE).  Size it for the deployment
+    via ``SPARK_GRAFT_DEFERRED_POOL_WORKERS`` (read once, at first
+    pool use: ~6 per concurrently-triggering composed stream) —
+    resizing a live executor would orphan its pinned JVM pairs, so
+    the knob is intentionally process-start-only."""
 
     _pool: ThreadPoolExecutor | None = None
     _pool_lock = threading.Lock()
@@ -146,8 +154,26 @@ class DeferredWrites:
         # its pinned JVM thread pairs) for the process lifetime
         with cls._pool_lock:
             if cls._pool is None:
+                import os
+
+                raw = os.environ.get(
+                    "SPARK_GRAFT_DEFERRED_POOL_WORKERS", "6")
+                try:
+                    workers = int(raw)
+                except ValueError as e:
+                    raise ValueError(
+                        "SPARK_GRAFT_DEFERRED_POOL_WORKERS must be an "
+                        f"integer, got {raw!r}") from e
+                if not 1 <= workers <= 64:
+                    # bound both ends: 0 would deadlock every flush,
+                    # unbounded would unbound the py4j JVM thread pairs
+                    # the pool exists to cap
+                    raise ValueError(
+                        "SPARK_GRAFT_DEFERRED_POOL_WORKERS must be in "
+                        f"[1, 64], got {workers}")
                 cls._pool = ThreadPoolExecutor(
-                    max_workers=6, thread_name_prefix="deferred-writes")
+                    max_workers=workers,
+                    thread_name_prefix="deferred-writes")
             return cls._pool
 
     def __init__(self):

@@ -349,6 +349,19 @@ class TokenBudgetSink:
     exclude-own-batch design, so redelivery re-validates against only
     EARLIER batches and rewrites its own watermark idempotently.
 
+    SINGLE WRITER PER STORE (round-13 ADVICE, documented contract):
+    the watermark mirror is seeded from the sidecar once per sink
+    instance and maintained in memory thereafter — the per-trigger
+    sidecar re-read it replaces was the dominant fixed cost the r13
+    trigger-latency work removed.  Sidecar rows written by ANY other
+    writer after seeding (a second sink instance sharing ``store_dir``,
+    a manual backfill) are invisible to this instance's monotonicity
+    guard for its lifetime.  Structured Streaming's checkpoint lock
+    already forbids two live queries per checkpoint, so the contract
+    only binds operators who point a NEW query or hand-written job at
+    an existing store: construct a fresh sink (it re-seeds) rather
+    than writing beside a live one.
+
     Same bounded-state / exactly-once envelope as ``DomainCapSink``:
     the store holds (key, toks) sums only, every write overwrites the
     ``batch_id=N`` partition this batch owns, prior reads exclude the

@@ -131,6 +131,29 @@ class MinHashDedupSink:
         survivors = self._admit(batch_df, batch_id)
         if self.counts_cols:
             survivors = survivors.drop(*self.counts_cols)
+        # Materialize the survivors checkpoint DURING the concurrent
+        # stats collection, while the batch persist is still live
+        # (round-13 ADVICE): the lazy checkpoint otherwise
+        # materializes at flush time, AFTER the stats cleanup
+        # unpersisted the batch — a nondeterministic upstream
+        # (rand(), current_timestamp) could then make the written
+        # rows diverge from batch_stats and the band store.  The
+        # count doubles as a written-rows consistency check against
+        # the flagged-derived n_kept; a mismatch means the order
+        # column is not unique per document (join-back fan-out) and
+        # aborts the trigger BEFORE anything flushes.
+        def _check_out(row):
+            n_out = int(row["n_out"])
+            n_kept = self.batch_stats[-1][2]
+            if n_out != n_kept:
+                raise ValueError(
+                    f"MinHashDedupSink wrote {n_out} survivor rows "
+                    f"but admitted {n_kept} documents in batch "
+                    f"{batch_id} — order_col {self._order!r} is not "
+                    f"unique per document (see class docstring)")
+
+        self._stats.add(
+            survivors.agg(F.count(F.lit(1)).alias("n_out")), _check_out)
         self._writes.add(survivors, self._out, batch_id)
         self._stats.collect()
         self._writes.flush()

@@ -196,6 +196,15 @@ def test_malformed_snapshot_rejected(tmp_path):
         psl_rule_tiers(load_psl_file(str(p)))
 
 
+def test_tuple_with_unhashable_elements_gets_clear_error():
+    # round-14 (r13 ADVICE residue): a tuple CONTAINING a list used to
+    # slip past normalization unhashed and die in functools' opaque
+    # "unhashable type" TypeError; now any non-tuple-of-str input is
+    # normalized so malformed rules hit the loader's own validation.
+    with pytest.raises(ValueError, match="can never match"):
+        psl_rule_tiers(("co.uk", ["com.au", "net.au"]))
+
+
 def test_no_idna2003_2008_divergent_rules_in_snapshot():
     """The loader uses the stdlib IDNA2003 codec; rules containing the
     characters where IDNA2008 diverges (ß, ς, ZWJ/ZWNJ) would encode

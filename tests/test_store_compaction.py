@@ -403,3 +403,28 @@ def test_periodic_compactor_bounds_partitions_mid_stream(spark, tmp_path):
     assert out_c == out_t
     with pytest.raises(ValueError, match="compact_every_n_batches"):
         PeriodicCompactor(c, [], 0)
+
+
+def test_deferred_pool_size_env_knob_validated(monkeypatch):
+    """Round-14 (r13 ADVICE): the process-wide deferred-writes/stats
+    pool is sizeable via SPARK_GRAFT_DEFERRED_POOL_WORKERS for
+    multi-stream deployments — read once at first pool use, bounds
+    validated with the function's own error (not a deep TypeError)."""
+    from sumologic_aws_lambda_spark.streaming.dedup import DeferredWrites
+
+    saved = DeferredWrites._pool
+    try:
+        for bad in ("abc", "0", "-2", "65"):
+            DeferredWrites._pool = None
+            monkeypatch.setenv("SPARK_GRAFT_DEFERRED_POOL_WORKERS", bad)
+            with pytest.raises(ValueError,
+                               match="SPARK_GRAFT_DEFERRED_POOL_WORKERS"):
+                DeferredWrites._shared_pool()
+        DeferredWrites._pool = None
+        monkeypatch.setenv("SPARK_GRAFT_DEFERRED_POOL_WORKERS", "9")
+        pool = DeferredWrites._shared_pool()
+        assert pool._max_workers == 9
+        assert DeferredWrites._shared_pool() is pool  # cached
+        pool.shutdown(wait=False)
+    finally:
+        DeferredWrites._pool = saved

@@ -249,6 +249,40 @@ def test_parse_anchor_multi_nstar_binds_all_stars(spark):
     assert got[0]["_pmulti"] == "keepme" and got[0]["a"] == "a"
 
 
+def test_parse_regex_multi_ngroup_binds_all_groups(spark):
+    # round-14: multi-group regex-form multi (round 13 refused >1 named
+    # group) — every repeated pattern match emits one row binding ALL
+    # named groups, in match order; nodrop keeps zero-match rows with
+    # nulls in every group column
+    df = spark.createDataFrame(
+        [("a=1;b=22;",), ("none here",), ("c=333;",)], "msg string"
+    )
+    out = compile_query(
+        df, '* | parse regex "(?<k>\\w+)=(?<v>\\d+);" multi', SCHEMA
+    ).collect()
+    assert sorted((r["k"], r["v"]) for r in out) == [
+        ("a", "1"), ("b", "22"), ("c", "333")]
+    kept = compile_query(
+        df, '* | parse regex "(?<k>\\w+)=(?<v>\\d+);" multi nodrop',
+        SCHEMA,
+    ).collect()
+    assert len(kept) == 4
+    nulls = [r for r in kept if r["k"] is None]
+    assert len(nulls) == 1 and nulls[0]["v"] is None
+    # a user column named like the working prefix must survive
+    df2 = spark.createDataFrame(
+        [("a=1;", "keepme")], "msg string, _pmulti string")
+    got = compile_query(
+        df2, '* | parse regex "(?<k>\\w+)=(?<v>\\d+);" multi',
+        SCHEMA).collect()
+    assert got[0]["_pmulti"] == "keepme" and got[0]["k"] == "a"
+    # zero named groups is still a hard error
+    import pytest as _pytest
+    from sumologic_aws_lambda_spark.plans.sumoql import SumoQLError
+    with _pytest.raises(SumoQLError):
+        compile_query(df, '* | parse regex "(\\d+)" multi', SCHEMA)
+
+
 def test_outlier_direction_filters_sign(spark):
     # flat baseline 5, then one spike up (day 6) and one drop (day 7
     # baseline window still mostly 5s)
