@@ -42,60 +42,52 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The external correctness driver checks registrations in dict order and
-# caps at the first 50.  Round-12 window (staleness recomputed
-# programmatically by aggregating CORRECTNESS_r01-r11 latest-sample
-# rounds — freshness was {r6: 35, r7: 45, r8: 50, r9: 48, r10: 50,
-# r11: 50}, CORRECTNESS_r11 was 50/50 green so no failures are owed a
-# re-check): (a) the round-12 addition (anchor-form parse multi) and
-# the four queries whose PRODUCTION KEYING + ORACLES changed this round
-# — the crawl funnels and registered_domain_psl_caps now key on the
-# full vendored 9,506-rule PSL snapshot with regenerated full-grammar
-# oracles, so their green must be re-earned under the new definition;
-# (b) ALL 35 queries whose latest hard signal is round 6 (the oldest
-# cohort — exactly the list the round-11 note owed this window);
-# (c) the first 10 of the 45-query r7 cohort, registry-name order,
-# filling the window to exactly 50.
+# caps at the first 50.  Round-14 window (staleness recomputed
+# programmatically by aggregating CORRECTNESS_r01-r13 latest-sample
+# rounds — freshness was {r8: 39, r9: 48, r10: 46, r11: 50, r12: 49,
+# r13: 50}, CORRECTNESS_r13 was 50/50 green so no failures are owed a
+# re-check): (a) the round-14 addition (multi-group regex-form parse
+# multi) plus sumoql_parse_multi, whose compiled branch was
+# restructured by that change and must re-earn green; (b) ALL 39
+# queries whose latest hard signal is round 8 (the oldest cohort —
+# the true count; the r13 note's "40" forgot multimodal_feature_extract
+# entered that window via its operator change); (c) the first 9 of the
+# 48-query r9 cohort, registry order, filling the window to exactly 50.
 _PRIORITY: tuple[str, ...] = (
-    # -- (a) round-13 additions + operator-changed re-verification
-    # (real-decode dispatch now under extract_features; the anchor
-    # parse-multi stage gained the multi-star branch) --
-    "multimodal_real_decode", "ahash_real_neardup",
-    "sumoql_parse_anchor_multi_nstar",
-    "multimodal_feature_extract", "sumoql_parse_anchor_multi",
-    # -- (b) ALL 35 queries whose latest hard signal is round 7 (the
-    # oldest cohort; recomputed by aggregating CORRECTNESS_r01-r12:
-    # freshness was {r7: 35, r8: 50, r9: 48, r10: 46, r11: 50,
-    # r12: 50}, zero red at latest sample so no failures owed) --
-    "pivot_status_matrix", "window_rank_battery", "pii_masking_rules",
-    "epoch_shard_manifest", "hard_negative_mining",
-    "embedding_decontamination", "sumoql_benchmark",
-    "sumoql_lookup_contains", "entity_hierarchy_rollup",
-    "tag_resources_plan", "resample_interpolate", "value_percentile_bands",
-    "slo_burn_rate_windows", "ewma_drift_alerts", "truncation_waste",
-    "quality_score_calibration", "funnel_conversion_rates",
-    "triangle_communities", "k_core_membership", "local_supplier_volume",
-    "volume_shipping", "large_volume_customers",
-    "global_sales_opportunity", "market_share", "promo_revenue",
-    "top_supplier", "small_quantity_revenue", "min_cost_supplier",
-    "returned_item_report", "important_part_value",
-    "late_shipment_priority", "supplier_part_variety",
-    "excess_supply_candidates", "waiting_orders_suppliers",
-    "table_profile",
-    # -- (c) oldest 10 of the 50-query r8 cohort, registry order,
+    # -- (a) round-14 addition + operator-changed re-verification
+    # (the regex-form parse-multi branch was restructured to gain the
+    # multi-group path) --
+    "sumoql_parse_regex_multi_ngroup", "sumoql_parse_multi",
+    # -- (b) ALL 39 queries whose latest hard signal is round 8 --
+    "asff_validation_gate", "multiline_assembly", "cwl_decode_pipeline",
+    "curation_pipeline", "ngram_decontamination", "bm25_retrieval",
+    "pmi_collocations", "exact_dedup_stats", "minhash_signatures",
+    "minhash_lsh_pairs", "dedup_clusters", "dataset_hash_split",
+    "domain_mixture_sample", "cosine_topk_bruteforce", "lsh_ann_topk",
+    "mmr_diversified_topk", "embedding_centroid_drift",
+    "asof_join_last_click", "cube_order_priority", "ivf_ann_topk",
+    "kmeans_centroid_stats", "cusum_changepoints",
+    "holt_linear_forecast", "heavy_hitters_twopass",
+    "link_prediction_scores", "attribution_touchpoints",
+    "growth_accounting_weekly", "funnel_time_to_convert",
+    "rfm_segmentation", "part_affinity_rules", "revenue_concentration",
+    "scd2_intervals", "cdc_snapshot_merge",
+    "referential_integrity_audit", "join_key_skew_stats",
+    "k_anonymity_audit", "pointintime_feature_join", "psi_drift_score",
+    "benford_digit_audit",
+    # -- (c) oldest 9 of the 48-query r9 cohort, registry order,
     # filling the window to exactly 50 --
-    "count_distinct_parts", "approx_count_distinct_parts",
-    "percentile_quantity", "approx_percentile_quantity",
-    "carry_forward_last_value", "json_extract_props",
-    "json_autodetect_parse", "timestamp_locator_extract",
-    "vpc_internal_filter", "firehose_transform",
+    "pricing_summary", "revenue_topk", "semi_join_priority",
+    "scalar_function_battery", "window_lag_delta", "paged_results",
+    "timeslice_5m", "timeslice_daily_active", "vpc_eni_enrichment",
 )
 
-# Round-14 rotation notes: recompute programmatically by aggregating
-# CORRECTNESS_r01-r13 — do not trust hand-maintained lists.  Owed the
-# r14 head: any round-14 additions and anything CORRECTNESS_r13 failed,
-# then the remaining 40 r8-cohort queries this window could not fit
-# (r8 cohort minus the 10 in (c) above — recompute the exact list),
-# then the r9 cohort.  Keep the window EXACTLY 50 — re-count after
+# Round-15 rotation notes: recompute programmatically by aggregating
+# CORRECTNESS_r01-r14 — do not trust hand-maintained lists.  Owed the
+# r15 head: any round-15 additions and anything CORRECTNESS_r14 failed,
+# then the remaining r9-cohort queries this window could not fit
+# (the r9 cohort minus the 9 in (c) above — recompute the exact list),
+# then the r10 cohort.  Keep the window EXACTLY 50 — re-count after
 # every edit (tests/test_doc_counts.py pins this).
 
 

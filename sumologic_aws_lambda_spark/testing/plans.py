@@ -65,6 +65,30 @@ def _input_is_bounded(tree) -> bool:
     return False
 
 
+def audit_flags(df: DataFrame, max_exchanges: int = 4) -> list[str]:
+    """The shuffle audit's flag computation for one query's physical
+    plan — shared by ``tools/audit_shuffles.py`` and the plan-shape
+    suite's registry-wide adjudication guard, so the tool's output and
+    the in-code adjudicated-flag set (``_AUDIT_FLAGS_OK``) can never
+    drift (round-13 verdict item 1: the hand-maintained BASELINE count
+    did exactly that).  Flags: ``CARTESIAN`` (any CartesianProduct),
+    ``SMJ`` (any SortMergeJoin), ``MANY-EXCHANGES`` (more than
+    ``max_exchanges`` hash exchanges), ``GLOBAL-WINDOW`` (an
+    unpartitioned, non-Limit-bounded Window — see
+    :func:`unbounded_global_windows`)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    flags = []
+    if plan.count("CartesianProduct"):
+        flags.append("CARTESIAN")
+    if plan.count("SortMergeJoin"):
+        flags.append("SMJ")
+    if plan.count("Exchange hashpartitioning") > max_exchanges:
+        flags.append("MANY-EXCHANGES")
+    if unbounded_global_windows(df):
+        flags.append("GLOBAL-WINDOW")
+    return flags
+
+
 def unbounded_global_windows(df: DataFrame) -> int:
     """Count Window nodes with an empty partitionSpec whose input is
     not Limit-bounded — each one moves its whole input to one task."""

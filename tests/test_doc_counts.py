@@ -45,3 +45,42 @@ def test_priority_window_is_exactly_50():
     unknown = [n for n in _PRIORITY if n not in qs]
     assert not unknown, f"_PRIORITY names not in registry: {unknown}"
     assert len(set(_PRIORITY)) == 50, "duplicate names in _PRIORITY"
+
+
+def test_priority_window_follows_rotation_protocol():
+    """Round-14 (r13 verdict items 2-3: the hand-kept rotation note
+    drifted twice in one round — '40' for a true 39).  Recompute
+    freshness from the CORRECTNESS_r*.json artifacts and pin the two
+    halves of the established protocol the window must satisfy:
+    (a) every registered query the driver has NEVER sampled is in the
+    window (new additions earn their first green immediately), and
+    (b) the ENTIRE oldest-freshness cohort is in the window (nothing
+    stale is left behind for a later round to forget)."""
+    import json
+
+    from sumologic_aws_lambda_spark.queries import _PRIORITY
+
+    latest: dict[str, int] = {}
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        r = int(re.search(r"r(\d+)", p.name).group(1))
+        for q in json.load(open(p)):
+            latest[q] = max(r, latest.get(q, 0))
+    assert latest, "no CORRECTNESS artifacts found"
+    window = set(_PRIORITY)
+    qs = set(registry.all_queries())
+
+    never_sampled = sorted(qs - set(latest))
+    missing_new = [q for q in never_sampled if q not in window]
+    assert not missing_new, (
+        f"never-sampled queries must head the window: {missing_new}")
+
+    oldest = min(r for q, r in latest.items() if q in qs)
+    cohort = sorted(q for q, r in latest.items()
+                    if r == oldest and q in qs)
+    left_behind = [q for q in cohort if q not in window]
+    assert len(cohort) + len(never_sampled) <= 50, (
+        "oldest cohort no longer fits the 50-slot window — split it "
+        "across rounds and relax this assertion deliberately")
+    assert not left_behind, (
+        f"oldest (r{oldest}) cohort queries missing from the window: "
+        f"{left_behind}")

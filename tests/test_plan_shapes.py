@@ -477,3 +477,123 @@ def test_psl_snapshot_single_scan_all_broadcast(spark, qs):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 2
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# The shuffle audit's ADJUDICATED flag set (round-14, verdict item 1:
+# the hand-maintained "36 flagged" BASELINE sentence drifted from the
+# shipped tree's 37 — exactly the failure mode _GLOBAL_WINDOW_OK was
+# built to prevent, so the adjudication now lives here, in code).
+# name -> (frozenset of expected flags, why the shape is correct at
+# 100 TB).  The registry-wide guard below recomputes every query's
+# flags with the SAME code the tool uses
+# (testing.plans.audit_flags, executedPlan at SF_DIR) and fails on any
+# unadjudicated flag, any vanished flag, or any count change — adding
+# an operator whose plan carries a new flag means adjudicating it HERE
+# with a reason, not editing prose.
+_SMJ_GRAPH = ("fact-fact edge self-joins: both sides corpus-scale, "
+              "SMJ is the correct strategy; r13 10x probes measured "
+              "sublinear (wedge-bound)")
+_SMJ_BANDED = ("banded candidate self-join: both sides are the "
+               "banded fact, equi-join on (band, key) — never "
+               "all-pairs; SMJ correct for fact-fact")
+_SMJ_TPCH = ("fact-fact join (orders-lineitem family): both sides "
+             "data-scale, SMJ is the right strategy; dims still "
+             "broadcast")
+_MANY_AGG = ("multi-stage agg/window pipeline: each exchange is a "
+             "distinct-key-scale partial-agg or window repartition, "
+             "none corpus-redundant")
+_GWIN = ("bounded global window adjudicated in _GLOBAL_WINDOW_OK; "
+         "site marked via planmarks.bounded_global_window")
+_AUDIT_FLAGS_OK: dict[str, tuple[frozenset, str]] = {
+    # -- graph tier: SMJ + many exchanges, all edge self-joins --
+    "clustering_coefficients": (frozenset({"SMJ", "MANY-EXCHANGES"}),
+                                _SMJ_GRAPH),
+    "triangle_communities": (frozenset({"SMJ", "MANY-EXCHANGES"}),
+                             _SMJ_GRAPH),
+    "link_prediction_scores": (frozenset({"SMJ", "MANY-EXCHANGES"}),
+                               _SMJ_GRAPH),
+    # -- dedup/similarity tier: banded/bucketed candidate joins --
+    "minhash_calibration": (frozenset({"SMJ", "MANY-EXCHANGES"}),
+                            _SMJ_BANDED),
+    "semantic_dedup_clusters_star": (
+        frozenset({"SMJ", "MANY-EXCHANGES"}),
+        "large-star/small-star contraction rounds join corpus-scale "
+        "cluster-id frames; SMJ correct, rounds bounded"),
+    "ahash_real_neardup": (frozenset({"SMJ"}), _SMJ_BANDED),
+    "phash_hamming_neardup": (frozenset({"SMJ"}), _SMJ_BANDED),
+    "semdedup_prune": (frozenset({"SMJ"}), _SMJ_BANDED),
+    "ngram_jaccard_pairs": (frozenset({"MANY-EXCHANGES"}), _SMJ_BANDED),
+    # -- TPC-H-style fact-fact analytics --
+    "min_cost_supplier": (frozenset({"SMJ", "MANY-EXCHANGES"}),
+                          _SMJ_TPCH),
+    "waiting_orders_suppliers": (frozenset({"SMJ", "MANY-EXCHANGES"}),
+                                 _SMJ_TPCH),
+    "market_share": (frozenset({"SMJ"}), _SMJ_TPCH),
+    "volume_shipping": (frozenset({"SMJ"}), _SMJ_TPCH),
+    "cdc_snapshot_merge": (frozenset({"SMJ"}),
+                           "full-outer snapshot-to-snapshot merge: "
+                           "both sides the same table's versions"),
+    "dataset_manifest_diff": (frozenset({"SMJ"}),
+                              "manifest-to-manifest full-outer diff: "
+                              "both sides shard-manifest scale"),
+    # -- multi-stage agg/window pipelines (exchanges only) --
+    "part_affinity_rules": (frozenset({"MANY-EXCHANGES"}), _MANY_AGG),
+    "curation_pipeline_funnel": (frozenset({"MANY-EXCHANGES"}),
+                                 _MANY_AGG),
+    "bm25_retrieval": (frozenset({"MANY-EXCHANGES"}), _MANY_AGG),
+    "chi2_event_weekday": (frozenset({"MANY-EXCHANGES"}), _MANY_AGG),
+    "embedding_centroid_drift": (frozenset({"MANY-EXCHANGES"}),
+                                 _MANY_AGG),
+    "bigram_lm_perplexity": (frozenset({"MANY-EXCHANGES"}), _MANY_AGG),
+    "crawl_stage1_funnel": (frozenset({"MANY-EXCHANGES"}), _MANY_AGG),
+    "crawl_stage2_funnel": (frozenset({"MANY-EXCHANGES"}), _MANY_AGG),
+    "event_funnel_conversion": (frozenset({"MANY-EXCHANGES"}),
+                                _MANY_AGG),
+    "event_markov_transitions": (frozenset({"MANY-EXCHANGES"}),
+                                 _MANY_AGG),
+    "funnel_conversion_rates": (frozenset({"MANY-EXCHANGES"}),
+                                _MANY_AGG),
+    "growth_accounting_weekly": (frozenset({"MANY-EXCHANGES"}),
+                                 _MANY_AGG),
+    "monitor_alert_throttle": (frozenset({"MANY-EXCHANGES"}),
+                               _MANY_AGG),
+    "revenue_concentration": (frozenset({"MANY-EXCHANGES"}), _MANY_AGG),
+    "seasonal_residual_outliers": (frozenset({"MANY-EXCHANGES"}),
+                                   _MANY_AGG),
+    "winnowing_fingerprint_stats": (frozenset({"MANY-EXCHANGES"}),
+                                    _MANY_AGG),
+    # -- bounded global windows (see _GLOBAL_WINDOW_OK) --
+    "zipf_spectrum": (frozenset({"GLOBAL-WINDOW"}), _GWIN),
+    "slo_burn_rate_windows": (frozenset({"GLOBAL-WINDOW"}), _GWIN),
+    "slo_error_budget": (frozenset({"GLOBAL-WINDOW"}), _GWIN),
+    "sumoql_accum_total": (frozenset({"GLOBAL-WINDOW"}), _GWIN),
+    "sumoql_outlier_series": (frozenset({"GLOBAL-WINDOW"}), _GWIN),
+    "chunked_batches": (frozenset({"GLOBAL-WINDOW"}), _GWIN),
+}
+
+
+def test_audit_flags_match_adjudicated_set_registry_wide(spark, qs):
+    """Round-14 verdict item 1: recompute every registry query's
+    shuffle-audit flags (same computation as tools/audit_shuffles.py)
+    and fail on ANY divergence from _AUDIT_FLAGS_OK — an unadjudicated
+    new flag, a flag that silently vanished (the adjudication is then
+    stale), or an entry for a query that no longer exists."""
+    from sumologic_aws_lambda_spark.testing.plans import audit_flags
+
+    problems = []
+    seen = set()
+    for name, fn in qs.items():
+        flags = frozenset(audit_flags(fn(spark, SF_DIR)))
+        expected = _AUDIT_FLAGS_OK.get(name, (frozenset(), None))[0]
+        if flags != expected:
+            problems.append(f"{name}: plan flags {sorted(flags)} != "
+                            f"adjudicated {sorted(expected)}")
+        seen.add(name)
+    for name in _AUDIT_FLAGS_OK:
+        if name not in seen:
+            problems.append(f"{name}: adjudicated but not in registry")
+    assert not problems, (
+        "shuffle-audit adjudication drift — update _AUDIT_FLAGS_OK "
+        "WITH a reason (and re-run tools/audit_shuffles.py):\n"
+        + "\n".join(problems))
+    assert len(_AUDIT_FLAGS_OK) == 37  # the r14 adjudicated count

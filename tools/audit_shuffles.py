@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from sumologic_aws_lambda_spark import queries as registry  # noqa: E402
 from sumologic_aws_lambda_spark.session import get_spark  # noqa: E402
 from sumologic_aws_lambda_spark.testing.plans import (  # noqa: E402
-    unbounded_global_windows,
+    audit_flags,
 )
 
 
@@ -34,22 +34,17 @@ def main() -> int:
             df = fn(spark, args.sf)
             plan = (df._jdf.queryExecution()
                     .executedPlan().toString())
-            gwin = unbounded_global_windows(df)
+            # the flag computation is shared with the plan-shape
+            # suite's adjudication guard (testing.plans.audit_flags)
+            # so the tool and the in-code _AUDIT_FLAGS_OK set can
+            # never drift (round-13 verdict item 1)
+            flags = audit_flags(df, args.max_exchanges)
         except Exception as exc:  # pragma: no cover
             rows.append((name, -1, -1, -1, f"ERROR {type(exc).__name__}"))
             continue
         ex = plan.count("Exchange hashpartitioning")
         smj = plan.count("SortMergeJoin")
         cart = plan.count("CartesianProduct")
-        flags = []
-        if cart:
-            flags.append("CARTESIAN")
-        if smj:
-            flags.append("SMJ")
-        if ex > args.max_exchanges:
-            flags.append("MANY-EXCHANGES")
-        if gwin:
-            flags.append("GLOBAL-WINDOW")
         rows.append((name, ex, smj, cart, " ".join(flags)))
     rows.sort(key=lambda r: (-r[1], r[0]))
     print(f"{'query':40s} {'hashEx':>6s} {'smj':>4s} {'cart':>4s}  flags")

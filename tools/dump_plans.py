@@ -105,6 +105,9 @@ SHOWCASE = [
     "crawl_stage2_funnel",    # quality+sample+budget, one more window
     "registered_domain_psl_caps",  # broadcast PSL join, one window
     "psl_snapshot_domains",   # FULL 9.5k-rule PSL: 10 bcast tiers, 1 exch
+    "multimodal_real_decode",  # Arrow mapInPandas decode, narrow stage
+    "ahash_real_neardup",     # banded Hamming self-join (adjudicated SMJ)
+    "sumoql_parse_regex_multi_ngroup",  # n-group generator in codegen
 ]
 
 

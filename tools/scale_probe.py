@@ -251,6 +251,121 @@ def _soak_stage2(spark, n_batches: int) -> int:
     return 0 if soaked == twinned else 1
 
 
+def _soak_stage1(spark, n_batches: int) -> int:
+    """Long-stream soak of the composed stage-1 curation sink
+    (round-14 verdict item 8: the r13 lazy extraction checkpoint
+    landed AFTER the r13 soak) — ``n_batches`` micro-batches of
+    HTML-bearing crawl rows through :class:`CurationStage1Sink` with a
+    REAL ``extract_main_text`` extraction stage, then batch-run parity
+    (one-batch twin over the union) AND replay idempotence (redeliver
+    the final batch; per-batch-overwrite stores must leave the output
+    byte-identical).  Prints one JSON line for BASELINE.md."""
+    import json
+    import shutil
+    import tempfile
+
+    from sumologic_aws_lambda_spark.operators.html import (
+        extract_main_text,
+    )
+    from sumologic_aws_lambda_spark.streaming.neardup import (
+        CurationStage1Sink,
+    )
+
+    root = tempfile.mkdtemp(prefix="soak_stage1_")
+    j = lambda *p: os.path.join(root, *p)  # noqa: E731
+
+    # synthetic crawl with an EXTRACTION-heavy payload: main paragraph
+    # (30 words, shared template per publisher -> near-dup pressure)
+    # + boilerplate nav/footer segments the extractor must strip;
+    # ~30% of raw spellings repeat an earlier page (URL-dedup
+    # pressure), all under a 25-publisher pool (cap pressure)
+    def rows(b):
+        out = []
+        for i in range(20):
+            doc = b * 20 + i
+            page = doc if doc % 3 else max(doc - 21, 0)
+            pub = page % 25
+            body = (" ".join(f"w{pub}t{k}" for k in range(30))
+                    + f" tail{page}")
+            html = (f"<html><body><nav>home | about</nav>"
+                    f"<p>{body}</p>"
+                    f"<footer><a href='/x'>links</a></footer>"
+                    f"</body></html>")
+            out.append({"doc_id": doc,
+                        "url": f"https://s{page % 3}.pub{pub}.org/p/"
+                               f"{page}?utm_source=x",
+                        "page_html": html})
+        return out
+
+    os.makedirs(j("in"))
+    now = time.time()
+    for b in range(n_batches):
+        p = j("in", f"b{b:04d}.json")
+        with open(p, "w") as fh:
+            for r in rows(b):
+                fh.write(json.dumps(r) + "\n")
+        os.utime(p, (now + b, now + b))
+
+    def make_sink(prefix):
+        return CurationStage1Sink(
+            spark, j(f"{prefix}dedup"), j(f"{prefix}cap"),
+            j(f"{prefix}band"), j(f"{prefix}out"),
+            url_col="url", order_col="doc_id", cap=40,
+            content_col="page_html",
+            extract=lambda c: extract_main_text(c)["extracted_text"],
+            min_chars=10, token_band=(5, 2000))
+
+    sink = make_sink("")
+    stream = (spark.readStream.format("json")
+              .schema("doc_id long, url string, page_html string")
+              .option("maxFilesPerTrigger", 1)
+              .load(j("in")))
+    t0 = time.time()
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", j("ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    soak_s = time.time() - t0
+
+    out_df = spark.read.parquet(j("out"))
+    soaked = sorted(r.doc_id for r in
+                    out_df.select("doc_id").collect())
+
+    # replay idempotence: redeliver the FINAL batch verbatim (the one
+    # batch the engine can still redeliver after a crash) — admitted
+    # set must not change
+    last = n_batches - 1
+    sink(spark.createDataFrame(
+        [(r["doc_id"], r["url"], r["page_html"]) for r in rows(last)],
+        "doc_id long, url string, page_html string"), last)
+    replayed = sorted(r.doc_id for r in
+                      spark.read.parquet(j("out"))
+                      .select("doc_id").collect())
+
+    # batch-run parity: one batch holding the union through fresh
+    # stores admits the same documents
+    twin = make_sink("t_")
+    union = [r for b in range(n_batches) for r in rows(b)]
+    twin(spark.createDataFrame(
+        [(r["doc_id"], r["url"], r["page_html"]) for r in union],
+        "doc_id long, url string, page_html string"), 0)
+    twinned = sorted(r.doc_id for r in
+                     spark.read.parquet(j("t_out"))
+                     .select("doc_id").collect())
+
+    ok = soaked == twinned and soaked == replayed
+    print(json.dumps({
+        "probe": "soak_stage1", "n_batches": n_batches,
+        "n_rows": 20 * n_batches, "soak_s": round(soak_s, 1),
+        "s_per_trigger": round(soak_s / n_batches, 2),
+        "n_admitted": len(soaked),
+        "parity": soaked == twinned,
+        "replay_idempotent": soaked == replayed,
+    }))
+    shutil.rmtree(root, ignore_errors=True)
+    return 0 if ok else 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
@@ -262,11 +377,22 @@ def main() -> int:
                     help="long-stream soak of CurationStage2Sink: N "
                          "micro-batches, store growth + compaction + "
                          "batch-run parity (round-11 verdict item 5)")
+    ap.add_argument("--soak-stage1", type=int, default=None,
+                    metavar="N_BATCHES",
+                    help="long-stream soak of CurationStage1Sink with "
+                         "a real extraction stage: N micro-batches, "
+                         "batch-run parity + final-batch replay "
+                         "idempotence (round-14 verdict item 8)")
     args = ap.parse_args()
     spark = get_spark("scale-probe")
 
     if args.soak_stage2 is not None:
         rc = _soak_stage2(spark, args.soak_stage2)
+        spark.stop()
+        return rc
+
+    if args.soak_stage1 is not None:
+        rc = _soak_stage1(spark, args.soak_stage1)
         spark.stop()
         return rc
 
