@@ -1,12 +1,14 @@
-"""Pure-stdlib media codecs: PPM (P6) + BMP (24-bit) rasters and WAV
-(PCM) audio, with deterministic pixel/sample statistics — the REAL
-decode step of the multimodal pipeline (round-12 verdict item 3: the
-feature extractor must decode at least one real format without an
-optional dependency; PIL stays the gated path for JPEG/PNG).
+"""Pure-stdlib media codecs: PPM (P6) + BMP (24-bit) + PNG (8-bit,
+non-interlaced) rasters and WAV (PCM) audio, with deterministic
+pixel/sample statistics — the REAL decode step of the multimodal
+pipeline (round-12 verdict item 3: the feature extractor must decode
+at least one real format without an optional dependency; PIL stays
+the gated path for JPEG only as of round 14).
 
-Everything here is byte-level `struct`/`wave` parsing of public file
-formats (netpbm spec, BITMAPINFOHEADER, RIFF/WAVE) — no third-party
-libraries.  The decoders are strict (malformed input raises), so the
+Everything here is byte-level `struct`/`zlib`/`wave` parsing of public
+file formats (netpbm spec, BITMAPINFOHEADER, the PNG chunk grammar
+with CRC verification and all five scanline filters, RIFF/WAVE) — no
+third-party libraries.  The decoders are strict (malformed input raises), so the
 Spark-side dispatch in ``operators/multimodal.py`` can sniff magic
 bytes, attempt the decode, and fall back to the documented hash stub
 deterministically.
@@ -149,6 +151,148 @@ def decode_bmp(content: bytes) -> tuple[int, int, bytes]:
             o = (r_out * width + col) * 3
             out[o], out[o + 1], out[o + 2] = r, g, b
     return width, height, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# PNG (pure stdlib: struct chunk grammar + zlib raster + binascii CRCs)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal PNG writer: 8-bit RGB (color type 2), non-interlaced,
+    filter 0 on every scanline, one zlib IDAT — the smallest stream
+    every conforming reader accepts."""
+    import binascii
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"rgb payload is {len(rgb)} bytes, need {width * height * 3}")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", binascii.crc32(typ + data)
+                              & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + rgb[r * width * 3:(r + 1) * width * 3]
+                   for r in range(height))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def decode_png(content: bytes) -> tuple[int, int, bytes]:
+    """Parse an 8-bit-depth, non-interlaced PNG: returns (width,
+    height, RGB bytes top-down).  Color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha) and 6 (RGBA) supported — alpha is
+    DROPPED, not composited (deterministic, and the feature extractor
+    consumes straight RGB); gray replicates into all three channels.
+    All five scanline filters (None/Sub/Up/Average/Paeth) are
+    implemented per the spec, chunk CRCs are verified, and anything
+    else — 16-bit depth, Adam7 interlace, missing IHDR/IDAT/IEND,
+    truncation — raises ValueError so the dispatch in
+    ``operators/multimodal.py`` can fall back deterministically."""
+    import binascii
+    import zlib
+
+    if not content.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, ihdr, plte, ended = 8, None, None, False
+    idat = bytearray()
+    while pos + 12 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        typ = content[pos + 4:pos + 8]
+        if pos + 12 + length > len(content):
+            raise ValueError("truncated PNG chunk")
+        data = content[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
+        if binascii.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        pos += 12 + length
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            ended = True
+            break
+    if ihdr is None or len(ihdr) != 13 or not idat or not ended:
+        raise ValueError("PNG missing IHDR/IDAT/IEND")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if comp or filt:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace:
+        raise ValueError("interlaced PNG unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    if ctype == 3 and (not plte or len(plte) % 3):
+        raise ValueError("palette PNG missing or malformed PLTE")
+    if not 0 < w <= 1 << 24 or not 0 < h <= 1 << 24:
+        raise ValueError(f"bad PNG dims {w}x{h}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG raster size mismatch")
+    out = bytearray(stride * h)
+    bpp = channels
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        line = raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)]
+        o = r * stride
+        if f == 0:
+            out[o:o + stride] = line
+        elif f == 1:                                   # Sub
+            for x in range(stride):
+                left = out[o + x - bpp] if x >= bpp else 0
+                out[o + x] = (line[x] + left) & 0xFF
+        elif f == 2:                                   # Up
+            for x in range(stride):
+                up = out[o - stride + x] if r else 0
+                out[o + x] = (line[x] + up) & 0xFF
+        elif f == 3:                                   # Average
+            for x in range(stride):
+                left = out[o + x - bpp] if x >= bpp else 0
+                up = out[o - stride + x] if r else 0
+                out[o + x] = (line[x] + ((left + up) >> 1)) & 0xFF
+        elif f == 4:                                   # Paeth
+            for x in range(stride):
+                a = out[o + x - bpp] if x >= bpp else 0
+                b = out[o - stride + x] if r else 0
+                c = (out[o - stride + x - bpp]
+                     if (r and x >= bpp) else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (a if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c))
+                out[o + x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+    if ctype == 2:
+        return w, h, bytes(out)
+    rgb = bytearray(w * h * 3)
+    if ctype == 0:
+        for i, v in enumerate(out):
+            rgb[3 * i:3 * i + 3] = bytes((v, v, v))
+    elif ctype == 4:
+        for i in range(w * h):
+            v = out[2 * i]
+            rgb[3 * i:3 * i + 3] = bytes((v, v, v))
+    elif ctype == 6:
+        for i in range(w * h):
+            rgb[3 * i:3 * i + 3] = out[4 * i:4 * i + 3]
+    else:                                              # palette
+        for i, idx in enumerate(out):
+            if 3 * idx + 3 > len(plte):
+                raise ValueError("PNG palette index out of range")
+            rgb[3 * i:3 * i + 3] = plte[3 * idx:3 * idx + 3]
+    return w, h, bytes(rgb)
 
 
 # ---------------------------------------------------------------------------
@@ -299,13 +443,15 @@ def to_signed64(v: int) -> int:
 
 
 def sniff_format(content: bytes) -> str | None:
-    """Magic-byte format sniff for the decode dispatch: 'ppm', 'bmp'
-    or 'wav' when this module can decode the payload, else None (the
-    caller falls back to the hash stub or the PIL-gated path)."""
+    """Magic-byte format sniff for the decode dispatch: 'ppm', 'bmp',
+    'png' or 'wav' when this module can decode the payload, else None
+    (the caller falls back to the hash stub or the PIL-gated path)."""
     if content.startswith(b"P6"):
         return "ppm"
     if content.startswith(b"BM"):
         return "bmp"
+    if content.startswith(_PNG_SIG):
+        return "png"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
     return None
@@ -323,7 +469,9 @@ def decode_features(content: bytes, dim: int) -> tuple[str, list[float]] | None:
         if fmt == "wav":
             rate, channels, samples = decode_wav(content)
             return fmt, audio_features(rate, channels, samples, dim)
-        w, h, rgb = (decode_ppm if fmt == "ppm" else decode_bmp)(content)
+        dec = {"ppm": decode_ppm, "bmp": decode_bmp,
+               "png": decode_png}[fmt]
+        w, h, rgb = dec(content)
         return fmt, image_features(w, h, rgb, dim)
     except Exception:
         return None

@@ -1,13 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-North-star addition.  The decode step is REAL for PPM/BMP rasters and
-PCM WAV audio — pure-stdlib parsers in ``operators/media_codecs.py``
+North-star addition.  The decode step is REAL for PPM/BMP/PNG rasters
+and PCM WAV audio — pure-stdlib parsers in ``operators/media_codecs.py``
 (round-12 verdict item 3: at least one real format must decode without
-an optional dependency).  ``extract_features`` sniffs magic bytes per
+an optional dependency; round 14 adds PNG via stdlib zlib).  ``extract_features`` sniffs magic bytes per
 payload: a format the codec module understands is decoded and
 featurized from actual pixels/samples; anything else falls back to the
 DETERMINISTIC hash stub (clearly marked below), and PIL remains the
-gated path for JPEG/PNG.  Everything Spark-side — schema, Arrow batch
+gated path for JPEG.  Everything Spark-side — schema, Arrow batch
 shape, ``mapInPandas`` signatures, explode/partition behavior — is the
 same narrow Arrow-batched stage either way.
 
@@ -78,7 +78,7 @@ def synthetic_media(spark: SparkSession, n: int = 60,
 
 def _fake_decode_features(content: bytes, dim: int) -> list[float]:
     """*** DECODE STUB ***  Deterministic FALLBACK for payloads whose
-    format the real decoders (``media_codecs``: PPM/BMP/WAV) and the
+    format the real decoders (``media_codecs``: PPM/BMP/PNG/WAV) and the
     PIL-gated path don't cover.  Derives ``dim`` floats in [0, 1) from
     md5 of the *hex encoding* of the payload — hashing the hex string
     (not the raw bytes) keeps the derivation reproducible by engines
@@ -93,13 +93,14 @@ def _fake_decode_features(content: bytes, dim: int) -> list[float]:
 
 def decode_image(content: bytes):  # pragma: no cover - requires PIL
     """PIL decode path for formats the stdlib codecs don't parse
-    (JPEG/PNG/...), gated on the library being present.  PPM/BMP/WAV
-    decode WITHOUT PIL via ``operators/media_codecs.py``."""
+    (JPEG/...), gated on the library being present.  PPM/BMP/PNG/WAV
+    decode WITHOUT PIL via ``operators/media_codecs.py`` (PNG joined
+    the stdlib set in round 14)."""
     if not _HAVE_PIL:
         raise NotImplementedError(
-            "JPEG/PNG decode needs PIL; this environment ships none — "
-            "PPM/BMP/WAV decode via media_codecs, other formats fall "
-            "back to the deterministic stub in extract_features"
+            "JPEG decode needs PIL; this environment ships none — "
+            "PPM/BMP/PNG/WAV decode via media_codecs, other formats "
+            "fall back to the deterministic stub in extract_features"
         )
     import io
 
@@ -108,7 +109,7 @@ def decode_image(content: bytes):  # pragma: no cover - requires PIL
 
 def _decode_one(content: bytes, dim: int) -> tuple[str, list[float]]:
     """Per-payload decode dispatch: (path, features).  Real stdlib
-    decode for PPM/BMP/WAV; PIL (when installed) for rasters it can
+    decode for PPM/BMP/PNG/WAV; PIL (when installed) for rasters it can
     open; the md5 hash stub otherwise.  Sniff + try/fallback is
     DETERMINISTIC — the same bytes always take the same path, so
     replays and the driver oracle reproduce results exactly."""
@@ -132,7 +133,7 @@ def _decode_one(content: bytes, dim: int) -> tuple[str, list[float]]:
 def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """Feature extraction as ``mapInPandas``: Arrow-batched, preserves
     partitioning, adds ``features array<float>`` + ``content_bytes`` +
-    ``decoded_format`` ('ppm'/'bmp'/'wav' for real pixel/sample
+    ``decoded_format`` ('ppm'/'bmp'/'png'/'wav' for real pixel/sample
     statistics, 'pil' under the gated library, 'stub' for the hash
     fallback).
 
@@ -170,11 +171,12 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
 
 def synthetic_real_media(spark: SparkSession, n: int = 24) -> DataFrame:
-    """Deterministic corpus of REAL encoded payloads — PPM, BMP and WAV
-    round i%3 — exercising the stdlib decoders end to end through the
-    binary column / Arrow transfer / mapInPandas plumbing.  Pixel and
-    sample values are integer arithmetic on (i, position), so the
-    driver oracle can regenerate the identical bytes without Spark."""
+    """Deterministic corpus of REAL encoded payloads — PPM, BMP, WAV
+    and PNG round i%4 — exercising the stdlib decoders end to end
+    through the binary column / Arrow transfer / mapInPandas plumbing.
+    Pixel and sample values are integer arithmetic on (i, position), so
+    the driver oracle can regenerate the identical bytes without
+    Spark."""
     return spark.createDataFrame(
         [(i, m, bytearray(c), {"format": m})
          for i, m, c in synthetic_real_payloads(n)],
@@ -300,11 +302,18 @@ def synthetic_real_payloads(n: int) -> list[tuple[int, str, bytes]]:
     :func:`synthetic_real_media` — pure Python, shared with the
     import-time golden-oracle generator in ``queries/catalog_ops.py``
     so both sides provably featurize the same payloads."""
-    from .media_codecs import encode_bmp, encode_ppm, encode_wav
+    from .media_codecs import (
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        encode_wav,
+    )
 
     out: list[tuple[int, str, bytes]] = []
+    encoders = {0: ("ppm", encode_ppm), 1: ("bmp", encode_bmp),
+                3: ("png", encode_png)}
     for i in range(n):
-        kind = i % 3
+        kind = i % 4
         if kind == 2:
             samples = [((i * 31 + 257 * t) % 65536) - 32768
                        for t in range(64 + 8 * i)]
@@ -312,8 +321,8 @@ def synthetic_real_payloads(n: int) -> list[tuple[int, str, bytes]]:
             continue
         w, h = 4 + i % 5, 3 + i % 4
         rgb = bytes((i * 7 + p * 13) % 256 for p in range(w * h * 3))
-        enc = encode_ppm if kind == 0 else encode_bmp
-        out.append((i, "ppm" if kind == 0 else "bmp", enc(w, h, rgb)))
+        fmt, enc = encoders[kind]
+        out.append((i, fmt, enc(w, h, rgb)))
     return out
 
 

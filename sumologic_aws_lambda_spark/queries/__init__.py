@@ -47,17 +47,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # rounds — freshness was {r8: 39, r9: 48, r10: 46, r11: 50, r12: 49,
 # r13: 50}, CORRECTNESS_r13 was 50/50 green so no failures are owed a
 # re-check): (a) the round-14 addition (multi-group regex-form parse
-# multi) plus sumoql_parse_multi, whose compiled branch was
-# restructured by that change and must re-earn green; (b) ALL 39
+# multi) plus the two operator-changed queries that must re-earn green
+# — sumoql_parse_multi (its compiled branch was restructured by the
+# multi-group change) and multimodal_real_decode (its payload
+# generator gained PNG round i%4, the new stdlib decoder); (b) ALL 39
 # queries whose latest hard signal is round 8 (the oldest cohort —
 # the true count; the r13 note's "40" forgot multimodal_feature_extract
-# entered that window via its operator change); (c) the first 9 of the
+# entered that window via its operator change); (c) the first 8 of the
 # 48-query r9 cohort, registry order, filling the window to exactly 50.
 _PRIORITY: tuple[str, ...] = (
-    # -- (a) round-14 addition + operator-changed re-verification
-    # (the regex-form parse-multi branch was restructured to gain the
-    # multi-group path) --
+    # -- (a) round-14 addition + operator-changed re-verification --
     "sumoql_parse_regex_multi_ngroup", "sumoql_parse_multi",
+    "multimodal_real_decode",
     # -- (b) ALL 39 queries whose latest hard signal is round 8 --
     "asff_validation_gate", "multiline_assembly", "cwl_decode_pipeline",
     "curation_pipeline", "ngram_decontamination", "bm25_retrieval",
@@ -75,11 +76,11 @@ _PRIORITY: tuple[str, ...] = (
     "referential_integrity_audit", "join_key_skew_stats",
     "k_anonymity_audit", "pointintime_feature_join", "psi_drift_score",
     "benford_digit_audit",
-    # -- (c) oldest 9 of the 48-query r9 cohort, registry order,
+    # -- (c) oldest 8 of the 48-query r9 cohort, registry order,
     # filling the window to exactly 50 --
     "pricing_summary", "revenue_topk", "semi_join_priority",
     "scalar_function_battery", "window_lag_delta", "paged_results",
-    "timeslice_5m", "timeslice_daily_active", "vpc_eni_enrichment",
+    "timeslice_5m", "timeslice_daily_active",
 )
 
 # Round-15 rotation notes: recompute programmatically by aggregating

@@ -437,7 +437,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _real_media_golden_values() -> str:
     """Golden rows for ``multimodal_real_decode``: regenerate the
-    deterministic PPM/BMP/WAV payloads in pure Python (the SAME
+    deterministic PPM/BMP/PNG/WAV payloads in pure Python (the SAME
     generator the Spark query feeds through the binary column —
     ``synthetic_real_payloads``), decode + featurize them driver-side
     with the stdlib codecs, and emit a VALUES literal.  What the
@@ -475,7 +475,7 @@ def _real_media_golden_values() -> str:
 )
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal decode through the driver gate (round-12 verdict
-    item 3 — clears the decode-stub weak): deterministic PPM/BMP/WAV
+    item 3 — clears the decode-stub weak): deterministic PPM/BMP/PNG/WAV
     payloads, encoded by the pure-stdlib writers, ride the binary
     column into the Arrow-batched ``mapInPandas`` stage where
     ``media_codecs`` parses actual pixel rasters and PCM samples and

@@ -276,7 +276,7 @@ def test_features_quantized_and_pixel_derived():
 
 
 def test_extract_features_real_decode_end_to_end(spark):
-    """The mapInPandas stage decodes real PPM/BMP/WAV payloads (no PIL)
+    """The mapInPandas stage decodes real PPM/BMP/PNG/WAV payloads (no PIL)
     and the Arrow-transported float32 features round-trip the u16 grid
     exactly; unknown formats keep the documented stub path."""
     from sumologic_aws_lambda_spark.operators.media_codecs import (
@@ -290,7 +290,7 @@ def test_extract_features_real_decode_end_to_end(spark):
     media = synthetic_real_media(spark, 12)
     rows = {r.media_id: r for r in extract_features(media).collect()}
     assert {r.decoded_format for r in rows.values()} == {
-        "ppm", "bmp", "wav"}
+        "ppm", "bmp", "png", "wav"}
     for i, fmt, payload in synthetic_real_payloads(12):
         expect_fmt, expect_feats = decode_features(payload, FEATURE_DIM)
         assert rows[i].decoded_format == fmt == expect_fmt
@@ -430,3 +430,133 @@ def test_golden_fixtures_decode_exactly():
         "0000"      "0040"      "00c0"      "0080"
     )
     assert decode_wav(wav) == (8000, 1, [0, 16384, -16384, -32768])
+
+
+def _png_fixture(ihdr_fields, scanlines, plte=None):
+    """Build a PNG byte stream DIRECTLY from the published spec —
+    struct chunk grammar + zlib + binascii.crc32 — independent of
+    media_codecs' own encoder, so these tests are differential, not
+    round-trip.  ``scanlines`` is the already-filtered raw stream
+    (filter byte + filtered bytes per row)."""
+    import binascii
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", binascii.crc32(typ + data)
+                              & 0xFFFFFFFF))
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields))
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(scanlines)) + chunk(
+        b"IEND", b"")
+
+
+def test_png_golden_fixtures_all_filters_and_color_types():
+    """Round-14: the stdlib PNG decoder against spec-authored streams.
+    Every scanline filter (None/Sub/Up/Average/Paeth) and color types
+    0/2/3/4/6 decode to hand-computed per-pixel RGB."""
+    from sumologic_aws_lambda_spark.operators.media_codecs import (
+        decode_png,
+    )
+
+    # 2x2 RGB (type 2), filter 0 rows: red,green / blue,white
+    rgb = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255))
+    png = _png_fixture((2, 2, 8, 2, 0, 0, 0),
+                       b"\x00" + rgb[:6] + b"\x00" + rgb[6:])
+    assert decode_png(png) == (2, 2, rgb)
+
+    # filter 1 (Sub): row [10,20,30, 11,22,33] stored as first pixel
+    # verbatim then per-byte delta vs the pixel bpp=3 to the left
+    row = bytes((10, 20, 30, 1, 2, 3))            # deltas 1,2,3
+    png = _png_fixture((2, 1, 8, 2, 0, 0, 0), b"\x01" + row)
+    assert decode_png(png) == (2, 1, bytes((10, 20, 30, 11, 22, 33)))
+
+    # filter 2 (Up): second row = first row + deltas
+    png = _png_fixture((1, 2, 8, 2, 0, 0, 0),
+                       b"\x00" + bytes((100, 110, 120))
+                       + b"\x02" + bytes((5, 6, 7)))
+    assert decode_png(png) == (1, 2, bytes((100, 110, 120,
+                                            105, 116, 127)))
+
+    # filter 3 (Average): x=0 uses up//2; second pixel (left+up)//2
+    png = _png_fixture((2, 2, 8, 2, 0, 0, 0),
+                       b"\x00" + bytes((8, 8, 8, 16, 16, 16))
+                       + b"\x03" + bytes((4, 4, 4, 0, 0, 0)))
+    # row2 px1 = 4 + (0+8)//2 = 8; px2 = 0 + (8+16)//2 = 12
+    assert decode_png(png) == (2, 2, bytes((8, 8, 8, 16, 16, 16,
+                                            8, 8, 8, 12, 12, 12)))
+
+    # filter 4 (Paeth): with a=left, b=up, c=up-left all present;
+    # predictor for px2 row2: a=9 b=16 c=8 -> p=17, pa=8 pb=1 pc=9 -> b
+    png = _png_fixture((2, 2, 8, 2, 0, 0, 0),
+                       b"\x00" + bytes((8, 8, 8, 16, 16, 16))
+                       + b"\x04" + bytes((1, 1, 1, 2, 2, 2)))
+    # row2 px1: a=0 b=8 c=0 -> p=8 -> pred=b=8 -> 9
+    # row2 px2: a=9 b=16 c=8 -> pred=16 -> 18
+    assert decode_png(png) == (2, 2, bytes((8, 8, 8, 16, 16, 16,
+                                            9, 9, 9, 18, 18, 18)))
+
+    # grayscale (type 0) replicates; gray+alpha (4) and RGBA (6) drop
+    # alpha; palette (3) goes through PLTE
+    png = _png_fixture((2, 1, 8, 0, 0, 0, 0), b"\x00" + bytes((7, 200)))
+    assert decode_png(png) == (2, 1, bytes((7, 7, 7, 200, 200, 200)))
+    png = _png_fixture((1, 1, 8, 4, 0, 0, 0), b"\x00" + bytes((9, 128)))
+    assert decode_png(png) == (1, 1, bytes((9, 9, 9)))
+    png = _png_fixture((1, 1, 8, 6, 0, 0, 0),
+                       b"\x00" + bytes((1, 2, 3, 77)))
+    assert decode_png(png) == (1, 1, bytes((1, 2, 3)))
+    png = _png_fixture((2, 1, 8, 3, 0, 0, 0), b"\x00" + bytes((1, 0)),
+                       plte=bytes((50, 60, 70, 80, 90, 100)))
+    assert decode_png(png) == (2, 1, bytes((80, 90, 100, 50, 60, 70)))
+
+
+def test_png_rejects_unsupported_and_corrupt():
+    from sumologic_aws_lambda_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"XPNG" + bytes(60))
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(_png_fixture((1, 1, 16, 2, 0, 0, 0), bytes(7)))
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(_png_fixture((1, 1, 8, 2, 0, 0, 1), bytes(4)))
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(_png_fixture((1, 1, 8, 5, 0, 0, 0), bytes(4)))
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(_png_fixture((2, 2, 8, 2, 0, 0, 0), bytes(7)))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(_png_fixture((1, 1, 8, 3, 0, 0, 0), b"\x00\x09",
+                                plte=bytes(6)))
+    with pytest.raises(ValueError, match="filter byte"):
+        decode_png(_png_fixture((1, 1, 8, 2, 0, 0, 0),
+                                b"\x07" + bytes(3)))
+    good = bytearray(encode_png(2, 2, bytes(12)))
+    good[20] ^= 0xFF                      # corrupt an IHDR byte
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(good))
+    trunc = bytes(encode_png(2, 2, bytes(12)))[:-6]
+    with pytest.raises(ValueError, match="PNG"):
+        decode_png(trunc)
+
+
+def test_png_round_trip_and_dispatch():
+    from sumologic_aws_lambda_spark.operators.media_codecs import (
+        decode_features,
+        decode_png,
+        encode_png,
+        sniff_format,
+    )
+
+    for w, h in ((6, 4), (5, 3), (1, 1), (7, 2)):
+        rgb = bytes((p * 13 + w) % 256 for p in range(w * h * 3))
+        payload = encode_png(w, h, rgb)
+        assert sniff_format(payload) == "png"
+        assert decode_png(payload) == (w, h, rgb)
+        fmt, feats = decode_features(payload, 8)
+        assert fmt == "png" and len(feats) == 8
