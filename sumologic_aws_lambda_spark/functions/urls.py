@@ -117,6 +117,107 @@ def canonicalize_url(url: Column | str) -> Column:
     return F.when(scheme != "", canonical)
 
 
+def with_canonical_url(df, url: Column | str,
+                       out_col: str = "canonical_url",
+                       keep: tuple[str, ...] | None = None,
+                       drop_malformed: bool = False):
+    """Staged-projection form of :func:`canonicalize_url` for DataFrame
+    pipelines — same canonical output, evaluated ONCE per row.
+
+    The single-Column form inlines its whole parse tree into every
+    reference: the fragment-stripped url feeds five component extracts,
+    each re-inlining the (possibly expensive) source expression, and a
+    downstream ``filter(isNotNull)`` duplicates the entire tree again
+    via predicate pushdown — the funnel front end measured a 114 KB
+    physical plan with the same ``regexp_extract`` repeated 105 times
+    (round-14 optimization, guide §4.4's duplication problem applied to
+    plain expressions).  Staging each layer as its own projection binds
+    the pieces to attributes: Catalyst's CollapseProject declines to
+    merge because every staged alias is non-cheap and multiply
+    referenced (the ``with_word_ngrams`` mechanism), so the fixture/url
+    expression, the fragment strip, and each component regex run
+    exactly once per row and the codegen stays small.
+
+    ``keep`` — columns to carry through (default: all of ``df``'s).
+    Returns ``keep + [out_col]``; NULL semantics identical to
+    :func:`canonicalize_url` (no scheme → NULL).
+
+    ``drop_malformed=True`` filters NULL-canonical rows HERE, on the
+    staged scheme column, instead of the caller's
+    ``filter(out.isNotNull())`` — which predicate pushdown would
+    rewrite by substituting the ENTIRE canonical tree back into a
+    scan-level Filter (measured: a 63 KB filter condition evaluating
+    the full parse a second time per row).  Equivalent by
+    construction: the output is NULL iff the scheme extract is ''
+    (every other component coalesces to a non-NULL string for
+    non-NULL input, and NULL input yields a NULL scheme which also
+    fails ``!= ''``).
+    """
+    src = F.col(url) if isinstance(url, str) else url
+    cols = list(keep) if keep is not None else list(df.columns)
+    p = fresh_prefix(df.columns, "_cu", out_col)
+    c_u, c_sch = f"{p}_u", f"{p}_scheme"
+    c_hp, c_po = f"{p}_hostport", f"{p}_port"
+    c_pa, c_q = f"{p}_path", f"{p}_query"
+    staged = (
+        df.select(*cols, F.substring_index(F.trim(src), "#", 1).alias(c_u))
+        .select(
+            *cols,
+            F.lower(F.regexp_extract(c_u, _SCHEME_RE, 1)).alias(c_sch),
+            # strip userinfo: everything up to the LAST '@'
+            F.element_at(
+                F.split(F.regexp_extract(c_u, _AUTHORITY_RE, 1), "@"), -1
+            ).alias(c_hp),
+            F.regexp_extract(c_u, _PATH_RE, 1).alias(c_pa),
+            F.regexp_extract(c_u, _QUERY_RE, 1).alias(c_q),
+        )
+        .select(
+            *cols, c_sch, c_hp, c_pa, c_q,
+            F.regexp_extract(c_hp, _PORT_RE, 1).alias(c_po),
+        )
+    )
+    scheme, hostport = F.col(c_sch), F.col(c_hp)
+    port, path, query = F.col(c_po), F.col(c_pa), F.col(c_q)
+    if drop_malformed:
+        # pushdown now carries only the scheme-extract chain (one
+        # regexp over the staged url) down to the scan, not the whole
+        # canonical expression
+        staged = staged.filter(scheme != "")
+    host = F.lower(
+        F.when(port != "",
+               hostport.substr(
+                   F.lit(1),
+                   F.length(hostport) - F.length(port) - 1))
+        .otherwise(hostport))
+    host = F.when(host.startswith("www."),
+                  host.substr(F.lit(5), F.length(host))) \
+        .otherwise(host)
+    keep_port = (
+        (port != "")
+        & ~((scheme == F.lit("http")) & (port == F.lit("80")))
+        & ~((scheme == F.lit("https")) & (port == F.lit("443")))
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(
+        (path != "/") & path.endswith("/"),
+        path.substr(F.lit(1), F.length(path) - 1)
+    ).otherwise(path)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
+    )
+    qpart = F.array_join(F.sort_array(params), "&")
+    canonical = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qpart != "", F.concat(F.lit("?"), qpart))
+        .otherwise(F.lit("")),
+    )
+    return staged.select(
+        *cols, F.when(scheme != "", canonical).alias(out_col))
+
+
 # Compact public-suffix approximation: two-label suffixes under which
 # the REGISTERED domain needs three labels (news.bbc.co.uk → bbc.co.uk,
 # not co.uk).  The full Public Suffix List is ~9k rules and changes

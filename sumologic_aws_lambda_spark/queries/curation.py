@@ -895,7 +895,7 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical string.  At 100 TB this is the cheapest duplicate class
     to remove and runs before any text ever shuffles.
     """
-    from ..functions.urls import canonicalize_url
+    from ..functions.urls import with_canonical_url
 
     gid = (F.col("doc_id") - F.col("doc_id") % 5) / F.lit(5)
     gid = gid.cast("bigint").cast("string")
@@ -924,9 +924,8 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", url.alias("url"))
     return (
-        docs.select("doc_id", "url",
-                    canonicalize_url("url").alias("canonical_url"))
-        .filter(F.col("canonical_url").isNotNull())
+        with_canonical_url(docs, "url", out_col="canonical_url",
+                           drop_malformed=True)
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1265,19 +1264,25 @@ def _funnel_ranked_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     AFTER the canonical groupBy, so it probes keeper rows only: zero
     shuffles of the fact side."""
     from ..functions.urls import (
-        canonicalize_url,
         load_psl_file,
+        with_canonical_url,
         with_registered_domain_psl,
     )
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "text",
-        canonicalize_url(_funnel_fixture_url()).alias("canonical_url"))
+    # staged form: the fixture-url when-chain and each component regex
+    # evaluate once per row instead of being re-inlined per reference
+    # (round-14 optimization — measured 114 KB plan / 105 repeated
+    # regexp_extract with the single-Column form on this front end)
     # malformed (NULL-canonical) rows leave the funnel up front, exactly
     # as the oracle's WHERE scheme <> '' does — without this a single
     # unparseable URL becomes a counted NULL group only on the Spark
-    # side (round-9 fourth-pass review finding)
-    docs = docs.filter(F.col("canonical_url").isNotNull())
+    # side (round-9 fourth-pass review finding); drop_malformed filters
+    # on the staged scheme column so pushdown cannot re-inline the
+    # whole canonical tree into a scan-level Filter
+    docs = with_canonical_url(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        _funnel_fixture_url(), out_col="canonical_url",
+        drop_malformed=True)
     keepers = (
         docs.groupBy("canonical_url")
         .agg(F.count(F.lit(1)).alias("group_n"),

@@ -478,3 +478,43 @@ def test_canonicalize_url_is_idempotent(spark):
     twice = once.withColumn("c2", canonicalize_url(F.col("c1")))
     bad = twice.filter("c1 IS DISTINCT FROM c2").collect()
     assert bad == [], [(r.url, r.c1, r.c2) for r in bad[:5]]
+
+
+def test_with_canonical_url_matches_column_form(spark):
+    """The staged-projection form (round-14 optimization) must produce
+    byte-identical canonicals to the single-Column form over the same
+    combinatorial URL sweep — including malformed/NULL rows — and
+    ``drop_malformed`` must drop exactly the NULL-canonical rows."""
+    import random
+
+    from sumologic_aws_lambda_spark.functions.urls import (
+        with_canonical_url,
+    )
+
+    random.seed(11)
+    schemes = ["http", "https", "HTTPS", "ftp", ""]
+    hostparts = ["WWW.Example.COM", "example.com", "a.b.co.uk",
+                 "192.168.0.1", "x.org.", ""]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a/b", "/a/b/", "/a%2Fb"]
+    queries = ["", "?id=3", "?utm_source=x&id=3", "?b=2&a=1&ref=tw",
+               "?utm_only"]
+    frags = ["", "#sec", "#a=b"]
+    urls = sorted({
+        (random.choice(schemes) + "://" if random.choice([0, 1]) else "")
+        + random.choice(["user@", ""]) + random.choice(hostparts)
+        + random.choice(ports) + random.choice(paths)
+        + random.choice(queries) + random.choice(frags)
+        for _ in range(400)}) + ["", "no-scheme/path", None]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i int, url string")
+    col_form = {r["i"]: r["c"] for r in df.select(
+        "i", canonicalize_url("url").alias("c")).collect()}
+    staged = {r["i"]: r["c"] for r in with_canonical_url(
+        df, "url", out_col="c").collect()}
+    assert staged == col_form
+    dropped = with_canonical_url(df, "url", out_col="c",
+                                 drop_malformed=True).collect()
+    assert {r["i"] for r in dropped} == {
+        i for i, c in col_form.items() if c is not None}
+    assert all(r["c"] == col_form[r["i"]] for r in dropped)
