@@ -70,6 +70,47 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(word_ngrams(col, n))
 
 
+def minhash_vector(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", num_hashes: int = 8,
+                   shingle_n: int = 3,
+                   out_col: str = "_mh") -> DataFrame:
+    """(id, out_col array<string>) — the per-document MinHash vector,
+    computed FULLY NARROWLY: ``array_min`` over a ``transform`` of the
+    shingle array, one element per seed.
+
+    The signature of a document is a pure row property, so no explode /
+    groupBy / exchange is needed to compute it.  The previous
+    explode+groupBy formulation planned as **SortAggregate** (Spark has
+    no hash-aggregate for min over STRING buffers) — two full sorts of
+    the exploded shingle stream around an exchange, at every corpus
+    scale.  This form is zero-shuffle: at 100 TB the signature pass is
+    a map-only stage over the corpus (round-14 optimization, guide
+    §2.4 "remove shuffles outright").
+
+    NULL text (NULL shingle array) yields a NULL vector so downstream
+    generators drop the row — identical to the old explode path, where
+    a NULL array exploded into no rows.
+    """
+    grammed = with_word_ngrams(
+        df, text_col, shingle_n, keep=(id_col,), distinct=True
+    )
+    def _seed_hash(s: int):
+        # factory, NOT a default-arg lambda: pyspark's transform()
+        # inspects lambda arity and would pass the element INDEX as a
+        # second positional arg, silently shadowing the seed binding
+        return lambda g: F.md5(F.concat_ws(":", F.lit(str(s)), g))
+
+    mins = [
+        F.array_min(F.transform(F.col("grams"), _seed_hash(s)))
+        for s in range(num_hashes)
+    ]
+    return grammed.select(
+        F.col(id_col),
+        F.when(F.col("grams").isNotNull(),
+               F.array(*mins)).alias(out_col),
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 8,
                        shingle_n: int = 3) -> DataFrame:
@@ -78,30 +119,47 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     minhash_i(doc) = min over shingles of md5(i || ':' || shingle),
     compared lexicographically (portable across engines, see module doc).
 
-    Plan shape: explode shingles (narrow) → ONE groupBy(id) computing all
-    ``num_hashes`` mins as separate aggregate columns, then ``stack`` to
-    long form.  Exploding seeds before the shuffle would move num_hashes×
-    the rows through the exchange; this way map-side partial aggregation
-    collapses each partition to one row per (doc) before anything
-    shuffles.
+    Long form of :func:`minhash_vector` (posexplode of the narrow
+    per-document vector) — zero shuffles; the previous explode →
+    SortAggregate → exchange → SortAggregate plan is gone.
     """
-    # Staged split (with_word_ngrams) so the tokenization is evaluated
-    # once per row, not once per element_at reference; distinct=True is
-    # the shingle-set semantics.
-    shingled = with_word_ngrams(
-        df, text_col, shingle_n, keep=(id_col,), distinct=True
-    ).select(F.col(id_col), F.explode("grams").alias("shingle"))
-    aggs = [
-        F.min(
-            F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))
-        ).alias(f"h{s}")
-        for s in range(num_hashes)
-    ]
-    wide = shingled.groupBy(id_col).agg(*aggs)
-    stack_args = ", ".join(f"{s}, h{s}" for s in range(num_hashes))
+    wide = minhash_vector(df, text_col, id_col, num_hashes, shingle_n)
     return wide.select(
-        id_col,
-        F.expr(f"stack({num_hashes}, {stack_args}) AS (seed, minhash)"),
+        F.col(id_col),
+        F.posexplode("_mh").alias("seed", "minhash"),
+    )
+
+
+def minhash_band_keys(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 8,
+                      rows_per_band: int = 2,
+                      shingle_n: int = 3) -> DataFrame:
+    """(id, band, band_key) — LSH band keys computed NARROWLY from the
+    per-document MinHash vector: band b's key is the sorted
+    ``'|'``-join of vector slice ``[b*rows_per_band, ...)``.
+
+    Byte-identical to banding :func:`minhash_signatures` output through
+    ``lsh_candidate_pairs``' groupBy (collect_list + sort_array over
+    the band's rows ≡ sort_array over the vector slice), but with ZERO
+    exchanges before the candidate join — the only shuffle left in the
+    LSH pipeline is the (band, band_key) equi-join itself, which is the
+    fundamentally required one.
+    """
+    wide = minhash_vector(df, text_col, id_col, num_hashes, shingle_n)
+    n_bands = -(-num_hashes // rows_per_band)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", F.sort_array(F.slice(
+                "_mh", b * rows_per_band + 1,
+                min(rows_per_band, num_hashes - b * rows_per_band)
+            ))).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    return wide.select(
+        F.col(id_col),
+        F.inline(F.when(F.col("_mh").isNotNull(), F.array(*bands))),
     )
 
 
@@ -121,6 +179,14 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             "band_key"
         )
     )
+    return lsh_pairs_from_bands(banded, id_col=id_col)
+
+
+def lsh_pairs_from_bands(banded: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs from a pre-banded (id, band, band_key) frame —
+    the shared tail of :func:`lsh_candidate_pairs`; pair it with
+    :func:`minhash_band_keys` for the zero-pre-shuffle LSH pipeline."""
     a = banded.select(F.col(id_col).alias("a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("b"), "band", "band_key")
     return (
@@ -336,17 +402,17 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     if small_edges and labels.count() <= 1_000_000:
         labels = labels.coalesce(1)
     def propagate(lbls: DataFrame) -> DataFrame:
-        neigh = (
-            edges.join(lbls, edges.src == lbls.node)
-            .groupBy("dst")
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        return lbls.join(neigh, lbls.node == neigh.dst, "left").select(
-            "node",
-            F.least(
-                F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
-            ).alias("lbl"),
-        )
+        # union form: one join + one partial-agg groupBy per hop.  The
+        # previous two-join form (neighbor agg, then a left join back
+        # onto the label frame) spent an extra corpus-keyed join per
+        # hop for the same fixpoint step:  min(own, incoming) ≡
+        # groupBy(node).min over (own row ∪ incoming rows), and every
+        # node keeps its own row so nothing is lost (round-14
+        # optimization, guide §2.4).
+        neigh = edges.join(lbls, edges.src == lbls.node).select(
+            F.col("dst").alias("node"), "lbl")
+        return lbls.select("node", "lbl").union(neigh) \
+            .groupBy("node").agg(F.min("lbl").alias("lbl"))
 
     def _sig(lbls: DataFrame):
         # Type-agnostic convergence signature: the labels converged iff

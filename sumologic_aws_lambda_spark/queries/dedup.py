@@ -17,8 +17,10 @@ from ..catalog import table
 from ..operators.dedup import (
     connected_components,
     exact_dedup,
-    lsh_candidate_pairs,
+    lsh_pairs_from_bands,
+    minhash_band_keys,
     minhash_signatures,
+    minhash_vector,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -114,7 +116,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (4 bands × 2 rows): near-dup candidate pairs via
     equi-join on (band, band_key) — no corpus crossproduct."""
     d = table(spark, sf_dir, "documents", parallel=True).filter(F.col("doc_id") % 5 == 0)
-    return lsh_candidate_pairs(minhash_signatures(d, num_hashes=8))
+    # narrow band keys: the only exchange left is the candidate join
+    return lsh_pairs_from_bands(minhash_band_keys(d, num_hashes=8))
 
 
 @query(
@@ -226,7 +229,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents", parallel=True).filter(
         F.col("doc_id") % 5 == 0
     )
-    pairs = lsh_candidate_pairs(minhash_signatures(d, num_hashes=8))
+    pairs = lsh_pairs_from_bands(minhash_band_keys(d, num_hashes=8))
     return connected_components(
         d.select("doc_id"), pairs, node_col="doc_id"
     ).withColumnRenamed("node", "doc_id")
@@ -452,18 +455,26 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     each side already pays."""
     d = table(spark, sf_dir, "documents", parallel=True).filter(
         F.col("doc_id") % 5 == 0)
-    sigs = minhash_signatures(d, num_hashes=8)
-    pairs = lsh_candidate_pairs(sigs)
-    sa = sigs.select(F.col("doc_id").alias("a"), "seed",
-                     F.col("minhash").alias("ha"))
-    sb = sigs.select(F.col("doc_id").alias("b"), "seed",
-                     F.col("minhash").alias("hb"))
+    # narrow vectors both for banding and for the agreement estimate:
+    # est = |{s: ha[s]==hb[s]}| / 8 computed per candidate row with
+    # zip_with — no per-seed explode, no agreement groupBy exchange
+    # (round-14 optimization; byte-identical to the per-seed-row form)
+    wide = minhash_vector(d, num_hashes=8)
+    pairs = lsh_pairs_from_bands(minhash_band_keys(d, num_hashes=8))
+    wa = wide.select(F.col("doc_id").alias("a"),
+                     F.col("_mh").alias("_mha"))
+    wb = wide.select(F.col("doc_id").alias("b"),
+                     F.col("_mh").alias("_mhb"))
     est = (
-        pairs.join(sa, "a").join(sb, ["b", "seed"])
-        .groupBy("a", "b")
-        .agg(F.round(
-            F.sum(F.when(F.col("ha") == F.col("hb"), 1).otherwise(0))
-            / F.lit(8.0), 4).alias("est_jaccard"))
+        pairs.join(wa, "a").join(wb, "b")
+        .select(
+            "a", "b",
+            F.round(
+                F.size(F.filter(
+                    F.zip_with("_mha", "_mhb", lambda x, y: x == y),
+                    lambda m: m))
+                / F.lit(8.0), 4).alias("est_jaccard"),
+        )
     )
     from ..operators.text import with_word_ngrams
 

@@ -513,8 +513,10 @@ _AUDIT_FLAGS_OK: dict[str, tuple[frozenset, str]] = {
     "link_prediction_scores": (frozenset({"SMJ", "MANY-EXCHANGES"}),
                                _SMJ_GRAPH),
     # -- dedup/similarity tier: banded/bucketed candidate joins --
-    "minhash_calibration": (frozenset({"SMJ", "MANY-EXCHANGES"}),
-                            _SMJ_BANDED),
+    # r14: MANY-EXCHANGES dropped — narrow minhash vectors (no
+    # signature SortAggregate exchange) + zip_with agreement estimate
+    # (no per-seed groupBy) removed the excess exchanges
+    "minhash_calibration": (frozenset({"SMJ"}), _SMJ_BANDED),
     "semantic_dedup_clusters_star": (
         frozenset({"SMJ", "MANY-EXCHANGES"}),
         "large-star/small-star contraction rounds join corpus-scale "
