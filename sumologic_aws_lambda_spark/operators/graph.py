@@ -159,7 +159,8 @@ def cooccurrence_edges(events: DataFrame, min_weight: int = 3,
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, deg: DataFrame | None = None,
+                    checkpoint: bool = True) -> DataFrame:
     """Per-node triangle counts via degree-ordered edge orientation
     (Schank & Wagner 2005; the MapReduce formulation of Suri &
     Vassilvitskii 2011).
@@ -177,12 +178,19 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     # orientation join — without it the upstream edge build (a full
     # event scan + per-cell self-join when called on cooccurrence_edges
     # output) re-executes once per consumer (the pagerank precedent).
-    und = edges.select("u", "v").localCheckpoint()
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    )
+    # ``checkpoint=False`` skips the cut when the caller already
+    # materialized the edge frame (clustering_coefficients); ``deg``
+    # lets a caller that needs the degree frame anyway share ONE
+    # groupBy instead of computing an identical second one (r14).
+    und = edges.select("u", "v")
+    if checkpoint:
+        und = und.localCheckpoint()
+    if deg is None:
+        deg = (
+            und.select(F.col("u").alias("node"))
+            .unionAll(und.select(F.col("v").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     ranked = und.join(du, "u").join(dv, "v")
@@ -228,7 +236,14 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
         .unionAll(und.select(F.col("v").alias("user_id")))
         .groupBy("user_id").agg(F.count(F.lit(1)).alias("degree"))
     )
-    tri = triangle_counts(edges)
+    # share THIS degree frame with the triangle pass (one groupBy,
+    # its exchange reused by all consumers) and skip the second
+    # checkpoint of the already-materialized edge frame (r14)
+    tri = triangle_counts(
+        edges,
+        deg=deg.select(F.col("user_id").alias("node"),
+                       F.col("degree").alias("deg")),
+        checkpoint=False)
     cc = F.when(
         F.col("degree") >= 2,
         F.round(2.0 * F.coalesce(F.col("n_triangles"), F.lit(0))

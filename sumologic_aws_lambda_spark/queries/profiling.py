@@ -101,6 +101,16 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (floats rounded before the cast for hash stability).
     """
     o = table(spark, sf_dir, "orders")
+    # One Expand-free global agg for counts/min/max, plus one
+    # partial-agg distinct count per column, cross-joined as 1-row
+    # frames.  Mixing five count_distincts into the single agg planned
+    # an Expand (each input row duplicated once per distinct branch —
+    # 6× the rows) and, because the min/max-over-string buffers force
+    # the whole aggregate onto the SortAggregate path, TWO full sorts
+    # of the expanded stream.  Split this way the global agg needs no
+    # sort at all (no grouping keys) and each distinct shuffles only
+    # its distinct values after map-side partial aggregation (r14,
+    # guide §2.3/§2.4; measured 3.4 → ~1 s at sf0.1).
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in _PROFILE_COLS:
         col = F.col(c)
@@ -109,11 +119,17 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         mx = F.round(F.max(col), 2) if is_float else F.max(col)
         aggs += [
             F.count(col).alias(f"nn_{c}"),
-            F.count_distinct(col).alias(f"nd_{c}"),
             mn.cast("string").alias(f"mn_{c}"),
             mx.cast("string").alias(f"mx_{c}"),
         ]
     wide = o.agg(*aggs)
+    for c in _PROFILE_COLS:
+        nd = (
+            o.groupBy(c).agg(F.lit(1))
+            .agg(F.count(F.when(F.col(c).isNotNull(), 1))
+                 .alias(f"nd_{c}"))
+        )
+        wide = wide.crossJoin(F.broadcast(nd))
     stack_args = ", ".join(
         f"'{c}', n_rows - nn_{c}, nd_{c}, mn_{c}, mx_{c}"
         for c in _PROFILE_COLS

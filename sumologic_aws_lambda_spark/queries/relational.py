@@ -330,9 +330,18 @@ def approx_count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic TRUE on both sides unless the sketch is actually broken.
     """
     li = table(spark, sf_dir, "lineitem")
-    exact = F.countDistinct("l_partkey")
+    # dedup first, sketch second: mixing countDistinct with the HLL in
+    # one agg planned an Expand (every input row duplicated per agg
+    # branch) and updated the 1%-rsd sketch once per RAW row.  HLL is
+    # duplicate-insensitive, so sketching the (flag, part) distinct
+    # pairs — which the exact count has to materialize anyway — yields
+    # the identical estimate while the expensive sketch update runs on
+    # distinct-pair scale, not corpus scale (r14, guide §2.3
+    # "aggregate before you shuffle"; measured 3.9 → 1.0 s at sf0.1).
+    dedup = li.groupBy("l_returnflag", "l_partkey").agg(F.lit(1))
+    exact = F.count(F.lit(1))
     approx = F.approx_count_distinct("l_partkey", rsd=0.01)
-    return li.groupBy("l_returnflag").agg(
+    return dedup.groupBy("l_returnflag").agg(
         exact.alias("n_parts_exact"),
         (F.abs(approx - exact)
          <= F.greatest(F.ceil(exact * 0.05), F.lit(1))

@@ -170,18 +170,29 @@ def part_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     total are part-dimension / scalar-sized and broadcast.
     """
     li = table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    item = baskets.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("cnt"))
-    n_orders = baskets.agg(
-        F.countDistinct("l_orderkey").alias("n"))
-    a = baskets.select(F.col("l_orderkey").alias("ok"),
-                       F.col("l_partkey").alias("part_a"))
-    b = baskets.select(F.col("l_orderkey").alias("ok"),
-                       F.col("l_partkey").alias("part_b"))
+    # ONE basket shuffle: collect each order's distinct part set
+    # directly (map-side partial collect_set), then generate the
+    # intra-order pairs ROW-LOCALLY from the sorted set — the previous
+    # distinct + self-join formulation paid the dedup exchange plus two
+    # more exchanges re-keying both join sides on l_orderkey for the
+    # same basket-size²-bounded fan-out (round-14 optimization, guide
+    # §2.4; sets/item/n_orders all reuse the single exchange).
+    sets = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    item = sets.select(F.explode("parts").alias("l_partkey")) \
+        .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    n_orders = sets.agg(F.count(F.lit(1)).alias("n"))
+    # sorted set ⇒ every unordered pair appears exactly once with
+    # part_a < part_b, matching the old `part_a < part_b` join filter
+    pair_structs = F.flatten(F.transform(
+        "parts",
+        lambda x, i: F.transform(
+            F.slice("parts", i + 2, F.size("parts")),
+            lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+        ),
+    ))
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        sets.select(F.inline(pair_structs))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 3)
