@@ -94,21 +94,33 @@ def minhash_vector(df: DataFrame, text_col: str = "text",
     grammed = with_word_ngrams(
         df, text_col, shingle_n, keep=(id_col,), distinct=True
     )
+    return grammed.select(
+        F.col(id_col),
+        F.when(F.col("grams").isNotNull(),
+               minhash_vector_expr("grams", num_hashes)).alias(out_col),
+    )
+
+
+def minhash_vector_expr(grams: Column | str,
+                        num_hashes: int = 8) -> Column:
+    """The per-row MinHash vector as a pure Column over an EXISTING
+    gram-array column — the expression form of :func:`minhash_vector`
+    for pipelines that stage their own gram arrays (the crawl funnels'
+    sentinel-text chain).  min over a multiset equals min over its
+    set, so distinct and non-distinct gram arrays yield the same
+    vector."""
+    g = F.col(grams) if isinstance(grams, str) else grams
+
     def _seed_hash(s: int):
         # factory, NOT a default-arg lambda: pyspark's transform()
         # inspects lambda arity and would pass the element INDEX as a
         # second positional arg, silently shadowing the seed binding
-        return lambda g: F.md5(F.concat_ws(":", F.lit(str(s)), g))
+        return lambda x: F.md5(F.concat_ws(":", F.lit(str(s)), x))
 
-    mins = [
-        F.array_min(F.transform(F.col("grams"), _seed_hash(s)))
+    return F.array(*[
+        F.array_min(F.transform(g, _seed_hash(s)))
         for s in range(num_hashes)
-    ]
-    return grammed.select(
-        F.col(id_col),
-        F.when(F.col("grams").isNotNull(),
-               F.array(*mins)).alias(out_col),
-    )
+    ])
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",

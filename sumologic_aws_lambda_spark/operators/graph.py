@@ -276,23 +276,31 @@ def k_core(edges: DataFrame, k: int = 3,
     WITHIN the core (≥ k by construction).
     """
     cur = edges.select("u", "v").localCheckpoint()
-    n_prev = -1
+    # Converge on the EDGE count instead of a separately checkpointed
+    # keep set: the surviving-edge set shrinks monotonically, so an
+    # unchanged count means an unchanged set (and unchanged degrees,
+    # hence an unchanged keep set).  One checkpoint + one free count
+    # per round instead of two checkpoints + a count — the keep frame
+    # stays lazy; its one groupBy subtree is shared by both semi-join
+    # probes via exchange reuse (r14; result unchanged — re-filtering
+    # by an unchanged keep set is idempotent).
+    n_prev = cur.count()
     for _ in range(max_rounds):
         deg = (
             cur.select(F.col("u").alias("node"))
             .unionAll(cur.select(F.col("v").alias("node")))
             .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
         )
-        keep = deg.filter(F.col("d") >= k).select("node").localCheckpoint()
-        n = keep.count()
-        if n == n_prev:
-            break
-        n_prev = n
+        keep = deg.filter(F.col("d") >= k).select("node")
         cur = (
             cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .localCheckpoint()
         )
+        n = cur.count()
+        if n == n_prev:
+            break
+        n_prev = n
     return (
         cur.select(F.col("u").alias("user_id"))
         .unionAll(cur.select(F.col("v").alias("user_id")))

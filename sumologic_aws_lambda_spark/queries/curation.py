@@ -1283,6 +1283,14 @@ def _funnel_ranked_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents").select("doc_id", "text"),
         _funnel_fixture_url(), out_col="canonical_url",
         drop_malformed=True)
+    # keeper selection stays min_by(struct) — r14 tried the guide-§8
+    # "decide slim, join text back" form (hash agg + doc_id join):
+    # locally faster (no sort-agg codegen), but at 100 TB the keeper
+    # set is corpus-scale, so the text-fetch join becomes a SECOND full
+    # corpus shuffle where min_by's one sorted shuffle moves the text
+    # exactly once with map-side combine absorbing duplicate groups —
+    # the plan-shape test pinning 1 scan / 2 broadcasts / 2 exchanges
+    # correctly rejected the rewrite (local-only wins don't count)
     keepers = (
         docs.groupBy("canonical_url")
         .agg(F.count(F.lit(1)).alias("group_n"),
@@ -1603,38 +1611,45 @@ def _funnel_neardup(flags: DataFrame, keys: tuple[str, ...],
     non-distinct, which changes no signature: min over a multiset
     equals min over its set) + ``first_seen``.
     """
+    from ..operators.dedup import minhash_vector_expr
     from ..operators.text import with_word_ngrams
 
     staged = flags.withColumn(
         "_sig_text", F.when(F.col("gated"), F.col("xt"))
         .otherwise(F.concat(F.lit("doc "),
                             F.col("doc_id").cast("string"))))
-    shingled = with_word_ngrams(
+    # Narrow signature chain (r14, guide §2.4 — same rewrite as
+    # operators/dedup.py::minhash_vector): the per-doc MinHash vector,
+    # gram total and distinct count are all ROW properties of the gram
+    # array, so the explode → groupBy(min-over-string ×8) — which
+    # planned as SortAggregate with two full sorts of the exploded
+    # gram stream — is gone; the first exchange in the chain is now
+    # the (band, band_key) bucket window itself.
+    grammed = with_word_ngrams(
         staged, "_sig_text", 3, keep=keys,
         distinct=not with_counts,
-    ).select(*keys, F.explode("grams").alias("shingle"))
-    aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle"))))
-        .alias(f"h{s}")
-        for s in range(8)
-    ]
+    )
+    sel = [F.col(k) for k in keys]
     extras: list[str] = []
     if with_counts:
-        aggs += [
-            F.count(F.lit(1)).alias("total_g"),
-            F.count_distinct(F.col("shingle")).alias("distinct_g"),
+        sel += [
+            F.size("grams").cast("bigint").alias("total_g"),
+            F.size(F.array_distinct("grams")).cast("bigint")
+            .alias("distinct_g"),
         ]
         extras = ["total_g", "distinct_g"]
-    wide = shingled.groupBy(*keys).agg(*aggs)
-    sigs = wide.select(
-        *keys, *extras,
-        F.expr("stack(8, " + ", ".join(f"{s}, h{s}" for s in range(8))
-               + ") AS (seed, minhash)"))
-    banded = sigs.withColumn(
-        "band", (F.col("seed") / 2).cast("int")
-    ).groupBy(*keys, *extras, "band").agg(
-        F.concat_ws("|", F.sort_array(F.collect_list("minhash")))
-        .alias("_bk")
+    per_doc = grammed.select(
+        *sel, minhash_vector_expr("grams", 8).alias("_mh"))
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", F.sort_array(
+                F.slice("_mh", 2 * b + 1, 2))).alias("_bk"),
+        )
+        for b in range(4)
+    ])
+    banded = per_doc.select(
+        *keys, *extras, F.inline(band_structs)
     ).withColumn(
         "band_key",
         F.when(F.col("gated"), F.col("_bk"))

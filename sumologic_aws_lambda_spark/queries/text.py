@@ -822,35 +822,57 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     terms = ("dup", "spark", "vector")
     d = table(spark, sf_dir, "documents", parallel=True)
-    clean = d.select(
+    # tf and dlen are ROW properties: count them inside the token
+    # array instead of exploding the corpus into per-token rows and
+    # re-grouping.  The whole query then needs exactly ONE corpus
+    # aggregate (n_docs / avgdl / per-term df in a single pass) and
+    # the TakeOrdered head — the dl groupBy, the (doc, tok) tf groupBy
+    # and the scored groupBy exchanges all disappear (r14, guide
+    # §2.4; posting semantics unchanged: a doc with no tokens is
+    # excluded from n_docs/avgdl exactly as the old explode dropped
+    # it, and per-term w/df/tf values are byte-identical).
+    toks = d.select(
         "doc_id",
-        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    dl = clean.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("dlen"), 4).alias("avgdl"),
+        F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                 lambda t: t != "").alias("_toks"),
     )
-    tf = (
-        clean.filter(F.col("tok").isin(*terms))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    def _is_term(trm: str):
+        # factory, NOT a default-arg lambda: a 2-arg lambda would
+        # receive the element index as its second positional arg
+        return lambda t: t == trm
+
+    base = toks.select(
+        "doc_id",
+        F.size("_toks").alias("dlen"),
+        *[F.size(F.filter("_toks", _is_term(trm))).alias(f"tf_{i}")
+          for i, trm in enumerate(terms)],
     )
-    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    w = (
-        F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
-              / (F.col("df") + 0.5))
-        * (F.col("tf") * 2.2)
-        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen")
-                                / F.col("avgdl")))
+    stats = base.agg(
+        F.count_if(F.col("dlen") > 0).alias("n_docs"),
+        F.round(F.avg(F.when(F.col("dlen") > 0, F.col("dlen"))), 4)
+        .alias("avgdl"),
+        *[F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
+          for i in range(len(terms))],
     )
+    def w(i: int):
+        tf, dfc = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        return (
+            F.log(1.0 + (F.col("n_docs") - dfc + 0.5) / (dfc + 0.5))
+            * (tf * 2.2)
+            / (tf + 1.2 * (0.25 + 0.75 * F.col("dlen")
+                           / F.col("avgdl")))
+        )
+    matched = sum(
+        F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)
+        for i in range(len(terms)))
+    score = sum(
+        (F.when(F.col(f"tf_{i}") > 0, w(i)).otherwise(F.lit(0.0))
+         for i in range(len(terms))), F.lit(0.0))
     scored = (
-        tf.join(F.broadcast(df), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.sum(w).alias("score"),
-             F.count(F.lit(1)).alias("matched"))
+        base.crossJoin(F.broadcast(stats))
+        .filter(matched > 0)
+        .select("doc_id", score.alias("score"),
+                matched.cast("bigint").alias("matched"))
     )
     from pyspark.sql import Window
 
