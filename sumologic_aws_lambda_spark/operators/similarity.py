@@ -367,16 +367,31 @@ def kmeans_lite(df: DataFrame, k: int = 8, iters: int = 2,
     ]
 
     def assign_expr(cents: list[tuple[int, list[float]]]) -> Column:
-        cells = []
-        for cid, ce in cents:
-            lit_c = lit_vector(ce)
-            d2 = F.aggregate(
-                F.zip_with(F.col("e"), lit_c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            cells.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
-        return F.element_at(F.array_sort(F.array(*cells)), 1)["cid"]
+        # ONE higher-order transform over a single literal k×dim matrix
+        # instead of k separate zip_with/aggregate folds: the analyzed
+        # expression tree shrinks ~k× (one fold lambda, one literal
+        # expr), which is what dominated per-round cost — each round's
+        # fresh centroid literals force a fresh analyze/codegen pass,
+        # so tree size IS the fixed cost (round-14, guide §4.4 applied
+        # to plain expressions).  Per-row float work is unchanged, and
+        # struct (d2, cid) ordering (ties break on cid) is identical.
+        # cents is position-indexed: cid == list index by construction
+        # (enumerate at init; the update comprehension preserves order),
+        # so the transform's element index IS the cid.
+        mat = lit_matrix([ce for _, ce in cents])
+        cells = F.transform(
+            mat,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("e"), c,
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                i.alias("cid"),
+            ),
+        )
+        return F.element_at(F.array_sort(cells), 1)["cid"]
 
     assignments = None
     stats_rows: list = []
@@ -384,10 +399,17 @@ def kmeans_lite(df: DataFrame, k: int = 8, iters: int = 2,
         assignments = vecs.select(
             F.col(id_col), "e", assign_expr(centroids).alias("cid")
         )
-        q = quantize(F.col("e"), scale)
-        stats = assignments.groupBy("cid").agg(
+        # Stage the quantized vector as its OWN projection before the
+        # aggregate: `sum(element_at(quantize(e), i))` per dimension
+        # re-inlines the quantize transform into every one of the dim
+        # aggregate inputs (evaluated dim× per row); a staged non-cheap,
+        # multiply-referenced alias survives CollapseProject, so the
+        # transform runs once per row and the sums read elements.
+        stats = assignments.select(
+            "cid", quantize(F.col("e"), scale).alias("_q")
+        ).groupBy("cid").agg(
             F.count(F.lit(1)).alias("n"),
-            *[F.sum(F.element_at(q, i + 1)).alias(f"s{i}")
+            *[F.sum(F.element_at(F.col("_q"), i + 1)).alias(f"s{i}")
               for i in range(dim)],
         )
         stats_rows = stats.collect()
