@@ -456,26 +456,48 @@ def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 5,
 # ---------------------------------------------------------------------------
 
 
-def _pq_sub_argmin(sub_slice: Column,
-                   sub_cents: list[list[float]]) -> Column:
-    """Argmin centroid id for one subspace slice.
+def lit_tensor3(books) -> Column:
+    """A literal array<array<array<double>>> (the full PQ codebook
+    tensor) as ONE parsed expression — see :func:`lit_vector` for why
+    this beats per-element ``F.lit`` and the finite-values-only
+    contract."""
+    t = [[[float(v) for v in row] for row in mat] for mat in books]
+    if not all(math.isfinite(v) for mat in t for row in mat for v in row):
+        raise ValueError("lit_tensor3 requires finite values")
+    return F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(
+                "array(" + ",".join(f"{v!r}D" for v in row) + ")"
+                for row in mat) + ")"
+            for mat in t) + ")")
 
-    A single ``transform`` over the LITERAL codebook array computes all
-    k distances with ONE lambda — the expression tree is O(1) in k, so
-    Catalyst analysis/codegen stays fast even at k=256 (an unrolled
-    k-struct argmin made plan compilation, not execution, the dominant
-    cost).  ``array_position`` of the min takes the FIRST match, so ties
-    break on the lowest cid, same as the oracle's ``ORDER BY d2, cid``.
-    """
-    book = lit_matrix(sub_cents)
-    d2s = F.transform(
-        book,
-        lambda c: F.aggregate(
-            F.zip_with(sub_slice, c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x,
-        ),
-    )
-    return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+
+def pq_codes_expr(vec: Column,
+                  books: list[list[list[float]]]) -> Column:
+    """PQ code array for one vector: ``codes[s] = argmin_cid
+    d2(vec_slice_s, books[s][cid])`` — a single ``transform`` over the
+    LITERAL 3-D codebook tensor whose element index IS the subspace,
+    so the expression tree is O(1) in BOTH m and k.  The previous form
+    unrolled one argmin per subspace (and pq_train wrapped them in an
+    m-arm CASE); with fresh literals every training round, Catalyst
+    analysis/codegen of that tree — not execution — dominated per-round
+    cost (round-14, same diagnosis as kmeans_lite).  ``array_position``
+    of the min takes the FIRST match, so ties break on the lowest cid,
+    same as the oracles' ``ORDER BY d2, cid``."""
+    sub_dim = len(books[0][0])
+
+    def per_sub(book: Column, s: Column) -> Column:
+        sl = F.slice(vec, s * sub_dim + 1, sub_dim)
+        d2s = F.transform(
+            book,
+            lambda c: F.aggregate(
+                F.zip_with(sl, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ),
+        )
+        return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+
+    return F.transform(lit_tensor3(books), per_sub)
 
 
 def pq_train(df: DataFrame, m: int = 8, k: int = 8, iters: int = 1,
@@ -506,28 +528,29 @@ def pq_train(df: DataFrame, m: int = 8, k: int = 8, iters: int = 1,
         [list(r["e"][s * sub_dim:(s + 1) * sub_dim]) for r in seed]
         for s in range(m)
     ]
-    subs = vecs.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(F.lit(s).alias("sub"),
-                     F.slice("e", s * sub_dim + 1, sub_dim).alias("sv"))
-            for s in range(m)
-        ])).alias("x"),
-    ).select("id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
-
     for _ in range(iters):
-        # Assignment: one CASE over the subspace index, each arm a
-        # narrow argmin against that subspace's literal codebook.
-        cid_expr = None
-        for s in range(m):
-            arm = _pq_sub_argmin(F.col("sv"), books[s])
-            cid_expr = (F.when(F.col("sub") == s, arm) if cid_expr is None
-                        else cid_expr.when(F.col("sub") == s, arm))
-        assigned = subs.withColumn("cid", cid_expr)
-        q = quantize(F.col("sv"), scale)
+        # Assignment rides the same narrow codes expression the encoder
+        # uses (ONE transform over the literal 3-D tensor — the
+        # previous per-subspace explode + m-arm CASE of unrolled
+        # argmins made plan analysis the dominant per-round cost); the
+        # subspace slice is re-derived from the posexploded index and
+        # the quantized slice is STAGED as its own projection so the
+        # per-dimension sums read elements instead of re-inlining the
+        # quantize transform sub_dim× per row (round-14, guide §4.4).
+        assigned = vecs.select(
+            "e",
+            F.posexplode(pq_codes_expr(F.col("e"), books))
+            .alias("sub", "cid"),
+        ).select(
+            "sub", "cid",
+            quantize(
+                F.slice(F.col("e"), F.col("sub") * sub_dim + 1, sub_dim),
+                scale,
+            ).alias("_q"),
+        )
         stats = assigned.groupBy("sub", "cid").agg(
             F.count(F.lit(1)).alias("n"),
-            *[F.sum(F.element_at(q, i + 1)).alias(f"s{i}")
+            *[F.sum(F.element_at(F.col("_q"), i + 1)).alias(f"s{i}")
               for i in range(sub_dim)],
         ).collect()
         by_key = {(int(r["sub"]), int(r["cid"])): r for r in stats}
@@ -553,38 +576,37 @@ def pq_encode(df: DataFrame, books: list[list[list[float]]],
 
     Returns ``(id_col, codes array<int>)``.
     """
-    m = len(books)
-    sub_dim = len(books[0][0])
-    e = as_double(vec_col)
-    codes = F.array(*[
-        _pq_sub_argmin(F.slice(e, s * sub_dim + 1, sub_dim), books[s])
-        for s in range(m)
-    ])
-    return df.select(F.col(id_col), codes.alias("codes"))
+    return df.select(F.col(id_col),
+                     pq_codes_expr(as_double(vec_col), books)
+                     .alias("codes"))
 
 
 def _adc_expr(books: list[list[list[float]]], q_col: str = "q_vec",
               codes_col: str = "codes") -> Column:
     """Asymmetric-distance Column: ``Σ_s d2(query_slice_s,
-    codebook[s][code_s])`` — a statically unrolled ordered sum over
-    subspaces.  Each term slices the query once and indexes that
-    subspace's LITERAL codebook array with the dynamic code byte — pure
-    codegen, no carried tensor column, left-associated so the fold
-    order matches the oracles."""
+    codebook[s][code_s])`` — one transform over the LITERAL 3-D
+    codebook tensor (element index = subspace) folded by ``aggregate``,
+    so the expression tree is O(1) in m (the unrolled per-subspace sum
+    it replaces dominated plan analysis, round-14).  Each term slices
+    the query once and indexes its subspace's codebook with the dynamic
+    code byte — pure expression work, no carried tensor column.  Both
+    the transform and the fold run in element order with a 0.0 seed, so
+    the summation sequence (…((0+t₀)+t₁)+…) is bit-identical to the
+    left-associated unrolled form and the oracles."""
     sub_dim = len(books[0][0])
-    adc = F.lit(0.0)
-    for s in range(len(books)):
-        book_s = lit_matrix(books[s])
-        cent = F.element_at(book_s, F.element_at(codes_col, s + 1) + 1)
-        adc = adc + F.aggregate(
+    terms = F.transform(
+        lit_tensor3(books),
+        lambda book, s: F.aggregate(
             F.zip_with(
                 F.slice(F.col(q_col), s * sub_dim + 1, sub_dim),
-                cent,
+                F.element_at(
+                    book, F.element_at(F.col(codes_col), s + 1) + 1),
                 lambda x, y: (x - y) * (x - y),
             ),
             F.lit(0.0), lambda a2, x: a2 + x,
-        )
-    return adc
+        ),
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
 
 
 def pq_adc_topk(codes_df: DataFrame, books: list[list[list[float]]],
@@ -679,15 +701,10 @@ def ivfpq_adc_topk(df: DataFrame, books: list[list[list[float]]],
     ``ivf_ann_topk``; scoring is L2 ADC, matching ``pq_adc_topk``.
     Returns ``(query_id, neighbor_id, adc_d2, rank)``.
     """
-    m = len(books)
-    sub_dim = len(books[0][0])
     cent_arr = _centroid_struct_arr(centroids)
 
     e = as_double(vec_col)
-    codes = F.array(*[
-        _pq_sub_argmin(F.slice(e, s * sub_dim + 1, sub_dim), books[s])
-        for s in range(m)
-    ])
+    codes = pq_codes_expr(e, books)
     indexed = (
         df.crossJoin(cent_arr)
         .select(

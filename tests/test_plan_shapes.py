@@ -542,13 +542,21 @@ _AUDIT_FLAGS_OK: dict[str, tuple[frozenset, str]] = {
     "part_affinity_rules": (frozenset({"MANY-EXCHANGES"}), _MANY_AGG),
     "curation_pipeline_funnel": (frozenset({"MANY-EXCHANGES"}),
                                  _MANY_AGG),
-    "bm25_retrieval": (frozenset({"MANY-EXCHANGES"}), _MANY_AGG),
+    # r14: bm25_retrieval's MANY-EXCHANGES dropped — tf/dlen are now
+    # row properties and all corpus stats come from one broadcast agg
     "chi2_event_weekday": (frozenset({"MANY-EXCHANGES"}), _MANY_AGG),
     "embedding_centroid_drift": (frozenset({"MANY-EXCHANGES"}),
                                  _MANY_AGG),
     "bigram_lm_perplexity": (frozenset({"MANY-EXCHANGES"}), _MANY_AGG),
-    "crawl_stage1_funnel": (frozenset({"MANY-EXCHANGES"}), _MANY_AGG),
+    # r14: crawl_stage1_funnel's MANY-EXCHANGES dropped — the narrow
+    # minhash/band-key rewrite removed the signature groupBy exchanges
     "crawl_stage2_funnel": (frozenset({"MANY-EXCHANGES"}), _MANY_AGG),
+    "table_profile": (frozenset({"MANY-EXCHANGES"}),
+                      "r14 Expand-removal: five per-column distinct "
+                      "counts as separate partial-agg frames broadcast "
+                      "back as 1-row joins — exchange count fixed in "
+                      "columns, each distinct-value-scale, replaces a "
+                      "6x Expand SortAggregate of the corpus"),
     "event_funnel_conversion": (frozenset({"MANY-EXCHANGES"}),
                                 _MANY_AGG),
     "event_markov_transitions": (frozenset({"MANY-EXCHANGES"}),
@@ -598,4 +606,6 @@ def test_audit_flags_match_adjudicated_set_registry_wide(spark, qs):
         "shuffle-audit adjudication drift — update _AUDIT_FLAGS_OK "
         "WITH a reason (and re-run tools/audit_shuffles.py):\n"
         + "\n".join(problems))
-    assert len(_AUDIT_FLAGS_OK) == 37  # the r14 adjudicated count
+    # 37 at r14 rotation; 36 after the r14 optimizations (bm25 and
+    # crawl_stage1 lost MANY-EXCHANGES, table_profile gained it)
+    assert len(_AUDIT_FLAGS_OK) == 36
