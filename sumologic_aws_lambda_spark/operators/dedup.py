@@ -386,10 +386,25 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     # (plus its convergence action) would recompute that whole pipeline.
     # Post-LSH edges are a small fraction of the corpus by contract, so
     # the materialization is cheap.
+    #
+    # Restrict pairs to edges whose BOTH endpoints are supplied nodes
+    # BEFORE the fixpoint loop: the union-form propagate below folds
+    # every edge dst into the label frame, so a foreign endpoint would
+    # otherwise (a) appear in the output and (b) relay labels between
+    # member nodes it connects.  Two semi-joins at setup (amortized over
+    # all hops, folded into the one-time edge materialization) keep the
+    # contract pinned by test_star_labels_only_supplied_nodes; filtering
+    # per hop or post-filtering the output would be wrong (the latter
+    # keeps relay connectivity through non-members).
+    node_ids = nodes.select(F.col(node_col).alias("node"))
+    member_pairs = (
+        pairs.join(node_ids, pairs["a"] == node_ids["node"], "left_semi")
+        .join(node_ids, F.col("b") == node_ids["node"], "left_semi")
+    )
     edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .union(pairs.select(F.col("b").alias("src"),
-                            F.col("a").alias("dst")))
+        member_pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(member_pairs.select(F.col("b").alias("src"),
+                                   F.col("a").alias("dst")))
         .localCheckpoint()
     )
     # The edge count is free once the checkpoint is materialized; when

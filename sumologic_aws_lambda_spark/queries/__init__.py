@@ -41,55 +41,97 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# The external correctness driver checks registrations in dict order and
-# caps at the first 50.  Round-14 window (staleness recomputed
-# programmatically by aggregating CORRECTNESS_r01-r13 latest-sample
-# rounds — freshness was {r8: 39, r9: 48, r10: 46, r11: 50, r12: 49,
-# r13: 50}, CORRECTNESS_r13 was 50/50 green so no failures are owed a
-# re-check): (a) the round-14 addition (multi-group regex-form parse
-# multi) plus the two operator-changed queries that must re-earn green
-# — sumoql_parse_multi (its compiled branch was restructured by the
-# multi-group change) and multimodal_real_decode (its payload
-# generator gained PNG round i%4, the new stdlib decoder); (b) ALL 39
-# queries whose latest hard signal is round 8 (the oldest cohort —
-# the true count; the r13 note's "40" forgot multimodal_feature_extract
-# entered that window via its operator change); (c) the first 8 of the
-# 48-query r9 cohort, registry order, filling the window to exactly 50.
-_PRIORITY: tuple[str, ...] = (
-    # -- (a) round-14 addition + operator-changed re-verification --
-    "sumoql_parse_regex_multi_ngroup", "sumoql_parse_multi",
-    "multimodal_real_decode",
-    # -- (b) ALL 39 queries whose latest hard signal is round 8 --
-    "asff_validation_gate", "multiline_assembly", "cwl_decode_pipeline",
-    "curation_pipeline", "ngram_decontamination", "bm25_retrieval",
-    "pmi_collocations", "exact_dedup_stats", "minhash_signatures",
-    "minhash_lsh_pairs", "dedup_clusters", "dataset_hash_split",
-    "domain_mixture_sample", "cosine_topk_bruteforce", "lsh_ann_topk",
-    "mmr_diversified_topk", "embedding_centroid_drift",
-    "asof_join_last_click", "cube_order_priority", "ivf_ann_topk",
-    "kmeans_centroid_stats", "cusum_changepoints",
-    "holt_linear_forecast", "heavy_hitters_twopass",
-    "link_prediction_scores", "attribution_touchpoints",
-    "growth_accounting_weekly", "funnel_time_to_convert",
-    "rfm_segmentation", "part_affinity_rules", "revenue_concentration",
-    "scd2_intervals", "cdc_snapshot_merge",
-    "referential_integrity_audit", "join_key_skew_stats",
-    "k_anonymity_audit", "pointintime_feature_join", "psi_drift_score",
-    "benford_digit_audit",
-    # -- (c) oldest 8 of the 48-query r9 cohort, registry order,
-    # filling the window to exactly 50 --
-    "pricing_summary", "revenue_topk", "semi_join_priority",
-    "scalar_function_battery", "window_lag_delta", "paged_results",
-    "timeslice_5m", "timeslice_daily_active",
+# Changed-query re-verification head (r14 verdict items 3 + 8): every
+# repo-relative source file whose change this round affects declared
+# query RESULTS maps to the window queries that re-earn driver green
+# for it.  tests/test_doc_counts.py derives the round's changed files
+# from `git diff` against the round-start commit (the last commit that
+# touched VERDICT.md) and fails if a changed file is neither mapped
+# here nor in _REVERIFY_EXEMPT — the rotation discipline is a failing
+# test, not a review convention.  The r14-changed queries below also
+# re-verify at the r15 head because the r14 window was frozen before
+# those optimizations landed (r14 verdict item 4).
+_REVERIFY: dict[str, tuple[str, ...]] = {
+    # r15: connected_components member-endpoint pre-filter (semantics
+    # fix) + exact/incremental dedup live in the same file
+    "sumologic_aws_lambda_spark/operators/dedup.py": (
+        "dedup_clusters", "semantic_dedup_clusters",
+        "semantic_dedup_clusters_star", "incremental_dedup_batch",
+        "exact_dedup_stats", "minhash_calibration",
+    ),
+    # r15: NULL-safe exact count in approx_count_distinct_parts
+    "sumologic_aws_lambda_spark/queries/relational.py": (
+        "approx_count_distinct_parts",
+    ),
+}
+# Changed files with no declared-query result surface (the window
+# cannot re-verify them; say why for each).
+_REVERIFY_EXEMPT: frozenset[str] = frozenset({
+    # the window definition itself
+    "sumologic_aws_lambda_spark/queries/__init__.py",
+})
+
+# Queries whose plans changed in a PREVIOUS round after that round's
+# window was already frozen, owed driver re-verification at this head
+# (r14 verdict item 4 names this exact list).  They outrank the stale
+# cohorts for one round, then fall back into normal rotation.
+_REVERIFY_CARRYOVER: tuple[str, ...] = (
+    "crawl_stage0_funnel", "crawl_stage1_funnel", "crawl_stage2_funnel",
+    "url_canonical_dedup", "table_profile", "approx_count_distinct_parts",
+    "minhash_calibration", "triangle_communities",
+    "clustering_coefficients", "k_core_membership", "pq_codebook_stats",
+    "pq_adc_topk", "ivfpq_ann_topk", "semantic_dedup_clusters",
+    "semantic_dedup_clusters_star",
 )
 
-# Round-15 rotation notes: recompute programmatically by aggregating
-# CORRECTNESS_r01-r14 — do not trust hand-maintained lists.  Owed the
-# r15 head: any round-15 additions and anything CORRECTNESS_r14 failed,
-# then the remaining r9-cohort queries this window could not fit
-# (the r9 cohort minus the 9 in (c) above — recompute the exact list),
-# then the r10 cohort.  Keep the window EXACTLY 50 — re-count after
-# every edit (tests/test_doc_counts.py pins this).
+# The external correctness driver checks registrations in dict order and
+# caps at the first 50.  Round-15 window (staleness recomputed by
+# aggregating CORRECTNESS_r01-r14 latest-sample rounds — freshness is
+# {r9: 40, r10: 45, r11: 50, r12: 49, r13: 49, r14: 50},
+# CORRECTNESS_r14 was 50/50 green so no failures are owed a re-check):
+# (a) the r14/r15 operator-changed re-verification head — the union of
+# _REVERIFY (this round's changed files) and _REVERIFY_CARRYOVER (the
+# 15 queries the r14 verdict item 4 names, whose plans changed in r14
+# after that round's window was frozen); (b) backfill with the
+# oldest-freshness cohort (r9, 40 queries — url_canonical_dedup
+# already sits in (a)) in sorted order up to exactly 50.  The 7
+# r9-cohort queries that did not fit are owed the r16 head:
+# sumoql_top_values, sumoql_trailing_windows, sumoql_transaction,
+# tfidf_top_terms, token_count_stats, top_bigrams_per_source,
+# vpc_eni_enrichment.
+_PRIORITY: tuple[str, ...] = (
+    # -- (a) r14/r15 operator-changed re-verification --
+    "dedup_clusters", "semantic_dedup_clusters",
+    "semantic_dedup_clusters_star", "incremental_dedup_batch",
+    "exact_dedup_stats", "minhash_calibration",
+    "approx_count_distinct_parts",
+    "crawl_stage0_funnel", "crawl_stage1_funnel", "crawl_stage2_funnel",
+    "url_canonical_dedup", "table_profile",
+    "triangle_communities", "clustering_coefficients",
+    "k_core_membership", "pq_codebook_stats", "pq_adc_topk",
+    "ivfpq_ann_topk",
+    # -- (b) oldest (r9) cohort backfill, sorted, to exactly 50 --
+    "char_entropy_scores", "doc_fingerprints",
+    "embedding_dimension_stats", "embedding_quantize_int8",
+    "html_text_extraction", "int8_ann_rerank", "knn_label_vote",
+    "lang_detect_matrix", "logcompare_baseline_target",
+    "logreduce_signatures", "ngram_jaccard_pairs",
+    "phash_hamming_neardup", "pii_redaction", "product_type_profit",
+    "quality_scores", "range_join_value_bands", "sample_by_hash",
+    "securityhub_org_findings", "sequence_packing", "simhash_signatures",
+    "split_ngram_decontamination", "sumoql_accum_total",
+    "sumoql_count_by", "sumoql_dedup_latest", "sumoql_outlier_series",
+    "sumoql_parse_anchor", "sumoql_parse_regex_where",
+    "sumoql_predict_linear", "sumoql_sort_limit", "sumoql_stats_aggs",
+    "sumoql_subsearch_join", "sumoql_timeslice_agg",
+)
+
+# Round-16 rotation notes: recompute programmatically by aggregating
+# CORRECTNESS_r01-r15 — do not trust hand-maintained lists.  Owed the
+# r16 head: any round-16 additions, anything CORRECTNESS_r15 failed,
+# any round-16 operator-changed queries, then the 10 leftover r9-cohort
+# queries listed above, then the r10 cohort.  Keep the window EXACTLY
+# 50 — re-count after every edit (tests/test_doc_counts.py pins this).
 
 
 def _prioritized(d: dict) -> dict:

@@ -339,7 +339,12 @@ def approx_count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct-pair scale, not corpus scale (r14, guide §2.3
     # "aggregate before you shuffle"; measured 3.9 → 1.0 s at sf0.1).
     dedup = li.groupBy("l_returnflag", "l_partkey").agg(F.lit(1))
-    exact = F.count(F.lit(1))
+    # count only non-NULL partkey groups: count(DISTINCT x) ignores
+    # NULLs, and so does the HLL sketch — a plain count(*) over the
+    # dedup groups would count a (flag, NULL) group that neither side
+    # of the comparison sees (NULL-free in TPC-H, but keep the
+    # semantics identical to the pre-r14 countDistinct form).
+    exact = F.count(F.when(F.col("l_partkey").isNotNull(), 1))
     approx = F.approx_count_distinct("l_partkey", rsd=0.01)
     return dedup.groupBy("l_returnflag").agg(
         exact.alias("n_parts_exact"),
