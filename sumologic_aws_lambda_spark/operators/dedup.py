@@ -396,10 +396,20 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     # contract pinned by test_star_labels_only_supplied_nodes; filtering
     # per hop or post-filtering the output would be wrong (the latter
     # keeps relay connectivity through non-members).
-    node_ids = nodes.select(F.col(node_col).alias("node"))
+    #
+    # The LABEL frame is checkpointed first and serves as the probe
+    # side of both semi-joins (r15): the supplied nodes lineage (often
+    # itself a union/distinct over the pair pipeline) then executes
+    # exactly once, instead of once for the checkpoint plus once per
+    # semi-join probe.
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("lbl")
+    ).localCheckpoint()
+    node_ids = labels.select("node")
     member_pairs = (
-        pairs.join(node_ids, pairs["a"] == node_ids["node"], "left_semi")
-        .join(node_ids, F.col("b") == node_ids["node"], "left_semi")
+        pairs.select("a", "b")
+        .join(node_ids, F.col("a") == F.col("node"), "left_semi")
+        .join(node_ids, F.col("b") == F.col("node"), "left_semi")
     )
     edges = (
         member_pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -419,15 +429,8 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     small_edges = edges.count() <= 100_000
     if small_edges:
         edges = edges.coalesce(1)
-    # Checkpoint BEFORE the gating count: counting first would execute
-    # the full nodes lineage once for the count and again for the
-    # materialization.  coalesce is narrow, so applying it on top of the
-    # checkpointed frame costs nothing extra.
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("lbl")
-    ).localCheckpoint()
-    if small_edges and labels.count() <= 1_000_000:
-        labels = labels.coalesce(1)
+        if labels.count() <= 1_000_000:
+            labels = labels.coalesce(1)
     def propagate(lbls: DataFrame) -> DataFrame:
         # union form: one join + one partial-agg groupBy per hop.  The
         # previous two-join form (neighbor agg, then a left join back
@@ -601,7 +604,26 @@ def connected_components_star(nodes: DataFrame, pairs: DataFrame,
     neighborhood flows through the join as rows.  Same output contract
     as ``connected_components``: (node, cluster_id = component min).
     """
-    e0 = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+    # Same member-endpoint pre-filter as connected_components (r15): the
+    # star ops relay labels through EVERY pair endpoint, so an endpoint
+    # absent from `nodes` would both appear in the intermediate edge set
+    # and connect member nodes it bridges — the final semi-join used to
+    # hide the first symptom but not the second (nodes={2,7},
+    # pairs={(2,5),(5,7)} must NOT connect 2-7 when 5 is not supplied).
+    # Two semi-joins at setup, amortized over all O(log²) rounds; both
+    # engines now share one contract and stay property-equal on graphs
+    # with foreign endpoints.  The node set is checkpointed ONCE and
+    # reused by both probes and the final singleton anti-join — the
+    # nodes lineage (often a union/distinct over the pair pipeline)
+    # used to re-execute per consumer.
+    node_ids = nodes.select(F.col(node_col).alias("_cc_node")) \
+        .localCheckpoint()
+    member_pairs = (
+        pairs.select("a", "b")
+        .join(node_ids, F.col("a") == F.col("_cc_node"), "left_semi")
+        .join(node_ids, F.col("b") == F.col("_cc_node"), "left_semi")
+    )
+    e0 = member_pairs.select(F.col("a").alias("u"), F.col("b").alias("v")) \
         .filter(F.col("u") != F.col("v"))
 
     def large_star(edges: DataFrame) -> DataFrame:
@@ -647,6 +669,17 @@ def connected_components_star(nodes: DataFrame, pairs: DataFrame,
         return row["n"], row["h"]
 
     prev = _sig(edges)
+    # Small-graph coalesce gate, mirroring connected_components (r15):
+    # the initial _sig already counted the materialized edge frame, so
+    # the gate is free.  When the duplicate subgraph is tiny (the common
+    # post-LSH case) collapse to one partition so each star round's
+    # groupBy/join/distinct chain runs as single-task jobs under AQE
+    # instead of 32-partition shuffle round-trips.  Only the EDGE frame
+    # is gated — the star loop never touches `nodes`, and the edge set
+    # can only shrink under star contraction, so the gate holds for
+    # every later round.  Large graphs keep the parallel layout.
+    if prev[0] <= 100_000:
+        edges = edges.coalesce(1)
     converged = False
     for _ in range(max_iter):
         edges = small_star(large_star(edges)).localCheckpoint()
@@ -667,14 +700,14 @@ def connected_components_star(nodes: DataFrame, pairs: DataFrame,
             f"{max_iter} rounds — raise max_iter"
         )
 
-    # Restrict to the supplied node set: the star edges label every pair
-    # endpoint, but the contract (shared with connected_components) is
-    # one row per row of `nodes` — an endpoint absent from `nodes` must
-    # not appear in the output.  Left-semi on the uniform node key.
+    # The member pre-filter above guarantees every star-edge endpoint is
+    # a supplied node, so the labeled side needs no output semi-join
+    # (the pre-r15 form filtered here instead — one extra join per
+    # query, and it still relayed labels through foreign nodes).
     labels = edges.select(
         F.col("u").alias(node_col), F.col("v").alias("cluster_id")
-    ).join(nodes.select(F.col(node_col)), node_col, "left_semi")
-    singles = nodes.select(F.col(node_col)).join(
+    )
+    singles = node_ids.select(F.col("_cc_node").alias(node_col)).join(
         labels.select(node_col), node_col, "left_anti"
     ).select(F.col(node_col), F.col(node_col).alias("cluster_id"))
     return labels.union(singles)

@@ -454,6 +454,16 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both assignments are pure row properties (md5) — no shuffle to
     assign, one groupBy on source to audit.
+
+    group_split is a FUNCTION of the grouping key (md5 of ``source``),
+    so it is derived AFTER the aggregation instead of carried through
+    it (r15, guide §2.3/§1.2): the previous ``any_value(group_split)``
+    was a string-buffered aggregate, which forced the whole two-level
+    distinct aggregation onto SortAggregate — three full sorts of the
+    corpus around the exchanges.  With only numeric buffers left
+    (count + the distinct-rewrite's grouping), the plan is pure
+    HashAggregate, and the per-row ``md5(source)`` moves from the
+    corpus scan to the per-source result frame.
     """
     d = table(spark, sf_dir, "documents")
 
@@ -468,13 +478,15 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = d.select(
         "source",
         _nibble_split(F.col("doc_id").cast("string")).alias("doc_split"),
-        _nibble_split(F.col("source")).alias("group_split"),
     )
     return tagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("doc_split").alias("n_doc_splits"),
-        F.any_value("group_split").alias("group_split"),
         (F.countDistinct("doc_split") > 1).alias("leaks_across_splits"),
+    ).select(
+        "source", "n_docs", "n_doc_splits",
+        _nibble_split(F.col("source")).alias("group_split"),
+        "leaks_across_splits",
     )
 
 

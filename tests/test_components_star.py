@@ -68,6 +68,22 @@ def test_star_labels_only_supplied_nodes(spark):
     assert star == base
 
 
+def test_star_no_label_relay_through_foreign_nodes(spark):
+    """A foreign endpoint must not RELAY labels between member nodes
+    either (r15: the star engine now pre-filters pairs to member
+    endpoints exactly like connected_components, instead of only
+    semi-joining the output — which hid the phantom rows but kept the
+    relay connectivity)."""
+    nodes = spark.createDataFrame([(2,), (7,)], "node long")
+    # 2~5~7 with 5 absent from `nodes`: 2 and 7 must stay separate
+    pairs = spark.createDataFrame([(2, 5), (5, 7)], "a long, b long")
+    star = {(r.node, r.cluster_id)
+            for r in connected_components_star(nodes, pairs).collect()}
+    base = {(r.node, r.cluster_id)
+            for r in connected_components(nodes, pairs).collect()}
+    assert star == base == {(2, 2), (7, 7)}
+
+
 def test_min_label_components_handle_string_ids(spark):
     """md5-fingerprint node ids (strings) are the natural dedup key —
     the convergence check must not cast labels to numbers."""

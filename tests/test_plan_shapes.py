@@ -517,8 +517,12 @@ _AUDIT_FLAGS_OK: dict[str, tuple[frozenset, str]] = {
     # signature SortAggregate exchange) + zip_with agreement estimate
     # (no per-seed groupBy) removed the excess exchanges
     "minhash_calibration": (frozenset({"SMJ"}), _SMJ_BANDED),
+    # r15: MANY-EXCHANGES dropped — the output semi-join (which
+    # re-derived the touched-node union/distinct) was replaced by the
+    # member pre-filter over the checkpointed node set, so the final
+    # plan is labels ∪ (anti-join over two checkpointed frames)
     "semantic_dedup_clusters_star": (
-        frozenset({"SMJ", "MANY-EXCHANGES"}),
+        frozenset({"SMJ"}),
         "large-star/small-star contraction rounds join corpus-scale "
         "cluster-id frames; SMJ correct, rounds bounded"),
     "ahash_real_neardup": (frozenset({"SMJ"}), _SMJ_BANDED),
