@@ -46,6 +46,17 @@ def gunzip_udf(data: pd.Series) -> pd.Series:
     return data.map(_one)
 
 
+# Marked non-deterministic (it IS deterministic — this is purely an
+# optimizer fence, guide §4.4): the CWL pipeline filters on
+# envelope.messageType, a column derived from this UDF, and predicate
+# pushdown cloned the whole decode below the pushed filter — TWO
+# ArrowEvalPython stages per query, every payload gunzipped and
+# JSON-parsed twice, and each task paying two Python worker round
+# trips.  The fence keeps the filter above the single decode stage
+# (plan verified 2 → 1 ArrowEvalPython; results byte-identical).
+gunzip_udf = gunzip_udf.asNondeterministic()
+
+
 def unbase64_gunzip(col: Column | str, charset: str = "UTF-8") -> Column:
     """base64(gzip(text)) → text — the CWL subscription payload decode
     (D1+D2+D4; ``cloudwatchlogs_lambda.js:159-169``)."""

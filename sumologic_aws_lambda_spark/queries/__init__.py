@@ -68,6 +68,18 @@ _REVERIFY: dict[str, tuple[str, ...]] = {
     "sumologic_aws_lambda_spark/queries/sampling.py": (
         "split_leakage_audit",
     ),
+    # r15: ip→subnet lookup joined via dataframe aliases so the second
+    # broadcast becomes a runtime ReusedExchange (plan change only;
+    # results verified identical)
+    "sumologic_aws_lambda_spark/sources/vpc.py": (
+        "vpc_eni_enrichment",
+    ),
+    # r15: gunzip_udf optimizer fence (asNondeterministic) — the CWL
+    # decode no longer duplicates below the pushed CONTROL_MESSAGE
+    # filter (ArrowEvalPython 2 → 1; results verified identical)
+    "sumologic_aws_lambda_spark/functions/codecs.py": (
+        "cwl_decode_pipeline",
+    ),
 }
 # Changed files with no declared-query result surface (the window
 # cannot re-verify them; say why for each).
@@ -99,11 +111,12 @@ _REVERIFY_CARRYOVER: tuple[str, ...] = (
 # 15 queries the r14 verdict item 4 names, whose plans changed in r14
 # after that round's window was frozen); (b) backfill with the
 # oldest-freshness cohort (r9, 40 queries — url_canonical_dedup
-# already sits in (a)) in sorted order up to exactly 50.  The 8
-# r9-cohort queries that did not fit are owed the r16 head:
-# sumoql_timeslice_agg, sumoql_top_values, sumoql_trailing_windows,
-# sumoql_transaction, tfidf_top_terms, token_count_stats,
-# top_bigrams_per_source, vpc_eni_enrichment.
+# already sits in (a), vpc_eni_enrichment moved into (a) when its
+# operator changed) in sorted order up to exactly 50.  The 9 r9-cohort
+# queries that did not fit are owed the r16 head:
+# sumoql_stats_aggs, sumoql_subsearch_join, sumoql_timeslice_agg,
+# sumoql_top_values, sumoql_trailing_windows, sumoql_transaction,
+# tfidf_top_terms, token_count_stats, top_bigrams_per_source.
 _PRIORITY: tuple[str, ...] = (
     # -- (a) r14/r15 operator-changed re-verification --
     "dedup_clusters", "semantic_dedup_clusters",
@@ -115,8 +128,9 @@ _PRIORITY: tuple[str, ...] = (
     "triangle_communities", "clustering_coefficients",
     "k_core_membership", "pq_codebook_stats", "pq_adc_topk",
     "ivfpq_ann_topk",
-    # r15 plan changes (split_leakage SortAgg removal)
-    "split_leakage_audit",
+    # r15 plan changes (split_leakage SortAgg removal, vpc broadcast
+    # reuse, cwl decode fence)
+    "split_leakage_audit", "vpc_eni_enrichment", "cwl_decode_pipeline",
     # -- (b) oldest (r9) cohort backfill, sorted, to exactly 50 --
     "char_entropy_scores", "doc_fingerprints",
     "embedding_dimension_stats", "embedding_quantize_int8",
@@ -129,8 +143,7 @@ _PRIORITY: tuple[str, ...] = (
     "split_ngram_decontamination", "sumoql_accum_total",
     "sumoql_count_by", "sumoql_dedup_latest", "sumoql_outlier_series",
     "sumoql_parse_anchor", "sumoql_parse_regex_where",
-    "sumoql_predict_linear", "sumoql_sort_limit", "sumoql_stats_aggs",
-    "sumoql_subsearch_join",
+    "sumoql_predict_linear", "sumoql_sort_limit",
 )
 
 # Round-16 rotation notes: recompute programmatically by aggregating

@@ -87,17 +87,22 @@ def enrich_security_groups(flows: DataFrame, eni_dim: DataFrame) -> DataFrame:
     # byte/packet counts downstream.  min() keeps the choice
     # deterministic; scoping by vpc_id is the precise fix when flows
     # carry a VPC column.
+    # One (ip → subnet) frame joined TWICE via dataframe aliases instead
+    # of two withColumnRenamed copies (r15): the rename-Projects made the
+    # two broadcast subtrees non-canonical, so the dimension aggregate,
+    # its exchange and the broadcast build all executed twice; with
+    # identical subtrees AQE's runtime exchange reuse turns the second
+    # into a ReusedExchange — the lookup is aggregated, shuffled and
+    # shipped once per query (verified post-execution: reused 0 → 2).
     ip_subnet = F.broadcast(
         eni_dim.groupBy(F.col("ip_address").alias("peer_ip"))
         .agg(F.min("subnet_id").alias("peer_subnet"))
     )
-    src_m = ip_subnet.withColumnRenamed("peer_ip", "src_ip").withColumnRenamed(
-        "peer_subnet", "src_subnet")
-    dst_m = ip_subnet.withColumnRenamed("peer_ip", "dst_ip").withColumnRenamed(
-        "peer_subnet", "dst_subnet")
+    src_m = ip_subnet.alias("_src_eni")
+    dst_m = ip_subnet.alias("_dst_eni")
     out = (
-        out.join(src_m, out.srcaddr == src_m.src_ip, "left")
-        .join(dst_m, out.dstaddr == dst_m.dst_ip, "left")
+        out.join(src_m, out.srcaddr == F.col("_src_eni.peer_ip"), "left")
+        .join(dst_m, out.dstaddr == F.col("_dst_eni.peer_ip"), "left")
     )
 
     inbound = F.col("dstaddr") == F.col("ip_address")
@@ -105,15 +110,16 @@ def enrich_security_groups(flows: DataFrame, eni_dim: DataFrame) -> DataFrame:
         F.col("ip_address").isNull(), F.lit(None).cast("string")
     ).when(
         inbound,
-        F.when(F.col("src_subnet") == F.col("subnet_id"), "internal")
-        .otherwise("inbound"),
+        F.when(F.col("_src_eni.peer_subnet") == F.col("subnet_id"),
+               "internal").otherwise("inbound"),
     ).otherwise(
-        F.when(F.col("dst_subnet") == F.col("subnet_id"), "internal")
-        .otherwise("outbound"),
+        F.when(F.col("_dst_eni.peer_subnet") == F.col("subnet_id"),
+               "internal").otherwise("outbound"),
     )
     return (
         out.withColumn("direction", direction)
-        .drop("src_ip", "src_subnet", "dst_ip", "dst_subnet")
+        .drop(src_m.peer_ip).drop(src_m.peer_subnet)
+        .drop(dst_m.peer_ip).drop(dst_m.peer_subnet)
     )
 
 
