@@ -40,9 +40,26 @@ def test_table_profile_values(spark, qs):
     assert pk["n_nulls"] == 0 and pk["n_distinct"] == n
 
 
-def test_table_profile_single_scan(spark, qs):
+def test_table_profile_pruned_scans(spark, qs):
+    """Pins the r14 rewrite (OPTIMIZATION_r14.md item 4): the old single
+    scan fed an Expand ×6 whose min/max-over-string buffers forced the
+    whole 6×-expanded stream through SortAggregate; the new shape is ONE
+    full-width global-agg scan plus FIVE per-column distinct-count
+    scans, each ReadSchema-pruned to exactly the profiled column, glued
+    by 1-row broadcast joins.  (The old `== 1` single-scan pin predated
+    that rewrite; the r14 verify run aborted at an earlier failure and
+    never reached this file — caught and repinned in r15.)"""
     df = qs["table_profile"](spark, SF_DIR)
-    assert _scan_count(df, "orders.parquet") == 1
+    assert _scan_count(df, "orders.parquet") == 6
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    # each distinct-count scan reads exactly one column
+    fp = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    import re
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", fp)
+    single = [s for s in schemas if s.count(",") == 0]
+    assert len(schemas) == 6 and len(single) == 5, schemas
 
 
 def test_data_quality_all_pass_on_clean_data(spark, qs):
