@@ -65,6 +65,28 @@ def test_cwl_hot_path_is_narrow(spark, qs):
     assert "Exchange" not in plan
 
 
+def test_cwl_decode_single_python_stage(spark, qs):
+    """r15: gunzip_udf is an optimizer-fenced (asNondeterministic)
+    pandas UDF, so predicate pushdown can no longer clone the decode
+    below the CONTROL_MESSAGE filter — exactly ONE Python stage per
+    query (the pre-fence plan had two: every payload gunzipped and
+    JSON-parsed twice, two Python round-trips per task)."""
+    plan = _plan(qs["cwl_decode_pipeline"](spark, SF_DIR))
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_vpc_enrichment_reuses_ip_subnet_broadcast(spark, qs):
+    """r15: the (ip → subnet) lookup is joined twice via dataframe
+    aliases over ONE frame, so the two broadcast subtrees canonicalize
+    identically and AQE runtime exchange reuse executes the dimension
+    aggregate + broadcast build once (the old withColumnRenamed copies
+    were non-canonical — the agg ran twice per query).  Runtime
+    property: assert on the POST-execution adaptive plan."""
+    df = qs["vpc_eni_enrichment"](spark, SF_DIR)
+    df.collect()
+    assert "ReusedExchange" in _plan(df)
+
+
 def test_asof_join_is_single_shuffle_no_join(spark, qs):
     """The as-of join compiles to union+window: no join operator, and
     only the one hash exchange for the window partition key."""
